@@ -1,0 +1,107 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, per the 100 TB design rule:
+  *  - brute-force cosine top-k — exact baseline; one pass over the data
+  *    (pure projection + TakeOrderedAndProject), no shuffle of the
+  *    corpus, query vector shipped as a literal. At scale this is the
+  *    per-partition top-k + driver merge Spark already does for
+  *    `orderBy().limit(k)`.
+  *  - random-hyperplane LSH ANN — signature is a pure projection;
+  *    probing hits only matching buckets (equi-join / IN filter) so the
+  *    scanned fraction drops to bucket_size/N. Hyperplanes are derived
+  *    from a fixed seed → signatures are stable across runs and
+  *    executors.
+  *
+  * All vector math is `functions._` (`zip_with`, `aggregate`) in double
+  * precision with a fixed left-to-right fold order — deterministic and
+  * codegen-friendly, no UDFs.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k by cosine against a literal query vector. */
+  def cosineTopK(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int): DataFrame = {
+    val q = array(query.map(v => lit(v.toDouble)): _*)
+    vectors
+      .select(
+        col(idCol).as("id"),
+        round(cosine(col(vecCol), q), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes (fixed seed). */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit LSH signature: bit j = (v · h_j) >= 0. */
+  def lshSignature(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, j) =>
+      val pl = array(p.map(lit): _*)
+      when(dot(vec, pl) >= 0, shiftleft(lit(1L), j)).otherwise(0L)
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN top-k: restrict the exact scan to vectors whose LSH bucket is
+    * within `probe` Hamming bits of the query's bucket, then rank those
+    * by exact cosine. Recall/speed trades with nPlanes and probe. */
+  def annTopK(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, nPlanes: Int = 12, probe: Int = 2): DataFrame = {
+    val dim = query.length
+    val planes = hyperplanes(nPlanes, dim)
+    // query signature computed driver-side with the same fold order
+    val qSig = planes.zipWithIndex.map { case (p, j) =>
+      val d = p.zip(query).map { case (h, v) => h * v }.sum
+      if (d >= 0) 1L << j else 0L
+    }.foldLeft(0L)(_ | _)
+    val q = array(query.map(v => lit(v.toDouble)): _*)
+    vectors
+      .withColumn("sig", lshSignature(col(vecCol), planes))
+      .where(bit_count(col("sig").bitwiseXOR(lit(qSig))) <= probe)
+      .select(
+        col(idCol).as("id"),
+        round(cosine(col(vecCol), q), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** All near-duplicate pairs with cosine >= threshold, LSH-bucketed:
+    * candidates = pairs sharing an exact LSH bucket (equi-join on the
+    * signature — the 100 TB path; brute force would be |N|² pairs). */
+  def cosineNearDupPairs(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nPlanes: Int = 8): DataFrame = {
+    val planes = hyperplanes(nPlanes, 64)
+    val sigs = vectors.select(
+      col(idCol).as("id"), col(vecCol).as("v"),
+      lshSignature(col(vecCol), planes).as("sig"))
+    val l = sigs.select(col("sig"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = sigs.select(col("sig"), col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, Seq("sig"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(cosine(col("v_a"), col("v_b")), 6))
+      .where(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+}

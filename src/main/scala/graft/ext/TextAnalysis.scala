@@ -1,0 +1,80 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Text-analysis operators for a training-data pipeline, built entirely
+  * from codegen'd `functions._` column expressions — no UDFs, so the hot
+  * path stays inside WholeStageCodegen and scales linearly with input
+  * splits (no driver-side work, no shuffles for per-document scores).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (the test corpus is single-space separated;
+    * a BPE-ish `\p{L}+|\p{N}+|[^\s\p{L}\p{N}]` regex variant is
+    * `tokensRegex`). */
+  def tokens(text: Column): Column = split(trim(text), " +")
+
+  def tokensRegex(text: Column): Column =
+    filter(
+      split(text, "(?<=\\p{L})(?=[^\\p{L}])|(?<=[^\\p{L}])(?=\\p{L})| +"),
+      t => length(trim(t)) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Small closed-class stopword sets per language — enough for an
+    * n-gram/stopword-hit language-ID heuristic over the test corpus. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un", "es"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "ist", "ein", "nicht"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "en"))
+
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words.map(lit): _*)))
+
+  /** Language ID: argmax over per-language stopword hit rates. Pure
+    * column expression → distributes with the scan. Returns the 2-letter
+    * code with the most hits, 'und' when nothing matches.
+    */
+  def langId(text: Column): Column = {
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(stopwordHits(text, words).as("hits"), lit(lang).as("lang"))
+    }
+    // array_max on struct = lexicographic (hits, lang) — deterministic
+    // tie-break by language code.
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
+  }
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio,
+    * mean token length — the standard cheap pre-filters for web corpora.
+    */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))
+
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val stopRate =
+      stopwordHits(text, stopwords("en")).cast("double") / greatest(nTok, lit(1.0))
+    val punctRate =
+      punctCount(text).cast("double") / greatest(length(text).cast("double"), lit(1.0))
+    val lenScore = least(nTok / lit(64.0), lit(1.0))
+    // weighted blend in [0,1]
+    (lenScore * 0.4 + stopRate * 0.4 + (lit(1.0) - punctRate) * 0.2)
+  }
+
+  /** Document fingerprint: rolling hash over tokens — each step feeds
+    * the accumulator and the next token back through xxhash64, so the
+    * result is order-sensitive but whitespace-run-insensitive. (A
+    * multiply-based polynomial hash would wrap Long and trip ANSI
+    * overflow checks; hash-chaining mixes just as well without
+    * overflow.) For an order-insensitive fingerprint use Dedup.simhash.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      tokens(text),
+      lit(1469598103934665603L), // FNV offset basis as seed
+      (acc, t) => xxhash64(acc, t))
+}

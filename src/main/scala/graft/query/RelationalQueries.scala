@@ -1,0 +1,266 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.IntegerType
+
+/** The read-side query surface of the engine (SURVEY.md §3.3, §2.5–2.7).
+  *
+  * The reference delegates all of this to ClickHouse over its 8 tables
+  * (/root/reference/README.md:115-332); here the same query shapes run as
+  * Catalyst plans over the driver's TPC-H-ish tables. Every query is
+  * written scale-first:
+  *   - dimension joins are explicitly `broadcast()` (region/nation/
+  *     customer are tiny relative to the fact tables at any SF);
+  *   - money aggregates go through integer cents (see Tables.cents) so
+  *     partial/final aggregation is order-independent and type-stable
+  *     against the DuckDB oracle;
+  *   - top-k always carries a unique-key tiebreak so LIMIT is
+  *     deterministic across engines;
+  *   - filters are plain column predicates → pushed to the parquet scan.
+  *
+  * Oracle output discipline: **strings and int64 only** (driver's DuckDB
+  * 1.0.0 renders HUGEINT/DECIMAL as float and truncates parquet ns
+  * timestamps to µs — both sides of each query are written to land on
+  * identical int64/string values).
+  */
+object RelationalQueries {
+  import Tables.cents
+
+  val all: Seq[Q] = Seq(
+    // ---- A: aggregation (SURVEY §2.5; ClickHouse generic SQL side) ----
+    // revenue_e4 = Σ cents(price) × (100 − cents-of-discount): exact
+    // integer arithmetic in units of 1e-4 currency.
+    Q(
+      "q1_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_disc_price_e4,
+        |  count(*) AS count_order,
+        |  count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin) {
+      (s, dir) =>
+        val li = Tables.load(s, dir, "lineitem")
+        li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(cents(col("l_quantity"))).as("sum_qty_c"),
+            sum(cents(col("l_extendedprice"))).as("sum_base_price_c"),
+            sum(cents(col("l_extendedprice")) *
+              (lit(100L) - cents(col("l_discount")))).as("sum_disc_price_e4"),
+            count(lit(1)).as("count_order"),
+            countDistinct(col("l_orderkey")).as("n_orders"))
+    },
+
+    // ---- multi-way star join + agg (dims broadcast) ----
+    Q(
+      "q2_revenue_by_nation",
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_e4,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val n = Tables.load(s, dir, "nation")
+      val r = Tables.load(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sum(cents(col("l_extendedprice")) *
+            (lit(100L) - cents(col("l_discount")))).as("revenue_e4"),
+          count(lit(1)).as("n_items"))
+    },
+
+    // ---- O: sort + deterministic top-k (§2.7) ----
+    Q(
+      "q3_topk_orders",
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice*100) AS BIGINT) AS total_price_c
+        |FROM orders
+        |ORDER BY total_price_c DESC, o_orderkey ASC LIMIT 10""".stripMargin) {
+      (s, dir) =>
+        Tables.load(s, dir, "orders")
+          .select(
+            col("o_orderkey"), col("o_custkey"),
+            cents(col("o_totalprice")).as("total_price_c"))
+          .orderBy(col("total_price_c").desc, col("o_orderkey").asc)
+          .limit(10)
+    },
+
+    // ---- W: ranking window — latest order per customer (§2.6; the
+    // explorer "account history head" shape, SURVEY §3.3-2) ----
+    Q(
+      "q4_latest_order_per_customer",
+      """SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        |FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+        |        row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |      FROM orders) t
+        |WHERE rn = 1""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      Tables.load(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+    },
+
+    // ---- W: frame window (running sum) + analytic lag (§2.6 W1/W3) ----
+    Q(
+      "q5_running_qty_by_supplier",
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_qty_c,
+        |  CAST(lag(CAST(round(l_quantity*100) AS BIGINT)) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS BIGINT) AS prev_qty_c
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      Tables.load(s, dir, "lineitem")
+        .select(
+          col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum(cents(col("l_quantity")))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("running_qty_c"),
+          lag(cents(col("l_quantity")), 1).over(w).as("prev_qty_c"))
+    },
+
+    // ---- semi join: EXISTS (§2.4 read-side joins) ----
+    Q(
+      "q6_custs_with_orders",
+      """SELECT c_mktsegment, count(*) AS n_cust
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .join(
+          Tables.load(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"))
+    },
+
+    // ---- anti join: NOT EXISTS ----
+    Q(
+      "q7_custs_without_orders",
+      """SELECT c_mktsegment, count(*) AS n_cust
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .join(
+          Tables.load(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"))
+    },
+
+    // ---- set ops (§2.7 O4) ----
+    Q(
+      "q8_nation_setops",
+      """SELECT 'both' AS side, count(*) AS n FROM (
+        |  SELECT c_nationkey AS k FROM customer
+        |  INTERSECT SELECT s_nationkey FROM supplier) t
+        |UNION ALL
+        |SELECT 'cust_only' AS side, count(*) AS n FROM (
+        |  SELECT c_nationkey AS k FROM customer
+        |  EXCEPT SELECT s_nationkey FROM supplier) t""".stripMargin) {
+      (s, dir) =>
+        val c = Tables.load(s, dir, "customer").select(col("c_nationkey").as("k"))
+        val p = Tables.load(s, dir, "supplier").select(col("s_nationkey").as("k"))
+        val both = c.intersect(p).agg(count(lit(1)).as("n"))
+          .select(lit("both").as("side"), col("n"))
+        val co = c.except(p).agg(count(lit(1)).as("n"))
+          .select(lit("cust_only").as("side"), col("n"))
+        both.unionAll(co)
+    },
+
+    // ---- JSON scalar extraction over the event stream table (§2.8 F4/F8
+    // analog: get_json_object ≙ serde probing of args/event payloads) ----
+    Q(
+      "q9_events_json",
+      """SELECT event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c,
+        |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(cents(col("value"))).as("sum_value_c"),
+          max(get_json_object(col("props"), "$.k").cast(IntegerType))
+            .as("max_k"),
+          countDistinct(col("user_id")).as("n_users"))
+    },
+
+    // ---- time-range scan on the raw-nanos cursor (§3.3-8:
+    // block_timestamp minmax scans; F11 keeps canonical Long nanos).
+    // Oracle parity at µs: driver's DuckDB truncates parquet ns → µs. ----
+    Q(
+      "q10_events_time_range",
+      """SELECT event_type, count(*) AS n,
+        |  min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+        |FROM events
+        |WHERE epoch_us(ts) >= 1704067200000000
+        |  AND epoch_us(ts) <  1704153600000000
+        |GROUP BY event_type""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .where(col("ts") >= 1704067200000000000L &&
+          col("ts") < 1704153600000000000L)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          // integer div: ts/1000 via `/` would round-trip through double
+          // and lose ulps at 1.7e18
+          min(expr("ts div 1000")).as("first_us"),
+          max(expr("ts div 1000")).as("last_us"))
+    },
+
+    // ---- rollup (grouping-sets family; free on the Spark query half,
+    // SURVEY §2.5 note) ----
+    Q(
+      "q11_rollup_acctbal",
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |  CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS sum_bal_c
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.load(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(
+          count(lit(1)).as("n_cust"),
+          sum(cents(col("c_acctbal"))).as("sum_bal_c"))
+    },
+
+    // ---- approx distinct (sketch; no DuckDB-identical oracle → rows-only
+    // check; exact counterpart is q9's n_users) ----
+    Q.noOracle("q12_approx_distinct_users") { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+    }
+  )
+}
