@@ -70,28 +70,35 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, k: Int = 64, bands: Int = 16,
       maxBucket: Int = 1000): DataFrame = {
-    val withSig = docs
-      .select(
-        col(idCol).as("id"),
-        shingles(col(textCol)).as("sh"))
-      .withColumn("bandh", bandHashes(minhashSignature(col("sh"), k), bands, k))
-    val exploded = withSig
-      .select(col("id"), col("sh"), explode(col("bandh")).as("b"))
-      .select(col("id"), col("sh"), col("b.band").as("band"), col("b.bh").as("bh"))
-    // skew guard: drop degenerate buckets (e.g. all-empty docs) so no
-    // reducer sees O(bucket²) pairs
-    val bucketed = exploded.withColumn(
+    val base = docs.select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
+    // Materialize the signature as its own projection step: band hashes
+    // reference `sig` as a column, so the 64-wide minhash expression is
+    // evaluated once per row. (Inlining it would copy the whole
+    // signature tree into every band expression — 64× the hashing and a
+    // codegen blowup; Catalyst's CollapseProject keeps multiply-
+    // referenced non-cheap aliases materialized.)
+    val sigs = base
+      .select(col("id"), minhashSignature(col("sh"), k).as("sig"))
+      .select(col("id"), explode(bandHashes(col("sig"), bands, k)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    // skew guard: drop degenerate buckets (e.g. near-identical boiler-
+    // plate) so no reducer sees O(bucket²) pairs
+    val bucketed = sigs.withColumn(
       "bsz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
       .where(col("bsz") <= maxBucket)
-    val l = bucketed.select(
-      col("band"), col("bh"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = bucketed.select(
-      col("band"), col("bh"), col("id").as("id_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("band", "bh"))
+    // candidates carry ids only — document content joins back in just
+    // for the surviving pairs (at 100 TB the shuffle is |docs|×bands
+    // skinny rows + |candidates| wide rows, never |docs|² anything)
+    val l = bucketed.select(col("band"), col("bh"), col("id").as("id_a"))
+    val r = bucketed.select(col("band"), col("bh"), col("id").as("id_b"))
+    val cand = l.join(r, Seq("band", "bh"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    cand
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
@@ -157,16 +164,22 @@ object Dedup {
       threshold: Double, w: Int = 3, maxPostings: Int = 1000): DataFrame = {
     val withSh = docs.select(
       col(idCol).as("id"), array_distinct(shingles(col(textCol), w)).as("sh"))
+    // inverted index carries ids only (posting lists are skinny); shingle
+    // sets join back in for surviving candidate pairs — same shuffle
+    // discipline as minhashPairs
     val inverted = withSh
-      .select(col("id"), col("sh"), explode(col("sh")).as("g"))
+      .select(col("id"), explode(col("sh")).as("g"))
       .withColumn("psz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("g")))
       .where(col("psz") <= maxPostings)
-    val l = inverted.select(col("g"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = inverted.select(col("g"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val l = inverted.select(col("g"), col("id").as("id_a"))
+    val r = inverted.select(col("g"), col("id").as("id_b"))
     l.join(r, Seq("g"))
       .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))

@@ -67,7 +67,7 @@ object Similarity {
     * by exact cosine. Recall/speed trades with nPlanes and probe. */
   def annTopK(
       vectors: DataFrame, idCol: String, vecCol: String,
-      query: Seq[Float], k: Int, nPlanes: Int = 12, probe: Int = 2): DataFrame = {
+      query: Seq[Float], k: Int, nPlanes: Int = 12, probe: Int = 4): DataFrame = {
     val dim = query.length
     val planes = hyperplanes(nPlanes, dim)
     // query signature computed driver-side with the same fold order
@@ -86,20 +86,36 @@ object Similarity {
       .limit(k)
   }
 
-  /** All near-duplicate pairs with cosine >= threshold, LSH-bucketed:
-    * candidates = pairs sharing an exact LSH bucket (equi-join on the
-    * signature — the 100 TB path; brute force would be |N|² pairs). */
+  /** All near-duplicate pairs with cosine >= threshold, via banded
+    * sign-bit LSH (the cosine analog of MinHash banding): `bands`
+    * independent groups of `planesPerBand` hyperplanes; a pair is a
+    * candidate if it matches exactly in ≥1 band. Candidate generation is
+    * an equi-join on (band, bucket) carrying ids only — the 100 TB path;
+    * vectors join back just for surviving pairs. Recall for a pair at
+    * angle θ is 1-(1-p^r)^b with p = 1-θ/π; tune bands/planesPerBand to
+    * the target threshold (more planes per band → sparser buckets →
+    * cheaper join, lower recall).
+    */
   def cosineNearDupPairs(
       vectors: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nPlanes: Int = 8): DataFrame = {
-    val planes = hyperplanes(nPlanes, 64)
-    val sigs = vectors.select(
-      col(idCol).as("id"), col(vecCol).as("v"),
-      lshSignature(col(vecCol), planes).as("sig"))
-    val l = sigs.select(col("sig"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = sigs.select(col("sig"), col("id").as("id_b"), col("v").as("v_b"))
-    l.join(r, Seq("sig"))
+      threshold: Double, bands: Int = 4, planesPerBand: Int = 3,
+      dim: Int = 64): DataFrame = {
+    val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val bandSigs = (0 until bands).map { b =>
+      val planes = hyperplanes(planesPerBand, dim, seed = 42L + b)
+      struct(lit(b).as("band"), lshSignature(col("v"), planes).as("bucket"))
+    }
+    val buckets = base
+      .select(col("id"), explode(array(bandSigs: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val l = buckets.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val r = buckets.select(col("band"), col("bucket"), col("id").as("id_b"))
+    l.join(r, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .join(base.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
       .withColumn("cos_sim", round(cosine(col("v_a"), col("v_b")), 6))
       .where(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos_sim"))
