@@ -1,9 +1,86 @@
 package graft.etl
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.fixtures.BlockFixtures
 import graft.query.Q
+import graft.schema.Blocks
+import graft.sink.Replacing
 
-/** Query-pack surface for the ETL pipeline half (actions/transactions
-  * modes over synthetic block fixtures). Filled in milestone M2/M4. */
+/** Query-pack surface for the ETL pipeline half: the fixture block
+  * corpus (deterministic, generated in-process — the sfDir has no block
+  * documents) through actions mode (P1–P16), transactions mode
+  * (J1–J10, A2/A3), the ReplacingMergeTree semantics (A5) and the
+  * §3.3 explorer query shapes. All rows-only checks (no SQL oracle can
+  * see the in-process fixtures); value-level correctness is pinned by
+  * ActionsExtractSpec / TxCorrelatorSpec golden assertions.
+  */
 object PipelineQueries {
-  val all: Seq[Q] = Seq()
+
+  private val N = 40 // fixture blocks per query run
+
+  private def fixture(s: SparkSession): DataFrame = BlockFixtures.df(s, N)
+
+  private def completed(s: SparkSession) = {
+    import Blocks.encoder
+    TxCorrelator.correlateBatch(
+      s.createDataset(BlockFixtures.blocks(N))(encoder))
+  }
+
+  val all: Seq[Q] = Seq(
+    Q.noOracle("p1_actions_extract") { (s, _) =>
+      ActionsExtract.actions(ActionsExtract.indexedReceipts(fixture(s)))
+    },
+    Q.noOracle("p2_events_extract") { (s, _) =>
+      ActionsExtract.events(ActionsExtract.indexedReceipts(fixture(s)))
+    },
+    Q.noOracle("p3_data_extract") { (s, _) =>
+      ActionsExtract.data(ActionsExtract.indexedReceipts(fixture(s)))
+    },
+    Q.noOracle("p4_tx_correlate") { (s, _) =>
+      TxFanout.transactions(completed(s))
+    },
+    Q.noOracle("p5_account_txs") { (s, _) =>
+      TxFanout.accountTxs(completed(s))
+    },
+    Q.noOracle("p6_receipt_txs") { (s, _) =>
+      TxFanout.receiptTxs(completed(s))
+    },
+    Q.noOracle("p7_block_txs") { (s, _) =>
+      TxFanout.blockTxs(completed(s))
+    },
+    Q.noOracle("p8_blocks") { (s, _) =>
+      TxFanout.blocks(fixture(s))
+    },
+    // A5: replaying duplicated input collapses to the same table under
+    // the dedup view (the ReplacingMergeTree property).
+    Q.noOracle("p9_replacing_dedup") { (s, _) =>
+      val a = ActionsExtract.actions(ActionsExtract.indexedReceipts(fixture(s)))
+      Replacing.dedupView(
+        a.unionAll(a),
+        Seq("block_height", "account_id", "receipt_index", "action_index"))
+    },
+    // §3.3-5: account activity page over the extracted actions table
+    // (range + point predicate + sort, the bloom/minmax shape).
+    Q.noOracle("p10_account_history") { (s, _) =>
+      ActionsExtract.actions(ActionsExtract.indexedReceipts(fixture(s)))
+        .where(col("account_id") === "bank.near" &&
+          col("block_height").between(105, 130))
+        .select("block_height", "receipt_id", "action_index", "action",
+          "status", "deposit")
+        .orderBy("block_height", "receipt_index", "action_index")
+    },
+    // §3.3-3: receipt -> transaction resolve join.
+    Q.noOracle("p11_receipt_lookup") { (s, _) =>
+      val txs = completed(s)
+      val rt = TxFanout.receiptTxs(txs)
+      val t = TxFanout.transactions(txs)
+      rt.where(col("receipt_id").startsWith("rB"))
+        .join(t, Seq("transaction_hash", "signer_id", "tx_block_height",
+          "tx_block_timestamp"))
+        .select("receipt_id", "transaction_hash", "tx_block_height",
+          "last_block_height")
+        .orderBy("receipt_id")
+    }
+  )
 }

@@ -1,0 +1,101 @@
+package graft.sink
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ReplacingMergeTree semantics over parquet (SURVEY.md §4.2): all 8
+  * reference tables use `ENGINE = ReplacingMergeTree` — duplicate rows
+  * with the same ORDER BY key collapse asynchronously, giving
+  * idempotent at-least-once ingest (README.md:176,218,237,...).
+  *
+  * Parquet has no storage-level analog, so the engine provides the two
+  * halves explicitly:
+  *  - write path: [[idempotentWrite]] — dynamic partition overwrite of
+  *    block-height buckets. Replaying any block range rewrites exactly
+  *    the buckets it covers; at 1000-executor scale each bucket is an
+  *    independent file set, no global coordination.
+  *  - read path: [[dedupView]] — `row_number() OVER (PARTITION BY key
+  *    ORDER BY version DESC) = 1`, the standard dedup-on-read view for
+  *    data that may carry duplicates anyway.
+  *
+  * Write layout doubles as the index machinery (§4.2): rows sorted by
+  * the table's ORDER BY key within buckets → parquet row-group min/max
+  * stats serve range scans (ClickHouse minmax idx); per-column bloom
+  * filters serve point lookups (bloom_filter idx).
+  */
+object Replacing {
+
+  /** Height-bucket column: 1 bucket = `step` consecutive blocks. */
+  def heightBucket(heightCol: String, step: Long = 1000L) =
+    (col(heightCol) - (col(heightCol) % step)).as("height_bucket")
+
+  /** Idempotent sorted write: partition dirs by height bucket, rows
+    * sorted by `orderKey` within files, bloom filters on `bloomCols`.
+    * `SaveMode.Overwrite` + dynamic partitionOverwriteMode replaces
+    * only the buckets present in `df` — the ReplacingMergeTree replay
+    * contract. */
+  def idempotentWrite(
+      df: DataFrame, path: String, heightCol: String,
+      orderKey: Seq[String], bloomCols: Seq[String] = Nil,
+      step: Long = 1000L): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val writer = df
+        .withColumn("height_bucket", heightBucket(heightCol, step))
+        .repartition(col("height_bucket"))
+        .sortWithinPartitions(orderKey.map(col): _*)
+        .write
+        .mode(SaveMode.Overwrite)
+        .partitionBy("height_bucket")
+      bloomCols
+        .foldLeft(writer) { (w, c) =>
+          w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        }
+        .parquet(path)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
+  /** Dedup-on-read view: latest row (by `versionCol` descending, or
+    * arbitrary-but-deterministic when absent) per ORDER BY key. */
+  def dedupView(
+      df: DataFrame, orderKey: Seq[String],
+      versionCol: Option[String] = None): DataFrame = {
+    val w = Window.partitionBy(orderKey.map(col): _*)
+      .orderBy(versionCol.map(col(_).desc)
+        .getOrElse(monotonically_increasing_id().asc))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Simple dedup for exact-duplicate rows (all columns equal). */
+  def dropExactDuplicates(df: DataFrame, orderKey: Seq[String]): DataFrame =
+    df.dropDuplicates(orderKey)
+
+  /** K1: sink-side retry with exponential backoff
+    * (/root/reference/src/click.rs:50-85: 10 tries, 100 ms ×2). */
+  def retry[T](
+      tries: Int = 10, firstDelayMs: Long = 100L)(f: => T): T = {
+    var attempt = 0
+    var delay = firstDelayMs
+    while (true) {
+      try return f
+      catch {
+        case e: Throwable =>
+          attempt += 1
+          if (attempt >= tries) throw e
+          Thread.sleep(delay)
+          delay *= 2
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}
