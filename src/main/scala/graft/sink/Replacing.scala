@@ -30,11 +30,29 @@ object Replacing {
   def heightBucket(heightCol: String, step: Long = 1000L) =
     (col(heightCol) - (col(heightCol) % step)).as("height_bucket")
 
-  /** Idempotent sorted write: partition dirs by height bucket, rows
-    * sorted by `orderKey` within files, bloom filters on `bloomCols`.
+  private def layoutWriter(
+      df: DataFrame, heightCol: String, orderKey: Seq[String],
+      bloomCols: Seq[String], step: Long, mode: SaveMode) = {
+    val writer = df
+      .withColumn("height_bucket", heightBucket(heightCol, step))
+      .repartition(col("height_bucket"))
+      .sortWithinPartitions(orderKey.map(col): _*)
+      .write
+      .mode(mode)
+      .partitionBy("height_bucket")
+    bloomCols.foldLeft(writer) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }
+  }
+
+  /** Batch-backfill write: partition dirs by height bucket, rows sorted
+    * by `orderKey` within files, bloom filters on `bloomCols`.
     * `SaveMode.Overwrite` + dynamic partitionOverwriteMode replaces
-    * only the buckets present in `df` — the ReplacingMergeTree replay
-    * contract. */
+    * only the buckets present in `df` — idempotent ONLY when `df`
+    * covers every block of every bucket it touches (a backfill of
+    * complete ranges). Streaming micro-batches must use [[appendWrite]]
+    * instead: overwriting would clobber earlier batches sharing a
+    * bucket. */
   def idempotentWrite(
       df: DataFrame, path: String, heightCol: String,
       orderKey: Seq[String], bloomCols: Seq[String] = Nil,
@@ -42,26 +60,27 @@ object Replacing {
     val spark = df.sparkSession
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      val writer = df
-        .withColumn("height_bucket", heightBucket(heightCol, step))
-        .repartition(col("height_bucket"))
-        .sortWithinPartitions(orderKey.map(col): _*)
-        .write
-        .mode(SaveMode.Overwrite)
-        .partitionBy("height_bucket")
-      bloomCols
-        .foldLeft(writer) { (w, c) =>
-          w.option(s"parquet.bloom.filter.enabled#$c", "true")
-        }
-        .parquet(path)
-    } finally {
+    try layoutWriter(df, heightCol, orderKey, bloomCols, step,
+      SaveMode.Overwrite).parquet(path)
+    finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
     }
   }
+
+  /** Streaming micro-batch write: same layout, `SaveMode.Append`.
+    * At-least-once — crash-replays can duplicate rows, which is exactly
+    * the ReplacingMergeTree insert contract; [[dedupView]] is the
+    * collapse. The sink cursor filter upstream keeps duplication to
+    * crash windows only. */
+  def appendWrite(
+      df: DataFrame, path: String, heightCol: String,
+      orderKey: Seq[String], bloomCols: Seq[String] = Nil,
+      step: Long = 1000L): Unit =
+    layoutWriter(df, heightCol, orderKey, bloomCols, step, SaveMode.Append)
+      .parquet(path)
 
   /** Dedup-on-read view: latest row (by `versionCol` descending, or
     * arbitrary-but-deterministic when absent) per ORDER BY key. */

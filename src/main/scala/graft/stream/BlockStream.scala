@@ -1,0 +1,199 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.etl.{ActionsExtract, TxCorrelator, TxFanout}
+import graft.schema.{Blocks, BlockWithTxHashes}
+import graft.sink.Replacing
+
+/** Structured Streaming wrapper (SURVEY.md §2.1–2.2, §2.9): the
+  * reference's fetcher/channel/commit machinery re-expressed as a
+  * file-based block stream + `foreachBatch` idempotent sinks.
+  *
+  * Mapping:
+  *  - S1 ordered fetcher + bounded channel(100) → `readStream.json`
+  *    with `maxFilesPerTrigger` backpressure; height order enforced by
+  *    sorting inside each micro-batch (+ the correlator's chain check
+  *    across batches).
+  *  - S3 resume cursor (`SELECT max(block_height)`) → streaming
+  *    checkpoint; the sink-derived cursor is kept as the repair path:
+  *    [[sinkCursor]] + the skip filter in each batch.
+  *  - S4 1000-block rewind → unnecessary (state store recovers from
+  *    checkpoint); replays are harmless because writes are idempotent
+  *    per height bucket (K1/A5 → Replacing.idempotentWrite).
+  *  - K2 commit cadence → trigger choice (AvailableNow drains a
+  *    backlog; ProcessingTime for tailing).
+  *  - K3 async commit pipeline (≤3 in flight) → sequential foreachBatch
+  *    (idiomatic; Spark pipelines within the batch instead).
+  *  - K5 multi-table fan-out → one cached batch, N writes.
+  */
+object BlockStream {
+
+  def readBlockStream(
+      spark: SparkSession, inDir: String,
+      maxFilesPerTrigger: Int = 100): DataFrame =
+    spark.readStream
+      .schema(Blocks.schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(inDir)
+
+  /** Sink-derived resume cursor (S3): max of `cursorCol` already
+    * persisted, or -1 when the sink is empty/nonexistent. Each table
+    * keeps its own cursor so a crash between the fan-out writes of one
+    * micro-batch heals per table on restart. */
+  def sinkCursor(
+      spark: SparkSession, path: String,
+      cursorCol: String = "block_height"): Long =
+    try {
+      val v = spark.read.parquet(path).agg(max(col(cursorCol))).head()
+      if (v.isNullAt(0)) -1L else v.getLong(0)
+    } catch { case _: Throwable => -1L }
+
+  val actionsOrderKey =
+    Seq("block_height", "account_id", "receipt_index", "action_index")
+  val eventsOrderKey =
+    Seq("block_height", "account_id", "receipt_index", "log_index")
+  val dataOrderKey = Seq("block_height", "account_id", "receipt_index")
+
+  /** actions-mode pipeline: blocks JSON dir → 3 sorted, bloom-filtered,
+    * height-bucketed parquet tables under `outDir`. */
+  def runActionsPipeline(
+      spark: SparkSession, inDir: String, outDir: String,
+      checkpoint: String, trigger: Trigger = Trigger.AvailableNow(),
+      bucketStep: Long = 1000L): StreamingQuery = {
+    // per-table cursors (partial fan-out from a crashed batch heals)
+    val cActions = sinkCursor(spark, s"$outDir/actions")
+    val cEvents = sinkCursor(spark, s"$outDir/events")
+    val cData = sinkCursor(spark, s"$outDir/data")
+    val cMin = Seq(cActions, cEvents, cData).min
+    readBlockStream(spark, inDir).writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // O2: deduped, past-cursor blocks only
+        val blocks = batch
+          .where(col("block.header.height") > cMin)
+          .dropDuplicates("block")
+          .persist()
+        try {
+          if (!blocks.isEmpty) {
+            val idx = ActionsExtract.indexedReceipts(blocks).persist()
+            try {
+              Replacing.retry() {
+                Replacing.appendWrite(
+                  ActionsExtract.actions(idx)
+                    .where(col("block_height") > cActions),
+                  s"$outDir/actions",
+                  "block_height", actionsOrderKey,
+                  bloomCols = Seq("account_id", "signer_id", "receipt_id",
+                    "transaction_hash", "predecessor_id"),
+                  step = bucketStep)
+              }
+              Replacing.retry() {
+                Replacing.appendWrite(
+                  ActionsExtract.events(idx)
+                    .where(col("block_height") > cEvents),
+                  s"$outDir/events",
+                  "block_height", eventsOrderKey,
+                  bloomCols = Seq("account_id", "data_owner_id"),
+                  step = bucketStep)
+              }
+              Replacing.retry() {
+                Replacing.appendWrite(
+                  ActionsExtract.data(idx)
+                    .where(col("block_height") > cData),
+                  s"$outDir/data",
+                  "block_height", dataOrderKey,
+                  bloomCols = Seq("account_id", "data_id"),
+                  step = bucketStep)
+              }
+            } finally idx.unpersist()
+          }
+        } finally blocks.unpersist()
+        ()
+      }
+      .start()
+  }
+
+  /** transactions-mode pipeline: stateful correlation (state store
+    * checkpointed) + fan-out to the 4 tx tables; the stateless `blocks`
+    * table is written by [[runBlocksPipeline]] on the same input. */
+  def runTransactionsPipeline(
+      spark: SparkSession, inDir: String, outDir: String,
+      checkpoint: String, trigger: Trigger = Trigger.AvailableNow(),
+      bucketStep: Long = 1000L): StreamingQuery = {
+    import spark.implicits._
+    val blocks: Dataset[BlockWithTxHashes] =
+      readBlockStream(spark, inDir).as[BlockWithTxHashes](Blocks.encoder)
+    // cursor over COMPLETION height (the reference skips by processing-
+    // block height, transactions.rs:360); the transactions table is
+    // written LAST so its cursor only advances once the other three
+    // fan-out tables hold the batch (crash between writes re-runs the
+    // batch; duplicate rows collapse under dedupView).
+    val cursor = sinkCursor(
+      spark, s"$outDir/transactions", cursorCol = "last_block_height")
+    TxCorrelator.correlateStream(blocks).writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch {
+        (batch: Dataset[TxCorrelator.CompletedTx], _: Long) =>
+          val txs = batch.filter(_.last_block_height > cursor).persist()
+          try {
+            if (!txs.isEmpty) {
+              Replacing.retry() {
+                Replacing.appendWrite(
+                  TxFanout.accountTxs(txs), s"$outDir/account_txs",
+                  "tx_block_height",
+                  Seq("account_id", "tx_block_height", "transaction_hash"),
+                  bloomCols = Seq("account_id"), step = bucketStep)
+              }
+              Replacing.retry() {
+                Replacing.appendWrite(
+                  TxFanout.receiptTxs(txs), s"$outDir/receipt_txs",
+                  "tx_block_height", Seq("tx_block_height", "receipt_id"),
+                  bloomCols = Seq("receipt_id"), step = bucketStep)
+              }
+              Replacing.retry() {
+                Replacing.appendWrite(
+                  TxFanout.blockTxs(txs), s"$outDir/block_txs",
+                  "block_height", Seq("block_height", "transaction_hash"),
+                  bloomCols = Seq("transaction_hash"), step = bucketStep)
+              }
+              Replacing.retry() {
+                Replacing.appendWrite(
+                  TxFanout.transactions(txs), s"$outDir/transactions",
+                  "tx_block_height", Seq("transaction_hash"),
+                  bloomCols = Seq("transaction_hash", "signer_id"),
+                  step = bucketStep)
+              }
+            }
+          } finally txs.unpersist()
+          ()
+      }
+      .start()
+  }
+
+  /** blocks-table pipeline (stateless header projection). */
+  def runBlocksPipeline(
+      spark: SparkSession, inDir: String, outDir: String,
+      checkpoint: String, trigger: Trigger = Trigger.AvailableNow(),
+      bucketStep: Long = 1000L): StreamingQuery = {
+    val cursor = sinkCursor(spark, s"$outDir/blocks")
+    readBlockStream(spark, inDir).writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = TxFanout.blocks(batch.dropDuplicates("block"))
+          .where(col("block_height") > cursor)
+        if (!b.isEmpty) Replacing.retry() {
+          Replacing.appendWrite(
+            b, s"$outDir/blocks", "block_height", Seq("block_height"),
+            bloomCols = Seq("block_hash", "epoch_id", "author_id"),
+            step = bucketStep)
+        }
+        ()
+      }
+      .start()
+  }
+}

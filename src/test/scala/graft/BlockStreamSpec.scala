@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.etl.ActionsExtract
+import graft.fixtures.BlockFixtures
+import graft.stream.BlockStream
+
+/** M3 streaming semantics (SURVEY.md §2.9): file-stream source,
+  * multi-batch stateful correlation, idempotent replay. */
+class BlockStreamSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-stream").toString
+
+  test("actions pipeline: streamed output equals batch extract; replay is idempotent") {
+    val in = tmp(); val out = tmp(); val cp = tmp()
+    import graft.schema.Blocks.encoder
+    spark.createDataset(BlockFixtures.blocks(12))(encoder)
+      .toDF().repartition(4).write.mode("overwrite").json(in)
+
+    val q = BlockStream.runActionsPipeline(
+      spark, in, out, cp, bucketStep = 10L)
+    q.awaitTermination()
+
+    val streamed = spark.read.parquet(s"$out/actions")
+    val batch = ActionsExtract.actions(
+      ActionsExtract.indexedReceipts(BlockFixtures.df(spark, 12)))
+    assert(streamed.count() === batch.count())
+    // bucketed layout exists (height buckets of 10)
+    assert(streamed.select(countDistinct(col("height_bucket"))).head().getLong(0) >= 2)
+    // receipt_index identical to batch for a spot receipt
+    val si = streamed.where(col("receipt_id") === "rB105")
+      .select("receipt_index").head().getInt(0)
+    val bi = batch.where(col("receipt_id") === "rB105")
+      .select("receipt_index").head().getInt(0)
+    assert(si === bi)
+
+    // replay the same input with a FRESH checkpoint (worst case: full
+    // reprocess) -> same row count, no duplicates
+    val q2 = BlockStream.runActionsPipeline(
+      spark, in, out, tmp(), bucketStep = 10L)
+    q2.awaitTermination()
+    assert(spark.read.parquet(s"$out/actions").count() === batch.count())
+  }
+
+  test("transactions pipeline: state persists across micro-batches") {
+    val in = tmp(); val out = tmp(); val cp = tmp()
+    import graft.schema.Blocks.encoder
+    // one file per block -> with maxFilesPerTrigger=100 still one batch;
+    // use several separate writes to get multiple files, then a small
+    // trigger via two sequential runs (checkpoint carries state over)
+    val blocks = BlockFixtures.blocks(8)
+    spark.createDataset(blocks.take(4))(encoder)
+      .toDF().coalesce(1).write.mode("append").json(in)
+
+    val q1 = BlockStream.runTransactionsPipeline(spark, in, out, cp)
+    q1.awaitTermination()
+    val afterFirst = spark.read.parquet(s"$out/transactions").count()
+    // txs 100..102 completed (103's rB pends); extras txc102/txf102 done
+    assert(afterFirst === 3 + 2)
+
+    // second tranche arrives; state (pending tx103) must resolve
+    spark.createDataset(blocks.drop(4))(encoder)
+      .toDF().coalesce(1).write.mode("append").json(in)
+    val q2 = BlockStream.runTransactionsPipeline(spark, in, out, cp)
+    q2.awaitTermination()
+
+    val txs = spark.read.parquet(s"$out/transactions")
+    // all but the last block's tx completed; extras at 102 and 105
+    assert(txs.count() === 7 + 4)
+    val t103 = txs.where(col("transaction_hash") === "tx103").head()
+    assert(t103.getAs[Long]("last_block_height") === 104L)
+
+    val blocksTbl = BlockStream.runBlocksPipeline(spark, in, out, tmp())
+    blocksTbl.awaitTermination()
+    assert(spark.read.parquet(s"$out/blocks").count() === 8)
+  }
+}
