@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.query.{Q, RelationalQueries, Tables}
+import graft.query.{EventQueries, Q, RelationalQueries, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,8 +12,10 @@ object SparkEntry {
 
   def packs: Seq[Q] =
     RelationalQueries.all ++
+      EventQueries.all ++
       graft.ext.DedupQueries.all ++
       graft.ext.SimilarityQueries.all ++
+      graft.ext.MultimodalQueries.all ++
       graft.ext.TextQueries.all ++
       graft.etl.PipelineQueries.all
 

@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for training-data pipelines, designed for the
   * 100 TB case:
@@ -10,21 +11,28 @@ import org.apache.spark.sql.functions._
   *    digest, uniform by construction (md5), no skew.
   *  - MinHash+LSH: per-doc signature is a pure projection (scales with
   *    the scan); candidate generation is a self-equi-join on (band,
-  *    band_hash) buckets — only colliding docs meet, so the shuffle
-  *    carries |docs|×bands rows, not |docs|² pairs. Oversized buckets
-  *    (degenerate content, e.g. empty docs) are capped to keep any
-  *    single reducer bounded.
+  *    band_hash) buckets carrying ids only — the shuffle is |docs|×bands
+  *    skinny rows, never |docs|² pairs. Oversized buckets (degenerate
+  *    content) are capped to bound any single reducer.
   *  - SimHash: 64-bit signature via per-token bit voting, candidates via
-  *    16-bit chunk collision (any pair within Hamming distance 3 shares
-  *    ≥1 of 4 chunks — pigeonhole), verified with bit_count(xor).
+  *    16-bit chunk collision (pigeonhole: any pair within Hamming
+  *    distance 3 shares ≥1 of 4 chunks), verified with bit_count(xor).
+  *  - n-gram Jaccard: exact, via inverted-index join; the similarity is
+  *    computed from SHARED-SHINGLE COUNTS — `|A∩B| = count of posting
+  *    collisions`, `J = shared/(|A|+|B|−shared)` — so document content
+  *    is never re-shuffled for verification.
   *
-  * Everything is `functions._` expressions — no UDFs — so signatures are
-  * computed inside WholeStageCodegen next to the parquet scan.
+  * Shingles are hashed to 64-bit longs immediately (xxhash64): all
+  * joins/aggregations move fixed-width longs, not text. Signature
+  * frames are persisted (MEMORY_AND_DISK) because every self-join would
+  * otherwise recompute the full signature projection on both sides;
+  * they are small (|docs| × k longs). Callers owning a long-lived
+  * session can `spark.catalog.clearCache()` between corpora.
   */
 object Dedup {
   import TextAnalysis.tokens
 
-  // ---- MinHash ----------------------------------------------------------
+  // ---- shingling --------------------------------------------------------
 
   /** Word w-shingles of a document (w consecutive tokens, space-joined). */
   def shingles(text: Column, w: Int = 3): Column = {
@@ -37,16 +45,20 @@ object Dedup {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
-  /** k independent min-hashes: h_i(doc) = min over shingles of
-    * xxhash64(i, shingle). One expression per hash → k×|shingles| hashes
-    * per row, all codegen'd. k=64 ≈ ±12% Jaccard error. */
-  def minhashSignature(shingleCol: Column, k: Int = 64): Column =
-    array((0 until k).map(i =>
-      array_min(transform(shingleCol, s => xxhash64(lit(i), s)))): _*)
+  /** Distinct shingle hashes (the set representation used everywhere). */
+  def shingleHashes(text: Column, w: Int = 3): Column =
+    array_distinct(transform(shingles(text, w), s => xxhash64(s)))
 
-  /** LSH banding: split the k-wide signature into `bands` bands of
-    * k/bands rows and hash each band. Docs sharing any band hash are
-    * candidate near-duplicates. bands=16, rows=4 ⇒ catches J≳0.5. */
+  // ---- MinHash ----------------------------------------------------------
+
+  /** k independent min-hashes over the shingle-hash set: h_i = min over
+    * shingles of xxhash64(i, shingleHash). k=64 ≈ ±12% Jaccard error. */
+  def minhashSignature(shingleHashes: Column, k: Int = 64): Column =
+    array((0 until k).map(i =>
+      array_min(transform(shingleHashes, s => xxhash64(lit(i), s)))): _*)
+
+  /** LSH banding: `bands` bands of k/bands rows; docs sharing any band
+    * hash are candidates. bands=16, rows=4 ⇒ catches J≳0.5. */
   def bandHashes(sig: Column, bands: Int = 16, k: Int = 64): Column = {
     val rows = k / bands
     array((0 until bands).map(b =>
@@ -57,46 +69,63 @@ object Dedup {
           .as("bh"))): _*)
   }
 
-  /** Exact Jaccard between two shingle arrays (verification step). */
+  /** Exact Jaccard between two set-valued (distinct) arrays. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
-  /** End-to-end MinHash-LSH near-dup pairs over (id, text).
-    * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
-    * maxBucket bounds any LSH bucket (skew guard at scale).
-    */
+  /** (id, shingle-hash set) base frame, persisted — the one projection
+    * every dedup path shares. */
+  private def shingleBase(
+      docs: DataFrame, idCol: String, textCol: String, w: Int): DataFrame =
+    docs.select(col(idCol).as("id"), shingleHashes(col(textCol), w).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** Candidate pairs by LSH band collision, ids only, deduped; bucket
+    * size capped (skew guard — a bucket of identical boilerplate would
+    * otherwise hand one reducer O(bucket²) pairs). */
+  private def bandCandidates(
+      withSig: DataFrame, bands: Int, k: Int, maxBucket: Int): DataFrame = {
+    val buckets = withSig
+      .select(col("id"), explode(bandHashes(col("sig"), bands, k)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val small = buckets.groupBy("band", "bh").count()
+      .where(col("count") <= maxBucket).drop("count")
+    val capped = buckets.join(small, Seq("band", "bh"))
+    capped.select(col("band"), col("bh"), col("id").as("id_a"))
+      .join(capped.select(col("band"), col("bh"), col("id").as("id_b")),
+        Seq("band", "bh"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** MinHash signatures via explode + k small `min` aggregates. The
+    * one-expression [[minhashSignature]] nests k array traversals into
+    * a single projection — a codegen blowup that falls back to
+    * interpreted eval; this shape keeps every expression tiny (one
+    * xxhash64 + min each), gets map-side partial aggregation, and
+    * shuffles only (id, 64 longs). */
+  private def minhashSigsAgg(base: DataFrame, k: Int): DataFrame =
+    base.select(col("id"), explode(col("sh")).as("g"))
+      .groupBy("id")
+      .agg(
+        min(xxhash64(lit(0), col("g"))).as("h0"),
+        (1 until k).map(i => min(xxhash64(lit(i), col("g"))).as(s"h$i")): _*)
+      .select(col("id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+
+  /** End-to-end MinHash-LSH near-dup pairs over (id, text): candidates
+    * from band collisions, verified with exact Jaccard on the hashed
+    * shingle sets (content joined back only for surviving candidates).
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ t. */
   def minhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, k: Int = 64, bands: Int = 16,
-      maxBucket: Int = 1000): DataFrame = {
-    val base = docs.select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
-    // Materialize the signature as its own projection step: band hashes
-    // reference `sig` as a column, so the 64-wide minhash expression is
-    // evaluated once per row. (Inlining it would copy the whole
-    // signature tree into every band expression — 64× the hashing and a
-    // codegen blowup; Catalyst's CollapseProject keeps multiply-
-    // referenced non-cheap aliases materialized.)
-    val sigs = base
-      .select(col("id"), minhashSignature(col("sh"), k).as("sig"))
-      .select(col("id"), explode(bandHashes(col("sig"), bands, k)).as("b"))
-      .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
-    // skew guard: drop degenerate buckets (e.g. near-identical boiler-
-    // plate) so no reducer sees O(bucket²) pairs
-    val bucketed = sigs.withColumn(
-      "bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
-      .where(col("bsz") <= maxBucket)
-    // candidates carry ids only — document content joins back in just
-    // for the surviving pairs (at 100 TB the shuffle is |docs|×bands
-    // skinny rows + |candidates| wide rows, never |docs|² anything)
-    val l = bucketed.select(col("band"), col("bh"), col("id").as("id_a"))
-    val r = bucketed.select(col("band"), col("bh"), col("id").as("id_b"))
-    val cand = l.join(r, Seq("band", "bh"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    cand
+      maxBucket: Int = 1000, w: Int = 3): DataFrame = {
+    val base = shingleBase(docs, idCol, textCol, w)
+    val withSig = minhashSigsAgg(base, k)
+    bandCandidates(withSig, bands, k, maxBucket)
       .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
@@ -130,13 +159,16 @@ object Dedup {
 
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs within Hamming distance `maxDist` (< 16):
-    * candidates via 4×16-bit chunk equality (pigeonhole over 4 chunks
-    * guarantees recall for maxDist ≤ 3), verified by popcount(xor). */
+  /** SimHash near-dup pairs within Hamming distance `maxDist` (≤ 3 for
+    * guaranteed recall via the 4×16-bit pigeonhole), verified by
+    * popcount(xor) — signatures are single longs, so both sides of the
+    * chunk join move 16 bytes per row. */
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
-    val sigs = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val sigs = docs
+      .select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val chunked = sigs.select(
       col("id"), col("sig"),
       explode(array((0 until 4).map(c =>
@@ -145,9 +177,9 @@ object Dedup {
           shiftright(col("sig"), c * 16).bitwiseAND(0xFFFF).as("ch"))): _*))
         .as("c"))
       .select(col("id"), col("sig"), col("c.chunk").as("chunk"), col("c.ch").as("ch"))
-    val l = chunked.select(col("chunk"), col("ch"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = chunked.select(col("chunk"), col("ch"), col("id").as("id_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("chunk", "ch"))
+    chunked.select(col("chunk"), col("ch"), col("id").as("id_a"), col("sig").as("sig_a"))
+      .join(chunked.select(col("chunk"), col("ch"), col("id").as("id_b"), col("sig").as("sig_b")),
+        Seq("chunk", "ch"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hamming(col("sig_a"), col("sig_b")).as("dist"))
       .dropDuplicates("id_a", "id_b")
@@ -156,31 +188,33 @@ object Dedup {
 
   // ---- n-gram Jaccard (exact, no sketch) --------------------------------
 
-  /** Exact n-gram Jaccard similarity for all candidate pairs sharing at
-    * least one shingle (inverted-index join — the exact-match analog of
-    * LSH; shuffle is keyed by shingle, capped per shingle for skew). */
+  /** Exact n-gram Jaccard for all pairs sharing ≥1 shingle, via
+    * inverted-index join on shingle hashes. `|A∩B|` comes from counting
+    * posting-list collisions per pair and `J = shared/(|A|+|B|−shared)`
+    * — no array content ever re-joins. Posting lists longer than
+    * `maxPostings` are dropped (stopword-gram skew guard; documented
+    * recall trade, same as every production near-dup pipeline). */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, w: Int = 3, maxPostings: Int = 1000): DataFrame = {
-    val withSh = docs.select(
-      col(idCol).as("id"), array_distinct(shingles(col(textCol), w)).as("sh"))
-    // inverted index carries ids only (posting lists are skinny); shingle
-    // sets join back in for surviving candidate pairs — same shuffle
-    // discipline as minhashPairs
-    val inverted = withSh
+    val base = shingleBase(docs, idCol, textCol, w)
+    val sizes = base.select(col("id"), size(col("sh")).as("n"))
+    val inverted = base
       .select(col("id"), explode(col("sh")).as("g"))
-      .withColumn("psz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("g")))
-      .where(col("psz") <= maxPostings)
-    val l = inverted.select(col("g"), col("id").as("id_a"))
-    val r = inverted.select(col("g"), col("id").as("id_b"))
-    l.join(r, Seq("g"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val rare = inverted.groupBy("g").count()
+      .where(col("count") <= maxPostings).drop("count")
+    val capped = inverted.join(rare, Seq("g"))
+    capped.select(col("g"), col("id").as("id_a"))
+      .join(capped.select(col("g"), col("id").as("id_b")), Seq("g"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")).cast("double"))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }

@@ -1,0 +1,162 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for a training-data pipeline: images/audio/video
+  * travel as opaque `binary` columns plus a typed metadata struct, and
+  * decode/feature-extract/resize/frame-sample run as partition-level
+  * batch operators.
+  *
+  * The Spark-side plumbing is real and tested — schema, partitioning,
+  * batch shape (a pluggable [[Codec]] is invoked once per batch of
+  * `batchSize` rows inside `mapPartitions`, the Scala analog of a
+  * `mapInPandas` batch UDF: amortizes per-batch codec setup, keeps
+  * memory bounded, preserves partitioning so a following groupBy/join
+  * shuffles only derived features, never raw bytes).
+  *
+  * The codecs themselves are STUBS — this container has no image/audio
+  * libraries. [[DeterministicStubCodec]] derives plausible metadata and
+  * features purely from the bytes (stable across runs/executors); a
+  * real deployment drops in a JNI/JavaCV-backed [[Codec]] with the same
+  * interface and nothing else changes.
+  */
+object Multimodal {
+
+  /** One media row: content is the opaque payload; meta is typed. */
+  final case class MediaRow(
+      media_id: Long,
+      media_type: String, // image | audio | video
+      content: Array[Byte],
+      format: String)
+
+  final case class DecodedMeta(
+      media_id: Long,
+      media_type: String,
+      format: String,
+      width: Int, height: Int, channels: Int, // image/video
+      sample_rate: Int, duration_ms: Long, // audio/video
+      n_frames: Int,
+      valid: Boolean)
+
+  final case class MediaFeatures(
+      media_id: Long,
+      media_type: String,
+      feature: Array[Float])
+
+  /** Batch codec interface (the seam where a real decoder plugs in).
+    * Called once per batch; implementations may allocate native
+    * resources per call. */
+  trait Codec extends Serializable {
+    def decode(batch: Seq[MediaRow]): Seq[DecodedMeta]
+    def features(batch: Seq[MediaRow], dim: Int): Seq[MediaFeatures]
+    /** Sample up to `n` evenly spaced frame payloads of a video. */
+    def sampleFrames(row: MediaRow, n: Int): Seq[Array[Byte]]
+  }
+
+  /** STUB codec: every output is a pure deterministic function of the
+    * payload bytes — no real decoding happens in this container. */
+  object DeterministicStubCodec extends Codec {
+    private def h64(b: Array[Byte], seed: Long): Long = {
+      var h = seed ^ 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < b.length) {
+        h = java.lang.Long.rotateLeft(h ^ (b(i) & 0xffL), 7) * 0x100000001B3L
+        i += 1
+      }
+      h
+    }
+
+    def decode(batch: Seq[MediaRow]): Seq[DecodedMeta] = batch.map { r =>
+      val h = h64(r.content, 42L)
+      val isImg = r.media_type == "image"
+      val isAud = r.media_type == "audio"
+      DecodedMeta(
+        r.media_id, r.media_type, r.format,
+        width = if (isAud) 0 else 64 + (math.abs(h) % 1024).toInt,
+        height = if (isAud) 0 else 64 + (math.abs(h >> 10) % 1024).toInt,
+        channels = if (isAud) 1 else 3,
+        sample_rate = if (isAud) 16000 else 0,
+        duration_ms =
+          if (isImg) 0L else 1000L + math.abs(h >> 20) % 60000L,
+        n_frames =
+          if (r.media_type == "video") 24 + (math.abs(h >> 30) % 240).toInt
+          else if (isImg) 1 else 0,
+        valid = r.content.nonEmpty)
+    }
+
+    def features(batch: Seq[MediaRow], dim: Int): Seq[MediaFeatures] =
+      batch.map { r =>
+        val f = Array.tabulate(dim) { i =>
+          val v = h64(r.content, i.toLong)
+          (v.toDouble / Long.MaxValue.toDouble).toFloat
+        }
+        MediaFeatures(r.media_id, r.media_type, f)
+      }
+
+    def sampleFrames(row: MediaRow, n: Int): Seq[Array[Byte]] = {
+      val meta = decode(Seq(row)).head
+      val frames = math.min(n, math.max(meta.n_frames, 0))
+      (0 until frames).map { i =>
+        // a real codec returns decoded frame payloads; the stub slices
+        // the source deterministically
+        val start = if (row.content.isEmpty) 0
+          else (i * row.content.length / math.max(frames, 1))
+        row.content.slice(start, math.min(start + 16, row.content.length))
+      }
+    }
+  }
+
+  /** Batched partition-level decode: the Spark plumbing under test. */
+  def decode(
+      media: Dataset[MediaRow], codec: Codec = DeterministicStubCodec,
+      batchSize: Int = 64): Dataset[DecodedMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(
+      _.grouped(batchSize).flatMap(b => codec.decode(b.toSeq)))
+  }
+
+  /** Batched feature extraction → embedding column compatible with
+    * graft.ext.Similarity (cosine top-k / ANN over the result). */
+  def extractFeatures(
+      media: Dataset[MediaRow], dim: Int = 16,
+      codec: Codec = DeterministicStubCodec,
+      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(
+      _.grouped(batchSize).flatMap(b => codec.features(b.toSeq, dim)))
+  }
+
+  /** Frame sampling: video row → up to n (media_id, frame_index,
+    * frame_bytes) rows. */
+  def sampleFrames(
+      media: Dataset[MediaRow], n: Int,
+      codec: Codec = DeterministicStubCodec): DataFrame = {
+    import media.sparkSession.implicits._
+    media
+      .filter(_.media_type == "video")
+      .flatMap { r =>
+        codec.sampleFrames(r, n).zipWithIndex.map { case (f, i) =>
+          (r.media_id, i, f)
+        }
+      }
+      .toDF("media_id", "frame_index", "frame_bytes")
+  }
+
+  /** Deterministic fake media corpus derived from the documents table
+    * (text bytes as payloads) — the fixture path for specs/queries. */
+  def corpusFromDocuments(
+      spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
+      case (id, text) =>
+        val kind = (id % 3) match {
+          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        }
+        val fmt = kind match {
+          case "image" => "png"; case "audio" => "wav"; case _ => "mp4"
+        }
+        MediaRow(id, kind, text.getBytes("UTF-8"), fmt)
+    }
+  }
+}

@@ -108,6 +108,7 @@ object Similarity {
     val buckets = base
       .select(col("id"), explode(array(bandSigs: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = buckets.select(col("band"), col("bucket"), col("id").as("id_a"))
     val r = buckets.select(col("band"), col("bucket"), col("id").as("id_b"))
     l.join(r, Seq("band", "bucket"))

@@ -1,0 +1,130 @@
+package graft.query
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the `events` table — the batch views of
+  * the streaming window family (SURVEY.md §2.6 note, §5.2-5): tumbling
+  * windows, session windows (gap-based), top-k per group. All integer
+  * arithmetic on the raw-nanos cursor → exact oracle parity.
+  */
+object EventQueries {
+  import Tables.cents
+
+  private val HourUs = 3600L * 1000000L
+
+  val all: Seq[Q] = Seq(
+    // tumbling window: 1-hour buckets on the event-time cursor. In
+    // Structured Streaming this is `groupBy(window($"ts", "1 hour"))`;
+    // the batch view is the same bucketing arithmetic.
+    Q(
+      "q13_tumbling_hourly",
+      """SELECT (epoch_us(ts) // 3600000000) AS hour_bucket, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+        |FROM events
+        |GROUP BY hour_bucket, event_type""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(
+          expr(s"(ts div 1000) div $HourUs").as("hour_bucket"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(cents(col("value"))).as("sum_value_c"))
+    },
+
+    // session windows: per-user sessions split at >30 min inactivity —
+    // the lag + cumulative-sum sessionization idiom (what
+    // `session_window` does in Structured Streaming, expressed with
+    // analytic windows so DuckDB can oracle it).
+    Q(
+      "q14_user_sessions",
+      """WITH marked AS (
+        |  SELECT user_id, epoch_us(ts) AS tus,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |), sessions AS (
+        |  SELECT user_id, tus,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY tus
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked
+        |)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events,
+        |  CAST((max(tus) - min(tus)) // 1000000 AS BIGINT) AS duration_sec
+        |FROM sessions GROUP BY user_id, session_id""".stripMargin) { (s, dir) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+      val cum = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "events")
+        .withColumn("tus", expr("ts div 1000"))
+        .withColumn("new_session",
+          when(col("tus") - lag(col("tus"), 1).over(byUser) > 1800000000L ||
+            lag(col("tus"), 1).over(byUser).isNull, 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_session")).over(cum))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          expr("(max(tus) - min(tus)) div 1000000").as("duration_sec"))
+    },
+
+    // top-3 busiest users per event type: rank window over an aggregate
+    // (the "leaderboard" shape).
+    Q(
+      "q15_top_users_per_type",
+      """SELECT event_type, user_id, n FROM (
+        |  SELECT event_type, user_id, count(*) AS n,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY count(*) DESC, user_id ASC) AS rk
+        |  FROM events GROUP BY event_type, user_id) t
+        |WHERE rk <= 3""".stripMargin) { (s, dir) =>
+      val agg = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("n").desc, col("user_id").asc)
+      agg.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select("event_type", "user_id", "n")
+    },
+
+    // cube: full grouping-sets family coverage (rollup is q11).
+    Q(
+      "q16_cube_counts",
+      """SELECT event_type, (user_id % 10) AS user_bucket, count(*) AS n
+        |FROM events
+        |GROUP BY CUBE (event_type, (user_id % 10))""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .cube(col("event_type"), (col("user_id") % 10).as("user_bucket"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // range join: each event matched to the order "active" around it —
+    // no, keep it relational: correlated scalar subquery shape instead.
+    Q(
+      "q17_events_vs_user_avg",
+      """SELECT e.event_id, e.user_id,
+        |  CAST(round(e.value*100) AS BIGINT) AS value_c,
+        |  CASE WHEN CAST(round(e.value*100) AS BIGINT) * u.cnt > u.total_c
+        |       THEN 1 ELSE 0 END AS above_avg
+        |FROM events e
+        |JOIN (SELECT user_id, count(*) AS cnt,
+        |        sum(CAST(round(value*100) AS BIGINT)) AS total_c
+        |      FROM events GROUP BY user_id) u
+        |  ON e.user_id = u.user_id""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "events")
+      val u = e.groupBy(col("user_id")).agg(
+        count(lit(1)).as("cnt"),
+        sum(cents(col("value"))).as("total_c"))
+      e.join(u, Seq("user_id"))
+        .select(
+          col("event_id"), col("user_id"),
+          cents(col("value")).as("value_c"),
+          when(cents(col("value")) * col("cnt") > col("total_c"), 1)
+            .otherwise(0).as("above_avg"))
+    }
+  )
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Multimodal, Similarity}
+
+/** Planted-duplicate correctness for the dedup/similarity sketches. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 20 base docs (100 tokens from a 26-word pool — wide enough that one
+  // changed word leaves most simhash bit margins intact) + near-dups of
+  // the first 5 (one word changed) + exact dups of the next 3
+  private lazy val corpus = {
+    val words = Seq("spark", "query", "table", "row", "scan", "merge",
+      "join", "filter", "sort", "hash", "index", "block", "chain", "data",
+      "batch", "stream", "shuffle", "codegen", "plan", "stage", "task",
+      "node", "disk", "memory", "cache", "store")
+    val base = (0 until 20).map { i =>
+      (i.toLong,
+        (0 until 100).map(j => words((i * 7 + j * 3 + j * j) % words.size))
+          .mkString(" "))
+    }
+    val nearDups = (0 until 5).map { i =>
+      val toks = base(i)._2.split(" ").toVector.updated(50, "CHANGED")
+      (100L + i, toks.mkString(" "))
+    }
+    val exactDups = (5 until 8).map(i => (200L + i, base(i)._2))
+    (base ++ nearDups ++ exactDups).toDF("doc_id", "text")
+  }
+
+  test("minhash LSH finds planted near-dups and exact dups") {
+    val pairs = Dedup.minhashPairs(corpus, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (i <- 0 until 5) assert(pairs.contains((i.toLong, 100L + i)),
+      s"missing near-dup pair ($i, ${100 + i})")
+    for (i <- 5 until 8) assert(pairs.contains((i.toLong, 200L + i)),
+      s"missing exact-dup pair ($i, ${200 + i})")
+  }
+
+  test("exact jaccard via shared-count equals array-intersect definition") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 0.3)
+    val viaCounts = pairs.where(col("id_a") === 0 && col("id_b") === 100)
+      .select("jaccard").head().getDouble(0)
+    // independent computation with array semantics
+    val sets = corpus
+      .select(col("doc_id"), Dedup.shingleHashes(col("text")).as("sh"))
+      .where(col("doc_id").isin(0, 100))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val expected = sets(0L).intersect(sets(100L)).size.toDouble /
+      sets(0L).union(sets(100L)).size.toDouble
+    assert(math.abs(viaCounts - expected) < 1e-4)
+  }
+
+  test("simhash: exact dups at distance 0; near-dups within 3") {
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxDist = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    for (i <- 5 until 8)
+      assert(pairs((i.toLong, 200L + i)) === 0, s"exact dup $i not at distance 0")
+    // one changed word out of 30 → few flipped bits (not guaranteed ≤3
+    // for every doc, but holds for this deterministic corpus)
+    assert((0 until 5).count(i => pairs.contains((i.toLong, 100L + i))) >= 3)
+  }
+
+  test("ANN recall on planted clusters") {
+    // 10 clusters x 8 members: center + small deterministic offsets
+    val dim = 64
+    val vecs = for {
+      c <- 0 until 10
+      m <- 0 until 8
+    } yield {
+      val v = Array.tabulate(dim) { i =>
+        val center = math.sin(c * 17.0 + i).toFloat
+        center + 0.05f * math.sin(m * 31.0 + i * 7.0).toFloat
+      }
+      ((c * 8 + m).toLong, v.toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val query = vecs.head._2.map(_.toFloat)
+    val exact = Similarity.cosineTopK(df, "vec_id", "embedding", query, 8)
+      .collect().map(_.getLong(0)).toSet
+    val ann = Similarity.annTopK(df, "vec_id", "embedding", query, 8)
+      .collect().map(_.getLong(0)).toSet
+    // cluster members dominate both; ANN must recover most of exact
+    assert(exact.count(_ < 8) >= 6)
+    assert((exact intersect ann).size >= 6,
+      s"ANN recall too low: ${(exact intersect ann).size}/8")
+  }
+
+  test("multimodal plumbing: decode + features + frames deterministic") {
+    val docs = graft.query.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = Multimodal.corpusFromDocuments(spark, docs)
+    val meta = Multimodal.decode(corpus).cache()
+    assert(meta.count() === docs.count())
+    assert(meta.filter(m => m.media_type == "image" && m.n_frames != 1).count() === 0)
+    assert(meta.filter(m => m.media_type == "audio" && m.sample_rate != 16000).count() === 0)
+    // deterministic across runs
+    val f1 = Multimodal.extractFeatures(corpus, 16).collect()
+      .map(f => f.media_id -> f.feature.toSeq).toMap
+    val f2 = Multimodal.extractFeatures(corpus, 16).collect()
+      .map(f => f.media_id -> f.feature.toSeq).toMap
+    assert(f1 === f2)
+    val frames = Multimodal.sampleFrames(corpus, 4)
+    assert(frames.groupBy("media_id").count()
+      .agg(max("count")).head().getLong(0) <= 4)
+  }
+}
