@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.query.Tables
+
+/** Physical-plan quality gates (the 100 TB checklist): predicate
+  * pushdown reaches the parquet scan, column pruning shrinks
+  * ReadSchema, small dims broadcast, aggregates are partial/final,
+  * hot paths stay inside WholeStageCodegen. A correctness-green query
+  * with the wrong plan fails here.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def formatted(df: DataFrame): String = {
+    import org.apache.spark.sql.execution.debug._
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("filters and projection push into the parquet scan") {
+    val df = Tables.load(spark, dir, "lineitem")
+      .where(col("l_suppkey") === 7 && col("l_quantity") > 10)
+      .select("l_orderkey", "l_extendedprice")
+    val plan = formatted(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_suppkey), IsNotNull(l_quantity)") ||
+      plan.contains("EqualTo(l_suppkey,7)"), plan)
+    // ReadSchema pruned to the referenced columns only
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("l_orderkey") &&
+      readSchema.contains("l_extendedprice") &&
+      !readSchema.contains("l_shipdate"), readSchema)
+  }
+
+  test("star join broadcasts the dimension side") {
+    val q2 = SparkEntry.queries("q2_revenue_by_nation")(spark, dir)
+    val plan = planOf(q2)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // the big fact-fact join may be SMJ/shuffle-hash; dims must not
+    // trigger a shuffle of lineitem per dim
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("aggregation is partial/final (map-side combine) inside codegen") {
+    val q1 = SparkEntry.queries("q1_pricing_summary")(spark, dir)
+    val plan = planOf(q1)
+    // partial_* below the exchange, final above (map-side combine)
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      plan.take(2000))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(2000))
+    // codegen participation appears once AQE finalizes — execute, then
+    // inspect ('*' prefix = inside a WholeStageCodegen span)
+    q1.collect()
+    val finalPlan = formatted(q1)
+    assert(finalPlan.contains("* HashAggregate"), finalPlan.take(1500))
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val q3 = SparkEntry.queries("q3_topk_orders")(spark, dir)
+    val plan = planOf(q3)
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("events range scan pushes the nanos-cursor predicate") {
+    val df = Tables.load(spark, dir, "events")
+      .where(col("ts") >= 1704067200000000000L &&
+        col("ts") < 1704153600000000000L)
+      .select("event_type")
+    val plan = formatted(df)
+    assert(plan.contains("GreaterThanOrEqual(ts,1704067200000000000)"), plan)
+  }
+
+  test("extracted actions table: bucket layout serves range pruning") {
+    // write a small actions table with the production layout, then
+    // check a height-range query prunes partitions
+    val out = java.nio.file.Files.createTempDirectory("graft-plan").toString
+    val actions = graft.etl.ActionsExtract.actions(
+      graft.etl.ActionsExtract.indexedReceipts(
+        graft.fixtures.BlockFixtures.df(spark, 30)))
+    graft.sink.Replacing.idempotentWrite(
+      actions, s"$out/actions", "block_height",
+      graft.stream.BlockStream.actionsOrderKey, step = 10L)
+    val scan = spark.read.parquet(s"$out/actions")
+      .where(col("height_bucket") === 100L && col("account_id") === "bank.near")
+    val plan = formatted(scan)
+    assert(plan.contains("PartitionFilters: [isnotnull(height_bucket"), plan)
+    assert(plan.contains("PushedFilters: [IsNotNull(account_id)"), plan)
+  }
+}

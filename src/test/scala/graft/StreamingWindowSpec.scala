@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming windowed aggregation over the `events` table driven as a
+  * file stream (SURVEY.md §5.2-5): tumbling window + watermark in
+  * append mode, cross-checked against the equivalent batch query.
+  */
+class StreamingWindowSpec extends SparkSpec {
+
+  test("tumbling 1h window with watermark matches batch bucketing") {
+    val dir = "/root/testdata/sf0.001"
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // file-stream source wants a directory
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-win")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+
+    val stream = spark.readStream
+      .schema(schema)
+      .parquet(streamDir.toString)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+    val name = "win_out"
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // append mode emits only windows closed by the watermark; the open
+    // tail window is withheld. Compare against batch on the closed set.
+    val streamed = spark.table(name)
+      .select(
+        col("window.start").cast("long").as("win_start"),
+        col("event_type"), col("n"))
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(
+        (expr("(ts div 1000) div 3600000000") * 3600L).as("win_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+    val s = streamed.collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val b = batch.collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(s.nonEmpty, "no closed windows emitted")
+    // every emitted window agrees with batch
+    s.foreach { case (k, n) => assert(b(k) === n, s"window $k") }
+    // append mode emits exactly the windows whose END <= watermark
+    // (= max event time − 1h delay)
+    val maxSec = spark.read.parquet(s"$dir/events.parquet")
+      .agg(max(expr("ts div 1000000000"))).head().getLong(0)
+    val expectedClosed = b.filter { case ((h, _), _) =>
+      h + 3600L <= maxSec - 3600L
+    }
+    assert(s.size === expectedClosed.size)
+  }
+}
