@@ -86,6 +86,77 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) index: k-means centroids trained with a few
+    * Lloyd iterations (distributed assign + average; only the k×dim
+    * centroid matrix ever reaches the driver), then each vector is
+    * assigned to its nearest centroid. Queries probe the `nProbe`
+    * nearest centroid lists only — the scanned fraction drops to
+    * ~nProbe/k of the corpus, and the assignment column can be a
+    * partition key at scale so a probe touches only matching files.
+    */
+  final case class IvfIndex(centroids: Seq[Seq[Double]], assigned: DataFrame)
+
+  private def nearestCentroid(vec: Column, cents: Seq[Seq[Double]]): Column = {
+    // argmin over centroids of negative dot on normalized vectors ≈
+    // cosine assignment; struct-max trick for (score, idx) argmax
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      struct(
+        (dot(vec, array(c.map(lit): _*)) / norm(vec)).as("score"),
+        lit(i).as("idx"))
+    }
+    array_max(array(scored: _*)).getField("idx")
+  }
+
+  def ivfBuild(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, iters: Int = 3, seed: Long = 42L): IvfIndex = {
+    val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val dim = base.select(size(col("v"))).head().getInt(0)
+    val rnd = new scala.util.Random(seed)
+    var cents: Seq[Seq[Double]] =
+      Seq.fill(k)(Seq.fill(dim)(rnd.nextGaussian()))
+    for (_ <- 0 until iters) {
+      // assign + per-cluster mean: one distributed pass, k×dim doubles
+      // back to the driver
+      val assigned = base.withColumn("c", nearestCentroid(col("v"), cents))
+      val sums = assigned
+        .groupBy("c")
+        .agg(
+          count(lit(1)).as("n"),
+          array((0 until dim).map(i =>
+            sum(element_at(col("v"), i + 1).cast("double")).as(s"s$i")): _*)
+            .as("sums"))
+        .collect()
+      val updated = sums.map { r =>
+        val c = r.getInt(0)
+        val n = r.getLong(1).toDouble
+        c -> r.getSeq[Double](2).map(_ / n)
+      }.toMap
+      cents = cents.indices.map(i => updated.getOrElse(i, cents(i)))
+    }
+    IvfIndex(cents, base.withColumn("c", nearestCentroid(col("v"), cents)))
+  }
+
+  /** ANN top-k through an IVF index: rank only vectors in the `nProbe`
+    * centroid lists nearest the query. */
+  def ivfTopK(
+      index: IvfIndex, query: Seq[Float], k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val qn = math.sqrt(query.map(v => v.toDouble * v.toDouble).sum)
+    val probes = index.centroids.zipWithIndex
+      .map { case (c, i) =>
+        val d = c.zip(query).map { case (a, b) => a * b.toDouble }.sum
+        (i, d / math.max(qn, 1e-12))
+      }
+      .sortBy(-_._2).take(nProbe).map(_._1)
+    val q = array(query.map(v => lit(v.toDouble)): _*)
+    index.assigned
+      .where(col("c").isin(probes: _*))
+      .select(col("id"), round(cosine(col("v"), q), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** All near-duplicate pairs with cosine >= threshold, via banded
     * sign-bit LSH (the cosine analog of MinHash banding): `bands`
     * independent groups of `planesPerBand` hyperplanes; a pair is a

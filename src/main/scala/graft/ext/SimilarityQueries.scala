@@ -32,6 +32,13 @@ object SimilarityQueries {
         queryVec(s, dir), k = 10)
     },
 
+    // IVF ANN: k-means inverted lists, probe nearest 4 of 16 cells.
+    Q.noOracle("s4_ivf_topk") { (s, dir) =>
+      val idx = Similarity.ivfBuild(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
+      Similarity.ivfTopK(idx, queryVec(s, dir), k = 10)
+    },
+
     // vector norms / label centroid stats — aggregation over arrays.
     Q.noOracle("s3_label_centroid_norms") { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")

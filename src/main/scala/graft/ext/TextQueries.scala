@@ -70,6 +70,16 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
     },
 
+    // BPE-ish regex tokenization (letter runs / non-letter runs) vs
+    // whitespace tokens — engine-specific regex split → rows-only.
+    Q.noOracle("t7_regex_tokens") { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          sum(size(tokensRegex(col("text"))).cast("long")).as("regex_tokens"),
+          sum(tokenCount(col("text")).cast("long")).as("ws_tokens"))
+    },
+
     // punctuation/char-class profile — SQL-expressible, exact ints.
     Q(
       "t6_punct_profile",

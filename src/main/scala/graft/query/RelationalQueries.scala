@@ -261,6 +261,20 @@ object RelationalQueries {
       Tables.load(s, dir, "events")
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+    },
+
+    // ---- point lookup by primary key (§3.3-1: "tx by hash"; served by
+    // parquet row-group stats + bloom filters at scale) ----
+    Q(
+      "q18_point_lookup",
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+        |  CAST(round(o_totalprice*100) AS BIGINT) AS total_price_c
+        |FROM orders WHERE o_orderkey = 1000""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .where(col("o_orderkey") === 1000)
+        .select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_orderpriority"), cents(col("o_totalprice")).as("total_price_c"))
     }
   )
 }
