@@ -69,6 +69,29 @@ class TxCorrelatorSpec extends SparkSpec {
       e.getMessage.contains("Duplicate receipt_id"))
   }
 
+  test("J7: duplicate data_id keeps the OLD receipt; only promise-resume pairs allowed") {
+    def dataBlock(h: Long, rid: String, resume: Boolean): BlockWithTxHashes = {
+      val b = BlockFixtures.block(h, 10)
+      val dr = ReceiptView("a.near", "b.near", rid, None,
+        Some(DataReceiptView("DUP", Some("cGF5bG9hZA=="), resume)))
+      b.copy(shards = Seq(b.shards.head.copy(
+        chunk = b.shards.head.chunk.map(c => c.copy(receipts = Seq(dr))),
+        receipt_execution_outcomes = Nil)))
+    }
+    // both promise-resume: second insert ignored, old receipt kept
+    val (st1, _) = processBlock(emptyState, dataBlock(100, "drOLD", resume = true))
+    val (st2, _) = processBlock(st1, dataBlock(101, "drNEW", resume = true))
+    assert(st2.dataReceipts("DUP").receipt_id === "drOLD")
+    // different receipts, not both promise-resume: fatal
+    val (st3, _) = processBlock(emptyState, dataBlock(100, "drOLD", resume = false))
+    val e = intercept[CorrelationException](
+      processBlock(st3, dataBlock(101, "drNEW", resume = false)))
+    assert(e.getMessage.contains("Duplicate data_id"))
+    // same receipt id twice: warn-level, keeps working
+    val (st4, _) = processBlock(st3, dataBlock(101, "drOLD", resume = false))
+    assert(st4.dataReceipts("DUP").receipt_id === "drOLD")
+  }
+
   test("correlateBatch on Spark matches the pure fold") {
     import Blocks.encoder
     val ds = spark.createDataset(BlockFixtures.blocks(6))(encoder)
