@@ -8,6 +8,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // 49 queries x several stages each overflow the default 100-entry
+      // generated-class cache; evictions force janino recompiles of the
+      // wide signature expressions on every run (static conf — must be
+      // set before the session exists)
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.query.Tables.configure(spark)
