@@ -102,8 +102,35 @@ object EventQueries {
         .agg(count(lit(1)).as("n"))
     },
 
-    // range join: each event matched to the order "active" around it —
-    // no, keep it relational: correlated scalar subquery shape instead.
+    // explicit GROUPING SETS (beyond rollup q11 / cube q16).
+    Q(
+      "q19_grouping_sets",
+      """SELECT event_type, (user_id % 7) AS user_mod, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type), ((user_id % 7)), ())""".stripMargin) {
+      (s, dir) =>
+        Tables.load(s, dir, "events")
+          .createOrReplaceTempView("events_gs")
+        s.sql(
+          """SELECT event_type, (user_id % 7) AS user_mod, count(*) AS n,
+            |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+            |FROM events_gs
+            |GROUP BY GROUPING SETS ((event_type), ((user_id % 7)), ())""".stripMargin)
+    },
+
+    // approximate percentiles (sketch, engine-specific → rows-only;
+    // ClickHouse side would be quantile()).
+    Q.noOracle("q20_value_percentiles") { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50"),
+          percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95"),
+          percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99"))
+    },
+
+    // correlated scalar subquery shape via join:
     Q(
       "q17_events_vs_user_avg",
       """SELECT e.event_id, e.user_id,

@@ -14,15 +14,27 @@ class BlockStreamSpec extends SparkSpec {
   private def tmp(): String =
     Files.createTempDirectory("graft-stream").toString
 
+  private def eventually(cond: => Boolean, timeoutMs: Long = 10000): Unit = {
+    val end = System.currentTimeMillis() + timeoutMs
+    while (!cond && System.currentTimeMillis() < end) Thread.sleep(100)
+    assert(cond)
+  }
+
   test("actions pipeline: streamed output equals batch extract; replay is idempotent") {
     val in = tmp(); val out = tmp(); val cp = tmp()
     import graft.schema.Blocks.encoder
     spark.createDataset(BlockFixtures.blocks(12))(encoder)
       .toDF().repartition(4).write.mode("overwrite").json(in)
 
+    val listener = graft.stream.ProgressListener.attach(spark)
     val q = BlockStream.runActionsPipeline(
       spark, in, out, cp, bucketStep = 10L)
     q.awaitTermination()
+    // A6: progress counters observed micro-batches (listener events are
+    // async — allow them to drain)
+    spark.streams.resetTerminated()
+    eventually(listener.batches.get() >= 1 && listener.totalInputRows.get() >= 12)
+    spark.streams.removeListener(listener)
 
     val streamed = spark.read.parquet(s"$out/actions")
     val batch = ActionsExtract.actions(
