@@ -70,6 +70,12 @@ object PipelineQueries {
           "status", "deposit")
         .orderBy("block_height", "receipt_index", "action_index")
     },
+    // 100 TB backfill path: label-propagation correlator (equality with
+    // the sequential state machine is pinned by DistributedCorrelatorSpec).
+    Q.noOracle("p12_distributed_correlate") { (s, _) =>
+      TxFanout.transactions(DistributedCorrelator.correlate(fixture(s)))
+    },
+
     // §3.3-3: receipt -> transaction resolve join.
     Q.noOracle("p11_receipt_lookup") { (s, _) =>
       val txs = completed(s)
