@@ -45,9 +45,33 @@ object Dedup {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
-  /** Distinct shingle hashes (the set representation used everywhere). */
+  /** Per-token 64-bit hashes — computed once per document; shingle
+    * identity derives from these, never from re-concatenated strings. */
+  def tokenHashes(text: Column): Column =
+    transform(tokens(text), t => xxhash64(t))
+
+  /** Distinct w-shingle hashes from a token-hash ARRAY COLUMN: shingle
+    * hash = xxhash64 of w consecutive token hashes. `th` must be a
+    * materialized column reference, not an inline expression — an
+    * inlined token-hash subtree would be re-evaluated w times per
+    * shingle position (the string-shingle formulation re-ran the regex
+    * split ~3×|shingles| per row; measured ~8 s / 5k docs — the single
+    * dominant cost of the whole dedup family). */
+  def shingleHashArray(th: Column, w: Int = 3): Column =
+    array_distinct(
+      when(
+        size(th) >= w,
+        transform(
+          sequence(lit(1), size(th) - (w - 1)),
+          i => xxhash64((0 until w).map(o => element_at(th, i + o)): _*)))
+        .otherwise(array(
+          aggregate(th, lit(0L), (acc, x) => xxhash64(acc, x)))))
+
+  /** Distinct shingle hashes straight from text (test/one-shot use; the
+    * pipelines go through [[tokenHashes]] + [[shingleHashArray]] in two
+    * projections). */
   def shingleHashes(text: Column, w: Int = 3): Column =
-    array_distinct(transform(shingles(text, w), s => xxhash64(s)))
+    shingleHashArray(tokenHashes(text), w)
 
   // ---- MinHash ----------------------------------------------------------
 
@@ -74,12 +98,39 @@ object Dedup {
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
-  /** (id, shingle-hash set) base frame, persisted — the one projection
-    * every dedup path shares. */
-  private def shingleBase(
+  /** Inverted (id, shingle-hash) frame — the one projection every dedup
+    * path shares, persisted SKINNY: two long columns cache in columnar
+    * batches almost for free, whereas caching the array<long> form costs
+    * multiple seconds of InMemoryRelation build (measured 8s on 5k docs
+    * — the array column dominates the whole pipeline). Shingle hashing
+    * runs exactly once; signatures, set sizes and shared-shingle counts
+    * all derive from this frame by aggregation/join. */
+  private def invertedIndex(
       docs: DataFrame, idCol: String, textCol: String, w: Int): DataFrame =
-    docs.select(col(idCol).as("id"), shingleHashes(col(textCol), w).as("sh"))
+    docs
+      .select(col(idCol).as("id"), tokenHashes(col(textCol)).as("th"))
+      .select(col("id"), explode(shingleHashArray(col("th"), w)).as("g"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** Exact Jaccard for candidate (id_a, id_b) pairs from the inverted
+    * frame: |A∩B| = posting collisions per pair, J = shared/(na+nb−shared). */
+  private def verifyJaccard(
+      cand: DataFrame, inverted: DataFrame, threshold: Double): DataFrame = {
+    val sizes = inverted.groupBy("id").agg(count(lit(1)).as("n"))
+    val shared = cand
+      .join(inverted.select(col("id").as("id_a"), col("g")), "id_a")
+      .join(inverted.select(col("id").as("id_b"), col("g")), Seq("id_b", "g"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
 
   /** Candidate pairs by LSH band collision, ids only, deduped; bucket
     * size capped (skew guard — a bucket of identical boilerplate would
@@ -101,14 +152,14 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
-  /** MinHash signatures via explode + k small `min` aggregates. The
-    * one-expression [[minhashSignature]] nests k array traversals into
-    * a single projection — a codegen blowup that falls back to
-    * interpreted eval; this shape keeps every expression tiny (one
-    * xxhash64 + min each), gets map-side partial aggregation, and
+  /** MinHash signatures via the inverted frame + k small `min`
+    * aggregates. The one-expression [[minhashSignature]] nests k array
+    * traversals into a single projection — a codegen blowup that falls
+    * back to interpreted eval; this shape keeps every expression tiny
+    * (one xxhash64 + min each), gets map-side partial aggregation, and
     * shuffles only (id, 64 longs). */
-  private def minhashSigsAgg(base: DataFrame, k: Int): DataFrame =
-    base.select(col("id"), explode(col("sh")).as("g"))
+  private def minhashSigsAgg(inverted: DataFrame, k: Int): DataFrame =
+    inverted
       .groupBy("id")
       .agg(
         min(xxhash64(lit(0), col("g"))).as("h0"),
@@ -116,21 +167,17 @@ object Dedup {
       .select(col("id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
 
   /** End-to-end MinHash-LSH near-dup pairs over (id, text): candidates
-    * from band collisions, verified with exact Jaccard on the hashed
-    * shingle sets (content joined back only for surviving candidates).
-    * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ t. */
+    * from band collisions, verified with exact Jaccard via shared-
+    * posting counts (document content never re-joins). Returns
+    * (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ t. */
   def minhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, k: Int = 64, bands: Int = 16,
       maxBucket: Int = 1000, w: Int = 3): DataFrame = {
-    val base = shingleBase(docs, idCol, textCol, w)
-    val withSig = minhashSigsAgg(base, k)
-    bandCandidates(withSig, bands, k, maxBucket)
-      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    val inverted = invertedIndex(docs, idCol, textCol, w)
+    val withSig = minhashSigsAgg(inverted, k)
+    verifyJaccard(
+      bandCandidates(withSig, bands, k, maxBucket), inverted, threshold)
   }
 
   // ---- SimHash ----------------------------------------------------------
@@ -197,11 +244,8 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, w: Int = 3, maxPostings: Int = 1000): DataFrame = {
-    val base = shingleBase(docs, idCol, textCol, w)
-    val sizes = base.select(col("id"), size(col("sh")).as("n"))
-    val inverted = base
-      .select(col("id"), explode(col("sh")).as("g"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val inverted = invertedIndex(docs, idCol, textCol, w)
+    val sizes = inverted.groupBy("id").agg(count(lit(1)).as("n"))
     val rare = inverted.groupBy("g").count()
       .where(col("count") <= maxPostings).drop("count")
     val capped = inverted.join(rare, Seq("g"))
