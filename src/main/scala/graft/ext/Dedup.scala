@@ -183,16 +183,21 @@ object Dedup {
   // ---- SimHash ----------------------------------------------------------
 
   /** 64-bit SimHash: per-token 64-bit hash votes +1/-1 per bit position;
-    * sign of the per-bit sum forms the signature. Order-insensitive. */
-  def simhash(text: Column): Column = {
+    * sign of the per-bit sum forms the signature. Order-insensitive.
+    * Folds over [[tokenHashes]] so each token is hashed ONCE — the bit
+    * lambda sees the already-hashed long (an inlined xxhash64(t) there
+    * would re-hash the token once per bit, 64× the work). */
+  def simhash(text: Column): Column = simhashFromTokenHashes(tokenHashes(text))
+
+  def simhashFromTokenHashes(th: Column): Column = {
     val votes = aggregate(
-      tokens(text),
+      th,
       array_repeat(lit(0), 64),
-      (acc, t) => zip_with(
+      (acc, h) => zip_with(
         acc,
         transform(
           sequence(lit(0), lit(63)),
-          b => when(call_function("shiftright", xxhash64(t), b)
+          b => when(call_function("shiftright", h, b)
             .bitwiseAND(1) === 1, 1).otherwise(-1)),
         (a, v) => a + v))
     aggregate(

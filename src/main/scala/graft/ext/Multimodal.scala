@@ -127,6 +127,27 @@ object Multimodal {
       _.grouped(batchSize).flatMap(b => codec.features(b.toSeq, dim)))
   }
 
+  /** Resize: image/video rows get target dimensions; a real codec
+    * re-encodes the payload, the stub tags metadata and truncates
+    * deterministically (plumbing contract: output schema + batch shape
+    * identical to the real path). */
+  def resize(
+      media: Dataset[MediaRow], width: Int, height: Int,
+      codec: Codec = DeterministicStubCodec,
+      batchSize: Int = 64): Dataset[(MediaRow, Int, Int)] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(batchSize).flatMap { batch =>
+      codec.decode(batch.toSeq).zip(batch).map { case (m, r) =>
+        val scale =
+          if (m.width <= 0 || m.height <= 0) 1.0
+          else math.min(1.0,
+            (width.toLong * height).toDouble / (m.width.toLong * m.height))
+        val newLen = math.max(1, (r.content.length * scale).toInt)
+        (r.copy(content = r.content.take(newLen)), width, height)
+      }
+    })
+  }
+
   /** Frame sampling: video row → up to n (media_id, frame_index,
     * frame_bytes) rows. */
   def sampleFrames(
