@@ -31,22 +31,29 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "das", "und", "zu", "ist", "ein", "nicht"),
     "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "en"))
 
+  def stopwordHitsFromTokens(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
+
   def stopwordHits(text: Column, words: Seq[String]): Column =
-    size(filter(tokens(text), t => t.isin(words.map(lit): _*)))
+    stopwordHitsFromTokens(tokens(text), words)
 
   /** Language ID: argmax over per-language stopword hit rates. Pure
     * column expression → distributes with the scan. Returns the 2-letter
-    * code with the most hits, 'und' when nothing matches.
+    * code with the most hits, 'und' when nothing matches. Pass a
+    * MATERIALIZED tokens column (prior projection) — an inline
+    * `tokens(text)` here would re-run the split once per language.
     */
-  def langId(text: Column): Column = {
+  def langIdFromTokens(toks: Column): Column = {
     val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(stopwordHits(text, words).as("hits"), lit(lang).as("lang"))
+      struct(stopwordHitsFromTokens(toks, words).as("hits"), lit(lang).as("lang"))
     }
     // array_max on struct = lexicographic (hits, lang) — deterministic
     // tie-break by language code.
     val best = array_max(array(scored: _*))
     when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
   }
+
+  def langId(text: Column): Column = langIdFromTokens(tokens(text))
 
   /** Quality scoring: length, punctuation ratio, stopword ratio,
     * mean token length — the standard cheap pre-filters for web corpora.

