@@ -102,6 +102,36 @@ object EventQueries {
         .agg(count(lit(1)).as("n"))
     },
 
+    // as-of join: each event matched to the user's latest order at or
+    // before the event time (custom operator — Spark has no native
+    // as-of join; DuckDB 1.0 does, giving a real oracle). Orders are
+    // deduped per (cust, time) first so ties are deterministic in both
+    // engines.
+    Q(
+      "q21_asof_latest_order",
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, e.user_id, o.o_orderkey
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin) {
+      (s, dir) =>
+        val e = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val o = Tables.load(s, dir, "orders")
+          .groupBy(col("o_custkey"), col("o_orderdate"))
+          .agg(max(col("o_orderkey")).as("o_orderkey"))
+          .select(col("o_custkey"),
+            // NTZ → TIMESTAMP under the UTC session, then µs → ns
+            (unix_micros(col("o_orderdate").cast("timestamp")) * 1000L)
+              .as("ots"),
+            col("o_orderkey"))
+        graft.query.AsOfJoin
+          .backward(e, o, "user_id", "o_custkey", "ts", "ots",
+            Seq("o_orderkey"))
+          .select(col("event_id"), col("user_id"), col("o_orderkey"))
+    },
+
     // explicit GROUPING SETS (beyond rollup q11 / cube q16).
     Q(
       "q19_grouping_sets",
