@@ -132,6 +132,60 @@ object EventQueries {
           .select(col("event_id"), col("user_id"), col("o_orderkey"))
     },
 
+    // range join: consecutive-activity pairs — events of the same user
+    // within 10 minutes of each other (banded equi-join formulation;
+    // DuckDB checks the naive inequality join).
+    Q(
+      "q22_events_within_10min",
+      """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+        |  epoch_us(b.ts) - epoch_us(a.ts) AS gap
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND epoch_us(b.ts) > epoch_us(a.ts)
+        | AND epoch_us(b.ts) - epoch_us(a.ts) <= 600000000""".stripMargin) {
+      (s, dir) =>
+        val e = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            expr("ts div 1000").as("tus"))
+        RangeJoin
+          .selfWithinGap(e, "user_id", "event_id", "tus", 600000000L)
+          .select(col("k").as("user_id"), col("id_a"), col("id_b"),
+            col("gap"))
+    },
+
+    // dataset profiling (the data-quality pass every training pipeline
+    // runs): per-column null/distinct counts — exact ints, oracled.
+    Q(
+      "q23_profile_orders",
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
+        |  count(DISTINCT o_custkey) AS d_custkey,
+        |  count(DISTINCT o_orderstatus) AS d_status,
+        |  count(DISTINCT o_orderpriority) AS d_priority,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders").agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_custkey").isNull, 1).otherwise(0)).as("null_custkey"),
+        countDistinct(col("o_custkey")).as("d_custkey"),
+        countDistinct(col("o_orderstatus")).as("d_status"),
+        countDistinct(col("o_orderpriority")).as("d_priority"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+    },
+
+    // stratified sampling (seeded, deterministic for a fixed input
+    // layout) — the corpus-balancing op; engine-specific RNG → rows-only.
+    Q.noOracle("q24_stratified_sample") { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .stat.sampleBy("event_type",
+          Map("click" -> 0.5, "view" -> 0.5, "purchase" -> 1.0,
+            "signup" -> 1.0, "error" -> 1.0),
+          seed = 42L)
+        .groupBy("event_type").agg(count(lit(1)).as("n_sampled"))
+    },
+
     // explicit GROUPING SETS (beyond rollup q11 / cube q16).
     Q(
       "q19_grouping_sets",
