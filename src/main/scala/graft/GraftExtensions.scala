@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.expr.Base58Encode
+import org.apache.spark.sql.graft.ColumnBridge
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * Catalyst expressions as SQL functions, so the raw-SQL surface can
+  * use them like built-ins:
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * // or
+  * SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * spark.sql("SELECT base58(unhex(sha2(code, 256))) FROM t")
+  * }}}
+  *
+  * Scalar functions that are pure compositions of built-ins
+  * (text_or_base64, parse_u128, …) don't need registration — they're
+  * Columns from `graft.functions`; only genuinely new expressions
+  * (Base58Encode) go through the extension hook.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("base58"),
+      new ExpressionInfo(classOf[Base58Encode].getName, "base58"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "base58 expects exactly one argument")
+        Base58Encode(args.head)
+      }))
+  }
+}
+
+object GraftExtensions {
+  /** Register on an already-built session (tests, notebooks). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "base58",
+      (args: Seq[Expression]) => Base58Encode(args.head),
+      "scala_udf")
+}

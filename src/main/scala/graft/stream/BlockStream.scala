@@ -30,13 +30,34 @@ import graft.sink.Replacing
   */
 object BlockStream {
 
+  /** Block stream with corrupt-record capture: malformed JSON lands in
+    * `_corrupt_record` (PERMISSIVE would otherwise admit an all-null
+    * block row silently and the extract would just drop it — an
+    * ingestion bug you'd never see). Pipelines quarantine those rows. */
   def readBlockStream(
       spark: SparkSession, inDir: String,
       maxFilesPerTrigger: Int = 100): DataFrame =
     spark.readStream
-      .schema(Blocks.schema)
+      .schema(Blocks.schema.add("_corrupt_record",
+        org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(inDir)
+
+  /** Split a micro-batch into (good blocks, quarantine rows) and append
+    * the quarantine (raw line + arrival batch) for forensics. */
+  def quarantine(batch: DataFrame, outDir: String): DataFrame = {
+    val bad = batch.where(
+      col("_corrupt_record").isNotNull || col("block").isNull)
+    if (!bad.isEmpty)
+      bad.select(
+        col("_corrupt_record").as("raw"),
+        col("block.header.height").as("claimed_height"))
+        .write.mode("append").json(s"$outDir/_quarantine")
+    batch.where(col("_corrupt_record").isNull && col("block").isNotNull)
+      .drop("_corrupt_record")
+  }
 
   /** Sink-derived resume cursor (S3): max of `cursorCol` already
     * persisted, or -1 when the sink is empty/nonexistent. Each table
@@ -71,8 +92,8 @@ object BlockStream {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // O2: deduped, past-cursor blocks only
-        val blocks = batch
+        // O2: quarantined, deduped, past-cursor blocks only
+        val blocks = quarantine(batch, outDir)
           .where(col("block.header.height") > cMin)
           .dropDuplicates("block")
           .persist()
@@ -125,7 +146,10 @@ object BlockStream {
       bucketStep: Long = 1000L): StreamingQuery = {
     import spark.implicits._
     val blocks: Dataset[BlockWithTxHashes] =
-      readBlockStream(spark, inDir).as[BlockWithTxHashes](Blocks.encoder)
+      readBlockStream(spark, inDir)
+        .where(col("_corrupt_record").isNull && col("block").isNotNull)
+        .drop("_corrupt_record")
+        .as[BlockWithTxHashes](Blocks.encoder)
     // cursor over COMPLETION height (the reference skips by processing-
     // block height, transactions.rs:360); the transactions table is
     // written LAST so its cursor only advances once the other three
@@ -184,7 +208,7 @@ object BlockStream {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val b = TxFanout.blocks(batch.dropDuplicates("block"))
+        val b = TxFanout.blocks(quarantine(batch, outDir).dropDuplicates("block"))
           .where(col("block_height") > cursor)
         if (!b.isEmpty) Replacing.retry() {
           Replacing.appendWrite(

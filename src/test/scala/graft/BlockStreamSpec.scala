@@ -57,6 +57,29 @@ class BlockStreamSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/actions").count() === batch.count())
   }
 
+  test("corrupt JSON lines are quarantined, not silently dropped") {
+    val in = tmp(); val out = tmp(); val cp = tmp()
+    import graft.schema.Blocks.encoder
+    spark.createDataset(BlockFixtures.blocks(4))(encoder)
+      .toDF().coalesce(1).write.mode("overwrite").json(in)
+    // append garbage + a JSON object that isn't a block
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(in, "garbage.json"),
+      "this is not json at all\n{\"unrelated\": 42}\n")
+
+    val q = BlockStream.runActionsPipeline(spark, in, out, cp, bucketStep = 10L)
+    q.awaitTermination()
+
+    // valid blocks fully processed
+    val batchRows = graft.etl.ActionsExtract.actions(
+      graft.etl.ActionsExtract.indexedReceipts(BlockFixtures.df(spark, 4))).count()
+    assert(spark.read.parquet(s"$out/actions").count() === batchRows)
+    // both bad lines quarantined with the raw payload preserved
+    val quarantined = spark.read.json(s"$out/_quarantine")
+    assert(quarantined.count() === 2)
+    assert(quarantined.where(col("raw").contains("not json")).count() === 1)
+  }
+
   test("transactions pipeline: state persists across micro-batches") {
     val in = tmp(); val out = tmp(); val cp = tmp()
     import graft.schema.Blocks.encoder
