@@ -23,11 +23,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Dot product in double precision — a native codegen'd Expression
+    * (graft.expr.VectorDot); the higher-order-function formulation
+    * (`aggregate(zip_with(...))`) evaluates its lambda interpreted per
+    * element and dominated every similarity operator's runtime. Fold
+    * order and null semantics are identical. */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expr.VectorDot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
