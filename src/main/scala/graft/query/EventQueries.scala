@@ -175,15 +175,28 @@ object EventQueries {
         max(col("o_orderkey")).as("max_key"))
     },
 
-    // stratified sampling (seeded, deterministic for a fixed input
-    // layout) — the corpus-balancing op; engine-specific RNG → rows-only.
-    Q.noOracle("q24_stratified_sample") { (s, dir) =>
-      Tables.load(s, dir, "events")
-        .stat.sampleBy("event_type",
-          Map("click" -> 0.5, "view" -> 0.5, "purchase" -> 1.0,
-            "signup" -> 1.0, "error" -> 1.0),
-          seed = 42L)
-        .groupBy("event_type").agg(count(lit(1)).as("n_sampled"))
+    // stratified sampling via content hashing — deterministic across
+    // partitionings/cluster sizes (a partition-seeded RNG like
+    // `sampleBy` resamples whenever the layout changes; hash sampling
+    // is reproducible anywhere, which is what a training pipeline
+    // needs). md5-prefix threshold ⇒ oracle-able in DuckDB.
+    Q(
+      "q24_stratified_sample",
+      """SELECT event_type, count(*) AS n_sampled
+        |FROM events
+        |WHERE CASE WHEN event_type IN ('click','view')
+        |  THEN substring(md5(CAST(event_id AS VARCHAR)), 1, 1)
+        |       IN ('0','1','2','3','4','5','6','7')
+        |  ELSE TRUE END
+        |GROUP BY event_type""".stripMargin) {
+      (s, dir) =>
+        val keep = when(col("event_type").isin("click", "view"),
+          substring(md5(col("event_id").cast("string")), 1, 1)
+            .isin("0", "1", "2", "3", "4", "5", "6", "7"))
+          .otherwise(lit(true))
+        Tables.load(s, dir, "events")
+          .where(keep)
+          .groupBy("event_type").agg(count(lit(1)).as("n_sampled"))
     },
 
     // explicit GROUPING SETS (beyond rollup q11 / cube q16).
