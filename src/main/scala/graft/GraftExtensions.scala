@@ -46,11 +46,17 @@ object GraftExtensions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "base58",
-      (args: Seq[Expression]) => Base58Encode(args.head),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "base58 expects exactly one argument")
+        Base58Encode(args.head)
+      },
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot",
-      (args: Seq[Expression]) => graft.expr.VectorDot(args.head, args(1)),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "vec_dot expects exactly two arguments")
+        graft.expr.VectorDot(args.head, args(1))
+      },
       "scala_udf")
   }
 }

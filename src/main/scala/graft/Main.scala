@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.stream.{BlockStream, ProgressListener}
+
+/** Operational entry point — the runnable daemon the reference ships
+  * (/root/reference/src/main.rs:85-131: mode dispatch, graceful drain on
+  * signal, progress logging).
+  *
+  * {{{
+  * graft.Main actions      <blocksJsonDir> <outDir> [--follow]
+  * graft.Main transactions <blocksJsonDir> <outDir> [--follow] [--from H]
+  * graft.Main backfill     <blocksJsonDir> <outDir>
+  * }}}
+  *
+  *  - `actions`: blocks → actions/events/data tables (P1–P16).
+  *  - `transactions`: blocks → transactions/account_txs/receipt_txs/
+  *    block_txs + blocks tables (J1–J10, A2/A3).
+  *  - `backfill`: batch path for a large on-disk corpus — distributed
+  *    label-propagation correlator, then records the replay cut; a
+  *    subsequent `transactions` run resumes the streaming correlator from
+  *    that height automatically (or pass `--from` explicitly).
+  *
+  * Default trigger is AvailableNow: drain the backlog, flush, exit (K4 —
+  * the reference's final-flush semantics). `--follow` tails the input
+  * directory on a ProcessingTime trigger until SIGTERM/SIGINT; the
+  * shutdown hook stops queries at a micro-batch boundary, and the
+  * checkpoint + idempotent sinks make restart safe (S3/S4).
+  */
+object Main {
+
+  private val usage =
+    """usage:
+      |  graft.Main actions      <blocksJsonDir> <outDir> [--follow]
+      |  graft.Main transactions <blocksJsonDir> <outDir> [--follow] [--from HEIGHT]
+      |  graft.Main backfill     <blocksJsonDir> <outDir>""".stripMargin
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 3) { System.err.println(usage); sys.exit(2) }
+    val spark = buildSession(args(0))
+    try {
+      ProgressListener.attach(spark)
+      sys.addShutdownHook { // graceful drain: stop at batch boundary
+        spark.streams.active.foreach(_.stop())
+      }
+      run(args, spark)
+    } catch {
+      case e: IllegalArgumentException =>
+        System.err.println(s"${e.getMessage}\n$usage"); sys.exit(2)
+    } finally spark.stop()
+  }
+
+  /** Mode dispatch on a caller-owned session (separated from the session
+    * lifecycle so the smoke spec can drive the CLI end-to-end). */
+  private[graft] def run(args: Array[String], spark: SparkSession): Unit = {
+    val Array(mode, inDir, outDir) = args.take(3)
+    val follow = args.contains("--follow")
+    val fromIdx = args.indexOf("--from")
+    val explicitFrom =
+      if (fromIdx >= 0 && fromIdx + 1 < args.length)
+        Some(args(fromIdx + 1).toLong)
+      else None
+    val trigger: Trigger =
+      if (follow) Trigger.ProcessingTime("2 seconds")
+      else Trigger.AvailableNow()
+
+    mode match {
+      case "actions" =>
+        awaitAll(
+          BlockStream.runActionsPipeline(
+            spark, inDir, outDir, s"$outDir/_checkpoints/actions", trigger))
+      case "transactions" =>
+        val start = explicitFrom
+          .orElse(BlockStream.backfillCut(outDir))
+          .getOrElse(Long.MinValue)
+        awaitAll(
+          BlockStream.runBlocksPipeline(
+            spark, inDir, outDir, s"$outDir/_checkpoints/blocks", trigger),
+          BlockStream.runTransactionsPipeline(
+            spark, inDir, outDir, s"$outDir/_checkpoints/transactions",
+            trigger, startHeight = start))
+      case "backfill" =>
+        val cut = BlockStream.runBackfill(spark, inDir, outDir)
+        println(s"[graft] backfill done; replay cut = $cut")
+      case other =>
+        throw new IllegalArgumentException(s"unknown mode: $other")
+    }
+  }
+
+  private def awaitAll(qs: StreamingQuery*): Unit = qs.foreach(_.awaitTermination())
+
+  private def buildSession(mode: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "*")
+    val shuffle = if (cpus == "*") "32" else cpus
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName(s"graft-$mode")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", shuffle)
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.query.Tables.configure(spark)
+    spark
+  }
+}

@@ -25,7 +25,19 @@ import graft.etl.TxCorrelator.CompletedTx
   */
 object DistributedCorrelator {
 
-  def correlate(blocks: DataFrame): Dataset[CompletedTx] = {
+  def correlate(blocks: DataFrame): Dataset[CompletedTx] =
+    correlateWithCut(blocks)._1
+
+  /** Backfill entry: completed txs plus the REPLAY CUT — the lowest block
+    * height still contributing state to any incomplete tx: pending tx
+    * registration heights and buffer heights of data receipts not yet
+    * consumed by a completed tx. Re-running the streaming correlator
+    * (lenient mode) over blocks >= cut rebuilds exactly the pending
+    * frontier; completions re-emitted during the replay are collapsed by
+    * the idempotent sink / sink cursor. maxHeight+1 when nothing is
+    * pending (stream continues from fresh blocks only).
+    */
+  def correlateWithCut(blocks: DataFrame): (Dataset[CompletedTx], () => Long) = {
     val spark = blocks.sparkSession
 
     val shards = blocks.select(
@@ -34,12 +46,18 @@ object DistributedCorrelator {
       col("block.header.timestamp_nanosec").as("bt"),
       posexplode(col("shards")).as(Seq("sp", "shard")))
 
-    // executed action receipts, with their resolution-order sort key
+    // executed receipts, with their resolution-order sort key. The filter
+    // excludes only DATA receipts (which never execute); receipts with
+    // BOTH action and data null (GlobalContractDistribution) resolve like
+    // action receipts — the streaming correlator (and the reference,
+    // transactions.rs pass 2) iterates every execution outcome, so
+    // filtering on action.isNotNull here would silently never complete a
+    // tx whose DAG contains one.
     val outcomes = shards
       .select(
         col("h"), col("bh"), col("bt"), col("sp"),
         posexplode(col("shard.receipt_execution_outcomes")).as(Seq("p", "o")))
-      .where(col("o.receipt.action").isNotNull)
+      .where(col("o.receipt.data").isNull)
       .select(
         col("h"), col("bh"), col("bt"), col("sp"), col("p"),
         col("o.receipt").as("receipt"),
@@ -67,7 +85,7 @@ object DistributedCorrelator {
       .persist()
 
     // buffered data receipts (J4/J7: first occurrence by block order wins)
-    val dataReceipts = {
+    val dataReceiptsH = {
       val raw = shards
         .select(col("h"), col("sp"),
           posexplode(col("shard.chunk.receipts")).as(Seq("p", "r")))
@@ -76,8 +94,9 @@ object DistributedCorrelator {
           col("h"), col("sp"), col("p"))
       val w = Window.partitionBy("data_id").orderBy("h", "sp", "p")
       raw.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-        .select(col("data_id"), col("drv"))
+        .select(col("data_id"), col("drv"), col("h").as("buffer_height"))
     }
+    val dataReceipts = dataReceiptsH.select(col("data_id"), col("drv"))
 
     // ---- label propagation: receipt_id -> tx_hash ----
     val edges = outcomes.select(
@@ -140,10 +159,11 @@ object DistributedCorrelator {
         col("last_block_height"))
 
     // ---- data receipts per tx, in consuming-receipt order (J4) ----
-    val dataAgg = resolved
+    val consumedIds = resolved
       .join(completeTx, "tx_hash")
       .select(col("tx_hash"), col("h"), col("sp"), col("p"),
         posexplode(col("receipt.action.input_data_ids")).as(Seq("dp", "data_id")))
+    val dataAgg = consumedIds
       .join(dataReceipts, "data_id")
       .groupBy("tx_hash")
       .agg(sort_array(collect_list(struct(
@@ -172,7 +192,22 @@ object DistributedCorrelator {
           array().cast(dataArrayType(blocks))).as("data_receipts"),
         col("last_block_height"))
 
-    assembled.as[CompletedTx](completedEncoder)
+    val cut = () => {
+      // lowest height whose state the stream must rebuild
+      val pendingMin = txSeed
+        .join(completeTx, Seq("tx_hash"), "left_anti")
+        .agg(min(col("tx_block_height"))).head()
+      val unconsumedMin = dataReceiptsH
+        .join(consumedIds.select("data_id").distinct(),
+          Seq("data_id"), "left_anti")
+        .agg(min(col("buffer_height"))).head()
+      val mins = Seq(pendingMin, unconsumedMin)
+        .filterNot(_.isNullAt(0)).map(_.getLong(0))
+      if (mins.nonEmpty) mins.min
+      else blocks.agg(max(col("block.header.height"))).head().getLong(0) + 1L
+    }
+
+    (assembled.as[CompletedTx](completedEncoder), cut)
   }
 
   private def dataArrayType(blocks: DataFrame) =

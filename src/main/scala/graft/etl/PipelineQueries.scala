@@ -21,6 +21,25 @@ object PipelineQueries {
 
   private def fixture(s: SparkSession): DataFrame = BlockFixtures.df(s, N)
 
+  /** Driver-output discipline: every column the driver sees must be an
+    * atomic, hashable scalar (its pandas compare sorts/hashes EVERY
+    * returned column, even for rows-only checks — an array/struct/map
+    * column crashes it with `unhashable type: numpy.ndarray`). The
+    * stored tables keep their DDL-exact array columns; only this
+    * query-pack projection serializes complex types to JSON strings.
+    */
+  private def driverSafe(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case _: ArrayType | _: StructType | _: MapType =>
+          to_json(col(f.name)).as(f.name)
+        case _ => col(f.name)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
   private def completed(s: SparkSession) = {
     import Blocks.encoder
     TxCorrelator.correlateBatch(
@@ -29,64 +48,74 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(
     Q.noOracle("p1_actions_extract") { (s, _) =>
-      ActionsExtract.actions(ActionsExtract.indexedReceipts(fixture(s)))
+      driverSafe(
+        ActionsExtract.actions(ActionsExtract.indexedReceipts(fixture(s))))
     },
     Q.noOracle("p2_events_extract") { (s, _) =>
-      ActionsExtract.events(ActionsExtract.indexedReceipts(fixture(s)))
+      driverSafe(
+        ActionsExtract.events(ActionsExtract.indexedReceipts(fixture(s))))
     },
     Q.noOracle("p3_data_extract") { (s, _) =>
-      ActionsExtract.data(ActionsExtract.indexedReceipts(fixture(s)))
+      driverSafe(
+        ActionsExtract.data(ActionsExtract.indexedReceipts(fixture(s))))
     },
     Q.noOracle("p4_tx_correlate") { (s, _) =>
-      TxFanout.transactions(completed(s))
+      driverSafe(TxFanout.transactions(completed(s)))
     },
     Q.noOracle("p5_account_txs") { (s, _) =>
-      TxFanout.accountTxs(completed(s))
+      driverSafe(TxFanout.accountTxs(completed(s)))
     },
     Q.noOracle("p6_receipt_txs") { (s, _) =>
-      TxFanout.receiptTxs(completed(s))
+      driverSafe(TxFanout.receiptTxs(completed(s)))
     },
     Q.noOracle("p7_block_txs") { (s, _) =>
-      TxFanout.blockTxs(completed(s))
+      driverSafe(TxFanout.blockTxs(completed(s)))
     },
     Q.noOracle("p8_blocks") { (s, _) =>
-      TxFanout.blocks(fixture(s))
+      driverSafe(TxFanout.blocks(fixture(s)))
     },
     // A5: replaying duplicated input collapses to the same table under
     // the dedup view (the ReplacingMergeTree property).
     Q.noOracle("p9_replacing_dedup") { (s, _) =>
       val a = ActionsExtract.actions(ActionsExtract.indexedReceipts(fixture(s)))
-      Replacing.dedupView(
+      driverSafe(Replacing.dedupView(
         a.unionAll(a),
-        Seq("block_height", "account_id", "receipt_index", "action_index"))
+        Seq("block_height", "account_id", "receipt_index", "action_index")))
     },
     // §3.3-5: account activity page over the extracted actions table
     // (range + point predicate + sort, the bloom/minmax shape).
     Q.noOracle("p10_account_history") { (s, _) =>
-      ActionsExtract.actions(ActionsExtract.indexedReceipts(fixture(s)))
-        .where(col("account_id") === "bank.near" &&
-          col("block_height").between(105, 130))
-        .select("block_height", "receipt_id", "action_index", "action",
-          "status", "deposit")
-        .orderBy("block_height", "receipt_index", "action_index")
+      driverSafe(
+        ActionsExtract.actions(ActionsExtract.indexedReceipts(fixture(s)))
+          .where(col("account_id") === "bank.near" &&
+            col("block_height").between(105, 130))
+          .select("block_height", "receipt_id", "action_index", "action",
+            "status", "deposit")
+          .orderBy("block_height", "receipt_index", "action_index"))
     },
     // 100 TB backfill path: label-propagation correlator (equality with
     // the sequential state machine is pinned by DistributedCorrelatorSpec).
     Q.noOracle("p12_distributed_correlate") { (s, _) =>
-      TxFanout.transactions(DistributedCorrelator.correlate(fixture(s)))
+      driverSafe(TxFanout.transactions(DistributedCorrelator.correlate(fixture(s))))
     },
 
-    // §3.3-3: receipt -> transaction resolve join.
+    // §3.3-3: receipt -> transaction resolve join. The correlated set is
+    // persisted: receiptTxs and transactions both consume it, and a
+    // self-referencing join otherwise recomputes the whole correlator
+    // once per side (the repo's documented self-join gotcha). The join
+    // key is transaction_hash alone — it is unique per completed tx, so
+    // the extra signer/height keys add shuffle width for nothing.
     Q.noOracle("p11_receipt_lookup") { (s, _) =>
-      val txs = completed(s)
+      val txs = completed(s).persist()
       val rt = TxFanout.receiptTxs(txs)
       val t = TxFanout.transactions(txs)
-      rt.where(col("receipt_id").startsWith("rB"))
-        .join(t, Seq("transaction_hash", "signer_id", "tx_block_height",
-          "tx_block_timestamp"))
-        .select("receipt_id", "transaction_hash", "tx_block_height",
-          "last_block_height")
-        .orderBy("receipt_id")
+      driverSafe(
+        rt.where(col("receipt_id").startsWith("rB"))
+          .join(t.select("transaction_hash", "last_block_height"),
+            Seq("transaction_hash"))
+          .select("receipt_id", "transaction_hash", "tx_block_height",
+            "last_block_height")
+          .orderBy("receipt_id"))
     }
   )
 }

@@ -190,13 +190,23 @@ object TxCorrelator {
   private implicit val stateEncoder: Encoder[CacheState] = Encoders.product[CacheState]
 
   private def runOrdered(
-      st0: CacheState, blocks: Seq[BlockWithTxHashes], strict: Boolean)
-      : (CacheState, Seq[CompletedTx]) =
-    blocks.sortBy(_.block.header.height).foldLeft((st0, Seq.empty[CompletedTx])) {
-      case ((st, acc), b) =>
-        val (st2, c) = processBlock(st, b, strict = strict)
-        (st2, acc ++ c)
+      st0: CacheState, blocks: Iterator[BlockWithTxHashes], strict: Boolean)
+      : (CacheState, Seq[CompletedTx]) = {
+    // height order requires materializing the batch (a sort can't be
+    // lazy); in-place sort + one growable output buffer keep it to one
+    // copy of the batch. The batch-size bound is the SOURCE's contract:
+    // maxFilesPerTrigger in readBlockStream caps blocks per micro-batch.
+    val arr = blocks.to(collection.mutable.ArrayBuffer)
+    arr.sortInPlaceBy(_.block.header.height)
+    var st = st0
+    val out = collection.mutable.ArrayBuffer.empty[CompletedTx]
+    arr.foreach { b =>
+      val (st2, c) = processBlock(st, b, strict = strict)
+      st = st2
+      out ++= c
     }
+    (st, out.toSeq)
+  }
 
   /** Batch correlation: blocks (any partitioning) → completed txs.
     * Funnels through one task — the correlator is inherently sequential
@@ -221,7 +231,15 @@ object TxCorrelator {
   /** Streaming correlation: keyed stateful operator; the cache lives in
     * the state store (checkpoint-recovered — replaces the reference's
     * 1000-block rewind S4). Micro-batches are sorted by height inside
-    * the group; cross-batch order is the source's contract (S1). */
+    * the group; cross-batch order is the source's contract (S1).
+    *
+    * MEMORY CONTRACT: the single stateful task materializes each
+    * micro-batch once to sort it (streaming forbids a plan-level sort
+    * before a stateful operator). The batch size is therefore bounded at
+    * the SOURCE — `readBlockStream(maxFilesPerTrigger = …)` caps blocks
+    * per trigger (default 100; one block document per file). A backfill
+    * of on-disk history should use [[graft.stream.BlockStream.runBackfill]]
+    * (distributed, no single-task funnel) rather than raising the cap. */
   def correlateStream(
       blocks: Dataset[BlockWithTxHashes], strict: Boolean = false)
       : Dataset[CompletedTx] = {
@@ -232,7 +250,7 @@ object TxCorrelator {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: Int, iter: Iterator[BlockWithTxHashes], gs: GroupState[CacheState]) =>
           val (st2, out) = runOrdered(
-            gs.getOption.getOrElse(emptyState), iter.toSeq, strict)
+            gs.getOption.getOrElse(emptyState), iter, strict)
           gs.update(st2)
           out.iterator
       }

@@ -1,9 +1,10 @@
 package graft.expr
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Base58 (Bitcoin alphabet) rendering of a binary column — NEAR renders
@@ -52,6 +53,15 @@ object Base58 {
 
 case class Base58Encode(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
+  // Analysis-time rejection of non-binary args — the function is
+  // SQL-registered, so raw SQL like base58('abc') must fail cleanly
+  // rather than ClassCastException at runtime. (ExpectsInputTypes is not
+  // implementable outside the sql package in Spark 4 — AbstractDataType
+  // is private[sql] — so this is the direct checkInputDataTypes form.)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"base58 expects BINARY, got ${child.dataType.simpleString}")
   override def nullSafeEval(bytes: Any): Any =
     UTF8String.fromString(Base58.encode(bytes.asInstanceOf[Array[Byte]]))
   override protected def doGenCode(

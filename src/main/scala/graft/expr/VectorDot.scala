@@ -27,6 +27,12 @@ case class VectorDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // Null can arise from the VALUES (length mismatch, null element), not
+  // only from null inputs — without this, non-nullable children would let
+  // Catalyst constant-fold IsNull(vec_dot(..)) to false and codegen would
+  // assign ev.isNull into a constant-false slot.
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(t: DataType) = t match {

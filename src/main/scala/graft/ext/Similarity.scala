@@ -174,8 +174,10 @@ object Similarity {
     */
   def cosineNearDupPairs(
       vectors: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bands: Int = 4, planesPerBand: Int = 3,
-      dim: Int = 64): DataFrame = {
+      threshold: Double, bands: Int = 4, planesPerBand: Int = 3): DataFrame = {
+    // derived, not trusted (as in ivfBuild): a wrong dim would silently
+    // degenerate the hyperplane buckets and tank recall
+    val dim = vectors.select(size(col(vecCol))).head().getInt(0)
     // pre-normalize ONCE per vector (two projections so the norm is a
     // materialized column, not an inlined re-fold); pair verification is
     // then a single dot — cosine(v_a, v_b) per pair would re-fold both

@@ -39,18 +39,35 @@ object SimilarityQueries {
       Similarity.ivfTopK(idx, queryVec(s, dir), k = 10)
     },
 
-    // vector norms / label centroid stats — aggregation over arrays.
-    Q.noOracle("s3_label_centroid_norms") { (s, dir) =>
+    // vector norms / label stats — per-row norms are rounded to integer
+    // micro-units BEFORE aggregating, so the group aggregation is exact
+    // integer math on both engines (double SUM order is engine-dependent;
+    // int64 sum is associative). The per-row double itself is bit-equal:
+    // sequential double accumulation in VectorDot == DuckDB list_sum over
+    // the double-cast elements.
+    Q(
+      "s3_label_centroid_norms",
+      """WITH n AS (
+        |  SELECT label,
+        |    CAST(round(sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 1000000.0) AS BIGINT) AS nrm_e6
+        |  FROM embeddings
+        |)
+        |SELECT label, count(*) AS n,
+        |  CAST(sum(nrm_e6) AS BIGINT) AS sum_norm_e6,
+        |  min(nrm_e6) AS min_norm_e6,
+        |  max(nrm_e6) AS max_norm_e6
+        |FROM n GROUP BY label""".stripMargin) { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
       e.select(
         col("label"),
-        Similarity.norm(col("embedding")).as("nrm"))
+        round(Similarity.norm(col("embedding")) * 1e6).cast("long").as("nrm_e6"))
         .groupBy(col("label"))
         .agg(
           count(lit(1)).as("n"),
-          round(avg(col("nrm")), 6).as("avg_norm"),
-          round(min(col("nrm")), 6).as("min_norm"),
-          round(max(col("nrm")), 6).as("max_norm"))
+          sum(col("nrm_e6")).as("sum_norm_e6"),
+          min(col("nrm_e6")).as("min_norm_e6"),
+          max(col("nrm_e6")).as("max_norm_e6"))
     }
   )
 }

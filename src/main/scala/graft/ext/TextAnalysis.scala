@@ -16,10 +16,13 @@ object TextAnalysis {
     * `tokensRegex`). */
   def tokens(text: Column): Column = split(trim(text), " +")
 
+  /** Maximal letter runs + maximal non-letter-non-space runs — the
+    * match-extraction formulation (rather than lookaround splits) so the
+    * identical RE2-compatible pattern runs on any engine. */
+  val TokensRegexPattern = "\\p{L}+|[^\\p{L} ]+"
+
   def tokensRegex(text: Column): Column =
-    filter(
-      split(text, "(?<=\\p{L})(?=[^\\p{L}])|(?<=[^\\p{L}])(?=\\p{L})| +"),
-      t => length(trim(t)) > 0)
+    regexp_extract_all(text, lit(TokensRegexPattern), lit(0))
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

@@ -45,8 +45,34 @@ object TextQueries {
     },
 
     // language-ID heuristic vs the labelled lang column (accuracy-style
-    // confusion counts). Heuristic itself is engine-specific → rows-only.
-    Q.noOracle("t3_langid_confusion") { (s, dir) =>
+    // confusion counts). Pure integer stopword-hit argmax with a
+    // lexicographic (hits, lang) tie-break — the oracle replays it with
+    // list_filter counts + greatest over structs.
+    Q(
+      "t3_langid_confusion",
+      """WITH hits AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split_regex(trim(text), ' +'),
+        |      x -> x IN ('der','die','das','und','zu','ist','ein','nicht'))) AS h_de,
+        |    len(list_filter(string_split_regex(trim(text), ' +'),
+        |      x -> x IN ('the','a','of','and','to','in','is','it'))) AS h_en,
+        |    len(list_filter(string_split_regex(trim(text), ' +'),
+        |      x -> x IN ('el','la','de','y','que','en','un','es'))) AS h_es,
+        |    len(list_filter(string_split_regex(trim(text), ' +'),
+        |      x -> x IN ('le','la','de','et','un','est','que','en'))) AS h_fr
+        |  FROM documents
+        |), best AS (
+        |  SELECT lang, greatest(h_de, h_en, h_es, h_fr) AS maxh,
+        |    CASE WHEN h_fr >= h_de AND h_fr >= h_en AND h_fr >= h_es THEN 'fr'
+        |         WHEN h_es >= h_de AND h_es >= h_en THEN 'es'
+        |         WHEN h_en >= h_de THEN 'en'
+        |         ELSE 'de' END AS winner
+        |  FROM hits
+        |)
+        |SELECT lang,
+        |  CASE WHEN maxh > 0 THEN winner ELSE 'und' END AS pred,
+        |  count(*) AS n
+        |FROM best GROUP BY lang, pred""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "documents")
         .select(col("lang"), tokens(col("text")).as("toks")) // split once
         .select(col("lang"), langIdFromTokens(col("toks")).as("pred"))
@@ -54,12 +80,29 @@ object TextQueries {
         .agg(count(lit(1)).as("n"))
     },
 
-    // quality score distribution — engine-specific blend → rows-only.
-    Q.noOracle("t4_quality_scores") { (s, dir) =>
+    // quality score distribution. The blend is double arithmetic, but the
+    // oracle evaluates the IDENTICAL expression tree (same literals, same
+    // association) so the doubles are bit-equal; floor(q*1e4) as BIGINT
+    // makes the output integer-exact.
+    Q(
+      "t4_quality_scores",
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE) AS ntok,
+        |    CAST(len(list_filter(string_split_regex(trim(text), ' +'),
+        |      t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) AS hits,
+        |    CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) AS punct,
+        |    CAST(length(text) AS DOUBLE) AS nchars
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(floor((least(ntok/64.0, 1.0)*0.4 + (hits/greatest(ntok, 1.0))*0.4 +
+        |    (1.0 - punct/greatest(nchars, 1.0))*0.2) * 10000) AS BIGINT) AS quality_e4
+        |FROM f""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "documents")
         .select(
           col("doc_id"),
-          round(qualityScore(col("text")), 4).as("quality"))
+          floor(qualityScore(col("text")) * 10000).cast("long").as("quality_e4"))
     },
 
     // order-sensitive rolling-hash fingerprint → rows-only (xxhash64 is
@@ -72,8 +115,14 @@ object TextQueries {
     },
 
     // BPE-ish regex tokenization (letter runs / non-letter runs) vs
-    // whitespace tokens — engine-specific regex split → rows-only.
-    Q.noOracle("t7_regex_tokens") { (s, dir) =>
+    // whitespace tokens — the extraction pattern is RE2-compatible so the
+    // oracle counts matches of the very same regex.
+    Q(
+      "t7_regex_tokens",
+      """SELECT lang,
+        |  CAST(sum(len(regexp_extract_all(text, '\p{L}+|[^\p{L} ]+'))) AS BIGINT) AS regex_tokens,
+        |  CAST(sum(len(string_split_regex(trim(text), ' +'))) AS BIGINT) AS ws_tokens
+        |FROM documents GROUP BY lang""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "documents")
         .groupBy(col("lang"))
         .agg(

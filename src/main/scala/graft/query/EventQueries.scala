@@ -227,6 +227,33 @@ object EventQueries {
           percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99"))
     },
 
+    // exact discrete quantiles — q20's sketch made exact. Selection (not
+    // interpolation): the answer is a raw data value picked at the
+    // nearest-rank ceil(q*n) in the per-group sort (DuckDB
+    // quantile_disc's rule, probed empirically: the smallest value whose
+    // cume_dist >= q), so no float arithmetic can drift between engines.
+    // Scales as one sort per group key (window), never a per-group
+    // collect.
+    Q(
+      "q25_exact_quantiles",
+      """SELECT event_type,
+        |  CAST(round(quantile_disc(value, 0.5)*100) AS BIGINT) AS p50_c,
+        |  CAST(round(quantile_disc(value, 0.95)*100) AS BIGINT) AS p95_c,
+        |  CAST(round(quantile_disc(value, 0.99)*100) AS BIGINT) AS p99_c
+        |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+      val byType = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      val n = Window.partitionBy(col("event_type"))
+      def rankOf(q: Double) = ceil(lit(q) * col("n")).cast("long")
+      def pick(q: Double) =
+        max(when(col("rn") === rankOf(q), cents(col("value")))).as(s"p${(q*100).toInt}_c")
+      Tables.load(s, dir, "events")
+        .select(col("event_type"), col("value"))
+        .withColumn("rn", row_number().over(byType).cast("long"))
+        .withColumn("n", count(lit(1)).over(n))
+        .groupBy(col("event_type"))
+        .agg(pick(0.5), pick(0.95), pick(0.99))
+    },
+
     // correlated scalar subquery shape via join:
     Q(
       "q17_events_vs_user_avg",

@@ -137,24 +137,65 @@ object BlockStream {
       .start()
   }
 
+  /** Fan-out writes of one completed-tx set to the 4 tx tables — shared
+    * by the streaming micro-batch sink and the batch backfill. The
+    * transactions table is written LAST so its cursor only advances once
+    * the other three hold the batch (crash between writes re-runs;
+    * duplicates collapse under dedupView). */
+  private def writeTxTables(
+      txs: Dataset[TxCorrelator.CompletedTx], outDir: String,
+      bucketStep: Long): Unit = {
+    Replacing.retry() {
+      Replacing.appendWrite(
+        TxFanout.accountTxs(txs), s"$outDir/account_txs",
+        "tx_block_height",
+        Seq("account_id", "tx_block_height", "transaction_hash"),
+        bloomCols = Seq("account_id"), step = bucketStep)
+    }
+    Replacing.retry() {
+      Replacing.appendWrite(
+        TxFanout.receiptTxs(txs), s"$outDir/receipt_txs",
+        "tx_block_height", Seq("tx_block_height", "receipt_id"),
+        bloomCols = Seq("receipt_id"), step = bucketStep)
+    }
+    Replacing.retry() {
+      Replacing.appendWrite(
+        TxFanout.blockTxs(txs), s"$outDir/block_txs",
+        "block_height", Seq("block_height", "transaction_hash"),
+        bloomCols = Seq("transaction_hash"), step = bucketStep)
+    }
+    Replacing.retry() {
+      Replacing.appendWrite(
+        TxFanout.transactions(txs), s"$outDir/transactions",
+        "tx_block_height", Seq("transaction_hash"),
+        bloomCols = Seq("transaction_hash", "signer_id"),
+        step = bucketStep)
+    }
+  }
+
   /** transactions-mode pipeline: stateful correlation (state store
     * checkpointed) + fan-out to the 4 tx tables; the stateless `blocks`
-    * table is written by [[runBlocksPipeline]] on the same input. */
+    * table is written by [[runBlocksPipeline]] on the same input.
+    *
+    * `startHeight` is the replay cut from [[runBackfill]]: blocks below
+    * it are already fully reflected in the sinks, so the stream begins
+    * rebuilding correlator state there (lenient mode skips receipts whose
+    * txs completed pre-cut; re-emitted completions are dropped by the
+    * sink cursor). */
   def runTransactionsPipeline(
       spark: SparkSession, inDir: String, outDir: String,
       checkpoint: String, trigger: Trigger = Trigger.AvailableNow(),
-      bucketStep: Long = 1000L): StreamingQuery = {
+      bucketStep: Long = 1000L, startHeight: Long = Long.MinValue)
+      : StreamingQuery = {
     import spark.implicits._
     val blocks: Dataset[BlockWithTxHashes] =
       readBlockStream(spark, inDir)
-        .where(col("_corrupt_record").isNull && col("block").isNotNull)
+        .where(col("_corrupt_record").isNull && col("block").isNotNull &&
+          col("block.header.height") >= startHeight)
         .drop("_corrupt_record")
         .as[BlockWithTxHashes](Blocks.encoder)
     // cursor over COMPLETION height (the reference skips by processing-
-    // block height, transactions.rs:360); the transactions table is
-    // written LAST so its cursor only advances once the other three
-    // fan-out tables hold the batch (crash between writes re-runs the
-    // batch; duplicate rows collapse under dedupView).
+    // block height, transactions.rs:360)
     val cursor = sinkCursor(
       spark, s"$outDir/transactions", cursorCol = "last_block_height")
     TxCorrelator.correlateStream(blocks).writeStream
@@ -164,38 +205,64 @@ object BlockStream {
         (batch: Dataset[TxCorrelator.CompletedTx], _: Long) =>
           val txs = batch.filter(_.last_block_height > cursor).persist()
           try {
-            if (!txs.isEmpty) {
-              Replacing.retry() {
-                Replacing.appendWrite(
-                  TxFanout.accountTxs(txs), s"$outDir/account_txs",
-                  "tx_block_height",
-                  Seq("account_id", "tx_block_height", "transaction_hash"),
-                  bloomCols = Seq("account_id"), step = bucketStep)
-              }
-              Replacing.retry() {
-                Replacing.appendWrite(
-                  TxFanout.receiptTxs(txs), s"$outDir/receipt_txs",
-                  "tx_block_height", Seq("tx_block_height", "receipt_id"),
-                  bloomCols = Seq("receipt_id"), step = bucketStep)
-              }
-              Replacing.retry() {
-                Replacing.appendWrite(
-                  TxFanout.blockTxs(txs), s"$outDir/block_txs",
-                  "block_height", Seq("block_height", "transaction_hash"),
-                  bloomCols = Seq("transaction_hash"), step = bucketStep)
-              }
-              Replacing.retry() {
-                Replacing.appendWrite(
-                  TxFanout.transactions(txs), s"$outDir/transactions",
-                  "tx_block_height", Seq("transaction_hash"),
-                  bloomCols = Seq("transaction_hash", "signer_id"),
-                  step = bucketStep)
-              }
-            }
+            if (!txs.isEmpty) writeTxTables(txs, outDir, bucketStep)
           } finally txs.unpersist()
           ()
       }
       .start()
+  }
+
+  /** Batch backfill — the 100 TB path (SURVEY.md §7.4-2 option (b)):
+    * read the on-disk block corpus once, correlate with the distributed
+    * label-propagation correlator (one equi-join per receipt-DAG level,
+    * no single-core funnel), fan out to the same idempotent sinks, and
+    * record the replay cut under `outDir/_backfill_cut` so a subsequent
+    * [[runTransactionsPipeline]] (`startHeight = cut`) picks up the
+    * pending frontier and continues tailing. Returns the cut height. */
+  def runBackfill(
+      spark: SparkSession, inDir: String, outDir: String,
+      bucketStep: Long = 1000L): Long = {
+    val raw = spark.read
+      .schema(Blocks.schema.add("_corrupt_record",
+        org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(inDir)
+    val blocks = quarantine(raw, outDir).dropDuplicates("block")
+    val (correlated, cut) = graft.etl.DistributedCorrelator
+      .correlateWithCut(blocks)
+    val cursor = sinkCursor(
+      spark, s"$outDir/transactions", cursorCol = "last_block_height")
+    val txs = correlated
+      .filter(col("last_block_height") > cursor)
+      .persist()
+    try {
+      if (!txs.isEmpty) writeTxTables(txs, outDir, bucketStep)
+      // blocks table (reference transactions mode writes it too)
+      val b = TxFanout.blocks(blocks)
+        .where(col("block_height") > sinkCursor(spark, s"$outDir/blocks"))
+      if (!b.isEmpty) Replacing.retry() {
+        Replacing.appendWrite(
+          b, s"$outDir/blocks", "block_height", Seq("block_height"),
+          bloomCols = Seq("block_hash", "epoch_id", "author_id"),
+          step = bucketStep)
+      }
+      val c = cut()
+      val dir = java.nio.file.Paths.get(outDir, "_backfill_cut")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve("cut"),
+        c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      c
+    } finally txs.unpersist()
+  }
+
+  /** The replay cut recorded by the last [[runBackfill]], if any. */
+  def backfillCut(outDir: String): Option[Long] = {
+    val f = java.nio.file.Paths.get(outDir, "_backfill_cut", "cut")
+    if (java.nio.file.Files.exists(f))
+      Some(new String(java.nio.file.Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+    else None
   }
 
   /** blocks-table pipeline (stateless header projection). */

@@ -23,4 +23,42 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(spark.sql("SELECT base58(cast('' AS BINARY)) AS h")
       .head().getString(0) === "")
   }
+
+  test("base58 over a non-binary argument fails at analysis, not runtime") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT base58('abc') AS h").head()
+    }
+    // AnalysisException (clean type error), never ClassCastException
+    assert(!e.isInstanceOf[ClassCastException], s"got $e")
+    assert(e.getMessage.toLowerCase.contains("type") ||
+      e.getMessage.toLowerCase.contains("binary"), e.getMessage)
+  }
+
+  test("wrong arity gives a clear error from both registration paths") {
+    GraftExtensions.register(spark)
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT base58(cast('' AS BINARY), 1)").head()
+    }
+    assert(e1.getMessage.contains("exactly one"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT vec_dot(array(1.0d))").head()
+    }
+    assert(e2.getMessage.contains("exactly two"), e2.getMessage)
+  }
+
+  test("vec_dot declares nullable: length mismatch on non-nullable inputs") {
+    GraftExtensions.register(spark)
+    // array(...) literals are non-nullable children; a mismatch must
+    // surface as a real NULL (not constant-folded away / janino failure).
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0d, 2.0d), array(1.0d)) AS d, " +
+        "isnull(vec_dot(array(1.0d, 2.0d), array(1.0d))) AS isn").head()
+    assert(r.isNullAt(0))
+    assert(r.getBoolean(1))
+    // and the happy path still computes in the same (codegen) shape
+    val ok = spark.sql(
+      "SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head()
+    assert(ok.getDouble(0) === 11.0)
+  }
 }
