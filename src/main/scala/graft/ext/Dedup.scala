@@ -32,6 +32,31 @@ import org.apache.spark.storage.StorageLevel
 object Dedup {
   import TextAnalysis.tokens
 
+  // ---- exact dedup ------------------------------------------------------
+
+  /** Exact dedup with survivor selection: one shuffle keyed by the
+    * content digest (uniform by construction), survivor = the row
+    * maximizing (`score`, then lowest id) within each duplicate group —
+    * the keep-best-quality policy of training-data pipelines (vs d1's
+    * keep-first). Emits every surviving row with its group size. */
+  def dedupKeepBest(
+      docs: DataFrame, idCol: String, textCol: String,
+      score: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = docs.select(
+      col(idCol).as("doc_id"),
+      md5(col(textCol).cast("binary")).as("content_hash"),
+      score.as("score"))
+    val w = Window.partitionBy("content_hash")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    hashed
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_dups", count(lit(1)).over(
+        Window.partitionBy("content_hash")))
+      .where(col("rn") === 1)
+      .select("doc_id", "content_hash", "score", "n_dups")
+  }
+
   // ---- shingling --------------------------------------------------------
 
   /** Word w-shingles of a document (w consecutive tokens, space-joined). */
@@ -211,6 +236,29 @@ object Dedup {
 
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash signatures via exploded token hashes + 64 tiny vote sums —
+    * the same shape rationale as [[minhashSigsAgg]]: the one-expression
+    * [[simhash]] nests a 64-wide lambda fold per token that evaluates
+    * interpreted; this form is a codegen'd partial aggregation (the
+    * shuffle moves (id, 64 ints)), identical bit-for-bit because the
+    * per-bit vote sum is order-insensitive integer math. */
+  private def simhashSigsAgg(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def vote(b: Int) =
+      sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"v$b")
+    docs
+      .select(col(idCol).as("id"), explode(tokenHashes(col(textCol))).as("th"))
+      .groupBy("id")
+      .agg(vote(0), (1 until 64).map(vote): _*)
+      .select(
+        col("id"),
+        (0 until 64)
+          .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce((a, b) => a.bitwiseOR(b))
+          .as("sig"))
+  }
+
   /** SimHash near-dup pairs within Hamming distance `maxDist` (≤ 3 for
     * guaranteed recall via the 4×16-bit pigeonhole), verified by
     * popcount(xor) — signatures are single longs, so both sides of the
@@ -218,8 +266,7 @@ object Dedup {
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
-    val sigs = docs
-      .select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val sigs = simhashSigsAgg(docs, idCol, textCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val chunked = sigs.select(
       col("id"), col("sig"),

@@ -45,9 +45,81 @@ object DedupQueries {
     },
 
     // exact n-gram Jaccard pairs via inverted-index join (J >= 0.8).
-    Q.noOracle("d5_ngram_jaccard_pairs") { (s, dir) =>
-      Dedup.ngramJaccardPairs(
-        Tables.load(s, dir, "documents"), "doc_id", "text", threshold = 0.8)
+    // Oracle-able because the result is EXACT set math, not a sketch:
+    // DuckDB brute-forces all |docs|² shingle-set intersections (fine at
+    // oracle scale; the Spark side never materializes pairs without a
+    // shared shingle). Hash-vs-string shingle identity coincides up to
+    // xxhash64 collisions (~1e-10 at this corpus size).
+    Q(
+      "d5_ngram_jaccard_pairs",
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, len(toks) - 1),
+        |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |      ELSE [array_to_string(toks, ' ')] END) AS sh
+        |  FROM t
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.sh, b.sh)) AS shared,
+        |    len(a.sh) AS na, len(b.sh) AS nb
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |)
+        |SELECT id_a, id_b,
+        |  CAST(round(round(CAST(shared AS DOUBLE)/CAST(na + nb - shared AS DOUBLE), 4)*10000) AS BIGINT) AS jaccard_e4
+        |FROM p
+        |WHERE shared > 0
+        |  AND CAST(shared AS DOUBLE)/CAST(na + nb - shared AS DOUBLE) >= 0.8""".stripMargin) {
+      (s, dir) =>
+        Dedup.ngramJaccardPairs(
+          Tables.load(s, dir, "documents"), "doc_id", "text", threshold = 0.8)
+          .select(
+            col("id_a"), col("id_b"),
+            round(col("jaccard") * 10000).cast("long").as("jaccard_e4"))
+    },
+
+    // exact dedup with survivor policy: keep the best-quality copy
+    // (training-pipeline keep-best vs d1's keep-first). The corpus has no
+    // exact dups, so the query plants them — a shifted-id union — the
+    // same on both engines.
+    Q(
+      "d7_dedup_keep_best",
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents
+        |), f AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE) AS ntok,
+        |    CAST(len(list_filter(string_split_regex(trim(text), ' +'),
+        |      t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) AS hits,
+        |    CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) AS punct,
+        |    CAST(length(text) AS DOUBLE) AS nchars,
+        |    md5(text) AS content_hash
+        |  FROM d
+        |), sc AS (
+        |  SELECT doc_id, content_hash,
+        |    CAST(floor((least(ntok/64.0, 1.0)*0.4 + (hits/greatest(ntok, 1.0))*0.4 +
+        |      (1.0 - punct/greatest(nchars, 1.0))*0.2) * 10000) AS BIGINT) AS score
+        |  FROM f
+        |), r AS (
+        |  SELECT doc_id, content_hash, score,
+        |    row_number() OVER (PARTITION BY content_hash
+        |      ORDER BY score DESC, doc_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY content_hash) AS n_dups
+        |  FROM sc
+        |)
+        |SELECT doc_id, content_hash, score, CAST(n_dups AS BIGINT) AS n_dups
+        |FROM r WHERE rn = 1""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val doubled = docs.unionByName(
+        docs.withColumn("doc_id", col("doc_id") + 1000000L))
+      Dedup.dedupKeepBest(
+        doubled, "doc_id", "text",
+        floor(TextAnalysis.qualityScore(col("text")) * 10000).cast("long"))
     },
 
     // embedding-cosine near-dup pairs, banded-LSH-bucketed. Threshold

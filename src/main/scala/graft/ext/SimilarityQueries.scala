@@ -19,10 +19,33 @@ object SimilarityQueries {
 
   val all: Seq[Q] = Seq(
     // brute-force exact cosine top-k (the baseline ANN must match).
-    Q.noOracle("s1_cosine_topk") { (s, dir) =>
+    // Oracled: the oracle replays the identical double arithmetic
+    // (sequential dot accumulation over double-cast floats — the same
+    // shape s3 pins), rounds to 6 decimals for the ordering, and emits
+    // integer micro-units.
+    Q(
+      "s1_cosine_topk",
+      """WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+        |c AS (
+        |  SELECT e.vec_id AS id,
+        |    round(
+        |      list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(e.embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(q,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+        |      6) AS cos6
+        |  FROM embeddings e, qv
+        |)
+        |SELECT id, CAST(round(cos6 * 1000000) AS BIGINT) AS cos_e6
+        |FROM c ORDER BY cos6 DESC, id ASC LIMIT 10""".stripMargin) { (s, dir) =>
       Similarity.cosineTopK(
         Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
         queryVec(s, dir), k = 10)
+        .select(
+          col("id"),
+          round(col("cos_sim") * 1e6).cast("long").as("cos_e6"))
     },
 
     // LSH-bucketed ANN top-k (scale path; recall vs s1 tested in spec).

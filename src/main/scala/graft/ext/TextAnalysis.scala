@@ -75,6 +75,39 @@ object TextAnalysis {
     (lenScore * 0.4 + stopRate * 0.4 + (lit(1.0) - punctRate) * 0.2)
   }
 
+  /** PII scrubbing — the standard pre-training redaction pass. Patterns
+    * are RE2-compatible (no lookaround/backrefs) so any engine applies
+    * the very same regexes; replacement is global on both Spark and
+    * DuckDB (`regexp_replace` all-matches / `'g'`). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+[0-9][0-9 ()-]{6,}[0-9]"
+
+  def countEmails(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0)))
+
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "[EMAIL]"),
+      PhonePattern, "[PHONE]")
+
+  /** Repetition profile (Gopher-style quality filter): per-document
+    * token totals, distinct-token count and max single-token frequency —
+    * one explode + two aggregations, no join (`sum(n)` recovers the
+    * total, so the exploded frame is aggregated exactly once). All
+    * integer math → exact on any engine. */
+  def repetitionProfile(
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tk"))
+      .groupBy("doc_id", "tk")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("n")).as("max_tok_freq"))
+
   /** Document fingerprint: rolling hash over tokens — each step feeds
     * the accumulator and the next token back through xxhash64, so the
     * result is order-sensitive but whitespace-run-insensitive. (A

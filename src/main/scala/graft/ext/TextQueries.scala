@@ -130,6 +130,51 @@ object TextQueries {
           sum(tokenCount(col("text")).cast("long")).as("ws_tokens"))
     },
 
+    // PII scrubbing — the corpus carries no PII, so the query plants a
+    // synthetic email + phone per document (identically on both engines)
+    // and verifies detection counts and post-scrub lengths exactly.
+    Q(
+      "t8_pii_scrub",
+      s"""WITH d AS (
+        |  SELECT doc_id,
+        |    text || ' contact: user' || CAST(doc_id AS VARCHAR) ||
+        |    '@example.com or +1 555 01' || CAST(doc_id AS VARCHAR) AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '${TextAnalysis.EmailPattern}')) AS BIGINT) AS n_emails,
+        |  CAST(length(regexp_replace(regexp_replace(t, '${TextAnalysis.EmailPattern}', '[EMAIL]', 'g'),
+        |    '${TextAnalysis.PhonePattern}', '[PHONE]', 'g')) AS BIGINT) AS scrubbed_len
+        |FROM d""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          concat(
+            col("text"), lit(" contact: user"), col("doc_id").cast("string"),
+            lit("@example.com or +1 555 01"), col("doc_id").cast("string"))
+            .as("t"))
+        .select(
+          col("doc_id"),
+          countEmails(col("t")).cast("long").as("n_emails"),
+          length(scrubPii(col("t"))).cast("long").as("scrubbed_len"))
+    },
+
+    // repetition profile (Gopher-style): token totals / distinct /
+    // max-frequency per document — exact integer oracle.
+    Q(
+      "t9_repetition_profile",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tk
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, tk, count(*) AS n FROM tok GROUP BY doc_id, tk
+        |)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_distinct, CAST(max(n) AS BIGINT) AS max_tok_freq
+        |FROM tf GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      repetitionProfile(Tables.load(s, dir, "documents"), "doc_id", "text")
+    },
+
     // punctuation/char-class profile — SQL-expressible, exact ints.
     Q(
       "t6_punct_profile",

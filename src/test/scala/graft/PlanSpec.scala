@@ -75,6 +75,25 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("GreaterThanOrEqual(ts,1704067200000000000)"), plan)
   }
 
+  test("sketch dedup reuses the persisted inverted index, no all-pairs join") {
+    // d3/d5 regression guard (round-1 bench drift): the (id, shingle)
+    // inverted frame must come from cache on every consumer — a plan
+    // that recomputes the tokenize+shingle projection per branch is the
+    // 2.5x regression shape — and candidate generation must stay an
+    // equi-join (never nested-loop/cartesian over documents).
+    for (name <- Seq("d3_minhash_neardup", "d5_ngram_jaccard_pairs")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      val plan = planOf(df)
+      assert(
+        "InMemoryTableScan".r.findAllIn(plan).size >= 2,
+        s"$name should read the inverted index from cache on every " +
+          s"consumer:\n${plan.take(2000)}")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), name)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("extracted actions table: bucket layout serves range pruning") {
     // write a small actions table with the production layout, then
     // check a height-range query prunes partitions

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, TextAnalysis}
+
+/** Value-level pins for the text-pipeline operators added on top of the
+  * oracle checks (t8/t9/d7): scrubbing, repetition stats, keep-best
+  * dedup survivor policy. */
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scrubPii redacts emails and phone numbers, counts match") {
+    val df = Seq(
+      ("a", "write to bob@example.com or call +1 555 123 4567 now"),
+      ("b", "no pii here"),
+      ("c", "two mails x@y.io and a.b-c@d-e.org")).toDF("id", "t")
+    val out = df.select(
+      col("id"),
+      TextAnalysis.countEmails(col("t")).as("n"),
+      TextAnalysis.scrubPii(col("t")).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getString(2))).toMap
+    assert(out("a")._1 === 1)
+    assert(out("a")._2 === "write to [EMAIL] or call [PHONE] now")
+    assert(out("b") === ((0, "no pii here")))
+    assert(out("c")._1 === 2)
+    assert(!out("c")._2.contains("@"))
+  }
+
+  test("repetitionProfile: totals, distinct and max frequency are exact") {
+    val df = Seq((1L, "a a a b c"), (2L, "x y")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionProfile(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((5L, 3L, 3L)))
+    assert(out(2L) === ((2L, 2L, 1L)))
+  }
+
+  test("dedupKeepBest keeps the highest score, then the lowest id") {
+    val df = Seq(
+      (1L, "same text", 5L), (2L, "same text", 9L), (3L, "same text", 9L),
+      (4L, "unique", 1L)).toDF("doc_id", "text", "q")
+    val out = Dedup.dedupKeepBest(df, "doc_id", "text", col("q"))
+      .select("doc_id", "n_dups")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // score 9 beats 5; among the two 9s the lower id (2) survives
+    assert(out === Map(2L -> 3L, 4L -> 1L))
+  }
+}
