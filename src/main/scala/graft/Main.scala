@@ -32,9 +32,13 @@ object Main {
 
   private val usage =
     """usage:
-      |  graft.Main actions      <blocksJsonDir> <outDir> [--follow]
-      |  graft.Main transactions <blocksJsonDir> <outDir> [--follow] [--from HEIGHT]
-      |  graft.Main backfill     <blocksJsonDir> <outDir>""".stripMargin
+      |  graft.Main actions      <blocksJsonDir> <outDir> [--follow] [--native]
+      |  graft.Main transactions <blocksJsonDir> <outDir> [--follow] [--from HEIGHT] [--native]
+      |  graft.Main backfill     <blocksJsonDir> <outDir>
+      |
+      |--native reads through the height-offset block source (expects a
+      |<height>.json document corpus / neardata endpoint) instead of the
+      |generic file stream.""".stripMargin
 
   def main(args: Array[String]): Unit = {
     if (args.length < 3) { System.err.println(usage); sys.exit(2) }
@@ -64,22 +68,25 @@ object Main {
     val trigger: Trigger =
       if (follow) Trigger.ProcessingTime("2 seconds")
       else Trigger.AvailableNow()
+    val native = args.contains("--native")
 
     mode match {
       case "actions" =>
         awaitAll(
           BlockStream.runActionsPipeline(
-            spark, inDir, outDir, s"$outDir/_checkpoints/actions", trigger))
+            spark, inDir, outDir, s"$outDir/_checkpoints/actions", trigger,
+            nativeSource = native))
       case "transactions" =>
         val start = explicitFrom
           .orElse(BlockStream.backfillCut(outDir))
           .getOrElse(Long.MinValue)
         awaitAll(
           BlockStream.runBlocksPipeline(
-            spark, inDir, outDir, s"$outDir/_checkpoints/blocks", trigger),
+            spark, inDir, outDir, s"$outDir/_checkpoints/blocks", trigger,
+            nativeSource = native),
           BlockStream.runTransactionsPipeline(
             spark, inDir, outDir, s"$outDir/_checkpoints/transactions",
-            trigger, startHeight = start))
+            trigger, startHeight = start, nativeSource = native))
       case "backfill" =>
         val cut = BlockStream.runBackfill(spark, inDir, outDir)
         println(s"[graft] backfill done; replay cut = $cut")

@@ -45,6 +45,34 @@ object BlockStream {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(inDir)
 
+  /** Block stream over the NATIVE height-offset source ([[BlocksSource]])
+    * instead of the file stream: offsets ARE block heights (resume /
+    * rewind = height arithmetic, the reference's cursor), ranges fetch in
+    * parallel, `maxBlocksPerTrigger` is real admission control. Emits the
+    * same shape as [[readBlockStream]] (parsed block + `_corrupt_record`),
+    * so every pipeline accepts either interchangeably. `fetcher=dir`
+    * replays a document directory; `fetcher=http` tails a neardata-style
+    * endpoint (pass `url`). */
+  def readBlockSource(
+      spark: SparkSession, pathOrUrl: String,
+      fetcher: String = "dir", startHeight: Long = 0L,
+      maxBlocksPerTrigger: Long = 1000L, numPartitions: Int = 8): DataFrame = {
+    val parseSchema = Blocks.schema.add("_corrupt_record",
+      org.apache.spark.sql.types.StringType)
+    spark.readStream.format("graft-blocks")
+      .option(if (fetcher == "http") "url" else "path", pathOrUrl)
+      .option("fetcher", fetcher)
+      .option("startHeight", startHeight)
+      .option("maxBlocksPerTrigger", maxBlocksPerTrigger)
+      .option("numPartitions", numPartitions)
+      .load()
+      .select(from_json(
+        col("value"), parseSchema,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt_record")).as("b"))
+      .select(col("b.*"))
+  }
+
   /** Split a micro-batch into (good blocks, quarantine rows) and append
     * the quarantine (raw line + arrival batch) for forensics. */
   def quarantine(batch: DataFrame, outDir: String): DataFrame = {
@@ -82,13 +110,17 @@ object BlockStream {
   def runActionsPipeline(
       spark: SparkSession, inDir: String, outDir: String,
       checkpoint: String, trigger: Trigger = Trigger.AvailableNow(),
-      bucketStep: Long = 1000L): StreamingQuery = {
+      bucketStep: Long = 1000L, nativeSource: Boolean = false)
+      : StreamingQuery = {
     // per-table cursors (partial fan-out from a crashed batch heals)
     val cActions = sinkCursor(spark, s"$outDir/actions")
     val cEvents = sinkCursor(spark, s"$outDir/events")
     val cData = sinkCursor(spark, s"$outDir/data")
     val cMin = Seq(cActions, cEvents, cData).min
-    readBlockStream(spark, inDir).writeStream
+    val src =
+      if (nativeSource) readBlockSource(spark, inDir)
+      else readBlockStream(spark, inDir)
+    src.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -185,11 +217,16 @@ object BlockStream {
   def runTransactionsPipeline(
       spark: SparkSession, inDir: String, outDir: String,
       checkpoint: String, trigger: Trigger = Trigger.AvailableNow(),
-      bucketStep: Long = 1000L, startHeight: Long = Long.MinValue)
-      : StreamingQuery = {
+      bucketStep: Long = 1000L, startHeight: Long = Long.MinValue,
+      nativeSource: Boolean = false): StreamingQuery = {
     import spark.implicits._
+    val src =
+      if (nativeSource)
+        readBlockSource(spark, inDir,
+          startHeight = math.max(startHeight, 0L))
+      else readBlockStream(spark, inDir)
     val blocks: Dataset[BlockWithTxHashes] =
-      readBlockStream(spark, inDir)
+      src
         .where(col("_corrupt_record").isNull && col("block").isNotNull &&
           col("block.header.height") >= startHeight)
         .drop("_corrupt_record")
@@ -269,9 +306,13 @@ object BlockStream {
   def runBlocksPipeline(
       spark: SparkSession, inDir: String, outDir: String,
       checkpoint: String, trigger: Trigger = Trigger.AvailableNow(),
-      bucketStep: Long = 1000L): StreamingQuery = {
+      bucketStep: Long = 1000L, nativeSource: Boolean = false)
+      : StreamingQuery = {
     val cursor = sinkCursor(spark, s"$outDir/blocks")
-    readBlockStream(spark, inDir).writeStream
+    val src =
+      if (nativeSource) readBlockSource(spark, inDir)
+      else readBlockStream(spark, inDir)
+    src.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
