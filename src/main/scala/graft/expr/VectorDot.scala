@@ -20,7 +20,8 @@ import org.apache.spark.sql.types._
   * and `+`); lengths may differ (zip_with pads with null → null result
   * when the overhang is non-empty — here: shorter length wins only if
   * both are equal, else null, matching zip_with+aggregate exactly).
-  * Elements may be FloatType or DoubleType; accumulation is double.
+  * Elements may be any primitive numeric type (byte through double —
+  * int8-quantized vectors dot natively); accumulation is double.
   */
 case class VectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -33,34 +34,53 @@ case class VectorDot(left: Expression, right: Expression)
   // assign ev.isNull into a constant-false slot.
   override def nullable: Boolean = true
 
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(t: DataType) = t match {
-      case ArrayType(FloatType | DoubleType, _) => true
+      case ArrayType(ByteType | ShortType | IntegerType | LongType |
+                     FloatType | DoubleType, _) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"vec_dot expects array<float|double>, got ${left.dataType} / ${right.dataType}")
+      s"vec_dot expects arrays of a primitive numeric type, got " +
+        s"${left.dataType} / ${right.dataType}")
   }
 
-  private def elemIsFloat(e: Expression): Boolean =
-    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def reader(e: Expression): (ArrayData, Int) => Double =
+    elemType(e) match {
+      case ByteType => (a, i) => a.getByte(i).toDouble
+      case ShortType => (a, i) => a.getShort(i).toDouble
+      case IntegerType => (a, i) => a.getInt(i).toDouble
+      case LongType => (a, i) => a.getLong(i).toDouble
+      case FloatType => (a, i) => a.getFloat(i).toDouble
+      case DoubleType => (a, i) => a.getDouble(i)
+    }
+
+  private def getterName(e: Expression): String = elemType(e) match {
+    case ByteType => "getByte"
+    case ShortType => "getShort"
+    case IntegerType => "getInt"
+    case LongType => "getLong"
+    case FloatType => "getFloat"
+    case DoubleType => "getDouble"
+  }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     if (a.numElements() != b.numElements()) return null
     val n = a.numElements()
-    val af = elemIsFloat(left); val bf = elemIsFloat(right)
+    val ra = reader(left); val rb = reader(right)
     var acc = 0.0
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
-      acc += x * y
+      acc += ra(a, i) * rb(b, i)
       i += 1
     }
     acc
@@ -68,8 +88,8 @@ case class VectorDot(left: Expression, right: Expression)
 
   override protected def doGenCode(
       ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val aGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
-    val bGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    val aGet = getterName(left)
+    val bGet = getterName(right)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")

@@ -57,6 +57,50 @@ object Dedup {
       .select("doc_id", "content_hash", "score", "n_dups")
   }
 
+  /** Connected components over a near-dup pair graph — the step that
+    * turns pairwise matches into dedup GROUPS (cluster representative =
+    * lowest doc id; downstream keeps one row per cluster). Min-label
+    * propagation: every id starts as its own label, each round takes the
+    * min over neighbors, until a fixpoint — one equi-join + one
+    * aggregation per round, every step freely distributed. Rounds =
+    * graph diameter; near-dup graphs are shallow (dups cluster around a
+    * template), and `maxIters` caps pathological chains (at which point
+    * remaining labels are still valid, just unmerged — for planet-scale
+    * chains switch to the large-star/small-star formulation).
+    * Input: (id_a, id_b) pairs; output: (id, cluster_id). Ids absent
+    * from any pair are their own singleton clusters by definition and
+    * are not emitted. */
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b"), col("lbl").as("nlbl")), "b")
+        .groupBy(col("a"))
+        .agg(min(col("nlbl")).as("nbr"))
+        .select(col("a").as("id"), col("nbr"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      converged = next
+        .join(labels.select(col("id"), col("lbl").as("old")), "id")
+        .where(col("lbl") < col("old"))
+        .isEmpty
+      labels = next
+      iters += 1
+    }
+    labels.select(col("id"), col("lbl").as("cluster_id"))
+  }
+
   // ---- shingling --------------------------------------------------------
 
   /** Word w-shingles of a document (w consecutive tokens, space-joined). */

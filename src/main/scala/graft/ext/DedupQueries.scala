@@ -122,6 +122,47 @@ object DedupQueries {
         floor(TextAnalysis.qualityScore(col("text")) * 10000).cast("long"))
     },
 
+    // near-dup clustering: connected components over the exact-Jaccard
+    // pair graph (pairs -> dedup groups, representative = min id). The
+    // oracle replays it with a recursive CTE (transitive reachability,
+    // min reachable id == the min-label fixpoint).
+    Q(
+      "d8_neardup_clusters",
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, len(toks) - 1),
+        |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |      ELSE [array_to_string(toks, ' ')] END) AS sh
+        |  FROM t
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.sh, b.sh)) AS shared,
+        |    len(a.sh) AS na, len(b.sh) AS nb
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |), pr AS (
+        |  SELECT id_a, id_b FROM p
+        |  WHERE shared > 0
+        |    AND CAST(shared AS DOUBLE)/CAST(na + nb - shared AS DOUBLE) >= 0.8
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pr
+        |  UNION ALL SELECT id_b, id_a FROM pr
+        |), walk(a, lbl) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, w.lbl FROM edges e JOIN walk w ON e.b = w.a
+        |)
+        |SELECT a AS id, min(lbl) AS cluster_id FROM walk GROUP BY a""".stripMargin) {
+      (s, dir) =>
+        Dedup.nearDupClusters(
+          Dedup.ngramJaccardPairs(
+            Tables.load(s, dir, "documents"), "doc_id", "text",
+            threshold = 0.8))
+    },
+
     // embedding-cosine near-dup pairs, banded-LSH-bucketed. Threshold
     // 0.4 because the synthetic corpus's most-similar pair is ~0.51 —
     // the operator's contract (pairs ≥ t found via bucket collision) is

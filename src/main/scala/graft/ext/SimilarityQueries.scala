@@ -55,6 +55,14 @@ object SimilarityQueries {
         queryVec(s, dir), k = 10)
     },
 
+    // int8-quantized coarse scan + exact re-rank (4x lighter candidate
+    // path; recall vs s1 pinned in spec).
+    Q.noOracle("s5_quantized_ann") { (s, dir) =>
+      Similarity.quantizedTopK(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        queryVec(s, dir), k = 10)
+    },
+
     // IVF ANN: k-means inverted lists, probe nearest 4 of 16 cells.
     Q.noOracle("s4_ivf_topk") { (s, dir) =>
       val idx = Similarity.ivfBuild(

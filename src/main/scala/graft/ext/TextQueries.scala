@@ -175,6 +175,26 @@ object TextQueries {
       repetitionProfile(Tables.load(s, dir, "documents"), "doc_id", "text")
     },
 
+    // deterministic train/val/test split — content-hash assignment
+    // (layout-independent, the q24 sampling idiom); per-language split
+    // counts, exact oracle.
+    Q(
+      "t10_dataset_split",
+      """WITH a AS (
+        |  SELECT lang, CASE
+        |    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+        |    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+        |    ELSE 'test' END AS split
+        |  FROM documents
+        |)
+        |SELECT lang, split, count(*) AS n FROM a GROUP BY lang, split""".stripMargin) {
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(col("lang"), Splits.assignSplit(col("doc_id")).as("split"))
+          .groupBy("lang", "split")
+          .agg(count(lit(1)).as("n"))
+    },
+
     // punctuation/char-class profile — SQL-expressible, exact ints.
     Q(
       "t6_punct_profile",

@@ -84,6 +84,14 @@ class DedupSpec extends SparkSpec {
     assert(exact.count(_ < 8) >= 6)
     assert((exact intersect ann).size >= 6,
       s"ANN recall too low: ${(exact intersect ann).size}/8")
+
+    // int8 coarse scan + exact re-rank: quantization error is ~1/254 per
+    // element, so the coarse-50 pool virtually always contains the true
+    // top-8 and the exact re-rank restores the precise order
+    val quant = Similarity.quantizedTopK(df, "vec_id", "embedding", query, 8)
+      .collect().map(_.getLong(0)).toSet
+    assert((exact intersect quant).size >= 7,
+      s"quantized recall too low: ${(exact intersect quant).size}/8")
   }
 
   test("multimodal plumbing: decode + features + frames deterministic") {

@@ -35,6 +35,14 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) === ((2L, 2L, 1L)))
   }
 
+  test("nearDupClusters merges transitive chains to the min id") {
+    // chain 1-2, 2-3 (one cluster), isolated pair 7-9, singleton 5 absent
+    val pairs = Seq((2L, 3L), (1L, 2L), (7L, 9L)).toDF("id_a", "id_b")
+    val out = Dedup.nearDupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("dedupKeepBest keeps the highest score, then the lowest id") {
     val df = Seq(
       (1L, "same text", 5L), (2L, "same text", 9L), (3L, "same text", 9L),
