@@ -71,30 +71,48 @@ object Dedup {
     * from any pair are their own singleton clusters by definition and
     * are not emitted. */
   def nearDupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs
+    // materialize the skinny pair frame ONCE — the union below reads it
+    // twice, and without the persist each branch would recompute the
+    // whole upstream pair pipeline (the documented self-join gotcha)
+    val p = pairs.select(col("id_a"), col("id_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = p
       .select(col("id_a").as("a"), col("id_b").as("b"))
-      .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .unionByName(p.select(col("id_b").as("a"), col("id_a").as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var iters = 0
-    var converged = false
-    while (!converged && iters < maxIters) {
+    // labels only ever DECREASE, so the label sum strictly decreases
+    // until the fixpoint — convergence is one cheap agg per round, not a
+    // change-detection join
+    def lblSum(df: DataFrame): Long = {
+      val r = df.agg(sum(col("lbl"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    def step(ls: DataFrame): DataFrame = {
       val nbrMin = edges
-        .join(labels.select(col("id").as("b"), col("lbl").as("nlbl")), "b")
+        .join(ls.select(col("id").as("b"), col("lbl").as("nlbl")), "b")
         .groupBy(col("a"))
         .agg(min(col("nlbl")).as("nbr"))
         .select(col("a").as("id"), col("nbr"))
-      val next = labels
-        .join(nbrMin, Seq("id"), "left")
+      ls.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      converged = next
-        .join(labels.select(col("id"), col("lbl").as("old")), "id")
-        .where(col("lbl") < col("old"))
-        .isEmpty
+    }
+    var prevSum = lblSum(labels)
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      // two propagation steps per round (halves the rounds; a no-change
+      // double step is still a fixpoint witness — single steps are
+      // monotone decreasing). localCheckpoint TRUNCATES THE LINEAGE:
+      // with plain persist the logical plan doubles every round and
+      // analysis/optimization time, not the data, becomes the loop cost.
+      val next = step(step(labels)).localCheckpoint(true)
+      val s = lblSum(next)
+      converged = s == prevSum
+      prevSum = s
       labels = next
       iters += 1
     }
