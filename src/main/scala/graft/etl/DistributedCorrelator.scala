@@ -104,9 +104,14 @@ object DistributedCorrelator {
       explode(col("eo.outcome.receipt_ids")).as("child"))
       .persist()
 
+    // localCheckpoint (not persist) per BFS level: the mapping plan would
+    // otherwise grow by one union+join per receipt-DAG level, and for a
+    // deep backfill the optimizer re-analysis of that chain — not the
+    // data — becomes the loop cost (same lineage rule as
+    // Dedup.nearDupClusters).
     var mapping = txSeed.select(
       explode(col("root_receipts")).as("receipt_id"), col("tx_hash"))
-      .persist()
+      .localCheckpoint(true)
     var frontier = mapping
     var converged = false
     while (!converged) {
@@ -114,10 +119,10 @@ object DistributedCorrelator {
         .join(frontier.withColumnRenamed("receipt_id", "parent"), "parent")
         .select(col("child").as("receipt_id"), col("tx_hash"))
         .join(mapping, Seq("receipt_id"), "left_anti")
-        .persist()
+        .localCheckpoint(true)
       if (next.isEmpty) converged = true
       else {
-        mapping = mapping.unionByName(next).persist()
+        mapping = mapping.unionByName(next).localCheckpoint(true)
         frontier = next
       }
     }

@@ -119,6 +119,21 @@ object Dedup {
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }
 
+  /** Streaming exact dedup — the streaming half of d1 for a live crawl
+    * feed: drop rows whose content digest was already seen within the
+    * watermark horizon. `dropDuplicatesWithinWatermark` keys the state
+    * store on the digest and EVICTS keys older than the delay, so state
+    * is bounded by (arrival rate × horizon), not by stream history — the
+    * only sound contract for an unbounded stream. Dedup across horizons
+    * is the batch pass's job ([[dedupKeepBest]] / d1 over the sink). */
+  def streamingExactDedup(
+      docs: DataFrame, textCol: String, tsCol: String,
+      delay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col(textCol).cast("binary")))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   // ---- shingling --------------------------------------------------------
 
   /** Word w-shingles of a document (w consecutive tokens, space-joined). */

@@ -199,6 +199,30 @@ object EventQueries {
           .groupBy("event_type").agg(count(lit(1)).as("n_sampled"))
     },
 
+    // pivot (wide aggregation): hour-of-day x event_type matrix via
+    // Spark's native pivot operator — one shuffle, values list explicit
+    // so no pre-pass collects distinct keys; oracle is the CASE-sum
+    // formulation.
+    Q(
+      "q26_pivot_hour_by_type",
+      """SELECT ((epoch_us(ts) // 3600000000) % 24) AS hour_of_day,
+        |  CAST(sum(CASE WHEN event_type='click' THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS click_c,
+        |  CAST(sum(CASE WHEN event_type='error' THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS error_c,
+        |  CAST(sum(CASE WHEN event_type='purchase' THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS purchase_c,
+        |  CAST(sum(CASE WHEN event_type='signup' THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS signup_c,
+        |  CAST(sum(CASE WHEN event_type='view' THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS view_c
+        |FROM events GROUP BY hour_of_day""".stripMargin) { (s, dir) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val pivoted = Tables.load(s, dir, "events")
+        .withColumn("hour_of_day", expr(s"((ts div 1000) div $HourUs) % 24"))
+        .groupBy("hour_of_day")
+        .pivot("event_type", types)
+        .agg(sum(cents(col("value"))))
+      types.foldLeft(pivoted) { (df, t) =>
+        df.withColumn(s"${t}_c", coalesce(col(t), lit(0L))).drop(t)
+      }
+    },
+
     // explicit GROUPING SETS (beyond rollup q11 / cube q16).
     Q(
       "q19_grouping_sets",

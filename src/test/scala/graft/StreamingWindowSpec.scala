@@ -62,6 +62,35 @@ class StreamingWindowSpec extends SparkSpec {
     assert(s.size === expectedClosed.size)
   }
 
+  test("streaming exact dedup drops in-horizon duplicates, keeps state bounded") {
+    val dir = "/root/testdata/sf0.001"
+    // duplicate the corpus with distinct doc_ids but identical text,
+    // all timestamps inside one watermark horizon -> every dup dropped
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val base = docs.withColumn("event_time",
+      timestamp_micros(lit(1704067200000000L) + col("doc_id") * 1000000L))
+    val dups = base.withColumn("doc_id", col("doc_id") + 1000000L)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-sdedup")
+    base.unionByName(dups).coalesce(1)
+      .write.mode("overwrite").parquet(streamDir.toString)
+
+    val schema = spark.read.parquet(streamDir.toString).schema
+    val q = graft.ext.Dedup.streamingExactDedup(
+      spark.readStream.schema(schema).parquet(streamDir.toString),
+      "text", "event_time")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sdedup_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val out = spark.table("sdedup_out")
+    val distinctTexts = docs.select("text").distinct().count()
+    assert(out.count() === distinctTexts)
+    assert(out.select("content_hash").distinct().count() === distinctTexts)
+  }
+
   test("native session_window matches the analytic sessionization (q14)") {
     val dir = "/root/testdata/sf0.001"
     val schema = spark.read.parquet(s"$dir/events.parquet").schema

@@ -102,6 +102,29 @@ class TxCorrelatorSpec extends SparkSpec {
     assert(fromSpark.length === 9)
   }
 
+  test("correlateStream handles an oversized micro-batch (memory-contract smoke)") {
+    // one ~600-block micro-batch through the single stateful task: the
+    // documented bound is maxFilesPerTrigger at the SOURCE; this pins
+    // that a batch well past the normal trigger size still sorts,
+    // correlates and matches the batch correlator (no regression when an
+    // operator accidentally lands everything in one trigger).
+    import Blocks.encoder
+    val n = 600
+    val ds = spark.createDataset(BlockFixtures.blocks(n))(encoder)
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      graft.schema.BlockWithTxHashes](Blocks.encoder, spark)
+    stream.addData(BlockFixtures.blocks(n))
+    val q = TxCorrelator.correlateStream(stream.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("oversized_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("oversized_out").count()
+    val batch = TxCorrelator.correlateBatch(ds).count()
+    assert(streamed === batch)
+  }
+
   test("A2: account_txs unions signer, receivers, args and log accounts") {
     import Blocks.encoder
     val ds = spark.createDataset(BlockFixtures.blocks(3))(encoder)
