@@ -95,7 +95,19 @@ object Main {
     }
   }
 
-  private def awaitAll(qs: StreamingQuery*): Unit = qs.foreach(_.awaitTermination())
+  /** Await every query, surfacing the FIRST failure from any of them —
+    * sequential awaitTermination would sit blocked on a healthy query
+    * while another one has already died (a --follow daemon that keeps
+    * "running" with half its tables frozen). */
+  private def awaitAll(qs: StreamingQuery*): Unit = {
+    if (qs.isEmpty) return
+    val spark = qs.head.sparkSession
+    while (qs.exists(_.isActive)) {
+      spark.streams.awaitAnyTermination() // throws on a failed query
+      spark.streams.resetTerminated()
+    }
+    qs.foreach(q => q.exception.foreach(e => throw e))
+  }
 
   private def buildSession(mode: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "*")

@@ -209,7 +209,11 @@ object DistributedCorrelator {
       val mins = Seq(pendingMin, unconsumedMin)
         .filterNot(_.isNullAt(0)).map(_.getLong(0))
       if (mins.nonEmpty) mins.min
-      else blocks.agg(max(col("block.header.height"))).head().getLong(0) + 1L
+      else {
+        val maxH = blocks.agg(max(col("block.header.height"))).head()
+        if (maxH.isNullAt(0)) 0L // empty corpus: stream starts fresh
+        else maxH.getLong(0) + 1L
+      }
     }
 
     (assembled.as[CompletedTx](completedEncoder), cut)

@@ -71,6 +71,19 @@ object Dedup {
     * from any pair are their own singleton clusters by definition and
     * are not emitted. */
   def nearDupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // integral ids only: the sum-based convergence check below is
+    // type-silent for strings (sum over strings is null -> the loop
+    // would "converge" after one round with wrong clusters). Callers
+    // with string ids hash them to longs first (xxhash64).
+    require(
+      Seq("id_a", "id_b").forall(c => pairs.schema(c).dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType => true
+        case _ => false
+      }),
+      s"nearDupClusters requires integral id columns, got " +
+        s"${pairs.schema("id_a").dataType.simpleString}")
     // materialize the skinny pair frame ONCE — the union below reads it
     // twice, and without the persist each branch would recompute the
     // whole upstream pair pipeline (the documented self-join gotcha)
@@ -80,9 +93,10 @@ object Dedup {
       .select(col("id_a").as("a"), col("id_b").as("b"))
       .unionByName(p.select(col("id_b").as("a"), col("id_a").as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("a").as("id")).distinct()
+    val labels0 = edges.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels: DataFrame = labels0
     // labels only ever DECREASE, so the label sum strictly decreases
     // until the fixpoint — convergence is one cheap agg per round, not a
     // change-detection join
@@ -116,6 +130,11 @@ object Dedup {
       labels = next
       iters += 1
     }
+    // final labels are localCheckpoint'ed (materialized) — the scaffold
+    // frames can be released rather than leak across a long session
+    labels0.unpersist(false)
+    edges.unpersist(false)
+    p.unpersist(false)
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }
 

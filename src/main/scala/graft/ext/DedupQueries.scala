@@ -74,8 +74,12 @@ object DedupQueries {
         |WHERE shared > 0
         |  AND CAST(shared AS DOUBLE)/CAST(na + nb - shared AS DOUBLE) >= 0.8""".stripMargin) {
       (s, dir) =>
+        // uncapped: the oracle has no postings cap, and the EXACTNESS of
+        // this query is its contract (the capped variant is the
+        // documented skew-guard scale path, exercised in DedupSpec)
         Dedup.ngramJaccardPairs(
-          Tables.load(s, dir, "documents"), "doc_id", "text", threshold = 0.8)
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.8, maxPostings = Int.MaxValue)
           .select(
             col("id_a"), col("id_b"),
             round(col("jaccard") * 10000).cast("long").as("jaccard_e4"))
@@ -160,7 +164,7 @@ object DedupQueries {
         Dedup.nearDupClusters(
           Dedup.ngramJaccardPairs(
             Tables.load(s, dir, "documents"), "doc_id", "text",
-            threshold = 0.8))
+            threshold = 0.8, maxPostings = Int.MaxValue))
     },
 
     // embedding-cosine near-dup pairs, banded-LSH-bucketed. Threshold

@@ -226,8 +226,15 @@ object Similarity {
       vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bands: Int = 4, planesPerBand: Int = 3): DataFrame = {
     // derived, not trusted (as in ivfBuild): a wrong dim would silently
-    // degenerate the hyperplane buckets and tank recall
-    val dim = vectors.select(size(col(vecCol))).head().getInt(0)
+    // degenerate the hyperplane buckets and tank recall. max(size) is
+    // null-row-safe; an empty/all-null input short-circuits to an empty
+    // pair frame instead of failing at plan construction.
+    val dimRow = vectors.agg(max(size(col(vecCol)))).head()
+    if (dimRow.isNullAt(0))
+      return vectors.select(
+        col(idCol).as("id_a"), col(idCol).as("id_b"),
+        lit(0d).as("cos_sim")).limit(0)
+    val dim = dimRow.getInt(0)
     // pre-normalize ONCE per vector (two projections so the norm is a
     // materialized column, not an inlined re-fold); pair verification is
     // then a single dot — cosine(v_a, v_b) per pair would re-fold both

@@ -117,8 +117,11 @@ object BlockStream {
     val cEvents = sinkCursor(spark, s"$outDir/events")
     val cData = sinkCursor(spark, s"$outDir/data")
     val cMin = Seq(cActions, cEvents, cData).min
+    // native path: the sink cursor IS a height, so it seeds the source
+    // offset directly — a fresh checkpoint resumes where the tables end
+    // instead of re-fetching from height 0
     val src =
-      if (nativeSource) readBlockSource(spark, inDir)
+      if (nativeSource) readBlockSource(spark, inDir, startHeight = cMin + 1)
       else readBlockStream(spark, inDir)
     src.writeStream
       .option("checkpointLocation", checkpoint)
@@ -310,7 +313,7 @@ object BlockStream {
       : StreamingQuery = {
     val cursor = sinkCursor(spark, s"$outDir/blocks")
     val src =
-      if (nativeSource) readBlockSource(spark, inDir)
+      if (nativeSource) readBlockSource(spark, inDir, startHeight = cursor + 1)
       else readBlockStream(spark, inDir)
     src.writeStream
       .option("checkpointLocation", checkpoint)

@@ -212,7 +212,10 @@ final class BlocksMicroBatchStream(properties: util.Map[String, String])
         from + r.maxRows()
       case _ => from + maxPerTrigger
     }
-    HeightOffset(math.min(head, cap))
+    // clamp to `from`: when the requested start is ahead of the fetcher
+    // head (e.g. --from beyond the corpus), the offset must NOT regress —
+    // a backwards offset would re-scan pre-start heights forever
+    HeightOffset(math.max(from, math.min(head, cap)))
   }
 
   override def planInputPartitions(

@@ -103,6 +103,19 @@ class BlocksSourceSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/actions").count() === batch.count())
   }
 
+  test("corrupt documents from the native source land in quarantine") {
+    val in = tmp(); val out = tmp()
+    writeDocs(in, 4)
+    // a syntactically-broken doc at a valid height
+    Files.writeString(Paths.get(in, "200.json"), "{not json")
+    Main.run(Array("actions", in, out, "--native"), spark)
+    val batch = graft.etl.ActionsExtract.actions(
+      graft.etl.ActionsExtract.indexedReceipts(BlockFixtures.df(spark, 4)))
+    assert(spark.read.parquet(s"$out/actions").count() === batch.count())
+    val quarantined = spark.read.json(s"$out/_quarantine")
+    assert(quarantined.where(col("raw").contains("not json")).count() === 1)
+  }
+
   test("dir fetcher: head height and skipped fetches") {
     val in = tmp()
     writeDocs(in, 5, skip = Set(102L))
