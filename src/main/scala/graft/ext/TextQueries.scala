@@ -195,6 +195,20 @@ object TextQueries {
           .agg(count(lit(1)).as("n"))
     },
 
+    // distributed BPE tokenizer training: word-frequency table + one
+    // pair-count aggregation per merge round (only the argmax pair
+    // reaches the driver). Iterative + engine-specific tie-breaks →
+    // rows-only; equality with a pure reference trainer is pinned by
+    // BpeSpec.
+    Q.noOracle("t11_bpe_train") { (s, dir) =>
+      val merges = Bpe.train(
+        Tables.load(s, dir, "documents"), "text", numMerges = 12)
+      import s.implicits._
+      merges.zipWithIndex
+        .map { case ((a, b), i) => (i.toLong, a, b, a + b) }
+        .toDF("rank", "first", "second", "merged")
+    },
+
     // punctuation/char-class profile — SQL-expressible, exact ints.
     Q(
       "t6_punct_profile",
