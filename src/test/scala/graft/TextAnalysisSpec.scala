@@ -43,6 +43,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("nearDupClusters equals driver union-find on random pair graphs") {
+    // seeded random graphs (repo convention: raw scalacheck-free loop);
+    // the distributed min-label fixpoint must equal classic union-find
+    // with min-representative
+    for (seed <- 0 until 15) {
+      val rnd = new scala.util.Random(seed)
+      val n = 2 + rnd.nextInt(30)
+      val pairs = Seq.fill(1 + rnd.nextInt(40))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      if (pairs.nonEmpty) {
+        // union-find reference
+        val parent = Array.tabulate(n)(identity)
+        def find(x: Int): Int =
+          if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+        pairs.foreach { case (a, b) =>
+          val (ra, rb) = (find(a.toInt), find(b.toInt))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val ids = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        val expected = ids.map(i => i -> find(i.toInt).toLong).toMap
+        val got = Dedup.nearDupClusters(pairs.toDF("id_a", "id_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // union-find reps are component minima because unions always
+        // point larger roots at smaller ones and every id is its own
+        // initial root
+        assert(got === expected, s"seed=$seed pairs=$pairs")
+      }
+    }
+  }
+
   test("dedupKeepBest keeps the highest score, then the lowest id") {
     val df = Seq(
       (1L, "same text", 5L), (2L, "same text", 9L), (3L, "same text", 9L),
