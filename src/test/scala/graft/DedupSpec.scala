@@ -94,6 +94,36 @@ class DedupSpec extends SparkSpec {
       s"quantized recall too low: ${(exact intersect quant).size}/8")
   }
 
+  test("cosineNearDupPairs finds planted high-cosine pairs, skips unrelated") {
+    val dim = 64
+    // 6 base vectors far apart; for 3 of them plant a near-identical
+    // twin (tiny perturbation -> cosine ~0.999); twins must be found,
+    // cross-base pairs must not appear at a 0.9 threshold
+    // block-orthogonal bases: base c lives in coordinates [10c, 10c+9],
+    // so cross-base cosine is exactly 0
+    val base = (0 until 6).map { c =>
+      Array.tabulate(dim)(i =>
+        if (i >= c * 10 && i < c * 10 + 10)
+          (1.0 + 0.1 * math.sin(i.toDouble)).toFloat
+        else 0f)
+    }
+    val vecs =
+      base.zipWithIndex.map { case (v, c) => (c.toLong, v.toSeq) } ++
+        (0 until 3).map { c =>
+          val twin = base(c).zipWithIndex
+            .map { case (x, i) => x + 0.001f * math.sin(i.toDouble).toFloat }
+          ((100 + c).toLong, twin.toSeq)
+        }
+    val df = vecs.toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(
+      df, "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (c <- 0 until 3)
+      assert(pairs.contains((c.toLong, (100 + c).toLong)), s"missed twin $c")
+    // nothing across distinct bases
+    assert(pairs.forall { case (a, b) => b - a == 100 }, pairs.toString)
+  }
+
   test("multimodal plumbing: decode + features + frames deterministic") {
     val docs = graft.query.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val corpus = Multimodal.corpusFromDocuments(spark, docs)
