@@ -28,6 +28,11 @@ object functions {
   def lang_id(text: Column): Column = ext.TextAnalysis.langId(text)
   def quality_score(text: Column): Column = ext.TextAnalysis.qualityScore(text)
   def fingerprint(text: Column): Column = ext.TextAnalysis.fingerprint(text)
+  def scrub_pii(text: Column): Column = ext.TextAnalysis.scrubPii(text)
+  def count_emails(text: Column): Column = ext.TextAnalysis.countEmails(text)
+
+  // ---- dataset hygiene (graft.ext.Splits) ----
+  def assign_split(id: Column): Column = ext.Splits.assignSplit(id)
 
   // ---- dedup sketches (graft.ext.Dedup) ----
   def token_hashes(text: Column): Column = ext.Dedup.tokenHashes(text)
