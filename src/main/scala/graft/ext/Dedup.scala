@@ -234,10 +234,13 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
   /** Exact Jaccard for candidate (id_a, id_b) pairs from the inverted
-    * frame: |A∩B| = posting collisions per pair, J = shared/(na+nb−shared). */
+    * frame: |A∩B| = posting collisions per pair, J = shared/(na+nb−shared).
+    * `sizes` (id, n = |shingle set|) is taken as an argument so callers
+    * that already aggregated by id (the minhash signature pass) reuse
+    * that shuffle instead of re-aggregating the full inverted frame. */
   private def verifyJaccard(
-      cand: DataFrame, inverted: DataFrame, threshold: Double): DataFrame = {
-    val sizes = inverted.groupBy("id").agg(count(lit(1)).as("n"))
+      cand: DataFrame, inverted: DataFrame, sizes: DataFrame,
+      threshold: Double): DataFrame = {
     val shared = cand
       .join(inverted.select(col("id").as("id_a"), col("g")), "id_a")
       .join(inverted.select(col("id").as("id_b"), col("g")), Seq("id_b", "g"))
@@ -255,13 +258,15 @@ object Dedup {
 
   /** Candidate pairs by LSH band collision, ids only, deduped; bucket
     * size capped (skew guard — a bucket of identical boilerplate would
-    * otherwise hand one reducer O(bucket²) pairs). */
+    * otherwise hand one reducer O(bucket²) pairs). `withBands` is the
+    * persisted scalar frame from [[minhashBandsAgg]]; the explode is
+    * cheap enough to recompute from cache for each consumer. */
   private def bandCandidates(
-      withSig: DataFrame, bands: Int, k: Int, maxBucket: Int): DataFrame = {
-    val buckets = withSig
-      .select(col("id"), explode(bandHashes(col("sig"), bands, k)).as("b"))
+      withBands: DataFrame, bands: Int, maxBucket: Int): DataFrame = {
+    val buckets = withBands
+      .select(col("id"), explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), col(s"bh$b").as("bh"))): _*)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val small = buckets.groupBy("band", "bh").count()
       .where(col("count") <= maxBucket).drop("count")
     val capped = buckets.join(small, Seq("band", "bh"))
@@ -273,19 +278,29 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
-  /** MinHash signatures via the inverted frame + k small `min`
-    * aggregates. The one-expression [[minhashSignature]] nests k array
-    * traversals into a single projection — a codegen blowup that falls
-    * back to interpreted eval; this shape keeps every expression tiny
-    * (one xxhash64 + min each), gets map-side partial aggregation, and
-    * shuffles only (id, 64 longs). */
-  private def minhashSigsAgg(inverted: DataFrame, k: Int): DataFrame =
+  /** MinHash band hashes + set sizes in ONE aggregation pass over the
+    * inverted frame, emitted as SCALAR columns (id, n, bh0..bh{B-1}).
+    * Three wins over the array formulation: every expression stays tiny
+    * (one xxhash64 + min each → codegen, map-side partial agg); the set
+    * size rides the same shuffle (no second aggregation for the
+    * verifier); and a scalar frame persists almost for free where the
+    * array<long> signature form costs seconds of columnar cache build
+    * (the documented array-persist gotcha). */
+  private def minhashBandsAgg(
+      inverted: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
     inverted
       .groupBy("id")
       .agg(
         min(xxhash64(lit(0), col("g"))).as("h0"),
-        (1 until k).map(i => min(xxhash64(lit(i), col("g"))).as(s"h$i")): _*)
-      .select(col("id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+        (1 until k).map(i => min(xxhash64(lit(i), col("g"))).as(s"h$i")) :+
+          count(lit(1)).as("n"): _*)
+      .select(col("id") +: col("n") +:
+        (0 until bands).map(b =>
+          xxhash64(concat_ws(",",
+            (0 until rows).map(r => col(s"h${b * rows + r}")): _*))
+            .as(s"bh$b")): _*)
+  }
 
   /** End-to-end MinHash-LSH near-dup pairs over (id, text): candidates
     * from band collisions, verified with exact Jaccard via shared-
@@ -296,9 +311,11 @@ object Dedup {
       threshold: Double = 0.5, k: Int = 64, bands: Int = 16,
       maxBucket: Int = 1000, w: Int = 3): DataFrame = {
     val inverted = invertedIndex(docs, idCol, textCol, w)
-    val withSig = minhashSigsAgg(inverted, k)
+    val withBands = minhashBandsAgg(inverted, k, bands)
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds bands AND sizes
     verifyJaccard(
-      bandCandidates(withSig, bands, k, maxBucket), inverted, threshold)
+      bandCandidates(withBands, bands, maxBucket), inverted,
+      withBands.select(col("id"), col("n")), threshold)
   }
 
   // ---- SimHash ----------------------------------------------------------
