@@ -37,9 +37,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * The fetch transport is pluggable ([[BlockFetcher]]): `fetcher=dir`
   * reads `<height>.json` files (tests, replayed dumps); `fetcher=http`
   * speaks the neardata REST shape (`/v0/block/{height}`,
-  * `/v0/last_block/final`) with bounded retries — the production path,
-  * not exercisable in this sandbox (zero egress) but kept thin and
-  * dependency-free.
+  * `/v0/last_block/final`) with bounded exponential-backoff retries —
+  * thin, dependency-free, and exercised end-to-end against a localhost
+  * server in HttpFetcherSpec (head probe, 404-as-skipped, transient
+  * retries, give-up).
   */
 object BlocksSource {
   val ShortName = "graft-blocks"
@@ -76,8 +77,12 @@ final class DirBlockFetcher(path: String) extends BlockFetcher {
 }
 
 /** neardata-style REST fetcher (GET {base}/v0/block/{h}); bounded
-  * exponential-backoff retries mirror the reference fetcher's. */
-final class HttpBlockFetcher(baseUrl: String, maxRetries: Int = 5)
+  * exponential-backoff retries mirror the reference fetcher's.
+  * `backoffMs` is the base delay (doubled per attempt, capped 30 s) —
+  * parameterized so the spec's localhost server can exercise the retry
+  * path without real sleeps. */
+final class HttpBlockFetcher(
+    baseUrl: String, maxRetries: Int = 5, backoffMs: Long = 1000L)
     extends BlockFetcher {
   private def get(url: String): Option[String] = {
     var attempt = 0
@@ -100,10 +105,10 @@ final class HttpBlockFetcher(baseUrl: String, maxRetries: Int = 5)
           }
         } finally conn.disconnect()
       } catch {
-        case e: java.io.IOException if attempt < maxRetries => ()
+        case _: java.io.IOException if attempt < maxRetries => ()
       }
       attempt += 1
-      Thread.sleep(math.min(1000L << attempt, 30000L))
+      Thread.sleep(math.min(backoffMs << attempt, 30000L))
     }
     None // unreachable
   }
