@@ -138,6 +138,33 @@ object Dedup {
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }
 
+  /** The complete near-dup corpus dedup — the composition every
+    * training-data pipeline actually runs: exact n-gram Jaccard pairs →
+    * connected components → one survivor per cluster (max `score`, then
+    * min id). Docs in no pair are their own singleton clusters. Returns
+    * one row per SURVIVOR: (keep_id, cluster_id, score, n_members).
+    * Cost shape: the pair pipeline (bucketed inverted-index join) + the
+    * label-propagation rounds + one window over (cluster_id) — nothing
+    * quadratic, nothing driver-side. */
+  def dedupCorpusByNgram(
+      docs: DataFrame, idCol: String, textCol: String, score: Column,
+      threshold: Double = 0.8, w: Int = 3,
+      maxPostings: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = ngramJaccardPairs(docs, idCol, textCol, threshold, w, maxPostings)
+    val clusters = nearDupClusters(pairs)
+    val byCluster = Window.partitionBy("cluster_id")
+    docs.select(col(idCol).as("id"), score.as("score"))
+      .join(clusters, Seq("id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
+      .withColumn("rn", row_number().over(
+        byCluster.orderBy(col("score").desc, col("id").asc)))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .where(col("rn") === 1)
+      .select(col("id").as("keep_id"), col("cluster_id"), col("score"),
+        col("n_members"))
+  }
+
   /** Streaming exact dedup — the streaming half of d1 for a live crawl
     * feed: drop rows whose content digest was already seen within the
     * watermark horizon. `dropDuplicatesWithinWatermark` keys the state

@@ -167,6 +167,73 @@ object DedupQueries {
             threshold = 0.8, maxPostings = Int.MaxValue))
     },
 
+    // the complete corpus dedup: near-dup pairs -> clusters -> best
+    // survivor per cluster (quality argmax, id tiebreak), singletons
+    // kept. One row per survivor; the oracle composes the d8 recursive
+    // CTE with the t4 quality expression and a survivor window.
+    Q(
+      "d9_dedup_corpus",
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, len(toks) - 1),
+        |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |      ELSE [array_to_string(toks, ' ')] END) AS sh
+        |  FROM t
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.sh, b.sh)) AS shared,
+        |    len(a.sh) AS na, len(b.sh) AS nb
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |), pr AS (
+        |  SELECT id_a, id_b FROM p
+        |  WHERE shared > 0
+        |    AND CAST(shared AS DOUBLE)/CAST(na + nb - shared AS DOUBLE) >= 0.8
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pr
+        |  UNION ALL SELECT id_b, id_a FROM pr
+        |), walk(a, lbl) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, w.lbl FROM edges e JOIN walk w ON e.b = w.a
+        |), cl AS (
+        |  SELECT a AS id, min(lbl) AS cluster_id FROM walk GROUP BY a
+        |), f AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE) AS ntok,
+        |    CAST(len(list_filter(string_split_regex(trim(text), ' +'),
+        |      x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) AS hits,
+        |    CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) AS punct,
+        |    CAST(length(text) AS DOUBLE) AS nchars
+        |  FROM documents
+        |), q AS (
+        |  SELECT doc_id,
+        |    CAST(floor((least(ntok/64.0, 1.0)*0.4 + (hits/greatest(ntok, 1.0))*0.4 +
+        |      (1.0 - punct/greatest(nchars, 1.0))*0.2) * 10000) AS BIGINT) AS score
+        |  FROM f
+        |), j AS (
+        |  SELECT q.doc_id AS id, coalesce(cl.cluster_id, q.doc_id) AS cluster_id,
+        |    q.score
+        |  FROM q LEFT JOIN cl ON cl.id = q.doc_id
+        |), r AS (
+        |  SELECT id, cluster_id, score,
+        |    row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY score DESC, id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY cluster_id) AS n_members
+        |  FROM j
+        |)
+        |SELECT id AS keep_id, cluster_id, score,
+        |  CAST(n_members AS BIGINT) AS n_members
+        |FROM r WHERE rn = 1""".stripMargin) { (s, dir) =>
+      Dedup.dedupCorpusByNgram(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        floor(TextAnalysis.qualityScore(col("text")) * 10000).cast("long"),
+        threshold = 0.8, maxPostings = Int.MaxValue)
+    },
+
     // embedding-cosine near-dup pairs, banded-LSH-bucketed. Threshold
     // 0.4 because the synthetic corpus's most-similar pair is ~0.51 —
     // the operator's contract (pairs ≥ t found via bucket collision) is

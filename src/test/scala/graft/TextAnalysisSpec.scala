@@ -76,6 +76,25 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("dedupCorpusByNgram: one survivor per near-dup cluster, singletons kept") {
+    // docs 1..3 share almost all trigrams (one cluster); 4 and 5 unique
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (4L, "completely different words in this document here now"),
+      (5L, "and another unrelated text goes right here friends")).toDF("doc_id", "text")
+    // score: favor doc 2 so the survivor is NOT just the min id
+    val score = when(col("doc_id") === 2L, 100L).otherwise(lit(10L))
+    val out = Dedup.dedupCorpusByNgram(docs, "doc_id", "text", score,
+      threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(out.keySet === Set(2L, 4L, 5L))
+    assert(out(2L) === ((1L, 3L))) // cluster rooted at min id 1, 3 members
+    assert(out(4L) === ((4L, 1L)))
+    assert(out(5L) === ((5L, 1L)))
+  }
+
   test("dedupKeepBest keeps the highest score, then the lowest id") {
     val df = Seq(
       (1L, "same text", 5L), (2L, "same text", 9L), (3L, "same text", 9L),
