@@ -223,6 +223,31 @@ object EventQueries {
       }
     },
 
+    // ntile quartiles (the bucketing window): deterministic because the
+    // window orders by (value, event_id) — a unique key — so tie
+    // placement is identical on any engine.
+    Q(
+      "q27_ntile_quartiles",
+      """WITH b AS (
+        |  SELECT event_type,
+        |    ntile(4) OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS quartile,
+        |    CAST(round(value*100) AS BIGINT) AS value_c
+        |  FROM events
+        |)
+        |SELECT event_type, CAST(quartile AS BIGINT) AS quartile,
+        |  count(*) AS n, CAST(sum(value_c) AS BIGINT) AS sum_value_c
+        |FROM b GROUP BY event_type, quartile""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          cents(col("value")).as("value_c"))
+        .groupBy("event_type", "quartile")
+        .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_value_c"))
+    },
+
     // explicit GROUPING SETS (beyond rollup q11 / cube q16).
     Q(
       "q19_grouping_sets",
