@@ -89,6 +89,7 @@ object Dedup {
     // whole upstream pair pipeline (the documented self-join gotcha)
     val p = pairs.select(col("id_a"), col("id_b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    p.count() // eager: the union below reads it on both branches at once
     val edges = p
       .select(col("id_a").as("a"), col("id_b").as("b"))
       .unionByName(p.select(col("id_b").as("a"), col("id_a").as("b")))
@@ -254,11 +255,18 @@ object Dedup {
     * runs exactly once; signatures, set sizes and shared-shingle counts
     * all derive from this frame by aggregation/join. */
   private def invertedIndex(
-      docs: DataFrame, idCol: String, textCol: String, w: Int): DataFrame =
-    docs
+      docs: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+    val df = docs
       .select(col(idCol).as("id"), tokenHashes(col(textCol)).as("th"))
       .select(col("id"), explode(shingleHashArray(col("th"), w)).as("g"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // EAGER populate: a lazily-persisted frame consumed by several
+    // branches of ONE action gets recomputed concurrently per branch
+    // (the cache is still empty when the sibling tasks start) — the
+    // shingle projection would run 2-3x inside the same job
+    df.count()
+    df
+  }
 
   /** Exact Jaccard for candidate (id_a, id_b) pairs from the inverted
     * frame: |A∩B| = posting collisions per pair, J = shared/(na+nb−shared).
@@ -340,6 +348,7 @@ object Dedup {
     val inverted = invertedIndex(docs, idCol, textCol, w)
     val withBands = minhashBandsAgg(inverted, k, bands)
       .persist(StorageLevel.MEMORY_AND_DISK) // feeds bands AND sizes
+    withBands.count() // eager: 4 sibling branches read it in one action
     verifyJaccard(
       bandCandidates(withBands, bands, maxBucket), inverted,
       withBands.select(col("id"), col("n")), threshold)
@@ -408,6 +417,7 @@ object Dedup {
       maxDist: Int = 3): DataFrame = {
     val sigs = simhashSigsAgg(docs, idCol, textCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    sigs.count() // eager: the chunk self-join reads it on both sides
     val chunked = sigs.select(
       col("id"), col("sig"),
       explode(array((0 until 4).map(c =>

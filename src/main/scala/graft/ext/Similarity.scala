@@ -251,6 +251,7 @@ object Similarity {
       .select(col("id"), explode(array(bandSigs: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    buckets.count() // eager: both self-join sides read it in one action
     val l = buckets.select(col("band"), col("bucket"), col("id").as("id_a"))
     val r = buckets.select(col("band"), col("bucket"), col("id").as("id_b"))
     l.join(r, Seq("band", "bucket"))
