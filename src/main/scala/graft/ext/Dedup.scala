@@ -166,6 +166,39 @@ object Dedup {
         col("n_members"))
   }
 
+  /** Benchmark contamination — the decontamination gate every training
+    * pipeline runs: per document, the fraction of its distinct
+    * w-shingles that appear anywhere in a benchmark/eval corpus. The
+    * benchmark's distinct shingle set is tiny relative to the training
+    * corpus, so the probe is a BROADCAST semi-join against the exploded
+    * document shingles — the corpus-side scan never shuffles. Returns
+    * (id, n_shingles, bench_hits, contamination_e4). */
+  def contamination(
+      docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, w: Int = 3): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(shingleHashes(col(benchTextCol), w)).as("g"))
+      .distinct()
+    val withShingles = docs.select(
+      col(idCol).as("id"),
+      shingleHashArray(tokenHashes(col(textCol)), w).as("sh"))
+    val hits = withShingles
+      .select(col("id"), explode(col("sh")).as("g"))
+      .join(broadcast(benchShingles), Seq("g"), "left_semi")
+      .groupBy("id")
+      .agg(count(lit(1)).as("bench_hits"))
+    withShingles
+      .select(col("id"), size(col("sh")).cast("long").as("n_shingles"))
+      .join(hits, Seq("id"), "left")
+      .select(
+        col("id"), col("n_shingles"),
+        coalesce(col("bench_hits"), lit(0L)).as("bench_hits"),
+        floor(
+          coalesce(col("bench_hits"), lit(0L)).cast("double") /
+            col("n_shingles").cast("double") * 10000).cast("long")
+          .as("contamination_e4"))
+  }
+
   /** Streaming exact dedup — the streaming half of d1 for a live crawl
     * feed: drop rows whose content digest was already seen within the
     * watermark horizon. `dropDuplicatesWithinWatermark` keys the state

@@ -234,6 +234,42 @@ object DedupQueries {
         threshold = 0.8, maxPostings = Int.MaxValue)
     },
 
+    // benchmark decontamination: per-doc fraction of shingles appearing
+    // in an eval set (here: docs 0..9 stand in as the benchmark — the
+    // same on both engines). Benchmark docs self-report 10000.
+    Q(
+      "d10_contamination",
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, len(toks) - 1),
+        |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |      ELSE [array_to_string(toks, ' ')] END) AS sh
+        |  FROM t
+        |), bench AS (
+        |  SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id < 10
+        |), d AS (
+        |  SELECT doc_id, unnest(sh) AS g FROM s
+        |), hits AS (
+        |  SELECT doc_id, count(*) AS bench_hits
+        |  FROM d JOIN bench USING (g) GROUP BY doc_id
+        |), tot AS (
+        |  SELECT doc_id, len(sh) AS n FROM s
+        |)
+        |SELECT t.doc_id AS id, CAST(t.n AS BIGINT) AS n_shingles,
+        |  CAST(coalesce(h.bench_hits, 0) AS BIGINT) AS bench_hits,
+        |  CAST(floor(CAST(coalesce(h.bench_hits, 0) AS DOUBLE) /
+        |    CAST(t.n AS DOUBLE) * 10000) AS BIGINT) AS contamination_e4
+        |FROM tot t LEFT JOIN hits h USING (doc_id)""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.contamination(
+        docs, "doc_id", "text",
+        docs.where(col("doc_id") < 10), "text")
+    },
+
     // embedding-cosine near-dup pairs, banded-LSH-bucketed. Threshold
     // 0.4 because the synthetic corpus's most-similar pair is ~0.51 —
     // the operator's contract (pairs ≥ t found via bucket collision) is

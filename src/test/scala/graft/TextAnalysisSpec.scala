@@ -95,6 +95,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(5L) === ((5L, 1L)))
   }
 
+  test("contamination: benchmark overlap fractions are exact") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // = benchmark doc
+      (2L, "alpha beta gamma zeta eta theta iota"), // shares 1 of 5 shingles
+      (3L, "totally unrelated words right here now")).toDF("doc_id", "text")
+    val bench = docs.where(col("doc_id") === 1L)
+    val out = Dedup.contamination(docs, "doc_id", "text", bench, "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((3L, 3L, 10000L))) // self: fully contaminated
+    // doc 2: shingles of 7 tokens = 5; shares exactly "alpha beta gamma"
+    assert(out(2L) === ((5L, 1L, 2000L)))
+    assert(out(3L)._2 === 0L)
+    assert(out(3L)._3 === 0L)
+  }
+
   test("dedupKeepBest keeps the highest score, then the lowest id") {
     val df = Seq(
       (1L, "same text", 5L), (2L, "same text", 9L), (3L, "same text", 9L),
