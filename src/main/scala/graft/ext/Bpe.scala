@@ -83,10 +83,22 @@ object Bpe {
   }
 
   /** Pure single-word BPE encode against ranked merges (driver/executor
-    * helper; greedy lowest-rank-first, the standard algorithm). */
+    * helper; greedy lowest-rank-first, the standard algorithm). Splits
+    * by CODE POINT — Java regex (and therefore the training-side
+    * `split(w, "")`) never splits inside a surrogate pair, so encode
+    * must not either or non-BMP merges would never apply. */
   def encodeWord(
       word: String, ranks: Map[(String, String), Int]): Seq[String] = {
-    var sym = word.map(_.toString).toVector
+    var sym = {
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < word.length) {
+        val cp = word.codePointAt(i)
+        b += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      b.result()
+    }
     var continue = sym.length > 1
     while (continue) {
       var bestRank = Int.MaxValue
@@ -119,7 +131,11 @@ object Bpe {
     val ranks = merges.zipWithIndex.toMap
     val b = spark.sparkContext.broadcast(ranks)
     docs
-      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      // null-safe like the column operators: null text counts 0 tokens,
+      // rows without an id are unencodable and dropped
+      .where(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        coalesce(col(textCol), lit("")).as("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
         val r = b.value

@@ -177,18 +177,20 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String, w: Int = 3): DataFrame = {
     val benchShingles = benchmark
-      .select(explode(shingleHashes(col(benchTextCol), w)).as("g"))
+      .select(tokenHashes(col(benchTextCol)).as("th")) // two projections:
+      .select(explode(shingleHashArray(col("th"), w)).as("g")) // no inline re-eval
       .distinct()
-    val withShingles = docs.select(
-      col(idCol).as("id"),
-      shingleHashArray(tokenHashes(col(textCol)), w).as("sh"))
-    val hits = withShingles
-      .select(col("id"), explode(col("sh")).as("g"))
+    // the shared (id, shingle) frame — persisted skinny and eagerly
+    // populated (two consumers in one action), same shape as the dedup
+    // inverted index
+    val exploded = invertedIndex(docs, idCol, textCol, w)
+    val totals = exploded.groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"))
+    val hits = exploded
       .join(broadcast(benchShingles), Seq("g"), "left_semi")
       .groupBy("id")
       .agg(count(lit(1)).as("bench_hits"))
-    withShingles
-      .select(col("id"), size(col("sh")).cast("long").as("n_shingles"))
+    totals
       .join(hits, Seq("id"), "left")
       .select(
         col("id"), col("n_shingles"),
@@ -256,24 +258,10 @@ object Dedup {
     shingleHashArray(tokenHashes(text), w)
 
   // ---- MinHash ----------------------------------------------------------
-
-  /** k independent min-hashes over the shingle-hash set: h_i = min over
-    * shingles of xxhash64(i, shingleHash). k=64 ≈ ±12% Jaccard error. */
-  def minhashSignature(shingleHashes: Column, k: Int = 64): Column =
-    array((0 until k).map(i =>
-      array_min(transform(shingleHashes, s => xxhash64(lit(i), s)))): _*)
-
-  /** LSH banding: `bands` bands of k/bands rows; docs sharing any band
-    * hash are candidates. bands=16, rows=4 ⇒ catches J≳0.5. */
-  def bandHashes(sig: Column, bands: Int = 16, k: Int = 64): Column = {
-    val rows = k / bands
-    array((0 until bands).map(b =>
-      struct(
-        lit(b).as("band"),
-        xxhash64(concat_ws(",",
-          (0 until rows).map(r => element_at(sig, b * rows + r + 1)): _*))
-          .as("bh"))): _*)
-  }
+  // (signature generation lives in minhashBandsAgg — the one-expression
+  // array formulation it replaced nested k array traversals into a
+  // single projection, a codegen blowup that fell back to interpreted
+  // eval)
 
   /** Exact Jaccard between two set-valued (distinct) arrays. */
   def jaccard(a: Column, b: Column): Column =
@@ -419,7 +407,7 @@ object Dedup {
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** SimHash signatures via exploded token hashes + 64 tiny vote sums —
-    * the same shape rationale as [[minhashSigsAgg]]: the one-expression
+    * the same shape rationale as [[minhashBandsAgg]]: the one-expression
     * [[simhash]] nests a 64-wide lambda fold per token that evaluates
     * interpreted; this form is a codegen'd partial aggregation (the
     * shuffle moves (id, 64 ints)), identical bit-for-bit because the

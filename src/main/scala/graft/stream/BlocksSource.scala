@@ -107,8 +107,9 @@ final class HttpBlockFetcher(
       } catch {
         case _: java.io.IOException if attempt < maxRetries => ()
       }
-      attempt += 1
+      // first retry waits the base delay, doubling per attempt
       Thread.sleep(math.min(backoffMs << attempt, 30000L))
+      attempt += 1
     }
     None // unreachable
   }
