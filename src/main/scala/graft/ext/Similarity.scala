@@ -116,7 +116,10 @@ object Similarity {
       vectors: DataFrame, idCol: String, vecCol: String,
       k: Int = 16, iters: Int = 3, seed: Long = 42L): IvfIndex = {
     val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val dim = base.select(size(col("v"))).head().getInt(0)
+    val dimRow = base.agg(max(size(col("v")))).head()
+    require(!dimRow.isNullAt(0),
+      "ivfBuild: empty or all-null vector input") // clean error, not NPE
+    val dim = dimRow.getInt(0)
     val rnd = new scala.util.Random(seed)
     var cents: Seq[Seq[Double]] =
       Seq.fill(k)(Seq.fill(dim)(rnd.nextGaussian()))
