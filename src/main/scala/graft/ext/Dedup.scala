@@ -150,12 +150,32 @@ object Dedup {
   def dedupCorpusByNgram(
       docs: DataFrame, idCol: String, textCol: String, score: Column,
       threshold: Double = 0.8, w: Int = 3,
-      maxPostings: Int = 1000): DataFrame = {
+      maxPostings: Int = 1000): DataFrame =
+    survivors(
+      docs, idCol, score,
+      nearDupClusters(ngramJaccardPairs(docs, idCol, textCol, threshold, w, maxPostings)))
+
+  /** Embedding-space corpus dedup — the same composition with the
+    * candidate generator swapped: banded sign-LSH cosine pairs →
+    * connected components → best survivor per cluster. */
+  def dedupCorpusByCosine(
+      vectors: DataFrame, idCol: String, vecCol: String, score: Column,
+      threshold: Double = 0.9, bands: Int = 4,
+      planesPerBand: Int = 3): DataFrame =
+    survivors(
+      vectors, idCol, score,
+      nearDupClusters(Similarity.cosineNearDupPairs(
+        vectors, idCol, vecCol, threshold, bands, planesPerBand)))
+
+  /** Survivor selection shared by the corpus-dedup compositions: one
+    * row per cluster (max score, min id tiebreak); rows absent from
+    * `clusters` are their own singleton clusters. */
+  private def survivors(
+      rows: DataFrame, idCol: String, score: Column,
+      clusters: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = ngramJaccardPairs(docs, idCol, textCol, threshold, w, maxPostings)
-    val clusters = nearDupClusters(pairs)
     val byCluster = Window.partitionBy("cluster_id")
-    docs.select(col(idCol).as("id"), score.as("score"))
+    rows.select(col(idCol).as("id"), score.as("score"))
       .join(clusters, Seq("id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
       .withColumn("rn", row_number().over(

@@ -270,6 +270,17 @@ object DedupQueries {
         docs.where(col("doc_id") < 10), "text")
     },
 
+    // embedding-space corpus dedup: the d9 composition with sign-LSH
+    // cosine candidates; survivor = highest-norm vector (LSH + xxhash
+    // internals -> rows-only; composition pieces pinned by specs).
+    Q.noOracle("d11_dedup_corpus_cosine") { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      Dedup.dedupCorpusByCosine(
+        e, "vec_id", "embedding",
+        round(Similarity.norm(col("embedding")) * 1e6).cast("long"),
+        threshold = 0.4)
+    },
+
     // embedding-cosine near-dup pairs, banded-LSH-bucketed. Threshold
     // 0.4 because the synthetic corpus's most-similar pair is ~0.51 —
     // the operator's contract (pairs ≥ t found via bucket collision) is

@@ -122,6 +122,15 @@ class DedupSpec extends SparkSpec {
       assert(pairs.contains((c.toLong, (100 + c).toLong)), s"missed twin $c")
     // nothing across distinct bases
     assert(pairs.forall { case (a, b) => b - a == 100 }, pairs.toString)
+
+    // the full embedding-dedup composition: twins collapse to one
+    // survivor per cluster, loners stay
+    val kept = Dedup.dedupCorpusByCosine(
+      df, "vec_id", "embedding", lit(0L), threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(kept.size === 6) // 3 twin clusters + 3 singleton bases
+    for (c <- 0 until 3) assert(kept(c.toLong) === 2L, s"cluster $c size")
+    for (c <- 3 until 6) assert(kept(c.toLong) === 1L, s"singleton $c")
   }
 
   test("multimodal plumbing: decode + features + frames deterministic") {
