@@ -238,19 +238,19 @@ object Similarity {
         col(idCol).as("id_a"), col(idCol).as("id_b"),
         lit(0d).as("cos_sim")).limit(0)
     val dim = dimRow.getInt(0)
-    // pre-normalize ONCE per vector (two projections so the norm is a
-    // materialized column, not an inlined re-fold); pair verification is
-    // then a single dot — cosine(v_a, v_b) per pair would re-fold both
-    // norms for every one of the candidate pairs
-    val normed = vectors
-      .select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
-      .select(col("id"),
-        transform(col("v"), x => x.cast("double") / col("nrm")).as("vn"))
+    // sign-LSH is SCALE-INVARIANT (sign(v·h) == sign(v̂·h) for positive
+    // norms), so signatures come straight off the raw vectors — no
+    // corpus-wide normalization pass. Survivor verification computes
+    // cosine per CANDIDATE PAIR (three codegen'd VectorDot folds each):
+    // candidates are few by construction, so per-pair norms cost less
+    // than normalizing every vector and re-deriving that projection on
+    // every join branch.
+    val raw = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
     val bandSigs = (0 until bands).map { b =>
       val planes = hyperplanes(planesPerBand, dim, seed = 42L + b)
-      struct(lit(b).as("band"), lshSignature(col("vn"), planes).as("bucket"))
+      struct(lit(b).as("band"), lshSignature(col("v"), planes).as("bucket"))
     }
-    val buckets = normed
+    val buckets = raw
       .select(col("id"), explode(array(bandSigs: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -261,9 +261,9 @@ object Similarity {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .join(normed.select(col("id").as("id_a"), col("vn").as("v_a")), "id_a")
-      .join(normed.select(col("id").as("id_b"), col("vn").as("v_b")), "id_b")
-      .withColumn("cos_sim", round(dot(col("v_a"), col("v_b")), 6))
+      .join(raw.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(raw.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
+      .withColumn("cos_sim", round(cosine(col("v_a"), col("v_b")), 6))
       .where(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
