@@ -236,6 +236,58 @@ object Dedup {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Duplicated-span profile — the n-gram approximation of exact
+    * substring deduplication (Lee et al. 2022 dedupe spans, not docs):
+    * for every document, how many of its token n-gram positions are
+    * covered by an n-gram that also occurs in ≥2 distinct documents.
+    * High dup-span ratios flag boilerplate/templates that document-level
+    * dedup misses.
+    *
+    * Plan shape = inverted index: explode positions → (doc, gram-digest)
+    * [one skinny persisted frame, consumed by both branches], corpus-wide
+    * `gram → distinct-doc count` aggregation (one shuffle), semi-join the
+    * shared grams back (ids only — never text), per-doc count. No pair
+    * join, no |docs|² anywhere; reducers are bounded by gram frequency
+    * which the digest hash distributes uniformly.
+    *
+    * The digest is md5 of the space-joined gram TEXT (not xxhash64 of
+    * token hashes like the minhash path) so an external engine can replay
+    * the exact grouping — collision-free in practice either way.
+    * Output: doc_id, n_spans, n_dup_spans (all long).
+    */
+  def dupSpanProfile(
+      docs: DataFrame, idCol: String, textCol: String, n: Int = 8)
+      : DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+      .where(size(col("t")) >= n)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), size(col("t")) - (n - 1)),
+          i => md5(concat_ws(" ",
+            (0 until n).map(o => element_at(col("t"), i + o)): _*).cast("binary"))))
+          .as("g"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    grams.count() // eager: two branches below read it inside one action
+
+    val shared = grams
+      .dropDuplicates("doc_id", "g")
+      .groupBy("g").agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= 2)
+      .select("g")
+
+    val perDoc = grams.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+    val dupPerDoc = grams
+      .join(shared, Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
+
+    val out = perDoc
+      .join(dupPerDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+    out
+  }
+
   // ---- shingling --------------------------------------------------------
 
   /** Word w-shingles of a document (w consecutive tokens, space-joined). */

@@ -31,6 +31,34 @@ object DedupQueries {
           (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dups"))
     },
 
+    // duplicated-span profile: per-document count of 8-gram positions
+    // shared with other documents (the n-gram view of exact substring
+    // dedup). Gram digests are md5-of-text so the oracle replays the
+    // identical grouping; the oracle's positions table emulates the
+    // explode.
+    Q(
+      "d12_dup_span_profile",
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents
+        |), pos AS (
+        |  SELECT unnest(generate_series(1,
+        |    (SELECT CAST(max(len(t)) AS INT) FROM tok))) AS i
+        |), grams AS (
+        |  SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS g
+        |  FROM tok JOIN pos ON i <= len(t) - 7
+        |), shared AS (
+        |  SELECT g FROM (
+        |    SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY g)
+        |  WHERE nd >= 2
+        |)
+        |SELECT doc_id, count(*) AS n_spans,
+        |  CAST(sum(CASE WHEN g IN (SELECT g FROM shared) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dup_spans
+        |FROM grams GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.dupSpanProfile(
+        Tables.load(s, dir, "documents"), "doc_id", "text", n = 8)
+    },
+
     // MinHash+LSH near-dup pairs — sketch-based, Spark-specific hashes →
     // rows-only check; exactness covered by DedupSpec (planted dups).
     Q.noOracle("d3_minhash_neardup") { (s, dir) =>

@@ -1,0 +1,69 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training pipelines: concatenate the corpus
+  * in stable id order and cut it into fixed-size token chunks
+  * ("concat-and-chunk" — the packing strategy most pretraining loaders
+  * use). Each document is assigned the [chunk_start, chunk_end] range of
+  * training sequences its tokens land in.
+  *
+  * Scale design: the obvious formulation — `sum(ntok) OVER (ORDER BY
+  * id)` — is a GLOBAL window, which Spark executes on a single
+  * partition: a non-starter at 100 TB. This is the classic two-phase
+  * parallel prefix sum instead:
+  *
+  *  1. coarse buckets (`id div bucketWidth`) are aggregated to one
+  *     subtotal row each — a normal distributed aggregation;
+  *  2. the tiny subtotal frame (corpus_size / bucketWidth rows) takes
+  *     the global window — single-partition, but over kilobytes;
+  *  3. bucket offsets broadcast-join back and an in-bucket window
+  *     (partitioned by bucket — fully parallel) finishes the cumsum.
+  *
+  * The result is identical to the serial cumsum (PackingSpec pins this)
+  * while every per-row stage stays partition-parallel.
+  */
+object Packing {
+
+  /** Per-document chunk assignment. Output: idCol, n_tokens,
+    * chunk_start, chunk_end (all long). Documents with zero tokens are
+    * assigned the zero-width range starting at the next boundary
+    * position (chunk_end = chunk_start - 1 would be nonsensical, so
+    * they are filtered — a packer emits nothing for an empty doc).
+    */
+  def packChunks(
+      docs: DataFrame,
+      idCol: String,
+      ntokCol: String,
+      chunkSize: Long,
+      bucketWidth: Long = 4096L): DataFrame = {
+    val b = docs
+      .select(col(idCol), col(ntokCol).cast("long").as("n_tokens"))
+      .where(col("n_tokens") > 0)
+      .withColumn("_bucket", expr(s"$idCol div $bucketWidth"))
+
+    // phase 1: one subtotal per bucket (distributed agg)
+    val subtotals = b.groupBy("_bucket").agg(sum("n_tokens").as("_btotal"))
+
+    // phase 2: exclusive prefix over the subtotal frame — a global
+    // window, but over |corpus|/bucketWidth rows, not |corpus|.
+    val exclusive = Window.orderBy("_bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = subtotals
+      .withColumn("_offset", coalesce(sum("_btotal").over(exclusive), lit(0L)))
+      .select("_bucket", "_offset")
+
+    // phase 3: in-bucket cumsum (parallel across buckets) + offset.
+    val inBucket = Window.partitionBy("_bucket").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.join(broadcast(offsets), Seq("_bucket"))
+      .withColumn("_cum", sum(col("n_tokens")).over(inBucket) + col("_offset"))
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        expr(s"(_cum - n_tokens) div $chunkSize").as("chunk_start"),
+        expr(s"(_cum - 1) div $chunkSize").as("chunk_end"))
+  }
+}

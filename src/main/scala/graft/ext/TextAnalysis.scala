@@ -108,6 +108,68 @@ object TextAnalysis {
         count(lit(1)).as("n_distinct"),
         max(col("n")).as("max_tok_freq"))
 
+  /** Total characters across tokens (text length minus separator runs) —
+    * the numerator of mean-word-length, computed without an explode. */
+  def charSum(text: Column): Column =
+    length(regexp_replace(trim(text), " +", ""))
+
+  /** Gopher-style rule flags (Rae et al. 2021's cheap quality filters,
+    * re-expressed as pure integer column expressions): word-count bounds,
+    * mean word length (×100, integer div — no float drift), symbol-to-
+    * word ratio, bullet-line start, minimum stopword evidence. Each flag
+    * is 0/1 int; `passes` is their conjunction. Pass a MATERIALIZED
+    * ntok/charsum pair (prior projection) to evaluate the split once.
+    */
+  def gopherFlags(text: Column, ntok: Column, charsum: Column): Column = {
+    val nEllipsis = (length(text) - length(replace(text, lit("..."), lit("")))).cast("long") / 3
+    val nHash = (length(text) - length(replace(text, lit("#"), lit("")))).cast("long")
+    val fWordcount = when(ntok.between(50, 100000), 1L).otherwise(0L)
+    // mean word length ×100: floor over double division — both engines
+    // evaluate the identical tree (exact-int operands → bit-equal).
+    val mwlE2 =
+      floor((charsum.cast("double") * lit(100.0)) / ntok.cast("double"))
+    val fWordlen = when(mwlE2.between(300, 1000), 1L).otherwise(0L)
+    val fSymbols = when((nEllipsis.cast("long") + nHash) * 10 <= ntok, 1L).otherwise(0L)
+    val fBullet = when(text.like("- %") || text.like("* %"), 0L).otherwise(1L)
+    val fStop = when(stopwordHits(text, stopwords("en")) >= 2, 1L).otherwise(0L)
+    struct(
+      fWordcount.as("f_wordcount"), fWordlen.as("f_wordlen"),
+      fSymbols.as("f_symbols"), fBullet.as("f_bullet"),
+      fStop.as("f_stopwords"))
+  }
+
+  /** Per-document top-k TF-IDF terms. One explode, two aggregations
+    * (term frequency per doc; document frequency per term), a shuffle
+    * join on term, a per-doc rank window — every stage partition-
+    * parallel, nothing collected. Score = tf · ln(N/df) with the exact
+    * association written out so an oracle engine evaluates the identical
+    * double tree. Ties break by term ASC → fully deterministic. Output:
+    * doc_id, rk, term, score_e6 (floor(score·1e6), long). */
+  def tfidfTopTerms(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, k: Int = 3)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tok.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("term"),
+        floor(col("score") * 1000000).cast("long").as("score_e6"))
+  }
+
   /** Document fingerprint: rolling hash over tokens — each step feeds
     * the accumulator and the next token back through xxhash64, so the
     * result is order-sensitive but whitespace-run-insensitive. (A

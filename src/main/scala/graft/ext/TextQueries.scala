@@ -209,6 +209,98 @@ object TextQueries {
         .toDF("rank", "first", "second", "merged")
     },
 
+    // sequence packing (concat-and-chunk): which fixed-size training
+    // chunks each document's tokens land in. The Spark side is the
+    // two-phase parallel prefix sum (Packing.packChunks — no global
+    // window over the corpus); the oracle replays the logically
+    // identical serial cumsum.
+    Q(
+      "t12_sequence_pack",
+      """WITH tok AS (
+        |  SELECT doc_id, len(string_split_regex(trim(text), ' +')) AS ntok
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, ntok,
+        |    sum(ntok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM tok WHERE ntok > 0
+        |)
+        |SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens,
+        |  CAST((cum - ntok) // 512 AS BIGINT) AS chunk_start,
+        |  CAST((cum - 1) // 512 AS BIGINT) AS chunk_end
+        |FROM c""".stripMargin) { (s, dir) =>
+      Packing.packChunks(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), tokenCount(col("text")).as("ntok")),
+        "doc_id", "ntok", chunkSize = 512L, bucketWidth = 64L)
+    },
+
+    // Gopher-style quality-rule flags — the cheap pre-filters every web
+    // corpus goes through; all integer/identical-double-tree arithmetic
+    // → exact oracle. ntok/charsum are materialized once (prior
+    // projection) so the token split runs once per document.
+    Q(
+      "t13_quality_filter",
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS ntok,
+        |    CAST(length(regexp_replace(trim(text), ' +', '', 'g')) AS BIGINT) AS charsum
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN ntok BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS f_wordcount,
+        |  CASE WHEN floor((CAST(charsum AS DOUBLE) * 100.0) / CAST(ntok AS DOUBLE))
+        |       BETWEEN 300 AND 1000 THEN 1 ELSE 0 END AS f_wordlen,
+        |  CASE WHEN ((length(text) - length(replace(text, '...', ''))) // 3
+        |       + length(text) - length(replace(text, '#', ''))) * 10 <= ntok
+        |       THEN 1 ELSE 0 END AS f_symbols,
+        |  CASE WHEN text LIKE '- %' OR text LIKE '* %' THEN 0 ELSE 1 END AS f_bullet,
+        |  CASE WHEN len(list_filter(string_split_regex(trim(text), ' +'),
+        |       t -> t IN ('the','a','of','and','to','in','is','it'))) >= 2
+        |       THEN 1 ELSE 0 END AS f_stopwords
+        |FROM f""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          tokenCount(col("text")).cast("long").as("ntok"),
+          charSum(col("text")).cast("long").as("charsum"))
+        .select(col("doc_id"),
+          gopherFlags(col("text"), col("ntok"), col("charsum")).as("fl"))
+        .select(col("doc_id"),
+          col("fl.f_wordcount").as("f_wordcount"),
+          col("fl.f_wordlen").as("f_wordlen"),
+          col("fl.f_symbols").as("f_symbols"),
+          col("fl.f_bullet").as("f_bullet"),
+          col("fl.f_stopwords").as("f_stopwords"))
+    },
+
+    // per-document top-3 TF-IDF terms — the classic keyword/topic
+    // profile. Score doubles are identical expression trees on both
+    // engines (exact-int operands) so rank and floor(score·1e6) agree
+    // bit-for-bit; (score DESC, term ASC) makes ranks unique.
+    Q(
+      "t14_tfidf_topterms",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+        |), df AS (
+        |  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+        |), n AS (SELECT count(*) AS n_docs FROM documents),
+        |ranked AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS score,
+        |    row_number() OVER (PARTITION BY tf.doc_id ORDER BY
+        |      CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) DESC,
+        |      tf.term ASC) AS rk
+        |  FROM tf JOIN df ON tf.term = df.term, n
+        |)
+        |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term,
+        |  CAST(floor(score * 1000000) AS BIGINT) AS score_e6
+        |FROM ranked WHERE rk <= 3""".stripMargin) { (s, dir) =>
+      tfidfTopTerms(Tables.load(s, dir, "documents"), "doc_id", "text", k = 3)
+    },
+
     // punctuation/char-class profile — SQL-expressible, exact ints.
     Q(
       "t6_punct_profile",

@@ -303,6 +303,102 @@ object EventQueries {
         .agg(pick(0.5), pick(0.95), pick(0.99))
     },
 
+    // retention cohort analysis (ClickHouse `retention()` shape): users
+    // active on the dataset's first day, re-counted at fixed day
+    // offsets. Distinct (user, day) activity is one shuffle; the
+    // 1-row min-day frame broadcasts; the cohort semi-join shuffles on
+    // user_id (AQE may broadcast it when small). Integer day arithmetic
+    // on the µs cursor → exact oracle parity.
+    Q(
+      "q28_retention",
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+        |), d0 AS (SELECT min(day) AS day0 FROM act),
+        |cohort AS (SELECT user_id FROM act, d0 WHERE day = day0)
+        |SELECT CAST(a.day - d0.day0 AS BIGINT) AS day_offset,
+        |  count(DISTINCT a.user_id) AS n_active
+        |FROM act a, d0 JOIN cohort c ON a.user_id = c.user_id
+        |WHERE a.day - d0.day0 IN (0, 1, 3, 7, 14)
+        |GROUP BY day_offset""".stripMargin) { (s, dir) =>
+      val act = Tables.load(s, dir, "events")
+        .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+        .distinct()
+      val d0 = act.agg(min(col("day")).as("day0"))
+      val cohort = act
+        .crossJoin(broadcast(d0))
+        .where(col("day") === col("day0"))
+        .select("user_id")
+      act.crossJoin(broadcast(d0))
+        .withColumn("day_offset", col("day") - col("day0"))
+        .where(col("day_offset").isin(0L, 1L, 3L, 7L, 14L))
+        .join(cohort, Seq("user_id"), "left_semi")
+        .groupBy("day_offset")
+        .agg(countDistinct(col("user_id")).as("n_active"))
+    },
+
+    // ordered-step funnel (ClickHouse `windowFunnel` shape): view →
+    // click → purchase, every step within 24 h of the FIRST step, each
+    // step strictly after the previous. Three groupBy-user aggregation
+    // passes — all hash-partitioned on user_id, so after the first
+    // shuffle the exchange is reused; no per-user event collection, so
+    // a power-user with millions of events costs aggregation, not
+    // memory. NULL propagation does the step gating: a missing step-1
+    // makes the step-2 `when` null → min(null)=null → steps tops out.
+    Q(
+      "q29_funnel",
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+        |a AS (SELECT user_id, min(us) FILTER (WHERE event_type='view') AS ta
+        |      FROM e GROUP BY user_id),
+        |b AS (SELECT e.user_id, a.ta,
+        |        min(us) FILTER (WHERE event_type='click'
+        |          AND us > a.ta AND us <= a.ta + 86400000000) AS tb
+        |      FROM e JOIN a ON e.user_id = a.user_id GROUP BY e.user_id, a.ta),
+        |c AS (SELECT e.user_id, b.ta, b.tb,
+        |        min(us) FILTER (WHERE event_type='purchase'
+        |          AND us > b.tb AND us <= b.ta + 86400000000) AS tc
+        |      FROM e JOIN b ON e.user_id = b.user_id GROUP BY e.user_id, b.ta, b.tb)
+        |SELECT CAST(CASE WHEN tc IS NOT NULL THEN 3 WHEN tb IS NOT NULL THEN 2
+        |            WHEN ta IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS steps,
+        |  count(*) AS n_users
+        |FROM c GROUP BY steps""".stripMargin) { (s, dir) =>
+      val winUs = 86400000000L
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("us"), col("event_type"))
+      val a = e.groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("us"))).as("ta"))
+      val b = e.join(a, Seq("user_id"))
+        .groupBy(col("user_id"), col("ta"))
+        .agg(min(when(col("event_type") === "click" &&
+          col("us") > col("ta") && col("us") <= col("ta") + winUs,
+          col("us"))).as("tb"))
+      val c = e.join(b, Seq("user_id"))
+        .groupBy(col("user_id"), col("ta"), col("tb"))
+        .agg(min(when(col("event_type") === "purchase" &&
+          col("us") > col("tb") && col("us") <= col("ta") + winUs,
+          col("us"))).as("tc"))
+      c.select(
+        when(col("tc").isNotNull, 3L)
+          .when(col("tb").isNotNull, 2L)
+          .when(col("ta").isNotNull, 1L)
+          .otherwise(0L).as("steps"))
+        .groupBy("steps")
+        .agg(count(lit(1)).as("n_users"))
+    },
+
+    // fixed-width histogram over integer cents — the value-distribution
+    // profile; pure scan + one aggregation, exact ints.
+    Q(
+      "q30_value_histogram",
+      """SELECT (CAST(round(value*100) AS BIGINT) // 5000) AS bucket,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+        |FROM events GROUP BY bucket""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .withColumn("bucket", expr("CAST(round(value*100) AS BIGINT) div 5000"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
+    },
+
     // correlated scalar subquery shape via join:
     Q(
       "q17_events_vs_user_avg",

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ext.Packing
+
+/** Two-phase prefix-sum packing must equal the serial cumsum, and chunk
+  * ranges must tile the token stream without gaps or overlaps. */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = {
+    // irregular token counts incl. a doc spanning many chunks and id gaps
+    val rnd = new scala.util.Random(7)
+    (0 until 300).filter(_ % 7 != 3).map { i =>
+      (i.toLong, 1 + rnd.nextInt(if (i == 100) 2000 else 90))
+    }.toDF("doc_id", "ntok")
+  }
+
+  test("packChunks equals the serial global-window cumsum") {
+    val two = Packing
+      .packChunks(corpus, "doc_id", "ntok", chunkSize = 128L, bucketWidth = 16L)
+      .orderBy("doc_id").collect()
+    val serial = corpus
+      .withColumn("cum", sum(col("ntok")).over(
+        Window.orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("doc_id"), col("ntok").cast("long").as("n_tokens"),
+        expr("(cum - ntok) div 128").as("chunk_start"),
+        expr("(cum - 1) div 128").as("chunk_end"))
+      .orderBy("doc_id").collect()
+    assert(two.toSeq == serial.toSeq)
+  }
+
+  test("chunk ranges are contiguous and cover every token exactly once") {
+    val rows = Packing
+      .packChunks(corpus, "doc_id", "ntok", chunkSize = 128L, bucketWidth = 16L)
+      .orderBy("doc_id")
+      .select("n_tokens", "chunk_start", "chunk_end")
+      .as[(Long, Long, Long)].collect()
+    var cum = 0L
+    rows.foreach { case (n, cs, ce) =>
+      assert(cs == cum / 128, s"start $cs vs cum $cum")
+      assert(ce == (cum + n - 1) / 128)
+      assert(cs <= ce)
+      cum += n
+    }
+    // last chunk index matches total token count
+    assert(rows.last._3 == (cum - 1) / 128)
+  }
+
+  test("empty-token docs are dropped, not mis-ranged") {
+    val df = Seq((1L, 5), (2L, 0), (3L, 7)).toDF("doc_id", "ntok")
+    val out = Packing.packChunks(df, "doc_id", "ntok", 4L, 2L)
+      .orderBy("doc_id").select("doc_id").as[Long].collect()
+    assert(out.toSeq == Seq(1L, 3L))
+  }
+}

@@ -111,6 +111,75 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L)._3 === 0L)
   }
 
+  test("dupSpanProfile counts planted shared 8-gram spans exactly") {
+    val boiler = "one two three four five six seven eight" // 8 tokens
+    val docs = Seq(
+      (1L, s"$boiler alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, s"$boiler iota kappa lambda mu nu xi omicron pi"),
+      (3L, "rho sigma tau upsilon phi chi psi omega aa bb cc dd"),
+      (4L, "short doc only")) // < 8 tokens → no spans
+      .toDF("doc_id", "text")
+    val out = Dedup.dupSpanProfile(docs, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // docs 1/2: 16 tokens → 9 spans each; only the span at position 1
+    // (the full boilerplate prefix) is identical across docs
+    assert(out(1L) === ((9L, 1L)))
+    assert(out(2L) === ((9L, 1L)))
+    assert(out(3L) === ((5L, 0L))) // 12 tokens → 5 spans, none shared
+    assert(!out.contains(4L))
+  }
+
+  test("gopherFlags: each rule trips on its crafted violation") {
+    val good = ("g", (1 to 60).map(i => s"word$i").mkString(" ") +
+      " the of and in") // 64 tokens, sane lengths, stopwords present
+    val docs = Seq(
+      good,
+      ("short", "too few tokens here"), // f_wordcount = 0
+      ("syms", (1 to 50).map(_ => "#").mkString(" ") + " the of"), // symbols + wordlen
+      ("bullet", "- " + (1 to 60).map(i => s"tok$i").mkString(" ") +
+        " the of and in"), // f_bullet = 0
+      ("nostop", (1 to 60).map(i => s"zz$i").mkString(" "))) // f_stopwords = 0
+      .toDF("id", "text")
+    val out = docs
+      .select(col("id"), col("text"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("ntok"),
+        TextAnalysis.charSum(col("text")).cast("long").as("cs"))
+      .select(col("id"),
+        TextAnalysis.gopherFlags(col("text"), col("ntok"), col("cs")).as("f"))
+      .select("id", "f.f_wordcount", "f.f_wordlen", "f.f_symbols",
+        "f.f_bullet", "f.f_stopwords")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(out("g") === ((1L, 1L, 1L, 1L, 1L)))
+    assert(out("short")._1 === 0L)
+    assert(out("syms")._3 === 0L) // 50 '#' vs 52 tokens → ratio > 1/10
+    assert(out("syms")._2 === 0L) // mean word length ~1 < 3
+    assert(out("bullet")._4 === 0L)
+    assert(out("nostop")._5 === 0L)
+  }
+
+  test("tfidfTopTerms ranks a planted rare term first") {
+    // 'rare' appears 3x in doc 1 only; filler terms appear everywhere
+    val common = "alpha beta gamma delta"
+    val docs = Seq(
+      (1L, s"rare rare rare $common"),
+      (2L, s"$common $common"),
+      (3L, s"$common alpha alpha"),
+      (4L, s"$common beta")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+    val top1 = out.where(col("doc_id") === 1L && col("rk") === 1L)
+      .select("term").collect().map(_.getString(0))
+    assert(top1.toSeq == Seq("rare"))
+    // common-everywhere terms have idf ln(4/4)=0 → score 0; ranks 2+ tie
+    // on score and break by term asc
+    val d2 = out.where(col("doc_id") === 2L).orderBy("rk")
+      .select("term", "score_e6").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(d2.toSeq == Seq(("alpha", 0L), ("beta", 0L)))
+  }
+
   test("dedupKeepBest keeps the highest score, then the lowest id") {
     val df = Seq(
       (1L, "same text", 5L), (2L, "same text", 9L), (3L, "same text", 9L),
