@@ -215,6 +215,111 @@ object Similarity {
       .limit(k)
   }
 
+  /** Product quantization (PQ, Jégou et al. 2011): the vector is split
+    * into `m` subspaces and each subvector replaced by the index of its
+    * nearest codebook entry — `m` small codes (one byte each at k≤256)
+    * instead of `dim` floats. At 100 TB this is the memory-bound ANN
+    * path: the coarse scan reads m bytes/vector (16× less than float32
+    * at dim=64, m=8), and scoring is `m` lookup-table reads (ADC —
+    * asymmetric distance computation), no multiplies in the scan.
+    *
+    * Training runs per-subspace k-means in ONE distributed aggregation
+    * per Lloyd iteration: explode vectors to (subspace, subvector) rows,
+    * assign by minimum L2 (the argmax x·c − |c|²/2 identity, struct-max
+    * trick), groupBy (subspace, code) for the per-dimension means — only
+    * the m×k×(dim/m) codebook matrix ever reaches the driver.
+    */
+  final case class PqIndex(
+      codebooks: Seq[Seq[Seq[Double]]], // (subspace)(code)(dim-in-sub)
+      encoded: DataFrame, // (id, codes array<int>)
+      base: DataFrame) // (id, v) — re-rank source
+
+  /** Argmin-L2 code for a subvector column: argmax of x·c − |c|²/2. */
+  private def nearestCode(sv: Column, codes: Seq[Seq[Double]]): Column = {
+    val scored = codes.zipWithIndex.map { case (c, i) =>
+      val half = c.map(x => x * x).sum / 2.0
+      struct((dot(sv, array(c.map(lit): _*)) - half).as("score"),
+        lit(i).as("idx"))
+    }
+    array_max(array(scored: _*)).getField("idx")
+  }
+
+  def pqBuild(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, k: Int = 16, iters: Int = 3, seed: Long = 42L): PqIndex = {
+    val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val dimRow = base.agg(max(size(col("v")))).head()
+    require(!dimRow.isNullAt(0), "pqBuild: empty or all-null vector input")
+    val dim = dimRow.getInt(0)
+    require(dim % m == 0, s"pqBuild: dim $dim not divisible by m=$m")
+    val subDim = dim / m
+
+    // (subspace, subvector) training frame — recomputed per iteration
+    // (3 slices of a columnar scan; cheaper than caching array columns,
+    // the documented array-persist trap)
+    def subFrame: DataFrame = base.select(
+      posexplode(array((0 until m).map(j =>
+        slice(col("v"), j * subDim + 1, subDim)): _*)).as(Seq("sub", "sv")))
+
+    val rnd = new scala.util.Random(seed)
+    var books: Seq[Seq[Seq[Double]]] =
+      Seq.fill(m)(Seq.fill(k)(Seq.fill(subDim)(rnd.nextGaussian())))
+    for (_ <- 0 until iters) {
+      // one shuffle: assignment is a per-subspace CASE over `sub` (all
+      // codebooks differ per subspace), aggregation keys on (sub, code)
+      val assigned = subFrame.withColumn("code",
+        (0 until m).foldRight(lit(-1): Column) { case (j, acc) =>
+          when(col("sub") === j, nearestCode(col("sv"), books(j)))
+            .otherwise(acc)
+        })
+      val sums = assigned
+        .groupBy("sub", "code")
+        .agg(count(lit(1)).as("n"),
+          array((0 until subDim).map(i =>
+            sum(element_at(col("sv"), i + 1).cast("double")).as(s"s$i")): _*)
+            .as("sums"))
+        .collect()
+      val updated = sums.map { r =>
+        val n = r.getLong(2).toDouble
+        (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](3).map(_ / n)
+      }.toMap
+      books = books.zipWithIndex.map { case (book, j) =>
+        book.zipWithIndex.map { case (c, i) => updated.getOrElse((j, i), c) }
+      }
+    }
+
+    val codes = array((0 until m).map(j =>
+      nearestCode(slice(col("v"), j * subDim + 1, subDim), books(j))): _*)
+    PqIndex(books, base.select(col("id"), codes.as("codes")), base)
+  }
+
+  /** ANN top-k through a PQ index: build the m×k lookup table of partial
+    * query dots driver-side, score every encoded vector with m
+    * element_at reads (no vector arithmetic in the scan), shortlist by
+    * approximate dot, re-rank the shortlist exactly. */
+  def pqTopK(
+      index: PqIndex, query: Seq[Float], k: Int,
+      shortlist: Int = 50): DataFrame = {
+    val m = index.codebooks.length
+    val approx = (0 until m).map { j =>
+      val qSub = query.map(_.toDouble)
+        .slice(j * (query.length / m), (j + 1) * (query.length / m))
+      val lut = array(index.codebooks(j).map(c =>
+        lit(c.zip(qSub).map { case (a, b) => a * b }.sum)): _*)
+      element_at(lut, element_at(col("codes"), j + 1) + 1)
+    }.reduce(_ + _)
+    val coarse = index.encoded
+      .select(col("id"), approx.as("approx"))
+      .orderBy(col("approx").desc, col("id").asc)
+      .limit(shortlist)
+    val q = array(query.map(v => lit(v.toDouble)): _*)
+    index.base
+      .join(broadcast(coarse.select("id")), "id")
+      .select(col("id"), round(cosine(col("v"), q), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** All near-duplicate pairs with cosine >= threshold, via banded
     * sign-bit LSH (the cosine analog of MinHash banding): `bands`
     * independent groups of `planesPerBand` hyperplanes; a pair is a

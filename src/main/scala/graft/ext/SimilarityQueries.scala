@@ -70,6 +70,27 @@ object SimilarityQueries {
       Similarity.ivfTopK(idx, queryVec(s, dir), k = 10)
     },
 
+    // product-quantization ANN: m×k codebook ADC scan (m byte-codes per
+    // vector — 16× lighter than float32 — scored by lookup-table reads),
+    // exact re-rank of the shortlist. Seeded-float k-means → rows-only.
+    Q.noOracle("s7_pq_ann") { (s, dir) =>
+      val idx = Similarity.pqBuild(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
+      Similarity.pqTopK(idx, queryVec(s, dir), k = 10)
+    },
+
+    // corpus clustering for data curation (semantic buckets for mixing /
+    // diversity sampling): the IVF k-means assignment re-used as the
+    // product. Per-cluster membership profile; seeded-float k-means →
+    // rows-only.
+    Q.noOracle("s6_corpus_clusters") { (s, dir) =>
+      Similarity
+        .ivfBuild(Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
+        .assigned
+        .groupBy(col("c").cast("long").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"), min(col("id")).as("min_vec_id"))
+    },
+
     // vector norms / label stats — per-row norms are rounded to integer
     // micro-units BEFORE aggregating, so the group aggregation is exact
     // integer math on both engines (double SUM order is engine-dependent;

@@ -30,4 +30,50 @@ object Splits {
       .when(b < valHexHi, "val")
       .otherwise("test")
   }
+
+  // ---- temperature-based domain mixing ---------------------------------
+  // The data-mixing resampler (α = 0.5 "temperature" downsampling of
+  // over-represented domains, as in multilingual/multi-source
+  // pretraining): target share ∝ √n_domain, realized by keeping each
+  // domain at rate √(n_min/n_domain) — the smallest domain keeps
+  // everything, a 100×-larger domain keeps 10%. Per-document keep is the
+  // same content-hash bucket mechanics as [[assignSplit]], so the sample
+  // is layout-independent and reproducible. √ and ÷ are IEEE
+  // correctly-rounded on every engine → the rates (and so the exact
+  // document sample) are engine-independent, no RNG anywhere.
+
+  /** Per-domain keep rates as md5-bucket counts out of 256. Output:
+    * domainCol, n_docs, buckets (long; 256 = keep all). The frame has
+    * one row per domain — broadcast it into the keep-join. */
+  def temperatureRates(
+      docs: org.apache.spark.sql.DataFrame, domainCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val s = docs.groupBy(col(domainCol)).agg(count(lit(1)).as("n_docs"))
+    val m = s.agg(min(col("n_docs")).as("n_min"))
+    s.crossJoin(broadcast(m))
+      .withColumn("buckets",
+        floor(lit(256.0) *
+          sqrt(col("n_min").cast("double") / col("n_docs").cast("double")))
+          .cast("long"))
+      .drop("n_min")
+  }
+
+  /** Keep predicate: first two md5 hex chars of the id fall under the
+    * domain's bucket threshold. `buckets >= 256` keeps everything (the
+    * 2-hex-char comparison cannot express the full range). */
+  def temperatureKeep(id: Column, buckets: Column): Column =
+    buckets >= 256 ||
+      substring(md5(id.cast("string")), 1, 2) <
+        lower(lpad(hex(buckets), 2, "0"))
+
+  /** The resampled corpus: joins the (broadcast) rates and filters. */
+  def temperatureMix(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String, domainCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val rates = temperatureRates(docs, domainCol)
+    docs.join(broadcast(rates), Seq(domainCol))
+      .where(temperatureKeep(col(idCol), col("buckets")))
+      .drop("n_docs", "buckets")
+  }
 }

@@ -301,6 +301,47 @@ object TextQueries {
       tfidfTopTerms(Tables.load(s, dir, "documents"), "doc_id", "text", k = 3)
     },
 
+    // temperature-based domain mixing (α=0.5 resampler): the corpus's
+    // sources are uniform, so a skewed 60/30/10 domain is derived from
+    // doc_id — deterministically, on both engines — and the mixer's
+    // √(n_min/n) keep-rates + hash-bucket sample are verified exactly
+    // (√ and ÷ are correctly-rounded IEEE → identical on any engine).
+    Q(
+      "t15_domain_mix",
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 < 6 THEN 'web'
+        |         WHEN doc_id % 10 < 9 THEN 'books' ELSE 'code' END AS domain
+        |  FROM documents
+        |), s AS (
+        |  SELECT domain, count(*) AS n_docs FROM d GROUP BY domain
+        |), m AS (SELECT min(n_docs) AS n_min FROM s),
+        |rates AS (
+        |  SELECT domain, n_docs,
+        |    CAST(floor(256.0 * sqrt(CAST(m.n_min AS DOUBLE) / CAST(n_docs AS DOUBLE)))
+        |      AS BIGINT) AS buckets
+        |  FROM s, m
+        |)
+        |SELECT r.domain, r.n_docs, r.buckets,
+        |  CAST(sum(CASE WHEN r.buckets >= 256
+        |    OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 2)
+        |       < lower(lpad(to_hex(r.buckets), 2, '0'))
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM d JOIN rates r ON d.domain = r.domain
+        |GROUP BY r.domain, r.n_docs, r.buckets""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 < 6, "web")
+            .when(col("doc_id") % 10 < 9, "books")
+            .otherwise("code").as("domain"))
+      val rates = Splits.temperatureRates(d, "domain")
+      d.join(broadcast(rates), Seq("domain"))
+        .groupBy(col("domain"), col("n_docs"), col("buckets"))
+        .agg(sum(
+          when(Splits.temperatureKeep(col("doc_id"), col("buckets")), 1L)
+            .otherwise(0L)).as("n_kept"))
+    },
+
     // punctuation/char-class profile — SQL-expressible, exact ints.
     Q(
       "t6_punct_profile",

@@ -92,6 +92,18 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert((exact intersect quant).size >= 7,
       s"quantized recall too low: ${(exact intersect quant).size}/8")
+
+    // PQ ADC scan + exact re-rank: codebooks trained on the corpus keep
+    // the coarse shortlist honest; re-rank restores exact order
+    val pq = Similarity.pqBuild(df, "vec_id", "embedding")
+    val pqTop = Similarity.pqTopK(pq, query, 8)
+      .collect().map(_.getLong(0)).toSet
+    assert((exact intersect pqTop).size >= 6,
+      s"PQ recall too low: ${(exact intersect pqTop).size}/8")
+    // codes are within range and the encoding is total
+    val codes = pq.encoded.collect()
+    assert(codes.length == vecs.length)
+    assert(codes.forall(_.getSeq[Int](1).forall(c => c >= 0 && c < 16)))
   }
 
   test("cosineNearDupPairs finds planted high-cosine pairs, skips unrelated") {

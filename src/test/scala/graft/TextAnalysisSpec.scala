@@ -180,6 +180,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(d2.toSeq == Seq(("alpha", 0L), ("beta", 0L)))
   }
 
+  test("temperatureMix flattens domain skew, keeps the smallest domain whole") {
+    import graft.ext.Splits
+    // 400 web / 100 code docs
+    val docs = (0 until 500).map { i =>
+      (i.toLong, if (i < 400) "web" else "code")
+    }.toDF("doc_id", "domain")
+    val rates = Splits.temperatureRates(docs, "domain")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rates("code") === ((100L, 256L))) // smallest: keep all
+    assert(rates("web") === ((400L, 128L))) // √(100/400) = 1/2 → 128/256
+    val mixed = Splits.temperatureMix(docs, "doc_id", "domain")
+    val kept = mixed.groupBy("domain").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("code") === 100L)
+    // hash-bucket sampling: expect ~200 of 400; exact value is
+    // deterministic, bounded well away from 100/400
+    assert(kept("web") > 140L && kept("web") < 260L, kept.toString)
+    // layout-independent: same sample under a different partitioning
+    val kept2 = Splits.temperatureMix(docs.repartition(7), "doc_id", "domain")
+      .groupBy("domain").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept2 === kept)
+  }
+
   test("dedupKeepBest keeps the highest score, then the lowest id") {
     val df = Seq(
       (1L, "same text", 5L), (2L, "same text", 9L), (3L, "same text", 9L),
