@@ -94,6 +94,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sequence packing: only the tiny subtotal frame is single-partition") {
+    // the two-phase prefix sum's contract: the global (unpartitioned)
+    // window runs over the per-bucket subtotal aggregate, never the
+    // corpus — so exactly one SinglePartition exchange, and the per-row
+    // cumsum window is hash-partitioned by bucket.
+    val df = SparkEntry.queries("t12_sequence_pack")(spark, dir)
+    val plan = planOf(df)
+    assert("SinglePartition".r.findAllIn(plan).size == 1, plan.take(3000))
+    assert(plan.contains("hashpartitioning(_bucket"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("dup-span profile: semi-join on digests, no pair join") {
+    val df = SparkEntry.queries("d12_dup_span_profile")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("LeftSemi"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // the position-level gram frame must come from cache on both
+    // consumers (shared-count branch + per-doc branch)
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 2, plan.take(3000))
+    spark.catalog.clearCache()
+  }
+
   test("extracted actions table: bucket layout serves range pruning") {
     // write a small actions table with the production layout, then
     // check a height-range query prunes partitions
