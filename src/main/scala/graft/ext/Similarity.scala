@@ -248,9 +248,19 @@ object Similarity {
       vectors: DataFrame, idCol: String, vecCol: String,
       m: Int = 8, k: Int = 16, iters: Int = 3, seed: Long = 42L): PqIndex = {
     val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val dimRow = base.agg(max(size(col("v")))).head()
+    // ragged or partially-null input would silently corrupt the codebook
+    // means (null elements sum as 0 while the count includes the row) or
+    // throw INVALID_ARRAY_INDEX mid-aggregation under ANSI — fail fast
+    // with a clear message instead
+    val dimRow = base.agg(
+      max(size(col("v"))), min(size(col("v"))),
+      sum(when(col("v").isNull, 1L).otherwise(0L))).head()
     require(!dimRow.isNullAt(0), "pqBuild: empty or all-null vector input")
     val dim = dimRow.getInt(0)
+    require(dimRow.getLong(2) == 0L,
+      "pqBuild: input contains null vectors — filter them first")
+    require(dimRow.getInt(1) == dim,
+      s"pqBuild: ragged vector dims (min ${dimRow.getInt(1)}, max $dim)")
     require(dim % m == 0, s"pqBuild: dim $dim not divisible by m=$m")
     val subDim = dim / m
 
@@ -301,9 +311,11 @@ object Similarity {
       index: PqIndex, query: Seq[Float], k: Int,
       shortlist: Int = 50): DataFrame = {
     val m = index.codebooks.length
+    val subDim = index.codebooks.head.head.length
+    require(query.length == m * subDim,
+      s"pqTopK: query dim ${query.length} != trained dim ${m * subDim}")
     val approx = (0 until m).map { j =>
-      val qSub = query.map(_.toDouble)
-        .slice(j * (query.length / m), (j + 1) * (query.length / m))
+      val qSub = query.map(_.toDouble).slice(j * subDim, (j + 1) * subDim)
       val lut = array(index.codebooks(j).map(c =>
         lit(c.zip(qSub).map { case (a, b) => a * b }.sum)): _*)
       element_at(lut, element_at(col("codes"), j + 1) + 1)

@@ -115,12 +115,14 @@ object TextAnalysis {
 
   /** Gopher-style rule flags (Rae et al. 2021's cheap quality filters,
     * re-expressed as pure integer column expressions): word-count bounds,
-    * mean word length (×100, integer div — no float drift), symbol-to-
-    * word ratio, bullet-line start, minimum stopword evidence. Each flag
-    * is 0/1 int; `passes` is their conjunction. Pass a MATERIALIZED
-    * ntok/charsum pair (prior projection) to evaluate the split once.
+    * mean word length (×100, floor over an identical double tree — no
+    * drift), symbol-to-word ratio, bullet-line start, minimum stopword
+    * evidence. Each flag is a 0/1 long in the returned struct; AND them
+    * for a pass/fail gate. Pass MATERIALIZED toks/ntok/charsum columns
+    * (prior projection) so the token split runs once per document.
     */
-  def gopherFlags(text: Column, ntok: Column, charsum: Column): Column = {
+  def gopherFlags(
+      text: Column, toks: Column, ntok: Column, charsum: Column): Column = {
     val nEllipsis = (length(text) - length(replace(text, lit("..."), lit("")))).cast("long") / 3
     val nHash = (length(text) - length(replace(text, lit("#"), lit("")))).cast("long")
     val fWordcount = when(ntok.between(50, 100000), 1L).otherwise(0L)
@@ -131,20 +133,25 @@ object TextAnalysis {
     val fWordlen = when(mwlE2.between(300, 1000), 1L).otherwise(0L)
     val fSymbols = when((nEllipsis.cast("long") + nHash) * 10 <= ntok, 1L).otherwise(0L)
     val fBullet = when(text.like("- %") || text.like("* %"), 0L).otherwise(1L)
-    val fStop = when(stopwordHits(text, stopwords("en")) >= 2, 1L).otherwise(0L)
+    val fStop =
+      when(stopwordHitsFromTokens(toks, stopwords("en")) >= 2, 1L).otherwise(0L)
     struct(
       fWordcount.as("f_wordcount"), fWordlen.as("f_wordlen"),
       fSymbols.as("f_symbols"), fBullet.as("f_bullet"),
       fStop.as("f_stopwords"))
   }
 
-  /** Per-document top-k TF-IDF terms. One explode, two aggregations
-    * (term frequency per doc; document frequency per term), a shuffle
-    * join on term, a per-doc rank window — every stage partition-
-    * parallel, nothing collected. Score = tf · ln(N/df) with the exact
-    * association written out so an oracle engine evaluates the identical
-    * double tree. Ties break by term ASC → fully deterministic. Output:
-    * doc_id, rk, term, score_e6 (floor(score·1e6), long). */
+  /** Per-document top-k TF-IDF terms. ONE explode and one corpus-scale
+    * shuffle: term frequency aggregates per (doc, term); document
+    * frequency is the per-term row count of that SAME tf frame (a
+    * (doc,term) row exists iff the doc contains the term), so the df
+    * aggregation reuses tf's exchange instead of re-exploding the
+    * corpus. Then a shuffle join on term and a per-doc rank window —
+    * every stage partition-parallel, nothing collected. Score =
+    * tf · ln(N/df) with the exact association written out so an oracle
+    * engine evaluates the identical double tree. Ties break by term ASC
+    * → fully deterministic. Output: doc_id, rk, term, score_e6
+    * (floor(score·1e6), long). */
   def tfidfTopTerms(
       docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String, k: Int = 3)
@@ -153,7 +160,7 @@ object TextAnalysis {
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("term"))
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tok.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf
       .join(dfreq, Seq("term"))

@@ -260,11 +260,11 @@ object TextQueries {
         |       THEN 1 ELSE 0 END AS f_stopwords
         |FROM f""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("text"),
-          tokenCount(col("text")).cast("long").as("ntok"),
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"),
           charSum(col("text")).cast("long").as("charsum"))
         .select(col("doc_id"),
-          gopherFlags(col("text"), col("ntok"), col("charsum")).as("fl"))
+          gopherFlags(col("text"), col("toks"),
+            size(col("toks")).cast("long"), col("charsum")).as("fl"))
         .select(col("doc_id"),
           col("fl.f_wordcount").as("f_wordcount"),
           col("fl.f_wordlen").as("f_wordlen"),

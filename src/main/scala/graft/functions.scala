@@ -31,8 +31,9 @@ object functions {
   def scrub_pii(text: Column): Column = ext.TextAnalysis.scrubPii(text)
   def count_emails(text: Column): Column = ext.TextAnalysis.countEmails(text)
   def char_sum(text: Column): Column = ext.TextAnalysis.charSum(text)
-  def gopher_flags(text: Column, ntok: Column, charsum: Column): Column =
-    ext.TextAnalysis.gopherFlags(text, ntok, charsum)
+  def gopher_flags(
+      text: Column, toks: Column, ntok: Column, charsum: Column): Column =
+    ext.TextAnalysis.gopherFlags(text, toks, ntok, charsum)
 
   // ---- dataset hygiene (graft.ext.Splits) ----
   def assign_split(id: Column): Column = ext.Splits.assignSplit(id)

@@ -142,10 +142,11 @@ class TextAnalysisSpec extends SparkSpec {
       .toDF("id", "text")
     val out = docs
       .select(col("id"), col("text"),
-        TextAnalysis.tokenCount(col("text")).cast("long").as("ntok"),
+        TextAnalysis.tokens(col("text")).as("toks"),
         TextAnalysis.charSum(col("text")).cast("long").as("cs"))
       .select(col("id"),
-        TextAnalysis.gopherFlags(col("text"), col("ntok"), col("cs")).as("f"))
+        TextAnalysis.gopherFlags(col("text"), col("toks"),
+          size(col("toks")).cast("long"), col("cs")).as("f"))
       .select("id", "f.f_wordcount", "f.f_wordlen", "f.f_symbols",
         "f.f_bullet", "f.f_stopwords")
       .collect()
