@@ -191,6 +191,38 @@ object RelationalQueries {
         both.unionAll(co)
     },
 
+    // full outer join (completes the join-type matrix: inner/left/
+    // semi/anti/cross/as-of/range elsewhere): per-nation high-balance
+    // customer vs supplier counts — the acctbal filters make each side
+    // miss different nations, so both null-extension directions are
+    // exercised. Aggregate-then-join: the join runs on two tiny
+    // pre-aggregated frames, never on the raw tables.
+    Q(
+      "q31_full_outer",
+      """WITH c AS (SELECT c_nationkey AS nkey, count(*) AS n_cust
+        |  FROM customer WHERE c_acctbal > 9000 GROUP BY 1),
+        |s AS (SELECT s_nationkey AS nkey, count(*) AS n_supp
+        |  FROM supplier WHERE s_acctbal > 9000 GROUP BY 1)
+        |SELECT coalesce(c.nkey, s.nkey) AS nationkey,
+        |  coalesce(c.n_cust, 0) AS n_cust,
+        |  coalesce(s.n_supp, 0) AS n_supp
+        |FROM c FULL OUTER JOIN s ON c.nkey = s.nkey""".stripMargin) {
+      (s, dir) =>
+        val c = Tables.load(s, dir, "customer")
+          .where(col("c_acctbal") > 9000)
+          .groupBy(col("c_nationkey").as("ck"))
+          .agg(count(lit(1)).as("n_cust"))
+        val p = Tables.load(s, dir, "supplier")
+          .where(col("s_acctbal") > 9000)
+          .groupBy(col("s_nationkey").as("sk"))
+          .agg(count(lit(1)).as("n_supp"))
+        c.join(p, col("ck") === col("sk"), "full_outer")
+          .select(
+            coalesce(col("ck"), col("sk")).as("nationkey"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+    },
+
     // ---- JSON scalar extraction over the event stream table (§2.8 F4/F8
     // analog: get_json_object ≙ serde probing of args/event payloads) ----
     Q(
