@@ -320,20 +320,11 @@ object EventQueries {
         |FROM act a, d0 JOIN cohort c ON a.user_id = c.user_id
         |WHERE a.day - d0.day0 IN (0, 1, 3, 7, 14)
         |GROUP BY day_offset""".stripMargin) { (s, dir) =>
-      val act = Tables.load(s, dir, "events")
-        .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
-        .distinct()
-      val d0 = act.agg(min(col("day")).as("day0"))
-      val cohort = act
-        .crossJoin(broadcast(d0))
-        .where(col("day") === col("day0"))
-        .select("user_id")
-      act.crossJoin(broadcast(d0))
-        .withColumn("day_offset", col("day") - col("day0"))
-        .where(col("day_offset").isin(0L, 1L, 3L, 7L, 14L))
-        .join(cohort, Seq("user_id"), "left_semi")
-        .groupBy("day_offset")
-        .agg(countDistinct(col("user_id")).as("n_active"))
+      EventOps.retention(
+        Tables.load(s, dir, "events")
+          .select(col("user_id"),
+            expr("(ts div 1000) div 86400000000").as("day")),
+        "user_id", "day", Seq(0L, 1L, 3L, 7L, 14L))
     },
 
     // ordered-step funnel (ClickHouse `windowFunnel` shape): view →
@@ -361,26 +352,12 @@ object EventQueries {
         |            WHEN ta IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS steps,
         |  count(*) AS n_users
         |FROM c GROUP BY steps""".stripMargin) { (s, dir) =>
-      val winUs = 86400000000L
-      val e = Tables.load(s, dir, "events")
-        .select(col("user_id"), expr("ts div 1000").as("us"), col("event_type"))
-      val a = e.groupBy("user_id")
-        .agg(min(when(col("event_type") === "view", col("us"))).as("ta"))
-      val b = e.join(a, Seq("user_id"))
-        .groupBy(col("user_id"), col("ta"))
-        .agg(min(when(col("event_type") === "click" &&
-          col("us") > col("ta") && col("us") <= col("ta") + winUs,
-          col("us"))).as("tb"))
-      val c = e.join(b, Seq("user_id"))
-        .groupBy(col("user_id"), col("ta"), col("tb"))
-        .agg(min(when(col("event_type") === "purchase" &&
-          col("us") > col("tb") && col("us") <= col("ta") + winUs,
-          col("us"))).as("tc"))
-      c.select(
-        when(col("tc").isNotNull, 3L)
-          .when(col("tb").isNotNull, 2L)
-          .when(col("ta").isNotNull, 1L)
-          .otherwise(0L).as("steps"))
+      EventOps.funnel(
+        Tables.load(s, dir, "events")
+          .select(col("user_id"), expr("ts div 1000").as("us"),
+            col("event_type")),
+        "user_id", "us", "event_type",
+        Seq("view", "click", "purchase"), windowUs = 86400000000L)
         .groupBy("steps")
         .agg(count(lit(1)).as("n_users"))
     },
