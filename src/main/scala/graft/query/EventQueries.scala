@@ -376,6 +376,46 @@ object EventQueries {
         .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
     },
 
+    // correlated EXISTS through the SQL front-end (TPC-H Q4 shape) —
+    // Catalyst rewrites the subquery to a left-semi join; the identical
+    // SQL text runs on the oracle.
+    Q(
+      "q32_exists_subquery",
+      """SELECT o_orderpriority, count(*) AS n FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders_ex")
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem_ex")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n FROM orders_ex o
+          |WHERE EXISTS (SELECT 1 FROM lineitem_ex l
+          |  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+          |GROUP BY o_orderpriority""".stripMargin)
+    },
+
+    // RANGE-frame window (value-based frame — the ROWS-frame family is
+    // q5/q14): per-user rolling 10-minute sum on the µs cursor. Peers
+    // with equal order values enter the frame together on any engine;
+    // integer cents → exact.
+    Q(
+      "q33_range_frame",
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+        |  CAST(round(value*100) AS BIGINT) AS value_c FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(sum(value_c) OVER (PARTITION BY user_id ORDER BY us
+        |    RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS rolling_c
+        |FROM e""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-600000000L, Window.currentRow)
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("us"), cents(col("value")).as("value_c"))
+        .select(col("event_id"), col("user_id"),
+          sum(col("value_c")).over(w).as("rolling_c"))
+    },
+
     // correlated scalar subquery shape via join:
     Q(
       "q17_events_vs_user_avg",
