@@ -49,6 +49,102 @@ object EventOps {
     withAll.select(col(userCol), highest.as("steps"))
   }
 
+  /** One buffered step event: µs time + step index (−1 = a non-step
+    * event, kept only so user presence and the timeout horizon match
+    * the batch operator's view). */
+  final case class FunnelEvent(us: Long, step: Int)
+  final case class FunnelBuffer(events: Seq[FunnelEvent])
+
+  /** The funnel recurrence on a buffered event set (same definition the
+    * batch operator evaluates with aggregations): t₀ = earliest step-0
+    * time; tᵢ = earliest step-i time strictly after tᵢ₋₁ and within
+    * `windowUs` of t₀. Returns the highest completed step. */
+  private def foldFunnel(
+      events: Seq[FunnelEvent], nSteps: Int, windowUs: Long): Long = {
+    val byStep = events.groupBy(_.step)
+    byStep.get(0).map(_.map(_.us).min) match {
+      case None => 0L
+      case Some(t0) =>
+        var reached = 1L
+        var prev = t0
+        var i = 1
+        while (i < nSteps) {
+          byStep.getOrElse(i, Seq.empty)
+            .collect { case e if e.us > prev && e.us <= t0 + windowUs => e.us }
+            .minOption match {
+            case Some(t) => reached = i + 1L; prev = t; i += 1
+            case None => i = nSteps
+          }
+        }
+        reached
+    }
+  }
+
+  /** Streaming windowFunnel: per-user funnel evaluated with
+    * `flatMapGroupsWithState` + event-time timeout. Events buffer in
+    * keyed state until the watermark passes the funnel horizon (first
+    * anchor + window), then the batch recurrence folds the buffer and
+    * emits one `(user, steps)` row — so out-of-order arrival within the
+    * watermark `delay` cannot change the answer, and state per user is
+    * bounded by the events inside one funnel window + delay, not stream
+    * history. After an emission the same user's later events open a new
+    * funnel episode (append mode cannot retract) — set `delay` to cover
+    * the expected disorder.
+    *
+    * `tsCol` must be a TimestampType column; `userCol` a long key.
+    * Output: streaming Dataset of (userCol, steps).
+    */
+  def funnelStream(
+      events: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      steps: Seq[String], windowUs: Long, delay: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val n = steps.length
+    // step index as a column expression, and the WATERMARKED timestamp
+    // column carried through untransformed — an object-level .map would
+    // re-serialize the attributes and strip the event-time tag the
+    // EventTimeTimeout needs
+    val stepIdx = steps.zipWithIndex
+      .foldRight(lit(-1): Column) { case ((ty, i), acc) =>
+        when(col(typeCol) === ty, lit(i)).otherwise(acc)
+      }
+    events
+      .withWatermark(tsCol, delay)
+      .select(col(userCol).cast("long"), col(tsCol), stepIdx.cast("int"))
+      .as[(Long, java.sql.Timestamp, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelBuffer, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user, it, state) =>
+          if (state.hasTimedOut) {
+            val evs = state.getOption.map(_.events).getOrElse(Seq.empty)
+            state.remove()
+            Iterator.single((user, foldFunnel(evs, n, windowUs)))
+          } else {
+            val merged = state.getOption.map(_.events).getOrElse(Seq.empty) ++
+              it.map { t =>
+                val inst = t._2.toInstant
+                FunnelEvent(
+                  inst.getEpochSecond * 1000000L + inst.getNano / 1000L,
+                  t._3)
+              }
+            state.update(FunnelBuffer(merged))
+            // close when the watermark passes the funnel horizon: the
+            // first anchor + window when an anchor exists, else the
+            // latest buffered event + window (anchor may still arrive
+            // out of order inside the delay)
+            val horizonUs = merged.filter(_.step == 0).map(_.us).minOption
+              .getOrElse(merged.map(_.us).max) + windowUs
+            state.setTimeoutTimestamp(
+              math.max(horizonUs / 1000L + 1L,
+                state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+      }
+      .toDF(userCol, "steps")
+  }
+
   /** Cohort retention: users active on the earliest day of the frame,
     * re-counted at the given day offsets. `dayCol` must be an integer
     * day index (e.g. epoch-days). Output: (day_offset, n_active). */

@@ -43,6 +43,55 @@ class EventOpsSpec extends SparkSpec {
     assert(out === Map(1L -> 1L, 2L -> 0L))
   }
 
+  test("funnelStream equals the batch funnel on out-of-order input") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    // pseudo-random corpus: 20 users × ~12 events over types A/B/C/X
+    val rnd = new scala.util.Random(11)
+    val all = for {
+      u <- 0 until 20
+      i <- 0 until (6 + rnd.nextInt(7))
+    } yield (u.toLong,
+      1704067200000000L + rnd.nextInt(500) * 1000000L, // µs, 0–500 s
+      Seq("A", "B", "C", "X")(rnd.nextInt(4)))
+    val windowUs = 120L * 1000000L
+
+    val batch = EventOps.funnel(
+      all.toDF("user_id", "us", "ty"), "user_id", "us", "ty",
+      Seq("A", "B", "C"), windowUs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String)](
+        implicitly[org.apache.spark.sql.Encoder[(Long, Long, String)]],
+        spark)
+    val out = EventOps.funnelStream(
+      stream.toDS().toDF("user_id", "ts_us", "ty")
+        .withColumn("ts", timestamp_micros(col("ts_us"))),
+      "user_id", "ts", "ty", Seq("A", "B", "C"), windowUs,
+      delay = "600 seconds")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("funnel_out").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // shuffled halves: heavy cross-batch disorder, all inside the delay
+      val shuffled = rnd.shuffle(all)
+      val (h1, h2) = shuffled.splitAt(shuffled.size / 2)
+      stream.addData(h1); q.processAllAvailable()
+      stream.addData(h2); q.processAllAvailable()
+      // advance the watermark far past every horizon, then one more
+      // batch so the timeouts fire
+      stream.addData(Seq((999L, 1704067200000000L + 100000L * 1000000L, "X")))
+      q.processAllAvailable()
+      stream.addData(Seq((999L, 1704067200000000L + 100001L * 1000000L, "X")))
+      q.processAllAvailable()
+      val streamed = spark.table("funnel_out")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val users = all.map(_._1).toSet
+      assert(users.forall(u => streamed.get(u) == batch.get(u)),
+        s"stream=$streamed\nbatch=$batch")
+    } finally q.stop()
+  }
+
   test("retention: cohort = earliest day; offsets count distinct returners") {
     val act = Seq(
       (1L, 10L), (2L, 10L), (3L, 10L), // cohort: day 10
