@@ -288,6 +288,67 @@ object Dedup {
     out
   }
 
+  /** Span-level dedup TRANSFORM — the companion to [[dupSpanProfile]]
+    * that actually edits the corpus (Lee et al. 2022: dedupe spans, not
+    * documents): every token covered by a cross-document duplicate
+    * n-gram is cut, and the document reassembles from the surviving
+    * tokens in order. This drops ALL occurrences of a shared span (the
+    * aggressive boilerplate-removal variant; keep-one-copy needs a
+    * global tie-break pass on top).
+    *
+    * Same inverted-index shape as the profile, plus: a per-document
+    * ROWS-frame window marks tokens within n−1 positions of any dup-span
+    * start (coverage), and per-document reassembly is a bounded
+    * collect_list (bounded by document length — the one place a
+    * row-per-token frame must fold back to a row per document).
+    * Output: doc_id, clean_hash (md5 of the cleaned text), n_kept,
+    * n_removed.
+    */
+  def dedupSpans(
+      docs: DataFrame, idCol: String, textCol: String, n: Int = 8)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+    val tp = toks.select(col("doc_id"),
+      posexplode(col("t")).as(Seq("p", "tk")))
+    val grams = toks
+      .where(size(col("t")) >= n)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), size(col("t")) - (n - 1)),
+          i => md5(concat_ws(" ",
+            (0 until n).map(o => element_at(col("t"), i + o)): _*)
+            .cast("binary"))))
+          .as(Seq("q", "g")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    grams.count() // eager: shared + starts read it inside one action
+
+    val shared = grams
+      .dropDuplicates("doc_id", "g")
+      .groupBy("g").agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= 2)
+      .select("g")
+    val starts = grams
+      .join(shared, Seq("g"), "left_semi")
+      .select(col("doc_id"), col("q").as("p"), lit(1).as("st"))
+
+    val byDoc = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(-(n - 1), Window.currentRow)
+    tp.join(starts, Seq("doc_id", "p"), "left_outer")
+      .withColumn("st", coalesce(col("st"), lit(0)))
+      .withColumn("c", max(col("st")).over(byDoc))
+      .groupBy("doc_id")
+      .agg(
+        md5(array_join(
+          transform(
+            sort_array(collect_list(
+              when(col("c") === 0, struct(col("p"), col("tk"))))),
+            x => x.getField("tk")),
+          " ").cast("binary")).as("clean_hash"),
+        sum(when(col("c") === 0, 1L).otherwise(0L)).as("n_kept"),
+        sum(col("c").cast("long")).as("n_removed"))
+  }
+
   // ---- shingling --------------------------------------------------------
 
   /** Word w-shingles of a document (w consecutive tokens, space-joined). */

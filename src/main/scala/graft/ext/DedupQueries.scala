@@ -59,6 +59,47 @@ object DedupQueries {
         Tables.load(s, dir, "documents"), "doc_id", "text", n = 8)
     },
 
+    // span-level dedup transform: cut every token covered by a
+    // cross-document duplicate 8-gram, hash the cleaned text. The
+    // oracle replays positions/coverage with the same window and
+    // string_agg-in-position-order.
+    Q(
+      "d13_dedup_spans",
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents
+        |), pos AS (
+        |  SELECT unnest(generate_series(1,
+        |    (SELECT CAST(max(len(t)) AS INT) FROM tok))) AS i
+        |), tp AS (
+        |  SELECT doc_id, i - 1 AS p, t[i] AS tk FROM tok JOIN pos ON i <= len(t)
+        |), grams AS (
+        |  SELECT doc_id, i - 1 AS q, md5(array_to_string(t[i:i+7], ' ')) AS g
+        |  FROM tok JOIN pos ON i <= len(t) - 7
+        |), shared AS (
+        |  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd
+        |    FROM grams GROUP BY g) WHERE nd >= 2
+        |), starts AS (
+        |  SELECT doc_id, q FROM grams WHERE g IN (SELECT g FROM shared)
+        |), flags AS (
+        |  SELECT tp.doc_id, tp.p, tp.tk,
+        |    CASE WHEN s.q IS NOT NULL THEN 1 ELSE 0 END AS st
+        |  FROM tp LEFT JOIN starts s ON tp.doc_id = s.doc_id AND tp.p = s.q
+        |), cov AS (
+        |  SELECT doc_id, p, tk,
+        |    max(st) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS c
+        |  FROM flags
+        |)
+        |SELECT doc_id,
+        |  md5(coalesce(string_agg(tk, ' ' ORDER BY p) FILTER (WHERE c = 0), ''))
+        |    AS clean_hash,
+        |  CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(c) AS BIGINT) AS n_removed
+        |FROM cov GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.dedupSpans(
+        Tables.load(s, dir, "documents"), "doc_id", "text", n = 8)
+    },
+
     // MinHash+LSH near-dup pairs — sketch-based, Spark-specific hashes →
     // rows-only check; exactness covered by DedupSpec (planted dups).
     Q.noOracle("d3_minhash_neardup") { (s, dir) =>

@@ -129,6 +129,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out.contains(4L))
   }
 
+  test("dedupSpans cuts exactly the cross-document span, keeps the rest") {
+    val boiler = "one two three four five six seven eight" // 8 tokens
+    val docs = Seq(
+      (1L, s"alpha beta $boiler gamma delta"),
+      (2L, s"$boiler iota kappa"),
+      (3L, "completely unrelated twelve tokens here for the third document now ok"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(docs, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // the boilerplate span (and only it) disappears from both docs
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(out(1L) === ((md5hex("alpha beta gamma delta"), 4L, 8L)))
+    assert(out(2L) === ((md5hex("iota kappa"), 2L, 8L)))
+    assert(out(3L)._3 === 0L) // untouched doc: nothing removed
+    assert(out(3L)._2 === 11L)
+  }
+
   test("gopherFlags: each rule trips on its crafted violation") {
     val good = ("g", (1 to 60).map(i => s"word$i").mkString(" ") +
       " the of and in") // 64 tokens, sane lengths, stopwords present
