@@ -255,27 +255,41 @@ object Dedup {
     * the exact grouping — collision-free in practice either way.
     * Output: doc_id, n_spans, n_dup_spans (all long).
     */
-  def dupSpanProfile(
-      docs: DataFrame, idCol: String, textCol: String, n: Int = 8)
-      : DataFrame = {
-    val grams = docs
+  /** Position-level n-gram digest frame (doc_id, q 0-based start, g =
+    * md5 of the space-joined gram text), persisted SKINNY and eagerly
+    * populated (two consumers per caller). The digest definition is the
+    * oracle contract for d12 AND d13 — both operators must group on the
+    * bit-identical digest, which is why they share this one builder. */
+  private def positionalGrams(
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val g = docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
       .where(size(col("t")) >= n)
       .select(col("doc_id"),
-        explode(transform(
+        posexplode(transform(
           sequence(lit(1), size(col("t")) - (n - 1)),
           i => md5(concat_ws(" ",
-            (0 until n).map(o => element_at(col("t"), i + o)): _*).cast("binary"))))
-          .as("g"))
+            (0 until n).map(o => element_at(col("t"), i + o)): _*)
+            .cast("binary"))))
+          .as(Seq("q", "g")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    grams.count() // eager: two branches below read it inside one action
+    g.count() // eager: consumed by several branches of one action
+    g
+  }
 
-    val shared = grams
+  /** Digests occurring in ≥2 distinct documents (ids-only frame). */
+  private def sharedGrams(grams: DataFrame): DataFrame =
+    grams
       .dropDuplicates("doc_id", "g")
       .groupBy("g").agg(count(lit(1)).as("nd"))
       .where(col("nd") >= 2)
       .select("g")
 
+  def dupSpanProfile(
+      docs: DataFrame, idCol: String, textCol: String, n: Int = 8)
+      : DataFrame = {
+    val grams = positionalGrams(docs, idCol, textCol, n)
+    val shared = sharedGrams(grams)
     val perDoc = grams.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
     val dupPerDoc = grams
       .join(shared, Seq("g"), "left_semi")
@@ -308,26 +322,11 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String, n: Int = 8)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
-    val tp = toks.select(col("doc_id"),
-      posexplode(col("t")).as(Seq("p", "tk")))
-    val grams = toks
-      .where(size(col("t")) >= n)
-      .select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(1), size(col("t")) - (n - 1)),
-          i => md5(concat_ws(" ",
-            (0 until n).map(o => element_at(col("t"), i + o)): _*)
-            .cast("binary"))))
-          .as(Seq("q", "g")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    grams.count() // eager: shared + starts read it inside one action
-
-    val shared = grams
-      .dropDuplicates("doc_id", "g")
-      .groupBy("g").agg(count(lit(1)).as("nd"))
-      .where(col("nd") >= 2)
-      .select("g")
+    val tp = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("p", "tk")))
+    val grams = positionalGrams(docs, idCol, textCol, n)
+    val shared = sharedGrams(grams)
     val starts = grams
       .join(shared, Seq("g"), "left_semi")
       .select(col("doc_id"), col("q").as("p"), lit(1).as("st"))

@@ -254,11 +254,12 @@ object Similarity {
     // with a clear message instead
     val dimRow = base.agg(
       max(size(col("v"))), min(size(col("v"))),
-      sum(when(col("v").isNull, 1L).otherwise(0L))).head()
+      sum(when(col("v").isNull ||
+        exists(col("v"), _.isNull), 1L).otherwise(0L))).head()
     require(!dimRow.isNullAt(0), "pqBuild: empty or all-null vector input")
     val dim = dimRow.getInt(0)
     require(dimRow.getLong(2) == 0L,
-      "pqBuild: input contains null vectors — filter them first")
+      "pqBuild: input contains null vectors or null elements — filter first")
     require(dimRow.getInt(1) == dim,
       s"pqBuild: ragged vector dims (min ${dimRow.getInt(1)}, max $dim)")
     require(dim % m == 0, s"pqBuild: dim $dim not divisible by m=$m")

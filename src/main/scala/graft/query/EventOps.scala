@@ -49,31 +49,38 @@ object EventOps {
     withAll.select(col(userCol), highest.as("steps"))
   }
 
-  /** One buffered step event: µs time + step index (−1 = a non-step
-    * event, kept only so user presence and the timeout horizon match
-    * the batch operator's view). */
-  final case class FunnelEvent(us: Long, step: Int)
-  final case class FunnelBuffer(events: Seq[FunnelEvent])
+  /** One buffered step-relevant event: µs time + index into the
+    * DISTINCT step-type list (a repeated step type — legal, as in
+    * ClickHouse windowFunnel — maps every matching event to one type
+    * index that several funnel positions may consume). */
+  final case class FunnelEvent(us: Long, ty: Int)
+
+  /** Keyed funnel state: buffered step events + the latest event time
+    * seen (step-relevant or not — non-step events are NOT buffered,
+    * they only advance the horizon and mark user presence). */
+  final case class FunnelBuffer(events: Seq[FunnelEvent], maxUs: Long)
 
   /** The funnel recurrence on a buffered event set (same definition the
-    * batch operator evaluates with aggregations): t₀ = earliest step-0
-    * time; tᵢ = earliest step-i time strictly after tᵢ₋₁ and within
-    * `windowUs` of t₀. Returns the highest completed step. */
+    * batch operator evaluates with aggregations): t₀ = earliest time of
+    * the step-0 TYPE; tᵢ = earliest step-i-type time strictly after
+    * tᵢ₋₁ and within `windowUs` of t₀. Returns the highest completed
+    * step. `stepTypes(i)` is step i's index into the distinct-type
+    * list. */
   private def foldFunnel(
-      events: Seq[FunnelEvent], nSteps: Int, windowUs: Long): Long = {
-    val byStep = events.groupBy(_.step)
-    byStep.get(0).map(_.map(_.us).min) match {
+      events: Seq[FunnelEvent], stepTypes: Seq[Int], windowUs: Long): Long = {
+    val byType = events.groupBy(_.ty)
+    byType.get(stepTypes.head).map(_.map(_.us).min) match {
       case None => 0L
       case Some(t0) =>
         var reached = 1L
         var prev = t0
         var i = 1
-        while (i < nSteps) {
-          byStep.getOrElse(i, Seq.empty)
+        while (i < stepTypes.length) {
+          byType.getOrElse(stepTypes(i), Seq.empty)
             .collect { case e if e.us > prev && e.us <= t0 + windowUs => e.us }
             .minOption match {
             case Some(t) => reached = i + 1L; prev = t; i += 1
-            case None => i = nSteps
+            case None => i = stepTypes.length
           }
         }
         reached
@@ -100,18 +107,21 @@ object EventOps {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
-    val n = steps.length
-    // step index as a column expression, and the WATERMARKED timestamp
+    // distinct-type indices so a repeated step type (steps = A,B,A)
+    // matches the batch operator, which re-matches the type per pass
+    val distinctTypes = steps.distinct
+    val stepTypes = steps.map(distinctTypes.indexOf)
+    // type index as a column expression, and the WATERMARKED timestamp
     // column carried through untransformed — an object-level .map would
     // re-serialize the attributes and strip the event-time tag the
     // EventTimeTimeout needs
-    val stepIdx = steps.zipWithIndex
+    val typeIdx = distinctTypes.zipWithIndex
       .foldRight(lit(-1): Column) { case ((ty, i), acc) =>
         when(col(typeCol) === ty, lit(i)).otherwise(acc)
       }
     events
       .withWatermark(tsCol, delay)
-      .select(col(userCol).cast("long"), col(tsCol), stepIdx.cast("int"))
+      .select(col(userCol).cast("long"), col(tsCol), typeIdx.cast("int"))
       .as[(Long, java.sql.Timestamp, Int)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[FunnelBuffer, (Long, Long)](
@@ -120,22 +130,27 @@ object EventOps {
           if (state.hasTimedOut) {
             val evs = state.getOption.map(_.events).getOrElse(Seq.empty)
             state.remove()
-            Iterator.single((user, foldFunnel(evs, n, windowUs)))
+            Iterator.single((user, foldFunnel(evs, stepTypes, windowUs)))
           } else {
-            val merged = state.getOption.map(_.events).getOrElse(Seq.empty) ++
-              it.map { t =>
-                val inst = t._2.toInstant
-                FunnelEvent(
-                  inst.getEpochSecond * 1000000L + inst.getNano / 1000L,
-                  t._3)
-              }
-            state.update(FunnelBuffer(merged))
+            val prev = state.getOption.getOrElse(FunnelBuffer(Seq.empty, 0L))
+            var maxUs = prev.maxUs
+            val fresh = it.flatMap { t =>
+              val inst = t._2.toInstant
+              val us = inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+              if (us > maxUs) maxUs = us
+              // only step-relevant events buffer — non-step traffic
+              // contributes presence + horizon via maxUs alone, so
+              // state scales with funnel traffic, not total traffic
+              if (t._3 >= 0) Some(FunnelEvent(us, t._3)) else None
+            }.toSeq
+            val merged = prev.events ++ fresh
+            state.update(FunnelBuffer(merged, maxUs))
             // close when the watermark passes the funnel horizon: the
             // first anchor + window when an anchor exists, else the
-            // latest buffered event + window (anchor may still arrive
-            // out of order inside the delay)
-            val horizonUs = merged.filter(_.step == 0).map(_.us).minOption
-              .getOrElse(merged.map(_.us).max) + windowUs
+            // latest event + window (an anchor may still arrive out of
+            // order inside the delay)
+            val horizonUs = merged.filter(_.ty == stepTypes.head)
+              .map(_.us).minOption.getOrElse(maxUs) + windowUs
             state.setTimeoutTimestamp(
               math.max(horizonUs / 1000L + 1L,
                 state.getCurrentWatermarkMs() + 1L))

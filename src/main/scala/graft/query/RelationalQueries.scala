@@ -203,7 +203,7 @@ object RelationalQueries {
         |  FROM customer WHERE c_acctbal > 9000 GROUP BY 1),
         |s AS (SELECT s_nationkey AS nkey, count(*) AS n_supp
         |  FROM supplier WHERE s_acctbal > 9000 GROUP BY 1)
-        |SELECT coalesce(c.nkey, s.nkey) AS nationkey,
+        |SELECT CAST(coalesce(c.nkey, s.nkey) AS BIGINT) AS nationkey,
         |  coalesce(c.n_cust, 0) AS n_cust,
         |  coalesce(s.n_supp, 0) AS n_supp
         |FROM c FULL OUTER JOIN s ON c.nkey = s.nkey""".stripMargin) {
@@ -218,7 +218,9 @@ object RelationalQueries {
           .agg(count(lit(1)).as("n_supp"))
         c.join(p, col("ck") === col("sk"), "full_outer")
           .select(
-            coalesce(col("ck"), col("sk")).as("nationkey"),
+            // int64 out per the oracle-output discipline (nationkey is
+            // int32 in the parquet)
+            coalesce(col("ck"), col("sk")).cast("long").as("nationkey"),
             coalesce(col("n_cust"), lit(0L)).as("n_cust"),
             coalesce(col("n_supp"), lit(0L)).as("n_supp"))
     },

@@ -36,6 +36,18 @@ class EventOpsSpec extends SparkSpec {
       5L -> 2L, 6L -> 1L, 7L -> 2L))
   }
 
+  test("funnel: repeated step types re-match per pass (A→B→A)") {
+    val events = Seq(
+      (1L, 0L, "A"), (1L, 10L, "B"), (1L, 20L, "A"), // full A→B→A → 3
+      (2L, 0L, "A"), (2L, 10L, "B"), // no second A → 2
+      (3L, 0L, "A"), (3L, 10L, "A")) // A then A but no B between → 1
+      .toDF("user_id", "us", "ty")
+    val out = EventOps
+      .funnel(events, "user_id", "us", "ty", Seq("A", "B", "A"), W)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
+  }
+
   test("funnel: single-step degenerates to presence") {
     val events = Seq((1L, 0L, "A"), (2L, 0L, "B")).toDF("user_id", "us", "ty")
     val out = EventOps.funnel(events, "user_id", "us", "ty", Seq("A"), W)
@@ -55,10 +67,13 @@ class EventOpsSpec extends SparkSpec {
       1704067200000000L + rnd.nextInt(500) * 1000000L, // µs, 0–500 s
       Seq("A", "B", "C", "X")(rnd.nextInt(4)))
     val windowUs = 120L * 1000000L
+    // repeated step type on purpose: the stream's distinct-type mapping
+    // must re-match A for both funnel positions, like the batch passes
+    val funnelSteps = Seq("A", "B", "A")
 
     val batch = EventOps.funnel(
       all.toDF("user_id", "us", "ty"), "user_id", "us", "ty",
-      Seq("A", "B", "C"), windowUs)
+      funnelSteps, windowUs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
     val stream = org.apache.spark.sql.execution.streaming.runtime
@@ -68,7 +83,7 @@ class EventOpsSpec extends SparkSpec {
     val out = EventOps.funnelStream(
       stream.toDS().toDF("user_id", "ts_us", "ty")
         .withColumn("ts", timestamp_micros(col("ts_us"))),
-      "user_id", "ts", "ty", Seq("A", "B", "C"), windowUs,
+      "user_id", "ts", "ty", funnelSteps, windowUs,
       delay = "600 seconds")
     val q = out.writeStream.outputMode("append").format("memory")
       .queryName("funnel_out").trigger(Trigger.ProcessingTime(0)).start()
