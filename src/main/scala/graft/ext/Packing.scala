@@ -27,6 +27,33 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Overlapping sliding-window chunking (the RAG/embedding chunker):
+    * each document yields windows of `chunkSize` tokens starting every
+    * `stride` tokens (overlap = chunkSize − stride); the final window
+    * clamps at the document end. Pure explode + projection — no
+    * shuffle; chunk identity is the md5 of the space-joined window so
+    * chunk-level dedup/lineage works downstream. Output: idCol,
+    * chunk_idx, chunk_hash, n_tokens. */
+  def chunkOverlap(
+      docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(stride > 0 && chunkSize >= stride,
+      s"chunkOverlap: need 0 < stride <= chunkSize (got $stride, $chunkSize)")
+    docs
+      .select(col(idCol), split(trim(col(textCol)), " +").as("_t"))
+      .where(size(col("_t")) > 0)
+      .select(col(idCol), col("_t"),
+        explode(sequence(lit(0),
+          floor((size(col("_t")) - 1) / lit(stride)).cast("int")))
+          .as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        slice(col("_t"), (col("chunk_idx") * stride + 1).cast("int"),
+          lit(chunkSize)).as("_c"))
+      .select(col(idCol), col("chunk_idx"),
+        md5(array_join(col("_c"), " ").cast("binary")).as("chunk_hash"),
+        size(col("_c")).cast("long").as("n_tokens"))
+  }
+
   /** Per-document chunk assignment. Output: idCol, n_tokens,
     * chunk_start, chunk_end (all long). Documents with zero tokens are
     * assigned the zero-width range starting at the next boundary

@@ -301,6 +301,27 @@ object TextQueries {
       tfidfTopTerms(Tables.load(s, dir, "documents"), "doc_id", "text", k = 3)
     },
 
+    // overlapping sliding-window chunking (RAG/embedding chunker):
+    // 64-token windows every 48 tokens, final window clamped; chunk
+    // hashes give chunk-level identity. Both engines clamp slices past
+    // the array end, so the oracle replays the windows exactly.
+    Q(
+      "t16_chunk_overlap",
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents
+        |), k AS (
+        |  SELECT unnest(generate_series(0,
+        |    (SELECT CAST(max((len(t) - 1) // 48) AS INT) FROM tok))) AS k
+        |)
+        |SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+        |  md5(array_to_string(t[k*48+1:k*48+64], ' ')) AS chunk_hash,
+        |  CAST(len(t[k*48+1:k*48+64]) AS BIGINT) AS n_tokens
+        |FROM tok JOIN k ON k <= (len(t) - 1) // 48""".stripMargin) { (s, dir) =>
+      Packing.chunkOverlap(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 64, stride = 48)
+    },
+
     // temperature-based domain mixing (α=0.5 resampler): the corpus's
     // sources are uniform, so a skewed 60/30/10 domain is derived from
     // doc_id — deterministically, on both engines — and the mixer's

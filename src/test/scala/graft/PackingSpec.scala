@@ -49,6 +49,24 @@ class PackingSpec extends SparkSpec {
     assert(rows.last._3 == (cum - 1) / 128)
   }
 
+  test("chunkOverlap: strided windows tile with overlap, last clamps") {
+    import graft.ext.Packing
+    // 10 tokens, chunkSize 4, stride 3 → starts 0,3,6,9
+    val docs = Seq((1L, (0 until 10).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Packing.chunkOverlap(docs, "doc_id", "text", 4, 3)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "n_tokens").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((0L, 4L), (1L, 4L), (2L, 4L), (3L, 1L)))
+    // consecutive chunks overlap by chunkSize - stride = 1 token; every
+    // token appears in at least one chunk (coverage)
+    val covered = out.map { case (k, n) => (k * 3, k * 3 + n) }
+    assert(covered.head._1 == 0 && covered.last._2 == 10)
+    covered.sliding(2).foreach { case Array((_, e), (s2, _)) =>
+      assert(s2 < e, "gap between consecutive chunks")
+    }
+  }
+
   test("empty-token docs are dropped, not mis-ranged") {
     val df = Seq((1L, 5), (2L, 0), (3L, 7)).toDF("doc_id", "ntok")
     val out = Packing.packChunks(df, "doc_id", "ntok", 4L, 2L)
