@@ -79,6 +79,36 @@ object SimilarityQueries {
       Similarity.pqTopK(idx, queryVec(s, dir), k = 10)
     },
 
+    // end-to-end RAG indexing composition: overlapping chunking →
+    // per-chunk embedding (deterministic hash-derived stand-in — the
+    // container has no embedding model, but the pipeline shape is the
+    // real one: embed is a pure projection over chunks) → exact top-k
+    // retrieval of similar chunks for a query chunk. Engine-specific
+    // hashes → rows-only; the pieces carry their own oracles/specs
+    // (t16, s1).
+    Q.noOracle("s8_rag_pipeline") { (s, dir) =>
+      val dims = 16
+      def embed(c: org.apache.spark.sql.Column) = array(
+        (0 until dims).map(d =>
+          (xxhash64(c, lit(d)) % 1000L).cast("double") / 1000.0): _*)
+      val chunks = Packing
+        .chunkOverlap(Tables.load(s, dir, "documents"), "doc_id", "text",
+          chunkSize = 64, stride = 48)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_hash"),
+          embed(col("chunk_hash")).as("embedding"))
+      val q = chunks
+        .where(col("doc_id") === 0 && col("chunk_idx") === 0)
+        .select("embedding").head().getSeq[Double](0).map(_.toFloat)
+      Similarity
+        .cosineTopK(
+          chunks.withColumn("id",
+            col("doc_id") * 1000 + col("chunk_idx")),
+          "id", "embedding", q, k = 10)
+        .select(expr("id div 1000").as("doc_id"),
+          expr("id % 1000").as("chunk_idx"),
+          round(col("cos_sim") * 1000000).cast("long").as("cos_e6"))
+    },
+
     // corpus clustering for data curation (semantic buckets for mixing /
     // diversity sampling): the IVF k-means assignment re-used as the
     // product. Per-cluster membership profile; seeded-float k-means →
