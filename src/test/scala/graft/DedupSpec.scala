@@ -104,6 +104,24 @@ class DedupSpec extends SparkSpec {
     val codes = pq.encoded.collect()
     assert(codes.length == vecs.length)
     assert(codes.forall(_.getSeq[Int](1).forall(c => c >= 0 && c < 16)))
+
+    // fail-fast guards: ragged dims, null elements, mismatched query
+    val ragged = df.limit(2).select(col("vec_id"),
+      when(col("vec_id") === 0L, slice(col("embedding"), 1, 32))
+        .otherwise(col("embedding")).as("embedding"))
+    assertThrows[IllegalArgumentException] {
+      Similarity.pqBuild(ragged, "vec_id", "embedding")
+    }
+    val withNullElem = df.limit(2).select(col("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(col("vec_id") === 0L && i === 0, lit(null))
+          .otherwise(x)).as("embedding"))
+    assertThrows[IllegalArgumentException] {
+      Similarity.pqBuild(withNullElem, "vec_id", "embedding")
+    }
+    assertThrows[IllegalArgumentException] {
+      Similarity.pqTopK(pq, query.take(32), 8)
+    }
   }
 
   test("cosineNearDupPairs finds planted high-cosine pairs, skips unrelated") {

@@ -107,6 +107,45 @@ class EventOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelStream: a user re-appearing after emission opens a new episode") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = 1704067200000000L
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String)](
+        implicitly[org.apache.spark.sql.Encoder[(Long, Long, String)]],
+        spark)
+    val out = EventOps.funnelStream(
+      stream.toDS().toDF("user_id", "ts_us", "ty")
+        .withColumn("ts", timestamp_micros(col("ts_us"))),
+      "user_id", "ts", "ty", Seq("A", "B"), windowUs = 60L * 1000000L,
+      delay = "30 seconds")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("episode_out").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // episode 1: A then B inside the window
+      stream.addData(Seq((1L, base, "A"), (1L, base + 10000000L, "B")))
+      q.processAllAvailable()
+      // advance watermark far past episode 1's horizon → emit (1, 2)
+      stream.addData(Seq((9L, base + 500L * 1000000L, "X")))
+      q.processAllAvailable()
+      stream.addData(Seq((9L, base + 501L * 1000000L, "X")))
+      q.processAllAvailable()
+      // episode 2: the same user returns with only an A
+      stream.addData(Seq((1L, base + 600L * 1000000L, "A")))
+      q.processAllAvailable()
+      stream.addData(Seq((9L, base + 1200L * 1000000L, "X")))
+      q.processAllAvailable()
+      stream.addData(Seq((9L, base + 1201L * 1000000L, "X")))
+      q.processAllAvailable()
+      val rows = spark.table("episode_out")
+        .where(col("user_id") === 1L)
+        .select("steps").collect().map(_.getLong(0)).sorted.toSeq
+      // one row per episode, each folded over its own events only
+      assert(rows == Seq(1L, 2L), rows.toString)
+    } finally q.stop()
+  }
+
   test("retention: cohort = earliest day; offsets count distinct returners") {
     val act = Seq(
       (1L, 10L), (2L, 10L), (3L, 10L), // cohort: day 10
