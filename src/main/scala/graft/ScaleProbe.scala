@@ -17,26 +17,30 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
     graft.query.Tables.configure(spark)
     val docs1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("doc_id"), col("text"))
     // 10x: replicate with distinct ids and a per-copy suffix token so
-    // copies are near-dup but not byte-identical
-    val docs10 = (0 until 10).map { r =>
+    // copies are near-dup but not byte-identical. Materialized to
+    // parquet so BOTH scales read from disk under identical conditions
+    // — a cached 10x frame would be wiped by the per-op clearCache()
+    // and silently re-derived inside whichever timing ran next.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-scale").toString
+    (0 until 10).map { r =>
       docs1.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"),
         concat(col("text"), lit(s" copytag$r")).as("text"))
-    }.reduce(_ unionByName _).repartition(32).cache()
+    }.reduce(_ unionByName _).repartition(32)
+      .write.mode("overwrite").parquet(tmp)
+    val docs10 = spark.read.parquet(tmp)
     println(s"docs10 = ${docs10.count()}")
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val n = f
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s  rows=$n")
+      spark.catalog.clearCache() // drop operator-internal persists
     }
-    for ((label, d) <- Seq(("1x(5k)", docs1.select(col("doc_id"), col("text"))), ("10x(50k)", docs10))) {
+    for ((label, d) <- Seq(("1x(5k)", docs1), ("10x(50k)", docs10))) {
       time(s"$label dupSpanProfile") { graft.ext.Dedup.dupSpanProfile(d, "doc_id", "text").count() }
-      spark.catalog.clearCache(); if (label.startsWith("10x")) docs10.cache().count()
       time(s"$label minhashPairs") { graft.ext.Dedup.minhashPairs(d, "doc_id", "text", 0.5).count() }
-      spark.catalog.clearCache(); if (label.startsWith("10x")) docs10.cache().count()
       time(s"$label tfidfTopTerms") { graft.ext.TextAnalysis.tfidfTopTerms(d, "doc_id", "text").count() }
-      spark.catalog.clearCache(); if (label.startsWith("10x")) docs10.cache().count()
       time(s"$label dedupSpans") { graft.ext.Dedup.dedupSpans(d, "doc_id", "text").count() }
-      spark.catalog.clearCache(); if (label.startsWith("10x")) docs10.cache().count()
     }
     spark.stop()
   }

@@ -40,8 +40,11 @@ object Packing {
     require(stride > 0 && chunkSize >= stride,
       s"chunkOverlap: need 0 < stride <= chunkSize (got $stride, $chunkSize)")
     docs
-      .select(col(idCol), split(trim(col(textCol)), " +").as("_t"))
-      .where(size(col("_t")) > 0)
+      // length guard, not size: split(trim(""), " +") is [""] (size 1),
+      // so a size>0 filter would pass empty docs through as a phantom
+      // md5("") chunk
+      .where(length(trim(col(textCol))) > 0)
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_t"))
       .select(col(idCol), col("_t"),
         explode(sequence(lit(0),
           floor((size(col("_t")) - 1) / lit(stride)).cast("int")))

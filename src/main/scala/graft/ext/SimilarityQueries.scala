@@ -99,13 +99,15 @@ object SimilarityQueries {
       val q = chunks
         .where(col("doc_id") === 0 && col("chunk_idx") === 0)
         .select("embedding").head().getSeq[Double](0).map(_.toFloat)
+      // composite id: 1e6 chunks/doc headroom (= a 48M-token document
+      // before collision; doc_id up to ~9.2e12 stays in Long range)
       Similarity
         .cosineTopK(
           chunks.withColumn("id",
-            col("doc_id") * 1000 + col("chunk_idx")),
+            col("doc_id") * 1000000L + col("chunk_idx")),
           "id", "embedding", q, k = 10)
-        .select(expr("id div 1000").as("doc_id"),
-          expr("id % 1000").as("chunk_idx"),
+        .select(expr("id div 1000000").as("doc_id"),
+          expr("id % 1000000").as("chunk_idx"),
           round(col("cos_sim") * 1000000).cast("long").as("cos_e6"))
     },
 

@@ -309,6 +309,7 @@ object TextQueries {
       "t16_chunk_overlap",
       """WITH tok AS (
         |  SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents
+        |  WHERE length(trim(text)) > 0
         |), k AS (
         |  SELECT unnest(generate_series(0,
         |    (SELECT CAST(max((len(t) - 1) // 48) AS INT) FROM tok))) AS k
