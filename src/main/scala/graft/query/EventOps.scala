@@ -21,25 +21,44 @@ object EventOps {
     * `windowUs` of the FIRST step's match (ClickHouse windowFunnel
     * semantics). One aggregation pass per step; NULL propagation does
     * the gating (a missed step makes every later `when` null).
+    *
+    * Lazy-plan caveat: pass i+1 joins events against pass i's output,
+    * so the unpinned plan re-derives earlier passes from the raw events
+    * — ~2^steps event scans for a `steps`-long funnel (6 scans measured
+    * for 3 steps). At benchmark scale that is CHEAPER than the
+    * alternative (measured 0.4 s vs 1.4 s: three extra job barriers +
+    * cache builds dominate re-scanning a small pushed-down projection),
+    * so pinning is opt-in: set `pinPasses = true` when the events scan
+    * is expensive enough (petabyte inputs, wide funnels) that one scan
+    * per pass beats barrier latency — the per-user intermediates are
+    * one row per user, so the persists themselves are tiny.
     * Output: (userCol, steps long).
     */
   def funnel(
       events: DataFrame, userCol: String, tsCol: String, typeCol: String,
-      steps: Seq[String], windowUs: Long): DataFrame = {
+      steps: Seq[String], windowUs: Long,
+      pinPasses: Boolean = false): DataFrame = {
     require(steps.nonEmpty, "funnel: at least one step")
     val e = events.select(
       col(userCol), col(tsCol).as("_us"), col(typeCol).as("_ty"))
-    val first = e.groupBy(userCol)
-      .agg(min(when(col("_ty") === steps.head, col("_us"))).as("_t0"))
+    def pin(df: DataFrame): DataFrame =
+      if (!pinPasses) df
+      else {
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count() // eager: consumed as a join side of the NEXT pass
+        p
+      }
+    val first = pin(e.groupBy(userCol)
+      .agg(min(when(col("_ty") === steps.head, col("_us"))).as("_t0")))
     val withAll = steps.zipWithIndex.drop(1).foldLeft(first) {
       case (acc, (step, i)) =>
         val prev = col(s"_t${i - 1}")
         val carried = (0 until i).map(j => col(s"_t$j"))
-        e.join(acc, Seq(userCol))
+        pin(e.join(acc, Seq(userCol))
           .groupBy(col(userCol) +: carried: _*)
           .agg(min(when(col("_ty") === step &&
             col("_us") > prev && col("_us") <= col("_t0") + windowUs,
-            col("_us"))).as(s"_t$i"))
+            col("_us"))).as(s"_t$i")))
     }
     // highest completed step: the fold leaves the DEEPEST step's check
     // outermost (i ascending, each new `when` wraps the accumulator)

@@ -330,11 +330,11 @@ object EventQueries {
     // ordered-step funnel (ClickHouse `windowFunnel` shape): view →
     // click → purchase, every step within 24 h of the FIRST step, each
     // step strictly after the previous. Three groupBy-user aggregation
-    // passes — all hash-partitioned on user_id, so after the first
-    // shuffle the exchange is reused; no per-user event collection, so
-    // a power-user with millions of events costs aggregation, not
-    // memory. NULL propagation does the step gating: a missing step-1
-    // makes the step-2 `when` null → min(null)=null → steps tops out.
+    // passes; no per-user event collection, so a power-user with
+    // millions of events costs aggregation, not memory. NULL
+    // propagation does the step gating: a missing step-1 makes the
+    // step-2 `when` null → min(null)=null → steps tops out. (See
+    // EventOps.funnel's scaladoc for the pinPasses scan/barrier trade.)
     Q(
       "q29_funnel",
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),

@@ -48,6 +48,22 @@ class EventOpsSpec extends SparkSpec {
     assert(out === Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
   }
 
+  test("funnel: pinPasses=true is plan-only (same results)") {
+    val events = Seq(
+      (1L, 0L, "A"), (1L, 10L, "B"), (1L, 20L, "C"),
+      (2L, 5L, "B"), (2L, 10L, "A"),
+      (3L, 0L, "A"), (3L, 101L, "B")).toDF("user_id", "us", "ty")
+    val lazyR = EventOps
+      .funnel(events, "user_id", "us", "ty", Seq("A", "B", "C"), W)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val pinned = EventOps
+      .funnel(events, "user_id", "us", "ty", Seq("A", "B", "C"), W,
+        pinPasses = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(lazyR == pinned)
+    spark.catalog.clearCache()
+  }
+
   test("funnel: single-step degenerates to presence") {
     val events = Seq((1L, 0L, "A"), (2L, 0L, "B")).toDF("user_id", "us", "ty")
     val out = EventOps.funnel(events, "user_id", "us", "ty", Seq("A"), W)
