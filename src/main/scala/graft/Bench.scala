@@ -31,10 +31,23 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> math.min(timeOnce(fn), timeOnce(fn))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The harness that collects this output keeps only the LAST ~2000
+    // characters of stdout (observed rounds 1-2: the head of a full-name
+    // per-query line was truncated away, losing the headline value). So:
+    //  - stdout gets ONE compact line that fits the window: query keys are
+    //    the unique family prefix before the first '_' (d1, q14, t11 ...;
+    //    full-name mapping documented in BASELINE.md), seconds rounded to ms
+    //  - the full-name timings go to BENCH_FULL.json alongside the repo
+    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    val shortQs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$shortQs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -78,7 +78,7 @@ object Main {
             nativeSource = native))
       case "transactions" =>
         val start = explicitFrom
-          .orElse(BlockStream.backfillCut(outDir))
+          .orElse(BlockStream.backfillCut(spark, outDir))
           .getOrElse(Long.MinValue)
         awaitAll(
           BlockStream.runBlocksPipeline(

@@ -23,7 +23,8 @@ object ScaleProbe {
     // parquet so BOTH scales read from disk under identical conditions
     // — a cached 10x frame would be wiped by the per-op clearCache()
     // and silently re-derived inside whichever timing ran next.
-    val tmp = java.nio.file.Files.createTempDirectory("graft-scale").toString
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft-scale")
+    val tmp = tmpDir.toString
     (0 until 10).map { r =>
       docs1.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"),
         concat(col("text"), lit(s" copytag$r")).as("text"))
@@ -36,12 +37,20 @@ object ScaleProbe {
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s  rows=$n")
       spark.catalog.clearCache() // drop operator-internal persists
     }
-    for ((label, d) <- Seq(("1x(5k)", docs1), ("10x(50k)", docs10))) {
-      time(s"$label dupSpanProfile") { graft.ext.Dedup.dupSpanProfile(d, "doc_id", "text").count() }
-      time(s"$label minhashPairs") { graft.ext.Dedup.minhashPairs(d, "doc_id", "text", 0.5).count() }
-      time(s"$label tfidfTopTerms") { graft.ext.TextAnalysis.tfidfTopTerms(d, "doc_id", "text").count() }
-      time(s"$label dedupSpans") { graft.ext.Dedup.dedupSpans(d, "doc_id", "text").count() }
+    try {
+      for ((label, d) <- Seq(("1x(5k)", docs1), ("10x(50k)", docs10))) {
+        time(s"$label dupSpanProfile") { graft.ext.Dedup.dupSpanProfile(d, "doc_id", "text").count() }
+        time(s"$label minhashPairs") { graft.ext.Dedup.minhashPairs(d, "doc_id", "text", 0.5).count() }
+        time(s"$label tfidfTopTerms") { graft.ext.TextAnalysis.tfidfTopTerms(d, "doc_id", "text").count() }
+        time(s"$label dedupSpans") { graft.ext.Dedup.dedupSpans(d, "doc_id", "text").count() }
+      }
+    } finally {
+      spark.stop()
+      // the 10x corpus is ~10x the sf0.1 documents table on disk — clean up
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      Files.walk(tmpDir).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
     }
-    spark.stop()
   }
 }

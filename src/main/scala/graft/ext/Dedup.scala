@@ -100,10 +100,12 @@ object Dedup {
     var labels: DataFrame = labels0
     // labels only ever DECREASE, so the label sum strictly decreases
     // until the fixpoint — convergence is one cheap agg per round, not a
-    // change-detection join
-    def lblSum(df: DataFrame): Long = {
-      val r = df.agg(sum(col("lbl"))).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0)
+    // change-detection join. Summed as decimal(38,0): hashed string ids
+    // are uniform full-range longs, and a Long sum over those overflows
+    // (ANSI mode -> ArithmeticException mid-loop); decimal is exact.
+    def lblSum(df: DataFrame): BigDecimal = {
+      val r = df.agg(sum(col("lbl").cast("decimal(38,0)"))).head()
+      if (r.isNullAt(0)) BigDecimal(0) else BigDecimal(r.getDecimal(0))
     }
     def step(ls: DataFrame): DataFrame = {
       val nbrMin = edges

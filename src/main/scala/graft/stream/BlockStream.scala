@@ -288,21 +288,30 @@ object BlockStream {
           step = bucketStep)
       }
       val c = cut()
-      val dir = java.nio.file.Paths.get(outDir, "_backfill_cut")
-      java.nio.file.Files.createDirectories(dir)
-      java.nio.file.Files.write(dir.resolve("cut"),
-        c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // the cut lives next to the tables, via the SAME filesystem layer
+      // the table writes use — outDir may be hdfs:// or s3a://, where
+      // java.nio local-file APIs would misplace it and break auto-resume
+      val f = cutPath(outDir)
+      val fs = f.getFileSystem(spark.sessionState.newHadoopConf())
+      val os = fs.create(f, true)
+      try os.write(c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally os.close()
       c
     } finally txs.unpersist()
   }
 
+  private def cutPath(outDir: String) =
+    new org.apache.hadoop.fs.Path(outDir, "_backfill_cut/cut")
+
   /** The replay cut recorded by the last [[runBackfill]], if any. */
-  def backfillCut(outDir: String): Option[Long] = {
-    val f = java.nio.file.Paths.get(outDir, "_backfill_cut", "cut")
-    if (java.nio.file.Files.exists(f))
-      Some(new String(java.nio.file.Files.readAllBytes(f),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
-    else None
+  def backfillCut(spark: SparkSession, outDir: String): Option[Long] = {
+    val f = cutPath(outDir)
+    val fs = f.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(f)) {
+      val in = fs.open(f)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+      finally in.close()
+    } else None
   }
 
   /** blocks-table pipeline (stateless header projection). */

@@ -38,7 +38,7 @@ class BackfillSpec extends SparkSpec {
     spark.createDataset(blocks.take(8))(encoder)
       .toDF().coalesce(1).write.mode("append").json(in)
     val cut = BlockStream.runBackfill(spark, in, outSplit)
-    assert(BlockStream.backfillCut(outSplit) === Some(cut))
+    assert(BlockStream.backfillCut(spark, outSplit) === Some(cut))
     // the cut is inside the range: something was pending at the split
     assert(cut <= blocks(7).block.header.height)
 

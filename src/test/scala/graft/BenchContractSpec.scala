@@ -1,0 +1,28 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench harness keeps only the last ~2000 characters of stdout, so the
+  * one-line JSON Bench prints must fit that window even after the sbt footer
+  * (~110 chars) is appended. Guards the compact-key scheme as the query pack
+  * grows: keys must stay unique and the worst-case line must stay under budget.
+  */
+class BenchContractSpec extends AnyFunSuite {
+
+  test("compact bench keys (family prefix) are unique across the query pack") {
+    val names = SparkEntry.queries.keys.toSeq
+    val shorts = names.map(_.takeWhile(_ != '_'))
+    val dups = shorts.groupBy(identity).filter(_._2.size > 1).keys.toSeq
+    assert(dups.isEmpty, s"duplicate compact bench keys: $dups")
+  }
+
+  test("compact bench line fits the 2000-char capture window with headroom") {
+    // worst case: every query takes >= 100s -> 7 chars per value ("123.456")
+    val qs = SparkEntry.queries.keys.toSeq.sorted
+      .map(k => "\"" + k.takeWhile(_ != '_') + "\":123.456")
+      .mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":12345.678,"unit":"sec","queries":$qs,"sf":"/root/testdata/sf0.1"}"""
+    assert(line.length < 1800, s"bench line too long for capture window: ${line.length}")
+  }
+}

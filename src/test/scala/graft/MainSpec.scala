@@ -34,7 +34,7 @@ class MainSpec extends SparkSpec {
       .toDF().coalesce(1).write.mode("append").json(in)
 
     Main.run(Array("backfill", in, out), spark)
-    val cut = graft.stream.BlockStream.backfillCut(out)
+    val cut = graft.stream.BlockStream.backfillCut(spark, out)
     assert(cut.nonEmpty)
 
     // transactions mode auto-resumes from the recorded cut and completes
