@@ -11,9 +11,18 @@ import graft.sink.Replacing
   * corpus (deterministic, generated in-process — the sfDir has no block
   * documents) through actions mode (P1–P16), transactions mode
   * (J1–J10, A2/A3), the ReplacingMergeTree semantics (A5) and the
-  * §3.3 explorer query shapes. All rows-only checks (no SQL oracle can
-  * see the in-process fixtures); value-level correctness is pinned by
-  * ActionsExtractSpec / TxCorrelatorSpec golden assertions.
+  * §3.3 explorer query shapes.
+  *
+  * Oracles are CONSTRUCTIVE: every fixture value is a pure function of
+  * the block height (BlockFixtures is seed-free by design), so the
+  * expected output of each extract/correlate surface is itself a pure
+  * function of height — expressed in the oracle as DuckDB SQL over
+  * `range(100, 140)` that independently re-derives the rows from the
+  * fixture definition + the reference's documented semantics
+  * (/root/reference/src/actions.rs, src/transactions.rs). The SQL never
+  * sees Spark's answer; agreement is a real differential check of the
+  * traversal order (receipt_index ranks), per-kind projections, status
+  * mapping, token trimming, account-set union and DAG closure.
   */
 object PipelineQueries {
 
@@ -27,13 +36,22 @@ object PipelineQueries {
     * column crashes it with `unhashable type: numpy.ndarray`). The
     * stored tables keep their DDL-exact array columns; only this
     * query-pack projection serializes complex types to JSON strings.
+    *
+    * For DuckDB-oracle parity the projection additionally normalizes to
+    * the strings+int64 contract: Decimal(38,0) u128 amounts exceed
+    * int64 and DuckDB 1.0.0 renders HUGEINT/DECIMAL as float in pandas,
+    * so decimals go out as digit strings; sub-long integrals upcast to
+    * int64 so both sides land on the same pandas dtype.
     */
   private def driverSafe(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    import org.apache.spark.sql.types._
     val cols = df.schema.fields.map { f =>
       f.dataType match {
         case _: ArrayType | _: StructType | _: MapType =>
           to_json(col(f.name)).as(f.name)
+        case _: DecimalType => col(f.name).cast(StringType).as(f.name)
+        case ByteType | ShortType | IntegerType =>
+          col(f.name).cast(LongType).as(f.name)
         case _ => col(f.name)
       }
     }
