@@ -28,7 +28,13 @@ object Bench {
       spark.catalog.clearCache() // free per-query persisted frames
       dt
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional dev filter (1st arg, comma-separated name prefixes) — the
+    // driver always calls with no args, so its behavior is unchanged
+    val keep: String => Boolean =
+      if (args.nonEmpty) { val ps = args(0).split(',').toSeq
+        (n: String) => ps.exists(n.startsWith)
+      } else _ => true
+    val results = SparkEntry.queries.toSeq.filter(e => keep(e._1)).sortBy(_._1).map { case (name, fn) =>
       name -> math.min(timeOnce(fn), timeOnce(fn))
     }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
@@ -42,9 +48,15 @@ object Bench {
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val fullLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-      (fullLine + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    // resolve against a known root, not the process cwd — a launcher with a
+    // different working directory would otherwise scatter (or lose) the file;
+    // failures go to stderr (stdout is the 2000-char capture window)
+    val repoRoot = sys.env.get("SPARK_GRAFT_REPO_DIR")
+      .orElse(Option("/root/repo").filter(p => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p))))
+      .getOrElse(".")
+    val fullPath = java.nio.file.Paths.get(repoRoot, "BENCH_FULL.json")
+    try java.nio.file.Files.write(fullPath, (fullLine + "\n").getBytes("UTF-8"))
+    catch { case t: Throwable => System.err.println(s"WARN: could not write $fullPath: $t") }
     val shortQs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$shortQs,"sf":"$sfDir"}""")

@@ -49,8 +49,9 @@ object ScaleProbe {
       // the 10x corpus is ~10x the sf0.1 documents table on disk — clean up
       import java.nio.file.{Files, Path}
       import java.util.Comparator
-      Files.walk(tmpDir).sorted(Comparator.reverseOrder[Path]())
-        .forEach(p => Files.deleteIfExists(p))
+      val walk = Files.walk(tmpDir)
+      try walk.sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
     }
   }
 }

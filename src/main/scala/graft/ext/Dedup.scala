@@ -59,18 +59,35 @@ object Dedup {
 
   /** Connected components over a near-dup pair graph — the step that
     * turns pairwise matches into dedup GROUPS (cluster representative =
-    * lowest doc id; downstream keeps one row per cluster). Min-label
-    * propagation: every id starts as its own label, each round takes the
-    * min over neighbors, until a fixpoint — one equi-join + one
-    * aggregation per round, every step freely distributed. Rounds =
-    * graph diameter; near-dup graphs are shallow (dups cluster around a
-    * template), and `maxIters` caps pathological chains (at which point
-    * remaining labels are still valid, just unmerged — for planet-scale
-    * chains switch to the large-star/small-star formulation).
+    * lowest doc id; downstream keeps one row per cluster).
+    *
+    * Adaptive, like a broadcast-join threshold: the edge count is known
+    * anyway (the eager persist), so graphs at or under `localEdgeLimit`
+    * edges run union-find on the driver — a few MB and sub-second where
+    * the iterative plan pays seconds of fixed per-round job overhead.
+    * Near-dup edge sets are tiny relative to the corpus (LSH emits
+    * verified pairs, not candidates), so even 100 TB corpora often land
+    * here; the limit bounds driver memory exactly like
+    * `autoBroadcastJoinThreshold` bounds a build side. Both paths are
+    * pinned equal to classic union-find by TextAnalysisSpec's
+    * random-graph property test.
+    *
+    * Above the limit: distributed min-label propagation with POINTER
+    * JUMPING — each round takes the min over graph neighbors, then jumps
+    * to the current representative's label (`lbl := min(lbl, lbl(lbl))`),
+    * giving O(log diameter) rounds instead of O(diameter); each round is
+    * two equi-joins + one aggregation, every step freely distributed.
+    * Chain-shaped clusters (each copy edited from the previous) make
+    * plain propagation walk the chain one hop per round — the jump is
+    * what keeps a billion-edge graph to ~6 shuffle rounds. `maxIters`
+    * caps pathological cases (remaining labels are still valid, just
+    * unmerged).
     * Input: (id_a, id_b) pairs; output: (id, cluster_id). Ids absent
     * from any pair are their own singleton clusters by definition and
     * are not emitted. */
-  def nearDupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def nearDupClusters(
+      pairs: DataFrame, maxIters: Int = 20,
+      localEdgeLimit: Long = 1L << 20): DataFrame = {
     // integral ids only: the sum-based convergence check below is
     // type-silent for strings (sum over strings is null -> the loop
     // would "converge" after one round with wrong clusters). Callers
@@ -89,7 +106,38 @@ object Dedup {
     // whole upstream pair pipeline (the documented self-join gotcha)
     val p = pairs.select(col("id_a"), col("id_b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    p.count() // eager: the union below reads it on both branches at once
+    val nEdges = p.count() // eager: consumed by several branches at once
+    if (nEdges <= localEdgeLimit) {
+      val idType = pairs.schema("id_a").dataType
+      val local = p
+        .select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .collect()
+      p.unpersist(false)
+      // union-find with min-id roots: parent(hi-root) := lo-root keeps
+      // the component minimum at the root, matching the distributed
+      // min-label fixpoint exactly
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      local.foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return parent.keys.toSeq.map(i => (i, find(i)))
+        .toDF("id", "cluster_id")
+        .select(col("id").cast(idType).as("id"),
+          col("cluster_id").cast(idType).as("cluster_id"))
+    }
     val edges = p
       .select(col("id_a").as("a"), col("id_b").as("b"))
       .unionByName(p.select(col("id_b").as("a"), col("id_a").as("b")))
@@ -117,16 +165,25 @@ object Dedup {
         .select(col("id"),
           least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"))
     }
+    // pointer jump: lbl := min(lbl, lbl(lbl)). Every label value IS a
+    // node id (init lbl=id; both steps take mins over node labels), so
+    // the inner self-join is total. Monotone decreasing like `step`.
+    def jump(ls: DataFrame): DataFrame = {
+      val reps = ls.select(col("id").as("rid"), col("lbl").as("rlbl"))
+      ls.join(reps, col("lbl") === col("rid"))
+        .select(col("id"), least(col("lbl"), col("rlbl")).as("lbl"))
+    }
     var prevSum = lblSum(labels)
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
-      // two propagation steps per round (halves the rounds; a no-change
-      // double step is still a fixpoint witness — single steps are
-      // monotone decreasing). localCheckpoint TRUNCATES THE LINEAGE:
-      // with plain persist the logical plan doubles every round and
-      // analysis/optimization time, not the data, becomes the loop cost.
-      val next = step(step(labels)).localCheckpoint(true)
+      // propagate then jump: a no-change round is still a fixpoint
+      // witness for plain propagation (both steps are monotone
+      // decreasing), which is the classic CC fixpoint.
+      // localCheckpoint TRUNCATES THE LINEAGE: with plain persist the
+      // logical plan doubles every round and analysis/optimization
+      // time, not the data, becomes the loop cost.
+      val next = jump(step(labels)).localCheckpoint(true)
       val s = lblSum(next)
       converged = s == prevSum
       prevSum = s

@@ -35,12 +35,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) === ((2L, 2L, 1L)))
   }
 
-  test("nearDupClusters merges transitive chains to the min id") {
+  test("nearDupClusters merges transitive chains to the min id (both paths)") {
     // chain 1-2, 2-3 (one cluster), isolated pair 7-9, singleton 5 absent
     val pairs = Seq((2L, 3L), (1L, 2L), (7L, 9L)).toDF("id_a", "id_b")
-    val out = Dedup.nearDupClusters(pairs)
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L)
+    // default: small graph -> driver union-find path
+    val local = Dedup.nearDupClusters(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    assert(local === expected)
+    // localEdgeLimit=0 forces the distributed label-propagation path
+    val dist = Dedup.nearDupClusters(pairs, localEdgeLimit = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist === expected)
   }
 
   test("nearDupClusters equals driver union-find on random pair graphs") {
@@ -66,12 +72,17 @@ class TextAnalysisSpec extends SparkSpec {
         }
         val ids = pairs.flatMap(p => Seq(p._1, p._2)).distinct
         val expected = ids.map(i => i -> find(i.toInt).toLong).toMap
-        val got = Dedup.nearDupClusters(pairs.toDF("id_a", "id_b"))
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         // union-find reps are component minima because unions always
         // point larger roots at smaller ones and every id is its own
-        // initial root
-        assert(got === expected, s"seed=$seed pairs=$pairs")
+        // initial root. Pin BOTH the adaptive local path (default) and
+        // the distributed pointer-jumping loop (limit=0) to it.
+        val local = Dedup.nearDupClusters(pairs.toDF("id_a", "id_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(local === expected, s"local path seed=$seed pairs=$pairs")
+        val dist = Dedup
+          .nearDupClusters(pairs.toDF("id_a", "id_b"), localEdgeLimit = 0)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(dist === expected, s"distributed path seed=$seed pairs=$pairs")
       }
     }
   }
