@@ -65,36 +65,36 @@ object PipelineQueries {
   }
 
   val all: Seq[Q] = Seq(
-    Q.noOracle("p1_actions_extract") { (s, _) =>
+    Q("p1_actions_extract", PipelineOracles.p1) { (s, _) =>
       driverSafe(
         ActionsExtract.actions(ActionsExtract.indexedReceipts(fixture(s))))
     },
-    Q.noOracle("p2_events_extract") { (s, _) =>
+    Q("p2_events_extract", PipelineOracles.p2) { (s, _) =>
       driverSafe(
         ActionsExtract.events(ActionsExtract.indexedReceipts(fixture(s))))
     },
-    Q.noOracle("p3_data_extract") { (s, _) =>
+    Q("p3_data_extract", PipelineOracles.p3) { (s, _) =>
       driverSafe(
         ActionsExtract.data(ActionsExtract.indexedReceipts(fixture(s))))
     },
-    Q.noOracle("p4_tx_correlate") { (s, _) =>
+    Q("p4_tx_correlate", PipelineOracles.p4) { (s, _) =>
       driverSafe(TxFanout.transactions(completed(s)))
     },
-    Q.noOracle("p5_account_txs") { (s, _) =>
+    Q("p5_account_txs", PipelineOracles.p5) { (s, _) =>
       driverSafe(TxFanout.accountTxs(completed(s)))
     },
-    Q.noOracle("p6_receipt_txs") { (s, _) =>
+    Q("p6_receipt_txs", PipelineOracles.p6) { (s, _) =>
       driverSafe(TxFanout.receiptTxs(completed(s)))
     },
-    Q.noOracle("p7_block_txs") { (s, _) =>
+    Q("p7_block_txs", PipelineOracles.p7) { (s, _) =>
       driverSafe(TxFanout.blockTxs(completed(s)))
     },
-    Q.noOracle("p8_blocks") { (s, _) =>
+    Q("p8_blocks", PipelineOracles.p8) { (s, _) =>
       driverSafe(TxFanout.blocks(fixture(s)))
     },
     // A5: replaying duplicated input collapses to the same table under
     // the dedup view (the ReplacingMergeTree property).
-    Q.noOracle("p9_replacing_dedup") { (s, _) =>
+    Q("p9_replacing_dedup", PipelineOracles.p9) { (s, _) =>
       val a = ActionsExtract.actions(ActionsExtract.indexedReceipts(fixture(s)))
       driverSafe(Replacing.dedupView(
         a.unionAll(a),
@@ -102,7 +102,7 @@ object PipelineQueries {
     },
     // §3.3-5: account activity page over the extracted actions table
     // (range + point predicate + sort, the bloom/minmax shape).
-    Q.noOracle("p10_account_history") { (s, _) =>
+    Q("p10_account_history", PipelineOracles.p10) { (s, _) =>
       driverSafe(
         ActionsExtract.actions(ActionsExtract.indexedReceipts(fixture(s)))
           .where(col("account_id") === "bank.near" &&
@@ -113,7 +113,7 @@ object PipelineQueries {
     },
     // 100 TB backfill path: label-propagation correlator (equality with
     // the sequential state machine is pinned by DistributedCorrelatorSpec).
-    Q.noOracle("p12_distributed_correlate") { (s, _) =>
+    Q("p12_distributed_correlate", PipelineOracles.p12) { (s, _) =>
       driverSafe(TxFanout.transactions(DistributedCorrelator.correlate(fixture(s))))
     },
 
@@ -123,7 +123,7 @@ object PipelineQueries {
     // once per side (the repo's documented self-join gotcha). The join
     // key is transaction_hash alone — it is unique per completed tx, so
     // the extra signer/height keys add shuffle width for nothing.
-    Q.noOracle("p11_receipt_lookup") { (s, _) =>
+    Q("p11_receipt_lookup", PipelineOracles.p11) { (s, _) =>
       val txs = completed(s).persist()
       val rt = TxFanout.receiptTxs(txs)
       val t = TxFanout.transactions(txs)
