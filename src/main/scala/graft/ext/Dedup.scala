@@ -280,6 +280,30 @@ object Dedup {
           .as("contamination_e4"))
   }
 
+  /** Incremental exact dedup — the arriving-batch half of a production
+    * crawl pipeline: drop new documents whose content digest already
+    * exists in the accumulated corpus, then keep one survivor (min id)
+    * per digest WITHIN the batch. At 100 TB the corpus side is far too
+    * big to broadcast, so this is a shuffle anti-join keyed on the
+    * digest — uniform by construction (md5), no skew, and the corpus
+    * side prunes to one column before the exchange. Returns one row per
+    * kept batch document: (keep_id, content_hash, n_batch_dups). */
+  def dedupAgainstCorpus(
+      batch: DataFrame, idCol: String, textCol: String,
+      corpus: DataFrame, corpusTextCol: String): DataFrame = {
+    val b = batch.select(
+      col(idCol).as("doc_id"),
+      md5(col(textCol).cast("binary")).as("content_hash"))
+    val seen = corpus
+      .select(md5(col(corpusTextCol).cast("binary")).as("content_hash"))
+      .distinct()
+    b.join(seen, Seq("content_hash"), "left_anti")
+      .groupBy("content_hash")
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_batch_dups"))
+      .select("keep_id", "content_hash", "n_batch_dups")
+  }
+
   /** Streaming exact dedup — the streaming half of d1 for a live crawl
     * feed: drop rows whose content digest was already seen within the
     * watermark horizon. `dropDuplicatesWithinWatermark` keys the state

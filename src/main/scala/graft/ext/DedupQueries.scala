@@ -358,6 +358,31 @@ object DedupQueries {
       Similarity.cosineNearDupPairs(
         Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.4)
+    },
+
+    // incremental dedup: an arriving batch (doc_id >= 250) against the
+    // accumulated corpus (doc_id < 250) — anti-join on the content
+    // digest, then keep-first within the batch. The production shape
+    // for a continuous crawl: the corpus never rescans, only its digest
+    // column joins.
+    Q(
+      "d14_incremental_dedup",
+      """WITH c AS (
+        |  SELECT DISTINCT md5(text) AS content_hash FROM documents
+        |  WHERE doc_id < 250
+        |), b AS (
+        |  SELECT doc_id, md5(text) AS content_hash FROM documents
+        |  WHERE doc_id >= 250
+        |)
+        |SELECT min(doc_id) AS keep_id, content_hash,
+        |  count(*) AS n_batch_dups
+        |FROM b
+        |WHERE content_hash NOT IN (SELECT content_hash FROM c)
+        |GROUP BY content_hash""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.dedupAgainstCorpus(
+        docs.where(col("doc_id") >= 250), "doc_id", "text",
+        docs.where(col("doc_id") < 250), "text")
     }
   )
 }

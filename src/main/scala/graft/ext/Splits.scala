@@ -76,4 +76,29 @@ object Splits {
       .where(temperatureKeep(col(idCol), col("buckets")))
       .drop("n_docs", "buckets")
   }
+
+  /** Deterministic global shuffle + shard assignment — the final step of
+    * a training-data pipeline: every document lands in exactly one of
+    * `nShards` output shards with a stable in-shard position, the same
+    * on any cluster/layout/rerun (same no-RNG rationale as
+    * [[assignSplit]]). Shard = integer value of the first 4 md5 hex
+    * chars mod nShards (uniform, content-keyed); position = rank of the
+    * full digest within the shard. Each shard's ordering window is
+    * partitioned by shard, so the sort parallelizes across shards —
+    * exactly the layout a sharded training-set writer needs
+    * (`.repartition(shard).sortWithinPartitions(pos)`). */
+  def shardByHash(
+      docs: org.apache.spark.sql.DataFrame, idCol: String,
+      nShards: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = md5(col(idCol).cast("string"))
+    docs
+      .withColumn("shuffle_key", k)
+      .withColumn("shard",
+        pmod(conv(substring(col("shuffle_key"), 1, 4), 16, 10).cast("long"),
+          lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("shuffle_key"), col(idCol))))
+  }
 }

@@ -380,6 +380,27 @@ object TextQueries {
             .cast("long")).as("punct_chars"),
           sum(length(col("text")).cast("long")).as("total_chars2"),
           count(lit(1)).as("n_docs"))
+    },
+
+    // deterministic global shuffle + shard assignment (the training-set
+    // writer's layout): content-hash shard, in-shard position — stable
+    // across clusters/layouts/reruns, no RNG. Hex-int arithmetic is
+    // engine-portable (Spark conv(x,16,10) ≡ DuckDB '0x...'::BIGINT).
+    Q(
+      "t17_shard_assign",
+      """WITH k AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  ('0x'||substr(shuffle_key,1,4))::BIGINT % 8 AS shard,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY ('0x'||substr(shuffle_key,1,4))::BIGINT % 8
+        |    ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
+        |FROM k""".stripMargin) { (s, dir) =>
+      Splits.shardByHash(
+        Tables.load(s, dir, "documents").select("doc_id"), "doc_id", 8)
+        .select(col("doc_id"), col("shard"), col("pos").cast("long").as("pos"))
     }
   )
 }

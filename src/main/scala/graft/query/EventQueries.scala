@@ -438,6 +438,52 @@ object EventQueries {
           cents(col("value")).as("value_c"),
           when(cents(col("value")) * col("cnt") > col("total_c"), 1)
             .otherwise(0).as("above_avg"))
+    },
+
+    // time-series gap fill (ClickHouse `WITH FILL` / PostgreSQL
+    // generate_series idiom): zero rows for hours with no events. The
+    // dense hour frame comes from one sequence() over the min/max
+    // bounds — never a calendar table scan — and the hourly aggregate
+    // is persisted skinny before its two consumers (bounds + join).
+    Q(
+      "q35_gapfill_hourly",
+      """WITH a AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hb, count(*) AS n,
+        |    sum(CAST(round(value*100) AS BIGINT)) AS sv
+        |  FROM events GROUP BY hb
+        |), b AS (
+        |  SELECT unnest(generate_series(
+        |    (SELECT min(hb) FROM a), (SELECT max(hb) FROM a))) AS hour_bucket
+        |)
+        |SELECT hour_bucket, coalesce(n, 0) AS n,
+        |  CAST(coalesce(sv, 0) AS BIGINT) AS sum_value_c
+        |FROM b LEFT JOIN a ON a.hb = b.hour_bucket""".stripMargin) { (s, dir) =>
+      val hourly = Tables.load(s, dir, "events")
+        .groupBy(expr(s"(ts div 1000) div $HourUs").as("hour_bucket"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sv"))
+        .persist()
+      hourly.count() // eager: bounds + join both read it in one action
+      val frame = hourly
+        .agg(min(col("hour_bucket")).as("lo"), max(col("hour_bucket")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("hour_bucket"))
+      frame.join(hourly, Seq("hour_bucket"), "left")
+        .select(
+          col("hour_bucket"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("sv"), lit(0L)).as("sum_value_c"))
+    },
+
+    // mergeable-sketch pre-aggregation (the 100 TB distinct-count
+    // pattern): one DataSketches HLL per day, union-merged to the
+    // total — re-aggregation reads |days| sketches, not the raw data.
+    // Sketch internals are not DuckDB-reproducible -> rows-only.
+    Q.noOracle("q36_hll_daily_union") { (s, dir) =>
+      val daily = Tables.load(s, dir, "events")
+        .groupBy(expr("(ts div 1000) div 86400000000").as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      daily.agg(
+        count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
     }
   )
 }

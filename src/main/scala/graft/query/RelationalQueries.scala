@@ -297,6 +297,54 @@ object RelationalQueries {
         .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
     },
 
+    // ---- statistical aggregate done scale-right: Pearson correlation
+    // decomposed into six exact integer partial sums (one pass, fully
+    // partial-aggregable — no second pass over the data like the
+    // textbook mean-centered form). Built-in corr() differs across
+    // engines (update-order-dependent float accumulation); the
+    // decomposition's sums are exact decimals, and the identical final
+    // double expression tree evaluates bit-equal on both engines. ----
+    Q(
+      "q34_corr_qty_price",
+      """WITH p AS (
+        |  SELECT CAST(round(l_quantity*100) AS BIGINT) AS qc,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS pc
+        |  FROM lineitem
+        |), s AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n, count(*) AS n0,
+        |    CAST(sum(CAST(qc AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(pc AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(qc*qc AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(pc*pc AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(qc*pc AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+        |  FROM p
+        |)
+        |SELECT n0 AS n,
+        |  CAST(floor(1e6 * (n*sxy - sx*sy) /
+        |    (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))) AS BIGINT) AS corr_e6
+        |FROM s""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem").select(
+        cents(col("l_quantity")).as("qc"),
+        cents(col("l_extendedprice")).as("pc"))
+      val agg = li.agg(
+        count(lit(1)).as("n0"),
+        sum(col("qc").cast("decimal(38,0)")).as("sx0"),
+        sum(col("pc").cast("decimal(38,0)")).as("sy0"),
+        sum((col("qc") * col("qc")).cast("decimal(38,0)")).as("sxx0"),
+        sum((col("pc") * col("pc")).cast("decimal(38,0)")).as("syy0"),
+        sum((col("qc") * col("pc")).cast("decimal(38,0)")).as("sxy0"))
+      val n = col("n0").cast("double")
+      val (sx, sy) = (col("sx0").cast("double"), col("sy0").cast("double"))
+      val (sxx, syy, sxy) =
+        (col("sxx0").cast("double"), col("syy0").cast("double"),
+          col("sxy0").cast("double"))
+      agg.select(
+        col("n0").as("n"),
+        floor(lit(1e6) * (n * sxy - sx * sy) /
+          (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))
+          .cast("long").as("corr_e6"))
+    },
+
     // ---- point lookup by primary key (§3.3-1: "tx by hash"; served by
     // parquet row-group stats + bloom filters at scale) ----
     Q(

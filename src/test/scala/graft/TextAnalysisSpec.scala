@@ -35,6 +35,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) === ((2L, 2L, 1L)))
   }
 
+  test("dedupAgainstCorpus drops corpus-seen digests, keeps min id per batch digest") {
+    val corpus = Seq((1L, "seen text"), (2L, "other seen")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "seen text"), // already in corpus -> dropped
+      (11L, "fresh one"), (13L, "fresh one"), // batch dup -> keep 11, n=2
+      (12L, "unique fresh")).toDF("doc_id", "text")
+    val out = Dedup.dedupAgainstCorpus(batch, "doc_id", "text", corpus, "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out === Map(11L -> 2L, 12L -> 1L))
+  }
+
+  test("shardByHash: total cover, contiguous in-shard positions, layout-independent") {
+    import graft.ext.Splits
+    val docs = (0L until 200L).map(i => Tuple1(i)).toDF("doc_id")
+    val a = Splits.shardByHash(docs, "doc_id", 8)
+      .select("doc_id", "shard", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(a.length === 200)
+    assert(a.map(_._2).forall(s => s >= 0 && s < 8))
+    // positions within each shard are exactly 1..size
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length))
+    }
+    // same assignment regardless of physical layout
+    val b = Splits.shardByHash(docs.repartition(7), "doc_id", 8)
+      .select("doc_id", "shard", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(a.sortBy(_._1).toSeq === b.sortBy(_._1).toSeq)
+  }
+
   test("nearDupClusters merges transitive chains to the min id (both paths)") {
     // chain 1-2, 2-3 (one cluster), isolated pair 7-9, singleton 5 absent
     val pairs = Seq((2L, 3L), (1L, 2L), (7L, 9L)).toDF("id_a", "id_b")
