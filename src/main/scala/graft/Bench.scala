@@ -50,13 +50,16 @@ object Bench {
     val fullLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
     // resolve against a known root, not the process cwd — a launcher with a
     // different working directory would otherwise scatter (or lose) the file;
-    // failures go to stderr (stdout is the 2000-char capture window)
-    val repoRoot = sys.env.get("SPARK_GRAFT_REPO_DIR")
-      .orElse(Option("/root/repo").filter(p => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p))))
-      .getOrElse(".")
-    val fullPath = java.nio.file.Paths.get(repoRoot, "BENCH_FULL.json")
-    try java.nio.file.Files.write(fullPath, (fullLine + "\n").getBytes("UTF-8"))
-    catch { case t: Throwable => System.err.println(s"WARN: could not write $fullPath: $t") }
+    // failures go to stderr (stdout is the 2000-char capture window).
+    // Filtered dev runs never overwrite the full-pack record.
+    if (args.isEmpty) {
+      val repoRoot = sys.env.get("SPARK_GRAFT_REPO_DIR")
+        .orElse(Option("/root/repo").filter(p => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p))))
+        .getOrElse(".")
+      val fullPath = java.nio.file.Paths.get(repoRoot, "BENCH_FULL.json")
+      try java.nio.file.Files.write(fullPath, (fullLine + "\n").getBytes("UTF-8"))
+      catch { case t: Throwable => System.err.println(s"WARN: could not write $fullPath: $t") }
+    }
     val shortQs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$shortQs,"sf":"$sfDir"}""")

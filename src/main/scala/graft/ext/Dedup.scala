@@ -101,14 +101,23 @@ object Dedup {
       }),
       s"nearDupClusters requires integral id columns, got " +
         s"${pairs.schema("id_a").dataType.simpleString}")
+    // result id type = whatever unionByName promotes the two id columns
+    // to on the distributed path — resolved from the plan schema (no
+    // execution) so the local path emits the identical schema
+    val idType = pairs.select(col("id_a"))
+      .unionByName(pairs.select(col("id_b").as("id_a")))
+      .schema.head.dataType
     // materialize the skinny pair frame ONCE — the union below reads it
     // twice, and without the persist each branch would recompute the
-    // whole upstream pair pipeline (the documented self-join gotcha)
+    // whole upstream pair pipeline (the documented self-join gotcha).
+    // Null ids (an upstream outer-join artifact) are dropped explicitly:
+    // the distributed path's equi-joins would silently drop them anyway,
+    // and the local path must agree rather than unbox null to 0.
     val p = pairs.select(col("id_a"), col("id_b"))
+      .where(col("id_a").isNotNull && col("id_b").isNotNull)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nEdges = p.count() // eager: consumed by several branches at once
     if (nEdges <= localEdgeLimit) {
-      val idType = pairs.schema("id_a").dataType
       val local = p
         .select(col("id_a").cast("long"), col("id_b").cast("long"))
         .collect()

@@ -377,7 +377,7 @@ object DedupQueries {
         |SELECT min(doc_id) AS keep_id, content_hash,
         |  count(*) AS n_batch_dups
         |FROM b
-        |WHERE content_hash NOT IN (SELECT content_hash FROM c)
+        |WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.content_hash = b.content_hash)
         |GROUP BY content_hash""".stripMargin) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
       Dedup.dedupAgainstCorpus(

@@ -79,6 +79,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(dist === expected)
   }
 
+  test("nearDupClusters: null ids dropped, schemas equal across both paths") {
+    val pairs = Seq(
+      (Some(1L), Some(2L)), (None, Some(5L)), (Some(9L), None))
+      .toDF("id_a", "id_b")
+    val expected = Map(1L -> 1L, 2L -> 1L) // null edges contribute nothing
+    for (limit <- Seq(0L, 1L << 20)) {
+      val out = Dedup.nearDupClusters(pairs, localEdgeLimit = limit)
+      assert(out.schema("id").dataType ===
+        org.apache.spark.sql.types.LongType)
+      assert(out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        === expected, s"limit=$limit")
+    }
+  }
+
   test("nearDupClusters equals driver union-find on random pair graphs") {
     // seeded random graphs (repo convention: raw scalacheck-free loop);
     // the distributed min-label fixpoint must equal classic union-find
