@@ -189,4 +189,59 @@ object TextAnalysis {
       tokens(text),
       lit(1469598103934665603L), // FNV offset basis as seed
       (acc, t) => xxhash64(acc, t))
+
+  /** N-gram language-model quality score (the CCNet/KenLM-style
+    * perplexity filter, at bigram order): train add-one-smoothed bigram
+    * probabilities ON THE CORPUS ITSELF, then score each document by
+    * its summed log-probability — gibberish and boilerplate score far
+    * below prose. One token explode feeds everything: bigram counts,
+    * context counts and the vocabulary size are three aggregations over
+    * the same persisted skinny frame, and scoring joins the counts back
+    * by bigram key (hash-partitioned; nothing quadratic, no driver
+    * state).
+    *
+    * Per-bigram log-probs are floored to e6 integers BEFORE the per-doc
+    * sum: double addition is order-dependent under partial aggregation,
+    * integer addition is exact — so the score is layout-independent and
+    * engine-exact (ln on a bit-identical double argument is bit-equal
+    * across engines, the t14 precedent). Returns one row per document:
+    * (doc_id, n_bigrams, logprob_e6_sum); docs with fewer than two
+    * tokens score 0 over 0 bigrams. */
+  def lmScore(
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+    val grams = toks
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(
+        zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => struct(a.as("prev"), b.as("cur")))).as("g"))
+      .select(col("doc_id"), col("g.prev").as("prev"), col("g.cur").as("cur"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    grams.count() // eager: three consumers in the scoring action
+    val c2 = grams.groupBy("prev", "cur").agg(count(lit(1)).as("n2"))
+    val c1 = grams.groupBy("prev").agg(count(lit(1)).as("n1"))
+    val vocab = toks
+      .select(explode(col("t")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    val scored = grams
+      .join(c2, Seq("prev", "cur"))
+      .join(c1, Seq("prev"))
+      .crossJoin(broadcast(vocab))
+      .select(
+        col("doc_id"),
+        floor(lit(1e6) * log(
+          (col("n2") + 1).cast("double") / (col("n1") + col("v")).cast("double")))
+          .cast("long").as("lp_e6"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_e6")).as("logprob_e6_sum"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("logprob_e6_sum"), lit(0L)).as("logprob_e6_sum"))
+  }
 }

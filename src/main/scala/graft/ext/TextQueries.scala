@@ -386,6 +386,44 @@ object TextQueries {
     // writer's layout): content-hash shard, in-shard position — stable
     // across clusters/layouts/reruns, no RNG. Hex-int arithmetic is
     // engine-portable (Spark conv(x,16,10) ≡ DuckDB '0x...'::BIGINT).
+    // corpus-trained bigram LM quality score (CCNet-style perplexity
+    // filter). Per-bigram log-probs floor to e6 ints BEFORE the per-doc
+    // sum — integer addition is exact under any partial-agg order, and
+    // ln over bit-identical double arguments is bit-equal across
+    // engines (t14 precedent) -> full hash oracle.
+    Q(
+      "t18_lm_score",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents
+        |), pos AS (
+        |  SELECT unnest(generate_series(1,
+        |    (SELECT CAST(max(len(t)) AS INT) FROM toks))) AS i
+        |), grams AS (
+        |  SELECT doc_id, t[i] AS prev, t[i+1] AS cur
+        |  FROM toks JOIN pos ON i <= len(t) - 1
+        |  WHERE len(t) >= 2
+        |), c2 AS (
+        |  SELECT prev, cur, count(*) AS n2 FROM grams GROUP BY prev, cur
+        |), c1 AS (
+        |  SELECT prev, count(*) AS n1 FROM grams GROUP BY prev
+        |), v AS (
+        |  SELECT count(DISTINCT t[i]) AS v
+        |  FROM toks JOIN pos ON i <= len(t)
+        |), sc AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    sum(CAST(floor(1e6 * ln(
+        |      CAST(n2 + 1 AS DOUBLE) / CAST(n1 + v AS DOUBLE))) AS BIGINT))
+        |      AS logprob_e6_sum
+        |  FROM grams JOIN c2 USING (prev, cur) JOIN c1 USING (prev), v
+        |  GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+        |  CAST(coalesce(sc.logprob_e6_sum, 0) AS BIGINT) AS logprob_e6_sum
+        |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin) {
+      (s, dir) =>
+        TextAnalysis.lmScore(Tables.load(s, dir, "documents"), "doc_id", "text")
+    },
+
     Q(
       "t17_shard_assign",
       """WITH k AS (

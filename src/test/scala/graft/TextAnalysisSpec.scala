@@ -35,6 +35,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) === ((2L, 2L, 1L)))
   }
 
+  test("lmScore: hand-computed bigram log-probs, short docs score 0/0") {
+    val docs = Seq(
+      (1L, "a b a b"), // bigrams (a,b),(b,a),(a,b)
+      (2L, "a b"),
+      (3L, "z")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // c2: (a,b)=3, (b,a)=1; c1: a=3, b=1; vocab {a,b,z} = 3
+    // lp(a,b) = floor(1e6*ln((3+1)/(3+3))) = floor(-405465.108) = -405466
+    // lp(b,a) = floor(1e6*ln((1+1)/(1+3))) = floor(-693147.18)  = -693148
+    assert(out(1L) === ((3L, 2L * -405466L + -693148L)))
+    assert(out(2L) === ((1L, -405466L)))
+    assert(out(3L) === ((0L, 0L)))
+  }
+
   test("dedupAgainstCorpus drops corpus-seen digests, keeps min id per batch digest") {
     val corpus = Seq((1L, "seen text"), (2L, "other seen")).toDF("doc_id", "text")
     val batch = Seq(
