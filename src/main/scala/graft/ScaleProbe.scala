@@ -43,6 +43,10 @@ object ScaleProbe {
         time(s"$label minhashPairs") { graft.ext.Dedup.minhashPairs(d, "doc_id", "text", 0.5).count() }
         time(s"$label tfidfTopTerms") { graft.ext.TextAnalysis.tfidfTopTerms(d, "doc_id", "text").count() }
         time(s"$label dedupSpans") { graft.ext.Dedup.dedupSpans(d, "doc_id", "text").count() }
+        time(s"$label dedupCorpus") { graft.ext.Dedup.dedupCorpusByNgram(
+          d, "doc_id", "text", length(col("text")).cast("long"),
+          threshold = 0.8, maxPostings = 1000).count() }
+        time(s"$label lmScore") { graft.ext.TextAnalysis.lmScore(d, "doc_id", "text").count() }
       }
     } finally {
       spark.stop()

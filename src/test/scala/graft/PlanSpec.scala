@@ -134,4 +134,37 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(height_bucket"), plan)
     assert(plan.contains("PushedFilters: [IsNotNull(account_id)"), plan)
   }
+
+  test("incremental dedup: anti-join, corpus side pruned to the digest column") {
+    val df = SparkEntry.queries("d14_incremental_dedup")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("LeftAnti"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // the corpus scan must read only the text column (digest input),
+    // never drag doc metadata through the exchange
+    val f = formatted(df)
+    val corpusScans = f.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(corpusScans.nonEmpty && corpusScans.forall(!_.contains("n_chars")), f.take(3000))
+  }
+
+  test("shard assignment: per-shard window, no single-partition sort") {
+    val df = SparkEntry.queries("t17_shard_assign")(spark, dir)
+    val plan = planOf(df)
+    // the ordering window is partitioned by shard — a SinglePartition
+    // exchange here would serialize the whole corpus through one task
+    assert(plan.contains("hashpartitioning(shard"), plan.take(3000))
+    assert(!plan.contains("SinglePartition"), plan.take(3000))
+  }
+
+  test("LM score: counts join back by bigram key, vocab broadcast") {
+    val df = SparkEntry.queries("t18_lm_score")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastNestedLoopJoin") === false ||
+      plan.contains("BuildRight, Cross"), plan.take(3000)) // 1-row vocab broadcast cross join is fine
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the exploded gram frame feeds three consumers from cache
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 3, plan.take(3000))
+    spark.catalog.clearCache()
+  }
 }
