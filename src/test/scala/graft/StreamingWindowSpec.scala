@@ -62,6 +62,53 @@ class StreamingWindowSpec extends SparkSpec {
     assert(s.size === expectedClosed.size)
   }
 
+  test("stream-stream interval join matches the batch within-gap join (q22 analog)") {
+    // the streaming form of q22's within-10-minutes self-join: both
+    // sides watermarked, the range condition bounds state retention —
+    // the only sound contract for joining two unbounded streams
+    val dir = "/root/testdata/sf0.001"
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-ssj")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+
+    def side(alias: String) = spark.readStream
+      .schema(schema).parquet(streamDir.toString)
+      .select(
+        col("event_id").as(s"${alias}_id"),
+        col("user_id").as(s"${alias}_user"),
+        timestamp_micros(expr("ts div 1000")).as(s"${alias}_time"))
+      .withWatermark(s"${alias}_time", "1 hour")
+
+    val joined = side("l").join(
+      side("r"),
+      expr("""l_user = r_user AND l_id < r_id AND
+              r_time BETWEEN l_time AND l_time + interval 10 minutes"""))
+
+    val q = joined.writeStream
+      .outputMode("append").format("memory").queryName("ssj_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("ssj_out")
+      .select("l_id", "r_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("tus"))
+    val batch = ev.alias("l").join(
+      ev.alias("r"),
+      col("l.user_id") === col("r.user_id") &&
+        col("l.event_id") < col("r.event_id") &&
+        col("r.tus").between(col("l.tus"), col("l.tus") + 600000000L))
+      .select(col("l.event_id"), col("r.event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("streaming exact dedup drops in-horizon duplicates, keeps state bounded") {
     val dir = "/root/testdata/sf0.001"
     // duplicate the corpus with distinct doc_ids but identical text,
