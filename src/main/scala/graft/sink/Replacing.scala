@@ -99,6 +99,52 @@ object Replacing {
   def dropExactDuplicates(df: DataFrame, orderKey: Seq[String]): DataFrame =
     df.dropDuplicates(orderKey)
 
+  /** The background MERGE — the half of ReplacingMergeTree that
+    * [[dedupView]] defers: physically collapse duplicate ORDER-BY keys
+    * and compact the small files streaming appends accumulate
+    * (ClickHouse runs this as its background merge; an open-table
+    * format calls it OPTIMIZE). Per height bucket: read, collapse via
+    * the same [[dedupView]] policy, rewrite sorted. Buckets are
+    * independent file sets, so `buckets` can scope the merge to the
+    * recently-appended range — at 100 TB the nightly merge touches the
+    * hot tail, never the whole table — and each bucket's rewrite is a
+    * dynamic-partition overwrite (crash before commit leaves the old
+    * files in place).
+    *
+    * Reads after a merge see exactly what [[dedupView]] showed before
+    * it (MergeSpec pins this), so the view stays the read contract and
+    * the merge is purely a storage optimization. */
+  def merge(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      orderKey: Seq[String], versionCol: Option[String] = None,
+      buckets: Option[Seq[Long]] = None): Unit = {
+    val table = spark.read.parquet(path)
+    val scoped = buckets match {
+      case Some(bs) => table.where(col("height_bucket").isin(bs: _*))
+      case None => table
+    }
+    val collapsed = dedupView(scoped, orderKey, versionCol)
+      .repartition(col("height_bucket"))
+      .sortWithinPartitions(orderKey.map(col): _*)
+    // Spark refuses to overwrite a path it is reading, so the merge
+    // writes to a sibling temp dir and swaps bucket dirs by FS rename —
+    // per-bucket near-atomic, and a crash mid-merge leaves every bucket
+    // either fully old or fully new.
+    val tmpPath = s"${path.stripSuffix("/")}__merge_tmp"
+    collapsed.write.mode(SaveMode.Overwrite)
+      .partitionBy("height_bucket").parquet(tmpPath)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged = fs.listStatus(new org.apache.hadoop.fs.Path(tmpPath))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("height_bucket="))
+    merged.foreach { st =>
+      val target = new org.apache.hadoop.fs.Path(hPath, st.getPath.getName)
+      fs.delete(target, true)
+      fs.rename(st.getPath, target)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmpPath), true)
+  }
+
   /** K1: sink-side retry with exponential backoff
     * (/root/reference/src/click.rs:50-85: 10 tries, 100 ms ×2). */
   def retry[T](
