@@ -20,6 +20,22 @@ class ZOrderSpec extends SparkSpec {
     fracs.sum / fracs.size
   }
 
+  test("zValue matches a reference Morton interleave on random ranks") {
+    import spark.implicits._
+    def morton(a: Long, b: Long): Long =
+      (0 until 16).map { i =>
+        (((a >> i) & 1L) << (2 * i + 1)) | (((b >> i) & 1L) << (2 * i))
+      }.reduce(_ | _)
+    val rnd = new scala.util.Random(7)
+    val cases = Seq.fill(200)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong)) ++
+      Seq((0L, 0L), (65535L, 65535L), (0L, 65535L), (65535L, 0L))
+    val got = cases.toDF("a", "b")
+      .select(ZOrder.zValue(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0))
+    val want = cases.map { case (a, b) => morton(a, b) }
+    assert(got.toSeq === want)
+  }
+
   test("z-order clusters both dimensions; single-key sort only one") {
     val ev = spark.read
       .parquet("/root/testdata/sf0.001/events.parquet")
