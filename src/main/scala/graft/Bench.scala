@@ -21,12 +21,19 @@ object Bench {
     graft.query.Tables.configure(spark)
     // two timed runs per query, best-of — single-shot numbers at these
     // scales are dominated by JIT/codegen warmup, not the plan
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timeOnce(
+        name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // a failed query must not masquerade as a fast one — flag it on
+      // stderr (stdout is the capture window) and return a sentinel
+      val ok = try { fn(spark, sfDir).count(); true }
+      catch { case t: Throwable =>
+        System.err.println(s"BENCH FAIL $name: $t"); false
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // free per-query persisted frames
-      dt
+      if (ok) dt else -1.0
     }
     // optional dev filter (1st arg, comma-separated name prefixes) — the
     // driver always calls with no args, so its behavior is unchanged
@@ -35,7 +42,7 @@ object Bench {
         (n: String) => ps.exists(n.startsWith)
       } else _ => true
     val results = SparkEntry.queries.toSeq.filter(e => keep(e._1)).sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(timeOnce(fn), timeOnce(fn))
+      name -> math.min(timeOnce(name, fn), timeOnce(name, fn))
     }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // The harness that collects this output keeps only the LAST ~2000
