@@ -709,4 +709,29 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
+
+  /** Winnowing-based near-dup pairs: documents sharing ≥ `minShared`
+    * winnowing fingerprints (TextAnalysis.winnowFingerprints). The MOSS
+    * guarantee makes this a SUBSTRING-level detector — any shared run
+    * of w+k-1 tokens forces a shared fingerprint — at ~2/(w+1) of the
+    * full shingle index d5 builds, so the same inverted-index join
+    * costs a fraction of the postings. Same skew discipline as d5:
+    * posting lists above `maxPostings` (boilerplate fingerprints) are
+    * dropped with a documented recall trade; the pair join carries ids
+    * only. Output (id_a, id_b, shared) — exact and oracle-able. */
+  def winnowPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      minShared: Int = 2, k: Int = 3, w: Int = 4,
+      maxPostings: Int = 1000): DataFrame = {
+    val fps = TextAnalysis.winnowFingerprints(docs, idCol, textCol, k, w)
+    val rare = fps.groupBy("fp").count()
+      .where(col("count") <= maxPostings).drop("count")
+    val capped = fps.join(rare, Seq("fp"))
+    capped.select(col("fp"), col("id").as("id_a"))
+      .join(capped.select(col("fp"), col("id").as("id_b")), Seq("fp"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+  }
 }

@@ -383,6 +383,44 @@ object DedupQueries {
       Dedup.dedupAgainstCorpus(
         docs.where(col("doc_id") >= 250), "doc_id", "text",
         docs.where(col("doc_id") < 250), "text")
+    },
+
+    // winnowing near-dup pairs: substring-level detector on the t19
+    // fingerprints — a shared run of w+k-1=6 tokens forces a shared
+    // fingerprint (MOSS guarantee), at ~2/(w+1) the postings of d5's
+    // full shingle index. Exact (no seeds) -> fully oracled, same
+    // maxPostings skew cap as d5.
+    Q(
+      "d15_winnow_pairs",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents
+        |), pos AS (
+        |  SELECT unnest(generate_series(1,
+        |    (SELECT CAST(max(len(t)) AS INT) FROM toks))) AS i
+        |), grams AS (
+        |  SELECT doc_id, i,
+        |    ('0x'||substr(md5(t[i]||' '||t[i+1]||' '||t[i+2]),1,15))::BIGINT AS h
+        |  FROM toks JOIN pos ON i <= len(t) - 2
+        |  WHERE len(t) >= 3
+        |), wins AS (
+        |  SELECT doc_id, i,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        |    count(*) OVER (PARTITION BY doc_id) AS ng
+        |  FROM grams
+        |), fps AS (
+        |  SELECT DISTINCT doc_id, fp FROM wins WHERE i <= greatest(1, ng - 3)
+        |), rare AS (
+        |  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 1000
+        |), c AS (
+        |  SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp)
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |FROM c a JOIN c b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin) { (s, dir) =>
+      Dedup.winnowPairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        minShared = 2, k = 3, w = 4, maxPostings = 1000)
     }
   )
 }

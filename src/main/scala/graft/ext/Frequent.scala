@@ -1,0 +1,91 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Exact φ-heavy hitters at corpus scale — the ClickHouse `topK()` /
+  * frequent-items use case (which tokens/domains/users dominate the
+  * stream), rebuilt as the scalable two-pass sketch-then-verify shape:
+  *
+  *  1. PASS 1 (one scan, no shuffle): a Misra–Gries summary per
+  *     partition. Pigeonhole: any item with global count ≥ φN must have
+  *     count_p > n_p/(cap+1) in at least one partition p (cap ≥ 2/φ),
+  *     so the union of per-partition survivors is a guaranteed SUPERSET
+  *     of the φ-heavy hitters. Each summary is ≤ cap entries, so the
+  *     driver collects O(partitions × cap) — independent of data size.
+  *  2. PASS 2 (one scan, aggregation over ~cap items): exact counts of
+  *     the candidates via a broadcast semi-join, filtered at the φN
+  *     threshold.
+  *
+  * The output is therefore EXACT (deterministic, oracle-able as a plain
+  * GROUP BY ... HAVING) while neither pass ever shuffles the raw
+  * stream: pass 1 is map-only, pass 2 aggregates a ≤cap-key frame. A
+  * naive `groupBy(item).count()` shuffles every distinct item — at
+  * 100 TB with billions of distinct keys that is the bottleneck this
+  * operator exists to avoid. ClickHouse's topK is approximate
+  * (SpaceSaving estimates); the verify pass upgrades it to exact for
+  * one extra scan.
+  */
+object Frequent {
+
+  /** Misra–Gries streaming summary: at most `cap` tracked items;
+    * undercounts by ≤ n/(cap+1). Decrement-all amortizes to O(n): each
+    * decrement round removes cap+1 from total tracked mass. */
+  private[graft] def misraGries(
+      it: Iterator[String], cap: Int): collection.Map[String, Long] = {
+    val m = collection.mutable.HashMap.empty[String, Long]
+    while (it.hasNext) {
+      val x = it.next()
+      m.get(x) match {
+        case Some(c) => m.update(x, c + 1)
+        case None if m.size < cap => m.update(x, 1L)
+        case None =>
+          val dead = List.newBuilder[String]
+          m.foreachEntry { (k, v) =>
+            if (v == 1L) dead += k else m.update(k, v - 1) }
+          dead.result().foreach(m.remove)
+      }
+    }
+    m
+  }
+
+  /** All items of `itemCol` with count ≥ ceil(phi * N), with their exact
+    * counts — columns (itemCol, n). Requires 0 < phi < 1; memory per
+    * task is O(2/phi). */
+  def heavyHitters(df: DataFrame, itemCol: String, phi: Double): DataFrame = {
+    require(phi > 0 && phi < 1, s"phi must be in (0,1), got $phi")
+    val cap = math.max(8, math.ceil(2.0 / phi).toInt)
+    val spark = df.sparkSession
+    // Pass 1: per-partition summaries + per-partition row counts in one
+    // scan. The count marker rides along as a (null-item) row so N needs
+    // no second job.
+    val summaries: Array[(String, Long)] = df
+      .select(col(itemCol).cast("string").as("item"))
+      .as[String](Encoders.STRING)
+      .mapPartitions { it =>
+        var n = 0L
+        val counted = it.map { x => n += 1; x }
+        val m = misraGries(counted, cap)
+        (m.iterator.map { case (k, v) => (k, v) } ++
+          Iterator.single((null: String, n))).toList.iterator
+      }(Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+      .collect()
+    val total = summaries.collect { case (null, n) => n }.sum
+    val threshold = math.ceil(phi * total).toLong
+    val candidates = summaries.collect { case (k, _) if k != null => k }.distinct
+    val candDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        candidates.toIndexedSeq.map(org.apache.spark.sql.Row(_)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "__cand", org.apache.spark.sql.types.StringType))))
+    // Pass 2: exact verify — broadcast semi-join prunes the scan to the
+    // candidate set before the (≤ cap-key) aggregation.
+    df.join(
+        broadcast(candDf),
+        col(itemCol).cast("string") === col("__cand"), "left_semi")
+      .groupBy(col(itemCol))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= threshold)
+  }
+}

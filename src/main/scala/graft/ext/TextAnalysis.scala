@@ -190,6 +190,63 @@ object TextAnalysis {
       lit(1469598103934665603L), // FNV offset basis as seed
       (acc, t) => xxhash64(acc, t))
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
+    * the MOSS local fingerprinting scheme): hash every token k-gram,
+    * slide a window of `w` consecutive hashes, keep each window's
+    * minimum. Guarantees every shared run of w+k-1 tokens between two
+    * documents shares at least one fingerprint, at a ~2/(w+1) storage
+    * density — the standard substring-level near-dup detector between
+    * the shingle-set sketches (minhash) and exact span dedup (d12/d13).
+    *
+    * Engine-portable by construction: the 60-bit hash is the md5
+    * hex-prefix integer idiom (t17 precedent — Spark
+    * `conv(substr(md5(g),1,15),16,10)` ≡ DuckDB
+    * `('0x'||substr(md5(g),1,15))::BIGINT`), the window min is a plain
+    * ROWS frame, so the full fingerprint set hash-matches an oracle.
+    * Per-doc windows parallelize across documents; nothing leaves the
+    * executors. Docs with fewer than k tokens fingerprint as (0, 0).
+    * Output: doc_id, n_fp (distinct fingerprints), fp_xor (their XOR —
+    * an order-free set digest). */
+  def winnow(
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): org.apache.spark.sql.DataFrame = {
+    val fps = winnowFingerprints(docs, idCol, textCol, k, w)
+    docs.select(col(idCol).as("doc_id"))
+      .join(
+        fps.groupBy(col("id").as("doc_id")).agg(
+          count(lit(1)).as("n_fp"), expr("bit_xor(fp)").as("fp_xor")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+        coalesce(col("fp_xor"), lit(0L)).as("fp_xor"))
+  }
+
+  /** The distinct (id, fp) winnowing fingerprint frame [[winnow]]
+    * digests — exposed for the inverted-index consumers
+    * (Dedup.winnowPairs joins documents on shared fingerprints). */
+  def winnowFingerprints(
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
+    val grams = toks
+      .where(size(col("t")) >= k)
+      .select(col("id"), posexplode(expr(
+        s"transform(sequence(1, size(t) - ${k - 1}), i -> concat_ws(' ', slice(t, i, $k)))")))
+      .select(col("id"), (col("pos") + 1).as("i"),
+        conv(substring(md5(col("col")), 1, 15), 16, 10).cast("long").as("h"))
+    val winMin = Window.partitionBy("id").orderBy("i")
+      .rowsBetween(Window.currentRow, w - 1)
+    val perDoc = Window.partitionBy("id")
+    grams
+      .withColumn("fp", min(col("h")).over(winMin))
+      .withColumn("ng", count(lit(1)).over(perDoc))
+      // full windows only; a doc with < w grams contributes its single
+      // all-grams window (position 1)
+      .where(col("i") <= greatest(lit(1L), col("ng") - (w - 1)))
+      .select("id", "fp").distinct()
+  }
+
   /** N-gram language-model quality score (the CCNet/KenLM-style
     * perplexity filter, at bigram order): train add-one-smoothed bigram
     * probabilities ON THE CORPUS ITSELF, then score each document by

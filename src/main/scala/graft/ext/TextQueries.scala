@@ -424,6 +424,43 @@ object TextQueries {
         TextAnalysis.lmScore(Tables.load(s, dir, "documents"), "doc_id", "text")
     },
 
+    // winnowing fingerprints (MOSS scheme): every shared w+k-1-token run
+    // between two documents is guaranteed to share a fingerprint, at
+    // ~2/(w+1) storage density. Fully oracled — the 60-bit hash is the
+    // t17 hex-int idiom and the window min a plain ROWS frame, so both
+    // engines derive the identical fingerprint set (XOR-digested to one
+    // driver-safe int64 per doc).
+    Q(
+      "t19_winnow_fingerprints",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents
+        |), pos AS (
+        |  SELECT unnest(generate_series(1,
+        |    (SELECT CAST(max(len(t)) AS INT) FROM toks))) AS i
+        |), grams AS (
+        |  SELECT doc_id, i,
+        |    ('0x'||substr(md5(t[i]||' '||t[i+1]||' '||t[i+2]),1,15))::BIGINT AS h
+        |  FROM toks JOIN pos ON i <= len(t) - 2
+        |  WHERE len(t) >= 3
+        |), wins AS (
+        |  SELECT doc_id, i,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        |    count(*) OVER (PARTITION BY doc_id) AS ng
+        |  FROM grams
+        |), fps AS (
+        |  SELECT DISTINCT doc_id, fp FROM wins WHERE i <= greatest(1, ng - 3)
+        |)
+        |SELECT d.doc_id, coalesce(f.n_fp, 0) AS n_fp,
+        |  CAST(coalesce(f.fp_xor, 0) AS BIGINT) AS fp_xor
+        |FROM documents d LEFT JOIN (
+        |  SELECT doc_id, count(*) AS n_fp, bit_xor(fp) AS fp_xor
+        |  FROM fps GROUP BY doc_id
+        |) f ON f.doc_id = d.doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.winnow(
+        Tables.load(s, dir, "documents"), "doc_id", "text", k = 3, w = 4)
+    },
+
     Q(
       "t17_shard_assign",
       """WITH k AS (

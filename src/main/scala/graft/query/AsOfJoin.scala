@@ -61,4 +61,48 @@ object AsOfJoin {
       (df, c) => df.withColumn(c, col("__match").getField(c))
     }.drop("__match")
   }
+
+  /** Forward as-of join — for each left row, the EARLIEST right row with
+    * `rightTime >= leftTime` within the same key ("time to next event":
+    * next purchase after a view, next restock after a stock-out, …).
+    * Mirror of [[backward]]: probes sort BEFORE same-time history so an
+    * equal-time right row matches, and the match is pulled back with
+    * `first(..., ignoreNulls)` over an unbounded-following frame. Same
+    * scale contract: one shuffle on the key, linear per key partition.
+    * Ties among right rows at the same (key, time) are resolved by the
+    * caller pre-deduplicating the right side (as q37 does) — the carry
+    * takes whichever sorts first otherwise. */
+  def forward(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__k", col(leftKey))
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(0)) // probes sort BEFORE same-time history
+      .withColumn("__r", lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          right.select(rightCols.map(col): _*).schema.fields)))
+    val r = right
+      .select((Seq(col(rightKey).as("__k"), col(rightTime).as("__t"),
+        lit(1).as("__side"),
+        struct(rightCols.map(col): _*).as("__r")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val unioned = l.select(
+      (Seq(col("__k"), col("__t"), col("__side"), col("__r")) ++
+        leftCols.map(col)): _*)
+      .unionByName(r)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = unioned
+      .withColumn("__match", first(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__side") === 0)
+    rightCols.foldLeft(
+      carried.select((leftCols.map(col) :+ col("__match")): _*)) {
+      (df, c) => df.withColumn(c, col("__match").getField(c))
+    }.drop("__match")
+  }
 }

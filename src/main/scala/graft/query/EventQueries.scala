@@ -484,6 +484,51 @@ object EventQueries {
       daily.agg(
         count(lit(1)).as("n_days"),
         hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+    },
+
+    // FORWARD as-of join ("time to next event"): each view matched to
+    // the user's earliest purchase at-or-after it. Purchases are deduped
+    // per (user, time) first so ties are deterministic in both engines;
+    // the oracle is the naive inequality join + rank — fine at sf, while
+    // the engine side is the single-shuffle union-and-carry.
+    Q(
+      "q37_asof_next_purchase",
+      """WITH v AS (SELECT event_id, user_id, epoch_us(ts) AS us
+        |           FROM events WHERE event_type='view'),
+        |p AS (SELECT user_id AS p_user, epoch_us(ts) AS pus,
+        |        min(event_id) AS p_event_id
+        |      FROM events WHERE event_type='purchase' GROUP BY 1, 2),
+        |j AS (SELECT v.event_id, p.p_event_id, p.pus - v.us AS gap_us,
+        |        row_number() OVER (PARTITION BY v.event_id
+        |          ORDER BY p.pus, p.p_event_id) AS rk
+        |      FROM v JOIN p ON p.p_user = v.user_id AND p.pus >= v.us)
+        |SELECT v.event_id, v.user_id, j.p_event_id, j.gap_us
+        |FROM v LEFT JOIN j ON j.event_id = v.event_id AND j.rk = 1""".stripMargin) {
+      (s, dir) =>
+        val e = Tables.load(s, dir, "events")
+        val v = e.where(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), expr("ts div 1000").as("us"))
+        val p = e.where(col("event_type") === "purchase")
+          .groupBy(col("user_id").as("p_user"), expr("ts div 1000").as("pus"))
+          .agg(min(col("event_id")).as("p_event_id"))
+        AsOfJoin.forward(v, p, "user_id", "p_user", "us", "pus",
+          Seq("p_event_id", "pus"))
+          .select(col("event_id"), col("user_id"), col("p_event_id"),
+            (col("pus") - col("us")).as("gap_us"))
+    },
+
+    // exact φ-heavy hitters via sketch-then-verify (ClickHouse `topK`
+    // upgraded to exact): pass 1 is a map-only Misra–Gries candidate
+    // scan, pass 2 an exact count of ≤ ⌈2/φ⌉ candidates — the raw
+    // stream is never shuffled on the item key (a plain GROUP BY over
+    // billions of distinct keys is the thing this avoids at 100 TB).
+    Q(
+      "q38_heavy_hitters",
+      """SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+        |HAVING count(*) >= ceil(0.008 * (SELECT count(*) FROM events))""".stripMargin) {
+      (s, dir) =>
+        graft.ext.Frequent.heavyHitters(
+          Tables.load(s, dir, "events").select("user_id"), "user_id", 0.008)
     }
   )
 }

@@ -31,4 +31,52 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("p4") === None) // key with no history
     assert(out("p5") === Some("h4")) // equal-time match on another key
   }
+
+  test("forward as-of: earliest at-or-after, null when nothing follows") {
+    val probes = Seq(
+      (1L, 5L, "p1"), // equal-time inclusive
+      (1L, 4L, "p2"), // between h1 and h2 -> h2
+      (1L, 10L, "p3"), // after all history
+      (2L, 1L, "p4"), // key with no history
+      (3L, 6L, "p5")
+    ).toDF("k", "t", "probe")
+    val history = Seq(
+      (1L, 3L, "h1"),
+      (1L, 5L, "h2"),
+      (1L, 9L, "h3"),
+      (3L, 7L, "h4")
+    ).toDF("hk", "ht", "payload")
+
+    val out = AsOfJoin
+      .forward(probes, history, "k", "hk", "t", "ht", Seq("payload"))
+      .collect().map(r => r.getString(2) -> Option(r.getString(3))).toMap
+
+    assert(out("p1") === Some("h2")) // t=5 matches history at exactly 5
+    assert(out("p2") === Some("h2")) // earliest >= 4 is 5
+    assert(out("p3") === None) // nothing at or after 10
+    assert(out("p4") === None) // key with no history
+    assert(out("p5") === Some("h4"))
+  }
+
+  test("forward/backward round shapes agree on a dense random fixture") {
+    // brute-force differential on a random key/time grid
+    val rnd = new scala.util.Random(7)
+    val probes = (0 until 120).map(i =>
+      (rnd.nextInt(6).toLong, rnd.nextInt(50).toLong, s"p$i"))
+    val hist = (0 until 80).map(i =>
+      (rnd.nextInt(6).toLong, rnd.nextInt(50).toLong * 2L, s"h$i"))
+    // dedup history per (k,t) deterministically (min payload), as the
+    // operator contract requires for unique matches
+    val histD = hist.groupBy(h => (h._1, h._2))
+      .map(_._2.minBy(_._3)).toSeq
+    val pDf = probes.toDF("k", "t", "probe")
+    val hDf = histD.toDF("hk", "ht", "payload")
+    val fwd = AsOfJoin.forward(pDf, hDf, "k", "hk", "t", "ht", Seq("payload"))
+      .collect().map(r => r.getString(2) -> Option(r.getString(3))).toMap
+    probes.foreach { case (k, t, name) =>
+      val want = histD.filter(h => h._1 == k && h._2 >= t)
+        .sortBy(h => (h._2, h._3)).headOption.map(_._3)
+      assert(fwd(name) === want, s"probe $name (k=$k t=$t)")
+    }
+  }
 }

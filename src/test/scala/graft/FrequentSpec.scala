@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Frequent
+
+/** Heavy hitters must be EXACT (count ≥ ⌈φN⌉, exact counts) even when
+  * the distinct-key universe vastly exceeds the sketch capacity — the
+  * regime the Misra–Gries candidate pass exists for.
+  */
+class FrequentSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("misra-gries per-partition summary: undercount bound, survivors") {
+    // 1000 of "a", 500 of "b", 2000 distinct singletons; cap 10
+    val stream = scala.util.Random.shuffle(
+      List.fill(1000)("a") ++ List.fill(500)("b") ++
+        (0 until 2000).map(i => s"x$i").toList)
+    val m = Frequent.misraGries(stream.iterator, 10)
+    assert(m.size <= 10)
+    val n = stream.size
+    // undercount ≤ n/(cap+1); both heavy items must survive with
+    // est ≥ true - n/11
+    assert(m.getOrElse("a", 0L) >= 1000L - n / 11)
+    assert(m.getOrElse("b", 0L) >= 500L - n / 11)
+    assert(m("a") <= 1000L && m.getOrElse("b", 0L) <= 500L)
+  }
+
+  test("heavyHitters equals exact groupBy-filter on a skewed corpus") {
+    // zipf-ish: item i appears ceil(3000/i) times, i in 1..400 →
+    // ~400 distinct keys, N ≈ 19.5k; phi=0.05 → cap=40 << 400 distinct
+    val rows = (1 to 400).flatMap(i =>
+      Seq.fill(math.ceil(3000.0 / i).toInt)(s"item$i"))
+    val df = scala.util.Random.shuffle(rows).toDF("item")
+      .repartition(13) // many partitions: per-partition summaries merge
+    val phi = 0.05
+    val got = Frequent.heavyHitters(df, "item", phi)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = rows.size
+    val thr = math.ceil(phi * n).toLong
+    val want = rows.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= thr).toMap
+    assert(got === want)
+    assert(got.nonEmpty && got.size < 400) // non-trivial selection
+  }
+
+  test("heavyHitters exact when phi selects nothing") {
+    val df = (1 to 100).map(i => s"u$i").toDF("item")
+    assert(Frequent.heavyHitters(df, "item", 0.5).count() === 0L)
+  }
+
+  test("heavyHitters keeps the native column type") {
+    // 7L appears 51 times: the fill plus its one occurrence in 1..20
+    val df = (Seq.fill(50)(7L) ++ (1L to 20L)).toDF("id")
+    val got = Frequent.heavyHitters(df, "id", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((7L, 51L)))
+  }
+}

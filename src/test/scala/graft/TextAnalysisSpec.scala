@@ -295,6 +295,58 @@ class TextAnalysisSpec extends SparkSpec {
     assert(kept2 === kept)
   }
 
+  test("winnow: matches brute force; shared runs share a fingerprint") {
+    val shared = "alpha beta gamma delta epsilon zeta" // w+k-1 = 6 tokens
+    val texts = Map(
+      1L -> s"one two three $shared four five six",
+      2L -> s"$shared completely different tail tokens here",
+      3L -> "tiny doc", // < k tokens -> no fingerprints
+      4L -> "x y z") // exactly k -> one gram, one (clipped) window
+    val docs = texts.toSeq.toDF("doc_id", "text")
+
+    // independent reference implementation (plain Scala, same md5
+    // 60-bit idiom) — a real differential against the SQL expressions
+    def bruteFps(text: String, k: Int = 3, w: Int = 4): Set[Long] = {
+      val t = text.trim.split(" +").toSeq
+      if (t.size < k) Set.empty
+      else {
+        val hs = (0 to t.size - k).map { i =>
+          val g = t.slice(i, i + k).mkString(" ")
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          java.lang.Long.parseLong(md.take(15), 16)
+        }
+        val nWins = math.max(1, hs.size - w + 1)
+        (0 until nWins).map(i => hs.slice(i, math.min(i + w, hs.size)).min).toSet
+      }
+    }
+
+    val out = TextAnalysis.winnow(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    for ((id, text) <- texts) {
+      val fps = bruteFps(text)
+      assert(out(id) === ((fps.size.toLong, fps.foldLeft(0L)(_ ^ _))),
+        s"doc $id")
+    }
+    assert(out(3L) === ((0L, 0L)))
+    // the winnowing guarantee: a shared w+k-1-token run implies a
+    // shared fingerprint
+    assert(bruteFps(texts(1L)).intersect(bruteFps(texts(2L))).nonEmpty)
+  }
+
+  test("winnowPairs finds planted shared-run pairs, skips disjoint docs") {
+    val run = "the quick brown fox jumps over lazy dogs tonight again"
+    val docs = Seq(
+      (1L, s"prefix tokens here $run and a suffix"),
+      (2L, s"$run with an entirely different ending clause"),
+      (3L, "completely unrelated text about winter mountain weather"),
+      (4L, "another disjoint document regarding summer ocean currents")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs, "doc_id", "text", minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("dedupKeepBest keeps the highest score, then the lowest id") {
     val df = Seq(
       (1L, "same text", 5L), (2L, "same text", 9L), (3L, "same text", 9L),
