@@ -47,6 +47,14 @@ object ScaleProbe {
           d, "doc_id", "text", length(col("text")).cast("long"),
           threshold = 0.8, maxPostings = 1000).count() }
         time(s"$label lmScore") { graft.ext.TextAnalysis.lmScore(d, "doc_id", "text").count() }
+        time(s"$label winnowPairs") { graft.ext.Dedup.winnowPairs(d, "doc_id", "text").count() }
+        // token-level heavy hitters (stopword discovery): ~1M/10M tokens,
+        // map-only Misra-Gries candidates + exact verify of ~cap items
+        time(s"$label heavyHitters") {
+          graft.ext.Frequent.heavyHitters(
+            d.select(explode(graft.ext.TextAnalysis.tokens(col("text"))).as("tok")),
+            "tok", 0.01).count()
+        }
       }
     } finally {
       spark.stop()

@@ -723,7 +723,12 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       minShared: Int = 2, k: Int = 3, w: Int = 4,
       maxPostings: Int = 1000): DataFrame = {
+    // persisted + eagerly populated like invertedIndex: the frame feeds
+    // the postings count AND both sides of the pair self-join — lazy
+    // caching would recompute the window pipeline per consumer
     val fps = TextAnalysis.winnowFingerprints(docs, idCol, textCol, k, w)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    fps.count()
     val rare = fps.groupBy("fp").count()
       .where(col("count") <= maxPostings).drop("count")
     val capped = fps.join(rare, Seq("fp"))

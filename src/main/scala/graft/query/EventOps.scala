@@ -182,6 +182,55 @@ object EventOps {
   /** Cohort retention: users active on the earliest day of the frame,
     * re-counted at the given day offsets. `dayCol` must be an integer
     * day index (e.g. epoch-days). Output: (day_offset, n_active). */
+  /** Non-overlapping A-then-B occurrence count per key (ClickHouse
+    * `sequenceCount('(?1)(?2)')` semantics: scan in time order, a match
+    * consumes both events, search resumes after it). For a two-step
+    * pattern the scan-greedy count collapses to a closed form — it is
+    * exactly the number of B events whose immediately-preceding event
+    * (among A/B events of the same key) is an A, i.e. the number of
+    * A-run → B-run boundaries — so one lag window replaces the
+    * sequential automaton and the operator parallelizes per key.
+    * Output: (keyCol, n_sequences). */
+  def sequenceCount(
+      events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      typeCol: String, first: String, second: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    events
+      .where(col(typeCol).isin(first, second))
+      .select(col(keyCol), col(tsCol), col(idCol), col(typeCol).as("_ty"))
+      .withColumn("_prev", lag(col("_ty"), 1).over(w))
+      .groupBy(col(keyCol))
+      .agg(sum(when(col("_ty") === second && col("_prev") === first, 1L)
+        .otherwise(0L)).as("n_sequences"))
+  }
+
+  /** Maximum number of concurrently-open intervals per group
+    * (ClickHouse `maxIntersections`): the classic boundary sweep — +1
+    * at each start, -1 at each end (end exclusive: an interval ending
+    * at t does not overlap one starting at t, so ends sort BEFORE
+    * starts at the same instant), running sum, max. One sort per
+    * group partition; never materializes the pairwise overlaps.
+    * `events` rows open an interval [tsCol, tsCol + durationUs).
+    * Output: (groupCol, max_concurrent). */
+  def maxConcurrent(
+      events: DataFrame, groupCol: String, tsCol: String,
+      durationUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val starts = events.select(col(groupCol), col(tsCol).as("_t"),
+      lit(1L).as("_d"), lit(1).as("_tie"))
+    val ends = events.select(col(groupCol),
+      (col(tsCol) + durationUs).as("_t"), lit(-1L).as("_d"),
+      lit(0).as("_tie"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("_t"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    starts.unionByName(ends)
+      .withColumn("_live", sum(col("_d")).over(w))
+      .groupBy(col(groupCol))
+      .agg(max(col("_live")).as("max_concurrent"))
+  }
+
   def retention(
       activity: DataFrame, userCol: String, dayCol: String,
       offsets: Seq[Long]): DataFrame = {

@@ -517,6 +517,58 @@ object EventQueries {
             (col("pus") - col("us")).as("gap_us"))
     },
 
+    // non-overlapping ordered-pair count (ClickHouse sequenceCount
+    // '(?1)(?2)'): scan-greedy view→purchase occurrences per user. The
+    // sequential automaton collapses to a lag window (count B events
+    // directly preceded by an A among A/B events — A-run→B-run
+    // boundaries), so it parallelizes per key and oracles exactly.
+    Q(
+      "q39_sequence_count",
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+        |  FROM events WHERE event_type IN ('view','purchase')
+        |), r AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS prev
+        |  FROM e
+        |)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type='purchase' AND prev='view'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sequences
+        |FROM r GROUP BY user_id""".stripMargin) { (s, dir) =>
+      EventOps.sequenceCount(
+        Tables.load(s, dir, "events")
+          .withColumn("us", expr("ts div 1000")),
+        "user_id", "us", "event_id", "event_type", "view", "purchase")
+    },
+
+    // max concurrent intervals (ClickHouse maxIntersections): each
+    // event opens a 5-minute half-open interval [ts, ts+5min); the
+    // boundary sweep (+1/-1, ends before starts at the same instant,
+    // running sum, max) finds the peak concurrency per event type
+    // without ever materializing pairwise overlaps.
+    Q(
+      "q40_max_concurrent",
+      """WITH b AS (
+        |  SELECT event_type, epoch_us(ts) AS t, 1 AS d, 1 AS tie FROM events
+        |  UNION ALL
+        |  SELECT event_type, epoch_us(ts) + 300000000 AS t, -1 AS d, 0 AS tie
+        |  FROM events
+        |), r AS (
+        |  SELECT event_type,
+        |    sum(d) OVER (PARTITION BY event_type ORDER BY t, tie
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+        |  FROM b
+        |)
+        |SELECT event_type, CAST(max(live) AS BIGINT) AS max_concurrent
+        |FROM r GROUP BY event_type""".stripMargin) { (s, dir) =>
+      EventOps.maxConcurrent(
+        Tables.load(s, dir, "events")
+          .withColumn("us", expr("ts div 1000")),
+        "event_type", "us", 300000000L)
+    },
+
     // exact φ-heavy hitters via sketch-then-verify (ClickHouse `topK`
     // upgraded to exact): pass 1 is a map-only Misra–Gries candidate
     // scan, pass 2 an exact count of ≤ ⌈2/φ⌉ candidates — the raw

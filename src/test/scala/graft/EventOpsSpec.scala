@@ -162,6 +162,39 @@ class EventOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sequenceCount: scan-greedy non-overlapping A-then-B per key") {
+    // one user per canonical sequence; expected = hand-run scan greedy
+    val seqs = Map(
+      1L -> ("AABB", 1L), // greedy consumes first A, first B
+      2L -> ("ABAB", 2L),
+      3L -> ("BAAB", 1L),
+      4L -> ("ABBAB", 2L),
+      5L -> ("BBA", 0L),
+      6L -> ("ABXBA", 1L)) // non-pattern events ("X") are ignored
+    val rows = seqs.toSeq.flatMap { case (u, (s, _)) =>
+      s.zipWithIndex.map { case (c, i) =>
+        (u, i.toLong, (u * 100 + i).toLong, c.toString) }
+    }
+    val df = rows.toDF("user_id", "us", "event_id", "ty")
+    val out = EventOps
+      .sequenceCount(df, "user_id", "us", "event_id", "ty", "A", "B")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === seqs.map { case (u, (_, n)) => u -> n })
+  }
+
+  test("maxConcurrent: boundary sweep, half-open intervals") {
+    // duration 10: [0,10) [5,15) [9,19) overlap 3-deep at t=9;
+    // [20,30) starts exactly where nothing is live; [30,40) touches
+    // [20,30) only at the boundary -> NOT concurrent (end exclusive)
+    val df = Seq(
+      ("a", 0L), ("a", 5L), ("a", 9L), ("a", 20L), ("a", 30L),
+      ("b", 0L), ("b", 100L)) // disjoint -> 1
+      .toDF("g", "t")
+    val out = EventOps.maxConcurrent(df, "g", "t", 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("a" -> 3L, "b" -> 1L))
+  }
+
   test("retention: cohort = earliest day; offsets count distinct returners") {
     val act = Seq(
       (1L, 10L), (2L, 10L), (3L, 10L), // cohort: day 10

@@ -94,6 +94,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("winnow pairs: fingerprint frame cached, equi-join candidates only") {
+    // d15: the (id, fp) frame feeds the postings count and BOTH sides
+    // of the pair self-join — it must come from cache everywhere, and
+    // candidate generation must stay an equi-join on fp
+    val df = SparkEntry.queries("d15_winnow_pairs")(spark, dir)
+    val plan = planOf(df)
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 3, plan.take(2000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+    spark.catalog.clearCache()
+  }
+
+  test("heavy hitters verify pass: broadcast semi-join, no raw-key shuffle") {
+    // q38 pass 2: the candidate set must reach the scan as a broadcast
+    // LEFT SEMI probe; shuffling the raw stream on the item key before
+    // filtering is exactly the plan this operator exists to avoid
+    val df = graft.ext.Frequent.heavyHitters(
+      Tables.load(spark, dir, "events").select("user_id"), "user_id", 0.008)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      plan.take(2000))
+    // the only exchange below the aggregation is the ≤cap-key partial/
+    // final split — assert the semi-join sits under the scan side by
+    // checking no SortMergeJoin appears anywhere
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
   test("sequence packing: only the tiny subtotal frame is single-partition") {
     // the two-phase prefix sum's contract: the global (unpartitioned)
     // window runs over the per-bucket subtotal aggregate, never the
