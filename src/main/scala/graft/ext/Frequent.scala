@@ -59,7 +59,11 @@ object Frequent {
     // Pass 1: per-partition summaries + per-partition row counts in one
     // scan. The count marker rides along as a (null-item) row so N needs
     // no second job.
+    // null items are excluded up front: they could never match the
+    // pass-2 equality probe anyway, and the null slot doubles as the
+    // per-partition row-count marker below
     val summaries: Array[(String, Long)] = df
+      .where(col(itemCol).isNotNull)
       .select(col(itemCol).cast("string").as("item"))
       .as[String](Encoders.STRING)
       .mapPartitions { it =>

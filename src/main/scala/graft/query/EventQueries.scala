@@ -569,6 +569,63 @@ object EventQueries {
         "event_type", "us", 300000000L)
     },
 
+    // argMin/argMax family (ClickHouse argMax): value-at-extremum in
+    // ONE aggregation pass — no self-join, no window sort. Determinism:
+    // the ordering key is (us, event_id) packed as fixed-width digit
+    // strings, identical lexicographic=numeric ordering in both engines
+    // (DuckDB 1.0 arg_max takes no struct keys).
+    Q(
+      "q41_argmax_latest",
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(round(value*100) AS BIGINT) AS vc,
+        |    lpad(CAST(epoch_us(ts) AS VARCHAR), 19, '0') ||
+        |      lpad(CAST(event_id AS VARCHAR), 10, '0') AS ok
+        |  FROM events
+        |)
+        |SELECT user_id,
+        |  arg_max(event_id, ok) AS last_event_id,
+        |  arg_min(event_id, ok) AS first_event_id,
+        |  arg_max(vc, ok) AS last_value_c
+        |FROM e GROUP BY user_id""".stripMargin) { (s, dir) =>
+      val key = concat(
+        lpad(expr("ts div 1000").cast("string"), 19, "0"),
+        lpad(col("event_id").cast("string"), 10, "0"))
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          cents(col("value")).as("vc"), key.as("ok"))
+        .groupBy("user_id")
+        .agg(
+          max_by(col("event_id"), col("ok")).as("last_event_id"),
+          min_by(col("event_id"), col("ok")).as("first_event_id"),
+          max_by(col("vc"), col("ok")).as("last_value_c"))
+    },
+
+    // hopping (sliding) window aggregation — the batch view of
+    // Structured Streaming's window($"ts", "1 hour", "15 minutes"):
+    // each event lands in 4 overlapping windows, materialized by a
+    // 4-element explode (never a range self-join), then one shuffle on
+    // (win_start, type).
+    Q(
+      "q42_hopping_1h_15min",
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS us, event_type,
+        |    CAST(round(value*100) AS BIGINT) AS vc FROM events
+        |), x AS (
+        |  SELECT us, event_type, vc, unnest(generate_series(0, 3)) AS k FROM e
+        |)
+        |SELECT ((us // 900000000) - k) * 900000000 AS win_start, event_type,
+        |  count(*) AS n, CAST(sum(vc) AS BIGINT) AS sum_value_c
+        |FROM x GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .select(expr("ts div 1000").as("us"), col("event_type"),
+          cents(col("value")).as("vc"))
+        .withColumn("k", explode(sequence(lit(0L), lit(3L))))
+        .withColumn("win_start",
+          (expr("us div 900000000") - col("k")) * 900000000L)
+        .groupBy("win_start", "event_type")
+        .agg(count(lit(1)).as("n"), sum(col("vc")).as("sum_value_c"))
+    },
+
     // exact φ-heavy hitters via sketch-then-verify (ClickHouse `topK`
     // upgraded to exact): pass 1 is a map-only Misra–Gries candidate
     // scan, pass 2 an exact count of ≤ ⌈2/φ⌉ candidates — the raw

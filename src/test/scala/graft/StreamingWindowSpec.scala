@@ -62,6 +62,54 @@ class StreamingWindowSpec extends SparkSpec {
     assert(s.size === expectedClosed.size)
   }
 
+  test("hopping 1h/15min window matches the batch explode view (q42 analog)") {
+    // the streaming form of q42: window(ts, "1 hour", "15 minutes")
+    // assigns each event to 4 overlapping windows; the batch view
+    // materializes the same assignment with a 4-element explode
+    val dir = "/root/testdata/sf0.001"
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-hop")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+
+    val stream = spark.readStream
+      .schema(schema)
+      .parquet(streamDir.toString)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(
+        window(col("event_time"), "1 hour", "15 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+    val q = stream.writeStream
+      .outputMode("append").format("memory").queryName("hop_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val streamed = spark.table("hop_out")
+      .select(
+        (col("window.start").cast("long") * 1000000L).as("win_start"),
+        col("event_type"), col("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .select(expr("ts div 1000").as("us"), col("event_type"))
+      .withColumn("k", explode(sequence(lit(0L), lit(3L))))
+      .withColumn("win_start",
+        (expr("us div 900000000") - col("k")) * 900000000L)
+      .groupBy("win_start", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    assert(streamed.nonEmpty, "no closed hopping windows emitted")
+    // every emitted (closed) window agrees with the batch explode view
+    streamed.foreach { case (k, n) => assert(batch(k) === n, s"window $k") }
+  }
+
   test("stream-stream interval join matches the batch within-gap join (q22 analog)") {
     // the streaming form of q22's within-10-minutes self-join: both
     // sides watermarked, the range condition bounds state retention —
