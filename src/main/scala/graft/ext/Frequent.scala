@@ -49,6 +49,37 @@ object Frequent {
     m
   }
 
+  /** Weighted Misra–Gries (Berinde et al., PODS'09): each eviction
+    * round subtracts the map's minimum from every entry, removing at
+    * least one — total subtracted mass ≤ W/(cap+1), so any item with
+    * weight > W/(cap+1) survives. Decrement rounds are O(cap) per
+    * untracked arrival (not amortized away as in the unit-weight case);
+    * fine for the row-weighted use (revenue per key), use the
+    * unweighted path for token streams. */
+  private[graft] def misraGriesWeighted(
+      it: Iterator[(String, Long)], cap: Int): collection.Map[String, Long] = {
+    val m = collection.mutable.HashMap.empty[String, Long]
+    while (it.hasNext) {
+      val (x, w) = it.next()
+      if (w > 0) {
+        m.get(x) match {
+          case Some(c) => m.update(x, c + w)
+          case None =>
+            m.update(x, w)
+            if (m.size > cap) {
+              var d = Long.MaxValue
+              m.foreachEntry { (_, v) => if (v < d) d = v }
+              val dead = List.newBuilder[String]
+              m.foreachEntry { (k, v) =>
+                if (v <= d) dead += k else m.update(k, v - d) }
+              dead.result().foreach(m.remove)
+            }
+        }
+      }
+    }
+    m
+  }
+
   /** All items of `itemCol` with count ≥ ceil(phi * N), with their exact
     * counts — columns (itemCol, n). Requires 0 < phi < 1; memory per
     * task is O(2/phi). */
@@ -91,5 +122,48 @@ object Frequent {
       .groupBy(col(itemCol))
       .agg(count(lit(1)).as("n"))
       .where(col("n") >= threshold)
+  }
+
+  /** Weighted φ-heavy hitters (ClickHouse `topKWeighted` upgraded to
+    * exact): items whose summed `weightCol` ≥ ceil(phi * totalWeight),
+    * with exact sums — columns (itemCol, w). Same two-pass shape as
+    * [[heavyHitters]] with the weighted sketch in pass 1. Non-positive
+    * weights are ignored (the sketch guarantee needs a monotone mass). */
+  def heavyHittersWeighted(
+      df: DataFrame, itemCol: String, weightCol: String,
+      phi: Double): DataFrame = {
+    require(phi > 0 && phi < 1, s"phi must be in (0,1), got $phi")
+    val cap = math.max(8, math.ceil(2.0 / phi).toInt)
+    val spark = df.sparkSession
+    val rows = df
+      .where(col(itemCol).isNotNull && col(weightCol) > 0)
+      .select(col(itemCol).cast("string").as("item"),
+        col(weightCol).cast("long").as("w"))
+    val summaries: Array[(String, Long)] = rows
+      .as[(String, Long)](Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+      .mapPartitions { it =>
+        var total = 0L
+        val counted = it.map { xw => total += xw._2; xw }
+        val m = misraGriesWeighted(counted, cap)
+        (m.iterator.map { case (k, v) => (k, v) } ++
+          Iterator.single((null: String, total))).toList.iterator
+      }(Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+      .collect()
+    val totalW = summaries.collect { case (null, n) => n }.sum
+    val threshold = math.ceil(phi * totalW).toLong
+    val candidates = summaries.collect { case (k, _) if k != null => k }.distinct
+    val candDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        candidates.toIndexedSeq.map(org.apache.spark.sql.Row(_)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "__cand", org.apache.spark.sql.types.StringType))))
+    df.where(col(itemCol).isNotNull && col(weightCol) > 0)
+      .join(
+        broadcast(candDf),
+        col(itemCol).cast("string") === col("__cand"), "left_semi")
+      .groupBy(col(itemCol))
+      .agg(sum(col(weightCol).cast("long")).as("w"))
+      .where(col("w") >= threshold)
   }
 }

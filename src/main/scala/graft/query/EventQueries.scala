@@ -638,6 +638,23 @@ object EventQueries {
       (s, dir) =>
         graft.ext.Frequent.heavyHitters(
           Tables.load(s, dir, "events").select("user_id"), "user_id", 0.008)
+    },
+
+    // weighted φ-heavy hitters (ClickHouse topKWeighted, exact): users
+    // carrying ≥ φ of total event value — the revenue-concentration
+    // twin of q38, weighted Misra–Gries candidates + exact verify.
+    Q(
+      "q43_heavy_hitters_weighted",
+      """WITH e AS (
+        |  SELECT user_id, CAST(round(value*100) AS BIGINT) AS vc FROM events
+        |)
+        |SELECT user_id, CAST(sum(vc) AS BIGINT) AS w FROM e GROUP BY user_id
+        |HAVING sum(vc) >= ceil(0.008 * (SELECT sum(vc) FROM e))""".stripMargin) {
+      (s, dir) =>
+        graft.ext.Frequent.heavyHittersWeighted(
+          Tables.load(s, dir, "events")
+            .select(col("user_id"), cents(col("value")).as("vc")),
+          "user_id", "vc", 0.008)
     }
   )
 }

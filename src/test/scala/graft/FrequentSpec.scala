@@ -48,6 +48,40 @@ class FrequentSpec extends SparkSpec {
     assert(Frequent.heavyHitters(df, "item", 0.5).count() === 0L)
   }
 
+  test("weighted misra-gries: undercount bound on a weighted stream") {
+    // "a" carries 10000 mass, "b" 5000, 2000 singletons of weight 3
+    val stream = scala.util.Random.shuffle(
+      List.fill(100)(("a", 100L)) ++ List.fill(50)(("b", 100L)) ++
+        (0 until 2000).map(i => (s"x$i", 3L)).toList)
+    val m = Frequent.misraGriesWeighted(stream.iterator, 10)
+    assert(m.size <= 10)
+    val w = stream.map(_._2).sum
+    assert(m.getOrElse("a", 0L) >= 10000L - w / 11)
+    assert(m.getOrElse("b", 0L) >= 5000L - w / 11)
+    assert(m("a") <= 10000L && m.getOrElse("b", 0L) <= 5000L)
+  }
+
+  test("heavyHittersWeighted equals exact groupBy-sum-filter; skew + negatives") {
+    // item i carries total weight ~ ceil(60000/i) spread over ceil(i/4)+1
+    // rows; a few negative/zero-weight rows must be ignored
+    val rows = (1 to 300).flatMap { i =>
+      val n = i / 4 + 1
+      val per = math.max(1L, 60000L / i / n)
+      Seq.fill(n)((s"item$i", per))
+    } ++ Seq(("item1", -5L), ("junk", 0L))
+    val df = scala.util.Random.shuffle(rows).toDF("item", "w").repartition(11)
+    val phi = 0.02
+    val got = Frequent.heavyHittersWeighted(df, "item", "w", phi)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pos = rows.filter(_._2 > 0)
+    val totalW = pos.map(_._2).sum
+    val thr = math.ceil(phi * totalW).toLong
+    val want = pos.groupBy(_._1).view
+      .mapValues(_.map(_._2).sum).filter(_._2 >= thr).toMap
+    assert(got === want)
+    assert(got.nonEmpty && got.size < 300)
+  }
+
   test("heavyHitters keeps the native column type") {
     // 7L appears 51 times: the fill plus its one occurrence in 1..20
     val df = (Seq.fill(50)(7L) ++ (1L to 20L)).toDF("id")

@@ -110,15 +110,22 @@ class PlanSpec extends SparkSpec {
     // q38 pass 2: the candidate set must reach the scan as a broadcast
     // LEFT SEMI probe; shuffling the raw stream on the item key before
     // filtering is exactly the plan this operator exists to avoid
-    val df = graft.ext.Frequent.heavyHitters(
-      Tables.load(spark, dir, "events").select("user_id"), "user_id", 0.008)
-    val plan = planOf(df)
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
-      plan.take(2000))
-    // the only exchange below the aggregation is the ≤cap-key partial/
-    // final split — assert the semi-join sits under the scan side by
-    // checking no SortMergeJoin appears anywhere
-    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    val plans = Seq(
+      graft.ext.Frequent.heavyHitters(
+        Tables.load(spark, dir, "events").select("user_id"),
+        "user_id", 0.008),
+      graft.ext.Frequent.heavyHittersWeighted(
+        Tables.load(spark, dir, "events")
+          .select(col("user_id"), Tables.cents(col("value")).as("vc")),
+        "user_id", "vc", 0.008)).map(planOf)
+    plans.foreach { plan =>
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+        plan.take(2000))
+      // the only exchange below the aggregation is the ≤cap-key partial/
+      // final split — assert the semi-join sits under the scan side by
+      // checking no SortMergeJoin appears anywhere
+      assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    }
   }
 
   test("sequence packing: only the tiny subtotal frame is single-partition") {
