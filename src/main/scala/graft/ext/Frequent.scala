@@ -86,7 +86,6 @@ object Frequent {
   def heavyHitters(df: DataFrame, itemCol: String, phi: Double): DataFrame = {
     require(phi > 0 && phi < 1, s"phi must be in (0,1), got $phi")
     val cap = math.max(8, math.ceil(2.0 / phi).toInt)
-    val spark = df.sparkSession
     // Pass 1: per-partition summaries + per-partition row counts in one
     // scan. The count marker rides along as a (null-item) row so N needs
     // no second job.
@@ -105,15 +104,7 @@ object Frequent {
           Iterator.single((null: String, n))).toList.iterator
       }(Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
       .collect()
-    val total = summaries.collect { case (null, n) => n }.sum
-    val threshold = math.ceil(phi * total).toLong
-    val candidates = summaries.collect { case (k, _) if k != null => k }.distinct
-    val candDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        candidates.toIndexedSeq.map(org.apache.spark.sql.Row(_)), 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField(
-          "__cand", org.apache.spark.sql.types.StringType))))
+    val (threshold, candDf) = thresholdAndCandidates(df, summaries, phi)
     // Pass 2: exact verify — broadcast semi-join prunes the scan to the
     // candidate set before the (≤ cap-key) aggregation.
     df.join(
@@ -122,6 +113,21 @@ object Frequent {
       .groupBy(col(itemCol))
       .agg(count(lit(1)).as("n"))
       .where(col("n") >= threshold)
+  }
+
+  /** Shared pass-1 → pass-2 bridge: total mass and candidates out of
+    * the collected summaries (null-keyed rows are the per-partition
+    * mass markers). */
+  private def thresholdAndCandidates(
+      df: DataFrame, summaries: Array[(String, Long)],
+      phi: Double): (Long, DataFrame) = {
+    val total = summaries.collect { case (null, n) => n }.sum
+    val threshold = math.ceil(phi * total).toLong
+    val candidates = summaries
+      .collect { case (k, _) if k != null => k }.distinct.toIndexedSeq
+    val candDf = df.sparkSession
+      .createDataset(candidates)(Encoders.STRING).toDF("__cand")
+    (threshold, candDf)
   }
 
   /** Weighted φ-heavy hitters (ClickHouse `topKWeighted` upgraded to
@@ -134,7 +140,6 @@ object Frequent {
       phi: Double): DataFrame = {
     require(phi > 0 && phi < 1, s"phi must be in (0,1), got $phi")
     val cap = math.max(8, math.ceil(2.0 / phi).toInt)
-    val spark = df.sparkSession
     val rows = df
       .where(col(itemCol).isNotNull && col(weightCol) > 0)
       .select(col(itemCol).cast("string").as("item"),
@@ -149,15 +154,7 @@ object Frequent {
           Iterator.single((null: String, total))).toList.iterator
       }(Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
       .collect()
-    val totalW = summaries.collect { case (null, n) => n }.sum
-    val threshold = math.ceil(phi * totalW).toLong
-    val candidates = summaries.collect { case (k, _) if k != null => k }.distinct
-    val candDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        candidates.toIndexedSeq.map(org.apache.spark.sql.Row(_)), 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField(
-          "__cand", org.apache.spark.sql.types.StringType))))
+    val (threshold, candDf) = thresholdAndCandidates(df, summaries, phi)
     df.where(col(itemCol).isNotNull && col(weightCol) > 0)
       .join(
         broadcast(candDf),

@@ -633,8 +633,9 @@ object EventQueries {
     // billions of distinct keys is the thing this avoids at 100 TB).
     Q(
       "q38_heavy_hitters",
-      """SELECT user_id, count(*) AS n FROM events GROUP BY user_id
-        |HAVING count(*) >= ceil(0.008 * (SELECT count(*) FROM events))""".stripMargin) {
+      """WITH e AS (SELECT user_id FROM events WHERE user_id IS NOT NULL)
+        |SELECT user_id, count(*) AS n FROM e GROUP BY user_id
+        |HAVING count(*) >= ceil(0.008 * (SELECT count(*) FROM e))""".stripMargin) {
       (s, dir) =>
         graft.ext.Frequent.heavyHitters(
           Tables.load(s, dir, "events").select("user_id"), "user_id", 0.008)
@@ -647,6 +648,8 @@ object EventQueries {
       "q43_heavy_hitters_weighted",
       """WITH e AS (
         |  SELECT user_id, CAST(round(value*100) AS BIGINT) AS vc FROM events
+        |  WHERE user_id IS NOT NULL
+        |    AND CAST(round(value*100) AS BIGINT) > 0
         |)
         |SELECT user_id, CAST(sum(vc) AS BIGINT) AS w FROM e GROUP BY user_id
         |HAVING sum(vc) >= ceil(0.008 * (SELECT sum(vc) FROM e))""".stripMargin) {

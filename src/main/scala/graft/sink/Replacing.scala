@@ -168,8 +168,9 @@ object Replacing {
           .map(b => (b, s.getPath))
       }
       .sortBy(_._1)
-    expired.foreach { case (_, p) => fs.delete(p, true) }
-    expired.map(_._1)
+    // report only buckets the filesystem actually deleted — a false
+    // return (permission/lock) must not be recorded as expired
+    expired.collect { case (b, p) if fs.delete(p, true) => b }
   }
 
   /** K1: sink-side retry with exponential backoff

@@ -58,6 +58,34 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("p5") === Some("h4"))
   }
 
+  test("null keys never match; both directions carry incrementally") {
+    val probes = Seq(
+      (Option(1L), 5L, "p1"),
+      (Option.empty[Long], 5L, "p2") // null key: no match either way
+    ).toDF("k", "t", "probe")
+    val history = Seq(
+      (Option(1L), 3L, "h1"), (Option(1L), 7L, "h2"),
+      (Option.empty[Long], 1L, "hnull") // null-key history is dropped
+    ).toDF("hk", "ht", "payload")
+    for ((dir, want) <- Seq(
+        ("backward", Map("p1" -> Some("h1"), "p2" -> None)),
+        ("forward", Map("p1" -> Some("h2"), "p2" -> None)))) {
+      val joined =
+        if (dir == "backward")
+          AsOfJoin.backward(probes, history, "k", "hk", "t", "ht", Seq("payload"))
+        else
+          AsOfJoin.forward(probes, history, "k", "hk", "t", "ht", Seq("payload"))
+      val out = joined.collect()
+        .map(r => r.getString(2) -> Option(r.getString(3))).toMap
+      assert(out === want, dir)
+      // scale contract: the carry must be an unbounded-PRECEDING frame
+      // (incremental, O(n) per partition); an unbounded-FOLLOWING frame
+      // re-evaluates the suffix per row — O(n^2) on a long key history
+      val plan = joined.queryExecution.executedPlan.toString.toLowerCase
+      assert(!plan.contains("unboundedfollowing"), s"$dir frame")
+    }
+  }
+
   test("forward/backward round shapes agree on a dense random fixture") {
     // brute-force differential on a random key/time grid
     val rnd = new scala.util.Random(7)
