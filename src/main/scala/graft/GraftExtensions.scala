@@ -38,6 +38,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "vec_dot expects exactly two arguments")
         graft.expr.VectorDot(args.head, args(1))
       }))
+    e.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(
+        classOf[graft.expr.NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "nfc_normalize expects exactly one argument")
+        graft.expr.NfcNormalize(args.head)
+      }))
   }
 }
 
@@ -56,6 +64,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "vec_dot expects exactly two arguments")
         graft.expr.VectorDot(args.head, args(1))
+      },
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize",
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "nfc_normalize expects exactly one argument")
+        graft.expr.NfcNormalize(args.head)
       },
       "scala_udf")
   }

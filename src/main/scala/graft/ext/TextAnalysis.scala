@@ -190,6 +190,23 @@ object TextAnalysis {
       lit(1469598103934665603L), // FNV offset basis as seed
       (acc, t) => xxhash64(acc, t))
 
+  /** Unicode NFC canonical composition (custom codegen'd Expression —
+    * graft.expr.NfcNormalize): composes decomposed sequences so
+    * visually-identical text hashes identically downstream. */
+  def nfc(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.expr.NfcNormalize(ColumnBridge.expression(text)))
+  }
+
+  /** CCNet-style text normalization for dedup keys: NFC-compose,
+    * lowercase, collapse space runs, trim. Applied BEFORE any
+    * digest/shingle/fingerprint so that case, composition form and
+    * spacing differences don't split duplicate documents. Pure column
+    * expression — scales with the scan. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(nfc(text)), " +", " "))
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
     * the MOSS local fingerprinting scheme): hash every token k-gram,
     * slide a window of `w` consecutive hashes, keep each window's

@@ -461,6 +461,27 @@ object TextQueries {
         Tables.load(s, dir, "documents"), "doc_id", "text", k = 3, w = 4)
     },
 
+    // normalization-for-dedup digest (CCNet normalize-before-hash):
+    // NFC + lowercase + space-collapse + trim, then md5 — the key every
+    // exact-dedup pass should group on instead of raw text. NFC is the
+    // custom codegen'd NfcNormalize expression; DuckDB's nfc_normalize
+    // oracles it (the sf corpus is ASCII so NFC is an identity here —
+    // the unicode behavior itself is pinned by GraftExtensionsSpec on
+    // composed/decomposed fixtures).
+    Q(
+      "t20_normalized_digest",
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(nfc_normalize(text)), ' +', ' ', 'g')))
+        |    AS norm_digest,
+        |  CAST(length(trim(regexp_replace(lower(nfc_normalize(text)), ' +', ' ', 'g')))
+        |    AS BIGINT) AS norm_len
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val norm = TextAnalysis.normalizeText(col("text"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), md5(norm).as("norm_digest"),
+          length(norm).cast("long").as("norm_len"))
+    },
+
     Q(
       "t17_shard_assign",
       """WITH k AS (

@@ -29,6 +29,9 @@ object functions {
   def quality_score(text: Column): Column = ext.TextAnalysis.qualityScore(text)
   def fingerprint(text: Column): Column = ext.TextAnalysis.fingerprint(text)
   def scrub_pii(text: Column): Column = ext.TextAnalysis.scrubPii(text)
+  def nfc_normalize(text: Column): Column = ext.TextAnalysis.nfc(text)
+  def normalize_text(text: Column): Column =
+    ext.TextAnalysis.normalizeText(text)
   def count_emails(text: Column): Column = ext.TextAnalysis.countEmails(text)
   def char_sum(text: Column): Column = ext.TextAnalysis.charSum(text)
   def gopher_flags(

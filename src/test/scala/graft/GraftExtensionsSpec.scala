@@ -47,6 +47,32 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(e2.getMessage.contains("exactly two"), e2.getMessage)
   }
 
+  test("nfc_normalize: composed == normalized(decomposed); SQL + typed") {
+    GraftExtensions.register(spark)
+    val composed = "caf\u00e9" // e-acute precomposed
+    val decomposed = "cafe\u0301" // e + combining acute
+    assert(composed != decomposed) // different code points...
+    val r = spark.sql(
+      s"SELECT nfc_normalize('$decomposed') = '$composed' AS eq, " +
+        s"nfc_normalize(CAST(NULL AS STRING)) AS n, " +
+        s"nfc_normalize('plain ascii') AS id").head()
+    assert(r.getBoolean(0)) // ...same text after NFC
+    assert(r.isNullAt(1))
+    assert(r.getString(2) === "plain ascii")
+    // analysis-time type check (SQL-registered surface)
+    val e = intercept[Exception] {
+      spark.sql("SELECT nfc_normalize(42)").head()
+    }
+    assert(e.getMessage.contains("STRING"), e.getMessage)
+    // normalize_text end-to-end: case + composition + spacing collapse
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val out = Seq("  CAF\u00c9   x ", "cafe\u0301 x").toDF("t")
+      .select(graft.functions.normalize_text(col("t")).as("n"))
+      .collect().map(_.getString(0)).toSet
+    assert(out === Set(composed + " x"))
+  }
+
   test("vec_dot declares nullable: length mismatch on non-nullable inputs") {
     GraftExtensions.register(spark)
     // array(...) literals are non-nullable children; a mismatch must
