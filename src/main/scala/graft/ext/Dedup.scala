@@ -223,6 +223,20 @@ object Dedup {
       docs, idCol, score,
       nearDupClusters(ngramJaccardPairs(docs, idCol, textCol, threshold, w, maxPostings)))
 
+  /** Winnowing-based corpus dedup — the same composition with the
+    * candidate generator swapped to the substring-level winnow pairs
+    * (shared w+k-1-token runs), completing the generator family:
+    * set-overlap (ngram), embedding (cosine), substring (winnow) all
+    * feed the identical clustering + survivor tail. */
+  def dedupCorpusByWinnow(
+      docs: DataFrame, idCol: String, textCol: String, score: Column,
+      minShared: Int = 2, k: Int = 3, w: Int = 4,
+      maxPostings: Int = 1000): DataFrame =
+    survivors(
+      docs, idCol, score,
+      nearDupClusters(
+        winnowPairs(docs, idCol, textCol, minShared, k, w, maxPostings)))
+
   /** Embedding-space corpus dedup — the same composition with the
     * candidate generator swapped: banded sign-LSH cosine pairs →
     * connected components → best survivor per cluster. */

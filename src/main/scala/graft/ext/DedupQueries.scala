@@ -421,6 +421,82 @@ object DedupQueries {
       Dedup.winnowPairs(
         Tables.load(s, dir, "documents"), "doc_id", "text",
         minShared = 2, k = 3, w = 4, maxPostings = 1000)
+    },
+
+    // winnow-based corpus dedup: the d9/d11 composition with the
+    // substring-level candidate generator — completes the generator
+    // family (ngram set overlap / embedding cosine / winnow substring)
+    // over the identical clustering + best-survivor tail. Oracle =
+    // d15's fingerprint CTEs + d9's recursive reachability + survivor
+    // selection.
+    Q(
+      "d16_dedup_corpus_winnow",
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents
+        |), pos AS (
+        |  SELECT unnest(generate_series(1,
+        |    (SELECT CAST(max(len(t)) AS INT) FROM toks))) AS i
+        |), grams AS (
+        |  SELECT doc_id, i,
+        |    ('0x'||substr(md5(t[i]||' '||t[i+1]||' '||t[i+2]),1,15))::BIGINT AS h
+        |  FROM toks JOIN pos ON i <= len(t) - 2
+        |  WHERE len(t) >= 3
+        |), wins AS (
+        |  SELECT doc_id, i,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        |    count(*) OVER (PARTITION BY doc_id) AS ng
+        |  FROM grams
+        |), fps AS (
+        |  SELECT DISTINCT doc_id, fp FROM wins WHERE i <= greatest(1, ng - 3)
+        |), rare AS (
+        |  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 1000
+        |), c AS (
+        |  SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp)
+        |), pr AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM c a JOIN c b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pr
+        |  UNION ALL SELECT id_b, id_a FROM pr
+        |), walk(a, lbl) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, w.lbl FROM edges e JOIN walk w ON e.b = w.a
+        |), cl AS (
+        |  SELECT a AS id, min(lbl) AS cluster_id FROM walk GROUP BY a
+        |), f AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE) AS ntok,
+        |    CAST(len(list_filter(string_split_regex(trim(text), ' +'),
+        |      x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) AS hits,
+        |    CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) AS punct,
+        |    CAST(length(text) AS DOUBLE) AS nchars
+        |  FROM documents
+        |), q AS (
+        |  SELECT doc_id,
+        |    CAST(floor((least(ntok/64.0, 1.0)*0.4 + (hits/greatest(ntok, 1.0))*0.4 +
+        |      (1.0 - punct/greatest(nchars, 1.0))*0.2) * 10000) AS BIGINT) AS score
+        |  FROM f
+        |), j AS (
+        |  SELECT q.doc_id AS id, coalesce(cl.cluster_id, q.doc_id) AS cluster_id,
+        |    q.score
+        |  FROM q LEFT JOIN cl ON cl.id = q.doc_id
+        |), r AS (
+        |  SELECT id, cluster_id, score,
+        |    row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY score DESC, id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY cluster_id) AS n_members
+        |  FROM j
+        |)
+        |SELECT id AS keep_id, cluster_id, score,
+        |  CAST(n_members AS BIGINT) AS n_members
+        |FROM r WHERE rn = 1""".stripMargin) { (s, dir) =>
+      Dedup.dedupCorpusByWinnow(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        floor(TextAnalysis.qualityScore(col("text")) * 10000).cast("long"),
+        minShared = 2, k = 3, w = 4, maxPostings = 1000)
     }
   )
 }
