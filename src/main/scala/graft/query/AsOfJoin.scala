@@ -50,8 +50,8 @@ object AsOfJoin {
     * ("time to next event": next purchase after a view, next restock
     * after a stock-out, …). Ties among right rows at the same
     * (key, time) are resolved by the caller pre-deduplicating the right
-    * side (as q37 does) — the carry takes whichever sorts first
-    * otherwise. */
+    * side (as q37 does) — which of the tied rows the carry picks is
+    * otherwise unspecified. */
   def forward(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
@@ -71,13 +71,18 @@ object AsOfJoin {
       leftTime: String, rightTime: String,
       rightCols: Seq[String], descending: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
+    val matchType = org.apache.spark.sql.types.StructType(
+      right.select(rightCols.map(col): _*).schema.fields)
+    // null-key probes can never match (SQL equi semantics) — bypass the
+    // shuffle entirely rather than funneling them all into the single
+    // null window partition (a skew hazard when null keys are common)
+    val nullProbes = left.where(col(leftKey).isNull)
     val l = left
+      .where(col(leftKey).isNotNull)
       .withColumn("__k", col(leftKey))
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
-      .withColumn("__r", lit(null).cast(
-        org.apache.spark.sql.types.StructType(
-          right.select(rightCols.map(col): _*).schema.fields)))
+      .withColumn("__r", lit(null).cast(matchType))
     val r = right
       .where(col(rightKey).isNotNull) // SQL equi semantics: null never matches
       .select((Seq(col(rightKey).as("__k"), col(rightTime).as("__t"),
@@ -95,9 +100,13 @@ object AsOfJoin {
     val carried = unioned
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
-    rightCols.foldLeft(
+    val joined = rightCols.foldLeft(
       carried.select((leftCols.map(col) :+ col("__match")): _*)) {
       (df, c) => df.withColumn(c, col("__match").getField(c))
     }.drop("__match")
+    joined.unionByName(
+      nullProbes.withColumn("__match", lit(null).cast(matchType))
+        .select((leftCols.map(col) ++
+          rightCols.map(c => col("__match").getField(c).as(c))): _*))
   }
 }

@@ -170,7 +170,7 @@ object Replacing {
       .sortBy(_._1)
     // report only buckets the filesystem actually deleted — a false
     // return (permission/lock) must not be recorded as expired
-    expired.collect { case (b, p) if fs.delete(p, true) => b }
+    expired.filter { case (_, p) => fs.delete(p, true) }.map(_._1)
   }
 
   /** K1: sink-side retry with exponential backoff
