@@ -182,6 +182,70 @@ object EventOps {
   /** Cohort retention: users active on the earliest day of the frame,
     * re-counted at the given day offsets. `dayCol` must be an integer
     * day index (e.g. epoch-days). Output: (day_offset, n_active). */
+  /** Streaming [[sequenceCount]]: per-user scan-greedy A-then-B count
+    * via `flatMapGroupsWithState` + event-time timeout — the same
+    * buffer-until-quiet machinery as [[funnelStream]]. Because the
+    * batch operator's count is unbounded over history, the streaming
+    * contract is SESSION-scoped: a user's buffered events fold and emit
+    * once the watermark passes their last activity + `gapUs` (a quiet
+    * period), and a later reappearance opens a new episode. Within one
+    * episode the result equals [[sequenceCount]] over the same events
+    * regardless of arrival order inside the watermark `delay`. Ties at
+    * the same timestamp fold in (us, type) order — pre-dedup per
+    * (user, us) for fully specified semantics.
+    * `tsCol` must be TimestampType; `userCol` a long key.
+    * Output: streaming Dataset of (userCol, n_sequences). */
+  def sequenceCountStream(
+      events: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      first: String, second: String, gapUs: Long, delay: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typeIdx = when(col(typeCol) === first, lit(0))
+      .when(col(typeCol) === second, lit(1)).otherwise(lit(-1))
+    events
+      .withWatermark(tsCol, delay)
+      .select(col(userCol).cast("long"), col(tsCol), typeIdx.cast("int"))
+      .as[(Long, java.sql.Timestamp, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelBuffer, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user, it, state) =>
+          if (state.hasTimedOut) {
+            val evs = state.getOption.map(_.events).getOrElse(Seq.empty)
+            state.remove()
+            var pending = false
+            var n = 0L
+            evs.sortBy(e => (e.us, e.ty)).foreach { e =>
+              if (e.ty == 0) pending = true
+              else if (pending) { n += 1; pending = false }
+            }
+            Iterator.single((user, n))
+          } else {
+            val prev = state.getOption.getOrElse(FunnelBuffer(Seq.empty, 0L))
+            var maxUs = prev.maxUs
+            val fresh = it.flatMap { t =>
+              val inst = t._2.toInstant
+              val us = inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+              if (us > maxUs) maxUs = us
+              if (t._3 >= 0) Some(FunnelEvent(us, t._3)) else None
+            }.toSeq
+            val merged = prev.events ++ fresh
+            // a user with no A/B events holds no state and never emits
+            // (the batch operator's filtered frame omits them too)
+            if (merged.nonEmpty) {
+              state.update(FunnelBuffer(merged, maxUs))
+              // close when the user has been quiet for gapUs
+              state.setTimeoutTimestamp(
+                math.max((maxUs + gapUs) / 1000L + 1L,
+                  state.getCurrentWatermarkMs() + 1L))
+            }
+            Iterator.empty
+          }
+      }
+      .toDF(userCol, "n_sequences")
+  }
+
   /** Non-overlapping A-then-B occurrence count per key (ClickHouse
     * `sequenceCount('(?1)(?2)')` semantics: scan in time order, a match
     * consumes both events, search resumes after it). For a two-step

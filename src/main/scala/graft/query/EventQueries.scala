@@ -569,6 +569,63 @@ object EventQueries {
         "event_type", "us", 300000000L)
     },
 
+    // ranking-window matrix under ties: rank/dense_rank gap semantics,
+    // percent_rank=(rank-1)/(n-1) and cume_dist=rank_of_last_peer/n are
+    // IEEE-exact from integer inputs in both engines -> floor-e6 ints
+    // oracle exactly even on tied values. Rows are identified by
+    // event_id, so tie placement never affects the output.
+    Q(
+      "q44_rank_matrix",
+      """WITH e AS (SELECT event_id, event_type,
+        |  CAST(round(value*100) AS BIGINT) AS vc FROM events)
+        |SELECT event_id, event_type,
+        |  CAST(rank() OVER w AS BIGINT) AS rk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drk,
+        |  CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT) AS prk_e6,
+        |  CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cd_e6
+        |FROM e WINDOW w AS (PARTITION BY event_type ORDER BY vc)""".stripMargin) {
+      (s, dir) =>
+        val w = Window.partitionBy(col("event_type")).orderBy(col("vc"))
+        Tables.load(s, dir, "events")
+          .select(col("event_id"), col("event_type"),
+            cents(col("value")).as("vc"))
+          .select(col("event_id"), col("event_type"),
+            rank().over(w).cast("long").as("rk"),
+            dense_rank().over(w).cast("long").as("drk"),
+            floor(percent_rank().over(w) * 1000000).cast("long").as("prk_e6"),
+            floor(cume_dist().over(w) * 1000000).cast("long").as("cd_e6"))
+    },
+
+    // value-window matrix: lead/lag with defaults, first/last over
+    // sliding frames, nth_value over a growing frame — ordered by the
+    // unique (us, event_id) so every cell is engine-deterministic.
+    Q(
+      "q45_value_windows",
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+        |  CAST(round(value*100) AS BIGINT) AS vc FROM events)
+        |SELECT event_id, user_id,
+        |  lag(vc, 1, -1) OVER w AS prev_vc,
+        |  lead(vc, 2, -1) OVER w AS next2_vc,
+        |  first_value(vc) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS first3,
+        |  last_value(vc) OVER (w ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS last3,
+        |  nth_value(vc, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_ever
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)""".stripMargin) {
+      (s, dir) =>
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000").as("us"), cents(col("value")).as("vc"))
+          .select(col("event_id"), col("user_id"),
+            lag(col("vc"), 1, -1).over(w).as("prev_vc"),
+            lead(col("vc"), 2, -1).over(w).as("next2_vc"),
+            first(col("vc")).over(w.rowsBetween(-2, 0)).as("first3"),
+            last(col("vc")).over(w.rowsBetween(0, 2)).as("last3"),
+            nth_value(col("vc"), 2)
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .as("second_ever"))
+    },
+
     // argMin/argMax family (ClickHouse argMax): value-at-extremum in
     // ONE aggregation pass — no self-join, no window sort. Determinism:
     // the ordering key is (us, event_id) packed as fixed-width digit

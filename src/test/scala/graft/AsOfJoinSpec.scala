@@ -101,10 +101,15 @@ class AsOfJoinSpec extends SparkSpec {
     val hDf = histD.toDF("hk", "ht", "payload")
     val fwd = AsOfJoin.forward(pDf, hDf, "k", "hk", "t", "ht", Seq("payload"))
       .collect().map(r => r.getString(2) -> Option(r.getString(3))).toMap
+    val bwd = AsOfJoin.backward(pDf, hDf, "k", "hk", "t", "ht", Seq("payload"))
+      .collect().map(r => r.getString(2) -> Option(r.getString(3))).toMap
     probes.foreach { case (k, t, name) =>
-      val want = histD.filter(h => h._1 == k && h._2 >= t)
+      val wantF = histD.filter(h => h._1 == k && h._2 >= t)
         .sortBy(h => (h._2, h._3)).headOption.map(_._3)
-      assert(fwd(name) === want, s"probe $name (k=$k t=$t)")
+      assert(fwd(name) === wantF, s"forward probe $name (k=$k t=$t)")
+      val wantB = histD.filter(h => h._1 == k && h._2 <= t)
+        .sortBy(h => (h._2, h._3)).lastOption.map(_._3)
+      assert(bwd(name) === wantB, s"backward probe $name (k=$k t=$t)")
     }
   }
 }

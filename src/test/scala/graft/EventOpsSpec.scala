@@ -182,6 +182,63 @@ class EventOpsSpec extends SparkSpec {
     assert(out === seqs.map { case (u, (_, n)) => u -> n })
   }
 
+  test("sequenceCountStream equals batch sequenceCount on out-of-order input") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val rnd = new scala.util.Random(17)
+    val base = 1704067200000000L
+    // unique (user, us) per event so tie semantics don't differ
+    // whole spread (~500 s) stays inside the watermark delay (600 s) so
+    // the shuffled second half is disorder, not late data
+    val all = for {
+      u <- 0 until 15
+      i <- 0 until (8 + rnd.nextInt(5))
+    } yield (u.toLong, base + (i * 37 + rnd.nextInt(40)) * 1000000L,
+      Seq("A", "B", "X")(rnd.nextInt(3)))
+    val dedup = all.groupBy(e => (e._1, e._2)).map(_._2.head).toSeq
+
+    val batch = EventOps.sequenceCount(
+      dedup.toDF("user_id", "us", "ty"),
+      "user_id", "us", "us", "ty", "A", "B")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String)](
+        implicitly[org.apache.spark.sql.Encoder[(Long, Long, String)]],
+        spark)
+    val out = EventOps.sequenceCountStream(
+      stream.toDS().toDF("user_id", "ts_us", "ty")
+        .withColumn("ts", timestamp_micros(col("ts_us"))),
+      "user_id", "ts", "ty", "A", "B",
+      // the quiet gap must also exceed the fixture's spread, or an
+      // early horizon splits a user's events into multiple episodes
+      gapUs = 3600L * 1000000L, delay = "600 seconds")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("seqcount_out").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      val shuffled = rnd.shuffle(dedup)
+      val (h1, h2) = shuffled.splitAt(shuffled.size / 2)
+      stream.addData(h1); q.processAllAvailable()
+      stream.addData(h2); q.processAllAvailable()
+      // advance the watermark far past every quiet-gap horizon
+      stream.addData(Seq((999L, base + 100000L * 1000000L, "X")))
+      q.processAllAvailable()
+      stream.addData(Seq((999L, base + 100001L * 1000000L, "X")))
+      q.processAllAvailable()
+      val streamed = spark.table("seqcount_out")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val users = dedup.map(_._1).toSet
+      // batch emits a row per user seen among A/B events; stream emits
+      // per episode — on a drained fixture both are one row per user
+      users.foreach { u =>
+        assert(streamed.get(u) === batch.get(u).orElse(
+          // users with zero A/B events never enter the filtered batch
+          // frame; the stream never buffers them either
+          None), s"user $u\nstream=$streamed\nbatch=$batch")
+      }
+    } finally q.stop()
+  }
+
   test("maxConcurrent: boundary sweep, half-open intervals") {
     // duration 10: [0,10) [5,15) [9,19) overlap 3-deep at t=9;
     // [20,30) starts exactly where nothing is live; [30,40) touches
