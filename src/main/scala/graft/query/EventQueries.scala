@@ -569,6 +569,27 @@ object EventQueries {
         "event_type", "us", 300000000L)
     },
 
+    // array-aggregation family (ClickHouse groupArray/groupUniqArray):
+    // collect_list/collect_set are partition-order-nondeterministic, so
+    // the engine-portable discipline is sort-then-render — sorted
+    // arrays joined to CSV strings hash identically on any engine and
+    // stay driver-safe (no array columns cross the compare).
+    Q(
+      "q46_group_arrays",
+      """SELECT user_id, count(*) AS n_events,
+        |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_csv,
+        |  array_to_string((list_sort(list(event_id)))[1:5], ',') AS first5_csv
+        |FROM events GROUP BY user_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          concat_ws(",", sort_array(collect_set(col("event_type"))))
+            .as("types_csv"),
+          concat_ws(",", slice(sort_array(collect_list(col("event_id"))), 1, 5))
+            .as("first5_csv"))
+    },
+
     // ranking-window matrix under ties: rank/dense_rank gap semantics,
     // percent_rank=(rank-1)/(n-1) and cume_dist=rank_of_last_peer/n are
     // IEEE-exact from integer inputs in both engines -> floor-e6 ints

@@ -10,6 +10,47 @@ import graft.ext.Frequent
 class FrequentSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Deterministic ScalaCheck sampling (CorrelatorPropertySpec idiom). */
+  private def forAllSeeded[T](
+      gen: org.scalacheck.Gen[T], n: Int = 25)(body: T => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(i.toLong)).foreach(body)
+    }
+
+  test("property: both sketches' survivor sets satisfy the MG guarantee") {
+    import org.scalacheck.Gen
+    // random streams over a small alphabet with zipf-ish repetition +
+    // random caps: every item above the guarantee line must survive the
+    // pure sketch, with its estimate within the undercount bound
+    val gen = for {
+      nItems <- Gen.choose(5, 60)
+      len <- Gen.choose(50, 800)
+      items <- Gen.listOfN(len, Gen.choose(1, nItems).map(i => s"i${i * i % nItems}"))
+      cap <- Gen.choose(4, 24)
+    } yield (items, cap)
+    forAllSeeded(gen) { case (items, cap) =>
+      val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = items.size.toLong
+      val m = graft.ext.Frequent.misraGries(items.iterator, cap)
+      exact.foreach { case (k, c) =>
+        if (c > n / (cap + 1))
+          assert(m.contains(k), s"$k count=$c n=$n cap=$cap must survive")
+        assert(m.getOrElse(k, 0L) <= c, s"$k overcounted")
+        assert(m.getOrElse(k, 0L) >= c - n / (cap + 1), s"$k bound")
+      }
+      // weighted variant on the same stream with weight = 1 must obey
+      // the identical bound (W = n)
+      val mw = graft.ext.Frequent.misraGriesWeighted(
+        items.iterator.map((_, 1L)), cap)
+      exact.foreach { case (k, c) =>
+        if (c > n / (cap + 1)) assert(mw.contains(k), s"weighted $k")
+        assert(mw.getOrElse(k, 0L) <= c)
+        assert(mw.getOrElse(k, 0L) >= c - n / (cap + 1))
+      }
+    }
+  }
+
   test("misra-gries per-partition summary: undercount bound, survivors") {
     // 1000 of "a", 500 of "b", 2000 distinct singletons; cap 10
     val stream = scala.util.Random.shuffle(
