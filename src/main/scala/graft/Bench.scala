@@ -67,7 +67,11 @@ object Bench {
       try java.nio.file.Files.write(fullPath, (fullLine + "\n").getBytes("UTF-8"))
       catch { case t: Throwable => System.err.println(s"WARN: could not write $fullPath: $t") }
     }
-    val shortQs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
+    // compact line: 2-decimal values (10 ms resolution is plenty for the
+    // capture window; BENCH_FULL.json keeps 3 decimals) — at 100+
+    // queries the extra digit would overflow the ~2000-char window
+    def r2(v: Double): String = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val shortQs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r2(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$shortQs,"sf":"$sfDir"}""")
     spark.stop()

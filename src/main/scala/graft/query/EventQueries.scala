@@ -569,6 +569,71 @@ object EventQueries {
         "event_type", "us", 300000000L)
     },
 
+    // least-squares regression family (regr_slope/regr_intercept /
+    // ClickHouse simpleLinearRegression) via the q34 discipline: the
+    // five partial sums are exact BIGINTs, the closed form runs the
+    // IDENTICAL double expression tree on both engines, floored to e6
+    // ints — engine-exact with no aggregate-order drift.
+    Q(
+      "q47_linear_regression",
+      """WITH e AS (
+        |  SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS x,
+        |    CAST(round(value*100) AS BIGINT) AS y FROM events
+        |), s AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy
+        |  FROM e GROUP BY event_type
+        |)
+        |SELECT event_type, n,
+        |  CAST(floor(1e6 * (CAST(n*sxy - sx*sy AS DOUBLE) /
+        |    CAST(n*sxx - sx*sx AS DOUBLE))) AS BIGINT) AS slope_e6,
+        |  CAST(floor(1e6 * ((CAST(sy AS DOUBLE) -
+        |    (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)) *
+        |    CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))) AS BIGINT) AS intercept_e6
+        |FROM s""".stripMargin) { (s, dir) =>
+      val sums = Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          (expr(s"((ts div 1000) div $HourUs)") % 24).as("x"),
+          cents(col("value")).as("y"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      sums.select(col("event_type"), col("n"),
+        floor(lit(1e6) * slope).cast("long").as("slope_e6"),
+        floor(lit(1e6) * ((col("sy").cast("double") - slope * col("sx").cast("double")) /
+          col("n").cast("double"))).cast("long").as("intercept_e6"))
+    },
+
+    // dynamic-key map aggregation (ClickHouse sumMap): hour -> count
+    // maps per type, rendered as sorted "key:value" CSV so the map
+    // content hashes identically on any engine (map column types don't
+    // cross the driver compare; q26's pivot is the static-key twin).
+    Q(
+      "q48_summap_hourly",
+      """WITH h AS (
+        |  SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hour,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type,
+        |  array_to_string(list_sort(list(
+        |    CAST(hour AS VARCHAR) || ':' || CAST(n AS VARCHAR))), ',') AS hour_counts
+        |FROM h GROUP BY event_type""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"),
+          (expr(s"((ts div 1000) div $HourUs)") % 24).as("hour"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("event_type")
+        .agg(concat_ws(",", sort_array(collect_list(
+          concat(col("hour").cast("string"), lit(":"), col("n").cast("string")))))
+          .as("hour_counts"))
+    },
+
     // array-aggregation family (ClickHouse groupArray/groupUniqArray):
     // collect_list/collect_set are partition-order-nondeterministic, so
     // the engine-portable discipline is sort-then-render — sorted

@@ -17,12 +17,12 @@ class BenchContractSpec extends AnyFunSuite {
   }
 
   test("compact bench line fits the 2000-char capture window with headroom") {
-    // worst case: every query takes >= 1000s -> 9 chars per value
-    // ("12345.678"), plus a generous sf-path width (env-var controlled, so
-    // model 64 chars rather than the literal default path)
+    // worst case: every query takes >= 1000s -> 8 chars per 2-decimal
+    // value ("12345.67"), plus a generous sf-path width (env-var
+    // controlled, so model 64 chars rather than the literal default path)
     val worstSf = "x" * 64
     val qs = SparkEntry.queries.keys.toSeq.sorted
-      .map(k => "\"" + k.takeWhile(_ != '_') + "\":12345.678")
+      .map(k => "\"" + k.takeWhile(_ != '_') + "\":12345.67")
       .mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":1234567.890,"unit":"sec","queries":$qs,"sf":"$worstSf"}"""
