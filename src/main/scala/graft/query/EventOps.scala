@@ -123,18 +123,44 @@ object EventOps {
   def funnelStream(
       events: DataFrame, userCol: String, tsCol: String, typeCol: String,
       steps: Seq[String], windowUs: Long, delay: String): DataFrame = {
-    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-    val spark = events.sparkSession
-    import spark.implicits._
     // distinct-type indices so a repeated step type (steps = A,B,A)
     // matches the batch operator, which re-matches the type per pass
     val distinctTypes = steps.distinct
     val stepTypes = steps.map(distinctTypes.indexOf)
-    // type index as a column expression, and the WATERMARKED timestamp
-    // column carried through untransformed — an object-level .map would
-    // re-serialize the attributes and strip the event-time tag the
-    // EventTimeTimeout needs
-    val typeIdx = distinctTypes.zipWithIndex
+    bufferedFold(
+      events, userCol, tsCol, typeCol, distinctTypes, delay,
+      outCol = "steps",
+      // a user with only non-step events still emits a 0-step row (the
+      // batch funnel frame includes every user)
+      holdEmptyState = true,
+      // close when the watermark passes the funnel horizon: the first
+      // anchor + window when an anchor exists, else the latest event +
+      // window (an anchor may still arrive out of order in the delay)
+      horizonOf = (merged, maxUs) =>
+        merged.filter(_.ty == stepTypes.head)
+          .map(_.us).minOption.getOrElse(maxUs) + windowUs,
+      fold = evs => foldFunnel(evs, stepTypes, windowUs))
+  }
+
+  /** The buffer-until-quiet machinery shared by [[funnelStream]] and
+    * [[sequenceCountStream]]: watermark, map event types to indices
+    * (non-listed types → -1, buffered only as horizon presence when
+    * `holdEmptyState`), accumulate `FunnelEvent`s in keyed state, and
+    * when the event-time timeout passes `horizonOf`, emit
+    * `(user, fold(events))` and clear. The WATERMARKED timestamp column
+    * is carried untransformed — an object-level .map would re-serialize
+    * the attributes and strip the event-time tag EventTimeTimeout
+    * needs. */
+  private def bufferedFold(
+      events: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      types: Seq[String], delay: String, outCol: String,
+      holdEmptyState: Boolean,
+      horizonOf: (Seq[FunnelEvent], Long) => Long,
+      fold: Seq[FunnelEvent] => Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typeIdx = types.zipWithIndex
       .foldRight(lit(-1): Column) { case ((ty, i), acc) =>
         when(col(typeCol) === ty, lit(i)).otherwise(acc)
       }
@@ -149,7 +175,7 @@ object EventOps {
           if (state.hasTimedOut) {
             val evs = state.getOption.map(_.events).getOrElse(Seq.empty)
             state.remove()
-            Iterator.single((user, foldFunnel(evs, stepTypes, windowUs)))
+            Iterator.single((user, fold(evs)))
           } else {
             val prev = state.getOption.getOrElse(FunnelBuffer(Seq.empty, 0L))
             var maxUs = prev.maxUs
@@ -157,31 +183,24 @@ object EventOps {
               val inst = t._2.toInstant
               val us = inst.getEpochSecond * 1000000L + inst.getNano / 1000L
               if (us > maxUs) maxUs = us
-              // only step-relevant events buffer — non-step traffic
+              // only pattern-relevant events buffer — other traffic
               // contributes presence + horizon via maxUs alone, so
-              // state scales with funnel traffic, not total traffic
+              // state scales with pattern traffic, not total traffic
               if (t._3 >= 0) Some(FunnelEvent(us, t._3)) else None
             }.toSeq
             val merged = prev.events ++ fresh
-            state.update(FunnelBuffer(merged, maxUs))
-            // close when the watermark passes the funnel horizon: the
-            // first anchor + window when an anchor exists, else the
-            // latest event + window (an anchor may still arrive out of
-            // order inside the delay)
-            val horizonUs = merged.filter(_.ty == stepTypes.head)
-              .map(_.us).minOption.getOrElse(maxUs) + windowUs
-            state.setTimeoutTimestamp(
-              math.max(horizonUs / 1000L + 1L,
-                state.getCurrentWatermarkMs() + 1L))
+            if (holdEmptyState || merged.nonEmpty) {
+              state.update(FunnelBuffer(merged, maxUs))
+              state.setTimeoutTimestamp(
+                math.max(horizonOf(merged, maxUs) / 1000L + 1L,
+                  state.getCurrentWatermarkMs() + 1L))
+            }
             Iterator.empty
           }
       }
-      .toDF(userCol, "steps")
+      .toDF(userCol, outCol)
   }
 
-  /** Cohort retention: users active on the earliest day of the frame,
-    * re-counted at the given day offsets. `dayCol` must be an integer
-    * day index (e.g. epoch-days). Output: (day_offset, n_active). */
   /** Streaming [[sequenceCount]]: per-user scan-greedy A-then-B count
     * via `flatMapGroupsWithState` + event-time timeout — the same
     * buffer-until-quiet machinery as [[funnelStream]]. Because the
@@ -197,54 +216,24 @@ object EventOps {
     * Output: streaming Dataset of (userCol, n_sequences). */
   def sequenceCountStream(
       events: DataFrame, userCol: String, tsCol: String, typeCol: String,
-      first: String, second: String, gapUs: Long, delay: String): DataFrame = {
-    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-    val spark = events.sparkSession
-    import spark.implicits._
-    val typeIdx = when(col(typeCol) === first, lit(0))
-      .when(col(typeCol) === second, lit(1)).otherwise(lit(-1))
-    events
-      .withWatermark(tsCol, delay)
-      .select(col(userCol).cast("long"), col(tsCol), typeIdx.cast("int"))
-      .as[(Long, java.sql.Timestamp, Int)]
-      .groupByKey(_._1)
-      .flatMapGroupsWithState[FunnelBuffer, (Long, Long)](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (user, it, state) =>
-          if (state.hasTimedOut) {
-            val evs = state.getOption.map(_.events).getOrElse(Seq.empty)
-            state.remove()
-            var pending = false
-            var n = 0L
-            evs.sortBy(e => (e.us, e.ty)).foreach { e =>
-              if (e.ty == 0) pending = true
-              else if (pending) { n += 1; pending = false }
-            }
-            Iterator.single((user, n))
-          } else {
-            val prev = state.getOption.getOrElse(FunnelBuffer(Seq.empty, 0L))
-            var maxUs = prev.maxUs
-            val fresh = it.flatMap { t =>
-              val inst = t._2.toInstant
-              val us = inst.getEpochSecond * 1000000L + inst.getNano / 1000L
-              if (us > maxUs) maxUs = us
-              if (t._3 >= 0) Some(FunnelEvent(us, t._3)) else None
-            }.toSeq
-            val merged = prev.events ++ fresh
-            // a user with no A/B events holds no state and never emits
-            // (the batch operator's filtered frame omits them too)
-            if (merged.nonEmpty) {
-              state.update(FunnelBuffer(merged, maxUs))
-              // close when the user has been quiet for gapUs
-              state.setTimeoutTimestamp(
-                math.max((maxUs + gapUs) / 1000L + 1L,
-                  state.getCurrentWatermarkMs() + 1L))
-            }
-            Iterator.empty
-          }
-      }
-      .toDF(userCol, "n_sequences")
-  }
+      first: String, second: String, gapUs: Long, delay: String): DataFrame =
+    bufferedFold(
+      events, userCol, tsCol, typeCol, Seq(first, second), delay,
+      outCol = "n_sequences",
+      // a user with no A/B events holds no state and never emits (the
+      // batch operator's filtered frame omits them too)
+      holdEmptyState = false,
+      // close when the user has been quiet for gapUs
+      horizonOf = (_, maxUs) => maxUs + gapUs,
+      fold = evs => {
+        var pending = false
+        var n = 0L
+        evs.sortBy(e => (e.us, e.ty)).foreach { e =>
+          if (e.ty == 0) pending = true
+          else if (pending) { n += 1; pending = false }
+        }
+        n
+      })
 
   /** Non-overlapping A-then-B occurrence count per key (ClickHouse
     * `sequenceCount('(?1)(?2)')` semantics: scan in time order, a match
@@ -295,6 +284,9 @@ object EventOps {
       .agg(max(col("_live")).as("max_concurrent"))
   }
 
+  /** Cohort retention: users active on the earliest day of the frame,
+    * re-counted at the given day offsets. `dayCol` must be an integer
+    * day index (e.g. epoch-days). Output: (day_offset, n_active). */
   def retention(
       activity: DataFrame, userCol: String, dayCol: String,
       offsets: Seq[Long]): DataFrame = {

@@ -586,11 +586,13 @@ object EventQueries {
         |  FROM e GROUP BY event_type
         |)
         |SELECT event_type, n,
-        |  CAST(floor(1e6 * (CAST(n*sxy - sx*sy AS DOUBLE) /
-        |    CAST(n*sxx - sx*sx AS DOUBLE))) AS BIGINT) AS slope_e6,
-        |  CAST(floor(1e6 * ((CAST(sy AS DOUBLE) -
-        |    (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)) *
-        |    CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))) AS BIGINT) AS intercept_e6
+        |  CASE WHEN n*sxx - sx*sx = 0 THEN NULL ELSE
+        |    CAST(floor(1e6 * (CAST(n*sxy - sx*sy AS DOUBLE) /
+        |      CAST(n*sxx - sx*sx AS DOUBLE))) AS BIGINT) END AS slope_e6,
+        |  CASE WHEN n*sxx - sx*sx = 0 THEN NULL ELSE
+        |    CAST(floor(1e6 * ((CAST(sy AS DOUBLE) -
+        |      (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)) *
+        |      CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))) AS BIGINT) END AS intercept_e6
         |FROM s""".stripMargin) { (s, dir) =>
       val sums = Tables.load(s, dir, "events")
         .select(col("event_type"),
@@ -601,12 +603,17 @@ object EventQueries {
           sum(col("x")).as("sx"), sum(col("y")).as("sy"),
           sum(col("x") * col("x")).as("sxx"),
           sum(col("x") * col("y")).as("sxy"))
+      // zero x-variance (single event / all in one hour): slope is
+      // undefined — NULL on both engines, never double/0 = Infinity
+      val denom = col("n") * col("sxx") - col("sx") * col("sx")
       val slope = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+        denom.cast("double")
       sums.select(col("event_type"), col("n"),
-        floor(lit(1e6) * slope).cast("long").as("slope_e6"),
-        floor(lit(1e6) * ((col("sy").cast("double") - slope * col("sx").cast("double")) /
-          col("n").cast("double"))).cast("long").as("intercept_e6"))
+        when(denom =!= 0,
+          floor(lit(1e6) * slope).cast("long")).as("slope_e6"),
+        when(denom =!= 0,
+          floor(lit(1e6) * ((col("sy").cast("double") - slope * col("sx").cast("double")) /
+            col("n").cast("double"))).cast("long")).as("intercept_e6"))
     },
 
     // dynamic-key map aggregation (ClickHouse sumMap): hour -> count

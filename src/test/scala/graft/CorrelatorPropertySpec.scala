@@ -12,12 +12,7 @@ import graft.schema._
   */
 class CorrelatorPropertySpec extends AnyFunSuite {
 
-  /** Deterministic ScalaCheck sampling (no scalatest bridge in the
-    * offline dependency set): draw `n` samples with sequential seeds. */
-  private def forAllSeeded[T](gen: Gen[T], n: Int = 30)(body: T => Unit): Unit =
-    (0 until n).foreach { i =>
-      gen(Gen.Parameters.default, Seed(i.toLong)).foreach(body)
-    }
+  import PropertySampling.forAllSeeded
 
   /** One synthetic tx: a chain/tree of receipts spread over consecutive
     * blocks starting at `startBlock`; returns per-block receipt

@@ -229,12 +229,11 @@ class EventOpsSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val users = dedup.map(_._1).toSet
       // batch emits a row per user seen among A/B events; stream emits
-      // per episode — on a drained fixture both are one row per user
+      // per episode — on a drained fixture both are one row per user,
+      // and users with zero A/B events appear in neither (None == None)
       users.foreach { u =>
-        assert(streamed.get(u) === batch.get(u).orElse(
-          // users with zero A/B events never enter the filtered batch
-          // frame; the stream never buffers them either
-          None), s"user $u\nstream=$streamed\nbatch=$batch")
+        assert(streamed.get(u) === batch.get(u),
+          s"user $u\nstream=$streamed\nbatch=$batch")
       }
     } finally q.stop()
   }

@@ -10,13 +10,7 @@ import graft.ext.Frequent
 class FrequentSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Deterministic ScalaCheck sampling (CorrelatorPropertySpec idiom). */
-  private def forAllSeeded[T](
-      gen: org.scalacheck.Gen[T], n: Int = 25)(body: T => Unit): Unit =
-    (0 until n).foreach { i =>
-      gen(org.scalacheck.Gen.Parameters.default,
-        org.scalacheck.rng.Seed(i.toLong)).foreach(body)
-    }
+  import PropertySampling.forAllSeeded
 
   test("property: both sketches' survivor sets satisfy the MG guarantee") {
     import org.scalacheck.Gen
