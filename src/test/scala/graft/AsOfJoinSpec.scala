@@ -86,9 +86,13 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
-  test("forward/backward round shapes agree on a dense random fixture") {
+  test("forward/backward round shapes agree on dense random fixtures") {
+    for (seed <- Seq(7, 23, 91)) runRandomDifferential(seed)
+  }
+
+  private def runRandomDifferential(seed: Int): Unit = {
     // brute-force differential on a random key/time grid
-    val rnd = new scala.util.Random(7)
+    val rnd = new scala.util.Random(seed)
     val probes = (0 until 120).map(i =>
       (rnd.nextInt(6).toLong, rnd.nextInt(50).toLong, s"p$i"))
     val hist = (0 until 80).map(i =>
@@ -109,7 +113,7 @@ class AsOfJoinSpec extends SparkSpec {
       assert(fwd(name) === wantF, s"forward probe $name (k=$k t=$t)")
       val wantB = histD.filter(h => h._1 == k && h._2 <= t)
         .sortBy(h => (h._2, h._3)).lastOption.map(_._3)
-      assert(bwd(name) === wantB, s"backward probe $name (k=$k t=$t)")
+      assert(bwd(name) === wantB, s"backward probe $name (k=$k t=$t) seed=$seed")
     }
   }
 }
