@@ -110,7 +110,7 @@ class AsOfJoinSpec extends SparkSpec {
     probes.foreach { case (k, t, name) =>
       val wantF = histD.filter(h => h._1 == k && h._2 >= t)
         .sortBy(h => (h._2, h._3)).headOption.map(_._3)
-      assert(fwd(name) === wantF, s"forward probe $name (k=$k t=$t)")
+      assert(fwd(name) === wantF, s"forward probe $name (k=$k t=$t) seed=$seed")
       val wantB = histD.filter(h => h._1 == k && h._2 <= t)
         .sortBy(h => (h._2, h._3)).lastOption.map(_._3)
       assert(bwd(name) === wantB, s"backward probe $name (k=$k t=$t) seed=$seed")

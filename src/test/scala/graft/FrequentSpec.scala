@@ -23,7 +23,7 @@ class FrequentSpec extends SparkSpec {
       items <- Gen.listOfN(len, Gen.choose(1, nItems).map(i => s"i${i * i % nItems}"))
       cap <- Gen.choose(4, 24)
     } yield (items, cap)
-    forAllSeeded(gen) { case (items, cap) =>
+    forAllSeeded(gen, n = 30) { case (items, cap) => // explicit domain: seeds 0-29
       val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
       val n = items.size.toLong
       val m = graft.ext.Frequent.misraGries(items.iterator, cap)
