@@ -37,6 +37,35 @@ object ScaleProbe {
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s  rows=$n")
       spark.catalog.clearCache() // drop operator-internal persists
     }
+    // 10x embedding corpus for the cosine-LSH probe: each copy is a
+    // near-dup of its source (one coordinate nudged per replica), same
+    // disk-materialization discipline as the documents corpus.
+    val vecs1 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val vtmpDir = java.nio.file.Files.createTempDirectory("graft-scale-vec")
+    (0 until 10).map { r =>
+      vecs1.select((col("vec_id") + lit(r * 1000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x + lit(0.001f * (r + 1))).otherwise(x))
+          .as("embedding"))
+    }.reduce(_ unionByName _).repartition(32)
+      .write.mode("overwrite").parquet(vtmpDir.toString)
+    val vecs10 = spark.read.parquet(vtmpDir.toString)
+    println(s"vecs10 = ${vecs10.count()}")
+    // 10x events for the sequence/interval sweeps: fresh user ids per
+    // replica (10x users, same per-user density — the production growth
+    // shape for these per-key window operators).
+    val ev1 = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val etmpDir = java.nio.file.Files.createTempDirectory("graft-scale-ev")
+    (0 until 10).map { r =>
+      ev1.select((col("event_id") + lit(r * 100000000L)).as("event_id"),
+        (col("user_id") + lit(r * 1000000L)).as("user_id"),
+        col("ts"), col("event_type"))
+    }.reduce(_ unionByName _).repartition(32)
+      .write.mode("overwrite").parquet(etmpDir.toString)
+    val ev10 = spark.read.parquet(etmpDir.toString)
+    println(s"ev10 = ${ev10.count()}")
     try {
       for ((label, d) <- Seq(("1x(5k)", docs1), ("10x(50k)", docs10))) {
         time(s"$label dupSpanProfile") { graft.ext.Dedup.dupSpanProfile(d, "doc_id", "text").count() }
@@ -55,15 +84,53 @@ object ScaleProbe {
             d.select(explode(graft.ext.TextAnalysis.tokens(col("text"))).as("tok")),
             "tok", 0.01).count()
         }
+        // winnowing pair/corpus ops at scale (round-4 additions)
+        time(s"$label winnowCorpusDedup") {
+          graft.ext.Dedup.dedupCorpusByWinnow(
+            d, "doc_id", "text", length(col("text")).cast("long")).count()
+        }
+      }
+      // sign-LSH cosine pairs: geometry auto-derives (2k → 3 planes/band,
+      // 20k → ~6), so candidates grow ~n·targetBucket — the sub-quadratic
+      // claim this probe backs empirically.
+      for ((label, v) <- Seq(("1x(2k)", vecs1), ("10x(20k)", vecs10))) {
+        time(s"$label cosinePairs") {
+          graft.ext.Similarity.cosineNearDupPairs(
+            v, "vec_id", "embedding", threshold = 0.9).count()
+        }
+        time(s"$label cosineCorpusDedup") {
+          graft.ext.Dedup.dedupCorpusByCosine(
+            v, "vec_id", "embedding",
+            round(graft.ext.Similarity.norm(col("embedding")) * 1e6)
+              .cast("long"),
+            threshold = 0.9).count()
+        }
+      }
+      // q39/q40 event sweeps: per-user lag automaton scales with user
+      // count; the interval sweep's parallelism is bounded by the
+      // partition key's cardinality (5 event types) by construction.
+      for ((label, e) <- Seq(("1x(ev)", ev1), ("10x(ev)", ev10))) {
+        val withUs = e.withColumn("us", expr("ts div 1000"))
+        time(s"$label sequenceCount") {
+          graft.query.EventOps.sequenceCount(
+            withUs, "user_id", "us", "event_id", "event_type",
+            "view", "purchase").count()
+        }
+        time(s"$label maxConcurrent") {
+          graft.query.EventOps.maxConcurrent(
+            withUs, "event_type", "us", 300000000L).count()
+        }
       }
     } finally {
       spark.stop()
-      // the 10x corpus is ~10x the sf0.1 documents table on disk — clean up
+      // the 10x corpora are ~10x their sf0.1 tables on disk — clean up
       import java.nio.file.{Files, Path}
       import java.util.Comparator
-      val walk = Files.walk(tmpDir)
-      try walk.sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.deleteIfExists(p))
-      finally walk.close()
+      for (d <- Seq(tmpDir, vtmpDir, etmpDir)) {
+        val walk = Files.walk(d)
+        try walk.sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.deleteIfExists(p))
+        finally walk.close()
+      }
     }
   }
 }

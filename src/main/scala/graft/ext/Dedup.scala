@@ -26,8 +26,15 @@ import org.apache.spark.storage.StorageLevel
   * joins/aggregations move fixed-width longs, not text. Signature
   * frames are persisted (MEMORY_AND_DISK) because every self-join would
   * otherwise recompute the full signature projection on both sides;
-  * they are small (|docs| × k longs). Callers owning a long-lived
-  * session can `spark.catalog.clearCache()` between corpora.
+  * they are small (|docs| × k longs). The cleanup contract is
+  * CENTRALIZED IN THE CALLER, deliberately: the returned DataFrame is
+  * lazy, so the operator cannot know when its caches are safe to drop —
+  * an in-operator unpersist would fire before the caller's action and
+  * silently re-derive the frame per consumer. Long-lived sessions run
+  * `spark.catalog.clearCache()` between corpora, exactly as the
+  * `graft.Verify` / `graft.Bench` / `graft.ScaleProbe` drivers do after
+  * every query (this covers minhash, winnow, and cosine-LSH frames
+  * alike).
   */
 object Dedup {
   import TextAnalysis.tokens
@@ -243,11 +250,13 @@ object Dedup {
   def dedupCorpusByCosine(
       vectors: DataFrame, idCol: String, vecCol: String, score: Column,
       threshold: Double = 0.9, bands: Int = 4,
-      planesPerBand: Int = 3): DataFrame =
+      planesPerBand: Int = 0, maxBucket: Int = 1000,
+      dim: Option[Int] = None): DataFrame =
     survivors(
       vectors, idCol, score,
       nearDupClusters(Similarity.cosineNearDupPairs(
-        vectors, idCol, vecCol, threshold, bands, planesPerBand)))
+        vectors, idCol, vecCol, threshold, bands, planesPerBand,
+        maxBucket, dim = dim)))
 
   /** Survivor selection shared by the corpus-dedup compositions: one
     * row per cluster (max score, min id tiebreak); rows absent from

@@ -342,6 +342,9 @@ object DedupQueries {
     // embedding-space corpus dedup: the d9 composition with sign-LSH
     // cosine candidates; survivor = highest-norm vector (LSH + xxhash
     // internals -> rows-only; composition pieces pinned by specs).
+    // Bucket geometry auto-derives from corpus size (planesPerBand =
+    // ceil(log2(n/64))) and oversized buckets are capped — the scale
+    // guards DedupSpec pins.
     Q.noOracle("d11_dedup_corpus_cosine") { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
       Dedup.dedupCorpusByCosine(
@@ -353,7 +356,9 @@ object DedupQueries {
     // embedding-cosine near-dup pairs, banded-LSH-bucketed. Threshold
     // 0.4 because the synthetic corpus's most-similar pair is ~0.51 —
     // the operator's contract (pairs ≥ t found via bucket collision) is
-    // the same at any t.
+    // the same at any t. Geometry auto-derives from corpus size and
+    // buckets are size-capped (the Θ(n²) guard), so the candidate count
+    // stays ~n·targetBucket at any scale.
     Q.noOracle("d6_embedding_neardup") { (s, dir) =>
       Similarity.cosineNearDupPairs(
         Tables.load(s, dir, "embeddings"), "vec_id", "embedding",

@@ -114,15 +114,20 @@ object Similarity {
 
   def ivfBuild(
       vectors: DataFrame, idCol: String, vecCol: String,
-      k: Int = 16, iters: Int = 3, seed: Long = 42L): IvfIndex = {
+      k: Int = 16, iters: Int = 3, seed: Long = 42L,
+      dim: Option[Int] = None): IvfIndex = {
     val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val dimRow = base.agg(max(size(col("v")))).head()
-    require(!dimRow.isNullAt(0),
-      "ivfBuild: empty or all-null vector input") // clean error, not NPE
-    val dim = dimRow.getInt(0)
+    // dim probe only when the caller doesn't know it — at 100 TB the
+    // probe is a full column scan before the first Lloyd pass starts
+    val dimV = dim.getOrElse {
+      val dimRow = base.agg(max(size(col("v")))).head()
+      require(!dimRow.isNullAt(0),
+        "ivfBuild: empty or all-null vector input") // clean error, not NPE
+      dimRow.getInt(0)
+    }
     val rnd = new scala.util.Random(seed)
     var cents: Seq[Seq[Double]] =
-      Seq.fill(k)(Seq.fill(dim)(rnd.nextGaussian()))
+      Seq.fill(k)(Seq.fill(dimV)(rnd.nextGaussian()))
     for (_ <- 0 until iters) {
       // assign + per-cluster mean: one distributed pass, k×dim doubles
       // back to the driver
@@ -131,7 +136,7 @@ object Similarity {
         .groupBy("c")
         .agg(
           count(lit(1)).as("n"),
-          array((0 until dim).map(i =>
+          array((0 until dimV).map(i =>
             sum(element_at(col("v"), i + 1).cast("double")).as(s"s$i")): _*)
             .as("sums"))
         .collect()
@@ -333,6 +338,21 @@ object Similarity {
       .limit(k)
   }
 
+  /** Bucket-count geometry for the banded sign-LSH pair generator: with
+    * `p` planes per band a corpus of `n` vectors spreads over 2^p
+    * buckets, so an average bucket holds n/2^p vectors and the band
+    * self-join emits Θ(n²/2^p) candidates. A FIXED p is therefore a
+    * quadratic time bomb: fine at 500 vectors, catastrophic at 10⁹.
+    * Deriving p = ⌈log2(n/targetBucket)⌉ keeps the average bucket at
+    * ~`targetBucket` vectors regardless of corpus size — candidates grow
+    * ~linearly (n·targetBucket), the property that makes the operator
+    * survive 100 TB. Clamped to [1, 24] (2^24 buckets ≫ any real corpus
+    * needs; ≥1 so tiny corpora still bucket). */
+  def derivePlanesPerBand(n: Long, targetBucket: Int = 64): Int = {
+    val buckets = math.max(n, 1L).toDouble / math.max(targetBucket, 1)
+    math.min(24, math.max(1, math.ceil(math.log(buckets) / math.log(2)).toInt))
+  }
+
   /** All near-duplicate pairs with cosine >= threshold, via banded
     * sign-bit LSH (the cosine analog of MinHash banding): `bands`
     * independent groups of `planesPerBand` hyperplanes; a pair is a
@@ -342,20 +362,48 @@ object Similarity {
     * angle θ is 1-(1-p^r)^b with p = 1-θ/π; tune bands/planesPerBand to
     * the target threshold (more planes per band → sparser buckets →
     * cheaper join, lower recall).
+    *
+    * Two scale guards (mirroring the minhash path's `bandCandidates`):
+    *  - `planesPerBand <= 0` (the default) auto-derives the bucket count
+    *    from the corpus size via [[derivePlanesPerBand]] — a fixed plane
+    *    count would hand the self-join Θ(n²/2^p) candidates at scale.
+    *  - `maxBucket` drops buckets larger than the cap before the
+    *    self-join (skew guard: a bucket of near-identical boilerplate
+    *    vectors would otherwise hand one reducer O(bucket²) pairs).
+    *    Pairs inside a dropped bucket can still surface through any of
+    *    the other `bands-1` independent bands.
+    *
+    * `dim` skips the full-column probe scan when the caller knows the
+    * embedding width (at 100 TB the probe reads every vector before the
+    * real job starts); when absent it is derived in the same job that
+    * counts the corpus for the geometry derivation — one probe, not two.
     */
   def cosineNearDupPairs(
       vectors: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bands: Int = 4, planesPerBand: Int = 3): DataFrame = {
-    // derived, not trusted (as in ivfBuild): a wrong dim would silently
-    // degenerate the hyperplane buckets and tank recall. max(size) is
-    // null-row-safe; an empty/all-null input short-circuits to an empty
-    // pair frame instead of failing at plan construction.
-    val dimRow = vectors.agg(max(size(col(vecCol)))).head()
-    if (dimRow.isNullAt(0))
+      threshold: Double, bands: Int = 4, planesPerBand: Int = 0,
+      maxBucket: Int = 1000, targetBucket: Int = 64,
+      dim: Option[Int] = None): DataFrame = {
+    // derived-when-absent, and derived TOGETHER: dim (max size — a wrong
+    // dim would silently degenerate the hyperplane buckets and tank
+    // recall) and corpus count (geometry) ride one aggregation job.
+    // With both supplied there is no eager probe at all (PlanSpec pins
+    // this). max(size) is null-row-safe; an empty/all-null input
+    // short-circuits to an empty pair frame.
+    val needProbe = dim.isEmpty || planesPerBand <= 0
+    val (dimOpt, nOpt): (Option[Int], Option[Long]) =
+      if (needProbe) {
+        val row = vectors.agg(max(size(col(vecCol))), count(lit(1))).head()
+        (dim.orElse(if (row.isNullAt(0)) None else Some(row.getInt(0))),
+          Some(row.getLong(1)))
+      } else (dim, None)
+    if (dimOpt.isEmpty)
       return vectors.select(
         col(idCol).as("id_a"), col(idCol).as("id_b"),
         lit(0d).as("cos_sim")).limit(0)
-    val dim = dimRow.getInt(0)
+    val dimV = dimOpt.get
+    val ppb =
+      if (planesPerBand > 0) planesPerBand
+      else derivePlanesPerBand(nOpt.get, targetBucket)
     // sign-LSH is SCALE-INVARIANT (sign(v·h) == sign(v̂·h) for positive
     // norms), so signatures come straight off the raw vectors — no
     // corpus-wide normalization pass. Survivor verification computes
@@ -365,16 +413,19 @@ object Similarity {
     // every join branch.
     val raw = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
     val bandSigs = (0 until bands).map { b =>
-      val planes = hyperplanes(planesPerBand, dim, seed = 42L + b)
+      val planes = hyperplanes(ppb, dimV, seed = 42L + b)
       struct(lit(b).as("band"), lshSignature(col("v"), planes).as("bucket"))
     }
     val buckets = raw
       .select(col("id"), explode(array(bandSigs: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    buckets.count() // eager: both self-join sides read it in one action
-    val l = buckets.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val r = buckets.select(col("band"), col("bucket"), col("id").as("id_b"))
+    buckets.count() // eager: count + both self-join sides read one cache
+    val small = buckets.groupBy("band", "bucket").count()
+      .where(col("count") <= maxBucket).drop("count")
+    val capped = buckets.join(small, Seq("band", "bucket"))
+    val l = capped.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val r = capped.select(col("band"), col("bucket"), col("id").as("id_b"))
     l.join(r, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))

@@ -64,10 +64,14 @@ object SimilarityQueries {
     },
 
     // IVF ANN: k-means inverted lists, probe nearest 4 of 16 cells.
+    // The query vector is fetched anyway, so its length supplies `dim`
+    // — the build skips the corpus-wide dim probe scan.
     Q.noOracle("s4_ivf_topk") { (s, dir) =>
+      val qv = queryVec(s, dir)
       val idx = Similarity.ivfBuild(
-        Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
-      Similarity.ivfTopK(idx, queryVec(s, dir), k = 10)
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = Some(qv.length))
+      Similarity.ivfTopK(idx, qv, k = 10)
     },
 
     // product-quantization ANN: m×k codebook ADC scan (m byte-codes per

@@ -24,7 +24,13 @@ import org.apache.spark.sql.functions._
   * operator; salt keys beyond that).
   *
   * Null join keys follow SQL equi-join semantics: null-key right rows
-  * are dropped, null-key left rows carry no match.
+  * are dropped, null-key left rows carry no match. Null TIMES follow
+  * SQL inequality semantics the same way: `rightTime <= NULL` (and
+  * `>= NULL`) is never true, so null-time probes carry no match and
+  * null-time history rows match nothing — both bypass the window scan
+  * entirely (a sort-order formulation would get this wrong: desc is
+  * NULLS LAST, so a null-time probe would sort after all history and
+  * pick up the minimum-time row).
   */
 object AsOfJoin {
 
@@ -73,18 +79,21 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     val matchType = org.apache.spark.sql.types.StructType(
       right.select(rightCols.map(col): _*).schema.fields)
-    // null-key probes can never match (SQL equi semantics) — bypass the
-    // shuffle entirely rather than funneling them all into the single
-    // null window partition (a skew hazard when null keys are common)
-    val nullProbes = left.where(col(leftKey).isNull)
+    // null-key AND null-time probes can never match (SQL equi/inequality
+    // semantics) — bypass the shuffle entirely rather than funneling
+    // null keys into the single null window partition (a skew hazard
+    // when null keys are common) or letting a null time sort to the far
+    // end of the scan and pick up the extremum-time history row
+    val nullProbes = left.where(col(leftKey).isNull || col(leftTime).isNull)
     val l = left
-      .where(col(leftKey).isNotNull)
+      .where(col(leftKey).isNotNull && col(leftTime).isNotNull)
       .withColumn("__k", col(leftKey))
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
       .withColumn("__r", lit(null).cast(matchType))
     val r = right
-      .where(col(rightKey).isNotNull) // SQL equi semantics: null never matches
+      // SQL semantics: a null key or null time never matches anything
+      .where(col(rightKey).isNotNull && col(rightTime).isNotNull)
       .select((Seq(col(rightKey).as("__k"), col(rightTime).as("__t"),
         lit(0).as("__side"),
         struct(rightCols.map(col): _*).as("__r")) ++

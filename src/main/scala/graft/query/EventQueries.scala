@@ -723,13 +723,16 @@ object EventQueries {
     // ONE aggregation pass — no self-join, no window sort. Determinism:
     // the ordering key is (us, event_id) packed as fixed-width digit
     // strings, identical lexicographic=numeric ordering in both engines
-    // (DuckDB 1.0 arg_max takes no struct keys).
+    // (DuckDB 1.0 arg_max takes no struct keys). Both halves pad to 19
+    // digits — the full non-negative int64 width — so the
+    // lexicographic=numeric equivalence holds for ANY event_id the
+    // fixtures could ever emit, not just below 10^10.
     Q(
       "q41_argmax_latest",
       """WITH e AS (
         |  SELECT user_id, event_id, CAST(round(value*100) AS BIGINT) AS vc,
         |    lpad(CAST(epoch_us(ts) AS VARCHAR), 19, '0') ||
-        |      lpad(CAST(event_id AS VARCHAR), 10, '0') AS ok
+        |      lpad(CAST(event_id AS VARCHAR), 19, '0') AS ok
         |  FROM events
         |)
         |SELECT user_id,
@@ -739,7 +742,7 @@ object EventQueries {
         |FROM e GROUP BY user_id""".stripMargin) { (s, dir) =>
       val key = concat(
         lpad(expr("ts div 1000").cast("string"), 19, "0"),
-        lpad(col("event_id").cast("string"), 10, "0"))
+        lpad(col("event_id").cast("string"), 19, "0"))
       Tables.load(s, dir, "events")
         .select(col("user_id"), col("event_id"),
           cents(col("value")).as("vc"), key.as("ok"))

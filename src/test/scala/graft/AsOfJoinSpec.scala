@@ -86,6 +86,34 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("null times never match: probes carry nothing, history is dropped") {
+    // SQL inequality semantics: rightTime >= NULL (and <= NULL) is never
+    // true. The sort-order trap this pins: under the forward direction's
+    // descending scan a null-time probe is NULLS LAST — without the
+    // bypass it would sort after all history and pick up the
+    // minimum-time row.
+    val probes = Seq(
+      (1L, Option(5L), "p1"),
+      (1L, Option.empty[Long], "pnullt") // null time: no match either way
+    ).toDF("k", "t", "probe")
+    val history = Seq(
+      (1L, Option(3L), "h1"), (1L, Option(7L), "h2"),
+      (1L, Option.empty[Long], "hnullt") // null-time history matches nothing
+    ).toDF("hk", "ht", "payload")
+    for ((dir, want) <- Seq(
+        ("backward", Map("p1" -> Some("h1"), "pnullt" -> None)),
+        ("forward", Map("p1" -> Some("h2"), "pnullt" -> None)))) {
+      val joined =
+        if (dir == "backward")
+          AsOfJoin.backward(probes, history, "k", "hk", "t", "ht", Seq("payload"))
+        else
+          AsOfJoin.forward(probes, history, "k", "hk", "t", "ht", Seq("payload"))
+      val out = joined.collect()
+        .map(r => r.getString(2) -> Option(r.getString(3))).toMap
+      assert(out === want, dir)
+    }
+  }
+
   test("forward/backward round shapes agree on dense random fixtures") {
     for (seed <- Seq(7, 23, 91)) runRandomDifferential(seed)
   }

@@ -163,6 +163,33 @@ class DedupSpec extends SparkSpec {
     for (c <- 3 until 6) assert(kept(c.toLong) === 1L, s"singleton $c")
   }
 
+  test("cosineNearDupPairs: geometry derives from corpus size, buckets capped") {
+    // derived planes pin the AVERAGE bucket at ~targetBucket vectors
+    // regardless of corpus size — candidates grow ~n·targetBucket, not
+    // Θ(n²/2^p). Spot values across the range plus both clamps.
+    assert(Similarity.derivePlanesPerBand(500) === 3) // sf0.01 corpus
+    assert(Similarity.derivePlanesPerBand(2000) === 5) // sf0.1 corpus
+    assert(Similarity.derivePlanesPerBand(50) === 1) // tiny floor
+    assert(Similarity.derivePlanesPerBand(0) === 1)
+    assert(Similarity.derivePlanesPerBand(1L << 40) === 24) // upper clamp
+    // monotone: more vectors never means fewer buckets
+    val ns = Seq(1L, 100L, 10000L, 1000000L, 100000000L)
+    assert(ns.map(Similarity.derivePlanesPerBand(_)) ===
+      ns.map(Similarity.derivePlanesPerBand(_)).sorted)
+
+    // skew cap: 10 identical vectors share every band bucket (signature
+    // is a pure function of the vector). Uncapped, all 45 pairs verify
+    // at cosine 1; with maxBucket=5 each bucket (size 10) is dropped
+    // before the self-join — zero candidates, bounded reducer work.
+    val tens = (0L until 10L).map(i => (i, Seq.fill(8)(1.0f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.cosineNearDupPairs(tens, "vec_id", "embedding", 0.9)
+      .count() === 45)
+    assert(Similarity.cosineNearDupPairs(tens, "vec_id", "embedding", 0.9,
+      maxBucket = 5).count() === 0)
+    spark.catalog.clearCache()
+  }
+
   test("multimodal plumbing: decode + features + frames deterministic") {
     val docs = graft.query.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val corpus = Multimodal.corpusFromDocuments(spark, docs)

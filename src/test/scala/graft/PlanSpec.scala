@@ -224,6 +224,67 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dim+geometry-supplied similarity calls launch no probe job") {
+    // at 100 TB the eager dim/count probe is a full column scan before
+    // the real job starts — a caller who knows the embedding width (and
+    // pins the LSH geometry) must pay zero probe jobs. Counted via a
+    // job-group-scoped listener: only jobs from THIS thread's group are
+    // counted (suites share the session and may run in parallel), and a
+    // marker job flushes the listener bus so the count is complete.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import graft.ext.Similarity
+    def jobsDuring(f: => Unit): Int = {
+      val sc = spark.sparkContext
+      val count = new java.util.concurrent.atomic.AtomicInteger
+      @volatile var seenMarker = false
+      val l = new SparkListener {
+        override def onJobStart(js: SparkListenerJobStart): Unit = {
+          val p = js.properties
+          if (p != null &&
+            "graft-jobcount" == p.getProperty("spark.jobGroup.id")) {
+            if ("graft-marker" == p.getProperty("spark.job.description"))
+              seenMarker = true
+            else count.incrementAndGet()
+          }
+        }
+      }
+      sc.addSparkListener(l)
+      try {
+        sc.setJobGroup("graft-jobcount", "probe counting")
+        try {
+          f
+          sc.setJobDescription("graft-marker")
+          spark.range(1).count()
+        } finally sc.clearJobGroup()
+        val deadline = System.nanoTime + 10L * 1000 * 1000 * 1000
+        while (!seenMarker && System.nanoTime < deadline) Thread.sleep(10)
+        assert(seenMarker, "marker job never observed by the listener")
+        count.get
+      } finally sc.removeSparkListener(l)
+    }
+    val vecs = Tables.load(spark, dir, "embeddings")
+    // same geometry both ways (derivePlanesPerBand(500) == 3) — the only
+    // difference may be the probe job
+    val auto = jobsDuring {
+      Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.9)
+    }
+    spark.catalog.clearCache()
+    val pinned = jobsDuring {
+      Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.9,
+        planesPerBand = 3, dim = Some(64))
+    }
+    spark.catalog.clearCache()
+    assert(pinned < auto, s"pinned=$pinned auto=$auto")
+    val ivfAuto = jobsDuring {
+      Similarity.ivfBuild(vecs, "vec_id", "embedding", iters = 1)
+    }
+    val ivfPinned = jobsDuring {
+      Similarity.ivfBuild(vecs, "vec_id", "embedding", iters = 1,
+        dim = Some(64))
+    }
+    assert(ivfPinned < ivfAuto, s"pinned=$ivfPinned auto=$ivfAuto")
+  }
+
   test("LM score: counts join back by bigram key, vocab broadcast") {
     val df = SparkEntry.queries("t18_lm_score")(spark, dir)
     val plan = planOf(df)
