@@ -32,13 +32,18 @@ object Main {
 
   private val usage =
     """usage:
-      |  graft.Main actions      <blocksJsonDir> <outDir> [--follow] [--native]
-      |  graft.Main transactions <blocksJsonDir> <outDir> [--follow] [--from HEIGHT] [--native]
+      |  graft.Main actions      <blocksJsonDir> <outDir> [--follow] [--native] [--skip-commit]
+      |  graft.Main transactions <blocksJsonDir> <outDir> [--follow] [--from HEIGHT] [--native] [--skip-commit]
       |  graft.Main backfill     <blocksJsonDir> <outDir>
       |
       |--native reads through the height-offset block source (expects a
       |<height>.json document corpus / neardata endpoint) instead of the
-      |generic file stream.""".stripMargin
+      |generic file stream.
+      |--skip-commit runs the FULL pipeline but commits nothing (the
+      |reference's skip-commit smoke mode): every transform executes and
+      |progress logs fire, no table/quarantine file is written, and the
+      |stream checkpoint goes to an ephemeral temp dir so a dry run can
+      |never advance the offsets a later real run resumes from.""".stripMargin
 
   def main(args: Array[String]): Unit = {
     if (args.length < 3) { System.err.println(usage); sys.exit(2) }
@@ -69,24 +74,34 @@ object Main {
       if (follow) Trigger.ProcessingTime("2 seconds")
       else Trigger.AvailableNow()
     val native = args.contains("--native")
+    val skipCommit = args.contains("--skip-commit")
+    // dry runs checkpoint to a throwaway dir: reusing the real
+    // checkpoint would record source offsets for blocks whose output
+    // was never committed — a later live run would silently skip them
+    def checkpoint(name: String): String =
+      if (skipCommit)
+        java.nio.file.Files
+          .createTempDirectory(s"graft-dryrun-$name").toString
+      else s"$outDir/_checkpoints/$name"
 
     mode match {
       case "actions" =>
         awaitAll(
           BlockStream.runActionsPipeline(
-            spark, inDir, outDir, s"$outDir/_checkpoints/actions", trigger,
-            nativeSource = native))
+            spark, inDir, outDir, checkpoint("actions"), trigger,
+            nativeSource = native, skipCommit = skipCommit))
       case "transactions" =>
         val start = explicitFrom
           .orElse(BlockStream.backfillCut(spark, outDir))
           .getOrElse(Long.MinValue)
         awaitAll(
           BlockStream.runBlocksPipeline(
-            spark, inDir, outDir, s"$outDir/_checkpoints/blocks", trigger,
-            nativeSource = native),
+            spark, inDir, outDir, checkpoint("blocks"), trigger,
+            nativeSource = native, skipCommit = skipCommit),
           BlockStream.runTransactionsPipeline(
-            spark, inDir, outDir, s"$outDir/_checkpoints/transactions",
-            trigger, startHeight = start, nativeSource = native))
+            spark, inDir, outDir, checkpoint("transactions"),
+            trigger, startHeight = start, nativeSource = native,
+            skipCommit = skipCommit))
       case "backfill" =>
         val cut = BlockStream.runBackfill(spark, inDir, outDir)
         println(s"[graft] backfill done; replay cut = $cut")

@@ -265,7 +265,14 @@ object EventOps {
     * starts at the same instant), running sum, max. One sort per
     * group partition; never materializes the pairwise overlaps.
     * `events` rows open an interval [tsCol, tsCol + durationUs).
-    * Output: (groupCol, max_concurrent). */
+    * Output: (groupCol, max_concurrent).
+    *
+    * Scale note: parallelism equals the group key's cardinality (one
+    * sorted sweep per group). With few groups and 100 TB of events,
+    * partition by (group, time-bucket) instead — sweep each bucket,
+    * then stitch: carry each bucket's closing running-sum as the next
+    * bucket's opening offset (a tiny per-bucket frame, the same
+    * two-phase shape Packing.packSequences uses for its prefix sum). */
   def maxConcurrent(
       events: DataFrame, groupCol: String, tsCol: String,
       durationUs: Long): DataFrame = {

@@ -74,11 +74,15 @@ object BlockStream {
   }
 
   /** Split a micro-batch into (good blocks, quarantine rows) and append
-    * the quarantine (raw line + arrival batch) for forensics. */
-  def quarantine(batch: DataFrame, outDir: String): DataFrame = {
+    * the quarantine (raw line + arrival batch) for forensics. With
+    * `skipCommit` the quarantine append is suppressed like every other
+    * write (the bad rows still get filtered out). */
+  def quarantine(
+      batch: DataFrame, outDir: String,
+      skipCommit: Boolean = false): DataFrame = {
     val bad = batch.where(
       col("_corrupt_record").isNotNull || col("block").isNull)
-    if (!bad.isEmpty)
+    if (!skipCommit && !bad.isEmpty)
       bad.select(
         col("_corrupt_record").as("raw"),
         col("block.header.height").as("claimed_height"))
@@ -86,6 +90,21 @@ object BlockStream {
     batch.where(col("_corrupt_record").isNull && col("block").isNotNull)
       .drop("_corrupt_record")
   }
+
+  /** Dry-run seam — the reference's skip-commit debugging mode
+    * (`/root/reference/src/click.rs:63`, `README.md:105`: run the full
+    * pipeline, commit nothing). The WHOLE transform still executes —
+    * extract, correlate, cursor filters, state-store updates, progress
+    * events — because the dry branch forces a count-only
+    * materialization; only the sink write is withheld. That makes it
+    * the operational smoke test the reference uses it as: identical
+    * work, zero mutation. */
+  private def commit[T](
+      skip: Boolean, table: String, ds: Dataset[T])(
+      write: Dataset[T] => Unit): Unit =
+    if (skip)
+      println(s"[graft] skip-commit: $table NOT written (${ds.count()} rows)")
+    else write(ds)
 
   /** Sink-derived resume cursor (S3): max of `cursorCol` already
     * persisted, or -1 when the sink is empty/nonexistent. Each table
@@ -110,7 +129,8 @@ object BlockStream {
   def runActionsPipeline(
       spark: SparkSession, inDir: String, outDir: String,
       checkpoint: String, trigger: Trigger = Trigger.AvailableNow(),
-      bucketStep: Long = 1000L, nativeSource: Boolean = false)
+      bucketStep: Long = 1000L, nativeSource: Boolean = false,
+      skipCommit: Boolean = false)
       : StreamingQuery = {
     // per-table cursors (partial fan-out from a crashed batch heals)
     val cActions = sinkCursor(spark, s"$outDir/actions")
@@ -128,7 +148,7 @@ object BlockStream {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // O2: quarantined, deduped, past-cursor blocks only
-        val blocks = quarantine(batch, outDir)
+        val blocks = quarantine(batch, outDir, skipCommit)
           .where(col("block.header.height") > cMin)
           .dropDuplicates("block")
           .persist()
@@ -136,33 +156,39 @@ object BlockStream {
           if (!blocks.isEmpty) {
             val idx = ActionsExtract.indexedReceipts(blocks).persist()
             try {
-              Replacing.retry() {
-                Replacing.appendWrite(
-                  ActionsExtract.actions(idx)
-                    .where(col("block_height") > cActions),
-                  s"$outDir/actions",
-                  "block_height", actionsOrderKey,
-                  bloomCols = Seq("account_id", "signer_id", "receipt_id",
-                    "transaction_hash", "predecessor_id"),
-                  step = bucketStep)
+              commit(skipCommit, "actions",
+                ActionsExtract.actions(idx)
+                  .where(col("block_height") > cActions)) { out =>
+                Replacing.retry() {
+                  Replacing.appendWrite(
+                    out, s"$outDir/actions",
+                    "block_height", actionsOrderKey,
+                    bloomCols = Seq("account_id", "signer_id", "receipt_id",
+                      "transaction_hash", "predecessor_id"),
+                    step = bucketStep)
+                }
               }
-              Replacing.retry() {
-                Replacing.appendWrite(
-                  ActionsExtract.events(idx)
-                    .where(col("block_height") > cEvents),
-                  s"$outDir/events",
-                  "block_height", eventsOrderKey,
-                  bloomCols = Seq("account_id", "data_owner_id"),
-                  step = bucketStep)
+              commit(skipCommit, "events",
+                ActionsExtract.events(idx)
+                  .where(col("block_height") > cEvents)) { out =>
+                Replacing.retry() {
+                  Replacing.appendWrite(
+                    out, s"$outDir/events",
+                    "block_height", eventsOrderKey,
+                    bloomCols = Seq("account_id", "data_owner_id"),
+                    step = bucketStep)
+                }
               }
-              Replacing.retry() {
-                Replacing.appendWrite(
-                  ActionsExtract.data(idx)
-                    .where(col("block_height") > cData),
-                  s"$outDir/data",
-                  "block_height", dataOrderKey,
-                  bloomCols = Seq("account_id", "data_id"),
-                  step = bucketStep)
+              commit(skipCommit, "data",
+                ActionsExtract.data(idx)
+                  .where(col("block_height") > cData)) { out =>
+                Replacing.retry() {
+                  Replacing.appendWrite(
+                    out, s"$outDir/data",
+                    "block_height", dataOrderKey,
+                    bloomCols = Seq("account_id", "data_id"),
+                    step = bucketStep)
+                }
               }
             } finally idx.unpersist()
           }
@@ -179,32 +205,40 @@ object BlockStream {
     * duplicates collapse under dedupView). */
   private def writeTxTables(
       txs: Dataset[TxCorrelator.CompletedTx], outDir: String,
-      bucketStep: Long): Unit = {
-    Replacing.retry() {
-      Replacing.appendWrite(
-        TxFanout.accountTxs(txs), s"$outDir/account_txs",
-        "tx_block_height",
-        Seq("account_id", "tx_block_height", "transaction_hash"),
-        bloomCols = Seq("account_id"), step = bucketStep)
+      bucketStep: Long, skipCommit: Boolean = false): Unit = {
+    commit(skipCommit, "account_txs", TxFanout.accountTxs(txs)) { out =>
+      Replacing.retry() {
+        Replacing.appendWrite(
+          out, s"$outDir/account_txs",
+          "tx_block_height",
+          Seq("account_id", "tx_block_height", "transaction_hash"),
+          bloomCols = Seq("account_id"), step = bucketStep)
+      }
     }
-    Replacing.retry() {
-      Replacing.appendWrite(
-        TxFanout.receiptTxs(txs), s"$outDir/receipt_txs",
-        "tx_block_height", Seq("tx_block_height", "receipt_id"),
-        bloomCols = Seq("receipt_id"), step = bucketStep)
+    commit(skipCommit, "receipt_txs", TxFanout.receiptTxs(txs)) { out =>
+      Replacing.retry() {
+        Replacing.appendWrite(
+          out, s"$outDir/receipt_txs",
+          "tx_block_height", Seq("tx_block_height", "receipt_id"),
+          bloomCols = Seq("receipt_id"), step = bucketStep)
+      }
     }
-    Replacing.retry() {
-      Replacing.appendWrite(
-        TxFanout.blockTxs(txs), s"$outDir/block_txs",
-        "block_height", Seq("block_height", "transaction_hash"),
-        bloomCols = Seq("transaction_hash"), step = bucketStep)
+    commit(skipCommit, "block_txs", TxFanout.blockTxs(txs)) { out =>
+      Replacing.retry() {
+        Replacing.appendWrite(
+          out, s"$outDir/block_txs",
+          "block_height", Seq("block_height", "transaction_hash"),
+          bloomCols = Seq("transaction_hash"), step = bucketStep)
+      }
     }
-    Replacing.retry() {
-      Replacing.appendWrite(
-        TxFanout.transactions(txs), s"$outDir/transactions",
-        "tx_block_height", Seq("transaction_hash"),
-        bloomCols = Seq("transaction_hash", "signer_id"),
-        step = bucketStep)
+    commit(skipCommit, "transactions", TxFanout.transactions(txs)) { out =>
+      Replacing.retry() {
+        Replacing.appendWrite(
+          out, s"$outDir/transactions",
+          "tx_block_height", Seq("transaction_hash"),
+          bloomCols = Seq("transaction_hash", "signer_id"),
+          step = bucketStep)
+      }
     }
   }
 
@@ -221,7 +255,8 @@ object BlockStream {
       spark: SparkSession, inDir: String, outDir: String,
       checkpoint: String, trigger: Trigger = Trigger.AvailableNow(),
       bucketStep: Long = 1000L, startHeight: Long = Long.MinValue,
-      nativeSource: Boolean = false): StreamingQuery = {
+      nativeSource: Boolean = false,
+      skipCommit: Boolean = false): StreamingQuery = {
     import spark.implicits._
     val src =
       if (nativeSource)
@@ -245,7 +280,7 @@ object BlockStream {
         (batch: Dataset[TxCorrelator.CompletedTx], _: Long) =>
           val txs = batch.filter(_.last_block_height > cursor).persist()
           try {
-            if (!txs.isEmpty) writeTxTables(txs, outDir, bucketStep)
+            if (!txs.isEmpty) writeTxTables(txs, outDir, bucketStep, skipCommit)
           } finally txs.unpersist()
           ()
       }
@@ -318,7 +353,8 @@ object BlockStream {
   def runBlocksPipeline(
       spark: SparkSession, inDir: String, outDir: String,
       checkpoint: String, trigger: Trigger = Trigger.AvailableNow(),
-      bucketStep: Long = 1000L, nativeSource: Boolean = false)
+      bucketStep: Long = 1000L, nativeSource: Boolean = false,
+      skipCommit: Boolean = false)
       : StreamingQuery = {
     val cursor = sinkCursor(spark, s"$outDir/blocks")
     val src =
@@ -328,13 +364,16 @@ object BlockStream {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val b = TxFanout.blocks(quarantine(batch, outDir).dropDuplicates("block"))
+        val b = TxFanout
+          .blocks(quarantine(batch, outDir, skipCommit).dropDuplicates("block"))
           .where(col("block_height") > cursor)
-        if (!b.isEmpty) Replacing.retry() {
-          Replacing.appendWrite(
-            b, s"$outDir/blocks", "block_height", Seq("block_height"),
-            bloomCols = Seq("block_hash", "epoch_id", "author_id"),
-            step = bucketStep)
+        if (!b.isEmpty) commit(skipCommit, "blocks", b) { out =>
+          Replacing.retry() {
+            Replacing.appendWrite(
+              out, s"$outDir/blocks", "block_height", Seq("block_height"),
+              bloomCols = Seq("block_hash", "epoch_id", "author_id"),
+              step = bucketStep)
+          }
         }
         ()
       }

@@ -80,9 +80,14 @@ final class DirBlockFetcher(path: String) extends BlockFetcher {
   * exponential-backoff retries mirror the reference fetcher's.
   * `backoffMs` is the base delay (doubled per attempt, capped 30 s) —
   * parameterized so the spec's localhost server can exercise the retry
-  * path without real sleeps. */
+  * path without real sleeps.
+  *
+  * `bearerToken` sends `Authorization: Bearer <token>` on every request
+  * when present (reference: `src/main.rs:65,96-98` — an optional
+  * env-provided token; real endpoints require it for recent blocks). */
 final class HttpBlockFetcher(
-    baseUrl: String, maxRetries: Int = 5, backoffMs: Long = 1000L)
+    baseUrl: String, maxRetries: Int = 5, backoffMs: Long = 1000L,
+    bearerToken: Option[String] = None)
     extends BlockFetcher {
   private def get(url: String): Option[String] = {
     var attempt = 0
@@ -92,6 +97,8 @@ final class HttpBlockFetcher(
           .asInstanceOf[java.net.HttpURLConnection]
         conn.setConnectTimeout(10000)
         conn.setReadTimeout(30000)
+        bearerToken.foreach(t =>
+          conn.setRequestProperty("Authorization", s"Bearer $t"))
         try {
           conn.getResponseCode match {
             case 200 =>
@@ -131,8 +138,13 @@ object BlockFetcher {
     o.getOrElse("fetcher", "dir") match {
       case "dir" => new DirBlockFetcher(o.getOrElse("path",
         throw new IllegalArgumentException("graft-blocks: path required")))
-      case "http" => new HttpBlockFetcher(o.getOrElse("url",
-        throw new IllegalArgumentException("graft-blocks: url required")))
+      case "http" => new HttpBlockFetcher(
+        o.getOrElse("url",
+          throw new IllegalArgumentException("graft-blocks: url required")),
+        // auth precedence: explicit source option, then the environment
+        // (the reference's deployment shape — token via env)
+        bearerToken = o.get("token")
+          .orElse(sys.env.get("GRAFT_BLOCKS_TOKEN")))
       case other =>
         throw new IllegalArgumentException(s"unknown fetcher: $other")
     }

@@ -65,6 +65,32 @@ class HttpFetcherSpec extends AnyFunSuite {
     }
   }
 
+  test("bearer token reaches the server as an Authorization header") {
+    withServer { (server, base) =>
+      val seen = new java.util.concurrent.atomic.AtomicReference[String]("unset")
+      server.createContext("/v0/block/",
+        (ex: HttpExchange) => {
+          seen.set(Option(ex.getRequestHeaders.getFirst("Authorization"))
+            .getOrElse("absent"))
+          respond(ex, 200, """{"block":{"header":{"height":7}}}""")
+        })
+      // no token configured -> no header at all
+      new HttpBlockFetcher(base, maxRetries = 1, backoffMs = 1L).fetch(7L)
+      assert(seen.get === "absent")
+      // explicit token -> Bearer header on the request
+      new HttpBlockFetcher(base, maxRetries = 1, backoffMs = 1L,
+        bearerToken = Some("sekrit-123")).fetch(7L)
+      assert(seen.get === "Bearer sekrit-123")
+      // and the option-map plumbing used by readStream.option("token",...)
+      val opts = new java.util.HashMap[String, String]()
+      opts.put("fetcher", "http")
+      opts.put("url", base)
+      opts.put("token", "opt-token")
+      graft.stream.BlockFetcher.from(opts).fetch(7L)
+      assert(seen.get === "Bearer opt-token")
+    }
+  }
+
   test("a 'null' body means no block at that height") {
     withServer { (server, base) =>
       server.createContext("/v0/block/",

@@ -46,6 +46,29 @@ class MainSpec extends SparkSpec {
     assert(n > 0)
   }
 
+  test("--skip-commit runs the full pipeline but writes nothing") {
+    import graft.schema.Blocks.encoder
+    val in = tmp(); val out = tmp()
+    spark.createDataset(BlockFixtures.blocks(6))(encoder)
+      .toDF().coalesce(1).write.mode("append").json(in)
+    val listener = graft.stream.ProgressListener.attach(spark)
+    try {
+      Main.run(Array("actions", in, out, "--skip-commit"), spark)
+      Main.run(Array("transactions", in, out, "--skip-commit"), spark)
+      // the pipelines really executed: progress events carried real rows
+      assert(listener.batches.get() > 0)
+      assert(listener.totalInputRows.get() > 0)
+      // ...and the output dir is untouched — no tables, no quarantine,
+      // no checkpoints (dry runs checkpoint to an ephemeral temp dir so
+      // they can never advance a live run's source offsets)
+      assert(Option(new java.io.File(out).list()).getOrElse(Array.empty[String]).isEmpty)
+      // a subsequent live run over the same input sees virgin state and
+      // writes everything
+      Main.run(Array("actions", in, out), spark)
+      assert(spark.read.parquet(s"$out/actions").count() > 0)
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("unknown mode raises a usage error") {
     intercept[IllegalArgumentException] {
       Main.run(Array("nonsense", "/tmp/a", "/tmp/b"), spark)
