@@ -87,14 +87,49 @@ object SimilarityQueries {
     // per-chunk embedding (deterministic hash-derived stand-in — the
     // container has no embedding model, but the pipeline shape is the
     // real one: embed is a pure projection over chunks) → exact top-k
-    // retrieval of similar chunks for a query chunk. Engine-specific
-    // hashes → rows-only; the pieces carry their own oracles/specs
-    // (t16, s1).
-    Q.noOracle("s8_rag_pipeline") { (s, dir) =>
+    // retrieval of similar chunks for a query chunk. ORACLED: the
+    // stand-in embedding uses the portable md5 idiom, so DuckDB replays
+    // the whole composition — t16's chunking CTE, the same 16-dim
+    // projection, the query vector's float32 round-trip (the Spark path
+    // ships it as Seq[Float] literals), and s1's bit-equal double
+    // cosine with the identical (rounded cos, composite id) ordering.
+    Q(
+      "s8_rag_pipeline",
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents
+        |  WHERE length(trim(text)) > 0
+        |), k AS (
+        |  SELECT unnest(generate_series(0,
+        |    (SELECT CAST(max((len(t) - 1) // 48) AS INT) FROM tok))) AS k
+        |), chunks AS (
+        |  SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+        |    md5(array_to_string(t[k*48+1:k*48+64], ' ')) AS chunk_hash
+        |  FROM tok JOIN k ON k <= (len(t) - 1) // 48
+        |), emb AS (
+        |  SELECT doc_id, chunk_idx,
+        |    list_transform(range(0, 16), d ->
+        |      CAST(CAST(('0x'||substr(md5(chunk_hash||'|'||CAST(d AS VARCHAR)),1,15)) AS BIGINT) % 1000 AS DOUBLE) / 1000.0) AS e
+        |  FROM chunks
+        |), q AS (
+        |  SELECT list_transform(e, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS qe
+        |  FROM emb WHERE doc_id = 0 AND chunk_idx = 0
+        |), c AS (
+        |  SELECT doc_id, chunk_idx,
+        |    round(
+        |      list_sum(list_transform(range(1, 17), i -> e[i] * qe[i])) /
+        |      (sqrt(list_sum(list_transform(e, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(qe, x -> x * x)))), 6) AS cos6
+        |  FROM emb, q
+        |)
+        |SELECT doc_id, chunk_idx,
+        |  CAST(round(cos6 * 1000000) AS BIGINT) AS cos_e6
+        |FROM c ORDER BY cos6 DESC, doc_id * 1000000 + chunk_idx ASC
+        |LIMIT 10""".stripMargin) { (s, dir) =>
       val dims = 16
       def embed(c: org.apache.spark.sql.Column) = array(
         (0 until dims).map(d =>
-          (xxhash64(c, lit(d)) % 1000L).cast("double") / 1000.0): _*)
+          (conv(substring(md5(concat(c, lit("|"), lit(d.toString))), 1, 15),
+            16, 10).cast("long") % 1000L).cast("double") / 1000.0): _*)
       val chunks = Packing
         .chunkOverlap(Tables.load(s, dir, "documents"), "doc_id", "text",
           chunkSize = 64, stride = 48)

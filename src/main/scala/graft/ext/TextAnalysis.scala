@@ -178,17 +178,24 @@ object TextAnalysis {
   }
 
   /** Document fingerprint: rolling hash over tokens — each step feeds
-    * the accumulator and the next token back through xxhash64, so the
+    * the accumulator and the next token back through the hash, so the
     * result is order-sensitive but whitespace-run-insensitive. (A
     * multiply-based polynomial hash would wrap Long and trip ANSI
     * overflow checks; hash-chaining mixes just as well without
-    * overflow.) For an order-insensitive fingerprint use Dedup.simhash.
-    */
+    * overflow.) The chain step is the PORTABLE md5 idiom (t17/t19's
+    * `conv(substr(md5(x),1,15),16,10)` ≡ DuckDB
+    * `('0x'||substr(md5(x),1,15))::BIGINT`) rather than xxhash64, so an
+    * independent engine can replay the fold exactly — that's what makes
+    * t5 oracle-able. The accumulator rides as a decimal string (conv
+    * returns one); 15 hex digits = 60 bits keeps it positive in a
+    * BIGINT on both engines. For an order-insensitive fingerprint use
+    * Dedup.simhash. */
   def fingerprint(text: Column): Column =
     aggregate(
       tokens(text),
-      lit(1469598103934665603L), // FNV offset basis as seed
-      (acc, t) => xxhash64(acc, t))
+      lit("1469598103934665603"), // FNV offset basis as seed
+      (acc, t) => conv(substring(md5(concat(acc, lit("|"), t)), 1, 15), 16, 10))
+      .cast("long")
 
   /** Unicode NFC canonical composition (custom codegen'd Expression —
     * graft.expr.NfcNormalize): composes decomposed sequences so

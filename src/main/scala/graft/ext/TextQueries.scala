@@ -105,9 +105,22 @@ object TextQueries {
           floor(qualityScore(col("text")) * 10000).cast("long").as("quality_e4"))
     },
 
-    // order-sensitive rolling-hash fingerprint → rows-only (xxhash64 is
-    // Spark-specific); exact-dup detection via fingerprint collision.
-    Q.noOracle("t5_fingerprints") { (s, dir) =>
+    // order-sensitive rolling-hash fingerprint; exact-dup detection via
+    // fingerprint collision. Oracled: the md5 chain step is portable,
+    // so DuckDB replays the identical left fold (seed prepended — its
+    // list_reduce has no initial-value form).
+    Q(
+      "t5_fingerprints",
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(list_reduce(
+        |      ['1469598103934665603'] || string_split_regex(trim(text), ' +'),
+        |      (acc, t) -> CAST(CAST(('0x'||substr(md5(acc||'|'||t),1,15)) AS BIGINT) AS VARCHAR)
+        |    ) AS BIGINT) AS fp
+        |  FROM documents
+        |)
+        |SELECT fp, count(*) AS n_docs, min(doc_id) AS keep_id
+        |FROM f GROUP BY fp""".stripMargin) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
       docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
         .groupBy(col("fp"))

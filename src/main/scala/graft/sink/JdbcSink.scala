@@ -27,23 +27,67 @@ import org.apache.spark.sql.functions._
   */
 object JdbcSink {
 
+  /** Replay-idempotence dialect seam. The write shape is
+    * pre-statement → batch insert; what the pre-statement must do
+    * depends on the engine:
+    *
+    *  - [[AnsiDialect]] (default, what embedded Derby / Postgres /
+    *    MySQL need): a synchronous `DELETE ... BETWEEN lo AND hi` so
+    *    the re-insert rewrites exactly its own range.
+    *  - [[ReplacingMergeTreeDialect]] (ClickHouse): NO pre-statement.
+    *    The reference relies on the table engine itself — replayed rows
+    *    are duplicate (sorting-key) entries that collapse at merge time
+    *    (ReplacingMergeTree semantics; `/root/reference/README.md:33`'s
+    *    DDL, `src/click.rs:50-85` inserts without ever deleting) — and
+    *    reads go through `SELECT ... FINAL` or the dedup-on-read view,
+    *    exactly like our parquet `Replacing.dedupView`. A synchronous
+    *    DELETE on ClickHouse would be an ALTER-TABLE mutation: async,
+    *    heavyweight, and wrong for a per-batch path.
+    *
+    * The seam keeps `replacingWrite` engine-agnostic without a
+    * ClickHouse driver in the build (zero-egress container): the
+    * dialect is data (an optional SQL string), so JdbcSinkSpec can pin
+    * both behaviors against embedded Derby. */
+  trait SinkDialect extends Serializable {
+    /** Statement to run before re-inserting the [lo, hi] height range;
+      * None when the engine collapses duplicates itself. */
+    def preInsertSql(
+        table: String, heightCol: String, lo: Long, hi: Long): Option[String]
+  }
+
+  /** Generic ANSI engines: delete the range, then re-insert. */
+  object AnsiDialect extends SinkDialect {
+    // Spark's JDBC writer quotes COLUMN names (case-preserved) but not
+    // the table name — match that here
+    override def preInsertSql(
+        table: String, heightCol: String, lo: Long, hi: Long) =
+      Some(s"""DELETE FROM $table WHERE "$heightCol" BETWEEN $lo AND $hi""")
+  }
+
+  /** ClickHouse ReplacingMergeTree: insert-only; duplicates collapse at
+    * merge time and reads dedup (FINAL / view). */
+  object ReplacingMergeTreeDialect extends SinkDialect {
+    override def preInsertSql(
+        table: String, heightCol: String, lo: Long, hi: Long) = None
+  }
+
   def replacingWrite(
       df: DataFrame, url: String, table: String, heightCol: String,
-      props: Properties = new Properties): Unit = {
+      props: Properties = new Properties,
+      dialect: SinkDialect = AnsiDialect): Unit = {
     val range = df.agg(
       min(col(heightCol)).as("lo"), max(col(heightCol)).as("hi")).head()
     if (range.isNullAt(0)) return
     val (lo, hi) = (range.getLong(0), range.getLong(1))
     Replacing.retry() {
-      val conn = DriverManager.getConnection(url, props)
-      try {
-        val st = conn.createStatement()
-        // Spark's JDBC writer quotes COLUMN names (case-preserved) but
-        // not the table name — match that here
-        try st.executeUpdate(
-          s"""DELETE FROM $table WHERE "$heightCol" BETWEEN $lo AND $hi""")
-        finally st.close()
-      } finally conn.close()
+      dialect.preInsertSql(table, heightCol, lo, hi).foreach { sql =>
+        val conn = DriverManager.getConnection(url, props)
+        try {
+          val st = conn.createStatement()
+          try st.executeUpdate(sql)
+          finally st.close()
+        } finally conn.close()
+      }
       df.write.mode(SaveMode.Append).jdbc(url, table, props)
     }
   }

@@ -49,4 +49,31 @@ class JdbcSinkSpec extends SparkSpec {
     assert(spark.read.jdbc(url, "account_txs", new java.util.Properties)
       .count() === n)
   }
+
+  test("dialect seam: ReplacingMergeTree dialect is insert-only") {
+    import Blocks.encoder
+    val ds = spark.createDataset(BlockFixtures.blocks(4))(encoder)
+    val acct = TxFanout.accountTxs(TxCorrelator.correlateBatch(ds)).cache()
+    val n = acct.count()
+    acct.write.mode("overwrite")
+      .option("createTableColumnTypes",
+        "account_id VARCHAR(128), transaction_hash VARCHAR(128), " +
+          "signer_id VARCHAR(128)")
+      .jdbc(url, "acct_ch", new java.util.Properties)
+    // a ClickHouse-shaped engine dedups at merge time, so the dialect
+    // must issue NO delete: a replay through it appends duplicates
+    // (collapsed later by the engine / read-side FINAL — our parquet
+    // analog is Replacing.dedupView)
+    JdbcSink.replacingWrite(acct, url, "acct_ch", "tx_block_height",
+      dialect = JdbcSink.ReplacingMergeTreeDialect)
+    val back = spark.read.jdbc(url, "acct_ch", new java.util.Properties)
+    assert(back.count() === 2 * n) // Derby kept both copies: no DELETE ran
+    // the dedup-on-read discipline those engines pair with insert-only
+    // writes recovers the exact row set
+    assert(back.distinct().count() === n)
+    // the ANSI dialect on the same table deletes its range first
+    JdbcSink.replacingWrite(acct, url, "acct_ch", "tx_block_height")
+    assert(spark.read.jdbc(url, "acct_ch", new java.util.Properties)
+      .count() === n)
+  }
 }
