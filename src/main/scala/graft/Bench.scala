@@ -67,11 +67,17 @@ object Bench {
       try java.nio.file.Files.write(fullPath, (fullLine + "\n").getBytes("UTF-8"))
       catch { case t: Throwable => System.err.println(s"WARN: could not write $fullPath: $t") }
     }
-    // compact line: 2-decimal values (10 ms resolution is plenty for the
-    // capture window; BENCH_FULL.json keeps 3 decimals) — at 100+
-    // queries the extra digit would overflow the ~2000-char window
-    def r2(v: Double): String = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-    val shortQs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r2(v) }
+    // compact line: ADAPTIVE value width — ~4 significant chars per
+    // value (2 decimals under 10 s, 1 decimal under 100 s, whole
+    // seconds above) keeps per-query data in the ~2000-char capture
+    // window with 20+ queries of headroom (BenchContractSpec models the
+    // worst case; BENCH_FULL.json keeps full names + 3 decimals)
+    def rc(v: Double): String =
+      if (v < 0) "-1"
+      else if (v < 10) BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+      else if (v < 100) BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
+      else math.round(v).toString
+    val shortQs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + rc(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$shortQs,"sf":"$sfDir"}""")
     spark.stop()

@@ -17,12 +17,17 @@ class BenchContractSpec extends AnyFunSuite {
   }
 
   test("compact bench line fits the 2000-char capture window with headroom") {
-    // worst case: every query takes >= 1000s -> 8 chars per 2-decimal
-    // value ("12345.67"), plus a generous sf-path width (env-var
-    // controlled, so model 64 chars rather than the literal default path)
+    // the adaptive value format caps realistic values at 5 chars
+    // ("10.00" / "100.0"; whole seconds above 100 — a 10000 s query is
+    // a broken bench, not a formatting case). Model EVERY query at the
+    // 5-char worst PLUS 20 phantom future queries (the required growth
+    // headroom), plus a generous sf-path width (env-var controlled, so
+    // model 64 chars rather than the literal default path).
     val worstSf = "x" * 64
-    val qs = SparkEntry.queries.keys.toSeq.sorted
-      .map(k => "\"" + k.takeWhile(_ != '_') + "\":12345.67")
+    val names = SparkEntry.queries.keys.toSeq.sorted ++
+      (1 to 20).map(i => s"x$i$i" + "_future")
+    val qs = names
+      .map(k => "\"" + k.takeWhile(_ != '_') + "\":100.0")
       .mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":1234567.890,"unit":"sec","queries":$qs,"sf":"$worstSf"}"""
