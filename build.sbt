@@ -15,7 +15,6 @@ run / fork := true
 // "[info] " logger prefix — the bench harness expects ONE bare JSON
 // line it can parse (every round so far recorded parsed=null because
 // the line arrived as "[info] {...}").
-run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -13,6 +13,7 @@ object SparkEntry {
   def packs: Seq[Q] =
     RelationalQueries.all ++
       EventQueries.all ++
+      graft.query.TimeSeriesQueries.all ++
       graft.ext.DedupQueries.all ++
       graft.ext.SimilarityQueries.all ++
       graft.ext.MultimodalQueries.all ++

@@ -258,6 +258,48 @@ object EventOps {
         .otherwise(0L)).as("n_sequences"))
   }
 
+  /** Gap-constrained sequence existence per key — ClickHouse
+    * `sequenceMatch('(?1)(?t<=gap)(?2)(?t<=gap)(?3)…')`: does the key
+    * have events matching `steps` in strict time order with each
+    * consecutive gap ≤ `maxGapUs`?
+    *
+    * NOT the greedy scan: anchoring on the first step-1 event is wrong
+    * under a gap cap (A@0, A@60, B@100, gap 50 — only the second A
+    * works). The correct dynamic program — an event of step i is
+    * FEASIBLE iff a feasible step-(i−1) event precedes it within the
+    * gap — runs as one carry window per step: order by (ts, id), carry
+    * `last(feasible step-(i−1) time)` over the preceding rows, test the
+    * gap. `steps.length` windows over the SAME key partitioning (one
+    * shuffle, Spark reuses the exchange), linear per partition — no
+    * joins, no per-key event collection. Output: (keyCol, matched —
+    * true iff any feasible last-step event exists). */
+  def sequenceMatchGaps(
+      events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      typeCol: String, steps: Seq[String], maxGapUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(steps.size >= 2, "sequenceMatchGaps: need at least two steps")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("_us"), col("_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val e = events
+      .where(col(typeCol).isin(steps.distinct: _*))
+      .select(col(keyCol), col(tsCol).as("_us"), col(idCol).as("_id"),
+        col(typeCol).as("_ty"))
+      .withColumn("_f0", when(col("_ty") === steps.head, col("_us")))
+    val withAll = steps.zipWithIndex.drop(1).foldLeft(e) {
+      case (acc, (step, i)) =>
+        // last feasible step-(i-1) time strictly before this row; the
+        // -1 frame bound also enforces strict order for equal (ts, id)
+        val carried = max(col(s"_f${i - 1}")).over(w)
+        acc.withColumn(s"_f$i",
+          when(col("_ty") === step &&
+            carried.isNotNull && col("_us") - carried <= maxGapUs,
+            col("_us")))
+    }
+    withAll.groupBy(col(keyCol))
+      .agg((count(col(s"_f${steps.size - 1}")) > 0).as("matched"))
+  }
+
   /** Maximum number of concurrently-open intervals per group
     * (ClickHouse `maxIntersections`): the classic boundary sweep — +1
     * at each start, -1 at each end (end exclusive: an interval ending

@@ -1,0 +1,74 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution statistics from the ClickHouse aggregate surface:
+  * Shannon entropy (`entropy`) and exact weighted quantiles
+  * (`quantileExactWeighted`).
+  *
+  * Both reduce to ONE aggregation shuffle on (key, value) — the
+  * frequency table — and never move raw rows afterwards: entropy folds
+  * the per-key count list, the quantile walks cumulative weights with a
+  * window. Exactness discipline: counts/weights stay integers through
+  * every shuffle; doubles appear only in a fixed final expression tree
+  * (entropy) or not at all (quantile), so DuckDB replays both
+  * bit-exactly.
+  */
+object Stats {
+
+  /** Shannon entropy of `valCol`'s distribution per key — ClickHouse
+    * `entropy()` — in e6-floored MICRO-NATS, via the distributive
+    * identity H = ln(n) − (Σ c·ln c)/n.
+    *
+    * Exactness discipline (the t18 ladder): each per-value term
+    * `floor(1e6·c·ln c)` becomes an INTEGER before any summation, so
+    * the only floating-point in the operator is one `ln` per distinct
+    * count and one per group total — no double sum whose order partial
+    * aggregation could perturb, and nothing for an oracle to disagree
+    * on. The pinned contract is therefore
+    * `floor(1e6·ln n) − (Σ floor(1e6·c·ln c)) div n` — within a few
+    * micro-nats of true H, identically on any engine. Fully
+    * distributive: works at any per-key cardinality (no per-key value
+    * collection, unlike a sorted-fold formulation). Output: (keyCol,
+    * entropy_e6). */
+  def entropy(df: DataFrame, keyCol: String, valCol: String): DataFrame =
+    df.groupBy(col(keyCol), col(valCol))
+      .agg(count(lit(1)).as("_c"))
+      .select(col(keyCol), col("_c"),
+        floor(lit(1e6) * col("_c").cast("double") *
+          log(col("_c").cast("double"))).cast("long").as("_s"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("_c")).as("_n"), sum(col("_s")).as("_ssum"))
+      .select(col(keyCol),
+        (floor(lit(1e6) * log(col("_n").cast("double"))).cast("long") -
+          expr("_ssum div _n")).as("entropy_e6"))
+
+  /** Exact weighted quantile per key — ClickHouse
+    * `quantileExactWeighted(q)(v, w)`: the smallest value whose
+    * cumulative weight reaches q of the total. `q` is the rational
+    * `num/denom` so the threshold comparison stays INTEGER
+    * (`cumw · denom ≥ W · num`) — no floating-point boundary to
+    * disagree on. One aggregation to the (key, value, weight) frequency
+    * table, one window walk over it (|distinct values| rows per key,
+    * not |rows|). Output: (keyCol, quantile value as `q_value`). */
+  def quantileExactWeighted(
+      df: DataFrame, keyCol: String, valCol: String, weightCol: String,
+      num: Int, denom: Int): DataFrame = {
+    require(num >= 0 && denom > 0 && num <= denom,
+      s"quantileExactWeighted: need 0 <= num/denom <= 1 (got $num/$denom)")
+    val grouped = df.groupBy(col(keyCol), col(valCol))
+      .agg(sum(col(weightCol)).as("_w"))
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col(valCol))
+    val cum = grouped
+      .withColumn("_cw",
+        sum(col("_w")).over(byKey.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("_tw",
+        sum(col("_w")).over(Window.partitionBy(col(keyCol))))
+    cum
+      .where(col("_cw") * denom >= col("_tw") * num)
+      .groupBy(col(keyCol))
+      .agg(min(col(valCol)).as("q_value"))
+  }
+}

@@ -1,0 +1,193 @@
+package graft.query
+
+import org.apache.spark.sql.functions._
+
+/** Query-pack surface for the round-5 ClickHouse-aggregate additions:
+  * LTTB downsampling, interval-union length, Shannon entropy, exact
+  * weighted quantiles, and gap-constrained sequence matching. All five
+  * are hash-oracled — the operators were designed integer-first /
+  * fixed-double-tree so DuckDB replays them bit-exactly.
+  */
+object TimeSeriesQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // LTTB downsampling to 12 points per series (ClickHouse
+    // largestTriangleThreeBuckets; fixed-anchor variant — see
+    // TimeSeries scaladoc for why the textbook's sequential anchor is
+    // the wrong 100 TB shape). Points pre-aggregated to one per
+    // (series, microsecond) so the rank order is total and both
+    // engines bucket identically.
+    Q(
+      "q49_lttb_downsample",
+      """WITH p AS (
+        |  SELECT event_type, epoch_us(ts) AS us,
+        |    max(CAST(round(value*100) AS BIGINT)) AS vc
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY us, vc) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM p
+        |), inner_pts AS (
+        |  SELECT event_type, us, vc, rn, n, ((rn - 2) * 10) // (n - 2) AS b
+        |  FROM r WHERE rn > 1 AND rn < n AND n > 12
+        |), ends AS (
+        |  SELECT event_type, us, vc FROM r WHERE (rn = 1 OR rn = n) AND n > 12
+        |), small AS (
+        |  SELECT event_type, us, vc FROM r WHERE n <= 12
+        |), cent AS (
+        |  SELECT event_type, b, sum(us) AS sx, sum(vc) AS sy, count(*) AS c
+        |  FROM inner_pts GROUP BY 1, 2
+        |), edges AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN rn = 1 THEN us END) AS fx,
+        |    max(CASE WHEN rn = 1 THEN vc END) AS fy,
+        |    max(CASE WHEN rn = n THEN us END) AS lx,
+        |    max(CASE WHEN rn = n THEN vc END) AS ly
+        |  FROM r WHERE n > 12 GROUP BY event_type
+        |), anch AS (
+        |  SELECT event_type, b,
+        |    lag(sx) OVER w AS axs, lag(sy) OVER w AS ays, lag(c) OVER w AS ac,
+        |    lead(sx) OVER w AS cxs, lead(sy) OVER w AS cys, lead(c) OVER w AS cc
+        |  FROM cent WINDOW w AS (PARTITION BY event_type ORDER BY b)
+        |), a2 AS (
+        |  SELECT a.event_type, a.b,
+        |    coalesce(CAST(axs AS DOUBLE) / ac, CAST(e.fx AS DOUBLE)) AS ax,
+        |    coalesce(CAST(ays AS DOUBLE) / ac, CAST(e.fy AS DOUBLE)) AS ay,
+        |    coalesce(CAST(cxs AS DOUBLE) / cc, CAST(e.lx AS DOUBLE)) AS cx,
+        |    coalesce(CAST(cys AS DOUBLE) / cc, CAST(e.ly AS DOUBLE)) AS cy
+        |  FROM anch a JOIN edges e USING (event_type)
+        |), scored AS (
+        |  SELECT i.event_type, i.us, i.vc,
+        |    row_number() OVER (PARTITION BY i.event_type, i.b
+        |      ORDER BY abs((ax - cx) * (CAST(i.vc AS DOUBLE) - ay) -
+        |        (ax - CAST(i.us AS DOUBLE)) * (cy - ay)) DESC, i.rn ASC) AS pick
+        |  FROM inner_pts i JOIN a2 USING (event_type, b)
+        |)
+        |SELECT event_type, us, vc FROM small
+        |UNION ALL SELECT event_type, us, vc FROM ends
+        |UNION ALL SELECT event_type, us, vc FROM scored WHERE pick = 1""".stripMargin) {
+      (s, dir) =>
+        val pts = Tables.load(s, dir, "events")
+          .select(col("event_type"), expr("ts div 1000").as("us"),
+            Tables.cents(col("value")).as("vc"))
+          .groupBy("event_type", "us").agg(max("vc").as("vc"))
+        TimeSeries.largestTriangleThreeBuckets(
+          pts, "event_type", "us", "vc", nBuckets = 12)
+    },
+
+    // interval-union length (ClickHouse intervalLengthSum): each event
+    // opens a 5-minute half-open interval; overlapped stretches count
+    // once per series.
+    Q(
+      "q50_interval_length_sum",
+      """WITH iv AS (
+        |  SELECT event_type, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+        |  FROM events
+        |), m AS (
+        |  SELECT event_type, s, e,
+        |    max(e) OVER (PARTITION BY event_type ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM iv
+        |), i AS (
+        |  SELECT event_type, s, e,
+        |    sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY event_type ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |  FROM m
+        |), g AS (
+        |  SELECT event_type, isl, max(e) - min(s) AS len FROM i GROUP BY 1, 2
+        |)
+        |SELECT event_type, CAST(sum(len) AS BIGINT) AS interval_length_sum
+        |FROM g GROUP BY event_type""".stripMargin) { (s, dir) =>
+      TimeSeries.intervalLengthSum(
+        Tables.load(s, dir, "events")
+          .select(col("event_type"), expr("ts div 1000").as("s"),
+            (expr("ts div 1000") + 300000000L).as("e")),
+        "event_type", "s", "e")
+    },
+
+    // Shannon entropy of the per-series user distribution (ClickHouse
+    // entropy()), micro-nats. Fully distributive: per-count terms floor
+    // to e6 integers BEFORE summing (the t18 discipline), so no
+    // floating sum order exists to disagree on.
+    Q(
+      "q51_entropy",
+      """WITH c AS (
+        |  SELECT event_type, user_id, count(*) AS c FROM events GROUP BY 1, 2
+        |), a AS (
+        |  SELECT event_type, sum(c) AS n,
+        |    sum(CAST(floor(1e6 * c * ln(c)) AS BIGINT)) AS s
+        |  FROM c GROUP BY event_type
+        |)
+        |SELECT event_type,
+        |  CAST(CAST(floor(1e6 * ln(n)) AS BIGINT) - s // n AS BIGINT)
+        |    AS entropy_e6
+        |FROM a""".stripMargin) { (s, dir) =>
+      Stats.entropy(
+        Tables.load(s, dir, "events"), "event_type", "user_id")
+    },
+
+    // exact weighted median (ClickHouse quantileExactWeighted(0.5)):
+    // integer threshold comparison, no floating boundary.
+    Q(
+      "q52_weighted_median",
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS vc,
+        |    event_id % 10 + 1 AS w
+        |  FROM events
+        |), g AS (
+        |  SELECT event_type, vc, sum(w) AS w FROM e GROUP BY 1, 2
+        |), c AS (
+        |  SELECT event_type, vc,
+        |    sum(w) OVER (PARTITION BY event_type ORDER BY vc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    sum(w) OVER (PARTITION BY event_type) AS tw
+        |  FROM g
+        |)
+        |SELECT event_type, min(vc) AS q_value
+        |FROM c WHERE cw * 2 >= tw * 1 GROUP BY event_type""".stripMargin) {
+      (s, dir) =>
+        Stats.quantileExactWeighted(
+          Tables.load(s, dir, "events")
+            .select(col("event_type"), Tables.cents(col("value")).as("vc"),
+              (col("event_id") % 10 + 1).as("w")),
+          "event_type", "vc", "w", num = 1, denom = 2)
+    },
+
+    // gap-constrained sequence existence (ClickHouse
+    // sequenceMatch('(?1)(?t<=1h)(?2)(?t<=1h)(?3)')): view → click →
+    // purchase with each consecutive gap <= 1 hour. The dynamic program
+    // (not the greedy scan — see EventOps scaladoc) as one carry window
+    // per step.
+    Q(
+      "q53_sequence_match",
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+        |), s1 AS (
+        |  SELECT *, CASE WHEN event_type = 'view' THEN us END AS f0 FROM e
+        |), s2 AS (
+        |  SELECT *, CASE WHEN event_type = 'click'
+        |    AND max(f0) OVER w1 IS NOT NULL
+        |    AND us - max(f0) OVER w1 <= 3600000000 THEN us END AS f1
+        |  FROM s1 WINDOW w1 AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |), s3 AS (
+        |  SELECT *, CASE WHEN event_type = 'purchase'
+        |    AND max(f1) OVER w2 IS NOT NULL
+        |    AND us - max(f1) OVER w2 <= 3600000000 THEN us END AS f2
+        |  FROM s2 WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT user_id, CAST(count(f2) > 0 AS BIGINT) AS matched
+        |FROM s3 GROUP BY user_id""".stripMargin) { (s, dir) =>
+      EventOps.sequenceMatchGaps(
+        Tables.load(s, dir, "events")
+          .withColumn("us", expr("ts div 1000")),
+        "user_id", "us", "event_id", "event_type",
+        Seq("view", "click", "purchase"), maxGapUs = 3600000000L)
+        .select(col("user_id"), col("matched").cast("long").as("matched"))
+    }
+  )
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.query.{EventOps, Stats, TimeSeries}
+
+/** Hand-computed cases for the round-5 ClickHouse-aggregate operators:
+  * interval-union length, LTTB downsampling, gap-constrained sequence
+  * match, entropy, exact weighted quantiles. */
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("intervalLengthSum: overlap merges, touching merges, gaps don't") {
+    // key 1: [0,10) ∪ [5,15) ∪ [15,20) = [0,20) → 20 (overlap + touch)
+    // key 2: [0,5) ∪ [10,12) → 7 (gap stays split)
+    // key 3: nested [0,100) ∪ [10,20) → 100
+    val iv = Seq(
+      (1L, 0L, 10L), (1L, 5L, 15L), (1L, 15L, 20L),
+      (2L, 0L, 5L), (2L, 10L, 12L),
+      (3L, 0L, 100L), (3L, 10L, 20L)
+    ).toDF("k", "s", "e")
+    val out = TimeSeries.intervalLengthSum(iv, "k", "s", "e")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 20L, 2L -> 7L, 3L -> 100L))
+  }
+
+  test("lttb: passthrough under nBuckets, ends kept, peak survives") {
+    // 30 points: flat line with one spike at x=17 — any faithful
+    // downsample keeps the spike (it forms the largest triangle in its
+    // bucket); first and last points always survive
+    val pts = (0L until 30L).map(x =>
+      (1L, x, if (x == 17) 1000L else 10L)).toDF("k", "x", "y")
+    val kept = TimeSeries.largestTriangleThreeBuckets(pts, "k", "x", "y", 6)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(kept.size === 6)
+    assert(kept.contains((0L, 10L)) && kept.contains((29L, 10L)), "ends")
+    assert(kept.contains((17L, 1000L)), "spike dropped")
+    // a small series passes through whole
+    val small = (0L until 4L).map(x => (1L, x, x)).toDF("k", "x", "y")
+    assert(TimeSeries.largestTriangleThreeBuckets(small, "k", "x", "y", 6)
+      .count() === 4)
+  }
+
+  test("sequenceMatchGaps: DP beats the greedy scan; gaps gate strictly") {
+    // user 1: A@0, A@60, B@100 with gap 50 — greedy (anchor first A)
+    // fails, the feasible chain A@60→B@100 exists → matched
+    // user 2: A@0, B@100 gap 50 → no feasible chain
+    // user 3: A@0, B@30, C@200 gap 50 → B feasible but C too far
+    // user 4: full chain A@0 B@40 C@80
+    val ev = Seq(
+      (1L, 0L, 1L, "A"), (1L, 60L, 2L, "A"), (1L, 100L, 3L, "B"),
+      (2L, 0L, 4L, "A"), (2L, 100L, 5L, "B"),
+      (3L, 0L, 6L, "A"), (3L, 30L, 7L, "B"), (3L, 200L, 8L, "C"),
+      (4L, 0L, 9L, "A"), (4L, 40L, 10L, "B"), (4L, 80L, 11L, "C")
+    ).toDF("u", "us", "id", "ty")
+    val two = EventOps.sequenceMatchGaps(ev, "u", "us", "id", "ty",
+      Seq("A", "B"), maxGapUs = 50L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(two === Map(1L -> true, 2L -> false, 3L -> true, 4L -> true))
+    val three = EventOps.sequenceMatchGaps(ev, "u", "us", "id", "ty",
+      Seq("A", "B", "C"), maxGapUs = 50L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(three === Map(1L -> false, 2L -> false, 3L -> false, 4L -> true))
+  }
+
+  test("entropy: uniform = ln(k) in micro-nats; constant = 0") {
+    // key 1: 4 equally-likely values → H = ln(4) nats ≈ 1.386294e6 µnats
+    // key 2: one value → 0
+    val df = (Seq((1L, "a"), (1L, "b"), (1L, "c"), (1L, "d")) ++
+      Seq.fill(5)((2L, "z"))).toDF("k", "v")
+    val h = Stats.entropy(df, "k", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // contract arithmetic: terms floor to e6 before the integer closed
+    // form, so uniform-4 = floor(1e6·ln 4) − 0 div 4 exactly
+    assert(h(1L) === math.floor(1e6 * math.log(4)).toLong)
+    val t5 = math.floor(1e6 * 5 * math.log(5)).toLong
+    assert(h(2L) === math.floor(1e6 * math.log(5)).toLong - t5 / 5L)
+    assert(h(2L) <= 1L) // ≈ 0 up to the e6 floors
+  }
+
+  test("quantileExactWeighted: weights shift the median") {
+    // values 1..4 with weight 1 → median (q=1/2, cumw*2 >= tw) = 2
+    // same values, weight 10 on the 4 → median jumps to 4
+    val flat = Seq((1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 1L))
+      .toDF("k", "v", "w")
+    assert(Stats.quantileExactWeighted(flat, "k", "v", "w", 1, 2)
+      .head().getLong(1) === 2L)
+    val skew = Seq((1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 10L))
+      .toDF("k", "v", "w")
+    assert(Stats.quantileExactWeighted(skew, "k", "v", "w", 1, 2)
+      .head().getLong(1) === 4L)
+    // q=0 → minimum, q=1 → maximum (boundary rationals)
+    assert(Stats.quantileExactWeighted(flat, "k", "v", "w", 0, 1)
+      .head().getLong(1) === 1L)
+    assert(Stats.quantileExactWeighted(flat, "k", "v", "w", 1, 1)
+      .head().getLong(1) === 4L)
+  }
+}
