@@ -1,5 +1,7 @@
 package graft.ext
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -175,6 +177,54 @@ object TextAnalysis {
       .where(col("rk") <= k)
       .select(col("doc_id"), col("rk"), col("term"),
         floor(col("score") * 1000000).cast("long").as("score_e6"))
+  }
+
+  /** Okapi BM25 document ranking against a fixed term query — the
+    * retrieval baseline a training-data pipeline pairs with its ANN
+    * path (lexical recall next to s1/s2's dense recall). Standard
+    * Lucene-shape formula per query term t:
+    * `idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))` with
+    * `idf = ln(1 + (N − df + 0.5)/(df + 0.5))`.
+    *
+    * Scale/exactness discipline (t14/t18): one corpus explode feeds tf,
+    * df and doc-length; query terms ship as a broadcast literal frame
+    * (never a corpus-wide join on anything but the term key); every
+    * aggregation is integer; doubles appear in ONE fixed expression
+    * tree per (doc, term), e6-floored to an integer BEFORE the per-doc
+    * sum — so partial-agg order cannot perturb the score and an oracle
+    * replays it bit-exactly. Output: (doc_id, score_e6) for docs
+    * matching ≥1 query term. */
+  def bm25(
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75)
+      : org.apache.spark.sql.DataFrame = {
+    require(queryTerms.nonEmpty, "bm25: empty query")
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val q = docs.sparkSession.createDataFrame(
+      queryTerms.distinct.map(org.apache.spark.sql.Row(_)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("term",
+          org.apache.spark.sql.types.StringType))))
+    val dfreq = tf.join(broadcast(q), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+        (col("df").cast("double") + 0.5))
+    val norm = col("tf").cast("double") * (k1 + 1.0) /
+      (col("tf").cast("double") + lit(k1) *
+        (lit(1.0 - b) + lit(b) * col("dl").cast("double") *
+          col("n_docs").cast("double") / col("sum_dl").cast("double")))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        floor((idf * norm) * 1e6).cast("long").as("t_e6"))
+      .groupBy("doc_id")
+      .agg(sum(col("t_e6")).as("score_e6"))
   }
 
   /** Document fingerprint: rolling hash over tokens — each step feeds

@@ -9,6 +9,56 @@ object TextQueries {
   import TextAnalysis._
 
   val all: Seq[Q] = Seq(
+    // Okapi BM25 retrieval: rank the corpus against the 5 rarest terms
+    // of doc 0 (a deterministic query both engines derive identically:
+    // distinct doc-0 terms ordered by corpus df, then term). Per-term
+    // contributions floor to e6 ints before the per-doc sum (the
+    // t14/t18 discipline), so the oracle replays the identical double
+    // tree and the integer top-20 is exact.
+    Q(
+      "t21_bm25_search",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+        |), dl AS (
+        |  SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1
+        |), st AS (
+        |  SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl
+        |), dfa AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term
+        |), qt AS (
+        |  SELECT t.term, df FROM (SELECT DISTINCT term FROM tok WHERE doc_id = 0) t
+        |  JOIN dfa USING (term) ORDER BY df ASC, term ASC LIMIT 5
+        |), sc AS (
+        |  SELECT tf.doc_id,
+        |    CAST(floor(
+        |      ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(qt.df AS DOUBLE) + 0.5)
+        |        / (CAST(qt.df AS DOUBLE) + 0.5)) *
+        |      (CAST(tf AS DOUBLE) * 2.2 /
+        |        (CAST(tf AS DOUBLE) + 1.2 * (0.25 +
+        |          0.75 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)
+        |            / CAST(sum_dl AS DOUBLE))))
+        |      * 1e6) AS BIGINT) AS t_e6
+        |  FROM tf JOIN qt USING (term) JOIN dl USING (doc_id), st
+        |)
+        |SELECT doc_id, CAST(sum(t_e6) AS BIGINT) AS score_e6
+        |FROM sc GROUP BY doc_id
+        |ORDER BY score_e6 DESC, doc_id ASC LIMIT 20""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val tok = docs.select(col("doc_id"),
+        explode(tokens(col("text"))).as("term"))
+      val dfa = tok.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val qTerms = tok.where(col("doc_id") === 0).select("term").distinct()
+        .join(dfa, "term")
+        .orderBy(col("df").asc, col("term").asc).limit(5)
+        .collect().map(_.getString(0)).toSeq
+      bm25(docs, "doc_id", "text", qTerms)
+        .orderBy(col("score_e6").desc, col("doc_id").asc).limit(20)
+    },
+
     // token counting — whitespace tokens; oracle via DuckDB list ops.
     Q(
       "t1_token_stats",

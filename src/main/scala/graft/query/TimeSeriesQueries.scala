@@ -155,6 +155,116 @@ object TimeSeriesQueries {
           "event_type", "vc", "w", num = 1, denom = 2)
     },
 
+    // deltaSum (ClickHouse): sum of POSITIVE deltas of the value series
+    // per type, in (time, id) order — the counter-reset-tolerant rate
+    // aggregate. One lag window, integer math.
+    Q(
+      "q54_delta_sum",
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS us, event_id,
+        |    CAST(round(value*100) AS BIGINT) AS vc
+        |  FROM events
+        |), d AS (
+        |  SELECT event_type,
+        |    vc - lag(vc) OVER (PARTITION BY event_type ORDER BY us, event_id) AS dv
+        |  FROM e
+        |)
+        |SELECT event_type,
+        |  CAST(sum(CASE WHEN dv > 0 THEN dv ELSE 0 END) AS BIGINT) AS delta_sum
+        |FROM d GROUP BY event_type""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("us"), col("event_id"))
+      Tables.load(s, dir, "events")
+        .select(col("event_type"), expr("ts div 1000").as("us"),
+          col("event_id"), Tables.cents(col("value")).as("vc"))
+        .withColumn("dv", col("vc") - lag(col("vc"), 1).over(w))
+        .groupBy("event_type")
+        .agg(sum(when(col("dv") > 0, col("dv")).otherwise(0L))
+          .as("delta_sum"))
+    },
+
+    // the ClickHouse -If combinator family (countIf/sumIf/minIf/maxIf):
+    // conditional aggregation without subqueries or self-joins — one
+    // pass, integer outputs.
+    Q(
+      "q55_conditional_aggs",
+      """SELECT event_type,
+        |  CAST(count(CASE WHEN value > 50 THEN 1 END) AS BIGINT) AS n_high,
+        |  CAST(coalesce(sum(CASE WHEN user_id < 5000
+        |    THEN CAST(round(value*100) AS BIGINT) END), 0) AS BIGINT) AS sum_low_users,
+        |  min(CASE WHEN user_id < 5000 THEN user_id END) AS min_low_user,
+        |  max(CASE WHEN value > 50 THEN user_id END) AS max_high_user
+        |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          count(when(col("value") > 50, 1)).as("n_high"),
+          coalesce(sum(when(col("user_id") < 5000,
+            Tables.cents(col("value")))), lit(0L)).as("sum_low_users"),
+          min(when(col("user_id") < 5000, col("user_id")))
+            .as("min_low_user"),
+          max(when(col("value") > 50, col("user_id")))
+            .as("max_high_user"))
+    },
+
+    // groupBitAnd / groupBitOr / groupBitXor (ClickHouse bitwise
+    // aggregates) over the user-id domain per type.
+    Q(
+      "q56_bit_aggs",
+      """SELECT event_type,
+        |  bit_and(user_id) AS band,
+        |  bit_or(user_id) AS bor,
+        |  bit_xor(user_id) AS bxor
+        |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          expr("bit_and(user_id)").as("band"),
+          expr("bit_or(user_id)").as("bor"),
+          expr("bit_xor(user_id)").as("bxor"))
+    },
+
+    // boundingRatio (ClickHouse): slope of the value series between its
+    // first and last point per type — value-at-extremum via the q41
+    // fixed-width packed ordering key, one double division, e6 floor.
+    Q(
+      "q57_bounding_ratio",
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS us,
+        |    CAST(round(value*100) AS BIGINT) AS vc,
+        |    lpad(CAST(epoch_us(ts) AS VARCHAR), 19, '0') ||
+        |      lpad(CAST(event_id AS VARCHAR), 19, '0') AS ok
+        |  FROM events
+        |), a AS (
+        |  SELECT event_type,
+        |    arg_min(vc, ok) AS y0, arg_max(vc, ok) AS y1,
+        |    arg_min(us, ok) AS x0, arg_max(us, ok) AS x1
+        |  FROM e GROUP BY event_type
+        |)
+        |SELECT event_type,
+        |  CAST(floor(1e6 * (CAST(y1 - y0 AS DOUBLE) / CAST(x1 - x0 AS DOUBLE)))
+        |    AS BIGINT) AS ratio_e6
+        |FROM a WHERE x1 > x0""".stripMargin) { (s, dir) =>
+      val key = concat(
+        lpad(expr("ts div 1000").cast("string"), 19, "0"),
+        lpad(col("event_id").cast("string"), 19, "0"))
+      Tables.load(s, dir, "events")
+        .select(col("event_type"), expr("ts div 1000").as("us"),
+          Tables.cents(col("value")).as("vc"), key.as("ok"))
+        .groupBy("event_type")
+        .agg(
+          min_by(col("vc"), col("ok")).as("y0"),
+          max_by(col("vc"), col("ok")).as("y1"),
+          min_by(col("us"), col("ok")).as("x0"),
+          max_by(col("us"), col("ok")).as("x1"))
+        .where(col("x1") > col("x0"))
+        .select(col("event_type"),
+          floor(lit(1e6) * ((col("y1") - col("y0")).cast("double") /
+            (col("x1") - col("x0")).cast("double")))
+            .cast("long").as("ratio_e6"))
+    },
+
     // gap-constrained sequence existence (ClickHouse
     // sequenceMatch('(?1)(?t<=1h)(?2)(?t<=1h)(?3)')): view → click →
     // purchase with each consecutive gap <= 1 hour. The dynamic program
