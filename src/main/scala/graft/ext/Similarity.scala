@@ -338,6 +338,95 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-PQ composite index (Jégou et al. 2011's IVFADC — the canonical
+    * billion-vector layout FAISS ships as `IVFx,PQy`): a coarse k-means
+    * quantizer routes each vector to a cell, and PQ encodes the
+    * RESIDUAL (v − centroid) — residuals are centered near zero, so the
+    * same codebook budget quantizes them far more accurately than raw
+    * vectors. At 100 TB: the cell id is the partition key (a query
+    * touches only nProbe cells' files), the scan reads m bytes/vector,
+    * scoring is additive lookup-table reads, and only the
+    * (k×dim + m×pqK×dim/m) codebook matrices ever reach the driver. */
+  final case class IvfPqIndex(
+      centroids: Seq[Seq[Double]],
+      codebooks: Seq[Seq[Seq[Double]]],
+      encoded: DataFrame, // (id, c, codes array<int>)
+      base: DataFrame) // (id, v) — exact re-rank source
+
+  /** Residual of `vec` against its assigned centroid (CASE over the
+    * cell id of literal centroid arrays — pure projection, no join). */
+  private def residualExpr(
+      vec: Column, cellCol: Column, cents: Seq[Seq[Double]]): Column = {
+    val centArr = cents.zipWithIndex.foldRight(
+      lit(null).cast("array<double>")) { case ((c, i), acc) =>
+      when(cellCol === i, array(c.map(lit): _*)).otherwise(acc)
+    }
+    zip_with(vec, centArr, (a, b) => a.cast("double") - b)
+  }
+
+  def ivfPqBuild(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, m: Int = 8, pqK: Int = 16, iters: Int = 3,
+      seed: Long = 42L, dim: Option[Int] = None): IvfPqIndex = {
+    val ivf = ivfBuild(vectors, idCol, vecCol, k, iters, seed, dim)
+    val resid = ivf.assigned.select(col("id"), col("c"),
+      residualExpr(col("v"), col("c"), ivf.centroids).as("r"))
+    val pq = pqBuild(resid, "id", "r", m, pqK, iters, seed)
+    val encoded = pq.encoded
+      .join(resid.select(col("id"), col("c")), "id")
+    IvfPqIndex(ivf.centroids, pq.codebooks, encoded,
+      vectors.select(col(idCol).as("id"), col(vecCol).as("v")))
+  }
+
+  /** ANN top-k through an IVF-PQ index: probe the `nProbe` cells
+    * nearest the query; within each, approximate
+    * `q·v ≈ q·centroid_c + Σ_j LUT_c[j][code_j]` where the per-cell LUT
+    * holds the residual query's partial dots (built driver-side,
+    * nProbe·m·pqK doubles); shortlist by the additive score, re-rank
+    * the shortlist exactly. */
+  def ivfPqTopK(
+      index: IvfPqIndex, query: Seq[Float], k: Int,
+      nProbe: Int = 4, shortlist: Int = 50): DataFrame = {
+    val m = index.codebooks.length
+    val subDim = index.codebooks.head.head.length
+    require(query.length == m * subDim,
+      s"ivfPqTopK: query dim ${query.length} != trained dim ${m * subDim}")
+    val qd = query.map(_.toDouble)
+    val qn = math.sqrt(qd.map(v => v * v).sum)
+    val probes = index.centroids.zipWithIndex
+      .map { case (c, i) =>
+        (i, c.zip(qd).map { case (a, b) => a * b }.sum / math.max(qn, 1e-12))
+      }
+      .sortBy(-_._2).take(nProbe).map(_._1)
+    // per-cell additive score: base dot + residual-LUT reads
+    val scoreByCell = probes.foldRight(lit(null).cast("double")) {
+      (cell, acc) =>
+        val cent = index.centroids(cell)
+        val qBase = cent.zip(qd).map { case (a, b) => a * b }.sum
+        val rq = qd.zip(cent).map { case (a, b) => a - b }
+        val luts = (0 until m).map { j =>
+          val rqSub = rq.slice(j * subDim, (j + 1) * subDim)
+          array(index.codebooks(j).map(c =>
+            lit(c.zip(rqSub).map { case (a, b) => a * b }.sum)): _*)
+        }
+        val adc = (0 until m).map(j =>
+          element_at(luts(j), element_at(col("codes"), j + 1) + 1))
+          .reduce(_ + _)
+        when(col("c") === cell, lit(qBase) + adc).otherwise(acc)
+    }
+    val coarse = index.encoded
+      .where(col("c").isin(probes: _*))
+      .select(col("id"), scoreByCell.as("approx"))
+      .orderBy(col("approx").desc, col("id").asc)
+      .limit(shortlist)
+    val q = array(query.map(v => lit(v.toDouble)): _*)
+    index.base
+      .join(broadcast(coarse.select("id")), "id")
+      .select(col("id"), round(cosine(col("v"), q), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Bucket-count geometry for the banded sign-LSH pair generator: with
     * `p` planes per band a corpus of `n` vectors spreads over 2^p
     * buckets, so an average bucket holds n/2^p vectors and the band

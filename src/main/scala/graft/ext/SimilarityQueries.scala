@@ -150,6 +150,20 @@ object SimilarityQueries {
           round(col("cos_sim") * 1000000).cast("long").as("cos_e6"))
     },
 
+    // IVF-PQ composite ANN (FAISS's IVFx,PQy / IVFADC): coarse cells +
+    // residual product quantization + per-cell additive lookup scans,
+    // exact re-rank. The canonical billion-vector layout — at scale the
+    // cell id becomes the partition key so a query touches nProbe
+    // cells' files reading m bytes/vector. Seeded-float k-means →
+    // rows-only; recall pinned in DedupSpec.
+    Q.noOracle("s9_ivfpq_ann") { (s, dir) =>
+      val qv = queryVec(s, dir)
+      val idx = Similarity.ivfPqBuild(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = Some(qv.length))
+      Similarity.ivfPqTopK(idx, qv, k = 10)
+    },
+
     // corpus clustering for data curation (semantic buckets for mixing /
     // diversity sampling): the IVF k-means assignment re-used as the
     // product. Per-cluster membership profile; seeded-float k-means →

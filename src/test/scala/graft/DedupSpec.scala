@@ -105,6 +105,20 @@ class DedupSpec extends SparkSpec {
     assert(codes.length == vecs.length)
     assert(codes.forall(_.getSeq[Int](1).forall(c => c >= 0 && c < 16)))
 
+    // IVF-PQ composite (coarse cells + residual PQ + per-cell ADC):
+    // residual quantization is strictly tighter than raw PQ at the same
+    // budget, and probing covers the query's cluster — recall holds
+    val ivfpq = Similarity.ivfPqBuild(df, "vec_id", "embedding",
+      dim = Some(dim))
+    val ivfpqTop = Similarity.ivfPqTopK(ivfpq, query, 8)
+      .collect().map(_.getLong(0)).toSet
+    assert((exact intersect ivfpqTop).size >= 6,
+      s"IVF-PQ recall too low: ${(exact intersect ivfpqTop).size}/8")
+    // every vector is encoded exactly once with a valid cell + codes
+    val enc = ivfpq.encoded.collect()
+    assert(enc.length == vecs.length)
+    assert(enc.forall(r => r.getInt(2) >= 0 && r.getInt(2) < 16))
+
     // fail-fast guards: ragged dims, null elements, mismatched query
     val ragged = df.limit(2).select(col("vec_id"),
       when(col("vec_id") === 0L, slice(col("embedding"), 1, 32))
