@@ -77,12 +77,22 @@ object Main {
     val skipCommit = args.contains("--skip-commit")
     // dry runs checkpoint to a throwaway dir: reusing the real
     // checkpoint would record source offsets for blocks whose output
-    // was never committed — a later live run would silently skip them
+    // was never committed — a later live run would silently skip them.
+    // Deleted on JVM exit (repeated smoke runs must not accumulate
+    // state-store litter under /tmp).
     def checkpoint(name: String): String =
-      if (skipCommit)
-        java.nio.file.Files
-          .createTempDirectory(s"graft-dryrun-$name").toString
-      else s"$outDir/_checkpoints/$name"
+      if (skipCommit) {
+        val d = java.nio.file.Files.createTempDirectory(s"graft-dryrun-$name")
+        sys.addShutdownHook {
+          import java.nio.file.{Files, Path}
+          val walk = Files.walk(d)
+          try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p))
+          catch { case _: java.io.IOException => () }
+          finally walk.close()
+        }
+        d.toString
+      } else s"$outDir/_checkpoints/$name"
 
     mode match {
       case "actions" =>

@@ -89,10 +89,17 @@ object ScaleProbe {
           graft.ext.Dedup.dedupCorpusByWinnow(
             d, "doc_id", "text", length(col("text")).cast("long")).count()
         }
+        // BM25 (round 5): one explode + integer aggs + broadcast joins —
+        // scan-bound, should track corpus size ~linearly
+        time(s"$label bm25") {
+          graft.ext.TextAnalysis.bm25(
+            d, "doc_id", "text", Seq("spark", "query", "merge")).count()
+        }
       }
-      // sign-LSH cosine pairs: geometry auto-derives (2k → 3 planes/band,
-      // 20k → ~6), so candidates grow ~n·targetBucket — the sub-quadratic
-      // claim this probe backs empirically.
+      // sign-LSH cosine pairs: geometry auto-derives (2k → 5 planes/band
+      // = 32 buckets, 20k → 9 = 512; DedupSpec pins the function), so
+      // candidates grow ~n·targetBucket — the sub-quadratic claim this
+      // probe backs empirically.
       for ((label, v) <- Seq(("1x(2k)", vecs1), ("10x(20k)", vecs10))) {
         time(s"$label cosinePairs") {
           graft.ext.Similarity.cosineNearDupPairs(
@@ -119,6 +126,24 @@ object ScaleProbe {
         time(s"$label maxConcurrent") {
           graft.query.EventOps.maxConcurrent(
             withUs, "event_type", "us", 300000000L).count()
+        }
+        // round-5 window family: same partition-key-bounded sweeps
+        time(s"$label intervalLengthSum") {
+          graft.query.TimeSeries.intervalLengthSum(
+            withUs.select(col("event_type"), col("us").as("s"),
+              (col("us") + 300000000L).as("e")),
+            "event_type", "s", "e").count()
+        }
+        time(s"$label lttb") {
+          graft.query.TimeSeries.largestTriangleThreeBuckets(
+            withUs.groupBy("event_type", "us")
+              .agg(max(col("event_id")).as("y")),
+            "event_type", "us", "y", nBuckets = 12).count()
+        }
+        time(s"$label sequenceMatchGaps") {
+          graft.query.EventOps.sequenceMatchGaps(
+            withUs, "user_id", "us", "event_id", "event_type",
+            Seq("view", "click", "purchase"), 3600000000L).count()
         }
       }
     } finally {

@@ -369,8 +369,15 @@ object Similarity {
       k: Int = 16, m: Int = 8, pqK: Int = 16, iters: Int = 3,
       seed: Long = 42L, dim: Option[Int] = None): IvfPqIndex = {
     val ivf = ivfBuild(vectors, idCol, vecCol, k, iters, seed, dim)
+    // persisted + eager: the assignment CASE + residual zip_with would
+    // otherwise recompute for pqBuild's validation probe, every Lloyd
+    // iteration, the final encode, AND the cell join-back (~6 scans of
+    // the most expensive projection in the build). Caller-cleared, per
+    // the Dedup cache convention.
     val resid = ivf.assigned.select(col("id"), col("c"),
       residualExpr(col("v"), col("c"), ivf.centroids).as("r"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    resid.count()
     val pq = pqBuild(resid, "id", "r", m, pqK, iters, seed)
     val encoded = pq.encoded
       .join(resid.select(col("id"), col("c")), "id")
@@ -379,11 +386,15 @@ object Similarity {
   }
 
   /** ANN top-k through an IVF-PQ index: probe the `nProbe` cells
-    * nearest the query; within each, approximate
-    * `q·v ≈ q·centroid_c + Σ_j LUT_c[j][code_j]` where the per-cell LUT
-    * holds the residual query's partial dots (built driver-side,
-    * nProbe·m·pqK doubles); shortlist by the additive score, re-rank
-    * the shortlist exactly. */
+    * nearest the query; approximate
+    * `q·v ≈ q·centroid_c + q·r̂ = base_c + Σ_j LUT[j][code_j]`.
+    * The LUT holds the RAW query subvectors' partial dots against the
+    * residual codebooks (m·pqK doubles, built driver-side, shared by
+    * every cell — in the inner-product formulation only the `base_c`
+    * constant is cell-specific; residualizing the query inside the LUT
+    * is the L2-ADC idiom and would score (q−c)·r̂ instead, collapsing a
+    * cell's ordering to a constant when q ≈ c). Shortlist by the
+    * additive score, re-rank the shortlist exactly. */
   def ivfPqTopK(
       index: IvfPqIndex, query: Seq[Float], k: Int,
       nProbe: Int = 4, shortlist: Int = 50): DataFrame = {
@@ -398,25 +409,24 @@ object Similarity {
         (i, c.zip(qd).map { case (a, b) => a * b }.sum / math.max(qn, 1e-12))
       }
       .sortBy(-_._2).take(nProbe).map(_._1)
-    // per-cell additive score: base dot + residual-LUT reads
-    val scoreByCell = probes.foldRight(lit(null).cast("double")) {
-      (cell, acc) =>
-        val cent = index.centroids(cell)
-        val qBase = cent.zip(qd).map { case (a, b) => a * b }.sum
-        val rq = qd.zip(cent).map { case (a, b) => a - b }
-        val luts = (0 until m).map { j =>
-          val rqSub = rq.slice(j * subDim, (j + 1) * subDim)
-          array(index.codebooks(j).map(c =>
-            lit(c.zip(rqSub).map { case (a, b) => a * b }.sum)): _*)
-        }
-        val adc = (0 until m).map(j =>
-          element_at(luts(j), element_at(col("codes"), j + 1) + 1))
-          .reduce(_ + _)
-        when(col("c") === cell, lit(qBase) + adc).otherwise(acc)
+    // shared residual-codebook LUT on the raw query
+    val luts = (0 until m).map { j =>
+      val qSub = qd.slice(j * subDim, (j + 1) * subDim)
+      array(index.codebooks(j).map(c =>
+        lit(c.zip(qSub).map { case (a, b) => a * b }.sum)): _*)
+    }
+    val adc = (0 until m).map(j =>
+      element_at(luts(j), element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
+    // per-cell constant: q · centroid_c
+    val base = probes.foldRight(lit(null).cast("double")) { (cell, acc) =>
+      val qBase = index.centroids(cell).zip(qd)
+        .map { case (a, b) => a * b }.sum
+      when(col("c") === cell, lit(qBase)).otherwise(acc)
     }
     val coarse = index.encoded
       .where(col("c").isin(probes: _*))
-      .select(col("id"), scoreByCell.as("approx"))
+      .select(col("id"), (base + adc).as("approx"))
       .orderBy(col("approx").desc, col("id").asc)
       .limit(shortlist)
     val q = array(query.map(v => lit(v.toDouble)): _*)

@@ -285,6 +285,33 @@ class PlanSpec extends SparkSpec {
     assert(ivfPinned < ivfAuto, s"pinned=$ivfPinned auto=$ivfAuto")
   }
 
+  test("round-5 aggregates: partial aggs, no cartesian, bounded exchanges") {
+    // q51 entropy is fully distributive — the frequency aggregation
+    // must split partial/final (map-side combine), and nothing may
+    // collect per-key values
+    val q51 = SparkEntry.queries("q51_entropy")(spark, dir)
+    val p51 = planOf(q51)
+    assert(p51.contains("partial_count") || p51.contains("partial_sum"),
+      p51.take(2000))
+    assert(!p51.contains("collect_list"), p51.take(2000))
+    // q50's island sweep: one hash-partitioned window per key, never a
+    // single-partition sort of the whole frame
+    val p50 = planOf(SparkEntry.queries("q50_interval_length_sum")(spark, dir))
+    assert(p50.contains("hashpartitioning(event_type"), p50.take(3000))
+    assert(!p50.contains("SinglePartition"), p50.take(3000))
+    // t21 BM25: query-term and df frames broadcast — the only shuffles
+    // key on doc/term, and no plan degenerates to a cartesian product
+    val pT21 = planOf(SparkEntry.queries("t21_bm25_search")(spark, dir))
+    assert(pT21.contains("BroadcastHashJoin"), pT21.take(3000))
+    assert(!pT21.contains("CartesianProduct"), pT21.take(3000))
+    // q53's step windows share one exchange: the per-user carry windows
+    // must reuse a single hashpartitioning(user_id) shuffle
+    val p53 = planOf(SparkEntry.queries("q53_sequence_match")(spark, dir))
+    assert(
+      "Exchange hashpartitioning\\(user_id".r.findAllIn(p53).size == 1,
+      p53.take(3000))
+  }
+
   test("LM score: counts join back by bigram key, vocab broadcast") {
     val df = SparkEntry.queries("t18_lm_score")(spark, dir)
     val plan = planOf(df)
