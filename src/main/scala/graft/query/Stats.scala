@@ -45,6 +45,36 @@ object Stats {
         (floor(lit(1e6) * log(col("_n").cast("double"))).cast("long") -
           expr("_ssum div _n")).as("entropy_e6"))
 
+  /** Exponential moving average per key — the ClickHouse
+    * `exponentialMovingAverage` shape with the classic recursion
+    * `ema₀ = x₀; emaᵢ = α·xᵢ + (1−α)·emaᵢ₋₁` over (tsCol, idCol)
+    * order. Inherently order-SENSITIVE, so it folds a per-key sorted
+    * list (the q46 bounded-cardinality contract: one key's events fit a
+    * row; beyond that, segment by time-bucket and stitch — the
+    * Packing prefix-sum shape). The fold tree `α·x + (1−α)·acc` is
+    * fixed and sequential, so an engine replaying the same sorted fold
+    * (DuckDB `list_reduce` seeds from the first element exactly like
+    * the recursion) reproduces it bit-equally — oracle-able despite
+    * being a floating recursion. Output: (keyCol, ema_e6 = floor of
+    * 1e6 × the final EMA). */
+  def ema(
+      df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"ema: alpha in (0,1] (got $alpha)")
+    val vals = transform(
+      sort_array(collect_list(struct(col(tsCol), col(idCol), col(valCol)))),
+      s => s.getField(valCol).cast("double"))
+    df.groupBy(col(keyCol))
+      .agg(vals.as("_v"))
+      .select(col(keyCol),
+        floor(
+          aggregate(
+            slice(col("_v"), lit(2), size(col("_v")) - 1),
+            element_at(col("_v"), 1),
+            (acc, x) => lit(alpha) * x + lit(1.0 - alpha) * acc) * 1e6)
+          .cast("long").as("ema_e6"))
+  }
+
   /** Exact weighted quantile per key — ClickHouse
     * `quantileExactWeighted(q)(v, w)`: the smallest value whose
     * cumulative weight reaches q of the total. `q` is the rational

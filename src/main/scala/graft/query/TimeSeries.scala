@@ -74,10 +74,17 @@ object TimeSeries {
     require(nBuckets >= 3, s"lttb: need >= 3 buckets (got $nBuckets)")
     val byKey = Window.partitionBy(col(keyCol))
       .orderBy(col(xCol), col(yCol))
+    // persisted + eager: FOUR consumers (small passthrough, ends,
+    // interior buckets, first/last edges) would otherwise each re-sort
+    // the corpus through the rank window (the d5 recompute shape —
+    // ScaleProbe measured it dominating the operator). Skinny frame
+    // (key, x, y, rn, n); caller-cleared per the Dedup convention.
     val ranked = points
       .select(col(keyCol), col(xCol), col(yCol))
       .withColumn("_rn", row_number().over(byKey))
       .withColumn("_n", count(lit(1)).over(Window.partitionBy(col(keyCol))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ranked.count()
     val small = ranked.where(col("_n") <= nBuckets)
       .select(col(keyCol), col(xCol), col(yCol))
     val big = ranked.where(col("_n") > nBuckets)

@@ -265,6 +265,33 @@ object TimeSeriesQueries {
             .cast("long").as("ratio_e6"))
     },
 
+    // exponential moving average (ClickHouse exponentialMovingAverage):
+    // the order-sensitive recursion ema = α·x + (1−α)·ema over the
+    // (time, id)-sorted series. Oracle replays the IDENTICAL sequential
+    // fold (DuckDB list_reduce seeds from the first element exactly
+    // like the recursion), so even this floating recursion hash-matches.
+    Q(
+      "q58_ema",
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS us, event_id,
+        |    CAST(round(value*100) AS BIGINT) AS vc
+        |  FROM events
+        |), l AS (
+        |  SELECT event_type,
+        |    list(CAST(vc AS DOUBLE) ORDER BY us, event_id) AS vals
+        |  FROM e GROUP BY event_type
+        |)
+        |SELECT event_type,
+        |  CAST(floor(list_reduce(vals, (acc, x) -> 0.25 * x + 0.75 * acc)
+        |    * 1e6) AS BIGINT) AS ema_e6
+        |FROM l""".stripMargin) { (s, dir) =>
+      Stats.ema(
+        Tables.load(s, dir, "events")
+          .select(col("event_type"), expr("ts div 1000").as("us"),
+            col("event_id"), Tables.cents(col("value")).as("vc")),
+        "event_type", "us", "event_id", "vc", alpha = 0.25)
+    },
+
     // gap-constrained sequence existence (ClickHouse
     // sequenceMatch('(?1)(?t<=1h)(?2)(?t<=1h)(?3)')): view → click →
     // purchase with each consecutive gap <= 1 hour. The dynamic program

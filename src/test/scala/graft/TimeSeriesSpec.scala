@@ -62,6 +62,45 @@ class TimeSeriesSpec extends SparkSpec {
     assert(three === Map(1L -> false, 2L -> false, 3L -> false, 4L -> true))
   }
 
+  test("sequenceMatchGaps equals brute-force search on random fixtures") {
+    // independent oracle: exhaustive recursive search for ANY strictly
+    // row-ordered chain with per-adjacent gap <= cap — the definition,
+    // with none of the DP's structure
+    def bruteForce(
+        evs: Seq[(Long, Long, String)], steps: Seq[String],
+        gap: Long): Boolean = {
+      val sorted = evs.sortBy(e => (e._1, e._2))
+      def ok(from: Int, prevTime: Long, step: Int): Boolean =
+        if (step == steps.size) true
+        else (from until sorted.size).exists { i =>
+          val (t, _, ty) = sorted(i)
+          ty == steps(step) && (step == 0 || t - prevTime <= gap) &&
+            ok(i + 1, t, step + 1)
+        }
+      ok(0, 0L, 0)
+    }
+    for (seed <- Seq(11, 42, 77)) {
+      val rnd = new scala.util.Random(seed)
+      val types = Seq("A", "B", "C")
+      val evs = for {
+        u <- 0L until 40L
+        i <- 0 until (1 + rnd.nextInt(8))
+      } yield (u, rnd.nextInt(200).toLong, (u * 100 + i), types(rnd.nextInt(3)))
+      val df = evs.toDF("u", "us", "id", "ty")
+      val got = EventOps.sequenceMatchGaps(df, "u", "us", "id", "ty",
+        Seq("A", "B", "C"), maxGapUs = 40L)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      val byUser = evs.groupBy(_._1)
+      for ((u, ues) <- byUser) {
+        val want = bruteForce(
+          ues.map(e => (e._2, e._3, e._4)), Seq("A", "B", "C"), 40L)
+        // users with no A/B/C events are absent from the operator's
+        // output by contract; these fixtures always have >= 1
+        assert(got.get(u).contains(want), s"seed=$seed user=$u")
+      }
+    }
+  }
+
   test("entropy: uniform = ln(k) in micro-nats; constant = 0") {
     // key 1: 4 equally-likely values → H = ln(4) nats ≈ 1.386294e6 µnats
     // key 2: one value → 0
@@ -75,6 +114,17 @@ class TimeSeriesSpec extends SparkSpec {
     val t5 = math.floor(1e6 * 5 * math.log(5)).toLong
     assert(h(2L) === math.floor(1e6 * math.log(5)).toLong - t5 / 5L)
     assert(h(2L) <= 1L) // ≈ 0 up to the e6 floors
+  }
+
+  test("ema: recursion over sorted order, singleton passthrough") {
+    // ema([10, 20, 40], α=.25) = .25·40 + .75·(.25·20 + .75·10) = 19.375
+    // rows arrive out of order — the sort inside the operator fixes it
+    val df = Seq((1L, 3L, 3L, 40L), (1L, 1L, 1L, 10L), (1L, 2L, 2L, 20L),
+      (2L, 1L, 4L, 7L)).toDF("k", "us", "id", "vc")
+    val out = Stats.ema(df, "k", "us", "id", "vc", alpha = 0.25)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === 19375000L)
+    assert(out(2L) === 7000000L) // single point: ema = x0
   }
 
   test("quantileExactWeighted: weights shift the median") {
