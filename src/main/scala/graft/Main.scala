@@ -83,14 +83,7 @@ object Main {
     def checkpoint(name: String): String =
       if (skipCommit) {
         val d = java.nio.file.Files.createTempDirectory(s"graft-dryrun-$name")
-        sys.addShutdownHook {
-          import java.nio.file.{Files, Path}
-          val walk = Files.walk(d)
-          try walk.sorted(java.util.Comparator.reverseOrder[Path]())
-            .forEach(p => Files.deleteIfExists(p))
-          catch { case _: java.io.IOException => () }
-          finally walk.close()
-        }
+        sys.addShutdownHook(graft.util.Fs.deleteRecursively(d))
         d.toString
       } else s"$outDir/_checkpoints/$name"
 

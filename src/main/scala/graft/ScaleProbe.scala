@@ -149,13 +149,7 @@ object ScaleProbe {
     } finally {
       spark.stop()
       // the 10x corpora are ~10x their sf0.1 tables on disk — clean up
-      import java.nio.file.{Files, Path}
-      import java.util.Comparator
-      for (d <- Seq(tmpDir, vtmpDir, etmpDir)) {
-        val walk = Files.walk(d)
-        try walk.sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.deleteIfExists(p))
-        finally walk.close()
-      }
+      Seq(tmpDir, vtmpDir, etmpDir).foreach(graft.util.Fs.deleteRecursively)
     }
   }
 }

@@ -379,8 +379,10 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     resid.count()
     val pq = pqBuild(resid, "id", "r", m, pqK, iters, seed)
+    // column order pinned to the documented (id, c, codes) contract
     val encoded = pq.encoded
       .join(resid.select(col("id"), col("c")), "id")
+      .select(col("id"), col("c"), col("codes"))
     IvfPqIndex(ivf.centroids, pq.codebooks, encoded,
       vectors.select(col(idCol).as("id"), col(vecCol).as("v")))
   }

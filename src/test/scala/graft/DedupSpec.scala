@@ -115,9 +115,11 @@ class DedupSpec extends SparkSpec {
     assert((exact intersect ivfpqTop).size >= 6,
       s"IVF-PQ recall too low: ${(exact intersect ivfpqTop).size}/8")
     // every vector is encoded exactly once with a valid cell + codes
+    // (columns are the documented (id, c, codes) order)
     val enc = ivfpq.encoded.collect()
     assert(enc.length == vecs.length)
-    assert(enc.forall(r => r.getInt(2) >= 0 && r.getInt(2) < 16))
+    assert(enc.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 16))
+    assert(enc.forall(_.getSeq[Int](2).forall(c => c >= 0 && c < 16)))
 
     // fail-fast guards: ragged dims, null elements, mismatched query
     val ragged = df.limit(2).select(col("vec_id"),
