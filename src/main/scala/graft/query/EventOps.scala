@@ -311,10 +311,10 @@ object EventOps {
     *
     * Scale note: parallelism equals the group key's cardinality (one
     * sorted sweep per group). With few groups and 100 TB of events,
-    * partition by (group, time-bucket) instead — sweep each bucket,
-    * then stitch: carry each bucket's closing running-sum as the next
-    * bucket's opening offset (a tiny per-bucket frame, the same
-    * two-phase shape Packing.packSequences uses for its prefix sum). */
+    * use [[maxConcurrentBucketed]] — the same sweep partitioned by
+    * (group, time-bucket) with per-bucket offsets stitched by a tiny
+    * prefix sum, exact by construction (q59 hash-matches this
+    * operator's oracle). */
   def maxConcurrent(
       events: DataFrame, groupCol: String, tsCol: String,
       durationUs: Long): DataFrame = {
@@ -331,6 +331,45 @@ object EventOps {
       .withColumn("_live", sum(col("_d")).over(w))
       .groupBy(col(groupCol))
       .agg(max(col("_live")).as("max_concurrent"))
+  }
+
+  /** The 100 TB formulation of [[maxConcurrent]]: the boundary sweep
+    * partitioned by (group, time-bucket) with per-bucket offsets
+    * stitched afterwards — parallelism becomes groups × buckets instead
+    * of groups, while the answer stays EXACT:
+    * `live(x) = localRunningSum(x) + Σ (bucket totals before x's
+    * bucket)`, because the running sum of +1/−1 deltas decomposes over
+    * any prefix split. Phase 1 sweeps each bucket independently; phase
+    * 2 is an exclusive prefix sum over the per-bucket TOTALS — a frame
+    * with one row per (group, bucket), the same tiny-subtotal shape
+    * Packing.packChunks uses. q59's oracle is the single-sweep SQL:
+    * hash equality IS the stitching proof. */
+  def maxConcurrentBucketed(
+      events: DataFrame, groupCol: String, tsCol: String,
+      durationUs: Long, bucketUs: Long = 3600000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bucketUs > 0, "maxConcurrentBucketed: bucketUs must be > 0")
+    val starts = events.select(col(groupCol), col(tsCol).as("_t"),
+      lit(1L).as("_d"), lit(1).as("_tie"))
+    val ends = events.select(col(groupCol),
+      (col(tsCol) + durationUs).as("_t"), lit(-1L).as("_d"),
+      lit(0).as("_tie"))
+    val b = starts.unionByName(ends)
+      .withColumn("_bucket", expr(s"_t div $bucketUs"))
+    val local = Window.partitionBy(col(groupCol), col("_bucket"))
+      .orderBy(col("_t"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withLocal = b.withColumn("_ls", sum(col("_d")).over(local))
+    // per-bucket peak and closing total — one row per (group, bucket)
+    val perBucket = withLocal.groupBy(col(groupCol), col("_bucket"))
+      .agg(max(col("_ls")).as("_peak"), sum(col("_d")).as("_tot"))
+    // exclusive prefix of totals = the offset each bucket opens at
+    val byBucket = Window.partitionBy(col(groupCol)).orderBy(col("_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perBucket
+      .withColumn("_off", coalesce(sum(col("_tot")).over(byBucket), lit(0L)))
+      .groupBy(col(groupCol))
+      .agg(max(col("_peak") + col("_off")).as("max_concurrent"))
   }
 
   /** Cohort retention: users active on the earliest day of the frame,

@@ -265,6 +265,32 @@ object TimeSeriesQueries {
             .cast("long").as("ratio_e6"))
     },
 
+    // the 100 TB maxIntersections: bucketed sweep + stitched offsets.
+    // The ORACLE is q40's single-sweep SQL — hash equality proves the
+    // per-bucket decomposition exact, not just plausible (events span
+    // ~30 days, so the 1-hour buckets force ~720 real stitches/series).
+    Q(
+      "q59_max_concurrent_bucketed",
+      """WITH b AS (
+        |  SELECT event_type, epoch_us(ts) AS t, 1 AS d, 1 AS tie FROM events
+        |  UNION ALL
+        |  SELECT event_type, epoch_us(ts) + 300000000 AS t, -1 AS d, 0 AS tie
+        |  FROM events
+        |), r AS (
+        |  SELECT event_type,
+        |    sum(d) OVER (PARTITION BY event_type ORDER BY t, tie
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+        |  FROM b
+        |)
+        |SELECT event_type, CAST(max(live) AS BIGINT) AS max_concurrent
+        |FROM r GROUP BY event_type""".stripMargin) { (s, dir) =>
+      EventOps.maxConcurrentBucketed(
+        Tables.load(s, dir, "events")
+          .withColumn("us", expr("ts div 1000")),
+        "event_type", "us", durationUs = 300000000L,
+        bucketUs = 3600000000L)
+    },
+
     // exponential moving average (ClickHouse exponentialMovingAverage):
     // the order-sensitive recursion ema = α·x + (1−α)·ema over the
     // (time, id)-sorted series. Oracle replays the IDENTICAL sequential

@@ -101,6 +101,24 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("maxConcurrentBucketed equals the single sweep at any bucket width") {
+    // random interval sets; bucket widths down to SMALLER than the
+    // interval duration (every interval then crosses bucket boundaries)
+    for (seed <- Seq(5, 19)) {
+      val rnd = new scala.util.Random(seed)
+      val ev = (0 until 400).map { i =>
+        (rnd.nextInt(3).toLong, rnd.nextInt(1000).toLong, i.toLong)
+      }.toDF("g", "us", "id")
+      val want = EventOps.maxConcurrent(ev, "g", "us", 57L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      for (width <- Seq(10L, 57L, 100L, 5000L)) {
+        val got = EventOps.maxConcurrentBucketed(ev, "g", "us", 57L, width)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === want, s"seed=$seed width=$width")
+      }
+    }
+  }
+
   test("entropy: uniform = ln(k) in micro-nats; constant = 0") {
     // key 1: 4 equally-likely values → H = ln(4) nats ≈ 1.386294e6 µnats
     // key 2: one value → 0
