@@ -14,6 +14,7 @@ object SparkEntry {
     RelationalQueries.all ++
       EventQueries.all ++
       graft.query.TimeSeriesQueries.all ++
+      graft.query.StatQueries.all ++
       graft.ext.DedupQueries.all ++
       graft.ext.SimilarityQueries.all ++
       graft.ext.MultimodalQueries.all ++

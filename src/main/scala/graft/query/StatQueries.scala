@@ -1,0 +1,150 @@
+package graft.query
+
+import org.apache.spark.sql.functions._
+
+/** Query-pack surface for [[StatTests]] over `events`. Every oracle
+  * replays the identical formulation: integer milli-unit floors per row
+  * before any sum, integer rank/ECDF arithmetic, and — where a double
+  * appears (t statistics, χ² cell terms) — the textually identical
+  * expression tree over exact integer aggregates, so DuckDB reproduces
+  * each statistic bit-for-bit. Final columns are strings/int64 only
+  * (driver-compare contract; DuckDB HUGEINT sums are CAST to BIGINT).
+  */
+object StatQueries {
+
+  // shared oracle CTEs: per-group moments / (pair, value) frequencies
+  private val momentsCte =
+    """m AS (
+      |  SELECT event_type, count(*) AS n,
+      |    sum(CAST(floor(value*1000) AS BIGINT)) AS s,
+      |    sum(CAST(floor(value*1000) AS BIGINT)
+      |      * CAST(floor(value*1000) AS BIGINT)) AS ss
+      |  FROM events GROUP BY 1
+      |)""".stripMargin
+
+  private val pairFreqCte =
+    """f AS (
+      |  SELECT event_type AS g, CAST(floor(value*1000) AS BIGINT) AS v,
+      |    count(*) AS c
+      |  FROM events GROUP BY 1, 2
+      |), gs AS (SELECT DISTINCT event_type AS ga FROM events),
+      |pr AS (
+      |  SELECT a.ga AS ga, b.ga AS gb FROM gs a, gs b WHERE a.ga < b.ga
+      |), pf AS (
+      |  SELECT pr.ga, pr.gb, f.v,
+      |    sum(CASE WHEN f.g = pr.ga THEN f.c ELSE 0 END) AS c1,
+      |    sum(CASE WHEN f.g = pr.gb THEN f.c ELSE 0 END) AS c2
+      |  FROM f JOIN pr ON f.g = pr.ga OR f.g = pr.gb
+      |  GROUP BY 1, 2, 3
+      |)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // Student + Welch t over every event_type pair. Raw rows reduce to
+    // five (n, Σv, Σv²) rows in one shuffle; the statistics are one
+    // fixed double tree over those exact integers.
+    Q(
+      "q60_ttests",
+      s"""WITH $momentsCte, p AS (
+        |  SELECT a.event_type AS t1, b.event_type AS t2,
+        |    a.n AS n1, a.s AS s1, a.ss AS ss1,
+        |    b.n AS n2, b.s AS s2, b.ss AS ss2
+        |  FROM m a, m b WHERE a.event_type < b.event_type
+        |), e AS (
+        |  SELECT t1, t2, n1, n2,
+        |    CAST(s1 AS DOUBLE)/n1 AS m1, CAST(s2 AS DOUBLE)/n2 AS m2,
+        |    (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/n1)
+        |      /(n1-1) AS v1,
+        |    (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE)*CAST(s2 AS DOUBLE)/n2)
+        |      /(n2-1) AS v2
+        |  FROM p
+        |)
+        |SELECT t1 AS event_type1, t2 AS event_type2,
+        |  CAST(floor((m1-m2)/(sqrt(((n1-1)*v1 + (n2-1)*v2)/(n1+n2-2))
+        |    * sqrt(1.0/n1 + 1.0/n2)) * 1e6) AS BIGINT) AS student_t_e6,
+        |  CAST(floor((m1-m2)/sqrt(v1/n1 + v2/n2) * 1e6) AS BIGINT)
+        |    AS welch_t_e6,
+        |  CAST(floor(((v1/n1 + v2/n2)*(v1/n1 + v2/n2))
+        |    /((v1/n1)*(v1/n1)/(n1-1) + (v2/n2)*(v2/n2)/(n2-1)) * 1e3)
+        |    AS BIGINT) AS welch_df_e3
+        |FROM e""".stripMargin) { (s, dir) =>
+      StatTests.tTests(Tables.load(s, dir, "events"), "event_type", "value")
+    },
+
+    // Mann–Whitney rank-sum, fully integer via 2×avg-rank = 2·cum+c+1.
+    Q(
+      "q61_mann_whitney",
+      s"""WITH $pairFreqCte, w AS (
+        |  SELECT ga, gb, c1, c2,
+        |    coalesce(sum(c1+c2) OVER (PARTITION BY ga, gb ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM pf
+        |)
+        |SELECT ga AS group_a, gb AS group_b,
+        |  CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+        |  CAST(sum(c1*(2*cb + c1 + c2 + 1)) - sum(c1)*(sum(c1)+1)
+        |    AS BIGINT) AS u1_x2
+        |FROM w GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      StatTests.mannWhitneyU(
+        Tables.load(s, dir, "events"), "event_type", "value")
+    },
+
+    // Kolmogorov–Smirnov distance as the exact integer numerator
+    // max |cum1·n2 − cum2·n1| (D = ks_num/(n1·n2)).
+    Q(
+      "q62_ks_test",
+      s"""WITH $pairFreqCte, w AS (
+        |  SELECT ga, gb,
+        |    sum(c1) OVER (PARTITION BY ga, gb ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+        |    sum(c2) OVER (PARTITION BY ga, gb ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+        |    sum(c1) OVER (PARTITION BY ga, gb) AS tn1,
+        |    sum(c2) OVER (PARTITION BY ga, gb) AS tn2
+        |  FROM pf
+        |)
+        |SELECT ga AS group_a, gb AS group_b,
+        |  CAST(max(tn1) AS BIGINT) AS n1, CAST(max(tn2) AS BIGINT) AS n2,
+        |  CAST(max(abs(cum1*tn2 - cum2*tn1)) AS BIGINT) AS ks_num
+        |FROM w GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      StatTests.ksTest(Tables.load(s, dir, "events"), "event_type", "value")
+    },
+
+    // Cramér's V: event_type × value-bucket contingency over the FULL
+    // r×c grid; χ² cell terms e6-floored before the (now integer) sum.
+    Q(
+      "q63_cramers_v",
+      """WITH obs AS (
+        |  SELECT event_type AS a,
+        |    CAST(floor(value*1000) AS BIGINT) // 50000 AS b, count(*) AS o
+        |  FROM events GROUP BY 1, 2
+        |), rt AS (SELECT a, sum(o) AS nr FROM obs GROUP BY 1),
+        |ct AS (SELECT b, sum(o) AS nc FROM obs GROUP BY 1),
+        |meta AS (
+        |  SELECT (SELECT count(*) FROM rt) AS r,
+        |    (SELECT count(*) FROM ct) AS c,
+        |    (SELECT sum(o) FROM obs) AS n
+        |), grid AS (
+        |  SELECT rt.nr, ct.nc, coalesce(obs.o, 0) AS o, meta.r, meta.c, meta.n
+        |  FROM rt CROSS JOIN ct CROSS JOIN meta
+        |  LEFT JOIN obs ON obs.a = rt.a AND obs.b = ct.b
+        |), t AS (
+        |  SELECT r, c, n,
+        |    CAST(floor(
+        |      (o - CAST(nr AS DOUBLE)*nc/n)*(o - CAST(nr AS DOUBLE)*nc/n)
+        |        /(CAST(nr AS DOUBLE)*nc/n) * 1e6) AS BIGINT) AS t6
+        |  FROM grid
+        |)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(sum(t6) AS BIGINT) AS chi2_e6,
+        |  CAST(floor(sqrt(CAST(sum(t6) AS BIGINT)/1e6/n/least(r-1, c-1))
+        |    * 1e6) AS BIGINT) AS cramers_v_e6
+        |FROM t GROUP BY r, c, n""".stripMargin) { (s, dir) =>
+      StatTests.cramersV(
+        Tables.load(s, dir, "events")
+          .withColumn("_bucket",
+            expr("CAST(floor(value*1000) AS BIGINT) div 50000")),
+        "event_type", "_bucket")
+    }
+  )
+}

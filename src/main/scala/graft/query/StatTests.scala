@@ -1,0 +1,176 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-sample hypothesis tests from the ClickHouse aggregate surface —
+  * `studentTTest`, `welchTTest`, `mannWhitneyUTest`,
+  * `kolmogorovSmirnovTest` — plus `cramersV` over a contingency table.
+  *
+  * Scale shape shared by all of them: ONE aggregation shuffle reduces
+  * the raw stream to a tiny sufficient-statistic frame — moment sums
+  * per group for the t-tests, a (group-pair, value) frequency table for
+  * the rank/ECDF tests, an r×c contingency grid for Cramér's V — and
+  * every window afterwards runs over that reduced frame (|distinct
+  * values| rows, never |rows|). Raw rows are touched exactly once.
+  *
+  * Exactness discipline (the t18/q51 ladder): inputs are floored to
+  * integer milli-units per ROW before any sum, so the shuffled
+  * aggregates are exact integers whatever the partial-agg order; the
+  * test statistic is then one fixed double expression tree over those
+  * integers, which any engine replays bit-equally (IEEE ops on
+  * identical inputs in identical order). Rank statistics (U, KS) never
+  * leave the integers at all: ties use the 2×rank trick
+  * (2·avgrank = 2·cum_before + c + 1) and the KS distance is kept as
+  * the integer numerator |cum1·n2 − cum2·n1|.
+  */
+object StatTests {
+
+  /** Per-group moment sums of `valE3Col` (an integer column): n, Σv,
+    * Σv² — the sufficient statistics for both t-tests. Σv² of
+    * milli-unit longs stays within int64 up to ~10⁸ rows per group at
+    * |v|≤10⁶·e3; beyond that switch valE3 to a coarser unit (the
+    * statistic is scale-invariant). */
+  private def moments(df: DataFrame, groupCol: String, valE3Col: Column) =
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(valE3Col).as("s"),
+        sum(valE3Col * valE3Col).as("ss"))
+
+  /** All unordered group pairs (a < b) of the moments frame, columns
+    * suffixed 1/2. The frame is k rows for k groups — the self-join is
+    * a broadcast of a handful of rows, never a shuffle. */
+  private def pairs(m: DataFrame, groupCol: String): DataFrame = {
+    val a = m.columns.foldLeft(m)((d, c) => d.withColumnRenamed(c, c + "1"))
+    val b = m.columns.foldLeft(m)((d, c) => d.withColumnRenamed(c, c + "2"))
+    a.join(broadcast(b), col(groupCol + "1") < col(groupCol + "2"))
+  }
+
+  /** Student (pooled-variance) and Welch (unpooled) t statistics plus
+    * the Welch–Satterthwaite degrees of freedom, for every unordered
+    * pair of groups. Output: (groupCol+"1", groupCol+"2",
+    * student_t_e6, welch_t_e6, welch_df_e3) — e-floored longs. */
+  def tTests(
+      df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val vE3 = floor(col(valCol) * 1000).cast("long")
+    val p = pairs(moments(df, groupCol, vE3), groupCol)
+    val m1 = col("s1").cast("double") / col("n1")
+    val m2 = col("s2").cast("double") / col("n2")
+    val var1 = (col("ss1").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double") / col("n1")) /
+      (col("n1") - 1)
+    val var2 = (col("ss2").cast("double") -
+      col("s2").cast("double") * col("s2").cast("double") / col("n2")) /
+      (col("n2") - 1)
+    val sp2 = ((col("n1") - 1) * var1 + (col("n2") - 1) * var2) /
+      (col("n1") + col("n2") - 2)
+    val studentT = (m1 - m2) /
+      (sqrt(sp2) * sqrt(lit(1.0) / col("n1") + lit(1.0) / col("n2")))
+    val a = var1 / col("n1")
+    val b = var2 / col("n2")
+    val welchT = (m1 - m2) / sqrt(a + b)
+    val welchDf = ((a + b) * (a + b)) /
+      ((a * a) / (col("n1") - 1) + (b * b) / (col("n2") - 1))
+    p.select(col(groupCol + "1"), col(groupCol + "2"),
+      floor(studentT * 1e6).cast("long").as("student_t_e6"),
+      floor(welchT * 1e6).cast("long").as("welch_t_e6"),
+      floor(welchDf * 1e3).cast("long").as("welch_df_e3"))
+  }
+
+  /** The shared (pair, value) frequency frame behind the rank/ECDF
+    * tests: per unordered group pair and distinct milli-unit value,
+    * the two groups' counts c1/c2. Built from the per-GROUP frequency
+    * table (one shuffle over raw rows) fanned out to its ≤k−1 pairs by
+    * a broadcast join — raw rows are never replicated, only the
+    * value-level counts. */
+  private def pairFreq(
+      df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val vE3 = floor(col(valCol) * 1000).cast("long")
+    val freq = df.groupBy(col(groupCol).as("_g"), vE3.as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val gs = df.select(col(groupCol).as("_ga")).distinct()
+    val pr = gs.crossJoin(broadcast(gs.select(col("_ga").as("_gb"))))
+      .where(col("_ga") < col("_gb"))
+    freq.join(broadcast(pr), col("_g") === col("_ga") || col("_g") === col("_gb"))
+      .groupBy(col("_ga"), col("_gb"), col("_v"))
+      .agg(
+        sum(when(col("_g") === col("_ga"), col("_c")).otherwise(0L)).as("_c1"),
+        sum(when(col("_g") === col("_gb"), col("_c")).otherwise(0L)).as("_c2"))
+  }
+
+  /** Mann–Whitney U (two-sided rank-sum) per group pair, kept fully
+    * INTEGER via the 2× trick: with ties, a value's average rank is
+    * cum_before + (c+1)/2, so 2·Σranks₁ = Σ c1·(2·cum_before + c + 1)
+    * and 2·U₁ = that − n1·(n1+1). Output: (group_a, group_b, n1, n2,
+    * u1_x2). The window runs over the |distinct values| frame. */
+  def mannWhitneyU(
+      df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val pf = pairFreq(df, groupCol, valCol)
+    val w = Window.partitionBy(col("_ga"), col("_gb")).orderBy(col("_v"))
+    pf.withColumn("_cb",
+        coalesce(sum(col("_c1") + col("_c2"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .groupBy(col("_ga").as("group_a"), col("_gb").as("group_b"))
+      .agg(
+        sum(col("_c1")).as("n1"), sum(col("_c2")).as("n2"),
+        sum(col("_c1") * (lit(2) * col("_cb") + col("_c1") + col("_c2") + 1))
+          .as("_r2"))
+      .select(col("group_a"), col("group_b"), col("n1"), col("n2"),
+        (col("_r2") - col("n1") * (col("n1") + 1)).as("u1_x2"))
+  }
+
+  /** Kolmogorov–Smirnov distance per group pair as the exact integer
+    * numerator: D = max over values of |ECDF₁ − ECDF₂| =
+    * max |cum1·n2 − cum2·n1| / (n1·n2). Output: (group_a, group_b,
+    * n1, n2, ks_num) with D = ks_num/(n1·n2). */
+  def ksTest(
+      df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val pf = pairFreq(df, groupCol, valCol)
+    val w = Window.partitionBy(col("_ga"), col("_gb")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.partitionBy(col("_ga"), col("_gb"))
+    pf.withColumn("_cum1", sum(col("_c1")).over(w))
+      .withColumn("_cum2", sum(col("_c2")).over(w))
+      .withColumn("_n1", sum(col("_c1")).over(tot))
+      .withColumn("_n2", sum(col("_c2")).over(tot))
+      .groupBy(col("_ga").as("group_a"), col("_gb").as("group_b"))
+      .agg(max(col("_n1")).as("n1"), max(col("_n2")).as("n2"),
+        max(abs(col("_cum1") * col("_n2") - col("_cum2") * col("_n1")))
+          .as("ks_num"))
+  }
+
+  /** Cramér's V association between two categorical columns, over the
+    * FULL r×c grid (absent cells count 0 — they still carry expected
+    * mass). χ² terms are e6-floored per CELL before the sum (the
+    * ladder: the only double sum becomes an integer sum), then
+    * V = sqrt((χ²/n)/min(r−1, c−1)) is one fixed tree over the integer
+    * χ² sum. One DAG, no driver-side scalar probes: n/r/c ride along as
+    * a broadcast 1-row frame, and the contingency table (the only frame
+    * consumed by several branches) is persisted — it is r×c rows, so
+    * the raw stream is scanned exactly once. Output single row:
+    * (n, chi2_e6, cramers_v_e6). */
+  def cramersV(
+      df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val obs = df.groupBy(col(aCol).as("_a"), col(bCol).as("_b"))
+      .agg(count(lit(1)).as("_o"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rowT = obs.groupBy(col("_a")).agg(sum(col("_o")).as("_nr"))
+    val colT = obs.groupBy(col("_b")).agg(sum(col("_o")).as("_nc"))
+    val meta = rowT.agg(count(lit(1)).as("_r"), sum(col("_nr")).as("_n"))
+      .crossJoin(colT.agg(count(lit(1)).as("_c")))
+    val grid = rowT.crossJoin(broadcast(colT))
+      .join(obs, Seq("_a", "_b"), "left")
+      .withColumn("_o", coalesce(col("_o"), lit(0L)))
+      .crossJoin(broadcast(meta))
+    val e = col("_nr").cast("double") * col("_nc") / col("_n")
+    val term = (col("_o") - e) * (col("_o") - e) / e
+    grid.select(col("_n"), col("_r"), col("_c"),
+        floor(term * lit(1e6)).cast("long").as("_t6"))
+      .groupBy(col("_n"), col("_r"), col("_c"))
+      .agg(sum(col("_t6")).as("chi2_e6"))
+      .select(col("_n").as("n"), col("chi2_e6"),
+        floor(sqrt(col("chi2_e6") / lit(1e6) / col("_n") /
+          least(col("_r") - 1, col("_c") - 1)) * 1e6)
+          .cast("long").as("cramers_v_e6"))
+  }
+}
