@@ -258,6 +258,34 @@ object EventOps {
         .otherwise(0L)).as("n_sequences"))
   }
 
+  /** First next event after an adjacent event chain — ClickHouse
+    * `sequenceNextNode('forward', 'first_match')(ts, type, type = c₁,
+    * type = c₂, …)`: per key, find the FIRST place where `chain`
+    * occurs at consecutive positions of the (ts, id)-ordered event
+    * stream, and return the type of the event immediately after it
+    * (null when the chain ends the stream). Keys with no match emit no
+    * row. One window shuffle: `lead` probes the chain positions, a
+    * row_number picks the earliest match — Spark reuses the single
+    * (key) exchange for both. Output: (keyCol, next_node). */
+  def sequenceNextNode(
+      events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      typeCol: String, chain: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(chain.nonEmpty, "sequenceNextNode: chain must be non-empty")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val matched = chain.zipWithIndex.map { case (step, i) =>
+      (if (i == 0) col(typeCol) else lead(col(typeCol), i).over(w)) === step
+    }.reduce(_ && _)
+    events
+      .select(col(keyCol), col(tsCol), col(idCol), col(typeCol))
+      .withColumn("_next", lead(col(typeCol), chain.size).over(w))
+      .withColumn("_hit", matched)
+      .where(col("_hit"))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .select(col(keyCol), col("_next").as("next_node"))
+  }
+
   /** Gap-constrained sequence existence per key — ClickHouse
     * `sequenceMatch('(?1)(?t<=gap)(?2)(?t<=gap)(?3)…')`: does the key
     * have events matching `steps` in strict time order with each

@@ -101,4 +101,47 @@ object Stats {
       .groupBy(col(keyCol))
       .agg(min(col(valCol)).as("q_value"))
   }
+
+  /** Capped distinct count per key — ClickHouse `uniqUpTo(N)`: the
+    * exact distinct count while it is ≤ N, else N+1. The Spark-native
+    * bounded-state shape is the two-phase distinct: the first
+    * `groupBy(key, value)` combines map-side, so the shuffle carries
+    * one row per DISTINCT (key, value) — the cap then folds the tiny
+    * per-key count. (ClickHouse bounds the in-memory state instead;
+    * Spark's equivalent lever is map-side combine + spillable
+    * aggregation, which needs no custom UDAF.) Output:
+    * (keyCol, uniq_up_to). */
+  def uniqUpTo(
+      df: DataFrame, keyCol: String, valCol: String, n: Int): DataFrame = {
+    require(n > 0, s"uniqUpTo: n must be positive (got $n)")
+    df.groupBy(col(keyCol), col(valCol)).agg(count(lit(1)).as("_c"))
+      .groupBy(col(keyCol))
+      .agg(least(count(lit(1)), lit(n.toLong + 1)).as("uniq_up_to"))
+  }
+
+  /** The ClickHouse `-Array` combinator family over an array column:
+    * per key, `sumArray` / `maxArray` / `uniqArray` of the elements,
+    * in e6-floored integer units so every aggregate is exact. sum and
+    * max fold INSIDE the row (`aggregate` / `array_max` over the
+    * lambda-transformed array — no explode, rows shrink to one long
+    * before the shuffle); only the corpus-wide distinct count pays the
+    * explode, because cross-row dedup genuinely needs element rows.
+    * Output: (keyCol, sum_arr_e6, max_arr_e6, uniq_arr). */
+  def arrayAggs(
+      df: DataFrame, keyCol: String, arrCol: String): DataFrame = {
+    val e6 = transform(col(arrCol),
+      x => floor(x.cast("double") * 1e6).cast("long"))
+    val folded = df
+      .select(col(keyCol), e6.as("_a"))
+      .select(col(keyCol),
+        aggregate(col("_a"), lit(0L), (acc, x) => acc + x).as("_s"),
+        array_max(col("_a")).as("_m"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("_s")).as("sum_arr_e6"), max(col("_m")).as("max_arr_e6"))
+    val uniq = df
+      .select(col(keyCol), explode(e6).as("_v"))
+      .groupBy(col(keyCol))
+      .agg(countDistinct(col("_v")).as("uniq_arr"))
+    folded.join(uniq, keyCol)
+  }
 }

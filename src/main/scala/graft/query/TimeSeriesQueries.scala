@@ -291,6 +291,65 @@ object TimeSeriesQueries {
         bucketUs = 3600000000L)
     },
 
+    // uniqUpTo(3): exact distinct count capped at n+1 — per user, how
+    // many distinct event types (saturating at 4). The two-phase
+    // distinct bounds the shuffle to distinct (key, value) rows.
+    Q(
+      "q64_uniq_up_to",
+      """SELECT user_id,
+        |  CAST(least(count(DISTINCT event_type), 4) AS BIGINT) AS uniq_up_to
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      Stats.uniqUpTo(Tables.load(s, dir, "events"),
+        "user_id", "event_type", n = 3)
+    },
+
+    // sequenceNextNode('forward','first_match'): the event type that
+    // follows the first adjacent view→click in each user's stream.
+    Q(
+      "q65_sequence_next_node",
+      """WITH s AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events
+        |), l AS (
+        |  SELECT user_id, us, event_id, event_type,
+        |    lead(event_type, 1) OVER
+        |      (PARTITION BY user_id ORDER BY us, event_id) AS e1,
+        |    lead(event_type, 2) OVER
+        |      (PARTITION BY user_id ORDER BY us, event_id) AS nx
+        |  FROM s
+        |), m AS (
+        |  SELECT user_id, nx,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
+        |  FROM l WHERE event_type = 'view' AND e1 = 'click'
+        |)
+        |SELECT user_id, nx AS next_node FROM m WHERE rn = 1""".stripMargin) {
+      (s, dir) =>
+        EventOps.sequenceNextNode(
+          Tables.load(s, dir, "events")
+            .withColumn("us", expr("ts div 1000")),
+          "user_id", "us", "event_id", "event_type", Seq("view", "click"))
+          .select(col("user_id"), col("next_node"))
+    },
+
+    // the -Array combinator family (sumArray / maxArray / uniqArray)
+    // over the embedding vectors, in e6-floored integer units; sum and
+    // max fold in-row (no explode), only the distinct count unnests.
+    Q(
+      "q66_array_aggs",
+      """WITH u AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |    CAST(floor(CAST(t.x AS DOUBLE)*1e6) AS BIGINT) AS v
+        |  FROM embeddings, UNNEST(embedding) AS t(x)
+        |)
+        |SELECT label, CAST(sum(v) AS BIGINT) AS sum_arr_e6,
+        |  CAST(max(v) AS BIGINT) AS max_arr_e6,
+        |  CAST(count(DISTINCT v) AS BIGINT) AS uniq_arr
+        |FROM u GROUP BY 1""".stripMargin) { (s, dir) =>
+      Stats.arrayAggs(
+        Tables.load(s, dir, "embeddings")
+          .select(col("label").cast("long").as("label"), col("embedding")),
+        "label", "embedding")
+    },
+
     // exponential moving average (ClickHouse exponentialMovingAverage):
     // the order-sensitive recursion ema = α·x + (1−α)·ema over the
     // (time, id)-sorted series. Oracle replays the IDENTICAL sequential

@@ -119,6 +119,48 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("uniqUpTo saturates at n+1, exact below") {
+    val df = Seq(
+      ("a", 1), ("a", 1), ("a", 2),            // 2 distinct < cap
+      ("b", 1), ("b", 2), ("b", 3),            // exactly cap
+      ("c", 1), ("c", 2), ("c", 3), ("c", 4), ("c", 5) // above → n+1
+    ).toDF("k", "v")
+    val got = graft.query.Stats.uniqUpTo(df, "k", "v", n = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 2L, "b" -> 3L, "c" -> 4L))
+  }
+
+  test("sequenceNextNode: first match wins, end-of-stream yields null, no match no row") {
+    val df = Seq(
+      // u1: A B C A B D → first AB at t=1, next = C
+      (1L, 1L, 1L, "A"), (1L, 2L, 2L, "B"), (1L, 3L, 3L, "C"),
+      (1L, 4L, 4L, "A"), (1L, 5L, 5L, "B"), (1L, 6L, 6L, "D"),
+      // u2: chain ends the stream → matched, next_node null
+      (2L, 1L, 7L, "A"), (2L, 2L, 8L, "B"),
+      // u3: no adjacent AB (A C B) → no row
+      (3L, 1L, 9L, "A"), (3L, 2L, 10L, "C"), (3L, 3L, 11L, "B")
+    ).toDF("u", "ts", "id", "ty")
+    val got = EventOps.sequenceNextNode(df, "u", "ts", "id", "ty", Seq("A", "B"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got === Map(1L -> Some("C"), 2L -> None))
+  }
+
+  test("arrayAggs: in-row folds match hand computation") {
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f, 2.0f)),
+      (1L, Seq(3.5f)),
+      (2L, Seq(0.25f, -1.0f))
+    ).toDF("k", "arr")
+    val got = graft.query.Stats.arrayAggs(df, "k", "arr")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // k=1: e6 = [1e6, 2e6, 2e6] + [3.5e6] → sum 8.5e6, max 3.5e6, uniq {1e6,2e6,3.5e6}=3
+    // k=2: [250000, -1e6] → sum -750000, max 250000, uniq 2
+    assert(got === Map(
+      1L -> ((8500000L, 3500000L, 3L)),
+      2L -> ((-750000L, 250000L, 2L))))
+  }
+
   test("entropy: uniform = ln(k) in micro-nats; constant = 0") {
     // key 1: 4 equally-likely values → H = ln(4) nats ≈ 1.386294e6 µnats
     // key 2: one value → 0
