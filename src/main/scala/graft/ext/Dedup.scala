@@ -762,4 +762,56 @@ object Dedup {
       .agg(count(lit(1)).as("shared"))
       .where(col("shared") >= minShared)
   }
+
+  // ---- edit-distance (fuzzy) near-dup -----------------------------------
+
+  /** Edit-distance near-dup pairs over the normalized HEAD of each
+    * document: pairs with `levenshtein(head_a, head_b) ≤ maxDist`,
+    * where head = first `headLen` chars of the lower-cased,
+    * whitespace-collapsed text. The head cap is what makes the exact
+    * verify affordable — O(maxDist·headLen) per candidate with the
+    * banded three-argument `levenshtein` (early-exit −1 beyond the
+    * threshold), never O(doc²).
+    *
+    * Candidate generation is the q-gram count filter, not all-pairs:
+    * an edit destroys at most q character q-grams, so two heads within
+    * edit distance d share at least `len − q + 1 − q·d` q-grams —
+    * POSITIVE whenever `len ≥ q·(d+1)`, which 48-char-minimum documents
+    * always satisfy. The inverted q-gram join is therefore LOSSLESS for
+    * this corpus shape (uncapped), with the same `maxPostings`
+    * boilerplate-gram skew guard as d5/d15 as the documented 100 TB
+    * recall trade. Pairs also prefilter on `|len_a − len_b| ≤ maxDist`
+    * (a length gap beyond d already costs d inserts) before any
+    * distance is computed. Output: (id_a, id_b, dist). */
+  def fuzzyPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3, headLen: Int = 64, q: Int = 4,
+      maxPostings: Int = 1000): DataFrame = {
+    require(maxDist >= 0 && headLen > 0 && q > 1,
+      s"fuzzyPairs: bad params (maxDist=$maxDist headLen=$headLen q=$q)")
+    val norm = substring(
+      lower(regexp_replace(trim(col(textCol)), "\\s+", " ")), 1, headLen)
+    // persisted + eager like invertedIndex: feeds the gram index AND
+    // both head lookups of the verify join
+    val heads = docs.select(col(idCol).as("id"), norm.as("h"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    heads.count()
+    val grams = heads.select(col("id"),
+      explode(array_distinct(transform(
+        sequence(lit(1), greatest(length(col("h")) - (q - 1), lit(1))),
+        i => col("h").substr(i, lit(q))))).as("g"))
+    val rare = grams.groupBy("g").count()
+      .where(col("count") <= maxPostings).drop("count")
+    val capped = grams.join(rare, Seq("g"))
+    capped.select(col("g"), col("id").as("id_a"))
+      .join(capped.select(col("g"), col("id").as("id_b")), Seq("g"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .join(heads.select(col("id").as("id_a"), col("h").as("_ha")), "id_a")
+      .join(heads.select(col("id").as("id_b"), col("h").as("_hb")), "id_b")
+      .where(abs(length(col("_ha")) - length(col("_hb"))) <= maxDist)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("_ha"), col("_hb"), maxDist).cast("long").as("dist"))
+      .where(col("dist").between(0, maxDist))
+  }
 }

@@ -502,6 +502,29 @@ object DedupQueries {
         Tables.load(s, dir, "documents"), "doc_id", "text",
         floor(TextAnalysis.qualityScore(col("text")) * 10000).cast("long"),
         minShared = 2, k = 3, w = 4, maxPostings = 1000)
+    },
+
+    // edit-distance (fuzzy) near-dup pairs over 64-char normalized
+    // heads. Uncapped postings here — the q-gram count filter is
+    // LOSSLESS for ≥ q·(maxDist+1)-char heads, so the oracle can be
+    // the brute-force length-banded levenshtein join; the capped
+    // variant is the documented skew-guard scale path (DedupSpec).
+    Q(
+      "d17_fuzzy_pairs",
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    substr(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+        |      1, 64) AS h
+        |  FROM documents
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.h, b.h) AS BIGINT) AS dist
+        |FROM n a JOIN n b ON a.doc_id < b.doc_id
+        |WHERE abs(length(a.h) - length(b.h)) <= 3
+        |  AND levenshtein(a.h, b.h) <= 3""".stripMargin) { (s, dir) =>
+      Dedup.fuzzyPairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        maxDist = 3, headLen = 64, q = 4, maxPostings = Int.MaxValue)
     }
   )
 }

@@ -140,6 +140,31 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("fuzzyPairs: planted edits within maxDist found at exact distance; cap trades recall") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                                  // exact dup → dist 0
+      (3L, base.replace("quick", "quicc")),        // 1 substitution
+      (4L, base.replace("brown ", "")),            // 6 deletions → beyond maxDist 3
+      (5L, "a completely different sentence about databases and shuffles"),
+      (6L, "THE  Quick   brown fox jumps over the lazy dog and runs far away home") // normalization collapses
+    ).toDF("doc_id", "text")
+    val got = Dedup.fuzzyPairs(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.get((1L, 2L)) === Some(0L))
+    assert(got.get((1L, 3L)) === Some(1L))
+    assert(got.get((2L, 3L)) === Some(1L))
+    assert(got.get((1L, 6L)) === Some(0L))   // case/whitespace normalized away
+    assert(!got.keySet.exists(p => p._1 == 5L || p._2 == 5L))
+    assert(!got.contains((1L, 4L)))          // 6 edits > maxDist
+    // skew-guard path: a tiny postings cap may only SHRINK the pair set
+    val capped = Dedup.fuzzyPairs(docs, "doc_id", "text", maxDist = 3,
+      maxPostings = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(got.keySet))
+  }
+
   test("cosineNearDupPairs finds planted high-cosine pairs, skips unrelated") {
     val dim = 64
     // 6 base vectors far apart; for 3 of them plant a near-identical
