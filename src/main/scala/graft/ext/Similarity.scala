@@ -52,6 +52,53 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch kNN join: for EVERY row of `queries`, the exact top-k
+    * `corpus` rows by cosine — the bulk form of [[cosineTopK]] (one
+    * query per literal doesn't scale to a probe batch). The query side
+    * broadcasts (it is the small side by contract — a probe batch of
+    * thousands against a corpus of billions), so the corpus is scanned
+    * ONCE with no shuffle of vectors; scoring is a pure VectorDot
+    * projection over the broadcast nested-loop rows.
+    *
+    * Top-k reduces in TWO phases, the groupBy analog of what
+    * TakeOrderedAndProject does for a global limit: per input
+    * partition, each query keeps its k best (sorted-slice over a
+    * per-partition collect — bounded by k·|Q| rows per partition), and
+    * only those survivors shuffle to the final per-query rank. The
+    * exchanged frame is ≤ k·|partitions| rows per query of skinny
+    * (qid, cid, score) triples — never the |corpus| scored rows.
+    * Ordering ties break by neighbor id ascending (the s1 contract).
+    * Output: (query_id, neighbor_id, cos_e6). */
+  def knnJoin(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(
+      queries.select(col(idCol).as("_qid"), col(vecCol).as("_qv")))
+    val scored = corpus
+      .select(col(idCol).as("_cid"), col(vecCol).as("_cv"))
+      .join(q)
+      .select(col("_qid"), col("_cid"),
+        round(cosine(col("_cv"), col("_qv")), 6).as("_cos"))
+    val partial = scored
+      .withColumn("_p", spark_partition_id())
+      .groupBy(col("_qid"), col("_p"))
+      .agg(slice(
+        sort_array(collect_list(struct((-col("_cos")).as("_n"),
+          col("_cid")))),
+        1, k).as("_top"))
+      .select(col("_qid"), explode(col("_top")).as("_t"))
+      .select(col("_qid"), col("_t._cid").as("_cid"),
+        (-col("_t._n")).as("_cos"))
+    val w = Window.partitionBy(col("_qid"))
+      .orderBy(col("_cos").desc, col("_cid").asc)
+    partial
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= k)
+      .select(col("_qid").as("query_id"), col("_cid").as("neighbor_id"),
+        round(col("_cos") * 1e6).cast("long").as("cos_e6"))
+  }
+
   /** Deterministic pseudo-random hyperplanes (fixed seed). */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)

@@ -48,6 +48,44 @@ object SimilarityQueries {
           round(col("cos_sim") * 1e6).cast("long").as("cos_e6"))
     },
 
+    // batch kNN join: every probe vector (vec_id < 20) → its exact
+    // top-3 corpus neighbors (vec_id >= 20). Oracled with the s1
+    // bit-equal double-cosine idiom + per-query row_number; the Spark
+    // side broadcasts the probe batch and two-phase-reduces top-k.
+    Q(
+      "s10_knn_join",
+      """WITH qs AS (
+        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |  WHERE vec_id < 20
+        |), cs AS (
+        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        |  WHERE vec_id >= 20
+        |), sc AS (
+        |  SELECT qid, cid,
+        |    round(
+        |      list_sum(list_transform(range(1, len(cv) + 1),
+        |        i -> CAST(cv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(cv,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(qv,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+        |      6) AS cos6
+        |  FROM qs, cs
+        |), r AS (
+        |  SELECT qid, cid, cos6, row_number() OVER
+        |    (PARTITION BY qid ORDER BY cos6 DESC, cid ASC) AS rn
+        |  FROM sc
+        |)
+        |SELECT qid AS query_id, cid AS neighbor_id,
+        |  CAST(round(cos6 * 1000000) AS BIGINT) AS cos_e6
+        |FROM r WHERE rn <= 3""".stripMargin) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.knnJoin(
+        emb.where(col("vec_id") < 20),
+        emb.where(col("vec_id") >= 20),
+        "vec_id", "embedding", k = 3)
+    },
+
     // LSH-bucketed ANN top-k (scale path; recall vs s1 tested in spec).
     Q.noOracle("s2_ann_topk") { (s, dir) =>
       Similarity.annTopK(

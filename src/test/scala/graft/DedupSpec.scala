@@ -165,6 +165,28 @@ class DedupSpec extends SparkSpec {
     assert(capped.subsetOf(got.keySet))
   }
 
+  test("knnJoin equals per-query brute-force cosineTopK") {
+    val rnd = new scala.util.Random(23)
+    val vecs = (0 until 80).map { i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding").repartition(7) // force multi-partition phase-1
+    val queries = vecs.where(col("vec_id") < 4)
+    val corpus = vecs.where(col("vec_id") >= 4)
+    val got = Similarity.knnJoin(queries, corpus, "vec_id", "embedding", k = 5)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(r => (r.getLong(1), r.getLong(2))).toSet }
+    val qvecs = queries.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    for ((qid, qv) <- qvecs) {
+      val want = Similarity.cosineTopK(corpus, "vec_id", "embedding", qv, 5)
+        .collect()
+        .map(r => (r.getLong(0),
+          math.round(r.getDouble(1) * 1e6))).toSet
+      assert(got(qid) === want, s"query $qid")
+    }
+  }
+
   test("cosineNearDupPairs finds planted high-cosine pairs, skips unrelated") {
     val dim = 64
     // 6 base vectors far apart; for 3 of them plant a near-identical
