@@ -96,4 +96,44 @@ object Packing {
         expr(s"(_cum - n_tokens) div $chunkSize").as("chunk_start"),
         expr(s"(_cum - 1) div $chunkSize").as("chunk_end"))
   }
+
+  /** Data selection under a token budget — the "keep the best N tokens"
+    * pruning step of a curation pipeline: order documents by
+    * (quality score desc, id asc) and keep the prefix whose cumulative
+    * token count stays ≤ `budget` (a document is kept iff the running
+    * sum INCLUDING it fits).
+    *
+    * Same two-phase prefix-sum discipline as [[packChunks]], except the
+    * buckets must follow the SORT order, so they are score BANDS
+    * (`-(score div scoreBand)` — ascending bucket = descending score;
+    * equal scores can never straddle a band): per-band subtotals take
+    * the tiny global window, in-band cumsums run parallel, and the
+    * result is identical to the serial `sum over (ORDER BY score DESC,
+    * id)` — t22's oracle IS that single-window SQL. Output: (idCol,
+    * score, n_tokens, cum_tokens), the kept rows only. */
+  def budgetPrune(
+      docs: DataFrame, idCol: String, scoreCol: String, ntokCol: String,
+      budget: Long, scoreBand: Long = 500L): DataFrame = {
+    require(budget >= 0 && scoreBand > 0,
+      s"budgetPrune: bad params (budget=$budget band=$scoreBand)")
+    val b = docs
+      .select(col(idCol), col(scoreCol).cast("long").as("score"),
+        col(ntokCol).cast("long").as("n_tokens"))
+      .where(col("n_tokens") > 0)
+      .withColumn("_bucket", -expr(s"score div $scoreBand"))
+    val subtotals = b.groupBy("_bucket").agg(sum("n_tokens").as("_btotal"))
+    val exclusive = Window.orderBy("_bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = subtotals
+      .withColumn("_offset", coalesce(sum("_btotal").over(exclusive), lit(0L)))
+      .select("_bucket", "_offset")
+    val inBucket = Window.partitionBy("_bucket")
+      .orderBy(col("score").desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.join(broadcast(offsets), Seq("_bucket"))
+      .withColumn("cum_tokens",
+        sum(col("n_tokens")).over(inBucket) + col("_offset"))
+      .where(col("cum_tokens") <= budget)
+      .select(col(idCol), col("score"), col("n_tokens"), col("cum_tokens"))
+  }
 }

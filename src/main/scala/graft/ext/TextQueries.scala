@@ -545,6 +545,44 @@ object TextQueries {
           length(norm).cast("long").as("norm_len"))
     },
 
+    // data selection under a global token budget: keep the
+    // highest-quality documents whose cumulative token count fits
+    // 10k tokens. The oracle is the serial single-window prefix sum;
+    // the operator's score-band two-phase decomposition must reproduce
+    // it exactly (hash equality is the stitching proof, like q59).
+    Q(
+      "t22_budget_prune",
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE) AS ntok,
+        |    CAST(len(list_filter(string_split_regex(trim(text), ' +'),
+        |      x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) AS hits,
+        |    CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) AS punct,
+        |    CAST(length(text) AS DOUBLE) AS nchars
+        |  FROM documents
+        |), q AS (
+        |  SELECT doc_id,
+        |    CAST(floor((least(ntok/64.0, 1.0)*0.4 + (hits/greatest(ntok, 1.0))*0.4 +
+        |      (1.0 - punct/greatest(nchars, 1.0))*0.2) * 10000) AS BIGINT) AS score,
+        |    CAST(ntok AS BIGINT) AS n_tokens
+        |  FROM f
+        |), r AS (
+        |  SELECT doc_id, score, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM q WHERE n_tokens > 0
+        |)
+        |SELECT doc_id, score, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM r WHERE cum_tokens <= 10000""".stripMargin) { (s, dir) =>
+      Packing.budgetPrune(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            floor(TextAnalysis.qualityScore(col("text")) * 10000)
+              .cast("long").as("score"),
+            size(TextAnalysis.tokens(col("text"))).as("n_tokens")),
+        "doc_id", "score", "n_tokens", budget = 10000L)
+    },
+
     Q(
       "t17_shard_assign",
       """WITH k AS (

@@ -73,4 +73,27 @@ class PackingSpec extends SparkSpec {
       .orderBy("doc_id").select("doc_id").as[Long].collect()
     assert(out.toSeq == Seq(1L, 3L))
   }
+
+  test("budgetPrune equals the serial score-ordered cumsum at any band width") {
+    val rnd = new scala.util.Random(31)
+    val docs = (0 until 300).map { i =>
+      (i.toLong, rnd.nextInt(10000).toLong, (rnd.nextInt(80) + 1).toLong)
+    }
+    val df = docs.toDF("doc_id", "score", "ntok").repartition(5)
+    // serial reference: sort by (score desc, id), keep while cum <= B
+    val sorted = docs.sortBy(d => (-d._2, d._1))
+    val cums = sorted.scanLeft(0L)(_ + _._3).tail
+    val want = sorted.zip(cums).takeWhile(_._2 <= 5000)
+      .map { case (d, c) => (d._1, d._2, d._3, c) }.toSet
+    for (band <- Seq(1L, 100L, 500L, 100000L)) {
+      val got = Packing.budgetPrune(df, "doc_id", "score", "ntok",
+        budget = 5000L, scoreBand = band)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got === want, s"band=$band")
+    }
+    // cum is strictly increasing (ntok >= 1), so takeWhile == filter
+    assert(want.size == cums.count(_ <= 5000))
+  }
 }
