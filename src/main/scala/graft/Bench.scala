@@ -79,7 +79,18 @@ object Bench {
       else math.round(v).toString
     val shortQs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + rc(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$shortQs,"sf":"$sfDir"}""")
+    val perQueryLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$shortQs,"sf":"$sfDir"}"""
+    // if the pack ever grows the per-query line past the window, fall
+    // back to per-FAMILY subtotals (q/d/s/t/m/p — constant width at any
+    // pack size); the per-query detail is always in BENCH_FULL.json
+    val famQs = results
+      .groupBy(_._1.takeWhile(!_.isDigit)).toSeq.sortBy(_._1)
+      .map { case (f, rs) => "\"" + f + "\":" + r3(rs.map(_._2).sum) }
+      .mkString("{", ",", "}")
+    val famLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","families":$famQs,"n_queries":${results.size},"full":"BENCH_FULL.json","sf":"$sfDir"}"""
+    println(if (perQueryLine.length <= 1700) perQueryLine else famLine)
     spark.stop()
   }
 }

@@ -39,6 +39,31 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
+  /** The ClickHouse vector-distance function family (`L1Distance`,
+    * `L2Distance`, `LinfDistance`, `cosineDistance`) as pure column
+    * expressions. These use the `zip_with`/`aggregate` HOFs, not
+    * VectorDot: they sit in per-row pair scoring (one evaluation per
+    * output row), not the corpus-scan hot path, and the HOF fold is
+    * left-to-right in double — the same order DuckDB's `list_sum`
+    * folds, so e6 floors of the results are engine-portable. */
+  def l1Distance(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => abs(x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, d) => acc + d)
+
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, d) => acc + d))
+
+  def linfDistance(a: Column, b: Column): Column =
+    array_max(
+      zip_with(a, b, (x, y) => abs(x.cast("double") - y.cast("double"))))
+
+  def cosineDistance(a: Column, b: Column): Column = lit(1.0) - cosine(a, b)
+
   /** Exact top-k by cosine against a literal query vector. */
   def cosineTopK(
       vectors: DataFrame, idCol: String, vecCol: String,

@@ -86,6 +86,54 @@ object SimilarityQueries {
         "vec_id", "embedding", k = 3)
     },
 
+    // vector-distance function family (L1/L2/Linf/cosineDistance) over
+    // 10 fixed vector pairs (i, i+250); e6 floors of the identical
+    // double fold on both engines.
+    Q(
+      "s11_vector_distances",
+      """WITH a AS (
+        |  SELECT vec_id AS id_a, embedding AS va FROM embeddings
+        |  WHERE vec_id < 10
+        |), b AS (
+        |  SELECT vec_id - 250 AS id_a, embedding AS vb FROM embeddings
+        |  WHERE vec_id >= 250 AND vec_id < 260
+        |), p AS (SELECT id_a, va, vb FROM a JOIN b USING (id_a))
+        |SELECT id_a,
+        |  CAST(floor(list_sum(list_transform(range(1, len(va)+1),
+        |    i -> abs(CAST(va[i] AS DOUBLE) - CAST(vb[i] AS DOUBLE)))) * 1e6)
+        |    AS BIGINT) AS l1_e6,
+        |  CAST(floor(sqrt(list_sum(list_transform(range(1, len(va)+1),
+        |    i -> (CAST(va[i] AS DOUBLE) - CAST(vb[i] AS DOUBLE))
+        |       * (CAST(va[i] AS DOUBLE) - CAST(vb[i] AS DOUBLE))))) * 1e6)
+        |    AS BIGINT) AS l2_e6,
+        |  CAST(floor(list_max(list_transform(range(1, len(va)+1),
+        |    i -> abs(CAST(va[i] AS DOUBLE) - CAST(vb[i] AS DOUBLE)))) * 1e6)
+        |    AS BIGINT) AS linf_e6,
+        |  CAST(floor((1.0 - list_sum(list_transform(range(1, len(va)+1),
+        |      i -> CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(va,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(vb,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) * 1e6)
+        |    AS BIGINT) AS cosd_e6
+        |FROM p""".stripMargin) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val a = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = emb.where(col("vec_id") >= 250 && col("vec_id") < 260)
+        .select((col("vec_id") - 250).as("id_a"), col("embedding").as("vb"))
+      a.join(b, "id_a")
+        .select(col("id_a"),
+          floor(Similarity.l1Distance(col("va"), col("vb")) * 1e6)
+            .cast("long").as("l1_e6"),
+          floor(Similarity.l2Distance(col("va"), col("vb")) * 1e6)
+            .cast("long").as("l2_e6"),
+          floor(Similarity.linfDistance(col("va"), col("vb")) * 1e6)
+            .cast("long").as("linf_e6"),
+          floor(Similarity.cosineDistance(col("va"), col("vb")) * 1e6)
+            .cast("long").as("cosd_e6"))
+    },
+
     // LSH-bucketed ANN top-k (scale path; recall vs s1 tested in spec).
     Q.noOracle("s2_ann_topk") { (s, dir) =>
       Similarity.annTopK(

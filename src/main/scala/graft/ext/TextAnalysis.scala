@@ -264,6 +264,28 @@ object TextAnalysis {
   def normalizeText(text: Column): Column =
     trim(regexp_replace(lower(nfc(text)), " +", " "))
 
+  /** Distinct character q-grams of a (normalized) string column. */
+  def charGrams(c: Column, q: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(c) - (q - 1), lit(1))),
+      i => c.substr(i, lit(q))))
+
+  /** ClickHouse `ngramDistance(text, needle)` in e6 units: the
+    * symmetric difference of the two DISTINCT character-4-gram sets
+    * over their total size, 0 (identical) … 1e6 (disjoint). Both sides
+    * are NFC-normalized/lower-cased/space-collapsed; the needle's grams
+    * are built by the SAME column pipeline from a literal, so any
+    * engine derives identical sets by construction. Pure per-row set
+    * arithmetic — no shuffle, no UDF. */
+  def ngramDistanceE6(
+      textCol: Column, needle: String, q: Int = 4): Column = {
+    val a = charGrams(normalizeText(textCol), q)
+    val b = charGrams(normalizeText(lit(needle)), q)
+    floor(
+      (size(a) + size(b) - lit(2) * size(array_intersect(a, b)))
+        .cast("double") / (size(a) + size(b)) * 1e6).cast("long")
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
     * the MOSS local fingerprinting scheme): hash every token k-gram,
     * slide a window of `w` consecutive hashes, keep each window's

@@ -583,6 +583,42 @@ object TextQueries {
         "doc_id", "score", "n_tokens", budget = 10000L)
     },
 
+    // ngramDistance(text, needle) — 4-gram set symmetric difference
+    // over total size, e6 units; the needle passes through the same
+    // normalize+gram pipeline on both engines.
+    Q(
+      "t23_ngram_distance",
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(lower(nfc_normalize(text)), ' +', ' ', 'g')) AS h
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(length(h) - 3, 1) + 1),
+        |    i -> substr(h, i, 4))) AS ga
+        |  FROM n
+        |), nq AS (
+        |  SELECT trim(regexp_replace(lower(nfc_normalize(
+        |    'key agg row scan slow fast table value part hash')),
+        |    ' +', ' ', 'g')) AS h
+        |), q AS (
+        |  SELECT list_distinct(list_transform(
+        |    range(1, greatest(length(h) - 3, 1) + 1),
+        |    i -> substr(h, i, 4))) AS gb
+        |  FROM nq
+        |)
+        |SELECT doc_id,
+        |  CAST(floor(CAST(len(ga) + len(gb) - 2*len(list_intersect(ga, gb))
+        |    AS DOUBLE) / (len(ga) + len(gb)) * 1e6) AS BIGINT)
+        |    AS ngram_dist_e6
+        |FROM g, q""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.ngramDistanceE6(col("text"),
+            "key agg row scan slow fast table value part hash")
+            .as("ngram_dist_e6"))
+    },
+
     Q(
       "t17_shard_assign",
       """WITH k AS (

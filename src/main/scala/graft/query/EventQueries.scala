@@ -641,6 +641,40 @@ object EventQueries {
           .as("hour_counts"))
     },
 
+    // minMap/maxMap/avgMap (the q48 sumMap machinery with the other
+    // merge ops): per type, a map hour → min|max|avg of the milli-unit
+    // value, rendered as the sorted "k:v" CSV so map content hashes
+    // identically on any engine. avg stays integer (sum div n).
+    Q(
+      "q67_minmax_map",
+      """WITH h AS (
+        |  SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hour,
+        |    min(CAST(floor(value*1000) AS BIGINT)) AS mn,
+        |    max(CAST(floor(value*1000) AS BIGINT)) AS mx,
+        |    sum(CAST(floor(value*1000) AS BIGINT)) AS sv, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type,
+        |  array_to_string(list_sort(list(
+        |    CAST(hour AS VARCHAR) || ':' || CAST(mn AS VARCHAR) || '|' ||
+        |    CAST(mx AS VARCHAR) || '|' || CAST(sv // n AS VARCHAR))), ',')
+        |    AS hour_stats
+        |FROM h GROUP BY event_type""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .withColumn("_v", floor(col("value") * 1000).cast("long"))
+        .groupBy(col("event_type"),
+          (expr(s"((ts div 1000) div $HourUs)") % 24).as("hour"))
+        .agg(min(col("_v")).as("mn"), max(col("_v")).as("mx"),
+          sum(col("_v")).as("sv"), count(lit(1)).as("n"))
+        .groupBy("event_type")
+        .agg(concat_ws(",", sort_array(collect_list(
+          concat(col("hour").cast("string"), lit(":"),
+            col("mn").cast("string"), lit("|"),
+            col("mx").cast("string"), lit("|"),
+            expr("sv div n").cast("string")))))
+          .as("hour_stats"))
+    },
+
     // array-aggregation family (ClickHouse groupArray/groupUniqArray):
     // collect_list/collect_set are partition-order-nondeterministic, so
     // the engine-portable discipline is sort-then-render — sorted
@@ -660,6 +694,71 @@ object EventQueries {
             .as("types_csv"),
           concat_ws(",", slice(sort_array(collect_list(col("event_id"))), 1, 5))
             .as("first5_csv"))
+    },
+
+    // ClickHouse array-function family over each user's time-ordered
+    // milli-unit value array: arrayCumSum, arrayDifference (first
+    // element 0), arrayCompact (consecutive dedup), arrayEnumerateUniq
+    // (per-value occurrence counter). All integer arithmetic inside
+    // per-row lambdas — the q46 bounded-cardinality contract (one
+    // user's events fit a row) — rendered as CSV for the compare.
+    // Restricted to user_id < 30 to bound the quadratic in-row lambdas.
+    Q(
+      "q68_array_funcs",
+      """WITH v AS (
+        |  SELECT user_id,
+        |    list(CAST(floor(value*1000) AS BIGINT)
+        |      ORDER BY epoch_us(ts), event_id) AS vals
+        |  FROM events WHERE user_id < 30 GROUP BY user_id
+        |)
+        |SELECT user_id,
+        |  array_to_string(list_transform(range(1, len(vals)+1),
+        |    i -> list_sum(vals[1:i])), ',') AS cumsum_csv,
+        |  array_to_string(list_transform(range(1, len(vals)+1),
+        |    i -> CASE WHEN i = 1 THEN 0 ELSE vals[i] - vals[i-1] END), ',')
+        |    AS diff_csv,
+        |  array_to_string(list_transform(
+        |    list_filter(range(1, len(vals)+1),
+        |      i -> i = 1 OR vals[i] != vals[i-1]),
+        |    i -> vals[i]), ',') AS compact_csv,
+        |  array_to_string(list_transform(range(1, len(vals)+1),
+        |    i -> len(list_filter(vals[1:i], y -> y = vals[i]))), ',')
+        |    AS enumuniq_csv
+        |FROM v""".stripMargin) { (s, dir) =>
+      val vals = transform(
+        sort_array(collect_list(struct(
+          expr("ts div 1000").as("us"), col("event_id").as("id"),
+          floor(col("value") * 1000).cast("long").as("v")))),
+        s => s.getField("v"))
+      Tables.load(s, dir, "events")
+        .where(col("user_id") < 30)
+        .groupBy(col("user_id"))
+        .agg(vals.as("_v"))
+        .select(col("user_id"),
+          concat_ws(",",
+            aggregate(col("_v"),
+              struct(array().cast("array<long>").as("a"), lit(0L).as("s")),
+              (acc, x) => struct(
+                concat(acc.getField("a"),
+                  array(acc.getField("s") + x)).as("a"),
+                (acc.getField("s") + x).as("s")),
+              acc => acc.getField("a"))).as("cumsum_csv"),
+          concat_ws(",",
+            zip_with(col("_v"),
+              concat(slice(col("_v"), 1, 1),
+                slice(col("_v"), lit(1),
+                  greatest(size(col("_v")) - 1, lit(0)))),
+              (x, p) => x - p)).as("diff_csv"),
+          concat_ws(",",
+            transform(
+              filter(transform(col("_v"), (x, i) => struct(x.as("x"), i.as("i"))),
+                st => st.getField("i") === 0 ||
+                  element_at(col("_v"), st.getField("i")) =!= st.getField("x")),
+              st => st.getField("x"))).as("compact_csv"),
+          concat_ws(",",
+            transform(col("_v"), (x, i) =>
+              size(filter(slice(col("_v"), lit(1), i + 1), y => y === x))))
+            .as("enumuniq_csv"))
     },
 
     // ranking-window matrix under ties: rank/dense_rank gap semantics,

@@ -16,21 +16,28 @@ class BenchContractSpec extends AnyFunSuite {
     assert(dups.isEmpty, s"duplicate compact bench keys: $dups")
   }
 
-  test("compact bench line fits the 2000-char capture window with headroom") {
-    // the adaptive value format caps realistic values at 5 chars
-    // ("10.00" / "100.0"; whole seconds above 100 — a 10000 s query is
-    // a broken bench, not a formatting case). Model EVERY query at the
-    // 5-char worst PLUS 20 phantom future queries (the required growth
-    // headroom), plus a generous sf-path width (env-var controlled, so
-    // model 64 chars rather than the literal default path).
+  test("emitted bench line fits the 2000-char capture window at any pack size") {
+    // Bench emits the per-query compact line while it fits 1700 chars
+    // and falls back to per-family subtotals beyond that. Model the
+    // 5-char worst value ("100.0") for EVERY query plus 20 phantom
+    // future queries and a 64-char sf path: whichever branch the
+    // selection logic takes must stay under budget.
     val worstSf = "x" * 64
     val names = SparkEntry.queries.keys.toSeq.sorted ++
       (1 to 20).map(i => s"x$i$i" + "_future")
     val qs = names
       .map(k => "\"" + k.takeWhile(_ != '_') + "\":100.0")
       .mkString("{", ",", "}")
-    val line =
+    val perQuery =
       s"""{"metric":"total","value":1234567.890,"unit":"sec","queries":$qs,"sf":"$worstSf"}"""
-    assert(line.length < 1800, s"bench line too long for capture window: ${line.length}")
+    val fams = names.map(_.takeWhile(!_.isDigit)).distinct.sorted
+      .map(f => "\"" + f + "\":12345.678").mkString("{", ",", "}")
+    val family =
+      s"""{"metric":"total","value":1234567.890,"unit":"sec","families":$fams,"n_queries":${names.size},"full":"BENCH_FULL.json","sf":"$worstSf"}"""
+    val emitted = if (perQuery.length <= 1700) perQuery else family
+    assert(emitted.length < 1800,
+      s"emitted bench line too long for capture window: ${emitted.length}")
+    // the family fallback itself must stay tiny whatever the pack size
+    assert(family.length < 600, s"family line unexpectedly wide: ${family.length}")
   }
 }
