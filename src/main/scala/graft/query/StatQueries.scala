@@ -110,6 +110,41 @@ object StatQueries {
       StatTests.ksTest(Tables.load(s, dir, "events"), "event_type", "value")
     },
 
+    // skewPop / kurtPop from exact integer raw moments (unit-floored
+    // values so Σv⁴ stays in int64).
+    Q(
+      "q69_moment_stats",
+      """WITH m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(CAST(floor(value) AS BIGINT)) AS s1,
+        |    sum(CAST(floor(value) AS BIGINT)*CAST(floor(value) AS BIGINT)) AS s2,
+        |    sum(CAST(floor(value) AS BIGINT)*CAST(floor(value) AS BIGINT)
+        |      *CAST(floor(value) AS BIGINT)) AS s3,
+        |    sum(CAST(floor(value) AS BIGINT)*CAST(floor(value) AS BIGINT)
+        |      *CAST(floor(value) AS BIGINT)*CAST(floor(value) AS BIGINT)) AS s4
+        |  FROM events GROUP BY 1
+        |), e AS (
+        |  SELECT event_type,
+        |    CAST(n AS DOUBLE) AS nd,
+        |    CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE) AS mu,
+        |    CAST(s2 AS DOUBLE) AS d2, CAST(s3 AS DOUBLE) AS d3,
+        |    CAST(s4 AS DOUBLE) AS d4
+        |  FROM m
+        |), c AS (
+        |  SELECT event_type,
+        |    d2/nd - mu*mu AS m2,
+        |    d3/nd - 3.0*mu*(d2/nd) + 2.0*mu*mu*mu AS m3,
+        |    d4/nd - 4.0*mu*(d3/nd) + 6.0*mu*mu*(d2/nd) - 3.0*mu*mu*mu*mu AS m4
+        |  FROM e
+        |)
+        |SELECT event_type,
+        |  CAST(floor(m3/sqrt(m2*m2*m2) * 1e6) AS BIGINT) AS skew_e6,
+        |  CAST(floor((m4/(m2*m2) - 3.0) * 1e6) AS BIGINT) AS kurt_e6
+        |FROM c""".stripMargin) { (s, dir) =>
+      StatTests.momentStats(
+        Tables.load(s, dir, "events"), "event_type", "value")
+    },
+
     // Cramér's V: event_type × value-bucket contingency over the FULL
     // r×c grid; χ² cell terms e6-floored before the (now integer) sum.
     Q(

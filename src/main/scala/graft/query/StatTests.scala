@@ -139,6 +139,36 @@ object StatTests {
           .as("ks_num"))
   }
 
+  /** Population skewness and excess-kurtosis per group — ClickHouse
+    * `skewPop` / `kurtPop` — from exact INTEGER raw moments. Values
+    * floor to whole units before any sum (higher moments are why:
+    * Σv⁴ of milli-units would overflow int64; unit-floored values keep
+    * Σv⁴ < 2⁶³ up to ~10⁸ rows at |v| ≤ 500), so n, Σv…Σv⁴ shuffle as
+    * exact integers and the statistics are one fixed double tree over
+    * them: m_k = central moments via the binomial expansion,
+    * skew = m₃/m₂^1.5, kurt = m₄/m₂² − 3. Output: (groupCol,
+    * skew_e6, kurt_e6). */
+  def momentStats(
+      df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val v = floor(col(valCol)).cast("long")
+    val agg = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(v).as("s1"),
+        sum(v * v).as("s2"), sum(v * v * v).as("s3"),
+        sum(v * v * v * v).as("s4"))
+    val n = col("n").cast("double")
+    val m = col("s1").cast("double") / n
+    val m2 = col("s2").cast("double") / n - m * m
+    val m3 = col("s3").cast("double") / n -
+      lit(3.0) * m * (col("s2").cast("double") / n) + lit(2.0) * m * m * m
+    val m4 = col("s4").cast("double") / n -
+      lit(4.0) * m * (col("s3").cast("double") / n) +
+      lit(6.0) * m * m * (col("s2").cast("double") / n) -
+      lit(3.0) * m * m * m * m
+    agg.select(col(groupCol),
+      floor(m3 / sqrt(m2 * m2 * m2) * 1e6).cast("long").as("skew_e6"),
+      floor((m4 / (m2 * m2) - lit(3.0)) * 1e6).cast("long").as("kurt_e6"))
+  }
+
   /** Cramér's V association between two categorical columns, over the
     * FULL r×c grid (absent cells count 0 — they still carry expected
     * mass). χ² terms are e6-floored per CELL before the sum (the

@@ -60,6 +60,22 @@ class StatTestsSpec extends SparkSpec {
     assert(row.getAs[Long]("ks_num") === num)
   }
 
+  test("momentStats matches an independent scalar skew/kurt computation") {
+    val rnd = new scala.util.Random(3)
+    val x = Seq.fill(500)((rnd.nextGaussian() * 40 + 100).floor.max(0))
+    val df = x.map(("g", _)).toDF("g", "v")
+    val row = StatTests.momentStats(df, "g", "v").collect().head
+    val q = x.map(math.floor) // the operator floors to whole units
+    val n = q.size.toDouble
+    val mu = q.sum / n
+    def cm(k: Int) = q.map(v => math.pow(v - mu, k)).sum / n
+    val skew = cm(3) / math.pow(cm(2), 1.5)
+    val kurt = cm(4) / (cm(2) * cm(2)) - 3.0
+    // central-moment reference vs raw-moment operator: tiny fp drift
+    assert(math.abs(row.getAs[Long]("skew_e6") - math.floor(skew * 1e6)) <= 2)
+    assert(math.abs(row.getAs[Long]("kurt_e6") - math.floor(kurt * 1e6)) <= 2)
+  }
+
   test("cramersV on a hand-computed 2x2 table; zero cells carry mass") {
     // table: a1/b1=30 a1/b2=10, a2/b1=10 a2/b2=30 → chi2 = 80·(20²)/ (40·40·40/80)...
     // hand: n=80, e=20 everywhere, chi2 = 4·(10²/20) = 20, V = sqrt(20/80/1) = 0.5
