@@ -77,6 +77,37 @@ object Similarity {
       .limit(k)
   }
 
+  /** Matryoshka (prefix-dimension) two-stage retrieval: stage 1 scores
+    * every vector on only its first `prefixDims` components — an
+    * MRL-trained embedding packs most of its information into the
+    * prefix, so the coarse scan does `prefixDims/dim` of the full
+    * arithmetic (and with a prefix-sliced column laid out separately,
+    * that fraction of the I/O) — and keeps the top `candidates` by the
+    * s1 TakeOrderedAndProject shape (per-partition top-c, driver
+    * merge; no shuffle of vectors). Stage 2 re-ranks ONLY those
+    * candidates by full-dimension cosine. Both stages are
+    * deterministic (e6-rounded cosine, id tiebreak), so the whole
+    * pipeline is engine-replayable — the oracle contract is pipeline
+    * equality, recall vs exact top-k is pinned separately in spec.
+    * Output: (id, cos_e6 full-dim). */
+  def matryoshkaTopK(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], prefixDims: Int, candidates: Int,
+      k: Int): DataFrame = {
+    val qPre = array(query.take(prefixDims).map(v => lit(v.toDouble)): _*)
+    val qFull = array(query.map(v => lit(v.toDouble)): _*)
+    vectors
+      .select(col(idCol).as("id"), col(vecCol).as("_v"),
+        round(cosine(slice(col(vecCol), 1, prefixDims), qPre), 6)
+          .as("_pcos"))
+      .orderBy(col("_pcos").desc, col("id").asc)
+      .limit(candidates)
+      .select(col("id"),
+        round(cosine(col("_v"), qFull), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Batch kNN join: for EVERY row of `queries`, the exact top-k
     * `corpus` rows by cosine — the bulk form of [[cosineTopK]] (one
     * query per literal doesn't scale to a probe batch). The query side

@@ -291,6 +291,48 @@ object SimilarityQueries {
           sum(col("nrm_e6")).as("sum_norm_e6"),
           min(col("nrm_e6")).as("min_norm_e6"),
           max(col("nrm_e6")).as("max_norm_e6"))
+    },
+
+    // Matryoshka two-stage retrieval: coarse scan on the 16-dim prefix
+    // keeps 50 candidates, full 64-dim cosine re-ranks to top-10. Both
+    // stages deterministic (e6 round + id tiebreak) → the oracle
+    // replays the identical pipeline; recall vs exact is spec-pinned.
+    Q(
+      "s12_matryoshka_topk",
+      """WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+        |pre AS (
+        |  SELECT e.vec_id AS id, e.embedding AS v,
+        |    round(
+        |      list_sum(list_transform(range(1, 17),
+        |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(e.embedding[1:16],
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(q[1:16],
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+        |      6) AS pcos
+        |  FROM embeddings e, qv
+        |), cand AS (
+        |  SELECT id, v FROM pre ORDER BY pcos DESC, id ASC LIMIT 50
+        |), fullr AS (
+        |  SELECT c.id,
+        |    round(
+        |      list_sum(list_transform(range(1, len(c.v) + 1),
+        |        i -> CAST(c.v[i] AS DOUBLE) * CAST(q[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(c.v,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(q,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+        |      6) AS cos6
+        |  FROM cand c, qv
+        |)
+        |SELECT id, CAST(round(cos6 * 1000000) AS BIGINT) AS cos_e6
+        |FROM fullr ORDER BY cos6 DESC, id ASC LIMIT 10""".stripMargin) {
+      (s, dir) =>
+        Similarity.matryoshkaTopK(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          queryVec(s, dir), prefixDims = 16, candidates = 50, k = 10)
+          .select(col("id"),
+            round(col("cos_sim") * 1e6).cast("long").as("cos_e6"))
     }
   )
 }

@@ -32,13 +32,21 @@ object EventOps {
     * is expensive enough (petabyte inputs, wide funnels) that one scan
     * per pass beats barrier latency — the per-user intermediates are
     * one row per user, so the persists themselves are tiny.
-    * Output: (userCol, steps long).
+    *
+    * `mode` mirrors ClickHouse windowFunnel's strictness knobs:
+    * "base" (default), "strict_order" (any other event strictly
+    * between two consecutive matches breaks the chain), "strict_dedup"
+    * (a repeat of an already-matched step type between matches breaks
+    * it). Timestamps already advance strictly (`>`), i.e.
+    * strict_increase is always on. Output: (userCol, steps long).
     */
   def funnel(
       events: DataFrame, userCol: String, tsCol: String, typeCol: String,
       steps: Seq[String], windowUs: Long,
-      pinPasses: Boolean = false): DataFrame = {
+      pinPasses: Boolean = false, mode: String = "base"): DataFrame = {
     require(steps.nonEmpty, "funnel: at least one step")
+    require(Seq("base", "strict_order", "strict_dedup").contains(mode),
+      s"funnel: unknown mode $mode")
     val e = events.select(
       col(userCol), col(tsCol).as("_us"), col(typeCol).as("_ty"))
     def pin(df: DataFrame): DataFrame =
@@ -54,11 +62,41 @@ object EventOps {
       case (acc, (step, i)) =>
         val prev = col(s"_t${i - 1}")
         val carried = (0 until i).map(j => col(s"_t$j"))
-        pin(e.join(acc, Seq(userCol))
-          .groupBy(col(userCol) +: carried: _*)
-          .agg(min(when(col("_ty") === step &&
-            col("_us") > prev && col("_us") <= col("_t0") + windowUs,
-            col("_us"))).as(s"_t$i")))
+        val rawT = min(when(col("_ty") === step &&
+          col("_us") > prev && col("_us") <= col("_t0") + windowUs,
+          col("_us"))).as("_raw")
+        // ClickHouse strict modes: the chain BREAKS when an event
+        // strictly between the previous match and the candidate match
+        // (equal timestamps don't break — µs-granularity ties carry
+        // no order) is, for strict_order, of any OTHER type in the
+        // input frame (pre-filter the input to funnel-relevant types
+        // for cond-only semantics), or, for strict_dedup, a repeat of
+        // an already-matched step type. Same pass shape: one extra
+        // min() riding the existing per-user aggregation — no
+        // additional shuffle.
+        if (mode == "base")
+          pin(e.join(acc, Seq(userCol))
+            .groupBy(col(userCol) +: carried: _*)
+            .agg(min(when(col("_ty") === step &&
+              col("_us") > prev && col("_us") <= col("_t0") + windowUs,
+              col("_us"))).as(s"_t$i")))
+        else {
+          val breaker =
+            if (mode == "strict_order")
+              min(when(col("_ty") =!= step && col("_us") > prev,
+                col("_us")))
+            else
+              min(when(col("_ty").isin(steps.take(i): _*) &&
+                col("_us") > prev, col("_us")))
+          pin(e.join(acc, Seq(userCol))
+            .groupBy(col(userCol) +: carried: _*)
+            .agg(rawT, breaker.as("_brk"))
+            .withColumn(s"_t$i",
+              when(col("_raw").isNotNull &&
+                (col("_brk").isNull || col("_brk") >= col("_raw")),
+                col("_raw")))
+            .drop("_raw", "_brk"))
+        }
     }
     // highest completed step: the fold leaves the DEEPEST step's check
     // outermost (i ascending, each new `when` wraps the accumulator)

@@ -362,6 +362,90 @@ object EventQueries {
         .agg(count(lit(1)).as("n_users"))
     },
 
+    // windowFunnel strict_order (ClickHouse): any event of another
+    // type strictly between two consecutive matches breaks the chain.
+    // Same per-pass aggregation shape as q29 with one extra min()
+    // riding each pass.
+    Q(
+      "q74_funnel_strict_order",
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+        |a AS (SELECT user_id, min(us) FILTER (WHERE event_type='view') AS ta
+        |      FROM e GROUP BY user_id),
+        |b0 AS (SELECT e.user_id, a.ta,
+        |        min(us) FILTER (WHERE event_type='click'
+        |          AND us > a.ta AND us <= a.ta + 86400000000) AS tbr,
+        |        min(us) FILTER (WHERE event_type <> 'click' AND us > a.ta) AS mb
+        |      FROM e JOIN a ON e.user_id = a.user_id GROUP BY e.user_id, a.ta),
+        |b AS (SELECT user_id, ta,
+        |        CASE WHEN tbr IS NOT NULL AND (mb IS NULL OR mb >= tbr)
+        |          THEN tbr END AS tb
+        |      FROM b0),
+        |c0 AS (SELECT e.user_id, b.ta, b.tb,
+        |        min(us) FILTER (WHERE event_type='purchase'
+        |          AND us > b.tb AND us <= b.ta + 86400000000) AS tcr,
+        |        min(us) FILTER (WHERE event_type <> 'purchase' AND us > b.tb) AS mc
+        |      FROM e JOIN b ON e.user_id = b.user_id GROUP BY e.user_id, b.ta, b.tb),
+        |c AS (SELECT user_id, ta, tb,
+        |        CASE WHEN tcr IS NOT NULL AND (mc IS NULL OR mc >= tcr)
+        |          THEN tcr END AS tc
+        |      FROM c0)
+        |SELECT CAST(CASE WHEN tc IS NOT NULL THEN 3 WHEN tb IS NOT NULL THEN 2
+        |            WHEN ta IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS steps,
+        |  count(*) AS n_users
+        |FROM c GROUP BY steps""".stripMargin) { (s, dir) =>
+      EventOps.funnel(
+        Tables.load(s, dir, "events")
+          .select(col("user_id"), expr("ts div 1000").as("us"),
+            col("event_type")),
+        "user_id", "us", "event_type",
+        Seq("view", "click", "purchase"), windowUs = 86400000000L,
+        mode = "strict_order")
+        .groupBy("steps")
+        .agg(count(lit(1)).as("n_users"))
+    },
+
+    // windowFunnel strict_dedup (ClickHouse): a REPEAT of an
+    // already-matched step type strictly between matches breaks the
+    // chain (view,view,click stops at the second view).
+    Q(
+      "q75_funnel_strict_dedup",
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+        |a AS (SELECT user_id, min(us) FILTER (WHERE event_type='view') AS ta
+        |      FROM e GROUP BY user_id),
+        |b0 AS (SELECT e.user_id, a.ta,
+        |        min(us) FILTER (WHERE event_type='click'
+        |          AND us > a.ta AND us <= a.ta + 86400000000) AS tbr,
+        |        min(us) FILTER (WHERE event_type = 'view' AND us > a.ta) AS mb
+        |      FROM e JOIN a ON e.user_id = a.user_id GROUP BY e.user_id, a.ta),
+        |b AS (SELECT user_id, ta,
+        |        CASE WHEN tbr IS NOT NULL AND (mb IS NULL OR mb >= tbr)
+        |          THEN tbr END AS tb
+        |      FROM b0),
+        |c0 AS (SELECT e.user_id, b.ta, b.tb,
+        |        min(us) FILTER (WHERE event_type='purchase'
+        |          AND us > b.tb AND us <= b.ta + 86400000000) AS tcr,
+        |        min(us) FILTER (WHERE event_type IN ('view','click')
+        |          AND us > b.tb) AS mc
+        |      FROM e JOIN b ON e.user_id = b.user_id GROUP BY e.user_id, b.ta, b.tb),
+        |c AS (SELECT user_id, ta, tb,
+        |        CASE WHEN tcr IS NOT NULL AND (mc IS NULL OR mc >= tcr)
+        |          THEN tcr END AS tc
+        |      FROM c0)
+        |SELECT CAST(CASE WHEN tc IS NOT NULL THEN 3 WHEN tb IS NOT NULL THEN 2
+        |            WHEN ta IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS steps,
+        |  count(*) AS n_users
+        |FROM c GROUP BY steps""".stripMargin) { (s, dir) =>
+      EventOps.funnel(
+        Tables.load(s, dir, "events")
+          .select(col("user_id"), expr("ts div 1000").as("us"),
+            col("event_type")),
+        "user_id", "us", "event_type",
+        Seq("view", "click", "purchase"), windowUs = 86400000000L,
+        mode = "strict_dedup")
+        .groupBy("steps")
+        .agg(count(lit(1)).as("n_users"))
+    },
+
     // fixed-width histogram over integer cents — the value-distribution
     // profile; pure scan + one aggregation, exact ints.
     Q(

@@ -180,6 +180,104 @@ object StatQueries {
           .withColumn("_bucket",
             expr("CAST(floor(value*1000) AS BIGINT) div 50000")),
         "event_type", "_bucket")
+    },
+
+    // Spearman ρ between value and arrival time per type (ClickHouse
+    // rankCorr): integer 2×avg-ranks, exact int64 Pearson sufficient
+    // stats, one fixed double tree at the end.
+    Q(
+      "q70_rank_corr",
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS x,
+        |    epoch_us(ts) AS y
+        |  FROM events
+        |), r AS (
+        |  SELECT event_type,
+        |    2*rank() OVER (PARTITION BY event_type ORDER BY x)
+        |      + count(*) OVER (PARTITION BY event_type, x) - 1 AS rx,
+        |    2*rank() OVER (PARTITION BY event_type ORDER BY y)
+        |      + count(*) OVER (PARTITION BY event_type, y) - 1 AS ry
+        |  FROM e
+        |), m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(rx) AS sx, sum(ry) AS sy, sum(rx*rx) AS sxx,
+        |    sum(ry*ry) AS syy, sum(rx*ry) AS sxy
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(floor((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+        |      * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) * 1e6)
+        |    AS BIGINT) AS rho_e6
+        |FROM m""".stripMargin) { (s, dir) =>
+      StatTests.spearmanRho(
+        Tables.load(s, dir, "events"), "event_type",
+        Tables.cents(col("value")), expr("ts div 1000"))
+    },
+
+    // Theil's U — U(event_type | hour-of-day) — via the q51 entropy
+    // ladder over the persisted contingency grid.
+    Q(
+      "q71_theils_u",
+      """WITH ab AS (
+        |  SELECT event_type AS a, (epoch_us(ts) // 3600000000) % 24 AS b,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2
+        |), am AS (SELECT a, sum(c) AS ca FROM ab GROUP BY 1),
+        |a2 AS (
+        |  SELECT sum(ca) AS n,
+        |    sum(CAST(floor(1e6 * ca * ln(ca)) AS BIGINT)) AS sa
+        |  FROM am
+        |), bm AS (SELECT b, sum(c) AS cb FROM ab GROUP BY 1),
+        |b2 AS (
+        |  SELECT sum(CAST(floor(1e6 * cb * ln(cb)) AS BIGINT)) AS sb FROM bm
+        |), c2 AS (
+        |  SELECT sum(CAST(floor(1e6 * c * ln(c)) AS BIGINT)) AS sab FROM ab
+        |), h AS (
+        |  SELECT n,
+        |    CAST(floor(1e6 * ln(n)) AS BIGINT) - sa // n AS h_a_e6,
+        |    (sb - sab) // n AS h_cond_e6
+        |  FROM a2, b2, c2
+        |)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(h_a_e6 AS BIGINT) AS h_a_e6,
+        |  CAST(h_cond_e6 AS BIGINT) AS h_cond_e6,
+        |  CAST(floor(1e6 * (CAST(h_a_e6 AS DOUBLE) - CAST(h_cond_e6 AS DOUBLE))
+        |    / CAST(h_a_e6 AS DOUBLE)) AS BIGINT) AS theils_u_e6
+        |FROM h""".stripMargin) { (s, dir) =>
+      StatTests.theilsU(
+        Tables.load(s, dir, "events"),
+        col("event_type"),
+        (expr("(ts div 1000) div 3600000000") % 24).as("_hr"))
+    },
+
+    // categoricalInformationValue (ClickHouse): WOE + IV term per
+    // user-bucket for the purchase/other label split.
+    Q(
+      "q73_categorical_iv",
+      """WITH g AS (
+        |  SELECT user_id % 20 AS category,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS good,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS bad
+        |  FROM events GROUP BY 1
+        |), t AS (SELECT sum(good) AS gt, sum(bad) AS bt FROM g)
+        |SELECT category, CAST(good AS BIGINT) AS good,
+        |  CAST(bad AS BIGINT) AS bad,
+        |  CAST(floor((ln(CAST(good AS DOUBLE) * CAST(bt AS DOUBLE))
+        |    - ln(CAST(bad AS DOUBLE) * CAST(gt AS DOUBLE))) * 1e6)
+        |    AS BIGINT) AS woe_e6,
+        |  CAST(floor((CAST(good AS DOUBLE)/CAST(gt AS DOUBLE)
+        |      - CAST(bad AS DOUBLE)/CAST(bt AS DOUBLE))
+        |    * (ln(CAST(good AS DOUBLE) * CAST(bt AS DOUBLE))
+        |      - ln(CAST(bad AS DOUBLE) * CAST(gt AS DOUBLE))) * 1e9)
+        |    AS BIGINT) AS iv_term_e9
+        |FROM g, t WHERE good > 0 AND bad > 0""".stripMargin) { (s, dir) =>
+      StatTests.categoricalIV(
+        Tables.load(s, dir, "events"),
+        col("user_id") % 20,
+        (col("event_type") === "purchase").cast("long"))
     }
   )
 }

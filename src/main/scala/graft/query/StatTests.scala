@@ -169,6 +169,101 @@ object StatTests {
       floor((m4 / (m2 * m2) - lit(3.0)) * 1e6).cast("long").as("kurt_e6"))
   }
 
+  /** Spearman rank correlation between two columns per group —
+    * ClickHouse `rankCorr` — kept integer until the last division via
+    * the 2×avg-rank trick shared with [[mannWhitneyU]]: a tied block
+    * spanning dense positions [rank, rank+c−1] has
+    * 2·avgrank = 2·rank() + c − 1, an exact integer per row. ρ is then
+    * Pearson over the 2×ranks, whose sufficient statistics
+    * (n, Σx, Σy, Σxy, Σx², Σy²) shuffle as exact int64 (Σ(2r)² ≤ 4n³ —
+    * fits int64 to ~10⁶ rows per group; switch the six sums to
+    * Decimal(38,0) beyond that, ρ is scale-invariant), and the final ρ
+    * is one fixed double tree over them. Two sorts share one hash
+    * exchange on the group key (same partitioning, different window
+    * order). Output: (groupCol, n, rho_e6). */
+  def spearmanRho(
+      df: DataFrame, groupCol: String, xCol: Column, yCol: Column): DataFrame = {
+    val g = col(groupCol)
+    val base = df.select(g, xCol.as("_x"), yCol.as("_y"))
+    val rx = (lit(2L) * rank().over(Window.partitionBy(g).orderBy(col("_x"))) +
+      count(lit(1)).over(Window.partitionBy(g, col("_x"))) - 1).cast("long")
+    val ry = (lit(2L) * rank().over(Window.partitionBy(g).orderBy(col("_y"))) +
+      count(lit(1)).over(Window.partitionBy(g, col("_y"))) - 1).cast("long")
+    val m = base.withColumn("_rx", rx).withColumn("_ry", ry)
+      .groupBy(g)
+      .agg(count(lit(1)).as("n"),
+        sum(col("_rx")).as("sx"), sum(col("_ry")).as("sy"),
+        sum(col("_rx") * col("_rx")).as("sxx"),
+        sum(col("_ry") * col("_ry")).as("syy"),
+        sum(col("_rx") * col("_ry")).as("sxy"))
+    val nd = col("n").cast("double")
+    val cov = nd * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val vx = nd * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vy = nd * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    m.select(g, col("n"),
+      floor(cov / sqrt(vx * vy) * 1e6).cast("long").as("rho_e6"))
+  }
+
+  /** Theil's uncertainty coefficient U(A|B) — how much knowing B
+    * reduces uncertainty about A — from the q51 entropy ladder:
+    * H(A) = ln n − (Σ_a c_a·ln c_a)/n and
+    * H(A|B) = (Σ_b n_b·ln n_b − Σ_ab c_ab·ln c_ab)/n, every c·ln c
+    * term e6-floored to an integer BEFORE its sum. One shuffle reduces
+    * raw rows to the (a,b) contingency counts; the persisted grid (r×c
+    * rows) feeds both marginals, so the raw stream is scanned once.
+    * Output single row: (n, h_a_e6, h_cond_e6, theils_u_e6). */
+  def theilsU(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val ab = df.select(aCol.as("_a"), bCol.as("_b"))
+      .groupBy(col("_a"), col("_b")).agg(count(lit(1)).as("_c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def lnTerm(c: Column) =
+      floor(lit(1e6) * c.cast("double") * log(c.cast("double"))).cast("long")
+    val aMarg = ab.groupBy(col("_a")).agg(sum(col("_c")).as("_ca"))
+      .agg(sum(col("_ca")).as("n"), sum(lnTerm(col("_ca"))).as("sa"))
+    val bMarg = ab.groupBy(col("_b")).agg(sum(col("_c")).as("_cb"))
+      .agg(sum(lnTerm(col("_cb"))).as("sb"))
+    val cells = ab.agg(sum(lnTerm(col("_c"))).as("sab"))
+    val j = aMarg.crossJoin(bMarg).crossJoin(cells)
+      .withColumn("h_a_e6",
+        floor(lit(1e6) * log(col("n").cast("double"))).cast("long") -
+          expr("sa div n"))
+      .withColumn("h_cond_e6", expr("(sb - sab) div n"))
+    j.select(col("n"), col("h_a_e6"), col("h_cond_e6"),
+      floor(lit(1e6) *
+        (col("h_a_e6").cast("double") - col("h_cond_e6").cast("double")) /
+        col("h_a_e6").cast("double")).cast("long").as("theils_u_e6"))
+  }
+
+  /** Weight-of-evidence and information value per category for a
+    * binary label — ClickHouse `categoricalInformationValue`. One
+    * shuffle reduces rows to per-category (good, bad) counts; totals
+    * ride along as a broadcast 1-row frame. WOE_i =
+    * ln(good_i·B) − ln(bad_i·G) and its IV term
+    * (good_i/G − bad_i/B)·WOE_i are fixed double trees over exact
+    * integers; categories with a zero cell are excluded (their WOE is
+    * ±∞ — same contract as ClickHouse's NaN row, made explicit).
+    * Output: (catCol, good, bad, woe_e6, iv_term_e9). */
+  def categoricalIV(
+      df: DataFrame, catCol: Column, labelCol: Column): DataFrame = {
+    val g = df.select(catCol.as("category"), labelCol.cast("long").as("_l"))
+      .groupBy(col("category"))
+      .agg(sum(col("_l")).as("good"),
+        sum(lit(1L) - col("_l")).as("bad"))
+    val tot = g.agg(sum(col("good")).as("_gt"), sum(col("bad")).as("_bt"))
+    val woe = log(col("good").cast("double") * col("_bt")) -
+      log(col("bad").cast("double") * col("_gt"))
+    g.crossJoin(broadcast(tot))
+      .where(col("good") > 0 && col("bad") > 0)
+      .select(col("category"), col("good"), col("bad"),
+        floor(woe * 1e6).cast("long").as("woe_e6"),
+        floor((col("good").cast("double") / col("_gt") -
+          col("bad").cast("double") / col("_bt")) * woe * 1e9)
+          .cast("long").as("iv_term_e9"))
+  }
+
   /** Cramér's V association between two categorical columns, over the
     * FULL r×c grid (absent cells count 0 — they still carry expected
     * mass). χ² terms are e6-floored per CELL before the sum (the

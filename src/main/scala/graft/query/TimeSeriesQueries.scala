@@ -410,6 +410,49 @@ object TimeSeriesQueries {
         "user_id", "us", "event_id", "event_type",
         Seq("view", "click", "purchase"), maxGapUs = 3600000000L)
         .select(col("user_id"), col("matched").cast("long").as("matched"))
+    },
+
+    // groupArrayMovingSum(3) / groupArrayMovingAvg(3) (ClickHouse):
+    // per-type hourly totals, trailing-3 window sums rendered as the
+    // ordered array the ClickHouse aggregate would return (the q46
+    // sort-then-render discipline; avg uses ClickHouse's integer
+    // division by the window SIZE, not the element count). The window
+    // runs over the hourly-totals frame (|hours| rows), never raw rows.
+    Q(
+      "q72_moving_aggs",
+      """WITH h AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+        |    sum(CAST(round(value*100) AS BIGINT)) AS v
+        |  FROM events GROUP BY 1, 2
+        |), m AS (
+        |  SELECT event_type, hr,
+        |    sum(v) OVER (PARTITION BY event_type ORDER BY hr
+        |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ms
+        |  FROM h
+        |)
+        |SELECT event_type,
+        |  array_to_string(list(CAST(ms AS BIGINT) ORDER BY hr), ',')
+        |    AS moving_sum_csv,
+        |  array_to_string(list(CAST(ms // 3 AS BIGINT) ORDER BY hr), ',')
+        |    AS moving_avg_csv
+        |FROM m GROUP BY event_type""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+        .rowsBetween(-2, 0)
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("(ts div 1000) div 3600000000").as("hr"))
+        .agg(sum(Tables.cents(col("value"))).as("v"))
+        .withColumn("ms", sum(col("v")).over(w))
+        .groupBy("event_type")
+        .agg(
+          concat_ws(",", transform(
+            sort_array(collect_list(struct(col("hr"), col("ms")))),
+            st => st.getField("ms").cast("string"))).as("moving_sum_csv"),
+          concat_ws(",", transform(
+            sort_array(collect_list(struct(col("hr"),
+              expr("ms div 3").as("ma")))),
+            st => st.getField("ma").cast("string"))).as("moving_avg_csv"))
     }
   )
 }

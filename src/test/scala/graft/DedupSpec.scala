@@ -187,6 +187,35 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("matryoshkaTopK with candidates=N equals exact cosineTopK; " +
+    "prefix stage bounds the re-rank set") {
+    val rnd = new scala.util.Random(31)
+    // MRL-ish vectors: heavy info in the first 8 dims, light tail —
+    // the prefix scan should rank close to the full-dim order
+    val vecs = (0 until 120).map { i =>
+      val head = Seq.fill(8)(rnd.nextGaussian().toFloat * 4)
+      val tail = Seq.fill(24)(rnd.nextGaussian().toFloat * 0.3f)
+      (i.toLong, head ++ tail)
+    }.toDF("vec_id", "embedding").repartition(5)
+    val q = vecs.where(col("vec_id") === 0)
+      .collect().head.getSeq[Float](1)
+    // candidates = corpus size → identical to exact brute force
+    val all = Similarity
+      .matryoshkaTopK(vecs, "vec_id", "embedding", q,
+        prefixDims = 8, candidates = 120, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val exact = Similarity.cosineTopK(vecs, "vec_id", "embedding", q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(all.toSeq === exact.toSeq)
+    // tight candidate budget on MRL-shaped data: high recall vs exact
+    val narrow = Similarity
+      .matryoshkaTopK(vecs, "vec_id", "embedding", q,
+        prefixDims = 8, candidates = 25, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.map(_._1).count(narrow.contains)
+    assert(recall >= 8, s"recall $recall/10 too low")
+  }
+
   test("cosineNearDupPairs finds planted high-cosine pairs, skips unrelated") {
     val dim = 64
     // 6 base vectors far apart; for 3 of them plant a near-identical

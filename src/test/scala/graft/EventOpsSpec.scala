@@ -48,6 +48,45 @@ class EventOpsSpec extends SparkSpec {
     assert(out === Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
   }
 
+  test("funnel strict_order: any intervening other-type event breaks") {
+    val events = Seq(
+      // u1: clean A→B→C, nothing between → 3
+      (1L, 0L, "A"), (1L, 10L, "B"), (1L, 20L, "C"),
+      // u2: A→B→D→C — D between B and C breaks → 2 (the doc example)
+      (2L, 0L, "A"), (2L, 10L, "B"), (2L, 15L, "D"), (2L, 20L, "C"),
+      // u3: A→D→B — D between A and B breaks → 1
+      (3L, 0L, "A"), (3L, 5L, "D"), (3L, 10L, "B"),
+      // u4: intervening event AFTER the match is harmless → 3
+      (4L, 0L, "A"), (4L, 10L, "B"), (4L, 20L, "C"), (4L, 30L, "D"),
+      // u5: other-type event at the SAME µs as the match doesn't
+      // break (tie carries no order) → 2
+      (5L, 0L, "A"), (5L, 10L, "D"), (5L, 10L, "B"))
+      .toDF("user_id", "us", "ty")
+    val out = EventOps
+      .funnel(events, "user_id", "us", "ty", Seq("A", "B", "C"), W,
+        mode = "strict_order")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 3L, 2L -> 2L, 3L -> 1L, 4L -> 3L, 5L -> 2L))
+  }
+
+  test("funnel strict_dedup: repeat of a matched step type breaks") {
+    val events = Seq(
+      // u1: A,A,B — the second A (matched cond repeat) breaks → 1
+      (1L, 0L, "A"), (1L, 5L, "A"), (1L, 10L, "B"),
+      // u2: A→B then another A before C breaks the purchase leg → 2
+      (2L, 0L, "A"), (2L, 10L, "B"), (2L, 15L, "A"), (2L, 20L, "C"),
+      // u3: clean chain, unrelated type D between steps is fine → 3
+      (3L, 0L, "A"), (3L, 5L, "D"), (3L, 10L, "B"), (3L, 20L, "C"),
+      // u4: repeat AFTER the full chain is harmless → 3
+      (4L, 0L, "A"), (4L, 10L, "B"), (4L, 20L, "C"), (4L, 30L, "A"))
+      .toDF("user_id", "us", "ty")
+    val out = EventOps
+      .funnel(events, "user_id", "us", "ty", Seq("A", "B", "C"), W,
+        mode = "strict_dedup")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("funnel: pinPasses=true is plan-only (same results)") {
     val events = Seq(
       (1L, 0L, "A"), (1L, 10L, "B"), (1L, 20L, "C"),

@@ -92,4 +92,72 @@ class StatTestsSpec extends SparkSpec {
     assert(r2.getAs[Long]("n") === 50L)
     assert(r2.getAs[Long]("chi2_e6") > 0L)
   }
+
+  test("spearmanRho matches a brute-force avg-rank Pearson (with ties)") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(19)
+    val xs = Seq.fill(120)(rnd.nextInt(15).toLong)
+    val ys = xs.map(x => x * 3 + rnd.nextInt(20)) // positively associated
+    val df = xs.zip(ys).map { case (x, y) => ("g", x, y) }.toDF("g", "x", "y")
+    val row = StatTests
+      .spearmanRho(df, "g", col("x"), col("y")).collect().head
+    def avgRanks(v: Seq[Long]): Seq[Double] = {
+      val sorted = v.sorted
+      v.map { x =>
+        val lo = sorted.count(_ < x); val c = sorted.count(_ == x)
+        lo + (c + 1) / 2.0
+      }
+    }
+    val rx = avgRanks(xs); val ry = avgRanks(ys)
+    val n = xs.size.toDouble
+    val mx = rx.sum / n; val my = ry.sum / n
+    val cov = rx.zip(ry).map { case (a, b) => (a - mx) * (b - my) }.sum
+    val vx = rx.map(a => (a - mx) * (a - mx)).sum
+    val vy = ry.map(b => (b - my) * (b - my)).sum
+    val rho = cov / math.sqrt(vx * vy)
+    assert(row.getAs[Long]("n") === 120L)
+    assert(math.abs(row.getAs[Long]("rho_e6") - math.floor(rho * 1e6)) <= 1)
+    assert(row.getAs[Long]("rho_e6") > 500000L) // strong positive
+  }
+
+  test("spearmanRho is exactly ±1e6 on perfectly monotone data") {
+    import org.apache.spark.sql.functions.col
+    val df = (1 to 50).map(i => ("g", i.toLong, (1000 - i).toLong))
+      .toDF("g", "x", "y")
+    val r = StatTests.spearmanRho(df, "g", col("x"), col("y")).collect().head
+    assert(r.getAs[Long]("rho_e6") === -1000000L)
+  }
+
+  test("theilsU: determined A gives U=1, independent-ish A gives small U") {
+    import org.apache.spark.sql.functions.col
+    // A fully determined by B → H(A|B)=0 → U=1
+    val det = (1 to 200).map(i => (s"a${i % 4}", i % 4)).toDF("a", "b")
+    val r1 = StatTests.theilsU(det, col("a"), col("b")).collect().head
+    assert(r1.getAs[Long]("h_cond_e6") === 0L)
+    assert(r1.getAs[Long]("theils_u_e6") === 1000000L)
+    // A independent of B (balanced grid) → U ≈ 0
+    val ind = (0 until 400).map(i => (s"a${i % 4}", (i / 4) % 5)).toDF("a", "b")
+    val r2 = StatTests.theilsU(ind, col("a"), col("b")).collect().head
+    assert(math.abs(r2.getAs[Long]("theils_u_e6")) < 5000L)
+  }
+
+  test("categoricalIV matches a hand-computed WOE/IV and drops zero cells") {
+    import org.apache.spark.sql.functions.col
+    // cat A: 30 good / 10 bad; cat B: 10 good / 30 bad; cat C: 5 good / 0 bad
+    val rows = Seq.fill(30)(("A", 1L)) ++ Seq.fill(10)(("A", 0L)) ++
+      Seq.fill(10)(("B", 1L)) ++ Seq.fill(30)(("B", 0L)) ++
+      Seq.fill(5)(("C", 1L))
+    val df = rows.toDF("cat", "label")
+    val out = StatTests.categoricalIV(df, col("cat"), col("label"))
+      .collect().map(r => r.getAs[String]("category") -> r).toMap
+    assert(!out.contains("C")) // zero bad cell excluded
+    val G = 45.0; val B = 40.0
+    val woeA = math.log((30 / G) / (10 / B))
+    val ivA = (30 / G - 10 / B) * woeA
+    assert(math.abs(out("A").getAs[Long]("woe_e6") - math.floor(woeA * 1e6)) <= 1)
+    assert(math.abs(out("A").getAs[Long]("iv_term_e9") - math.floor(ivA * 1e9)) <= 1)
+    // B's WOE is NOT the negation of A's — C's good-only rows skew G
+    val woeB = math.log((10 / G) / (30 / B))
+    assert(math.abs(out("B").getAs[Long]("woe_e6") - math.floor(woeB * 1e6)) <= 1)
+  }
 }
