@@ -397,4 +397,48 @@ object TextAnalysis {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("logprob_e6_sum"), lit(0L)).as("logprob_e6_sum"))
   }
+
+  /** Vocabulary statistics per corpus slice: vocabulary size, token
+    * count, and the Zipf exponent — the OLS slope of ln(freq) against
+    * ln(rank) over the slice's rank-frequency curve (natural text
+    * ≈ −1; a strong deviation flags templated/spam slices, a standard
+    * training-data diagnostic).
+    *
+    * Shape: one shuffle reduces tokens to (slice, token) counts; the
+    * rank window runs over the |vocab| frequency frame, never raw
+    * tokens. Exactness ladder: ln(rank)/ln(freq) e6-floor to integers
+    * per VOCAB ROW, the OLS sufficient statistics sum those exact
+    * integers (|Σx²| < 2⁶³ to ~10⁹ vocab at ln ≤ 21), and the slope is
+    * one fixed double tree. Rank ties break by token ASC so both
+    * engines rank identically. Output: (slice, vocab, total_tokens,
+    * zipf_slope_e6). */
+  def zipfSlope(
+      docs: org.apache.spark.sql.DataFrame, sliceCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val f = docs
+      .select(col(sliceCol).as("slice"),
+        explode(tokens(col(textCol))).as("tk"))
+      .groupBy(col("slice"), col("tk"))
+      .agg(count(lit(1)).as("c"))
+    val rk = row_number().over(
+      Window.partitionBy(col("slice"))
+        .orderBy(col("c").desc, col("tk").asc))
+    val p = f.withColumn("rk", rk)
+      .select(col("slice"), col("c"),
+        floor(lit(1e6) * log(col("rk").cast("double"))).cast("long").as("x"),
+        floor(lit(1e6) * log(col("c").cast("double"))).cast("long").as("y"))
+    val m = p.groupBy(col("slice"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("c")).as("tot"))
+    val nd = col("n").cast("double")
+    m.select(col("slice"), col("n").as("vocab"),
+      col("tot").as("total_tokens"),
+      floor((nd * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")) /
+        (nd * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")) * 1e6)
+        .cast("long").as("zipf_slope_e6"))
+  }
 }

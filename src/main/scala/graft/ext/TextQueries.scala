@@ -634,6 +634,46 @@ object TextQueries {
       Splits.shardByHash(
         Tables.load(s, dir, "documents").select("doc_id"), "doc_id", 8)
         .select(col("doc_id"), col("shard"), col("pos").cast("long").as("pos"))
+    },
+
+    // vocabulary statistics + Zipf exponent per source slice: OLS
+    // slope of ln(freq) vs ln(rank) over the rank-frequency curve,
+    // e6-floored per vocab row before the integer sums (the q51
+    // ladder), rank ties broken by token so both engines rank
+    // identically.
+    Q(
+      "t24_zipf_slope",
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split_regex(trim(text), ' +')) AS tk
+        |  FROM documents
+        |), f AS (
+        |  SELECT source, tk, count(*) AS c FROM tok GROUP BY 1, 2
+        |), r AS (
+        |  SELECT source, tk, c,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY c DESC, tk ASC) AS rk
+        |  FROM f
+        |), p AS (
+        |  SELECT source, c,
+        |    CAST(floor(1e6 * ln(rk)) AS BIGINT) AS x,
+        |    CAST(floor(1e6 * ln(c)) AS BIGINT) AS y
+        |  FROM r
+        |), m AS (
+        |  SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x*y) AS sxy, sum(x*x) AS sxx, sum(c) AS tot
+        |  FROM p GROUP BY 1
+        |)
+        |SELECT source, CAST(n AS BIGINT) AS vocab,
+        |  CAST(tot AS BIGINT) AS total_tokens,
+        |  CAST(floor((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) * 1e6)
+        |    AS BIGINT) AS zipf_slope_e6
+        |FROM m""".stripMargin) { (s, dir) =>
+      TextAnalysis.zipfSlope(
+        Tables.load(s, dir, "documents"), "source", "text")
+        .withColumnRenamed("slice", "source")
     }
   )
 }

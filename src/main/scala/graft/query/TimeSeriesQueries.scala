@@ -453,6 +453,50 @@ object TimeSeriesQueries {
             sort_array(collect_list(struct(col("hr"),
               expr("ms div 3").as("ma")))),
             st => st.getField("ma").cast("string"))).as("moving_avg_csv"))
+    },
+
+    // sparkbar (ClickHouse): per-type hour-of-day activity as an
+    // 8-level unicode bar string. Levels are exact integer math —
+    // greatest(1, c·8 div max) — over the 24-bucket frame, rendered
+    // in hour order (q46 sort-then-render); the unicode literals ride
+    // the same UTF-8 path both engines already hash byte-equal.
+    Q(
+      "q76_sparkbar",
+      """WITH h AS (
+        |  SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hod,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2
+        |), m AS (
+        |  SELECT event_type, hod, c,
+        |    max(c) OVER (PARTITION BY event_type) AS mx
+        |  FROM h
+        |), l AS (
+        |  SELECT event_type, hod, c, mx,
+        |    ['▁','▂','▃','▄','▅','▆','▇','█'][
+        |      CAST(greatest(1, (c * 8) // mx) AS INT)] AS bar
+        |  FROM m
+        |)
+        |SELECT event_type, CAST(max(mx) AS BIGINT) AS max_bucket,
+        |  CAST(sum(c) AS BIGINT) AS n,
+        |  string_agg(bar, '' ORDER BY hod) AS sparkbar
+        |FROM l GROUP BY event_type""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val bars = array(
+        Seq("▁", "▂", "▃", "▄",
+          "▅", "▆", "▇", "█").map(lit): _*)
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"),
+          (expr("(ts div 1000) div 3600000000") % 24).as("hod"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("mx",
+          max(col("c")).over(Window.partitionBy(col("event_type"))))
+        .withColumn("bar", element_at(bars,
+          greatest(lit(1), expr("(c * 8) div mx")).cast("int")))
+        .groupBy("event_type")
+        .agg(max(col("mx")).as("max_bucket"), sum(col("c")).as("n"),
+          concat_ws("", transform(
+            sort_array(collect_list(struct(col("hod"), col("bar")))),
+            st => st.getField("bar"))).as("sparkbar"))
     }
   )
 }

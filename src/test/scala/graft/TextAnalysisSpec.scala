@@ -357,4 +357,20 @@ class TextAnalysisSpec extends SparkSpec {
     // score 9 beats 5; among the two 9s the lower id (2) survives
     assert(out === Map(2L -> 3L, 4L -> 1L))
   }
+
+  test("zipfSlope recovers ~-1 on an exact Zipf corpus and counts vocab") {
+    // token wi appears floor(600/i) times → rank-frequency curve is
+    // exactly Zipfian with exponent -1
+    val words = (1 to 40).flatMap(i => Seq.fill(600 / i)(f"w$i%02d"))
+    val docs = words.grouped(50).zipWithIndex
+      .map { case (ws, i) => (i.toLong, "srcA", ws.mkString(" ")) }
+      .toSeq.toDF("doc_id", "source", "text")
+    val r = TextAnalysis.zipfSlope(docs, "source", "text")
+      .collect().head
+    assert(r.getAs[Long]("vocab") === 40L)
+    assert(r.getAs[Long]("total_tokens") === words.size.toLong)
+    val slope = r.getAs[Long]("zipf_slope_e6") / 1e6
+    // floor(600/i) quantization + OLS-on-logs noise → within 0.08
+    assert(math.abs(slope + 1.0) < 0.08, s"slope $slope")
+  }
 }
