@@ -41,6 +41,30 @@ object MultimodalQueries {
         .agg(
           count(lit(1)).as("n_frames_sampled"),
           sum(length(col("frame_bytes"))).as("bytes_sampled"))
+    },
+
+    // frame-level video near-dup: pHash every sampled frame, find
+    // frame pairs within Hamming 3 (banded + bucket-capped, never
+    // all-pairs), aggregate to video pairs — the classic shared-frame
+    // video-dedup pipeline. Near-dup source documents share byte
+    // regions, so their sampled frame payloads collide at Hamming 0.
+    Q.noOracle("m4_phash_neardup") { (s, dir) =>
+      import s.implicits._
+      val corpus = Multimodal.corpusFromDocuments(
+        s, Tables.load(s, dir, "documents"))
+      val frames = Multimodal.sampleFrames(corpus, n = 4)
+        .select((col("media_id") * 10 + col("frame_index")).as("fid"),
+          col("frame_bytes"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, b) => Multimodal.MediaRow(id, "image", b, "raw") }
+      Multimodal
+        .phashNearDupPairs(Multimodal.perceptualHashes(frames))
+        .select(expr("id_a div 10").as("video_a"),
+          expr("id_b div 10").as("video_b"), col("hamming"))
+        .where(col("video_a") =!= col("video_b"))
+        .groupBy("video_a", "video_b")
+        .agg(count(lit(1)).as("n_frame_matches"),
+          min(col("hamming")).as("min_hamming"))
     }
   )
 }

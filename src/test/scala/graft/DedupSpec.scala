@@ -299,4 +299,37 @@ class DedupSpec extends SparkSpec {
     assert(frames.groupBy("media_id").count()
       .agg(max("count")).head().getLong(0) <= 4)
   }
+
+  test("phashNearDupPairs: lossless to Hamming 3 on crafted hashes, " +
+    "bucket cap drops degenerate buckets") {
+    // crafted 64-bit hashes: base, base+2 flipped bits (found), base
+    // with 4 flipped bits spread over all 4 bands (correctly excluded:
+    // distance 4 > radius), and a far hash (excluded)
+    val base = 0x0123456789ABCDEFL
+    val twoBits = base ^ (1L << 5) ^ (1L << 40)
+    val fourSpread = base ^ (1L << 3) ^ (1L << 19) ^ (1L << 35) ^ (1L << 51)
+    val far = ~base
+    val hashes = Seq(
+      (1L, base), (2L, twoBits), (3L, fourSpread), (4L, far))
+      .toDF("media_id", "phash")
+    val got = Multimodal.phashNearDupPairs(hashes)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 2L, 2L)))
+    // duplicate payloads through the full codec path → Hamming-0 pair
+    val media = Seq(
+      Multimodal.MediaRow(10L, "image", "same bytes".getBytes, "png"),
+      Multimodal.MediaRow(11L, "image", "same bytes".getBytes, "png"),
+      Multimodal.MediaRow(12L, "image", "other bytes".getBytes, "png"))
+      .toDS()
+    val pairs = Multimodal
+      .phashNearDupPairs(Multimodal.perceptualHashes(media))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 10L && p._2 == 11L && p._3 == 0L))
+    // a degenerate bucket (all-equal hashes beyond the cap) is dropped
+    // instead of exploding quadratically
+    val flood = (0 until 50).map(i => (i.toLong, 0L)).toDF("media_id", "phash")
+    val cappedOut = Multimodal
+      .phashNearDupPairs(flood, maxBucket = 10)
+    assert(cappedOut.count() === 0L)
+  }
 }
