@@ -56,12 +56,13 @@ object ScaleProbe {
     // replica (10x users, same per-user density — the production growth
     // shape for these per-key window operators).
     val ev1 = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
-      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("value"))
     val etmpDir = java.nio.file.Files.createTempDirectory("graft-scale-ev")
     (0 until 10).map { r =>
       ev1.select((col("event_id") + lit(r * 100000000L)).as("event_id"),
         (col("user_id") + lit(r * 1000000L)).as("user_id"),
-        col("ts"), col("event_type"))
+        col("ts"), col("event_type"), col("value"))
     }.reduce(_ unionByName _).repartition(32)
       .write.mode("overwrite").parquet(etmpDir.toString)
     val ev10 = spark.read.parquet(etmpDir.toString)
@@ -94,6 +95,43 @@ object ScaleProbe {
         time(s"$label bm25") {
           graft.ext.TextAnalysis.bm25(
             d, "doc_id", "text", Seq("spark", "query", "merge")).count()
+        }
+        // fuzzy (edit-distance) pairs: lossless q-gram blocking — the
+        // posting-capped inverted index bounds candidate growth
+        time(s"$label fuzzyPairs") {
+          graft.ext.Dedup.fuzzyPairs(d, "doc_id", "text", maxDist = 2)
+            .count()
+        }
+        // Zipf vocabulary stats: one token shuffle + a window over the
+        // |vocab| frequency frame (vocab is ~constant here, so 10x rows
+        // only deepens the counts, not the window)
+        time(s"$label zipfSlope") {
+          graft.ext.TextAnalysis.zipfSlope(
+            d.withColumn("src", col("doc_id") % 20), "src", "text")
+            .count()
+        }
+        // frame-level pHash video dedup: explode frames → banded
+        // Hamming candidates (bucket-capped), never all-pairs
+        time(s"$label phashFrameDedup") {
+          val corpus = graft.ext.Multimodal.corpusFromDocuments(spark, d)
+          val frames = graft.ext.Multimodal.sampleFrames(corpus, n = 4)
+            .select((col("media_id") * 10 + col("frame_index")).as("fid"),
+              col("frame_bytes"))
+          import spark.implicits._
+          val media = frames.as[(Long, Array[Byte])]
+            .map { case (id, b) =>
+              graft.ext.Multimodal.MediaRow(id, "image", b, "raw") }
+          graft.ext.Multimodal.phashNearDupPairs(
+            graft.ext.Multimodal.perceptualHashes(media)).count()
+        }
+      }
+      // batch kNN join: fixed 20-probe batch broadcast against the
+      // corpus — cost is one corpus scan per batch, linear in corpus
+      for ((label, v) <- Seq(("1x(2k)", vecs1), ("10x(20k)", vecs10))) {
+        time(s"$label knnJoin") {
+          graft.ext.Similarity.knnJoin(
+            v.where(col("vec_id") < 20), v.where(col("vec_id") >= 20),
+            "vec_id", "embedding", k = 3).count()
         }
       }
       // sign-LSH cosine pairs: geometry auto-derives (2k → 5 planes/band
@@ -144,6 +182,13 @@ object ScaleProbe {
           graft.query.EventOps.sequenceMatchGaps(
             withUs, "user_id", "us", "event_id", "event_type",
             Seq("view", "click", "purchase"), 3600000000L).count()
+        }
+        // Spearman rank correlation: two sort-windows sharing one hash
+        // exchange on the 5-value group key, then a 5-row reduction
+        time(s"$label spearmanRho") {
+          graft.query.StatTests.spearmanRho(
+            withUs, "event_type",
+            expr("CAST(round(value*100) AS BIGINT)"), col("us")).count()
         }
       }
     } finally {

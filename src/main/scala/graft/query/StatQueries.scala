@@ -38,7 +38,44 @@ object StatQueries {
       |  GROUP BY 1, 2, 3
       |)""".stripMargin
 
+  // unrolled-epoch oracle for q77: each epoch is a cross-join of the
+  // 1-row weight state with the data, aggregated to exact HUGEINT
+  // gradient sums, then a truncating-division update — the SQL replay
+  // of Stats.gdLinearRegression's driver loop.
+  private def gdOracle(epochs: Int): String = {
+    val base =
+      """WITH d AS (
+        |  SELECT CAST(user_id % 100 AS BIGINT) AS x,
+        |    CAST(CAST(round(value*100) AS BIGINT) * 1000000 AS HUGEINT) AS y6
+        |  FROM events
+        |), e0 AS (SELECT CAST(0 AS HUGEINT) AS w, CAST(0 AS HUGEINT) AS b)""".stripMargin
+    val steps = (1 to epochs).map { k =>
+      s""", g$k AS (
+         |  SELECT e.w, e.b, sum((e.w*d.x + e.b - d.y6)*d.x) AS gw,
+         |    sum(e.w*d.x + e.b - d.y6) AS gb, count(*) AS n
+         |  FROM e${k - 1} e, d GROUP BY e.w, e.b
+         |), e$k AS (
+         |  SELECT w - (2*gw) // (n*10000) AS w,
+         |    b - (2*gb) // (n*10) AS b, n FROM g$k
+         |)""".stripMargin
+    }.mkString
+    base + steps +
+      s"""
+         |SELECT CAST(n AS BIGINT) AS n, CAST(w AS BIGINT) AS w_e6,
+         |  CAST(b AS BIGINT) AS b_e6 FROM e$epochs""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+
+    // deterministic batch-GD linear regression (the ClickHouse
+    // stochasticLinearRegression shape, distribution-safe): value
+    // cents against the user-id bucket, 8 exact integer epochs.
+    Q("q77_gd_linreg", gdOracle(8)) { (s, dir) =>
+      Stats.gdLinearRegression(
+        Tables.load(s, dir, "events"),
+        col("user_id") % 100,
+        Tables.cents(col("value")) * 1000000L, epochs = 8)
+    },
 
     // Student + Welch t over every event_type pair. Raw rows reduce to
     // five (n, Σv, Σv²) rows in one shuffle; the statistics are one

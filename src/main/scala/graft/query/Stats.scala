@@ -144,4 +144,46 @@ object Stats {
       .agg(countDistinct(col("_v")).as("uniq_arr"))
     folded.join(uniq, keyCol)
   }
+
+  /** Deterministic batch gradient-descent linear regression — the
+    * ClickHouse `stochasticLinearRegression` shape made
+    * distribution-safe: SGD's per-row updates are order-dependent (a
+    * shuffled corpus would train a different model every run), so this
+    * runs FULL-batch epochs: each epoch is one aggregation over the
+    * data computing the exact integer gradient sums
+    * Σ err·x and Σ err (err in e6 fixed-point, sums as Decimal(38,0)
+    * so partial-agg order cannot matter), the driver applies the
+    * update in BigInt with truncating division, and the new weights
+    * re-enter the next epoch as literals. Driver traffic: two numbers
+    * per epoch. Per-coordinate learning rates (w: 1/lrDenW, b:
+    * 1/lrDenB) act as the usual diagonal preconditioner for the x/1
+    * scale mismatch. Deterministic on any cluster layout — and
+    * SQL-replayable by unrolling the epochs, so it hash-oracles.
+    * Output single row: (n, w_e6, b_e6): pred = (w_e6·x + b_e6)/1e6
+    * in y units. */
+  def gdLinearRegression(
+      df: DataFrame, xCol: Column, yE6Col: Column, epochs: Int = 8,
+      lrDenW: Long = 10000L, lrDenB: Long = 10L): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d = df.select(xCol.cast("long").as("_x"), yE6Col.as("_y6"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var w = BigInt(0); var b = BigInt(0); var n = 0L
+    (0 until epochs).foreach { _ =>
+      val err = (lit(w.toLong) * col("_x") + lit(b.toLong) - col("_y6"))
+        .cast(DecimalType(38, 0))
+      val row = d.agg(
+        sum(err * col("_x").cast(DecimalType(38, 0))).as("gw"),
+        sum(err).as("gb"), count(lit(1)).as("n")).head()
+      n = row.getAs[Long]("n")
+      val gw = BigInt(row.getAs[java.math.BigDecimal]("gw").toBigInteger)
+      val gb = BigInt(row.getAs[java.math.BigDecimal]("gb").toBigInteger)
+      // truncating BigInt division == DuckDB HUGEINT `//`
+      w -= (2 * gw) / (BigInt(n) * lrDenW)
+      b -= (2 * gb) / (BigInt(n) * lrDenB)
+    }
+    d.unpersist(false)
+    val spark = df.sparkSession
+    spark.range(1).select(lit(n).as("n"),
+      lit(w.toLong).as("w_e6"), lit(b.toLong).as("b_e6"))
+  }
 }

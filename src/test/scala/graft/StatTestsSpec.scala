@@ -160,4 +160,42 @@ class StatTestsSpec extends SparkSpec {
     val woeB = math.log((10 / G) / (30 / B))
     assert(math.abs(out("B").getAs[Long]("woe_e6") - math.floor(woeB * 1e6)) <= 1)
   }
+
+  test("gdLinearRegression matches an independent BigInt replay exactly " +
+    "and reduces loss on correlated data") {
+    import org.apache.spark.sql.functions.col
+    import graft.query.Stats
+    val rnd = new scala.util.Random(41)
+    // y = 3x + 7 + noise, in e6 fixed-point
+    val data = (0 until 300).map { _ =>
+      val x = rnd.nextInt(100).toLong
+      val y6 = (3L * x + 7L + rnd.nextInt(5) - 2) * 1000000L
+      (x, y6)
+    }
+    val df = data.toDF("x", "y6")
+    val row = Stats.gdLinearRegression(
+      df, col("x"), col("y6"), epochs = 8).collect().head
+    // independent replay: plain Scala BigInt, truncating division
+    var w = BigInt(0); var b = BigInt(0)
+    val n = BigInt(data.size)
+    (0 until 8).foreach { _ =>
+      val errs = data.map { case (x, y6) => w * x + b - y6 }
+      val gw = errs.zip(data).map { case (e, (x, _)) => e * x }.sum
+      val gb = errs.sum
+      w -= (2 * gw) / (n * 10000)
+      b -= (2 * gb) / (n * 10)
+    }
+    assert(row.getAs[Long]("w_e6") === w.toLong)
+    assert(row.getAs[Long]("b_e6") === b.toLong)
+    assert(row.getAs[Long]("n") === 300L)
+    // trained model beats the zero model on SSE (it learned something)
+    def sse(we6: Long, be6: Long): BigInt =
+      data.map { case (x, y6) =>
+        val e = BigInt(we6 * x + be6 - y6); e * e
+      }.sum
+    assert(sse(row.getAs[Long]("w_e6"), row.getAs[Long]("b_e6")) <
+      sse(0L, 0L))
+    // slope direction learned on positively-correlated data
+    assert(row.getAs[Long]("w_e6") > 0L)
+  }
 }
