@@ -399,6 +399,35 @@ object EventOps {
       .agg(max(col("_live")).as("max_concurrent"))
   }
 
+  /** ClickHouse `maxIntersectionsPosition` companion to
+    * [[maxConcurrent]]: the FIRST sweep position (µs) at which the
+    * maximum overlap is reached — necessarily a start boundary, since
+    * only +1 deltas raise the running sum. Same boundary sweep; the
+    * argmin is one more window + filter over the swept frame, no
+    * extra shuffle of raw rows. Output: (groupCol, max_concurrent,
+    * position_us). */
+  def maxConcurrentPosition(
+      events: DataFrame, groupCol: String, tsCol: String,
+      durationUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val starts = events.select(col(groupCol), col(tsCol).as("_t"),
+      lit(1L).as("_d"), lit(1).as("_tie"))
+    val ends = events.select(col(groupCol),
+      (col(tsCol) + durationUs).as("_t"), lit(-1L).as("_d"),
+      lit(0).as("_tie"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("_t"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    starts.unionByName(ends)
+      .withColumn("_live", sum(col("_d")).over(w))
+      .withColumn("_mx",
+        max(col("_live")).over(Window.partitionBy(col(groupCol))))
+      .where(col("_live") === col("_mx") && col("_d") === 1L)
+      .groupBy(col(groupCol))
+      .agg(max(col("_mx")).as("max_concurrent"),
+        min(col("_t")).as("position_us"))
+  }
+
   /** The 100 TB formulation of [[maxConcurrent]]: the boundary sweep
     * partitioned by (group, time-bucket) with per-bucket offsets
     * stitched afterwards — parallelism becomes groups × buckets instead

@@ -653,6 +653,36 @@ object EventQueries {
         "event_type", "us", 300000000L)
     },
 
+    // maxIntersectionsPosition (ClickHouse): the first sweep position
+    // reaching the maximum overlap — the q40 sweep plus one window +
+    // filter over the swept frame.
+    Q(
+      "q78_max_concurrent_position",
+      """WITH b AS (
+        |  SELECT event_type, epoch_us(ts) AS t, 1 AS d, 1 AS tie FROM events
+        |  UNION ALL
+        |  SELECT event_type, epoch_us(ts) + 300000000 AS t, -1 AS d, 0 AS tie
+        |  FROM events
+        |), r AS (
+        |  SELECT event_type, t, d,
+        |    sum(d) OVER (PARTITION BY event_type ORDER BY t, tie
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+        |  FROM b
+        |), m AS (
+        |  SELECT event_type, t, d, live,
+        |    max(live) OVER (PARTITION BY event_type) AS mx
+        |  FROM r
+        |)
+        |SELECT event_type, CAST(max(mx) AS BIGINT) AS max_concurrent,
+        |  CAST(min(t) AS BIGINT) AS position_us
+        |FROM m WHERE live = mx AND d = 1
+        |GROUP BY event_type""".stripMargin) { (s, dir) =>
+      EventOps.maxConcurrentPosition(
+        Tables.load(s, dir, "events")
+          .withColumn("us", expr("ts div 1000")),
+        "event_type", "us", 300000000L)
+    },
+
     // least-squares regression family (regr_slope/regr_intercept /
     // ClickHouse simpleLinearRegression) via the q34 discipline: the
     // five partial sums are exact BIGINTs, the closed form runs the

@@ -290,6 +290,30 @@ class EventOpsSpec extends SparkSpec {
     assert(out === Map("a" -> 3L, "b" -> 1L))
   }
 
+  test("maxConcurrentPosition: first time the max is reached, " +
+    "start boundaries only") {
+    // intervals of length 10: peaks of depth 3 at t=4 (first) and
+    // t=24 (second) — position must report the FIRST
+    val events = Seq(
+      ("g", 0L), ("g", 2L), ("g", 4L), // depth 3 at t=4
+      ("g", 20L), ("g", 22L), ("g", 24L), // depth 3 again at t=24
+      ("h", 0L), ("h", 100L)) // depth never exceeds 1 → position 0
+      .toDF("grp", "us")
+    val out = EventOps
+      .maxConcurrentPosition(events, "grp", "us", durationUs = 10L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out("g") === ((3L, 4L)))
+    assert(out("h") === ((1L, 0L)))
+    // boundary: an interval ending exactly when another starts does
+    // not overlap it (half-open) — depth 1, position = first start
+    val touch = Seq(("t", 0L), ("t", 10L)).toDF("grp", "us")
+    val t = EventOps
+      .maxConcurrentPosition(touch, "grp", "us", durationUs = 10L)
+      .collect().head
+    assert((t.getLong(1), t.getLong(2)) === ((1L, 0L)))
+  }
+
   test("retention: cohort = earliest day; offsets count distinct returners") {
     val act = Seq(
       (1L, 10L), (2L, 10L), (3L, 10L), // cohort: day 10

@@ -312,6 +312,35 @@ class PlanSpec extends SparkSpec {
       p53.take(3000))
   }
 
+  test("session-2 operators: broadcast probes, shared exchanges, " +
+    "no cartesian blowups") {
+    // s10 kNN join: the probe batch broadcasts; the corpus is never
+    // shuffled on a join key (the only exchanges serve the two-phase
+    // top-k reduction of skinny triples)
+    val pS10 = planOf(SparkEntry.queries("s10_knn_join")(spark, dir))
+    assert(pS10.contains("BroadcastNestedLoopJoin") ||
+      pS10.contains("BroadcastHashJoin"), pS10.take(3000))
+    assert(!pS10.contains("SortMergeJoin"), pS10.take(3000))
+    // q70 Spearman: the two rank windows must share ONE
+    // hashpartitioning(event_type) exchange, and the sufficient-stat
+    // aggregation must combine map-side
+    val p70 = planOf(SparkEntry.queries("q70_rank_corr")(spark, dir))
+    assert(
+      "Exchange hashpartitioning\\(event_type".r.findAllIn(p70).size == 1,
+      p70.take(3000))
+    assert(p70.contains("partial_sum") || p70.contains("partial_count"),
+      p70.take(3000))
+    // q73 WOE/IV: the 1-row totals frame broadcasts, no cartesian
+    val p73 = planOf(SparkEntry.queries("q73_categorical_iv")(spark, dir))
+    assert(!p73.contains("CartesianProduct"), p73.take(3000))
+    // q74 strict funnel: per-pass aggregation still partial/final
+    val p74 = planOf(
+      SparkEntry.queries("q74_funnel_strict_order")(spark, dir))
+    assert(p74.contains("partial_min") || p74.contains("partial_sum"),
+      p74.take(3000))
+    assert(!p74.contains("CartesianProduct"), p74.take(3000))
+  }
+
   test("LM score: counts join back by bigram key, vocab broadcast") {
     val df = SparkEntry.queries("t18_lm_score")(spark, dir)
     val plan = planOf(df)
