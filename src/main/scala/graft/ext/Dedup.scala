@@ -773,20 +773,34 @@ object Dedup {
     * banded three-argument `levenshtein` (early-exit −1 beyond the
     * threshold), never O(doc²).
     *
-    * Candidate generation is the q-gram count filter, not all-pairs:
-    * an edit destroys at most q character q-grams, so two heads within
-    * edit distance d share at least `len − q + 1 − q·d` q-grams —
-    * POSITIVE whenever `len ≥ q·(d+1)`, which 48-char-minimum documents
-    * always satisfy. The inverted q-gram join is therefore LOSSLESS for
-    * this corpus shape (uncapped), with the same `maxPostings`
-    * boilerplate-gram skew guard as d5/d15 as the documented 100 TB
-    * recall trade. Pairs also prefilter on `|len_a − len_b| ≤ maxDist`
-    * (a length gap beyond d already costs d inserts) before any
-    * distance is computed. Output: (id_a, id_b, dist). */
+    * Candidate generation is LOSSLESS PREFIX FILTERING (the ED-Join
+    * scheme): by the q-gram count bound (one edit destroys ≤ q
+    * positional grams), ed(a,b) ≤ d implies the multiset gram
+    * intersection has ≥ |G| − q·d elements — so under any GLOBAL
+    * total order on grams, the two heads' `q·d + 1` FIRST grams must
+    * intersect (if the prefixes were disjoint, the intersection could
+    * not reach the bound). Ordering by ascending corpus frequency
+    * (tie: gram, occ) makes those prefixes the RAREST grams, whose
+    * posting lists are short — the candidate join touches
+    * Σ_rare cA·cB rows instead of the Σ_all c² an any-shared-gram
+    * index pays (37M → ~10⁵ on the sf0.1 corpus; a low-entropy
+    * vocabulary — exactly the LLM-pipeline shape — degenerates the
+    * naive index to all-pairs). Multiset semantics are exact: grams
+    * are occurrence-indexed in-row ((g, occ) with occ = #prior equal
+    * grams, the q68 lambda), so repeated boilerplate grams can't
+    * stand in for distinct ones. Lossless whenever `len ≥ q·(d+1)`
+    * (count bound ≥ 1); 48-char-minimum documents satisfy it at the
+    * q=8/d=3 defaults of the pack. `maxPostings` caps a prefix
+    * posting list — the d5/d15 skew guard, the documented 100 TB
+    * recall trade. Survivors prefilter on `|len_a − len_b| ≤ maxDist`
+    * and verify with the banded three-argument `levenshtein`
+    * (early-exit −1 beyond the threshold) — O(maxDist·headLen) per
+    * candidate, never O(doc²). Output: (id_a, id_b, dist). */
   def fuzzyPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3, headLen: Int = 64, q: Int = 4,
+      maxDist: Int = 3, headLen: Int = 64, q: Int = 8,
       maxPostings: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(maxDist >= 0 && headLen > 0 && q > 1,
       s"fuzzyPairs: bad params (maxDist=$maxDist headLen=$headLen q=$q)")
     val norm = substring(
@@ -796,15 +810,30 @@ object Dedup {
     val heads = docs.select(col(idCol).as("id"), norm.as("h"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     heads.count()
-    val grams = heads.select(col("id"),
-      explode(array_distinct(transform(
-        sequence(lit(1), greatest(length(col("h")) - (q - 1), lit(1))),
-        i => col("h").substr(i, lit(q))))).as("g"))
-    val rare = grams.groupBy("g").count()
-      .where(col("count") <= maxPostings).drop("count")
-    val capped = grams.join(rare, Seq("g"))
-    capped.select(col("g"), col("id").as("id_a"))
-      .join(capped.select(col("g"), col("id").as("id_b")), Seq("g"))
+    val gramArr = transform(
+      sequence(lit(1), greatest(length(col("h")) - (q - 1), lit(1))),
+      i => col("h").substr(i, lit(q)))
+    // occurrence index per gram (in-row quadratic lambda over ≤ ~60
+    // elements — no shuffle): (g, occ) keys give exact multiset joins
+    val grams = heads.select(col("id"), gramArr.as("_ga"))
+      .select(col("id"), explode(transform(
+        col("_ga"),
+        (g, i) => struct(g.as("g"),
+          size(filter(slice(col("_ga"), lit(1), i + 1), x => x === g))
+            .as("occ")))).as("go"))
+      .select(col("id"), col("go.g").as("g"), col("go.occ").as("occ"))
+    val freq = grams.groupBy("g", "occ").count()
+    // each head keeps only its q·d+1 globally-rarest grams; both
+    // sides of a ≤d pair must share one of them
+    val prefix = grams.join(freq, Seq("g", "occ"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("id"))
+          .orderBy(col("count"), col("g"), col("occ"))))
+      .where(col("_rn") <= q * maxDist + 1 && col("count") <= maxPostings)
+      .select(col("g"), col("occ"), col("id"))
+    prefix.select(col("g"), col("occ"), col("id").as("id_a"))
+      .join(prefix.select(col("g"), col("occ"), col("id").as("id_b")),
+        Seq("g", "occ"))
       .where(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .join(heads.select(col("id").as("id_a"), col("h").as("_ha")), "id_a")

@@ -505,10 +505,12 @@ object DedupQueries {
     },
 
     // edit-distance (fuzzy) near-dup pairs over 64-char normalized
-    // heads. Uncapped postings here — the q-gram count filter is
+    // heads. Uncapped postings here — the q-gram COUNT filter is
     // LOSSLESS for ≥ q·(maxDist+1)-char heads, so the oracle can be
     // the brute-force length-banded levenshtein join; the capped
     // variant is the documented skew-guard scale path (DedupSpec).
+    // q=8 over this low-entropy corpus: the count threshold (shared ≥
+    // maxGlen − q·d) is what keeps the verify set ≈ true pairs.
     Q(
       "d17_fuzzy_pairs",
       """WITH n AS (
@@ -524,7 +526,7 @@ object DedupQueries {
         |  AND levenshtein(a.h, b.h) <= 3""".stripMargin) { (s, dir) =>
       Dedup.fuzzyPairs(
         Tables.load(s, dir, "documents"), "doc_id", "text",
-        maxDist = 3, headLen = 64, q = 4, maxPostings = Int.MaxValue)
+        maxDist = 3, headLen = 64, q = 8, maxPostings = Int.MaxValue)
     }
   )
 }
