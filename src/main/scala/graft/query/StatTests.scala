@@ -203,8 +203,11 @@ object StatTests {
       col("sx").cast("double") * col("sx").cast("double")
     val vy = nd * col("syy").cast("double") -
       col("sy").cast("double") * col("sy").cast("double")
+    // zero-variance guard (the q47 lesson): a constant column makes
+    // vx·vy = 0 and floor(NaN) would throw under ANSI — null instead
     m.select(g, col("n"),
-      floor(cov / sqrt(vx * vy) * 1e6).cast("long").as("rho_e6"))
+      when(vx > 0 && vy > 0,
+        floor(cov / sqrt(vx * vy) * 1e6).cast("long")).as("rho_e6"))
   }
 
   /** Theil's uncertainty coefficient U(A|B) — how much knowing B
@@ -231,10 +234,12 @@ object StatTests {
         floor(lit(1e6) * log(col("n").cast("double"))).cast("long") -
           expr("sa div n"))
       .withColumn("h_cond_e6", expr("(sb - sab) div n"))
+    // single-category A ⇒ H(A)=0 ⇒ U undefined — null, not a throw
     j.select(col("n"), col("h_a_e6"), col("h_cond_e6"),
-      floor(lit(1e6) *
-        (col("h_a_e6").cast("double") - col("h_cond_e6").cast("double")) /
-        col("h_a_e6").cast("double")).cast("long").as("theils_u_e6"))
+      when(col("h_a_e6") > 0,
+        floor(lit(1e6) *
+          (col("h_a_e6").cast("double") - col("h_cond_e6").cast("double")) /
+          col("h_a_e6").cast("double")).cast("long")).as("theils_u_e6"))
   }
 
   /** Weight-of-evidence and information value per category for a

@@ -168,18 +168,22 @@ object Stats {
     val d = df.select(xCol.cast("long").as("_x"), yE6Col.as("_y6"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var w = BigInt(0); var b = BigInt(0); var n = 0L
-    (0 until epochs).foreach { _ =>
+    var epoch = 0
+    while (epoch < epochs && (epoch == 0 || n > 0)) {
       val err = (lit(w.toLong) * col("_x") + lit(b.toLong) - col("_y6"))
         .cast(DecimalType(38, 0))
       val row = d.agg(
         sum(err * col("_x").cast(DecimalType(38, 0))).as("gw"),
         sum(err).as("gb"), count(lit(1)).as("n")).head()
       n = row.getAs[Long]("n")
-      val gw = BigInt(row.getAs[java.math.BigDecimal]("gw").toBigInteger)
-      val gb = BigInt(row.getAs[java.math.BigDecimal]("gb").toBigInteger)
-      // truncating BigInt division == DuckDB HUGEINT `//`
-      w -= (2 * gw) / (BigInt(n) * lrDenW)
-      b -= (2 * gb) / (BigInt(n) * lrDenB)
+      if (n > 0) { // empty input: no update, weights stay 0
+        val gw = BigInt(row.getAs[java.math.BigDecimal]("gw").toBigInteger)
+        val gb = BigInt(row.getAs[java.math.BigDecimal]("gb").toBigInteger)
+        // truncating BigInt division == DuckDB HUGEINT `//`
+        w -= (2 * gw) / (BigInt(n) * lrDenW)
+        b -= (2 * gb) / (BigInt(n) * lrDenB)
+      }
+      epoch += 1
     }
     d.unpersist(false)
     val spark = df.sparkSession

@@ -161,6 +161,24 @@ class StatTestsSpec extends SparkSpec {
     assert(math.abs(out("B").getAs[Long]("woe_e6") - math.floor(woeB * 1e6)) <= 1)
   }
 
+  test("degenerate inputs: constant-column Spearman and single-category " +
+    "Theil's U are null, empty-input GD regression returns zeros") {
+    import org.apache.spark.sql.functions.col
+    import graft.query.Stats
+    val const = (1 to 20).map(i => ("g", 7L, i.toLong)).toDF("g", "x", "y")
+    val r = StatTests.spearmanRho(const, "g", col("x"), col("y"))
+      .collect().head
+    assert(r.isNullAt(r.fieldIndex("rho_e6"))) // vx = 0, no ANSI throw
+    val single = (1 to 10).map(i => ("onlyA", i % 3)).toDF("a", "b")
+    val t = StatTests.theilsU(single, col("a"), col("b")).collect().head
+    assert(t.getAs[Long]("h_a_e6") === 0L)
+    assert(t.isNullAt(t.fieldIndex("theils_u_e6")))
+    val empty = Seq.empty[(Long, Long)].toDF("x", "y6")
+    val g = Stats.gdLinearRegression(empty, col("x"), col("y6"), epochs = 3)
+      .collect().head
+    assert((g.getLong(0), g.getLong(1), g.getLong(2)) === ((0L, 0L, 0L)))
+  }
+
   test("gdLinearRegression matches an independent BigInt replay exactly " +
     "and reduces loss on correlated data") {
     import org.apache.spark.sql.functions.col
