@@ -557,6 +557,60 @@ object EventQueries {
           coalesce(col("sv"), lit(0L)).as("sum_value_c"))
     },
 
+    // LOCF gap fill (last observation carried forward): the q35 dense
+    // frame per TYPE, holes filled by last(val IGNORE NULLS) over the
+    // hour order — the standard time-series imputation companion to
+    // zero-filling. Window runs over the dense hourly frame
+    // (types × hours rows), never raw events.
+    Q(
+      "q79_locf_fill",
+      """WITH a AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hb,
+        |    max(CAST(round(value*100) AS BIGINT)) AS v
+        |  FROM events GROUP BY 1, 2
+        |), bounds AS (
+        |  SELECT event_type, min(hb) AS lo, max(hb) AS hi
+        |  FROM a GROUP BY 1
+        |), frame AS (
+        |  SELECT event_type, unnest(generate_series(lo, hi)) AS hour_bucket
+        |  FROM bounds
+        |), j AS (
+        |  SELECT f.event_type, f.hour_bucket, a.v
+        |  FROM frame f LEFT JOIN a
+        |    ON a.event_type = f.event_type AND a.hb = f.hour_bucket
+        |)
+        |SELECT event_type, hour_bucket,
+        |  CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS filled,
+        |  CAST(last_value(v IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY hour_bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS value_locf
+        |FROM j""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val hourly = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr(s"(ts div 1000) div $HourUs").as("hb"))
+        .agg(max(cents(col("value"))).as("v"))
+        .persist()
+      hourly.count() // eager: bounds + join both read it in one action
+      val frame = hourly
+        .groupBy(col("event_type"))
+        .agg(min(col("hb")).as("lo"), max(col("hb")).as("hi"))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"))).as("hour_bucket"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("hour_bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      frame
+        .join(hourly,
+          frame("event_type") === hourly("event_type") &&
+            col("hour_bucket") === col("hb"), "left")
+        .select(frame("event_type"), col("hour_bucket"), col("v"))
+        .select(col("event_type"), col("hour_bucket"),
+          when(col("v").isNull, 1L).otherwise(0L).as("filled"),
+          last(col("v"), ignoreNulls = true).over(w).as("value_locf"))
+    },
+
     // mergeable-sketch pre-aggregation (the 100 TB distinct-count
     // pattern): one DataSketches HLL per day, union-merged to the
     // total — re-aggregation reads |days| sketches, not the raw data.
