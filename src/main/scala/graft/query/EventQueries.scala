@@ -557,6 +557,44 @@ object EventQueries {
           coalesce(col("sv"), lit(0L)).as("sum_value_c"))
     },
 
+    // native session_window operator (Spark's gap-based sessionizer —
+    // the same physical operator Structured Streaming uses for
+    // streaming sessions), pinned against the manual islands
+    // formulation: a session merges events with gap < 30min and spans
+    // [first, last + gap) — so the islands oracle breaks on
+    // diff >= gap and reconstructs end = max + gap. q14 keeps the
+    // lag-cumsum formulation (its break is diff > gap); this entry
+    // pins the NATIVE operator's boundary semantics.
+    Q(
+      "q80_session_window",
+      """WITH marked AS (
+        |  SELECT user_id, epoch_us(ts) AS tus,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |         OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |), s AS (
+        |  SELECT user_id, tus,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY tus
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked
+        |)
+        |SELECT user_id, CAST(min(tus) AS BIGINT) AS start_us,
+        |  CAST(max(tus) + 1800000000 AS BIGINT) AS end_us,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .select(col("user_id"),
+          timestamp_micros(expr("ts div 1000")).as("tsm"))
+        .groupBy(col("user_id"),
+          session_window(col("tsm"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("start_us"),
+          unix_micros(col("sw.end")).as("end_us"),
+          col("n_events"))
+    },
+
     // LOCF gap fill (last observation carried forward): the q35 dense
     // frame per TYPE, holes filled by last(val IGNORE NULLS) over the
     // hour order — the standard time-series imputation companion to
