@@ -297,6 +297,42 @@ object RelationalQueries {
         .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
     },
 
+    // ---- DETERMINISTIC approximate distinct (linear counting,
+    // Whang et al.): hash each key into m=4096 md5 buckets, estimate
+    // n̂ = −m·ln(1 − V/m) from the occupied-bucket count V. Unlike the
+    // HLL sketch (q12, engine-internal → rows-only), every step here
+    // is engine-portable — the t17 md5 idiom for the bucket, an exact
+    // integer V, one fixed double tree for the estimate — so an
+    // APPROXIMATE operator carries an exact hash oracle. The only
+    // shuffle key is the 4096-value bucket id. ----
+    Q(
+      "q81_linear_counting",
+      """WITH b AS (
+        |  SELECT event_type,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 3))::BIGINT
+        |      AS bucket
+        |  FROM events
+        |), v AS (
+        |  SELECT event_type, count(DISTINCT bucket) AS occupied
+        |  FROM b GROUP BY event_type
+        |)
+        |SELECT event_type, CAST(occupied AS BIGINT) AS occupied,
+        |  CAST(floor(-4096.0 * ln(1.0 - CAST(occupied AS DOUBLE)/4096.0))
+        |    AS BIGINT) AS est_distinct
+        |FROM v WHERE occupied < 4096""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          conv(substring(md5(col("user_id").cast("string")), 1, 3), 16, 10)
+            .cast("long").as("bucket"))
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("bucket")).as("occupied"))
+        .where(col("occupied") < 4096)
+        .select(col("event_type"), col("occupied"),
+          floor(lit(-4096.0) *
+            log(lit(1.0) - col("occupied").cast("double") / 4096.0))
+            .cast("long").as("est_distinct"))
+    },
+
     // ---- statistical aggregate done scale-right: Pearson correlation
     // decomposed into six exact integer partial sums (one pass, fully
     // partial-aggregable — no second pass over the data like the
