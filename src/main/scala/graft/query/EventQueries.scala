@@ -557,6 +557,59 @@ object EventQueries {
           coalesce(col("sv"), lit(0L)).as("sum_value_c"))
     },
 
+    // behavioral transition matrix (the ClickHouse flow/sankey idiom):
+    // per-user lag gives (from → to) event-type transitions, one
+    // shuffle on user for the lag + one tiny aggregation.
+    Q(
+      "q82_transition_matrix",
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events
+        |), t AS (
+        |  SELECT event_type AS to_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS from_type
+        |  FROM e
+        |)
+        |SELECT from_type, to_type, count(*) AS n
+        |FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2""".stripMargin) {
+      (s, dir) =>
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        Tables.load(s, dir, "events")
+          .select(col("user_id"), expr("ts div 1000").as("us"),
+            col("event_id"), col("event_type"))
+          .withColumn("from_type", lag(col("event_type"), 1).over(w))
+          .where(col("from_type").isNotNull)
+          .groupBy(col("from_type"), col("event_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("from_type"), col("to_type"), col("n"))
+    },
+
+    // sliding-window distinct cardinality: distinct users per 1h
+    // window hopping 15min — the q42 4-offset explode (an event
+    // belongs to exactly 4 hop windows; never a range join) feeding
+    // count(DISTINCT) per window.
+    Q(
+      "q83_sliding_distinct",
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 900000000 AS hop FROM events
+        |), h AS (
+        |  SELECT user_id, (hop - k) * 900000000 AS win_start
+        |  FROM e, unnest(range(0, 4)) AS t(k)
+        |)
+        |SELECT win_start, count(DISTINCT user_id) AS n_users
+        |FROM h GROUP BY win_start""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), expr("(ts div 1000) div 900000000").as("hop"))
+        .select(col("user_id"),
+          explode(sequence(lit(0L), lit(3L))).as("k"),
+          col("hop"))
+        .select(col("user_id"),
+          ((col("hop") - col("k")) * 900000000L).as("win_start"))
+        .groupBy(col("win_start"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    },
+
     // native session_window operator (Spark's gap-based sessionizer —
     // the same physical operator Structured Streaming uses for
     // streaming sessions), pinned against the manual islands

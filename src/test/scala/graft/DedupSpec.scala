@@ -165,6 +165,67 @@ class DedupSpec extends SparkSpec {
     assert(capped.subsetOf(got.keySet))
   }
 
+  test("fuzzyPairs property: random <=maxDist edits are ALWAYS found " +
+    "at the exact distance (prefix-filter losslessness)") {
+    import org.scalacheck.Gen
+    // random word-ish base strings long enough for the lossless bound
+    // (len >= q*(d+1) = 32 at q=8, d=3), random edit scripts of 1..3
+    // character substitutions/inserts/deletes applied to a copy
+    val genCase: Gen[(String, Int, Seq[Int])] = for {
+      len <- Gen.choose(40, 60)
+      chars <- Gen.listOfN(len, Gen.oneOf(('a' to 'f') ++ Seq(' ')))
+      nEdits <- Gen.choose(1, 3)
+      seeds <- Gen.listOfN(nEdits * 3, Gen.choose(0, 1000))
+    } yield (chars.mkString, nEdits, seeds)
+    PropertySampling.forAllSeeded(genCase, n = 25) {
+      case (base0, nEdits, seeds) =>
+        // normalization is part of the operator: feed pre-normalized
+        // text (lowercase, single spaces) so edits stay edits
+        val base = base0.replaceAll(" +", " ").trim
+        if (base.length >= 32) {
+          var edited = base
+          var applied = 0
+          seeds.grouped(3).take(nEdits).foreach { case Seq(op, p, c) =>
+            val pos = p % math.max(edited.length, 1)
+            val ch = ('a' + c % 6).toChar
+            op % 3 match {
+              case 0 => // substitute
+                edited = edited.updated(pos, ch); applied += 1
+              case 1 => // insert
+                edited = edited.substring(0, pos) + ch +
+                  edited.substring(pos); applied += 1
+              case 2 if edited.length > 32 => // delete
+                edited = edited.substring(0, pos) +
+                  edited.substring(pos + 1); applied += 1
+              case _ => ()
+            }
+          }
+          val docs = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+          val got = Dedup.fuzzyPairs(docs, "doc_id", "text", maxDist = 3)
+            .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+            .toMap
+          // true distance ≤ applied edits (edits can cancel); compute
+          // the reference distance on the operator's normalized heads
+          def head(s: String) = s.toLowerCase.replaceAll("\\s+", " ")
+            .trim.take(64)
+          val (ha, hb) = (head(base), head(edited))
+          val ref = {
+            val dp = Array.tabulate(ha.length + 1, hb.length + 1) {
+              (i, j) => if (i == 0) j else if (j == 0) i else 0 }
+            for (i <- 1 to ha.length; j <- 1 to hb.length)
+              dp(i)(j) = math.min(math.min(dp(i - 1)(j), dp(i)(j - 1)) + 1,
+                dp(i - 1)(j - 1) + (if (ha(i - 1) == hb(j - 1)) 0 else 1))
+            dp(ha.length)(hb.length)
+          }
+          if (ref > 0 && ref <= 3)
+            assert(got.get((1L, 2L)) === Some(ref.toLong),
+              s"base='$base' edited='$edited' ref=$ref got=$got")
+          else if (ref == 0)
+            assert(got.get((1L, 2L)) === Some(0L))
+        }
+    }
+  }
+
   test("knnJoin equals per-query brute-force cosineTopK") {
     val rnd = new scala.util.Random(23)
     val vecs = (0 until 80).map { i =>
