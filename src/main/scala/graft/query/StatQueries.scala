@@ -219,6 +219,71 @@ object StatQueries {
         "event_type", "_bucket")
     },
 
+    // exact median absolute deviation (robust dispersion): the q52
+    // integer-threshold lower median, applied twice — once over values,
+    // once over |value − median| after a broadcast join of the 5-row
+    // median frame. Both windows run over distinct-value frames, all
+    // integer.
+    Q(
+      "q84_mad",
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS vc
+        |  FROM events
+        |), g1 AS (
+        |  SELECT event_type, vc, count(*) AS c FROM e GROUP BY 1, 2
+        |), c1 AS (
+        |  SELECT event_type, vc,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY vc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM g1
+        |), med AS (
+        |  SELECT event_type, min(vc) AS median_c
+        |  FROM c1 WHERE 2 * cw >= n GROUP BY event_type
+        |), d AS (
+        |  SELECT e.event_type, abs(e.vc - m.median_c) AS dv
+        |  FROM e JOIN med m ON e.event_type = m.event_type
+        |), g2 AS (
+        |  SELECT event_type, dv, count(*) AS c FROM d GROUP BY 1, 2
+        |), c2 AS (
+        |  SELECT event_type, dv,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY dv
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM g2
+        |), mad AS (
+        |  SELECT event_type, min(dv) AS mad_c
+        |  FROM c2 WHERE 2 * cw >= n GROUP BY event_type
+        |)
+        |SELECT med.event_type, CAST(median_c AS BIGINT) AS median_c,
+        |  CAST(mad_c AS BIGINT) AS mad_c
+        |FROM med JOIN mad ON med.event_type = mad.event_type""".stripMargin) {
+      (s, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        def lowerMedian(df: org.apache.spark.sql.DataFrame, vCol: String,
+            out: String) = {
+          val cum = Window.partitionBy(col("event_type")).orderBy(col(vCol))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val tot = Window.partitionBy(col("event_type"))
+          df.groupBy(col("event_type"), col(vCol))
+            .agg(count(lit(1)).as("_c"))
+            .withColumn("_cw", sum(col("_c")).over(cum))
+            .withColumn("_n", sum(col("_c")).over(tot))
+            .where(col("_cw") * 2 >= col("_n"))
+            .groupBy(col("event_type"))
+            .agg(min(col(vCol)).as(out))
+        }
+        val e = Tables.load(s, dir, "events")
+          .select(col("event_type"), Tables.cents(col("value")).as("vc"))
+        val med = lowerMedian(e, "vc", "median_c")
+        val dev = e.join(broadcast(med), "event_type")
+          .select(col("event_type"),
+            abs(col("vc") - col("median_c")).as("dv"))
+        lowerMedian(dev, "dv", "mad_c")
+          .join(broadcast(med), "event_type")
+          .select(col("event_type"), col("median_c"), col("mad_c"))
+    },
+
     // Spearman ρ between value and arrival time per type (ClickHouse
     // rankCorr): integer 2×avg-ranks, exact int64 Pearson sufficient
     // stats, one fixed double tree at the end.
