@@ -219,6 +219,44 @@ object StatQueries {
         "event_type", "_bucket")
     },
 
+    // Benford first-digit profile (data-quality audit): observed
+    // first-significant-digit counts vs the Benford expectation
+    // log10(1+1/d), χ² terms e6-floored per digit (the q63 ladder) so
+    // the sum is integer. One scan, 9-row frame.
+    Q(
+      "q85_benford_profile",
+      """WITH e AS (
+        |  SELECT CAST(substr(CAST(CAST(round(value*100) AS BIGINT) AS VARCHAR), 1, 1)
+        |    AS BIGINT) AS d
+        |  FROM events WHERE CAST(round(value*100) AS BIGINT) > 0
+        |), o AS (
+        |  SELECT d, count(*) AS obs FROM e GROUP BY d
+        |), n AS (SELECT sum(obs) AS n FROM o),
+        |t AS (
+        |  SELECT o.d, o.obs, n.n,
+        |    CAST(n.n AS DOUBLE) * ln(1.0 + 1.0/o.d) / ln(10.0) AS exp
+        |  FROM o, n
+        |)
+        |SELECT d, CAST(obs AS BIGINT) AS obs,
+        |  CAST(floor(exp * 100) AS BIGINT) AS expected_c2,
+        |  CAST(floor((obs - exp)*(obs - exp)/exp * 1e6) AS BIGINT)
+        |    AS chi2_term_e6
+        |FROM t""".stripMargin) { (s, dir) =>
+      val vc = Tables.cents(col("value"))
+      val o = Tables.load(s, dir, "events")
+        .where(vc > 0)
+        .select(substring(vc.cast("string"), 1, 1).cast("long").as("d"))
+        .groupBy(col("d")).agg(count(lit(1)).as("obs"))
+      val n = o.agg(sum(col("obs")).as("n"))
+      val expCol = col("n").cast("double") *
+        log(lit(1.0) + lit(1.0) / col("d")) / log(lit(10.0))
+      o.crossJoin(broadcast(n))
+        .select(col("d"), col("obs"),
+          floor(expCol * 100).cast("long").as("expected_c2"),
+          floor((col("obs") - expCol) * (col("obs") - expCol) / expCol *
+            lit(1e6)).cast("long").as("chi2_term_e6"))
+    },
+
     // exact median absolute deviation (robust dispersion): the q52
     // integer-threshold lower median, applied twice — once over values,
     // once over |value − median| after a broadcast join of the 5-row
