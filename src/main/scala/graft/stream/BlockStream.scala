@@ -24,8 +24,10 @@ import graft.sink.Replacing
   *    per height bucket (K1/A5 → Replacing.idempotentWrite).
   *  - K2 commit cadence → trigger choice (AvailableNow drains a
   *    backlog; ProcessingTime for tailing).
-  *  - K3 async commit pipeline (≤3 in flight) → sequential foreachBatch
-  *    (idiomatic; Spark pipelines within the batch instead).
+  *  - K3 async commit pipeline (≤3 in flight) → concurrent per-table
+  *    writes inside one foreachBatch under a bounded pool
+  *    (MAX_COMMIT_HANDLERS = 3 parity); the batch boundary itself
+  *    commits synchronously so the checkpoint contract is unchanged.
   *  - K5 multi-table fan-out → one cached batch, N writes.
   */
 object BlockStream {
@@ -203,42 +205,80 @@ object BlockStream {
     * transactions table is written LAST so its cursor only advances once
     * the other three hold the batch (crash between writes re-runs;
     * duplicates collapse under dedupView). */
+  /** K3: the reference commits inserts asynchronously with ≤3 handlers
+    * in flight (click.rs MAX_COMMIT_HANDLERS = 3); the Spark analog
+    * runs ONE micro-batch's per-table sink writes concurrently under a
+    * bounded pool. The batch boundary still commits synchronously —
+    * foreachBatch returns (and the streaming checkpoint advances) only
+    * after every table write settles — retaining the reference's crash
+    * contract (an unacknowledged batch replays; writes are idempotent
+    * per height bucket, A5/K1) while the writes themselves overlap.
+    * The caller persists `txs`, so concurrent writers share one
+    * materialization instead of re-deriving the batch per table. All
+    * writes settle before the first failure propagates (no write left
+    * running into a restart); `skipCommit` stays sequential so the
+    * dry-run diagnostics print in table order. */
   private def writeTxTables(
       txs: Dataset[TxCorrelator.CompletedTx], outDir: String,
-      bucketStep: Long, skipCommit: Boolean = false): Unit = {
-    commit(skipCommit, "account_txs", TxFanout.accountTxs(txs)) { out =>
-      Replacing.retry() {
-        Replacing.appendWrite(
-          out, s"$outDir/account_txs",
-          "tx_block_height",
-          Seq("account_id", "tx_block_height", "transaction_hash"),
-          bloomCols = Seq("account_id"), step = bucketStep)
-      }
-    }
-    commit(skipCommit, "receipt_txs", TxFanout.receiptTxs(txs)) { out =>
-      Replacing.retry() {
-        Replacing.appendWrite(
-          out, s"$outDir/receipt_txs",
-          "tx_block_height", Seq("tx_block_height", "receipt_id"),
-          bloomCols = Seq("receipt_id"), step = bucketStep)
-      }
-    }
-    commit(skipCommit, "block_txs", TxFanout.blockTxs(txs)) { out =>
-      Replacing.retry() {
-        Replacing.appendWrite(
-          out, s"$outDir/block_txs",
-          "block_height", Seq("block_height", "transaction_hash"),
-          bloomCols = Seq("transaction_hash"), step = bucketStep)
-      }
-    }
-    commit(skipCommit, "transactions", TxFanout.transactions(txs)) { out =>
-      Replacing.retry() {
-        Replacing.appendWrite(
-          out, s"$outDir/transactions",
-          "tx_block_height", Seq("transaction_hash"),
-          bloomCols = Seq("transaction_hash", "signer_id"),
-          step = bucketStep)
-      }
+      bucketStep: Long, skipCommit: Boolean = false,
+      maxCommitHandlers: Int = 3): Unit = {
+    val writes: Seq[(String, () => Unit)] = Seq(
+      ("account_txs", () =>
+        commit(skipCommit, "account_txs", TxFanout.accountTxs(txs)) { out =>
+          Replacing.retry() {
+            Replacing.appendWrite(
+              out, s"$outDir/account_txs",
+              "tx_block_height",
+              Seq("account_id", "tx_block_height", "transaction_hash"),
+              bloomCols = Seq("account_id"), step = bucketStep)
+          }
+        }),
+      ("receipt_txs", () =>
+        commit(skipCommit, "receipt_txs", TxFanout.receiptTxs(txs)) { out =>
+          Replacing.retry() {
+            Replacing.appendWrite(
+              out, s"$outDir/receipt_txs",
+              "tx_block_height", Seq("tx_block_height", "receipt_id"),
+              bloomCols = Seq("receipt_id"), step = bucketStep)
+          }
+        }),
+      ("block_txs", () =>
+        commit(skipCommit, "block_txs", TxFanout.blockTxs(txs)) { out =>
+          Replacing.retry() {
+            Replacing.appendWrite(
+              out, s"$outDir/block_txs",
+              "block_height", Seq("block_height", "transaction_hash"),
+              bloomCols = Seq("transaction_hash"), step = bucketStep)
+          }
+        }),
+      ("transactions", () =>
+        commit(skipCommit, "transactions", TxFanout.transactions(txs)) { out =>
+          Replacing.retry() {
+            Replacing.appendWrite(
+              out, s"$outDir/transactions",
+              "tx_block_height", Seq("transaction_hash"),
+              bloomCols = Seq("transaction_hash", "signer_id"),
+              step = bucketStep)
+          }
+        }))
+    if (skipCommit || maxCommitHandlers <= 1) writes.foreach(_._2())
+    else {
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(maxCommitHandlers)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.util.{Failure, Try}
+        val settled = Await.result(
+          Future.sequence(writes.map { case (name, f) =>
+            Future(name -> Try(f()))
+          }), Duration.Inf)
+        settled.collectFirst { case (name, Failure(e)) =>
+          throw new RuntimeException(s"commit of $name failed", e)
+        }
+      } finally pool.shutdown()
     }
   }
 
