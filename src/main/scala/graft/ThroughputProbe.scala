@@ -44,6 +44,26 @@ object ThroughputProbe {
       time(s"$round distributed correlate") {
         DistributedCorrelator.correlate(BlockFixtures.df(spark, n)).count()
       }
+      // sink-bound fan-out: the four tx-table writes, sequential vs
+      // the K3 bounded commit pool — the number that justifies (or
+      // not) concurrent commits on this storage
+      for (handlers <- Seq(1, 3)) {
+        time(s"$round fan-out writes x$handlers") {
+          import Blocks.encoder
+          val txs = TxCorrelator.correlateBatch(
+            spark.createDataset(BlockFixtures.blocks(n))(encoder)).persist()
+          val c = txs.count()
+          val out = java.nio.file.Files
+            .createTempDirectory("graft-tp-sink").toString
+          try graft.stream.BlockStream.writeTxTablesForProbe(
+            txs, out, 1000L, maxCommitHandlers = handlers)
+          finally {
+            txs.unpersist()
+            graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(out))
+          }
+          c
+        }
+      }
     }
     spark.stop()
   }

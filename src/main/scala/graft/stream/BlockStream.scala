@@ -218,6 +218,15 @@ object BlockStream {
     * writes settle before the first failure propagates (no write left
     * running into a restart); `skipCommit` stays sequential so the
     * dry-run diagnostics print in table order. */
+  /** Probe-only door into [[writeTxTables]] (ThroughputProbe measures
+    * the sequential-vs-pooled fan-out; the pipeline itself always
+    * calls the private method). */
+  private[graft] def writeTxTablesForProbe(
+      txs: Dataset[TxCorrelator.CompletedTx], outDir: String,
+      bucketStep: Long, maxCommitHandlers: Int): Unit =
+    writeTxTables(txs, outDir, bucketStep,
+      maxCommitHandlers = maxCommitHandlers)
+
   private def writeTxTables(
       txs: Dataset[TxCorrelator.CompletedTx], outDir: String,
       bucketStep: Long, skipCommit: Boolean = false,
