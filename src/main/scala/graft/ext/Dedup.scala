@@ -258,6 +258,46 @@ object Dedup {
         vectors, idCol, vecCol, threshold, bands, planesPerBand,
         maxBucket, dim = dim)))
 
+  /** SemDeDup (Abbas et al., 2023): semantic dedup via k-means CELLS —
+    * the clustering-cell alternative to [[dedupCorpusByCosine]]'s
+    * sign-LSH banding. Vectors k-means-assign once (Similarity.ivfBuild
+    * — one distributed agg per Lloyd iteration, k×dim centroids to the
+    * driver), the candidate self-join keys on the CELL id (each vector
+    * lives in exactly one cell, so no cross-cell pair is ever scored —
+    * that is the paper's recall trade, bounded by cell granularity),
+    * pairs verify with the exact e6-rounded cosine, and the shared
+    * clusters → survivor tail picks max score / min id per dup group
+    * (the paper keeps the centroid-nearest member — pass a
+    * centroid-similarity score for that behavior). 100 TB shape: pick
+    * k ≈ N/targetCell so cells bound the join, and `maxCell` drops
+    * degenerate cells (the universal skew guard). Output: one row per
+    * surviving vector (keep_id, cluster_id, score, n_members). */
+  def semDedup(
+      vectors: DataFrame, idCol: String, vecCol: String, score: Column,
+      threshold: Double = 0.9, k: Int = 16, iters: Int = 3,
+      maxCell: Int = 1000, dim: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = Similarity
+      .ivfBuild(vectors, idCol, vecCol, k = k, iters = iters, dim = dim)
+      .assigned
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    assigned.count()
+    val capped = assigned
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("c"))))
+      .where(col("_n") <= maxCell)
+      .drop("_n")
+    val pairs = capped
+      .select(col("c"), col("id").as("id_a"), col("v").as("_va"))
+      .join(capped.select(col("c"), col("id").as("id_b"),
+        col("v").as("_vb")), Seq("c"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.cosine(col("_va"), col("_vb")), 6).as("_cos"))
+      .where(col("_cos") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    survivors(vectors, idCol, score, nearDupClusters(pairs))
+  }
+
   /** Survivor selection shared by the corpus-dedup compositions: one
     * row per cluster (max score, min id tiebreak); rows absent from
     * `clusters` are their own singleton clusters. */

@@ -504,6 +504,21 @@ object DedupQueries {
         minShared = 2, k = 3, w = 4, maxPostings = 1000)
     },
 
+    // SemDeDup: k-means-cell semantic dedup over the embedding corpus
+    // (the clustering-cell alternative to d11's sign-LSH banding; cell
+    // assignment is seeded k-means → rows-only, recall + planted-dup
+    // behavior spec-pinned).
+    Q.noOracle("d18_semdedup") { (s, dir) =>
+      // threshold 0.4 like d11: the synthetic corpus's most-similar
+      // pair is ~0.51, so a 0.9 threshold would test nothing
+      val emb = Tables.load(s, dir, "embeddings")
+      Dedup.semDedup(
+        emb, "vec_id", "embedding",
+        round(graft.ext.Similarity.norm(col("embedding")) * 1e6)
+          .cast("long"),
+        threshold = 0.4, k = 16, dim = Some(64))
+    },
+
     // edit-distance (fuzzy) near-dup pairs over 64-char normalized
     // heads. Uncapped postings here — the q-gram COUNT filter is
     // LOSSLESS for ≥ q·(maxDist+1)-char heads, so the oracle can be

@@ -277,6 +277,38 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 8, s"recall $recall/10 too low")
   }
 
+  test("semDedup: planted twins collapse to one survivor per base, " +
+    "distinct bases survive; oversized cells drop") {
+    val dim = 64
+    // 6 block-orthogonal bases (base c in coords [10c, 10c+9]); three
+    // get a near-identical twin (cos ~0.999). SemDeDup must keep one
+    // member per twin pair and every distinct base.
+    def mk(c: Int, eps: Double): Seq[Float] =
+      Seq.tabulate(dim)(i =>
+        if (i >= 10 * c && i < 10 * c + 10) (1.0 + (if (i == 10 * c) eps else 0)).toFloat
+        else 0f)
+    val rows =
+      (0 until 6).map(c => (c.toLong, mk(c, 0))) ++
+        (0 until 3).map(c => (100L + c, mk(c, 0.01)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(
+      df, "vec_id", "embedding", lit(1L), threshold = 0.9,
+      k = 4, dim = Some(dim))
+      .collect().map(r => r.getAs[Long]("keep_id")).toSet
+    assert(out.size === 6, s"got $out") // one survivor per base
+    // twins 0..2 collapsed: exactly one of {c, 100+c} survives
+    (0 until 3).foreach { c =>
+      assert(out.contains(c.toLong) ^ out.contains(100L + c),
+        s"base $c: $out")
+    }
+    // a tiny maxCell drops every cell -> no pairs -> all singletons
+    val loose = Dedup.semDedup(
+      df, "vec_id", "embedding", lit(1L), threshold = 0.9,
+      k = 4, maxCell = 1, dim = Some(dim))
+      .collect()
+    assert(loose.length === rows.size)
+  }
+
   test("cosineNearDupPairs finds planted high-cosine pairs, skips unrelated") {
     val dim = 64
     // 6 base vectors far apart; for 3 of them plant a near-identical
