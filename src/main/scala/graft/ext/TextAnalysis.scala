@@ -407,10 +407,14 @@ object TextAnalysis {
     * Shape: one shuffle reduces tokens to (slice, token) counts; the
     * rank window runs over the |vocab| frequency frame, never raw
     * tokens. Exactness ladder: ln(rank)/ln(freq) e6-floor to integers
-    * per VOCAB ROW, the OLS sufficient statistics sum those exact
-    * integers (|Σx²| < 2⁶³ to ~10⁹ vocab at ln ≤ 21), and the slope is
-    * one fixed double tree. Rank ties break by token ASC so both
-    * engines rank identically. Output: (slice, vocab, total_tokens,
+    * per VOCAB ROW (x ≤ 1e6·ln V ≈ 2×10⁷, so the per-row product x²
+    * ≤ 4×10¹⁴ fits int64), and the sufficient-statistic SUMS go
+    * through Decimal(38,0) — Σx² ≈ 10¹²·V·ln²V passes 2⁶³ at only
+    * ~7×10⁴ vocab, well inside real web-text vocabularies, and the
+    * DuckDB oracle sums in HUGEINT, so a long sum would silently wrap
+    * on the Spark side only. The slope is one fixed double tree over
+    * the exact sums. Rank ties break by token ASC so both engines rank
+    * identically. Output: (slice, vocab, total_tokens,
     * zipf_slope_e6). */
   def zipfSlope(
       docs: org.apache.spark.sql.DataFrame, sliceCol: String,
@@ -428,10 +432,13 @@ object TextAnalysis {
       .select(col("slice"), col("c"),
         floor(lit(1e6) * log(col("rk").cast("double"))).cast("long").as("x"),
         floor(lit(1e6) * log(col("c").cast("double"))).cast("long").as("y"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val m = p.groupBy(col("slice"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"), sum(col("c")).as("tot"))
+        sum(col("y")).as("sy"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"),
+        sum(col("c")).as("tot"))
     val nd = col("n").cast("double")
     m.select(col("slice"), col("n").as("vocab"),
       col("tot").as("total_tokens"),

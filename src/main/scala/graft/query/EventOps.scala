@@ -77,9 +77,8 @@ object EventOps {
         if (mode == "base")
           pin(e.join(acc, Seq(userCol))
             .groupBy(col(userCol) +: carried: _*)
-            .agg(min(when(col("_ty") === step &&
-              col("_us") > prev && col("_us") <= col("_t0") + windowUs,
-              col("_us"))).as(s"_t$i")))
+            .agg(rawT) // shared match predicate with the strict modes
+            .withColumnRenamed("_raw", s"_t$i"))
         else {
           val breaker =
             if (mode == "strict_order")
@@ -381,7 +380,12 @@ object EventOps {
     * (group, time-bucket) with per-bucket offsets stitched by a tiny
     * prefix sum, exact by construction (q59 hash-matches this
     * operator's oracle). */
-  def maxConcurrent(
+  /** The +1/−1 boundary sweep shared by [[maxConcurrent]] and
+    * [[maxConcurrentPosition]]: half-open intervals (an end at the
+    * same µs as a start sorts FIRST via the _tie column), running sum
+    * of deltas = live overlap at each boundary. One definition so the
+    * two operators can never desynchronize their tie convention. */
+  private def boundarySweep(
       events: DataFrame, groupCol: String, tsCol: String,
       durationUs: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -395,9 +399,14 @@ object EventOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     starts.unionByName(ends)
       .withColumn("_live", sum(col("_d")).over(w))
+  }
+
+  def maxConcurrent(
+      events: DataFrame, groupCol: String, tsCol: String,
+      durationUs: Long): DataFrame =
+    boundarySweep(events, groupCol, tsCol, durationUs)
       .groupBy(col(groupCol))
       .agg(max(col("_live")).as("max_concurrent"))
-  }
 
   /** ClickHouse `maxIntersectionsPosition` companion to
     * [[maxConcurrent]]: the FIRST sweep position (µs) at which the
@@ -410,16 +419,7 @@ object EventOps {
       events: DataFrame, groupCol: String, tsCol: String,
       durationUs: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val starts = events.select(col(groupCol), col(tsCol).as("_t"),
-      lit(1L).as("_d"), lit(1).as("_tie"))
-    val ends = events.select(col(groupCol),
-      (col(tsCol) + durationUs).as("_t"), lit(-1L).as("_d"),
-      lit(0).as("_tie"))
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(col("_t"), col("_tie"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    starts.unionByName(ends)
-      .withColumn("_live", sum(col("_d")).over(w))
+    boundarySweep(events, groupCol, tsCol, durationUs)
       .withColumn("_mx",
         max(col("_live")).over(Window.partitionBy(col(groupCol))))
       .where(col("_live") === col("_mx") && col("_d") === 1L)

@@ -170,8 +170,16 @@ object Stats {
     var w = BigInt(0); var b = BigInt(0); var n = 0L
     var epoch = 0
     while (epoch < epochs && (epoch == 0 || n > 0)) {
-      val err = (lit(w.toLong) * col("_x") + lit(b.toLong) - col("_y6"))
-        .cast(DecimalType(38, 0))
+      // exact-or-fail: the whole error term evaluates in Decimal(38,0)
+      // (a Long-domain w·x would silently wrap for large weights or
+      // features while the HUGEINT oracle stays exact), and a weight
+      // outside Long range fails loudly instead of truncating
+      require(w.isValidLong && b.isValidLong,
+        s"gdLinearRegression diverged: w=$w b=$b — lower the learning rate")
+      val err = lit(w.toLong).cast(DecimalType(38, 0)) *
+        col("_x").cast(DecimalType(38, 0)) +
+        lit(b.toLong).cast(DecimalType(38, 0)) -
+        col("_y6").cast(DecimalType(38, 0))
       val row = d.agg(
         sum(err * col("_x").cast(DecimalType(38, 0))).as("gw"),
         sum(err).as("gb"), count(lit(1)).as("n")).head()

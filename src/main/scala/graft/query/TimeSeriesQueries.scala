@@ -416,7 +416,9 @@ object TimeSeriesQueries {
     // per-type hourly totals, trailing-3 window sums rendered as the
     // ordered array the ClickHouse aggregate would return (the q46
     // sort-then-render discipline; avg uses ClickHouse's integer
-    // division by the window SIZE, not the element count). The window
+    // division by the window SIZE, not the element count — Spark
+    // `div`, DuckDB `//`, and ClickHouse intDiv all truncate toward
+    // zero, so the three agree on negative sums too). The window
     // runs over the hourly-totals frame (|hours| rows), never raw rows.
     Q(
       "q72_moving_aggs",

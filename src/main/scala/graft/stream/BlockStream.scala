@@ -217,7 +217,17 @@ object BlockStream {
     * materialization instead of re-deriving the batch per table. All
     * writes settle before the first failure propagates (no write left
     * running into a restart); `skipCommit` stays sequential so the
-    * dry-run diagnostics print in table order. */
+    * dry-run diagnostics print in table order.
+    *
+    * ORDERING INVARIANT: `transactions` is the RESTART-CURSOR table
+    * ([[sinkCursor]] over last_block_height feeds the replay skip
+    * filter), so it must commit ONLY after every sibling table holds
+    * the batch — otherwise a crash between commits advances the cursor
+    * past rows the siblings never got, and the replay filter drops
+    * them forever. The pool therefore runs the three sibling writes
+    * concurrently (3 in-flight handlers — the reference's
+    * MAX_COMMIT_HANDLERS exactly) and writes `transactions` last,
+    * sequentially, exactly like the pre-pool code. */
   /** Probe-only door into [[writeTxTables]] (ThroughputProbe measures
     * the sequential-vs-pooled fan-out; the pipeline itself always
     * calls the private method). */
@@ -270,6 +280,7 @@ object BlockStream {
               step = bucketStep)
           }
         }))
+    val (cursorTable, siblings) = (writes.last, writes.init)
     if (skipCommit || maxCommitHandlers <= 1) writes.foreach(_._2())
     else {
       val pool = java.util.concurrent.Executors
@@ -281,13 +292,15 @@ object BlockStream {
         import scala.concurrent.duration.Duration
         import scala.util.{Failure, Try}
         val settled = Await.result(
-          Future.sequence(writes.map { case (name, f) =>
+          Future.sequence(siblings.map { case (name, f) =>
             Future(name -> Try(f()))
           }), Duration.Inf)
         settled.collectFirst { case (name, Failure(e)) =>
           throw new RuntimeException(s"commit of $name failed", e)
         }
       } finally pool.shutdown()
+      // cursor table LAST — only after every sibling holds the batch
+      cursorTable._2()
     }
   }
 
