@@ -150,6 +150,16 @@ object ScaleProbe {
               .cast("long"),
             threshold = 0.9).count()
         }
+        // SemDeDup: k-means cells bound the candidate join; k scales
+        // with corpus size to pin the average cell at ~targetCell
+        time(s"$label semDedup") {
+          val k = math.max(4, (v.count() / 128).toInt)
+          graft.ext.Dedup.semDedup(
+            v, "vec_id", "embedding",
+            round(graft.ext.Similarity.norm(col("embedding")) * 1e6)
+              .cast("long"),
+            threshold = 0.9, k = k, dim = Some(64)).count()
+        }
       }
       // q39/q40 event sweeps: per-user lag automaton scales with user
       // count; the interval sweep's parallelism is bounded by the

@@ -215,6 +215,36 @@ object Similarity {
     array_max(array(scored: _*)).getField("idx")
   }
 
+  /** Cell assignment for a `(id, v)` frame. Two physical shapes with
+    * IDENTICAL semantics (same (score, idx) struct-max, so equal
+    * scores break to the higher index on both paths — spec-pinned):
+    * small k inlines the [[nearestCentroid]] expression tree (zero
+    * joins, fully codegen'd); large k would blow that tree past the
+    * JIT/codegen method limit (k literal arrays × k struct
+    * comparisons — measured 10× slower at k≈150 when codegen falls
+    * back to interpreted), so it switches to a BROADCAST join against
+    * the k-row centroid table: N×k skinny scored rows, struct-max per
+    * id, join back — still no shuffle of vectors. */
+  private[graft] def assignCells(
+      base: DataFrame, cents: Seq[Seq[Double]],
+      inlineLimit: Int = 32): DataFrame =
+    if (cents.size <= inlineLimit)
+      base.withColumn("c", nearestCentroid(col("v"), cents))
+    else {
+      val spark = base.sparkSession
+      val cdf = spark.createDataFrame(
+        cents.zipWithIndex.map { case (c, i) => (i, c) })
+        .toDF("_ci", "_cv")
+      val assigned = base
+        .crossJoin(broadcast(cdf))
+        .select(col("id"),
+          struct((dot(col("v"), col("_cv")) / norm(col("v")))
+            .as("score"), col("_ci").as("idx")).as("_s"))
+        .groupBy(col("id"))
+        .agg(max(col("_s")).getField("idx").as("c"))
+      base.join(assigned, "id")
+    }
+
   def ivfBuild(
       vectors: DataFrame, idCol: String, vecCol: String,
       k: Int = 16, iters: Int = 3, seed: Long = 42L,
@@ -234,7 +264,7 @@ object Similarity {
     for (_ <- 0 until iters) {
       // assign + per-cluster mean: one distributed pass, k×dim doubles
       // back to the driver
-      val assigned = base.withColumn("c", nearestCentroid(col("v"), cents))
+      val assigned = assignCells(base, cents)
       val sums = assigned
         .groupBy("c")
         .agg(
@@ -250,7 +280,7 @@ object Similarity {
       }.toMap
       cents = cents.indices.map(i => updated.getOrElse(i, cents(i)))
     }
-    IvfIndex(cents, base.withColumn("c", nearestCentroid(col("v"), cents)))
+    IvfIndex(cents, assignCells(base, cents))
   }
 
   /** ANN top-k through an IVF index: rank only vectors in the `nProbe`

@@ -277,6 +277,20 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 8, s"recall $recall/10 too low")
   }
 
+  test("assignCells: inline expression tree and broadcast-join path " +
+    "produce identical assignments (tie to the higher index)") {
+    val rnd = new scala.util.Random(47)
+    val base = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat))
+    }.toDF("id", "v")
+    val cents = Seq.fill(12)(Seq.fill(16)(rnd.nextGaussian()))
+    val inline = Similarity.assignCells(base, cents, inlineLimit = 32)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("c")).toMap
+    val joined = Similarity.assignCells(base, cents, inlineLimit = 1)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("c")).toMap
+    assert(inline === joined)
+  }
+
   test("semDedup: planted twins collapse to one survivor per base, " +
     "distinct bases survive; oversized cells drop") {
     val dim = 64

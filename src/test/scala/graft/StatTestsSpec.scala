@@ -161,6 +161,40 @@ class StatTestsSpec extends SparkSpec {
     assert(math.abs(out("B").getAs[Long]("woe_e6") - math.floor(woeB * 1e6)) <= 1)
   }
 
+  test("theilsU property: matches a direct entropy computation on " +
+    "random contingency tables") {
+    import org.apache.spark.sql.functions.col
+    import org.scalacheck.Gen
+    val genTable: Gen[Seq[(String, Int)]] = for {
+      rows <- Gen.choose(50, 300)
+      nA <- Gen.choose(2, 5)
+      nB <- Gen.choose(2, 6)
+      cells <- Gen.listOfN(rows, Gen.zip(
+        Gen.choose(0, nA - 1), Gen.choose(0, nB - 1)))
+    } yield cells.map { case (a, b) => (s"a$a", b) }
+    PropertySampling.forAllSeeded(genTable, n = 10) { rows =>
+      val r = StatTests.theilsU(rows.toDF("a", "b"), col("a"), col("b"))
+        .collect().head
+      val n = rows.size.toDouble
+      def h(counts: Iterable[Int]): Double =
+        math.log(n) - counts.map(c => c * math.log(c)).sum / n
+      val hA = h(rows.groupBy(_._1).values.map(_.size))
+      val hBsum = rows.groupBy(_._2).values.map(_.size)
+        .map(c => c * math.log(c)).sum
+      val hABsum = rows.groupBy(identity).values.map(_.size)
+        .map(c => c * math.log(c)).sum
+      val hCond = (hBsum - hABsum) / n
+      // e6-floored ladder vs direct doubles: a few micro-nats of slack
+      assert(math.abs(r.getAs[Long]("h_a_e6") - hA * 1e6) < 10,
+        s"hA rows=${rows.size}")
+      assert(math.abs(r.getAs[Long]("h_cond_e6") - hCond * 1e6) < 10)
+      if (hA > 1e-9) {
+        val u = (hA - hCond) / hA
+        assert(math.abs(r.getAs[Long]("theils_u_e6") - u * 1e6) < 100)
+      }
+    }
+  }
+
   test("degenerate inputs: constant-column Spearman and single-category " +
     "Theil's U are null, empty-input GD regression returns zeros") {
     import org.apache.spark.sql.functions.col
