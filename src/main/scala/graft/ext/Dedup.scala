@@ -516,27 +516,43 @@ object Dedup {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
-  /** Per-token 64-bit hashes — computed once per document; shingle
-    * identity derives from these, never from re-concatenated strings. */
+  /** Portable 60-bit hash of a string column — the t5 md5 idiom
+    * (`conv(substr(md5(x),1,15),16,10)` ≡ DuckDB
+    * `('0x'||substr(md5(x),1,15))::BIGINT`). 15 hex digits = 60 bits
+    * keeps it positive in a BIGINT on every engine. The whole dedup
+    * family keys on THIS hash rather than xxhash64 so an independent
+    * engine can replay the full LSH pipeline (band hashes, bucket
+    * collisions, candidate pairs) — that's what flips d3/d4 from
+    * rows-only to hash-oracled. */
+  def pmd5(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Per-token 60-bit PORTABLE hashes — computed once per document;
+    * shingle identity derives from these, never from re-concatenated
+    * strings. */
   def tokenHashes(text: Column): Column =
-    transform(tokens(text), t => xxhash64(t))
+    transform(tokens(text), t => pmd5(t))
 
   /** Distinct w-shingle hashes from a token-hash ARRAY COLUMN: shingle
-    * hash = xxhash64 of w consecutive token hashes. `th` must be a
-    * materialized column reference, not an inline expression — an
-    * inlined token-hash subtree would be re-evaluated w times per
-    * shingle position (the string-shingle formulation re-ran the regex
-    * split ~3×|shingles| per row; measured ~8 s / 5k docs — the single
-    * dominant cost of the whole dedup family). */
+    * hash = portable md5 of the w consecutive token hashes rendered as
+    * a comma-joined decimal string (cast long→string is
+    * engine-identical). `th` must be a materialized column reference,
+    * not an inline expression — an inlined token-hash subtree would be
+    * re-evaluated w times per shingle position (the string-shingle
+    * formulation re-ran the regex split ~3×|shingles| per row; measured
+    * ~8 s / 5k docs — the single dominant cost of the whole dedup
+    * family). Fewer-than-w tokens hash the whole token-hash array as
+    * one shingle (d5's oracle CASE arm). */
   def shingleHashArray(th: Column, w: Int = 3): Column =
     array_distinct(
       when(
         size(th) >= w,
         transform(
           sequence(lit(1), size(th) - (w - 1)),
-          i => xxhash64((0 until w).map(o => element_at(th, i + o)): _*)))
+          i => pmd5(concat_ws(",",
+            (0 until w).map(o => element_at(th, i + o).cast("string")): _*))))
         .otherwise(array(
-          aggregate(th, lit(0L), (acc, x) => xxhash64(acc, x)))))
+          pmd5(array_join(transform(th, _.cast("string")), ",")))))
 
   /** Distinct shingle hashes straight from text (test/one-shot use; the
     * pipelines go through [[tokenHashes]] + [[shingleHashArray]] in two
@@ -549,6 +565,26 @@ object Dedup {
   // array formulation it replaced nested k array traversals into a
   // single projection, a codegen blowup that fell back to interpreted
   // eval)
+
+  /** Deterministic constants for the k minhash functions
+    * h_i(g) = (a_i·(g mod 2³¹) + b_i) mod (2⁶¹−1) — an affine family
+    * over a prime field, the classic (a,b) minwise scheme. a_i < 2³¹
+    * and g mod 2³¹ < 2³¹ keep the product under 2⁶² (no BIGINT
+    * overflow on any engine, no ANSI trip). Constants derive from md5
+    * of a fixed label, not an RNG, so the identical literals inline
+    * into both the Spark plan and the DuckDB oracle SQL. */
+  object PortableHash {
+    val P61: Long = (1L << 61) - 1
+    val M31: Long = 1L << 31
+    private def md5Long(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      BigInt(1, d.take(8)).toLong & Long.MaxValue
+    }
+    def affine(k: Int): IndexedSeq[(Long, Long)] =
+      (0 until k).map(i =>
+        (md5Long(s"mh-a-$i") % (M31 - 1) + 1, md5Long(s"mh-b-$i") % M31))
+  }
 
   /** Exact Jaccard between two set-valued (distinct) arrays. */
   def jaccard(a: Column, b: Column): Column =
@@ -632,16 +668,20 @@ object Dedup {
   private def minhashBandsAgg(
       inverted: DataFrame, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
+    val ab = PortableHash.affine(k)
+    def h(i: Int) =
+      (lit(ab(i)._1) * col("g31") + lit(ab(i)._2)) % lit(PortableHash.P61)
     inverted
+      .select(col("id"), (col("g") % lit(PortableHash.M31)).as("g31"))
       .groupBy("id")
       .agg(
-        min(xxhash64(lit(0), col("g"))).as("h0"),
-        (1 until k).map(i => min(xxhash64(lit(i), col("g"))).as(s"h$i")) :+
+        min(h(0)).as("h0"),
+        (1 until k).map(i => min(h(i)).as(s"h$i")) :+
           count(lit(1)).as("n"): _*)
       .select(col("id") +: col("n") +:
         (0 until bands).map(b =>
-          xxhash64(concat_ws(",",
-            (0 until rows).map(r => col(s"h${b * rows + r}")): _*))
+          pmd5(concat_ws(",",
+            (0 until rows).map(r => col(s"h${b * rows + r}").cast("string")): _*))
             .as(s"bh$b")): _*)
   }
 

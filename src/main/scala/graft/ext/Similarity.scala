@@ -583,8 +583,15 @@ object Similarity {
     * survive 100 TB. Clamped to [1, 24] (2^24 buckets ≫ any real corpus
     * needs; ≥1 so tiny corpora still bucket). */
   def derivePlanesPerBand(n: Long, targetBucket: Int = 64): Int = {
-    val buckets = math.max(n, 1L).toDouble / math.max(targetBucket, 1)
-    math.min(24, math.max(1, math.ceil(math.log(buckets) / math.log(2)).toInt))
+    // integer-exact formulation of ceil(log2(n/target)): smallest p with
+    // 2^p >= ceil(n/target). Equal to the double-log form everywhere the
+    // double doesn't round across an integer, and — the point — exactly
+    // replayable by an independent SQL engine (the d6/d11 oracles compute
+    // the same p from count(*) with integer CASE arms, no log2 calls).
+    val t = math.max(targetBucket, 1)
+    val c = (math.max(n, 1L) + t - 1) / t
+    val p = 64 - java.lang.Long.numberOfLeadingZeros(math.max(c - 1, 1L))
+    math.min(24, math.max(1, p))
   }
 
   /** All near-duplicate pairs with cosine >= threshold, via banded
@@ -666,7 +673,12 @@ object Similarity {
       .dropDuplicates("id_a", "id_b")
       .join(raw.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
       .join(raw.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
-      .withColumn("cos_sim", round(cosine(col("v_a"), col("v_b")), 6))
+      // RAW cosine, threshold on the raw double: the fold order of
+      // VectorDot (sequential i=0..n-1 in double) is replayable by an
+      // independent engine's list_reduce, so the comparison — and any
+      // e6 floor a caller applies — is bit-identical cross-engine.
+      // (A round(.,6) here would re-introduce decimal-tie semantics.)
+      .withColumn("cos_sim", cosine(col("v_a"), col("v_b")))
       .where(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
