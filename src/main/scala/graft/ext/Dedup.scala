@@ -14,16 +14,18 @@ import org.apache.spark.storage.StorageLevel
   *    band_hash) buckets carrying ids only — the shuffle is |docs|×bands
   *    skinny rows, never |docs|² pairs. Oversized buckets (degenerate
   *    content) are capped to bound any single reducer.
-  *  - SimHash: 64-bit signature via per-token bit voting, candidates via
-  *    16-bit chunk collision (pigeonhole: any pair within Hamming
+  *  - SimHash: 60-bit signature via per-token bit voting, candidates via
+  *    15-bit chunk collision (pigeonhole: any pair within Hamming
   *    distance 3 shares ≥1 of 4 chunks), verified with bit_count(xor).
   *  - n-gram Jaccard: exact, via inverted-index join; the similarity is
   *    computed from SHARED-SHINGLE COUNTS — `|A∩B| = count of posting
   *    collisions`, `J = shared/(|A|+|B|−shared)` — so document content
   *    is never re-shuffled for verification.
   *
-  * Shingles are hashed to 64-bit longs immediately (xxhash64): all
-  * joins/aggregations move fixed-width longs, not text. Signature
+  * Shingles are hashed to portable 60-bit longs immediately ([[pmd5]],
+  * the first 15 hex digits of md5): all joins/aggregations move
+  * fixed-width longs, not text, and an independent SQL engine can
+  * replay every hash. Signature
   * frames are persisted (MEMORY_AND_DISK) because every self-join would
   * otherwise recompute the full signature projection on both sides;
   * they are small (|docs| × k longs). The cleanup contract is
@@ -567,23 +569,35 @@ object Dedup {
   // eval)
 
   /** Deterministic constants for the k minhash functions
-    * h_i(g) = (a_i·(g mod 2³¹) + b_i) mod (2⁶¹−1) — an affine family
-    * over a prime field, the classic (a,b) minwise scheme. a_i < 2³¹
-    * and g mod 2³¹ < 2³¹ keep the product under 2⁶² (no BIGINT
-    * overflow on any engine, no ANSI trip). Constants derive from md5
-    * of a fixed label, not an RNG, so the identical literals inline
-    * into both the Spark plan and the DuckDB oracle SQL. */
+    * h_i(g) = ((a_i·u) mod p + (b_i·v) mod p + c_i) mod p over the
+    * Mersenne prime p = 2³¹−1, where u = g div 2³⁰ and v = g mod 2³⁰
+    * split the full 60-bit shingle hash into two uniform 30-bit halves
+    * — a genuinely linear 2-universal family over F_p² that consumes
+    * ALL 60 gram bits. Each product stays under 2⁶¹ (a_i < 2³¹,
+    * u,v < 2³⁰) and each intermediate mod keeps the sum under 3·2³¹,
+    * so no BIGINT overflow on any engine, no ANSI trip. (The previous
+    * single-variable form truncated g to 31 bits and wrapped the 2⁶¹−1
+    * modulus at most once, making h_i a two-piece monotone map of the
+    * SAME g31 for every i — argmins were correlated across the k
+    * functions and one unlucky changed-shingle minimum killed all 16
+    * bands at once: the deterministic planted-pair recall break.)
+    * Constants derive from md5 of a fixed label, not an RNG, so the
+    * identical literals inline into both the Spark plan and the DuckDB
+    * oracle SQL. */
   object PortableHash {
-    val P61: Long = (1L << 61) - 1
-    val M31: Long = 1L << 31
+    val P31: Long = (1L << 31) - 1
+    val M30: Long = 1L << 30
     private def md5Long(s: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8"))
       BigInt(1, d.take(8)).toLong & Long.MaxValue
     }
-    def affine(k: Int): IndexedSeq[(Long, Long)] =
+    /** (a_i, b_i, c_i): a,b uniform in [1,p), c in [0,p). */
+    def affine(k: Int): IndexedSeq[(Long, Long, Long)] =
       (0 until k).map(i =>
-        (md5Long(s"mh-a-$i") % (M31 - 1) + 1, md5Long(s"mh-b-$i") % M31))
+        (md5Long(s"mh-a-$i") % (P31 - 1) + 1,
+          md5Long(s"mh-b-$i") % (P31 - 1) + 1,
+          md5Long(s"mh-c-$i") % P31))
   }
 
   /** Exact Jaccard between two set-valued (distinct) arrays. */
@@ -660,7 +674,7 @@ object Dedup {
   /** MinHash band hashes + set sizes in ONE aggregation pass over the
     * inverted frame, emitted as SCALAR columns (id, n, bh0..bh{B-1}).
     * Three wins over the array formulation: every expression stays tiny
-    * (one xxhash64 + min each → codegen, map-side partial agg); the set
+    * (two mulmods + min each → codegen, map-side partial agg); the set
     * size rides the same shuffle (no second aggregation for the
     * verifier); and a scalar frame persists almost for free where the
     * array<long> signature form costs seconds of columnar cache build
@@ -669,10 +683,14 @@ object Dedup {
       inverted: DataFrame, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
     val ab = PortableHash.affine(k)
+    val p = lit(PortableHash.P31)
     def h(i: Int) =
-      (lit(ab(i)._1) * col("g31") + lit(ab(i)._2)) % lit(PortableHash.P61)
+      ((lit(ab(i)._1) * col("u")) % p + (lit(ab(i)._2) * col("v")) % p +
+        lit(ab(i)._3)) % p
     inverted
-      .select(col("id"), (col("g") % lit(PortableHash.M31)).as("g31"))
+      .select(col("id"),
+        shiftright(col("g"), 30).as("u"), // exact: g is a positive 60-bit long
+        (col("g") % lit(PortableHash.M30)).as("v"))
       .groupBy("id")
       .agg(
         min(h(0)).as("h0"),
@@ -704,27 +722,36 @@ object Dedup {
 
   // ---- SimHash ----------------------------------------------------------
 
-  /** 64-bit SimHash: per-token 64-bit hash votes +1/-1 per bit position;
-    * sign of the per-bit sum forms the signature. Order-insensitive.
-    * Folds over [[tokenHashes]] so each token is hashed ONCE — the bit
-    * lambda sees the already-hashed long (an inlined xxhash64(t) there
-    * would re-hash the token once per bit, 64× the work). */
+  /** Signature width = the informative width of [[pmd5]] (60 bits, 15
+    * hex digits of md5). Votes beyond bit 59 would always see 0 —
+    * bits 60–63 of every signature would be constant — so the
+    * signature, the Hamming distances, and the pigeonhole blocking all
+    * run explicitly 60-bit (4 chunks × 15 bits). */
+  val SimhashBits = 60
+  private val SimhashChunkBits = SimhashBits / 4 // 15-bit chunks, ≤3 recall
+
+  /** 60-bit SimHash: per-token 60-bit [[pmd5]] hash votes +1/−1 per bit
+    * position; sign of the per-bit sum forms the signature.
+    * Order-insensitive. Folds over [[tokenHashes]] so each token is
+    * hashed ONCE — the bit lambda sees the already-hashed long (an
+    * inlined pmd5(t) there would re-hash the token once per bit, 60×
+    * the work). */
   def simhash(text: Column): Column = simhashFromTokenHashes(tokenHashes(text))
 
   def simhashFromTokenHashes(th: Column): Column = {
     val votes = aggregate(
       th,
-      array_repeat(lit(0), 64),
+      array_repeat(lit(0), SimhashBits),
       (acc, h) => zip_with(
         acc,
         transform(
-          sequence(lit(0), lit(63)),
+          sequence(lit(0), lit(SimhashBits - 1)),
           b => when(call_function("shiftright", h, b)
             .bitwiseAND(1) === 1, 1).otherwise(-1)),
         (a, v) => a + v))
     aggregate(
       zip_with(
-        votes, sequence(lit(0), lit(63)),
+        votes, sequence(lit(0), lit(SimhashBits - 1)),
         (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b))
           .otherwise(0L)),
       lit(0L),
@@ -733,11 +760,11 @@ object Dedup {
 
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash signatures via exploded token hashes + 64 tiny vote sums —
+  /** SimHash signatures via exploded token hashes + 60 tiny vote sums —
     * the same shape rationale as [[minhashBandsAgg]]: the one-expression
-    * [[simhash]] nests a 64-wide lambda fold per token that evaluates
+    * [[simhash]] nests a 60-wide lambda fold per token that evaluates
     * interpreted; this form is a codegen'd partial aggregation (the
-    * shuffle moves (id, 64 ints)), identical bit-for-bit because the
+    * shuffle moves (id, 60 ints)), identical bit-for-bit because the
     * per-bit vote sum is order-insensitive integer math. */
   private def simhashSigsAgg(
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -747,17 +774,17 @@ object Dedup {
     docs
       .select(col(idCol).as("id"), explode(tokenHashes(col(textCol))).as("th"))
       .groupBy("id")
-      .agg(vote(0), (1 until 64).map(vote): _*)
+      .agg(vote(0), (1 until SimhashBits).map(vote): _*)
       .select(
         col("id"),
-        (0 until 64)
+        (0 until SimhashBits)
           .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
           .reduce((a, b) => a.bitwiseOR(b))
           .as("sig"))
   }
 
   /** SimHash near-dup pairs within Hamming distance `maxDist` (≤ 3 for
-    * guaranteed recall via the 4×16-bit pigeonhole), verified by
+    * guaranteed recall via the 4×15-bit pigeonhole), verified by
     * popcount(xor) — signatures are single longs, so both sides of the
     * chunk join move 16 bytes per row. */
   def simhashPairs(
@@ -771,7 +798,8 @@ object Dedup {
       explode(array((0 until 4).map(c =>
         struct(
           lit(c).as("chunk"),
-          shiftright(col("sig"), c * 16).bitwiseAND(0xFFFF).as("ch"))): _*))
+          shiftright(col("sig"), c * SimhashChunkBits)
+            .bitwiseAND((1 << SimhashChunkBits) - 1).as("ch"))): _*))
         .as("c"))
       .select(col("id"), col("sig"), col("c.chunk").as("chunk"), col("c.ch").as("ch"))
     chunked.select(col("chunk"), col("ch"), col("id").as("id_a"), col("sig").as("sig_a"))

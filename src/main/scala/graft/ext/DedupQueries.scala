@@ -118,7 +118,7 @@ object DedupQueries {
     // DuckDB brute-forces all |docs|² shingle-set intersections (fine at
     // oracle scale; the Spark side never materializes pairs without a
     // shared shingle). Hash-vs-string shingle identity coincides up to
-    // xxhash64 collisions (~1e-10 at this corpus size).
+    // pmd5 (60-bit md5) collisions (~1e-9 at this corpus size).
     Q(
       "d5_ngram_jaccard_pairs",
       """WITH t AS (
