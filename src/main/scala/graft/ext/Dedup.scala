@@ -524,8 +524,8 @@ object Dedup {
     * keeps it positive in a BIGINT on every engine. The whole dedup
     * family keys on THIS hash rather than xxhash64 so an independent
     * engine can replay the full LSH pipeline (band hashes, bucket
-    * collisions, candidate pairs) — that's what flips d3/d4 from
-    * rows-only to hash-oracled. */
+    * collisions, candidate pairs) — the substrate behind the d3/d4
+    * full-replay DuckDB oracles in DedupQueries. */
   def pmd5(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
