@@ -260,10 +260,15 @@ object TextQueries {
 
     // distributed BPE tokenizer training: word-frequency table + one
     // pair-count aggregation per merge round (only the argmax pair
-    // reaches the driver). Iterative + engine-specific tie-breaks →
-    // rows-only; equality with a pure reference trainer is pinned by
-    // BpeSpec.
-    Q.noOracle("t11_bpe_train") { (s, dir) =>
+    // reaches the driver). CONSTRUCTIVE oracle (the q77 unrolled-round
+    // idiom): each round replays pair counting, the deterministic
+    // argmax (freq desc, pair lexicographic — both engines compare
+    // strings as binary UTF-8), and the greedy left-to-right merge
+    // fold via gaps-and-islands (runs of consecutive overlapping
+    // matches keep even offsets). Early stop (max pair freq < 2)
+    // propagates as an empty per-round merge CTE. Equality with a
+    // pure reference trainer is additionally pinned by BpeSpec.
+    Q("t11_bpe_train", bpeOracleSql(12)) { (s, dir) =>
       val merges = Bpe.train(
         Tables.load(s, dir, "documents"), "text", numMerges = 12)
       import s.implicits._
@@ -745,4 +750,81 @@ object TextQueries {
         .withColumnRenamed("slice", "source")
     }
   )
+
+  /** Constructive DuckDB replay of [[Bpe.train]] — `rounds` unrolled
+    * merge rounds over the (word, symbols, freq) vocab. Per round k:
+    * `p_k` counts adjacent symbol pairs weighted by word freq; `m_k` is
+    * the deterministic argmax (freq desc, then pair lexicographic;
+    * empty when the max count drops under minFreq=2 — and it STAYS
+    * empty every later round because the vocab then passes through
+    * unchanged, the Spark trainer's early-stop); `v_k` applies the
+    * merge greedily left-to-right. Greedy-with-overlap replays as
+    * gaps-and-islands: matched positions form runs of consecutive
+    * indexes (overlap is only possible at stride 1), and the greedy
+    * fold keeps exactly the even offsets within each run; a position
+    * whose predecessor merged is consumed (pmg filter). Every `v_k` is
+    * `AS MATERIALIZED`: each is referenced twice (pair counting and the
+    * next merge application), and CTE inlining would re-expand the
+    * whole chain 2^rounds times. */
+  private def bpeOracleSql(rounds: Int): String = {
+    val base =
+      """WITH words AS (
+        |  SELECT w, count(*) AS freq FROM (
+        |    SELECT unnest(string_split_regex(trim(text), ' +')) AS w
+        |    FROM documents)
+        |  WHERE len(w) > 0 GROUP BY w
+        |), v0 AS MATERIALIZED (
+        |  SELECT w, string_split(w, '') AS symbols, freq FROM words
+        |)""".stripMargin
+    val steps = (1 to rounds).map { k =>
+      s""", p$k AS (
+         |  SELECT u.a AS a, u.b AS b, sum(freq) AS n
+         |  FROM (SELECT unnest(list_transform(range(1, len(symbols)),
+         |      j -> {'a': symbols[j], 'b': symbols[j+1]})) AS u, freq
+         |    FROM v${k - 1})
+         |  GROUP BY u.a, u.b
+         |), m$k AS (
+         |  SELECT a, b FROM p$k WHERE n >= 2
+         |  ORDER BY n DESC, a ASC, b ASC LIMIT 1
+         |), v$k AS MATERIALIZED (
+         |  SELECT w, max(freq) AS freq,
+         |    list(CASE WHEN mg = 1 THEN s || nx ELSE s END ORDER BY i)
+         |      FILTER (WHERE pmg = 0) AS symbols
+         |  FROM (
+         |    SELECT *, lag(mg, 1, 0) OVER (PARTITION BY w ORDER BY i) AS pmg
+         |    FROM (
+         |      SELECT *, CASE WHEN mt = 1 AND
+         |          (i - min(i) OVER (PARTITION BY w, grp)) % 2 = 0
+         |        THEN 1 ELSE 0 END AS mg
+         |      FROM (
+         |        SELECT *, CASE WHEN mt = 1 THEN
+         |            i - row_number() OVER (PARTITION BY w, mt ORDER BY i)
+         |          END AS grp
+         |        FROM (
+         |          SELECT e.*, CASE WHEN m.a IS NOT NULL AND e.s = m.a
+         |              AND e.nx = m.b THEN 1 ELSE 0 END AS mt
+         |          FROM (
+         |            SELECT w, freq, i, s,
+         |              lead(s) OVER (PARTITION BY w ORDER BY i) AS nx
+         |            FROM (SELECT w, freq,
+         |              unnest(range(1, len(symbols)+1)) AS i,
+         |              unnest(symbols) AS s FROM v${k - 1})
+         |          ) e LEFT JOIN m$k m ON TRUE
+         |        )
+         |      )
+         |    )
+         |  ) GROUP BY w
+         |)""".stripMargin
+    }.mkString
+    val out = (1 to rounds)
+      .map(k => s"SELECT ${k - 1} AS r, a, b FROM m$k")
+      .mkString("\n  UNION ALL ")
+    base + steps +
+      s"""
+         |SELECT CAST(r AS BIGINT) AS rank, a AS first, b AS second,
+         |  a || b AS merged
+         |FROM (
+         |  $out
+         |)""".stripMargin
+  }
 }

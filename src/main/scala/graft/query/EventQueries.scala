@@ -265,15 +265,38 @@ object EventQueries {
             |GROUP BY GROUPING SETS ((event_type), ((user_id % 7)), ())""".stripMargin)
     },
 
-    // approximate percentiles (sketch, engine-specific → rows-only;
-    // ClickHouse side would be quantile()).
-    Q.noOracle("q20_value_percentiles") { (s, dir) =>
-      Tables.load(s, dir, "events")
-        .groupBy(col("event_type"))
-        .agg(
-          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50"),
-          percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95"),
-          percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99"))
+    // exact multi-quantile percentiles in one pass (ClickHouse
+    // quantilesExact(0.5, 0.95, 0.99) over cents). Deterministic where
+    // the earlier percentile_approx sketch was engine-specific: the
+    // selection rule is the q52 integer-threshold idiom (smallest cent
+    // value whose cumulative count reaches the rational q of the
+    // total), all three quantiles off ONE grouped cumulative window —
+    // so the DuckDB oracle replays it exactly. (q25 keeps the
+    // per-quantile quantile_disc selection shape; this is the shared-
+    // scan aggregate form.)
+    Q(
+      "q20_value_percentiles",
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS vc FROM events
+        |), g AS (
+        |  SELECT event_type, vc, count(*) AS w FROM e GROUP BY 1, 2
+        |), c AS (
+        |  SELECT event_type, vc,
+        |    sum(w) OVER (PARTITION BY event_type ORDER BY vc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    sum(w) OVER (PARTITION BY event_type) AS tw
+        |  FROM g
+        |)
+        |SELECT event_type,
+        |  min(CASE WHEN cw * 2 >= tw * 1 THEN vc END) AS p50_c,
+        |  min(CASE WHEN cw * 20 >= tw * 19 THEN vc END) AS p95_c,
+        |  min(CASE WHEN cw * 100 >= tw * 99 THEN vc END) AS p99_c
+        |FROM c GROUP BY event_type""".stripMargin) { (s, dir) =>
+      Stats.quantilesExact(
+        Tables.load(s, dir, "events")
+          .select(col("event_type"), Tables.cents(col("value")).as("vc")),
+        "event_type", "vc",
+        Seq(("p50_c", 1, 2), ("p95_c", 19, 20), ("p99_c", 99, 100)))
     },
 
     // exact discrete quantiles — q20's sketch made exact. Selection (not

@@ -102,6 +102,40 @@ object Stats {
       .agg(min(col(valCol)).as("q_value"))
   }
 
+  /** Several exact quantiles in ONE pass — ClickHouse
+    * `quantilesExact(q1, q2, ...)` over integer values. Same
+    * integer-threshold selection rule as [[quantileExactWeighted]]
+    * (smallest value whose cumulative count reaches ⌈q·n⌉ — rational
+    * q as num/denom so no floating boundary exists), but all quantiles
+    * share the single grouped+windowed cumulative frame: one shuffle
+    * on (key, value), one window sort per key, regardless of how many
+    * quantiles are requested. Output: (keyCol, <label per q>). */
+  def quantilesExact(
+      df: DataFrame, keyCol: String, valCol: String,
+      qs: Seq[(String, Int, Int)]): DataFrame = {
+    require(qs.nonEmpty, "quantilesExact: need at least one quantile")
+    qs.foreach { case (label, num, denom) =>
+      require(num >= 0 && denom > 0 && num <= denom,
+        s"quantilesExact: need 0 <= num/denom <= 1 (got $num/$denom for $label)")
+    }
+    val grouped = df.groupBy(col(keyCol), col(valCol))
+      .agg(count(lit(1)).as("_w"))
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col(valCol))
+    val cum = grouped
+      .withColumn("_cw",
+        sum(col("_w")).over(byKey.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("_tw",
+        sum(col("_w")).over(Window.partitionBy(col(keyCol))))
+    cum.groupBy(col(keyCol))
+      .agg(
+        min(when(col("_cw") * qs.head._3 >= col("_tw") * qs.head._2,
+          col(valCol))).as(qs.head._1),
+        qs.tail.map { case (label, num, denom) =>
+          min(when(col("_cw") * denom >= col("_tw") * num, col(valCol)))
+            .as(label)
+        }: _*)
+  }
+
   /** Capped distinct count per key — ClickHouse `uniqUpTo(N)`: the
     * exact distinct count while it is ≤ N, else N+1. The Spark-native
     * bounded-state shape is the two-phase distinct: the first

@@ -204,4 +204,23 @@ class TimeSeriesSpec extends SparkSpec {
     assert(Stats.quantileExactWeighted(flat, "k", "v", "w", 1, 1)
       .head().getLong(1) === 4L)
   }
+
+  test("quantilesExact: one pass matches per-quantile selection; " +
+    "nearest-rank rule on 1..100") {
+    val d = (1L to 100L).map(v => (1L, v)).toDF("k", "v")
+    val row = Stats.quantilesExact(
+      d, "k", "v",
+      Seq(("p50", 1, 2), ("p95", 19, 20), ("p99", 99, 100), ("p100", 1, 1)))
+      .head()
+    // smallest v with cw*denom >= tw*num over n=100: ceil(q*100)
+    assert(row.getLong(1) === 50L)
+    assert(row.getLong(2) === 95L)
+    assert(row.getLong(3) === 99L)
+    assert(row.getLong(4) === 100L)
+    // agrees with the single-quantile operator on every requested q
+    val w1 = d.withColumn("w", lit(1L))
+    for ((num, denom, exp) <- Seq((1, 2, 50L), (19, 20, 95L), (99, 100, 99L)))
+      assert(Stats.quantileExactWeighted(w1, "k", "v", "w", num, denom)
+        .head().getLong(1) === exp)
+  }
 }
