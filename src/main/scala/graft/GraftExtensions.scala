@@ -24,6 +24,7 @@ import org.apache.spark.sql.graft.ColumnBridge
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => graft.plans.NanosPredicatePushdown)
     e.injectFunction((
       FunctionIdentifier("base58"),
       new ExpressionInfo(classOf[Base58Encode].getName, "base58"),

@@ -55,7 +55,7 @@ object ScaleProbe {
     // 10x events for the sequence/interval sweeps: fresh user ids per
     // replica (10x users, same per-user density — the production growth
     // shape for these per-key window operators).
-    val ev1 = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+    val ev1 = graft.query.Tables.load(spark, "/root/testdata/sf0.1", "events")
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
         col("value"))
     val etmpDir = java.nio.file.Files.createTempDirectory("graft-scale-ev")

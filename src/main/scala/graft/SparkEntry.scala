@@ -30,7 +30,15 @@ object SparkEntry {
     packs.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    *
+    * Timestamp portability note: the Spark side keeps the engine
+    * contract `events.ts` = Long epoch NANOS ([[graft.query.Tables
+    * .load]] derives it when the fixture ships a native µs timestamp);
+    * the ORACLES are authored against DuckDB's native reading of the
+    * same parquet (`epoch_us(ts)`), which is identical for both
+    * physical encodings (TIMESTAMP_NS truncates to µs exactly where
+    * the Spark side's `ts div 1000` does). */
   def oracleSql: Map[String, String] =
     packs.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

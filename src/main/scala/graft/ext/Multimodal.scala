@@ -52,60 +52,81 @@ object Multimodal {
     def features(batch: Seq[MediaRow], dim: Int): Seq[MediaFeatures]
     /** Sample up to `n` evenly spaced frame payloads of a video. */
     def sampleFrames(row: MediaRow, n: Int): Seq[Array[Byte]]
-    /** 64-bit perceptual hash per row (media_id, phash). A real codec
+    /** Perceptual hash per row (media_id, phash). A real codec
       * computes mean-thresholded 8×8 luma (classic aHash), which is
-      * locality-sensitive on pixels; the stub derives the 64 cells
-      * from payload bytes, so it is content-stable (identical payloads
-      * → identical hash) but not pixel-local. */
+      * locality-sensitive on pixels; the stub derives
+      * [[Multimodal.PhashBits]] cells from payload bytes, so it is
+      * content-stable (identical payloads → identical hash) but not
+      * pixel-local. */
     def phash(batch: Seq[MediaRow]): Seq[(Long, Long)]
   }
 
+  /** Stub pHash width: 60 bits (the informative width of the portable
+    * md5 idiom — see [[graft.ext.Dedup.pmd5]]), banded 4×15 for
+    * pigeonhole blocking, like the text SimHash path. A real 64-bit
+    * aHash codec passes `hashBits = 64` to [[phashNearDupPairs]]. */
+  val PhashBits = 60
+
   /** STUB codec: every output is a pure deterministic function of the
-    * payload bytes — no real decoding happens in this container. */
+    * payload bytes — no real decoding happens in this container. All
+    * derived values come from the PORTABLE 60-bit md5 hash (the
+    * [[graft.ext.Dedup.pmd5]] idiom: first 15 hex digits of
+    * `md5(label || payload)` parsed base-16), so an independent SQL
+    * engine can replay every media query end to end — the substrate
+    * behind the m1–m4 DuckDB oracles in [[MultimodalQueries]]. */
   object DeterministicStubCodec extends Codec {
-    private def h64(b: Array[Byte], seed: Long): Long = {
-      var h = seed ^ 0x9E3779B97F4A7C15L
+    /** Portable 60-bit hash ≡ Spark `conv(substr(md5(x),1,15),16,10)`
+      * ≡ DuckDB `('0x'||substr(md5(x),1,15))::BIGINT` where
+      * x = label ++ payload. Non-negative. */
+    private def pmd5(label: String, payload: Array[Byte]): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(label.getBytes("UTF-8"))
+      md.update(payload)
+      val d = md.digest()
+      var h = 0L
       var i = 0
-      while (i < b.length) {
-        h = java.lang.Long.rotateLeft(h ^ (b(i) & 0xffL), 7) * 0x100000001B3L
-        i += 1
-      }
-      h
+      while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+      (h << 4) | ((d(7) >> 4) & 0xfL) // 7.5 bytes = 15 hex digits
     }
 
     def decode(batch: Seq[MediaRow]): Seq[DecodedMeta] = batch.map { r =>
-      val h = h64(r.content, 42L)
+      val h = pmd5("meta:", r.content)
       val isImg = r.media_type == "image"
       val isAud = r.media_type == "audio"
       DecodedMeta(
         r.media_id, r.media_type, r.format,
-        width = if (isAud) 0 else 64 + (math.abs(h) % 1024).toInt,
-        height = if (isAud) 0 else 64 + (math.abs(h >> 10) % 1024).toInt,
+        width = if (isAud) 0 else (64 + h % 1024).toInt,
+        height = if (isAud) 0 else (64 + (h / 1024) % 1024).toInt,
         channels = if (isAud) 1 else 3,
         sample_rate = if (isAud) 16000 else 0,
         duration_ms =
-          if (isImg) 0L else 1000L + math.abs(h >> 20) % 60000L,
+          if (isImg) 0L else 1000L + (h / 1048576L) % 60000L,
         n_frames =
-          if (r.media_type == "video") 24 + (math.abs(h >> 30) % 240).toInt
+          if (r.media_type == "video") (24 + (h / 1073741824L) % 240).toInt
           else if (isImg) 1 else 0,
         valid = r.content.nonEmpty)
     }
 
+    /** Feature i = ((pmd5("feat<i>:", payload) % 2001) − 1000): an
+      * integer in [−1000, 1000], exactly representable in Float — the
+      * downstream double-precision cosine is then exact integer
+      * arithmetic up to the final divide/sqrt, replayable bit-equal by
+      * the oracle (the s1 idiom). */
     def features(batch: Seq[MediaRow], dim: Int): Seq[MediaFeatures] =
       batch.map { r =>
         val f = Array.tabulate(dim) { i =>
-          val v = h64(r.content, i.toLong)
-          (v.toDouble / Long.MaxValue.toDouble).toFloat
+          ((pmd5(s"feat$i:", r.content) % 2001L) - 1000L).toFloat
         }
         MediaFeatures(r.media_id, r.media_type, f)
       }
 
     def phash(batch: Seq[MediaRow]): Seq[(Long, Long)] = batch.map { r =>
-      // stub aHash: 64 "cells" derived from the bytes, bit = cell
-      // above the cell mean — the same thresholding a real aHash does
-      // over decoded 8×8 luma
-      val cells = Array.tabulate(64)(i => (h64(r.content, 1000L + i) & 0xff).toInt)
-      val mean = cells.sum / 64
+      // stub aHash: PhashBits "cells" derived from the bytes, bit =
+      // cell above the cell mean — the same thresholding a real aHash
+      // does over decoded 8×8 luma
+      val cells = Array.tabulate(PhashBits)(i =>
+        (pmd5(s"cell$i:", r.content) % 256L).toInt)
+      val mean = cells.sum / PhashBits
       val bits = cells.zipWithIndex.foldLeft(0L) { case (acc, (c, i)) =>
         if (c > mean) acc | (1L << i) else acc
       }
@@ -195,10 +216,12 @@ object Multimodal {
 
   /** Near-duplicate media pairs by pHash Hamming distance ≤
     * `maxHamming`, via the Manku-style chunk blocking the SimHash text
-    * path uses (Dedup.simhash): split the 64-bit hash into 4×16-bit
-    * bands — by pigeonhole any pair within Hamming 3 collides exactly
-    * on ≥1 band — candidate within a (band, value) bucket, then verify
-    * the EXACT distance with one codegen'd `bit_count(a^b)`.
+    * path uses (Dedup.simhash): split the `hashBits`-bit hash into 4
+    * equal bands — by pigeonhole any pair within Hamming 3 collides
+    * exactly on ≥1 band — candidate within a (band, value) bucket,
+    * then verify the EXACT distance with one codegen'd
+    * `bit_count(a^b)`. `hashBits` = 64 for a real aHash codec, 60 for
+    * [[DeterministicStubCodec]] (the pmd5 width).
     * 100 TB shape: the only shuffle is the skinny (band, value) key;
     * `maxBucket` caps degenerate buckets (black frames, test cards —
     * the d6 lesson: every banding generator needs a skew guard) with
@@ -208,12 +231,14 @@ object Multimodal {
   def phashNearDupPairs(
       hashes: DataFrame, idCol: String = "media_id",
       hashCol: String = "phash", maxHamming: Int = 3,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000, hashBits: Int = 64): DataFrame = {
     require(maxHamming < 4, "4-band blocking is lossless only to Hamming 3")
+    require(hashBits % 4 == 0, "hashBits must split into 4 equal bands")
+    val bw = hashBits / 4
     val bands = explode(array((0 until 4).map(b =>
       struct(lit(b).as("band"),
-        shiftrightunsigned(col(hashCol), b * 16)
-          .bitwiseAND(lit(0xffffL)).as("bv"))): _*))
+        shiftrightunsigned(col(hashCol), b * bw)
+          .bitwiseAND(lit((1L << bw) - 1)).as("bv"))): _*))
     val keyed = hashes
       .select(col(idCol).as("_id"), col(hashCol).as("_h"), bands.as("_b"))
       .select(col("_id"), col("_h"),

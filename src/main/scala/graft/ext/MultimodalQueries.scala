@@ -3,13 +3,40 @@ package graft.ext
 import org.apache.spark.sql.functions._
 import graft.query.{Q, Tables}
 
-/** Query-pack surface for Multimodal (stub codec — see Multimodal
-  * scaladoc; the Spark plumbing is the deliverable, all rows-only). */
+/** Query-pack surface for Multimodal. The codec is the deterministic
+  * stub (see Multimodal scaladoc) whose every output derives from the
+  * portable 60-bit md5 hash — so each query carries a FULL DuckDB
+  * replay oracle: the oracle re-derives metadata / features / frame
+  * slices / pHash cells from the same `md5(label || payload)` idiom
+  * (`('0x'||substr(md5(x),1,15))::BIGINT` ≡ Spark
+  * `conv(substr(md5(x),1,15),16,10)`) and replays the pipeline end to
+  * end. The media payload is the UTF-8 bytes of `documents.text`
+  * (ASCII in the fixture), so byte slices replay as `substr` and
+  * byte length as `octet_length`.
+  */
 object MultimodalQueries {
 
   val all: Seq[Q] = Seq(
-    // decode: binary + typed metadata profile per media type.
-    Q.noOracle("m1_media_decode_profile") { (s, dir) =>
+    // decode: binary + typed metadata profile per media type. Oracle
+    // re-derives width/frames from h = pmd5('meta:' || payload).
+    Q(
+      "m1_media_decode_profile",
+      """WITH m AS (
+        |  SELECT
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |      ELSE 'video' END AS media_type,
+        |    doc_id % 3 AS k,
+        |    ('0x'||substr(md5('meta:'||text),1,15))::BIGINT AS h,
+        |    strlen(text) AS len
+        |  FROM documents)
+        |SELECT media_type,
+        |  count(*)::BIGINT AS n,
+        |  sum(CASE WHEN len > 0 THEN 1 ELSE 0 END)::BIGINT AS n_valid,
+        |  max(CASE WHEN k = 1 THEN 0 ELSE 64 + h % 1024 END)::BIGINT
+        |    AS max_width,
+        |  max(CASE k WHEN 2 THEN 24 + (h // 1073741824) % 240
+        |    WHEN 0 THEN 1 ELSE 0 END)::BIGINT AS max_frames
+        |FROM m GROUP BY media_type""".stripMargin) { (s, dir) =>
       val corpus = Multimodal.corpusFromDocuments(
         s, Tables.load(s, dir, "documents"))
       Multimodal.decode(corpus).toDF()
@@ -17,23 +44,60 @@ object MultimodalQueries {
         .agg(
           count(lit(1)).as("n"),
           sum(when(col("valid"), 1).otherwise(0)).as("n_valid"),
-          max(col("width")).as("max_width"),
-          max(col("n_frames")).as("max_frames"))
+          max(col("width")).cast("long").as("max_width"),
+          max(col("n_frames")).cast("long").as("max_frames"))
     },
 
-    // feature extraction → ANN over the derived embedding column
-    // (plumbing composes with Similarity).
-    Q.noOracle("m2_media_feature_topk") { (s, dir) =>
+    // feature extraction → exact cosine top-k over the derived
+    // embedding column (plumbing composes with Similarity). Features
+    // are exact small integers in Float, so the double cosine is
+    // integer arithmetic up to the final divide/sqrt — the oracle
+    // regenerates them and replays the s1 cosine idiom.
+    Q(
+      "m2_media_feature_topk",
+      """WITH f AS (
+        |  SELECT doc_id AS id,
+        |    list_transform(range(0, 16), i ->
+        |      CAST((('0x'||substr(md5('feat'||i||':'||text),1,15))::BIGINT
+        |            % 2001) - 1000 AS DOUBLE)) AS v
+        |  FROM documents),
+        |qv AS (SELECT v AS q FROM f WHERE id = 0),
+        |c AS (
+        |  SELECT f.id,
+        |    round(
+        |      list_sum(list_transform(range(1, 17), i -> v[i] * q[i]))
+        |      / (sqrt(list_sum(list_transform(v, x -> x * x)))
+        |         * sqrt(list_sum(list_transform(q, x -> x * x)))),
+        |      6) AS cos6
+        |  FROM f, qv)
+        |SELECT id, CAST(round(cos6 * 1000000) AS BIGINT) AS cos_e6
+        |FROM c ORDER BY cos6 DESC, id ASC LIMIT 5""".stripMargin) { (s, dir) =>
       val corpus = Multimodal.corpusFromDocuments(
         s, Tables.load(s, dir, "documents"))
       val feats = Multimodal.extractFeatures(corpus, dim = 16).toDF()
       val q = feats.where(col("media_id") === 0)
         .select(col("feature")).head().getSeq[Float](0)
       Similarity.cosineTopK(feats, "media_id", "feature", q, k = 5)
+        .select(
+          col("id"),
+          round(col("cos_sim") * 1e6).cast("long").as("cos_e6"))
     },
 
-    // video frame sampling fan-out.
-    Q.noOracle("m3_frame_sample") { (s, dir) =>
+    // video frame sampling fan-out: videos have n_frames ≥ 24, so all
+    // n = 4 requested frames are emitted; frame i is the 16-byte slice
+    // at offset i·len/4 — the oracle recomputes the slice lengths.
+    Q(
+      "m3_frame_sample",
+      """WITH v AS (
+        |  SELECT doc_id AS media_id, strlen(text) AS len
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (
+        |  SELECT media_id, least(16, len - (i * len) // 4) AS fb
+        |  FROM v, range(4) t(i))
+        |SELECT media_id,
+        |  count(*)::BIGINT AS n_frames_sampled,
+        |  sum(fb)::BIGINT AS bytes_sampled
+        |FROM f GROUP BY media_id""".stripMargin) { (s, dir) =>
       val corpus = Multimodal.corpusFromDocuments(
         s, Tables.load(s, dir, "documents"))
       Multimodal.sampleFrames(corpus, n = 4)
@@ -48,7 +112,50 @@ object MultimodalQueries {
     // all-pairs), aggregate to video pairs — the classic shared-frame
     // video-dedup pipeline. Near-dup source documents share byte
     // regions, so their sampled frame payloads collide at Hamming 0.
-    Q.noOracle("m4_phash_neardup") { (s, dir) =>
+    // The oracle replays the whole pipeline: frame slicing, 60 pmd5
+    // cells → mean threshold → 60-bit pHash, 4×15-bit band blocking
+    // with the bucket cap, exact bit_count(xor) verify, video rollup.
+    Q(
+      "m4_phash_neardup",
+      """WITH v AS (
+        |  SELECT doc_id AS media_id, text, strlen(text) AS len
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (
+        |  SELECT media_id * 10 + i AS fid,
+        |    substr(text, ((i * len) // 4) + 1, 16) AS ft
+        |  FROM v, range(4) t(i)),
+        |cells AS (
+        |  SELECT fid, j,
+        |    ('0x'||substr(md5('cell'||j||':'||ft),1,15))::BIGINT % 256 AS c
+        |  FROM fr, range(60) u(j)),
+        |mn AS (SELECT fid, sum(c) // 60 AS mean FROM cells GROUP BY fid),
+        |ph AS (
+        |  SELECT cells.fid,
+        |    sum(CASE WHEN c > mean THEN (1::BIGINT << j) ELSE 0 END)::BIGINT
+        |      AS phash
+        |  FROM cells JOIN mn USING (fid) GROUP BY cells.fid),
+        |keyed AS (
+        |  SELECT fid, phash, b, (phash >> (b * 15)) & 32767 AS bv
+        |  FROM ph, range(4) w(b)),
+        |capped AS (
+        |  SELECT fid, phash, b, bv FROM (
+        |    SELECT fid, phash, b, bv,
+        |      count(*) OVER (PARTITION BY b, bv) AS nb
+        |    FROM keyed)
+        |  WHERE nb <= 1000),
+        |cand AS (
+        |  SELECT DISTINCT a.fid AS id_a, b2.fid AS id_b,
+        |    a.phash AS ha, b2.phash AS hb
+        |  FROM capped a JOIN capped b2
+        |    ON a.b = b2.b AND a.bv = b2.bv AND a.fid < b2.fid),
+        |pairs AS (
+        |  SELECT id_a, id_b, bit_count(xor(ha, hb))::BIGINT AS hamming
+        |  FROM cand WHERE bit_count(xor(ha, hb)) <= 3)
+        |SELECT id_a // 10 AS video_a, id_b // 10 AS video_b,
+        |  count(*)::BIGINT AS n_frame_matches,
+        |  min(hamming)::BIGINT AS min_hamming
+        |FROM pairs WHERE id_a // 10 <> id_b // 10
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
       import s.implicits._
       val corpus = Multimodal.corpusFromDocuments(
         s, Tables.load(s, dir, "documents"))
@@ -58,7 +165,9 @@ object MultimodalQueries {
         .as[(Long, Array[Byte])]
         .map { case (id, b) => Multimodal.MediaRow(id, "image", b, "raw") }
       Multimodal
-        .phashNearDupPairs(Multimodal.perceptualHashes(frames))
+        .phashNearDupPairs(
+          Multimodal.perceptualHashes(frames),
+          hashBits = Multimodal.PhashBits)
         .select(expr("id_a div 10").as("video_a"),
           expr("id_b div 10").as("video_b"), col("hamming"))
         .where(col("video_a") =!= col("video_b"))

@@ -17,6 +17,17 @@ import org.apache.spark.sql.functions._
   *    from a fixed seed → signatures are stable across runs and
   *    executors.
   *
+  * Score-precision CONTRACT across the family: ranking/top-k APIs
+  * (`cosineTopK`, `lshTopK`, `ivfTopK`, `knnJoin`, …) round scores to
+  * e6 (6 decimals) before ordering — ties at the micro-unit are broken
+  * by id, and the oracle replays the same rounding.
+  * `cosineNearDupPairs` alone thresholds on the RAW unrounded cosine:
+  * a threshold is a set-membership predicate, and rounding-before-
+  * compare would admit pairs up to 5e-7 BELOW the threshold (and an
+  * independent replay engine could disagree on exactly those). Callers
+  * mixing the two surfaces must not compare raw thresholds against e6
+  * scores.
+  *
   * All vector math is `functions._` (`zip_with`, `aggregate`) in double
   * precision with a fixed left-to-right fold order — deterministic and
   * codegen-friendly, no UDFs.

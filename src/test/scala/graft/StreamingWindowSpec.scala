@@ -18,9 +18,9 @@ class StreamingWindowSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       streamDir.resolve("events.parquet"))
 
-    val stream = spark.readStream
+    val stream = graft.query.Tables.nanosView(spark.readStream
       .schema(schema)
-      .parquet(streamDir.toString)
+      .parquet(streamDir.toString))
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_time", "1 hour")
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
@@ -41,7 +41,7 @@ class StreamingWindowSpec extends SparkSpec {
       .select(
         col("window.start").cast("long").as("win_start"),
         col("event_type"), col("n"))
-    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val batch = graft.query.Tables.load(spark, dir, "events")
       .groupBy(
         (expr("(ts div 1000) div 3600000000") * 3600L).as("win_start"),
         col("event_type"))
@@ -54,7 +54,7 @@ class StreamingWindowSpec extends SparkSpec {
     s.foreach { case (k, n) => assert(b(k) === n, s"window $k") }
     // append mode emits exactly the windows whose END <= watermark
     // (= max event time − 1h delay)
-    val maxSec = spark.read.parquet(s"$dir/events.parquet")
+    val maxSec = graft.query.Tables.load(spark, dir, "events")
       .agg(max(expr("ts div 1000000000"))).head().getLong(0)
     val expectedClosed = b.filter { case ((h, _), _) =>
       h + 3600L <= maxSec - 3600L
@@ -73,9 +73,9 @@ class StreamingWindowSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       streamDir.resolve("events.parquet"))
 
-    val stream = spark.readStream
+    val stream = graft.query.Tables.nanosView(spark.readStream
       .schema(schema)
-      .parquet(streamDir.toString)
+      .parquet(streamDir.toString))
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_time", "1 hour")
       .groupBy(
@@ -95,7 +95,7 @@ class StreamingWindowSpec extends SparkSpec {
       .collect()
       .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
 
-    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val batch = graft.query.Tables.load(spark, dir, "events")
       .select(expr("ts div 1000").as("us"), col("event_type"))
       .withColumn("k", explode(sequence(lit(0L), lit(3L))))
       .withColumn("win_start",
@@ -121,8 +121,8 @@ class StreamingWindowSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       streamDir.resolve("events.parquet"))
 
-    def side(alias: String) = spark.readStream
-      .schema(schema).parquet(streamDir.toString)
+    def side(alias: String) = graft.query.Tables.nanosView(spark.readStream
+      .schema(schema).parquet(streamDir.toString))
       .select(
         col("event_id").as(s"${alias}_id"),
         col("user_id").as(s"${alias}_user"),
@@ -142,7 +142,7 @@ class StreamingWindowSpec extends SparkSpec {
       .select("l_id", "r_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = graft.query.Tables.load(spark, dir, "events")
       .select(col("event_id"), col("user_id"),
         expr("ts div 1000").as("tus"))
     val batch = ev.alias("l").join(
@@ -194,7 +194,8 @@ class StreamingWindowSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       streamDir.resolve("events.parquet"))
 
-    val q = spark.readStream.schema(schema).parquet(streamDir.toString)
+    val q = graft.query.Tables.nanosView(
+      spark.readStream.schema(schema).parquet(streamDir.toString))
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_time", "1 hour")
       .groupBy(session_window(col("event_time"), "30 minutes"), col("user_id"))

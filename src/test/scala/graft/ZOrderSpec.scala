@@ -37,8 +37,8 @@ class ZOrderSpec extends SparkSpec {
   }
 
   test("z-order clusters both dimensions; single-key sort only one") {
-    val ev = spark.read
-      .parquet("/root/testdata/sf0.001/events.parquet")
+    val ev = graft.query.Tables
+      .load(spark, "/root/testdata/sf0.001", "events")
       .select(col("event_id"), col("user_id"),
         expr("(ts div 1000) div 3600000000").as("hour_bucket"))
     val g = ev.agg(
