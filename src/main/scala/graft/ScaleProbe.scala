@@ -16,6 +16,7 @@ object ScaleProbe {
       .config("spark.sql.session.timeZone", "UTC").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.query.Tables.configure(spark)
+    if (args.contains("100x")) { probe100x(spark); spark.stop(); return }
     val docs1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .select(col("doc_id"), col("text"))
     // 10x: replicate with distinct ids and a per-copy suffix token so
@@ -205,6 +206,78 @@ object ScaleProbe {
       spark.stop()
       // the 10x corpora are ~10x their sf0.1 tables on disk — clean up
       Seq(tmpDir, vtmpDir, etmpDir).foreach(graft.util.Fs.deleteRecursively)
+    }
+  }
+
+  /** 100x probe for the two output-driven dedup operators whose 10x
+    * rows left the asymptote question open (round-6 verdict item 9):
+    * d17 fuzzyPairs and d18 semDedup, at 10x AND 100x in one idle
+    * session so the ratio is load-comparable. 100x = 500k docs / 200k
+    * vectors; replicas get a per-copy suffix token / nudged coordinate
+    * (near-dup cliques of 100, the adversarial shape — planted pair
+    * count grows ~100x over the 10x corpus).
+    *
+    * semDedup is probed at TWO k policies: k = n/128 (pins the
+    * average cell at ~128 — Lloyd ASSIGNMENT cost n·k·d then grows
+    * quadratically in n, the honest cost of cell-size-pinned k-means)
+    * and k = 4·√n (assignment n^1.5; cells grow as √n and the capped
+    * candidate join absorbs them) — the documented 100 TB stance is
+    * the second: beyond ~1M vectors, fix the assignment budget and
+    * let maxCell bound the join, or go two-level IVF. */
+  private def probe100x(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.DataFrame
+    val docs1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val vecs1 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$name%-32s ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
+      spark.catalog.clearCache()
+    }
+    def repDocs(r: Int): DataFrame =
+      (0 until r).map { i =>
+        docs1.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+          concat(col("text"), lit(s" copytag$i")).as("text"))
+      }.reduce(_ unionByName _)
+    def repVecs(r: Int): DataFrame =
+      (0 until r).map { i =>
+        vecs1.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+          transform(col("embedding"), (x, j) =>
+            when(j === 0, x + lit(0.001f * (i + 1))).otherwise(x))
+            .as("embedding"))
+      }.reduce(_ unionByName _)
+    val dirs = collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    def mat(df: DataFrame, tag: String): DataFrame = {
+      val d = java.nio.file.Files.createTempDirectory(s"graft-100x-$tag")
+      dirs += d
+      df.repartition(32).write.mode("overwrite").parquet(d.toString)
+      spark.read.parquet(d.toString)
+    }
+    try {
+      val d10 = mat(repDocs(10), "d10"); println(s"docs10 = ${d10.count()}")
+      val d100 = mat(repDocs(100), "d100"); println(s"docs100 = ${d100.count()}")
+      for ((label, d) <- Seq(("10x(50k)", d10), ("100x(500k)", d100)))
+        time(s"$label fuzzyPairs") {
+          graft.ext.Dedup.fuzzyPairs(d, "doc_id", "text", maxDist = 2).count()
+        }
+      val v10 = mat(repVecs(10), "v10"); println(s"vecs10 = ${v10.count()}")
+      val v100 = mat(repVecs(100), "v100"); println(s"vecs100 = ${v100.count()}")
+      for ((label, v) <- Seq(("10x(20k)", v10), ("100x(200k)", v100))) {
+        val n = v.count()
+        for ((kp, k) <- Seq(
+            ("k=n/128", math.max(4, (n / 128).toInt)),
+            ("k=4sqrt(n)", math.max(4, (4 * math.sqrt(n.toDouble)).toInt))))
+          time(s"$label semDedup $kp($k)") {
+            graft.ext.Dedup.semDedup(
+              v, "vec_id", "embedding",
+              round(graft.ext.Similarity.norm(col("embedding")) * 1e6)
+                .cast("long"),
+              threshold = 0.9, k = k, dim = Some(64)).count()
+          }
+      }
+    } finally {
+      dirs.foreach(graft.util.Fs.deleteRecursively)
     }
   }
 }

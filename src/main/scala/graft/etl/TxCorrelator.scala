@@ -2,7 +2,7 @@ package graft.etl
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor}
 import graft.schema._
 
 /** "transactions" mode stateful correlator (J1–J10,
@@ -254,5 +254,154 @@ object TxCorrelator {
           gs.update(st2)
           out.iterator
       }
+  }
+
+  /** Cursor half of the cache: chain position (J9/W4). Kept as its own
+    * ValueState so the maps can live in MapState variables. */
+  final case class CorrelatorCursor(
+      lastBlockHeight: Long, prevBlockHash: Option[String])
+
+  /** `transformWithState` correlator (SURVEY §2.4/§7.4 first choice —
+    * Spark 4.x arbitrary stateful processing v2; requires the RocksDB
+    * state store provider).
+    *
+    * The TxCache decomposes into FOUR named state variables — MapState
+    * `receipt_to_tx`, MapState `data_receipts`, MapState
+    * `transactions`, ValueState `cursor` — mirroring the reference's
+    * struct fields (/root/reference/src/transactions.rs:569-575)
+    * 1-field-per-store instead of one serialized blob:
+    *
+    *  - WRITE I/O per batch is proportional to the entries the batch
+    *    TOUCHED: `handleInputRows` diff-applies the state delta
+    *    (removeKey for consumed receipts, updateValue for new/changed
+    *    ones), so a batch resolving 10 receipts against a
+    *    100 000-entry pending cache writes ~10 RocksDB keys where the
+    *    flatMapGroupsWithState path re-serializes the whole CacheState
+    *    every trigger.
+    *  - TTL (`stateTtl`) expires INDIVIDUAL stuck entries — a receipt
+    *    whose transaction never resolves ages out of `receipt_to_tx`
+    *    alone — instead of wiping the cache. The reference's TxCache
+    *    never expires (grows unboundedly on stuck txs, SURVEY §2.4
+    *    divergence note); with a TTL the correlator behaves like its
+    *    lenient catch-up mode (J8) for expired entries: the late
+    *    outcome is skipped, the tx never completes. Expiry is
+    *    IMPLEMENTED IN THE PROCESSOR (per-entry last-write stamps in
+    *    the value blobs, filtered at read) rather than via the
+    *    built-in `TTLConfig`: TTL forces `TimeMode.ProcessingTime`,
+    *    whose timer-enabled operator variant sends plan codegen into a
+    *    pathological code-string blowup on this output schema in
+    *    4.1.2 (minutes of CPU before first batch) — and the manual
+    *    form also lets the chain cursor correctly SURVIVE idle gaps,
+    *    where a blanket TTLConfig would expire the J9 prev-hash check
+    *    along with the stuck entries.
+    *
+    * The correlation LOGIC is unchanged — the same pure
+    * `processBlock` fold; state variables are materialized into a
+    * CacheState at batch start (an iterator scan of RocksDB) and
+    * diffed back after. Read I/O stays proportional to total state;
+    * fully incremental reads would mean rewriting processBlock against
+    * point lookups, which profiling hasn't demanded.
+    */
+  final class CorrelatorProcessor(
+      strict: Boolean, stateTtl: Option[java.time.Duration])
+      extends StatefulProcessor[Int, BlockWithTxHashes, CompletedTx] {
+    import org.apache.spark.sql.streaming.{MapState, TTLConfig, TimeMode, TimerValues, ValueState}
+
+    // values are (lastWriteMs, V) java-serialized blobs: the state
+    // store treats values as bytes either way, the stamp carries the
+    // per-entry TTL clock, and the deeply nested ReceiptView/PendingTx
+    // struct schemas never reach the operator's schema handling (which
+    // stringifies them pathologically in 4.1.2 — see class scaladoc).
+    @transient private var receiptToTx: MapState[String, (Long, String)] = _
+    @transient private var dataReceipts: MapState[String, (Long, ReceiptView)] = _
+    @transient private var transactions: MapState[String, (Long, PendingTx)] = _
+    @transient private var cursor: ValueState[CorrelatorCursor] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      receiptToTx = getHandle.getMapState(
+        "receipt_to_tx", Encoders.STRING,
+        Encoders.javaSerialization[(Long, String)], TTLConfig.NONE)
+      dataReceipts = getHandle.getMapState(
+        "data_receipts", Encoders.STRING,
+        Encoders.javaSerialization[(Long, ReceiptView)], TTLConfig.NONE)
+      transactions = getHandle.getMapState(
+        "transactions", Encoders.STRING,
+        Encoders.javaSerialization[(Long, PendingTx)], TTLConfig.NONE)
+      cursor = getHandle.getValueState(
+        "cursor", Encoders.javaSerialization[CorrelatorCursor], TTLConfig.NONE)
+    }
+
+    /** Load surviving entries (stamp within TTL); expired ones are
+      * removed from the store here — expiry happens at read time, like
+      * the built-in TTL, but per entry and without the timer-enabled
+      * operator variant. */
+    private def loadAlive[V](
+        ms: MapState[String, (Long, V)], cutoff: Long): Map[String, V] = {
+      val alive = Map.newBuilder[String, V]
+      val dead = List.newBuilder[String]
+      ms.iterator().foreach { case (k, (touched, v)) =>
+        if (touched >= cutoff) alive += k -> v else dead += k
+      }
+      dead.result().foreach(ms.removeKey)
+      alive.result()
+    }
+
+    /** Write only the delta: removed keys, and added/changed values
+      * (stamped `now`). An entry whose value is unchanged keeps its
+      * old stamp — write-once entries age out after `stateTtl`, which
+      * is exactly the stuck-receipt leak the TTL exists to bound. */
+    private def diffApply[V](
+        ms: MapState[String, (Long, V)],
+        before: Map[String, V], after: Map[String, V], now: Long): Unit = {
+      before.keysIterator
+        .foreach(k => if (!after.contains(k)) ms.removeKey(k))
+      after.foreach { case (k, v) =>
+        if (!before.get(k).contains(v)) ms.updateValue(k, (now, v))
+      }
+    }
+
+    override def handleInputRows(
+        key: Int, rows: Iterator[BlockWithTxHashes],
+        timerValues: TimerValues): Iterator[CompletedTx] = {
+      val now = System.currentTimeMillis()
+      val cutoff = stateTtl.map(now - _.toMillis).getOrElse(Long.MinValue)
+      val cur =
+        if (cursor.exists()) Option(cursor.get()) else None
+      // the chain cursor deliberately does NOT expire: a long-idle
+      // stream must still enforce the J9 prev-hash check on resume
+      val st0 = CacheState(
+        loadAlive(receiptToTx, cutoff),
+        loadAlive(dataReceipts, cutoff),
+        loadAlive(transactions, cutoff),
+        cur.map(_.lastBlockHeight).getOrElse(0L),
+        cur.flatMap(_.prevBlockHash))
+      val (st2, out) = runOrdered(st0, rows, strict)
+      diffApply(receiptToTx, st0.receiptToTx, st2.receiptToTx, now)
+      diffApply(dataReceipts, st0.dataReceipts, st2.dataReceipts, now)
+      diffApply(transactions, st0.transactions, st2.transactions, now)
+      cursor.update(CorrelatorCursor(st2.lastBlockHeight, st2.prevBlockHash))
+      out.iterator
+    }
+  }
+
+  /** [[correlateStream]] on the `transformWithState` operator. Same
+    * contract (Append output, micro-batches sorted by height inside
+    * the group, batch size bounded at the source); adds optional
+    * per-entry state TTL (processor-implemented — see
+    * [[CorrelatorProcessor]] for why not `TTLConfig`; the operator
+    * stays in `TimeMode.None` either way).
+    *
+    * Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`). */
+  def correlateStreamTws(
+      blocks: Dataset[BlockWithTxHashes], strict: Boolean = false,
+      stateTtl: Option[java.time.Duration] = None): Dataset[CompletedTx] = {
+    import org.apache.spark.sql.streaming.TimeMode
+    import blocks.sparkSession.implicits._
+    blocks
+      .groupByKey(_ => 0)
+      .transformWithState(
+        new CorrelatorProcessor(strict, stateTtl),
+        TimeMode.None(), OutputMode.Append())
   }
 }

@@ -134,19 +134,35 @@ object SimilarityQueries {
             .cast("long").as("cosd_e6"))
     },
 
-    // LSH-bucketed ANN top-k (scale path; recall vs s1 tested in spec).
-    Q.noOracle("s2_ann_topk") { (s, dir) =>
+    // LSH-bucketed ANN top-k (scale path; recall vs s1 tested in
+    // spec). Hash-oracled via the d6 idiom: the fixed-seed Gaussian
+    // hyperplanes inline as double literals, signatures replay as
+    // left-associated dot chains (VectorDot's fold order), the
+    // Hamming-probe filter as bit_count(xor), then the s1 cosine rank
+    // over the surviving candidates.
+    Q("s2_ann_topk", s2OracleSql) { (s, dir) =>
       Similarity.annTopK(
         Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
         queryVec(s, dir), k = 10)
+        .select(
+          col("id"),
+          round(col("cos_sim") * 1e6).cast("long").as("cos_e6"))
     },
 
     // int8-quantized coarse scan + exact re-rank (4x lighter candidate
-    // path; recall vs s1 pinned in spec).
-    Q.noOracle("s5_quantized_ann") { (s, dir) =>
+    // path; recall vs s1 pinned in spec). Hash-oracled — the whole
+    // path is deterministic arithmetic (no trained codebook): per-row
+    // max-abs scale, HALF_UP int8 codes (corpus) / floor(x+0.5) codes
+    // (query, the Scala math.round the driver-side quantizer uses),
+    // integer-exact quantized dot (order-free), double rescale in the
+    // same operation order, coarse top-50, then the s1 cosine re-rank.
+    Q("s5_quantized_ann", s5OracleSql) { (s, dir) =>
       Similarity.quantizedTopK(
         Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
         queryVec(s, dir), k = 10)
+        .select(
+          col("id"),
+          round(col("cos_sim") * 1e6).cast("long").as("cos_e6"))
     },
 
     // IVF ANN: k-means inverted lists, probe nearest 4 of 16 cells.
@@ -335,4 +351,104 @@ object SimilarityQueries {
             round(col("cos_sim") * 1e6).cast("long").as("cos_e6"))
     }
   )
+
+  /** Left-associated dot chain of a vector column against inlined
+    * double literals — replays VectorDot's sequential fold (the d6
+    * idiom; Scala Double.toString round-trips exactly in DuckDB). */
+  private def dotChain(vec: String, coeffs: Seq[Double]): String =
+    coeffs.zipWithIndex
+      .map { case (c, i) => s"$vec[${i + 1}]::DOUBLE*($c)" }.mkString(" + ")
+
+  /** s5: full quantizedTopK replay. Corpus codes use DuckDB `round`
+    * (ties away from zero = Spark's HALF_UP); query codes use
+    * `floor(x+0.5)` (Scala `math.round`, ties toward +inf — the
+    * driver-side quantizer). The quantized dot is exact integer
+    * arithmetic, so only the final rescale and cosine touch doubles,
+    * both in VectorDot's operation order. */
+  private lazy val s5OracleSql: String = {
+    val dim = 64; val coarseK = 50; val k = 10
+    s"""WITH v AS (SELECT vec_id AS id, embedding AS e FROM embeddings),
+       |qv AS (SELECT e AS q FROM v WHERE id = 0),
+       |qm AS (
+       |  SELECT q, list_max(list_transform(q,
+       |    x -> abs(CAST(x AS DOUBLE)))) AS m
+       |  FROM qv),
+       |qq AS (
+       |  SELECT
+       |    CASE WHEN m = 0 THEN list_transform(q, x -> 0::BIGINT)
+       |      ELSE list_transform(q, x ->
+       |        CAST(floor(CAST(x AS DOUBLE) * 127 / m + 0.5) AS BIGINT))
+       |    END AS qcodes,
+       |    CASE WHEN m = 0 THEN 0 ELSE m / 127 END AS qscale
+       |  FROM qm),
+       |cm AS (
+       |  SELECT id, e, list_max(list_transform(e,
+       |    x -> abs(CAST(x AS DOUBLE)))) AS m
+       |  FROM v),
+       |cv AS (
+       |  SELECT id,
+       |    CASE WHEN m = 0 THEN list_transform(e, x -> 0::BIGINT)
+       |      ELSE list_transform(e, x ->
+       |        CAST(round(CAST(x AS DOUBLE) * 127 / m) AS BIGINT))
+       |    END AS codes,
+       |    CASE WHEN m = 0 THEN 0 ELSE m / 127 END AS scale
+       |  FROM cm),
+       |ap AS (
+       |  SELECT cv.id,
+       |    list_sum(list_transform(range(1, ${dim + 1}),
+       |      i -> codes[i] * qcodes[i])) * scale * qscale AS approx
+       |  FROM cv, qq),
+       |co AS (SELECT id FROM ap ORDER BY approx DESC, id ASC LIMIT $coarseK),
+       |c AS (
+       |  SELECT v.id,
+       |    round(
+       |      list_sum(list_transform(range(1, ${dim + 1}),
+       |        i -> CAST(v.e[i] AS DOUBLE) * CAST(q[i] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform(v.e,
+       |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |         * sqrt(list_sum(list_transform(q,
+       |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+       |      6) AS cos6
+       |  FROM v JOIN co USING (id), qv
+       |)
+       |SELECT id, CAST(round(cos6 * 1000000) AS BIGINT) AS cos_e6
+       |FROM c ORDER BY cos6 DESC, id ASC LIMIT $k""".stripMargin
+  }
+
+  /** s2: full annTopK replay — 12 fixed-seed hyperplanes inlined, the
+    * corpus and query signatures assembled bit-by-bit from the sign of
+    * each left-associated dot chain, the probe filter as
+    * bit_count(xor) <= 4, then the s1 cosine rank over survivors. */
+  private lazy val s2OracleSql: String = {
+    val dim = 64; val nPlanes = 12; val probe = 4; val k = 10
+    val planes = Similarity.hyperplanes(nPlanes, dim, seed = 42L)
+    def sigExpr(vec: String): String = planes.zipWithIndex.map {
+      case (pl, j) =>
+        s"(CASE WHEN ${dotChain(vec, pl)} >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("\n    + ")
+    s"""WITH v AS (SELECT vec_id AS id, embedding AS e FROM embeddings),
+       |qv AS (SELECT e AS q FROM v WHERE id = 0),
+       |qs AS (SELECT
+       |    ${sigExpr("q")} AS qsig
+       |  FROM qv),
+       |sg AS (SELECT id, e,
+       |    ${sigExpr("e")} AS sig
+       |  FROM v),
+       |flt AS (
+       |  SELECT id, e FROM sg, qs WHERE bit_count(xor(sig, qsig)) <= $probe
+       |), c AS (
+       |  SELECT f.id,
+       |    round(
+       |      list_sum(list_transform(range(1, ${dim + 1}),
+       |        i -> CAST(f.e[i] AS DOUBLE) * CAST(q[i] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform(f.e,
+       |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |         * sqrt(list_sum(list_transform(q,
+       |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+       |      6) AS cos6
+       |  FROM flt f, qv
+       |)
+       |SELECT id, CAST(round(cos6 * 1000000) AS BIGINT) AS cos_e6
+       |FROM c ORDER BY cos6 DESC, id ASC LIMIT $k""".stripMargin
+  }
 }

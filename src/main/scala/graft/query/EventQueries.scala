@@ -726,16 +726,32 @@ object EventQueries {
     },
 
     // mergeable-sketch pre-aggregation (the 100 TB distinct-count
-    // pattern): one DataSketches HLL per day, union-merged to the
-    // total — re-aggregation reads |days| sketches, not the raw data.
-    // Sketch internals are not DuckDB-reproducible -> rows-only.
-    Q.noOracle("q36_hll_daily_union") { (s, dir) =>
+    // pattern): one PORTABLE HyperLogLog register vector per day
+    // (m=256 registers; register = max rank-of-leading-one over the
+    // md5-bucketed keys), union-merged with a per-register max, then
+    // the standard HLL estimate with the linear-counting small-range
+    // branch. Re-aggregation reads |days|·m skinny register rows, not
+    // the raw data — same asymptote as a binary sketch blob, but every
+    // step is engine-portable integer arithmetic, so the whole
+    // pipeline (daily sketch → union → estimate) carries a DuckDB
+    // hash oracle where an opaque DataSketches blob cannot (q12 keeps
+    // the engine-internal sketch as the rows-only contrast).
+    Q("q36_hll_daily_union", q36OracleSql) { (s, dir) =>
+      val pm =
+        "CAST(conv(substr(md5(CAST(user_id AS STRING)),1,15),16,10) AS BIGINT)"
       val daily = Tables.load(s, dir, "events")
-        .groupBy(expr("(ts div 1000) div 86400000000").as("day"))
-        .agg(hll_sketch_agg(col("user_id")).as("sk"))
-      daily.agg(
-        count(lit(1)).as("n_days"),
-        hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+        .selectExpr("(ts div 1000) div 86400000000 AS day", s"$pm AS hv")
+        .selectExpr("day", "hv % 256 AS idx", "hv div 256 AS w")
+        .withColumn("rho", expr(hllRhoLadder("w")))
+        .groupBy(col("day"), col("idx"))
+        .agg(max(col("rho")).as("r"))
+      val regs = daily.groupBy(col("idx")).agg(max(col("r")).as("mr"))
+      val a = regs.agg(
+        count(lit(1)).as("occupied"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - mr)")).as("s_present"))
+      val nd = daily.agg(countDistinct(col("day")).as("n_days"))
+      a.crossJoin(broadcast(nd))
+        .selectExpr("CAST(n_days AS BIGINT) AS n_days", hllEstimateExpr)
     },
 
     // FORWARD as-of join ("time to next event"): each view matched to
@@ -1194,4 +1210,52 @@ object EventQueries {
           "user_id", "vc", 0.008)
     }
   )
+
+  // ---- q36 portable-HLL shared fragments (single source of truth for
+  // the Spark exprs AND the DuckDB oracle; only integer-div / shift
+  // syntax differs between engines) ----
+
+  /** rho = rank of the leading one of the 52-bit register payload
+    * (w = h div m): 1 for the top bit … 52 for w=1, 53 for w=0 — a
+    * pure integer CASE ladder, identical text on both engines. */
+  private def hllRhoLadder(w: String): String =
+    (0 until 52).map(i => s"WHEN $w >= ${1L << (51 - i)} THEN ${i + 1}")
+      .mkString("CASE ", " ", " ELSE 53 END")
+
+  /** HLL estimate from (occupied, s_present): raw = α·m²·2⁵³ / S with
+    * S = Σ 2^(53−M_j) (absent registers contribute 2⁵³ each — M=0);
+    * linear-counting branch below 2.5·m. All inputs exact integers,
+    * one fixed double tree — identical text on both engines. */
+  // lazy: forced from `all`'s Q construction during object init, before
+  // plain vals declared below `all` are assigned (the d3 "null" lesson)
+  private lazy val hllEstimateExpr: String = {
+    val raw = "(0.7213 / (1 + 1.079 / 256)) * 256 * 256 * 9007199254740992" +
+      " / (s_present + (256 - occupied) * 9007199254740992)"
+    s"CAST(floor(CASE WHEN $raw <= 640.0 AND (256 - occupied) > 0 " +
+      s"THEN 256 * ln(CAST(256 AS DOUBLE) / (256 - occupied)) " +
+      s"ELSE $raw END) AS BIGINT) AS approx_users"
+  }
+
+  /** q36 oracle: the identical pipeline in DuckDB syntax (md5 idiom,
+    * `//` integer division, `<<` shift). */
+  private lazy val q36OracleSql: String =
+    s"""WITH h AS (
+       |  SELECT epoch_us(ts) // 86400000000 AS day,
+       |    ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS hv
+       |  FROM events
+       |), b AS (
+       |  SELECT day, hv % 256 AS idx, hv // 256 AS w FROM h
+       |), r AS (
+       |  SELECT day, idx, ${hllRhoLadder("w")} AS rho FROM b
+       |), d AS (
+       |  SELECT day, idx, max(rho) AS r FROM r GROUP BY 1, 2
+       |), u AS (
+       |  SELECT idx, max(r) AS mr FROM d GROUP BY 1
+       |), a AS (
+       |  SELECT count(*) AS occupied,
+       |    sum((1::BIGINT << (53 - mr)))::BIGINT AS s_present
+       |  FROM u
+       |), nd AS (SELECT count(DISTINCT day) AS n_days FROM d)
+       |SELECT CAST(n_days AS BIGINT) AS n_days, $hllEstimateExpr
+       |FROM a, nd""".stripMargin
 }
