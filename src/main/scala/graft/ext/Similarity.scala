@@ -215,6 +215,22 @@ object Similarity {
     */
   final case class IvfIndex(centroids: Seq[Seq[Double]], assigned: DataFrame)
 
+  /** Seeded Gaussian centroid init — public so the generated Lloyd
+    * replay oracles (KmeansOracle) inline the IDENTICAL constants. */
+  def initialCentroids(k: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(k)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Seeded Gaussian PQ codebook init — (subspace)(code)(dim-in-sub);
+    * public for the same oracle-inlining reason. */
+  def initialCodebooks(
+      m: Int, k: Int, subDim: Int, seed: Long = 42L)
+      : Seq[Seq[Seq[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(m)(Seq.fill(k)(Seq.fill(subDim)(rnd.nextGaussian())))
+  }
+
   private def nearestCentroid(vec: Column, cents: Seq[Seq[Double]]): Column = {
     // argmin over centroids of negative dot on normalized vectors ≈
     // cosine assignment; struct-max trick for (score, idx) argmax
@@ -269,25 +285,31 @@ object Similarity {
         "ivfBuild: empty or all-null vector input") // clean error, not NPE
       dimRow.getInt(0)
     }
-    val rnd = new scala.util.Random(seed)
-    var cents: Seq[Seq[Double]] =
-      Seq.fill(k)(Seq.fill(dimV)(rnd.nextGaussian()))
+    var cents: Seq[Seq[Double]] = initialCentroids(k, dimV, seed)
     for (_ <- 0 until iters) {
-      // assign + per-cluster mean: one distributed pass, k×dim doubles
-      // back to the driver
+      // assign + per-cluster mean: one distributed pass, k×dim values
+      // back to the driver. Coordinates are e6-quantized to EXACT
+      // integer sums before averaging: a double sum's value depends on
+      // partition/merge order (non-associative), so centroids — and
+      // with them every downstream assignment, probe and candidate set
+      // — would not be reproducible across partitionings or engines.
+      // Integer sums are associative; the single division
+      // s/(n·10⁶) is then one deterministic double op, which is what
+      // makes the s4/s6/d18 full-replay DuckDB oracles possible.
       val assigned = assignCells(base, cents)
       val sums = assigned
         .groupBy("c")
         .agg(
           count(lit(1)).as("n"),
           array((0 until dimV).map(i =>
-            sum(element_at(col("v"), i + 1).cast("double")).as(s"s$i")): _*)
+            sum(round(element_at(col("v"), i + 1).cast("double") * 1e6)
+              .cast("long")).as(s"s$i")): _*)
             .as("sums"))
         .collect()
       val updated = sums.map { r =>
         val c = r.getInt(0)
-        val n = r.getLong(1).toDouble
-        c -> r.getSeq[Double](2).map(_ / n)
+        val nd = r.getLong(1).toDouble
+        c -> r.getSeq[Long](2).map(s => s.toDouble / (nd * 1e6))
       }.toMap
       cents = cents.indices.map(i => updated.getOrElse(i, cents(i)))
     }
@@ -421,12 +443,14 @@ object Similarity {
       posexplode(array((0 until m).map(j =>
         slice(col("v"), j * subDim + 1, subDim)): _*)).as(Seq("sub", "sv")))
 
-    val rnd = new scala.util.Random(seed)
-    var books: Seq[Seq[Seq[Double]]] =
-      Seq.fill(m)(Seq.fill(k)(Seq.fill(subDim)(rnd.nextGaussian())))
+    var books: Seq[Seq[Seq[Double]]] = initialCodebooks(m, k, subDim, seed)
     for (_ <- 0 until iters) {
       // one shuffle: assignment is a per-subspace CASE over `sub` (all
-      // codebooks differ per subspace), aggregation keys on (sub, code)
+      // codebooks differ per subspace), aggregation keys on (sub, code).
+      // Means from e6-quantized EXACT integer sums — the same
+      // determinism choice as ivfBuild (associative sums → codebooks
+      // reproducible across partitionings and engines; enables the
+      // s7/s9 KmeansOracle replays).
       val assigned = subFrame.withColumn("code",
         (0 until m).foldRight(lit(-1): Column) { case (j, acc) =>
           when(col("sub") === j, nearestCode(col("sv"), books(j)))
@@ -436,12 +460,14 @@ object Similarity {
         .groupBy("sub", "code")
         .agg(count(lit(1)).as("n"),
           array((0 until subDim).map(i =>
-            sum(element_at(col("sv"), i + 1).cast("double")).as(s"s$i")): _*)
+            sum(round(element_at(col("sv"), i + 1).cast("double") * 1e6)
+              .cast("long")).as(s"s$i")): _*)
             .as("sums"))
         .collect()
       val updated = sums.map { r =>
         val n = r.getLong(2).toDouble
-        (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](3).map(_ / n)
+        (r.getInt(0), r.getInt(1)) ->
+          r.getSeq[Long](3).map(s => s.toDouble / (n * 1e6))
       }.toMap
       books = books.zipWithIndex.map { case (book, j) =>
         book.zipWithIndex.map { case (c, i) => updated.getOrElse((j, i), c) }

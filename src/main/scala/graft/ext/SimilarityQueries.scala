@@ -168,21 +168,35 @@ object SimilarityQueries {
     // IVF ANN: k-means inverted lists, probe nearest 4 of 16 cells.
     // The query vector is fetched anyway, so its length supplies `dim`
     // — the build skips the corpus-wide dim probe scan.
-    Q.noOracle("s4_ivf_topk") { (s, dir) =>
+    // IVF ANN, now hash-oracled end to end: KmeansOracle replays the
+    // seeded Lloyd iterations (e6-integer cell means make the
+    // centroids engine-exact), the probe ranking replays the
+    // driver-side centroid scoring (stable sort = ties by ci ASC),
+    // and the shortlist re-ranks with the s1 cosine idiom.
+    Q("s4_ivf_topk", s4OracleSql) { (s, dir) =>
       val qv = queryVec(s, dir)
       val idx = Similarity.ivfBuild(
         Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
         dim = Some(qv.length))
       Similarity.ivfTopK(idx, qv, k = 10)
+        .select(
+          col("id"),
+          round(col("cos_sim") * 1e6).cast("long").as("cos_e6"))
     },
 
     // product-quantization ANN: m×k codebook ADC scan (m byte-codes per
     // vector — 16× lighter than float32 — scored by lookup-table reads),
     // exact re-rank of the shortlist. Seeded-float k-means → rows-only.
-    Q.noOracle("s7_pq_ann") { (s, dir) =>
+    // Hash-oracled via KmeansOracle.pqCtes: per-subspace Lloyd replay
+    // (e6-integer codebook means), ADC lookup terms rebuilt from the
+    // SQL-computed codebooks in the engine's operation order.
+    Q("s7_pq_ann", s7OracleSql) { (s, dir) =>
       val idx = Similarity.pqBuild(
         Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
       Similarity.pqTopK(idx, queryVec(s, dir), k = 10)
+        .select(
+          col("id"),
+          round(col("cos_sim") * 1e6).cast("long").as("cos_e6"))
     },
 
     // end-to-end RAG indexing composition: overlapping chunking →
@@ -258,19 +272,32 @@ object SimilarityQueries {
     // cell id becomes the partition key so a query touches nProbe
     // cells' files reading m bytes/vector. Seeded-float k-means →
     // rows-only; recall pinned in DedupSpec.
-    Q.noOracle("s9_ivfpq_ann") { (s, dir) =>
+    // Hash-oracled: the full IVFADC replay — coarse Lloyd centroids,
+    // per-cell residuals, residual PQ codebooks, probe selection,
+    // per-cell q·centroid base + ADC term sums, shortlist, re-rank.
+    Q("s9_ivfpq_ann", s9OracleSql) { (s, dir) =>
       val qv = queryVec(s, dir)
       val idx = Similarity.ivfPqBuild(
         Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
         dim = Some(qv.length))
       Similarity.ivfPqTopK(idx, qv, k = 10)
+        .select(
+          col("id"),
+          round(col("cos_sim") * 1e6).cast("long").as("cos_e6"))
     },
 
     // corpus clustering for data curation (semantic buckets for mixing /
     // diversity sampling): the IVF k-means assignment re-used as the
     // product. Per-cluster membership profile; seeded-float k-means →
     // rows-only.
-    Q.noOracle("s6_corpus_clusters") { (s, dir) =>
+    // k-means corpus clustering, hash-oracled: the KmeansOracle Lloyd
+    // replay's final assignment grouped per cell.
+    Q(
+      "s6_corpus_clusters",
+      s"""WITH ${KmeansOracle.lloydCtes()}
+         |SELECT CAST(ci AS BIGINT) AS cluster_id,
+         |  count(*)::BIGINT AS n_members, min(id) AS min_vec_id
+         |FROM asg GROUP BY 1""".stripMargin) { (s, dir) =>
       Similarity
         .ivfBuild(Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
         .assigned
@@ -358,6 +385,132 @@ object SimilarityQueries {
   private def dotChain(vec: String, coeffs: Seq[Double]): String =
     coeffs.zipWithIndex
       .map { case (c, i) => s"$vec[${i + 1}]::DOUBLE*($c)" }.mkString(" + ")
+
+  private def cosineRankSql(dim: Int, k: Int, from: String): String =
+    s"""c AS (
+       |  SELECT x.id,
+       |    round(
+       |      list_sum(list_transform(range(1, ${dim + 1}),
+       |        i -> CAST(x.e[i] AS DOUBLE) * CAST(q[i] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform(x.e,
+       |           x2 -> CAST(x2 AS DOUBLE) * CAST(x2 AS DOUBLE))))
+       |         * sqrt(list_sum(list_transform(q,
+       |           x2 -> CAST(x2 AS DOUBLE) * CAST(x2 AS DOUBLE))))),
+       |      6) AS cos6
+       |  FROM $from, qv
+       |)
+       |SELECT id, CAST(round(cos6 * 1000000) AS BIGINT) AS cos_e6
+       |FROM c ORDER BY cos6 DESC, id ASC LIMIT $k""".stripMargin
+
+  /** s7: pqTopK replay — per-subspace Lloyd codebooks (pqCtes), ADC
+    * terms = dot(codebook entry, query subvector) in the engine's
+    * fold order, left-assoc term sum, top-50 shortlist, exact
+    * re-rank. */
+  private lazy val s7OracleSql: String = {
+    val m = 8; val subDim = 8
+    s"""WITH v AS (SELECT vec_id AS id, embedding AS e FROM embeddings),
+       |qv AS (SELECT e AS q FROM v WHERE id = 0),
+       |${KmeansOracle.pqCtes("v", "e", m = m, subDim = subDim)},
+       |terms AS (
+       |  SELECT cd.id, t.j,
+       |    list_sum(list_transform(range(1, ${subDim + 1}),
+       |      i -> b.cv[i] * CAST(q[t.j * $subDim + i] AS DOUBLE))) AS term
+       |  FROM pqcodes cd
+       |  CROSS JOIN range(0, $m) t(j)
+       |  CROSS JOIN qv
+       |  JOIN pqb3 b ON b.j = t.j AND b.code = cd.codes[t.j + 1]),
+       |ap AS (
+       |  SELECT id, list_sum(list(term ORDER BY j)) AS approx
+       |  FROM terms GROUP BY id),
+       |co AS (SELECT id FROM ap ORDER BY approx DESC, id ASC LIMIT 50),
+       |${cosineRankSql(64, 10, "(SELECT v.id, v.e FROM v JOIN co USING (id)) x")}"""
+      .stripMargin
+  }
+
+  /** s9: ivfPqTopK replay — lloydCtes coarse centroids, residuals
+    * against the assigned cell, residual PQ codebooks, probe ranking,
+    * per-cell q·centroid base + ADC sums over probed cells only,
+    * shortlist, exact re-rank. */
+  private lazy val s9OracleSql: String = {
+    val dim = 64; val m = 8; val subDim = 8
+    s"""WITH ${KmeansOracle.lloydCtes()},
+       |qv AS (SELECT e AS q FROM v WHERE id = 0),
+       |res AS (
+       |  SELECT a.id, a.ci,
+       |    list_transform(range(1, ${dim + 1}),
+       |      i -> CAST(a.e[i] AS DOUBLE) - c.cv[i]) AS r
+       |  FROM asg a JOIN cents3 c USING (ci)),
+       |${KmeansOracle.pqCtes("res", "r", m = m, subDim = subDim)},
+       |pr AS (
+       |  SELECT ci FROM (
+       |    SELECT c.ci,
+       |      list_sum(list_transform(range(1, ${dim + 1}),
+       |        i -> c.cv[i] * CAST(q[i] AS DOUBLE)))
+       |      / greatest(sqrt(list_sum(list_transform(q,
+       |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 1e-12)
+       |        AS sc
+       |    FROM cents3 c, qv)
+       |  ORDER BY sc DESC, ci ASC LIMIT 4),
+       |qb AS (
+       |  SELECT c.ci, list_sum(list_transform(range(1, ${dim + 1}),
+       |    i -> c.cv[i] * CAST(q[i] AS DOUBLE))) AS qbase
+       |  FROM cents3 c, qv),
+       |el AS (
+       |  SELECT cd.id, r2.ci, cd.codes
+       |  FROM pqcodes cd JOIN res r2 USING (id)
+       |  WHERE r2.ci IN (SELECT ci FROM pr)),
+       |terms AS (
+       |  SELECT el.id, t.j,
+       |    list_sum(list_transform(range(1, ${subDim + 1}),
+       |      i -> b.cv[i] * CAST(q[t.j * $subDim + i] AS DOUBLE))) AS term
+       |  FROM el
+       |  CROSS JOIN range(0, $m) t(j)
+       |  CROSS JOIN qv
+       |  JOIN pqb3 b ON b.j = t.j AND b.code = el.codes[t.j + 1]),
+       |ap AS (
+       |  SELECT el.id, qb.qbase + s.adc AS approx
+       |  FROM el
+       |  JOIN qb ON qb.ci = el.ci
+       |  JOIN (SELECT id, list_sum(list(term ORDER BY j)) AS adc
+       |        FROM terms GROUP BY id) s USING (id)),
+       |co AS (SELECT id FROM ap ORDER BY approx DESC, id ASC LIMIT 50),
+       |${cosineRankSql(dim, 10, "(SELECT v.id, v.e FROM v JOIN co USING (id)) x")}"""
+      .stripMargin
+  }
+
+  /** s4: ivfTopK replay — Lloyd centroids (KmeansOracle), driver-side
+    * probe ranking (dot(centroid, query)/max(|q|, 1e-12), stable sort
+    * → ties by ci ASC), members of the 4 probed cells re-ranked by
+    * the s1 cosine. */
+  private lazy val s4OracleSql: String = {
+    val dim = 64
+    s"""WITH ${KmeansOracle.lloydCtes()},
+       |qv AS (SELECT e AS q FROM v WHERE id = 0),
+       |pr AS (
+       |  SELECT ci FROM (
+       |    SELECT c.ci,
+       |      list_sum(list_transform(range(1, ${dim + 1}),
+       |        i -> c.cv[i] * CAST(q[i] AS DOUBLE)))
+       |      / greatest(sqrt(list_sum(list_transform(q,
+       |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 1e-12)
+       |        AS sc
+       |    FROM cents3 c, qv)
+       |  ORDER BY sc DESC, ci ASC LIMIT 4),
+       |c AS (
+       |  SELECT a.id,
+       |    round(
+       |      list_sum(list_transform(range(1, ${dim + 1}),
+       |        i -> CAST(a.e[i] AS DOUBLE) * CAST(q[i] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform(a.e,
+       |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |         * sqrt(list_sum(list_transform(q,
+       |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+       |      6) AS cos6
+       |  FROM asg a JOIN pr USING (ci), qv
+       |)
+       |SELECT id, CAST(round(cos6 * 1000000) AS BIGINT) AS cos_e6
+       |FROM c ORDER BY cos6 DESC, id ASC LIMIT 10""".stripMargin
+  }
 
   /** s5: full quantizedTopK replay. Corpus codes use DuckDB `round`
     * (ties away from zero = Spark's HALF_UP); query codes use
