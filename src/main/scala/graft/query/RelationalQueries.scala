@@ -289,8 +289,13 @@ object RelationalQueries {
           sum(cents(col("c_acctbal"))).as("sum_bal_c"))
     },
 
-    // ---- approx distinct (sketch; no DuckDB-identical oracle → rows-only
-    // check; exact counterpart is q9's n_users) ----
+    // ---- approx distinct via Spark's ENGINE-INTERNAL HLL++ sketch —
+    // the pack's ONE deliberately rows-only query: it documents the
+    // native-sketch surface (relative-error parameter, datasketches
+    // compatibility), whose binary internals no independent engine can
+    // replay. Every portable approximation has an exact-replay oracle
+    // instead: q81 (linear counting) and q36 (portable mergeable HLL)
+    // are the oracled counterparts, q9's n_users the exact one. ----
     Q.noOracle("q12_approx_distinct_users") { (s, dir) =>
       Tables.load(s, dir, "events")
         .groupBy(col("event_type"))
