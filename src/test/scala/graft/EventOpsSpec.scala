@@ -1,6 +1,7 @@
 package graft
 
 import graft.query.EventOps
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Semantics pins for the funnel/retention operators on crafted event
   * frames (the oracle covers them statistically at sf scale; these pin
@@ -325,5 +326,46 @@ class EventOpsSpec extends SparkSpec {
     val out = EventOps.retention(act, "user_id", "day", Seq(0L, 1L, 3L))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out === Map(0L -> 3L, 1L -> 2L, 3L -> 1L))
+  }
+
+  test("NanosPredicatePushdown preserves range semantics on bounds " +
+    "that are not µs-aligned") {
+    // the rule rewrites `derived-nanos ⋈ literal` onto the native
+    // timestamp with ceiling/floor-corrected bounds; every comparison
+    // and both literal positions must agree with plain driver-side
+    // arithmetic, including bounds ±1 ns and ±999 ns off alignment
+    // (ts values are µs·1000, so misaligned bounds sit strictly
+    // between representable instants — exactly where a rounding bug
+    // would flip rows in or out)
+    val ev = graft.query.Tables
+      .load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("ts"))
+    val all = ev.collect().map(_.getLong(0))
+    val base = all.sorted.apply(all.length / 2) // an occupied instant
+    for (b <- Seq(base, base + 1, base + 999, base + 1000, base - 1)) {
+      def n(df: org.apache.spark.sql.DataFrame) = df.count()
+      assert(n(ev.where(col("ts") >= b)) === all.count(_ >= b), s">= $b")
+      assert(n(ev.where(col("ts") > b)) === all.count(_ > b), s"> $b")
+      assert(n(ev.where(col("ts") < b)) === all.count(_ < b), s"< $b")
+      assert(n(ev.where(col("ts") <= b)) === all.count(_ <= b), s"<= $b")
+      assert(n(ev.where(col("ts") === b)) === all.count(_ == b), s"== $b")
+      assert(n(ev.where(lit(b) <= col("ts"))) === all.count(_ >= b),
+        s"lit <= $b")
+      assert(n(ev.where(lit(b) > col("ts"))) === all.count(_ < b),
+        s"lit > $b")
+    }
+  }
+
+  test("portable HLL (q36) estimates within the m=256 error band") {
+    // replay equality is the oracle's job; this pins SEMANTIC sanity:
+    // the union-merged register estimate must be within ~3σ of the
+    // exact distinct count (σ = 1.04/√256 ≈ 6.5%)
+    val dir = "/root/testdata/sf0.001"
+    val est = SparkEntry.queries("q36_hll_daily_union")(spark, dir)
+      .head().getLong(1)
+    val exact = graft.query.Tables.load(spark, dir, "events")
+      .select("user_id").distinct().count()
+    val err = math.abs(est.toDouble - exact) / exact
+    assert(err < 0.20, s"HLL estimate $est vs exact $exact (err $err)")
   }
 }
