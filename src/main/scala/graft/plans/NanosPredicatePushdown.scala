@@ -21,10 +21,23 @@ import org.apache.spark.sql.types._
   * down (PlanSpec "events range scan" pins `PushedFilters`).
   *
   * Guards: the µs count is exact (`unix_micros` of the column, no
-  * truncation), ×1000 cannot overflow for any parquet-representable
-  * µs timestamp (|µs| < 2^62/1000), and NTZ-typed attributes are only
+  * truncation); the rewrite intentionally assumes non-wrapping
+  * timestamps — parquet INT64 µs can technically hold any Long, and
+  * for |µs| > Long.MaxValue/1000 the original non-ANSI multiply would
+  * wrap while the rewritten predicate evaluates the true range, but no
+  * real timestamp (the representable range ends ~year 294247) comes
+  * within 2000× of that bound; and NTZ-typed attributes are only
   * unwrapped when the enclosing cast runs under UTC (the session zone
   * `Tables.configure` pins), where NTZ→TZ is value-preserving.
+  *
+  * Null semantics: every rewrite keeps the attribute inside the
+  * comparison, so NULL in → NULL out is preserved. The one case that
+  * would otherwise drop the attribute — equality against a literal
+  * that is not µs-aligned — rewrites to
+  * `If(IsNull(attr), null, false)` rather than bare `false`, so the
+  * rule stays a pure expression-level equivalence and is safe under
+  * `transformAllExpressions` (e.g. a projected boolean
+  * `unix_micros(ts)*1000 = n` stays NULL for NULL ts).
   */
 object NanosPredicatePushdown extends Rule[LogicalPlan] {
 
@@ -52,6 +65,11 @@ object NanosPredicatePushdown extends Rule[LogicalPlan] {
 
   private def tsLit(micros: Long, dt: DataType): Literal = Literal(micros, dt)
 
+  /** Non-µs-aligned equality is unsatisfiable for non-null inputs, but
+    * the original expression yields NULL for NULL input — preserve that. */
+  private def nullSafeFalse(a: Attribute): Expression =
+    If(IsNull(a), Literal(null, BooleanType), Literal.FalseLiteral)
+
   private def ceilDiv(n: Long): Long =
     Math.floorDiv(n, 1000L) + (if (Math.floorMod(n, 1000L) > 0L) 1L else 0L)
   private def floorDiv(n: Long): Long = Math.floorDiv(n, 1000L)
@@ -72,7 +90,7 @@ object NanosPredicatePushdown extends Rule[LogicalPlan] {
         LessThanOrEqual(a, tsLit(floorDiv(n), dt))
       case EqualTo(NanosOfAttr(a, dt), Literal(n: Long, LongType)) =>
         if (n % 1000L == 0L) EqualTo(a, tsLit(n / 1000L, dt))
-        else Literal.FalseLiteral
+        else nullSafeFalse(a)
       // literal-on-left mirrors
       case GreaterThanOrEqual(Literal(n: Long, LongType), NanosOfAttr(a, dt)) =>
         GreaterThanOrEqual(tsLit(floorDiv(n), dt), a)
@@ -84,6 +102,6 @@ object NanosPredicatePushdown extends Rule[LogicalPlan] {
         LessThanOrEqual(tsLit(ceilDiv(n), dt), a)
       case EqualTo(Literal(n: Long, LongType), NanosOfAttr(a, dt)) =>
         if (n % 1000L == 0L) EqualTo(tsLit(n / 1000L, dt), a)
-        else Literal.FalseLiteral
+        else nullSafeFalse(a)
     }
 }

@@ -1211,30 +1211,14 @@ object EventQueries {
     }
   )
 
-  // ---- q36 portable-HLL shared fragments (single source of truth for
-  // the Spark exprs AND the DuckDB oracle; only integer-div / shift
-  // syntax differs between engines) ----
-
-  /** rho = rank of the leading one of the 52-bit register payload
-    * (w = h div m): 1 for the top bit … 52 for w=1, 53 for w=0 — a
-    * pure integer CASE ladder, identical text on both engines. */
-  private def hllRhoLadder(w: String): String =
-    (0 until 52).map(i => s"WHEN $w >= ${1L << (51 - i)} THEN ${i + 1}")
-      .mkString("CASE ", " ", " ELSE 53 END")
-
-  /** HLL estimate from (occupied, s_present): raw = α·m²·2⁵³ / S with
-    * S = Σ 2^(53−M_j) (absent registers contribute 2⁵³ each — M=0);
-    * linear-counting branch below 2.5·m. All inputs exact integers,
-    * one fixed double tree — identical text on both engines. */
+  // ---- q36 portable-HLL shared fragments now live in PortableHll
+  // (single source of truth for q36 AND q12's Spark exprs and DuckDB
+  // oracles; only integer-div / shift syntax differs between
+  // engines). Local forwarders keep the call sites short.
+  private def hllRhoLadder(w: String): String = PortableHll.rhoLadder(w)
   // lazy: forced from `all`'s Q construction during object init, before
   // plain vals declared below `all` are assigned (the d3 "null" lesson)
-  private lazy val hllEstimateExpr: String = {
-    val raw = "(0.7213 / (1 + 1.079 / 256)) * 256 * 256 * 9007199254740992" +
-      " / (s_present + (256 - occupied) * 9007199254740992)"
-    s"CAST(floor(CASE WHEN $raw <= 640.0 AND (256 - occupied) > 0 " +
-      s"THEN 256 * ln(CAST(256 AS DOUBLE) / (256 - occupied)) " +
-      s"ELSE $raw END) AS BIGINT) AS approx_users"
-  }
+  private lazy val hllEstimateExpr: String = PortableHll.estimateExpr
 
   /** q36 oracle: the identical pipeline in DuckDB syntax (md5 idiom,
     * `//` integer division, `<<` shift). */

@@ -289,17 +289,48 @@ object RelationalQueries {
           sum(cents(col("c_acctbal"))).as("sum_bal_c"))
     },
 
-    // ---- approx distinct via Spark's ENGINE-INTERNAL HLL++ sketch —
-    // the pack's ONE deliberately rows-only query: it documents the
-    // native-sketch surface (relative-error parameter, datasketches
-    // compatibility), whose binary internals no independent engine can
-    // replay. Every portable approximation has an exact-replay oracle
-    // instead: q81 (linear counting) and q36 (portable mergeable HLL)
-    // are the oracled counterparts, q9's n_users the exact one. ----
-    Q.noOracle("q12_approx_distinct_users") { (s, dir) =>
-      Tables.load(s, dir, "events")
-        .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+    // ---- approx distinct users per event_type via the PORTABLE
+    // m=256 HLL (PortableHll — q36's register pipeline, grouped by
+    // event_type instead of day), so the pack's last rows-only entry
+    // carries a full DuckDB hash replay. Spark's ENGINE-INTERNAL
+    // HLL++ sketch (approx_count_distinct, whose binary internals no
+    // independent engine can replay) stays exercised as the spec-
+    // pinned contrast: EventOpsSpec asserts it lands within its
+    // configured relative error of the exact count and brackets this
+    // portable estimate. ----
+    Q(
+      "q12_approx_distinct_users",
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |    ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS hv
+         |  FROM events WHERE user_id IS NOT NULL
+         |), b AS (
+         |  SELECT event_type, hv % 256 AS idx, hv // 256 AS w FROM h
+         |), r AS (
+         |  SELECT event_type, idx, ${PortableHll.rhoLadder("w")} AS rho FROM b
+         |), d AS (
+         |  SELECT event_type, idx, max(rho) AS mr FROM r GROUP BY 1, 2
+         |), a AS (
+         |  SELECT event_type, count(*) AS occupied,
+         |    sum((1::BIGINT << (53 - mr)))::BIGINT AS s_present
+         |  FROM d GROUP BY 1
+         |)
+         |SELECT event_type, ${PortableHll.estimateExpr} FROM a""".stripMargin) {
+      (s, dir) =>
+        val pm =
+          "CAST(conv(substr(md5(CAST(user_id AS STRING)),1,15),16,10) AS BIGINT)"
+        val regs = Tables.load(s, dir, "events")
+          .where(col("user_id").isNotNull)
+          .selectExpr("event_type", s"$pm AS hv")
+          .selectExpr("event_type", "hv % 256 AS idx", "hv div 256 AS w")
+          .withColumn("rho", expr(PortableHll.rhoLadder("w")))
+          .groupBy(col("event_type"), col("idx"))
+          .agg(max(col("rho")).as("mr"))
+        regs.groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("occupied"),
+            sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - mr)")).as("s_present"))
+          .selectExpr("event_type", PortableHll.estimateExpr)
     },
 
     // ---- DETERMINISTIC approximate distinct (linear counting,

@@ -407,6 +407,25 @@ class DedupSpec extends SparkSpec {
       .agg(max("count")).head().getLong(0) <= 4)
   }
 
+  test("m3/m4 oracle precondition: documents.text is pure ASCII " +
+    "(byte slices replay as DuckDB substr/strlen)") {
+    // The m3/m4 DuckDB oracles replay the engine's BYTE slicing with
+    // CHARACTER-based substr/strlen; that equivalence holds iff text
+    // is single-byte (octet_length == char_length on every row). A
+    // fixture regen that introduces multi-byte UTF-8 must fail HERE
+    // with a clear message, not as an opaque m3/m4 hash mismatch.
+    for (sf <- Seq("sf0.001", "sf0.01")
+         if new java.io.File(s"/root/testdata/$sf/documents.parquet").exists) {
+      val nonAscii = graft.query.Tables.load(spark, s"/root/testdata/$sf", "documents")
+        .where(expr("octet_length(text) <> char_length(text)"))
+        .count()
+      assert(nonAscii === 0L,
+        s"documents.text in $sf contains $nonAscii non-ASCII rows; " +
+          "the m3/m4 oracles' substr/strlen replay of byte slicing is " +
+          "no longer valid — rewrite them on BLOB-cast byte slices")
+    }
+  }
+
   test("phashNearDupPairs: lossless to Hamming 3 on crafted hashes, " +
     "bucket cap drops degenerate buckets") {
     // crafted 64-bit hashes: base, base+2 flipped bits (found), base

@@ -1,7 +1,7 @@
 package graft
 
 import graft.query.EventOps
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{approx_count_distinct, col, countDistinct, lit}
 
 /** Semantics pins for the funnel/retention operators on crafted event
   * frames (the oracle covers them statistically at sf scale; these pin
@@ -367,5 +367,35 @@ class EventOpsSpec extends SparkSpec {
       .select("user_id").distinct().count()
     val err = math.abs(est.toDouble - exact) / exact
     assert(err < 0.20, s"HLL estimate $est vs exact $exact (err $err)")
+  }
+
+  test("q12 portable HLL per event_type brackets the exact count; " +
+    "native HLL++ sketch stays within its configured error") {
+    // q12 moved from Spark's engine-internal approx_count_distinct
+    // (rows-only — binary sketch internals are not replayable) to the
+    // portable m=256 register pipeline with a full DuckDB oracle. The
+    // NATIVE sketch surface remains exercised here: both estimators
+    // must land within their error bands of the exact per-group count.
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.query.Tables.load(spark, dir, "events")
+    val exact = ev.where(col("user_id").isNotNull)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val portable = SparkEntry.queries("q12_approx_distinct_users")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val native = ev
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(portable.keySet === exact.keySet)
+    for ((et, n) <- exact) {
+      val pErr = math.abs(portable(et).toDouble - n) / n
+      assert(pErr < 0.25,
+        s"portable HLL for $et: ${portable(et)} vs exact $n (err $pErr)")
+      val nErr = math.abs(native(et).toDouble - n) / n
+      assert(nErr < 0.05,
+        s"native HLL++ for $et: ${native(et)} vs exact $n (err $nErr)")
+    }
   }
 }
