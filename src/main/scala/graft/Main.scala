@@ -33,7 +33,7 @@ object Main {
   private val usage =
     """usage:
       |  graft.Main actions      <blocksJsonDir> <outDir> [--follow] [--native] [--skip-commit]
-      |  graft.Main transactions <blocksJsonDir> <outDir> [--follow] [--from HEIGHT] [--native] [--skip-commit]
+      |  graft.Main transactions <blocksJsonDir> <outDir> [--follow] [--from HEIGHT] [--native] [--skip-commit] [--no-tws]
       |  graft.Main backfill     <blocksJsonDir> <outDir>
       |
       |--native reads through the height-offset block source (expects a
@@ -43,7 +43,11 @@ object Main {
       |reference's skip-commit smoke mode): every transform executes and
       |progress logs fire, no table/quarantine file is written, and the
       |stream checkpoint goes to an ephemeral temp dir so a dry run can
-      |never advance the offsets a later real run resumes from.""".stripMargin
+      |never advance the offsets a later real run resumes from.
+      |--no-tws runs the correlator on the legacy flatMapGroupsWithState
+      |operator instead of transformWithState (the default) — use it to
+      |resume a checkpoint written before the transformWithState wire;
+      |the two operators' checkpoints are not interchangeable.""".stripMargin
 
   def main(args: Array[String]): Unit = {
     if (args.length < 3) { System.err.println(usage); sys.exit(2) }
@@ -74,6 +78,7 @@ object Main {
       if (follow) Trigger.ProcessingTime("2 seconds")
       else Trigger.AvailableNow()
     val native = args.contains("--native")
+    val tws = !args.contains("--no-tws")
     val skipCommit = args.contains("--skip-commit")
     // dry runs checkpoint to a throwaway dir: reusing the real
     // checkpoint would record source offsets for blocks whose output
@@ -104,7 +109,7 @@ object Main {
           BlockStream.runTransactionsPipeline(
             spark, inDir, outDir, checkpoint("transactions"),
             trigger, startHeight = start, nativeSource = native,
-            skipCommit = skipCommit))
+            skipCommit = skipCommit, tws = tws))
       case "backfill" =>
         val cut = BlockStream.runBackfill(spark, inDir, outDir)
         println(s"[graft] backfill done; replay cut = $cut")

@@ -58,11 +58,13 @@ object PipelineQueries {
     df.select(cols.toIndexedSeq: _*)
   }
 
-  private def completed(s: SparkSession) = {
-    import Blocks.encoder
-    TxCorrelator.correlateBatch(
-      s.createDataset(BlockFixtures.blocks(N))(encoder))
-  }
+  /** Correlated fixture txs via the PRODUCTION streaming operator
+    * (`transformWithState` — round-8 wire): p4–p7's hash oracles
+    * thereby certify the Tws path end to end, not a batch stand-in.
+    * The sequential twin (`correlateBatch`) stays covered by
+    * TxCorrelatorSpec and the equivalence properties. */
+  private def completed(s: SparkSession) =
+    TxCorrelator.correlateBatchTws(s, BlockFixtures.blocks(N))
 
   val all: Seq[Q] = Seq(
     Q("p1_actions_extract", PipelineOracles.p1) { (s, _) =>

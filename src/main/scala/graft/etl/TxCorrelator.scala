@@ -404,4 +404,44 @@ object TxCorrelator {
         new CorrelatorProcessor(strict, stateTtl),
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** The RocksDB state store provider [[correlateStreamTws]] requires. */
+  val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+
+  /** Ensures the session's state store provider is RocksDB (the
+    * `transformWithState` prerequisite); the conf is read per streaming
+    * query at start, and the HDFS-backed default can't run the v2
+    * stateful operator at all, so overriding session-wide is safe —
+    * stateless queries ignore it and fmgws works on either provider. */
+  def ensureRocksDb(spark: SparkSession): Unit =
+    if (!spark.conf.getOption(ProviderKey).contains(RocksDbProvider))
+      spark.conf.set(ProviderKey, RocksDbProvider)
+
+  /** Run a BOUNDED block set through the PRODUCTION streaming operator
+    * ([[correlateStreamTws]] — MemoryStream in, memory sink out, one
+    * micro-batch) and return the completed txs as a Dataset. This is
+    * how the p4–p7 query pack computes its correlation, so the
+    * driver's DuckDB hash oracle certifies the `transformWithState`
+    * wire itself, not a batch stand-in ([[correlateBatch]] stays the
+    * spec-pinned sequential twin; equivalence of all paths is pinned
+    * by TwsCorrelatorSpec / CorrelatorPropertySpec). */
+  def correlateBatchTws(
+      spark: SparkSession, blocks: Seq[BlockWithTxHashes],
+      strict: Boolean = false): Dataset[CompletedTx] = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    ensureRocksDb(spark)
+    val name = s"graft_tws_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val stream = MemoryStream[BlockWithTxHashes](Blocks.encoder, spark)
+    val q = correlateStreamTws(stream.toDS(), strict = strict)
+      .writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      stream.addData(blocks)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name).as[CompletedTx]
+  }
 }

@@ -312,13 +312,23 @@ object BlockStream {
     * it are already fully reflected in the sinks, so the stream begins
     * rebuilding correlator state there (lenient mode skips receipts whose
     * txs completed pre-cut; re-emitted completions are dropped by the
-    * sink cursor). */
+    * sink cursor).
+    *
+    * `tws` (default ON) runs the correlator on `transformWithState`
+    * (SURVEY §2.4 first choice — per-entry state writes, optional
+    * per-entry TTL) and forces the RocksDB state store provider it
+    * requires; `tws = false` (`--no-tws`) falls back to the
+    * flatMapGroupsWithState operator. The two operators' checkpoints
+    * are NOT interchangeable — resume a pre-round-8 checkpoint with
+    * `tws = false`, or start a fresh checkpoint dir to migrate. */
   def runTransactionsPipeline(
       spark: SparkSession, inDir: String, outDir: String,
       checkpoint: String, trigger: Trigger = Trigger.AvailableNow(),
       bucketStep: Long = 1000L, startHeight: Long = Long.MinValue,
       nativeSource: Boolean = false,
-      skipCommit: Boolean = false): StreamingQuery = {
+      skipCommit: Boolean = false,
+      tws: Boolean = true,
+      stateTtl: Option[java.time.Duration] = None): StreamingQuery = {
     import spark.implicits._
     val src =
       if (nativeSource)
@@ -335,7 +345,12 @@ object BlockStream {
     // block height, transactions.rs:360)
     val cursor = sinkCursor(
       spark, s"$outDir/transactions", cursorCol = "last_block_height")
-    TxCorrelator.correlateStream(blocks).writeStream
+    val correlated =
+      if (tws) {
+        TxCorrelator.ensureRocksDb(spark)
+        TxCorrelator.correlateStreamTws(blocks, stateTtl = stateTtl)
+      } else TxCorrelator.correlateStream(blocks)
+    correlated.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch {
