@@ -17,6 +17,8 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
     graft.query.Tables.configure(spark)
     if (args.contains("100x")) { probe100x(spark); spark.stop(); return }
+    if (args.contains("ann")) { probeAnn(spark); spark.stop(); return }
+    if (args.contains("stream")) { probeStream(spark); spark.stop(); return }
     val docs1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .select(col("doc_id"), col("text"))
     // 10x: replicate with distinct ids and a per-copy suffix token so
@@ -224,6 +226,196 @@ object ScaleProbe {
     * candidate join absorbs them) — the documented 100 TB stance is
     * the second: beyond ~1M vectors, fix the assignment budget and
     * let maxCell bound the join, or go two-level IVF. */
+  /** Streaming-surface scale probe (round-8 verdict item 7):
+    * heavyHittersStream / funnelStream / sequenceCountStream at 1x and
+    * 10x of the sf0.1 events corpus, fed through a MemoryStream in 20
+    * TIME-ORDERED slices (each slice one micro-batch; the watermark
+    * advances between slices, so windows/sessions close progressively
+    * — the steady-state streaming shape, not one giant batch). A final
+    * far-future flush event closes every remaining horizon. Reported
+    * per op: output rows, wall time, PEAK state rows/bytes (the
+    * state-size-cliff check), per-batch latency mean/max, and for MG
+    * the emitted bound width n_shard/(cap+1) — the sketch's
+    * explicit-uncertainty contract at scale. */
+  private def probeStream(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val ev1 = graft.query.Tables.load(spark, "/root/testdata/sf0.1", "events")
+      .select(col("user_id"), expr("ts div 1000").as("us"), col("event_type"))
+    val ev10 = (0 until 10).map { r =>
+      ev1.select((col("user_id") + lit(r * 1000000L)).as("user_id"),
+        col("us"), col("event_type"))
+    }.reduce(_ unionByName _)
+    val delay = "10 minutes"
+    val hourUs = 3600L * 1000000L
+    for ((label, ev) <- Seq(("1x", ev1), ("10x", ev10))) {
+      val b = ev.agg(min(col("us")), max(col("us"))).head()
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val slices = 20
+      val step = math.max(1L, (hi - lo) / slices + 1L)
+      def run(name: String)(
+          build: DataFrame => DataFrame): (Long, Seq[Double], Long, Long) = {
+        val stream = MemoryStream[(Long, Long, String)](spark)
+        val src = stream.toDS().select(
+          col("_1").as("user_id"),
+          timestamp_micros(col("_2")).as("event_time"),
+          col("_3").as("event_type"))
+        val qn = s"probe_${name}_${label.replace("x", "")}"
+        val q = build(src).writeStream.outputMode("append")
+          .format("memory").queryName(qn).start()
+        val batchMs = collection.mutable.ArrayBuffer.empty[Double]
+        try {
+          for (i <- 0 until slices) {
+            val slice = ev
+              .where(col("us") >= lo + i * step && col("us") < lo + (i + 1) * step)
+              .as[(Long, Long, String)].collect()
+            if (slice.nonEmpty) {
+              val t0 = System.nanoTime()
+              stream.addData(slice.toIndexedSeq)
+              q.processAllAvailable()
+              batchMs += (System.nanoTime() - t0) / 1e6
+            }
+          }
+          // flush: close every horizon still open at end of stream
+          stream.addData(Seq((0L, hi + 100L * 86400L * 1000000L, "flush")))
+          q.processAllAvailable()
+          val stateMax = q.recentProgress.flatMap(_.stateOperators.headOption)
+          val rows = spark.table(qn).count()
+          (rows, batchMs.toSeq,
+            if (stateMax.isEmpty) 0L else stateMax.map(_.numRowsTotal).max,
+            if (stateMax.isEmpty) 0L else stateMax.map(_.memoryUsedBytes).max)
+        } finally q.stop() // memory-sink view kept: boundMax reads it
+      }
+      def report(name: String,
+          r: (Long, Seq[Double], Long, Long), extra: String = ""): Unit = {
+        val (rows, ms, srows, sbytes) = r
+        val mean = if (ms.isEmpty) 0.0 else ms.sum / ms.size
+        val mx = if (ms.isEmpty) 0.0 else ms.max
+        println(f"$label $name%-16s rows=$rows%7d  total=${ms.sum / 1000}%6.1f s" +
+          f"  batch mean=$mean%6.0f ms max=$mx%6.0f ms" +
+          f"  peakState=$srows%8d rows/${sbytes / 1024}%7d KiB$extra")
+      }
+      val hh = run("heavyHitters")(src => graft.ext.Frequent
+        .heavyHittersStream(src, "user_id", "event_time",
+          windowUs = 86400L * 1000000L, phi = 0.01, delay = delay, shards = 4))
+      // MG bound width: emitted rows carry (count_lb, shard_n); the
+      // sketch guarantee is true ∈ [count_lb, count_lb + n/(cap+1)]
+      val cap = math.max(8, math.ceil(2.0 / 0.01).toInt)
+      val widthMax =
+        if (hh._1 == 0) 0L
+        else spark.table(s"probe_heavyHitters_${label.replace("x", "")}")
+          .agg(max(col("shard_n"))).head().getLong(0) / (cap + 1)
+      report("heavyHitters", hh, f"  mgBoundMax=$widthMax")
+      report("funnel", run("funnel")(src => graft.query.EventOps
+        .funnelStream(src, "user_id", "event_time", "event_type",
+          Seq("view", "click", "purchase"), hourUs, delay)))
+      report("sequenceCount", run("sequenceCount")(src => graft.query.EventOps
+        .sequenceCountStream(src, "user_id", "event_time", "event_type",
+          "view", "purchase", hourUs, delay)))
+    }
+  }
+
+  /** ANN-family scale probe (round-8 verdict item 3): the trained
+    * indexes (s4 IVF, s7 PQ, s9 IVF-PQ) and the LSH scan (s2) at 10x
+    * (20k) and 100x (200k vectors), timing INDEX BUILD and QUERY
+    * separately and reporting recall@10 against the s1 brute-force
+    * truth at the same scale. IVF variants run twice: the pack's
+    * fixed config (k=16 cells, nProbe=4 — probes 25% of the corpus
+    * regardless of n) and the scale policy (k ≈ √n cells, nProbe ≈
+    * 5% of k — scanned fraction falls as n grows; BASELINE.md's
+    * two-level-IVF stance beyond ~1M vectors). Build indexes are
+    * persisted before query timing — at scale the index is a
+    * materialized table, so query rows must not pay the build. */
+  private def probeAnn(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.DataFrame
+    import graft.ext.Similarity
+    val vecs1 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val qv: Seq[Float] = vecs1.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    def repVecs(r: Int): DataFrame =
+      (0 until r).map { i =>
+        vecs1.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+          transform(col("embedding"), (x, j) =>
+            when(j === 0, x + lit(0.001f * (i + 1))).otherwise(x))
+            .as("embedding"))
+      }.reduce(_ unionByName _)
+    val dirs = collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    def mat(df: DataFrame, tag: String): DataFrame = {
+      val d = java.nio.file.Files.createTempDirectory(s"graft-ann-$tag")
+      dirs += d
+      df.repartition(32).write.mode("overwrite").parquet(d.toString)
+      spark.read.parquet(d.toString)
+    }
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val a = f
+      println(f"$name%-34s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      a
+    }
+    def ids(df: DataFrame): Set[Long] =
+      df.select("id").collect().map(_.getLong(0)).toSet
+    def report(name: String, got: Set[Long], truth: Set[Long]): Unit =
+      println(f"$name%-34s recall@10 = ${
+        got.intersect(truth).size.toDouble / truth.size}%.2f")
+    try {
+      for ((label, rep) <- Seq(("10x(20k)", 10), ("100x(200k)", 100))) {
+        val v = mat(repVecs(rep), s"v$rep")
+        val n = v.count()
+        val truth = ids(timed(s"$label s1 brute-force query") {
+          Similarity.cosineTopK(v, "vec_id", "embedding", qv, k = 10)
+            .persist() match { case d => d.count(); d }
+        })
+        val s2 = ids(timed(s"$label s2 LSH query") {
+          val d = Similarity.annTopK(v, "vec_id", "embedding", qv, k = 10)
+            .persist(); d.count(); d
+        })
+        report(s"$label s2 LSH", s2, truth)
+        // IVF: pack config, then the scale policy
+        val kScaled = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+        val probeScaled = math.max(4, kScaled / 20)
+        for ((cfg, k, np) <- Seq(
+            ("k=16,p=4", 16, 4),
+            (s"k=$kScaled,p=$probeScaled", kScaled, probeScaled))) {
+          val idx = timed(s"$label s4 IVF build $cfg") {
+            val i = Similarity.ivfBuild(
+              v, "vec_id", "embedding", k = k, dim = Some(qv.length))
+            i.assigned.persist().count(); i
+          }
+          val got = ids(timed(s"$label s4 IVF query $cfg") {
+            val d = Similarity.ivfTopK(idx, qv, k = 10, nProbe = np)
+              .persist(); d.count(); d
+          })
+          report(s"$label s4 IVF $cfg", got, truth)
+          idx.assigned.unpersist()
+        }
+        val pq = timed(s"$label s7 PQ build (m=8,k=16)") {
+          val i = Similarity.pqBuild(v, "vec_id", "embedding")
+          i.encoded.persist().count(); i
+        }
+        val s7 = ids(timed(s"$label s7 PQ query") {
+          val d = Similarity.pqTopK(pq, qv, k = 10).persist(); d.count(); d
+        })
+        report(s"$label s7 PQ", s7, truth)
+        pq.encoded.unpersist()
+        val ivfpq = timed(s"$label s9 IVF-PQ build (k=$kScaled)") {
+          val i = Similarity.ivfPqBuild(
+            v, "vec_id", "embedding", k = kScaled, dim = Some(qv.length))
+          i.encoded.persist().count(); i
+        }
+        val s9 = ids(timed(s"$label s9 IVF-PQ query (p=$probeScaled)") {
+          val d = Similarity.ivfPqTopK(
+            ivfpq, qv, k = 10, nProbe = probeScaled).persist(); d.count(); d
+        })
+        report(s"$label s9 IVF-PQ", s9, truth)
+        ivfpq.encoded.unpersist()
+        spark.catalog.clearCache()
+      }
+    } finally {
+      dirs.foreach(graft.util.Fs.deleteRecursively)
+    }
+  }
+
   private def probe100x(spark: SparkSession): Unit = {
     import org.apache.spark.sql.DataFrame
     val docs1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")

@@ -44,6 +44,37 @@ object ThroughputProbe {
       time(s"$round distributed correlate") {
         DistributedCorrelator.correlate(BlockFixtures.df(spark, n)).count()
       }
+      // streaming correlator paths: fmgws (whole-state re-serialize per
+      // trigger, default HDFS-backed provider) vs the production
+      // transformWithState wire (RocksDB, per-entry delta writes).
+      // batch = blocks per trigger; production caps at 100 via
+      // maxFilesPerTrigger, the 1000 row shows the amortization.
+      def streamCorrelate(label: String, tws: Boolean, batch: Int): Unit = {
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        if (tws) TxCorrelator.ensureRocksDb(spark)
+        else if (spark.conf.getOption(key).isDefined) spark.conf.unset(key)
+        time(label) {
+          import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+          val qn = s"probe${System.nanoTime()}"
+          val stream = MemoryStream[graft.schema.BlockWithTxHashes](
+            Blocks.encoder, spark)
+          val ds =
+            if (tws) TxCorrelator.correlateStreamTws(stream.toDS())
+            else TxCorrelator.correlateStream(stream.toDS())
+          val q = ds.writeStream.outputMode("append").format("memory")
+            .queryName(qn).start()
+          try BlockFixtures.blocks(n).grouped(batch).foreach { g =>
+            stream.addData(g); q.processAllAvailable()
+          } finally q.stop()
+          val c = spark.table(qn).count()
+          spark.catalog.dropTempView(qn)
+          c
+        }
+      }
+      streamCorrelate(s"$round stream fmgws b1000", tws = false, batch = 1000)
+      streamCorrelate(s"$round stream tws   b1000", tws = true, batch = 1000)
+      streamCorrelate(s"$round stream fmgws b100", tws = false, batch = 100)
+      streamCorrelate(s"$round stream tws   b100", tws = true, batch = 100)
       // sink-bound fan-out: the four tx-table writes, sequential vs
       // the K3 bounded commit pool — the number that justifies (or
       // not) concurrent commits on this storage

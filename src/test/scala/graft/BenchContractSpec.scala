@@ -28,16 +28,26 @@ class BenchContractSpec extends AnyFunSuite {
     val qs = names
       .map(k => "\"" + k.takeWhile(_ != '_') + "\":100.0")
       .mkString("{", ",", "}")
+    // vs_idle worst case: 5 entries with the longest query name in the
+    // pack and 7-char seconds ("12345.678"/"1234.567") per field
+    val longest = names.maxBy(_.length)
+    val worstVsIdle = {
+      val entries = Seq.fill(5)(
+        s"""{"q":"$longest","s":12345.678,"idle":1234.567,"x":10.0}""")
+        .mkString("[", ",", "]")
+      s""","vs_idle":{"idle_total":123456.789,"total_x":10.00,"worst":$entries}"""
+    }
     val perQuery =
-      s"""{"metric":"total","value":1234567.890,"unit":"sec","queries":$qs,"sf":"$worstSf"}"""
+      s"""{"metric":"total","value":1234567.890,"unit":"sec","queries":$qs$worstVsIdle,"sf":"$worstSf"}"""
     val fams = names.map(_.takeWhile(!_.isDigit)).distinct.sorted
       .map(f => "\"" + f + "\":12345.678").mkString("{", ",", "}")
     val family =
-      s"""{"metric":"total","value":1234567.890,"unit":"sec","families":$fams,"n_queries":${names.size},"full":"BENCH_FULL.json","sf":"$worstSf"}"""
+      s"""{"metric":"total","value":1234567.890,"unit":"sec","families":$fams,"n_queries":${names.size}$worstVsIdle,"full":"BENCH_FULL.json","sf":"$worstSf"}"""
     val emitted = if (perQuery.length <= 1700) perQuery else family
     assert(emitted.length < 1800,
       s"emitted bench line too long for capture window: ${emitted.length}")
-    // the family fallback itself must stay tiny whatever the pack size
-    assert(family.length < 600, s"family line unexpectedly wide: ${family.length}")
+    // the family fallback (what the driver has actually captured since
+    // the pack crossed 1700 chars) must keep headroom for vs_idle
+    assert(family.length < 1000, s"family line unexpectedly wide: ${family.length}")
   }
 }
