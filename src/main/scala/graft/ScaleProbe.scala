@@ -243,18 +243,25 @@ object ScaleProbe {
     import spark.implicits._
     val ev1 = graft.query.Tables.load(spark, "/root/testdata/sf0.1", "events")
       .select(col("user_id"), expr("ts div 1000").as("us"), col("event_type"))
+    // fresh user ids per replica: 10x users, same per-user density —
+    // the growth shape for the per-key ops (funnel, sequenceCount)
     val ev10 = (0 until 10).map { r =>
       ev1.select((col("user_id") + lit(r * 1000000L)).as("user_id"),
         col("us"), col("event_type"))
     }.reduce(_ unionByName _)
+    // SAME user ids, 10x density — the growth shape for heavy hitters
+    // (fresh ids would dilute every item below phi by construction:
+    // 10x distinct equal-weight users has no 1% hitter, rows=0)
+    val ev10Dense = (0 until 10).map(_ => ev1).reduce(_ unionByName _)
     val delay = "10 minutes"
     val hourUs = 3600L * 1000000L
-    for ((label, ev) <- Seq(("1x", ev1), ("10x", ev10))) {
+    for ((label, ev, evDense) <- Seq(
+        ("1x", ev1, ev1), ("10x", ev10, ev10Dense))) {
       val b = ev.agg(min(col("us")), max(col("us"))).head()
       val (lo, hi) = (b.getLong(0), b.getLong(1))
       val slices = 20
       val step = math.max(1L, (hi - lo) / slices + 1L)
-      def run(name: String)(
+      def run(name: String, corpus: DataFrame = ev)(
           build: DataFrame => DataFrame): (Long, Seq[Double], Long, Long) = {
         val stream = MemoryStream[(Long, Long, String)](spark)
         val src = stream.toDS().select(
@@ -267,7 +274,7 @@ object ScaleProbe {
         val batchMs = collection.mutable.ArrayBuffer.empty[Double]
         try {
           for (i <- 0 until slices) {
-            val slice = ev
+            val slice = corpus
               .where(col("us") >= lo + i * step && col("us") < lo + (i + 1) * step)
               .as[(Long, Long, String)].collect()
             if (slice.nonEmpty) {
@@ -296,7 +303,7 @@ object ScaleProbe {
           f"  batch mean=$mean%6.0f ms max=$mx%6.0f ms" +
           f"  peakState=$srows%8d rows/${sbytes / 1024}%7d KiB$extra")
       }
-      val hh = run("heavyHitters")(src => graft.ext.Frequent
+      val hh = run("heavyHitters", corpus = evDense)(src => graft.ext.Frequent
         .heavyHittersStream(src, "user_id", "event_time",
           windowUs = 86400L * 1000000L, phi = 0.01, delay = delay, shards = 4))
       // MG bound width: emitted rows carry (count_lb, shard_n); the
@@ -397,6 +404,15 @@ object ScaleProbe {
           val d = Similarity.pqTopK(pq, qv, k = 10).persist(); d.count(); d
         })
         report(s"$label s7 PQ", s7, truth)
+        // the duplicate-clique stress: every corpus vector has `rep`
+        // near-copies whose PQ codes tie, so a mis-ranked clique floods
+        // a fixed shortlist; the scale rule is shortlist ≳ clique × a
+        // few, probed here against the default 50
+        val s7w = ids(timed(s"$label s7 PQ query shortlist=1k") {
+          val d = Similarity.pqTopK(pq, qv, k = 10, shortlist = 1000)
+            .persist(); d.count(); d
+        })
+        report(s"$label s7 PQ shortlist=1k", s7w, truth)
         pq.encoded.unpersist()
         val ivfpq = timed(s"$label s9 IVF-PQ build (k=$kScaled)") {
           val i = Similarity.ivfPqBuild(

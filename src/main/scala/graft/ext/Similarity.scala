@@ -482,7 +482,20 @@ object Similarity {
   /** ANN top-k through a PQ index: build the m×k lookup table of partial
     * query dots driver-side, score every encoded vector with m
     * element_at reads (no vector arithmetic in the scan), shortlist by
-    * approximate dot, re-rank the shortlist exactly. */
+    * approximate dot, re-rank the shortlist exactly.
+    *
+    * SIZING `shortlist` (the round-8 ScaleProbe ann lesson,
+    * BASELINE.md): near-duplicate vectors share PQ codes and therefore
+    * TIE on the ADC score, so when quantization error ranks some other
+    * duplicate clique above the true one, that whole clique floods a
+    * fixed shortlist before any true neighbor enters — recall@10
+    * collapsed 1.00→0.00 between cliques of 10 and cliques of 100 at
+    * the default 50. Size shortlist ≳ a few × the expected duplicate
+    * multiplicity (1000 = recall 1.00 at 200k vectors, and CHEAPER:
+    * the re-rank join is still tiny). Corpora with heavy duplication
+    * should prefer [[ivfPqTopK]], which holds full recall at the
+    * default — cells partition competing cliques away and residual
+    * codebooks don't tie across cells. */
   def pqTopK(
       index: PqIndex, query: Seq[Float], k: Int,
       shortlist: Int = 50): DataFrame = {
