@@ -112,6 +112,50 @@ object ImageIoCodec extends Codec {
       (r.media_id, bits)
     }
 
+  /** REAL resize: box-filter downscale (the same deterministic cell
+    * averaging the hash path uses, at target resolution — headless, no
+    * Graphics2D) re-encoded as PNG. Non-image / undecodable rows fall
+    * back to the stub truncation contract so a mixed batch keeps the
+    * schema and batch shape. */
+  override def resize(row: MediaRow, width: Int, height: Int): MediaRow =
+    read(row) match {
+      case Some(img) if width > 0 && height > 0 =>
+        val out = new BufferedImage(
+          width, height, BufferedImage.TYPE_INT_RGB)
+        val (w, h) = (img.getWidth, img.getHeight)
+        // per-target-pixel box average over its source region
+        var ty = 0
+        while (ty < height) {
+          val y0 = ty * h / height
+          val y1 = math.max(y0 + 1, (ty + 1) * h / height)
+          var tx = 0
+          while (tx < width) {
+            val x0 = tx * w / width
+            val x1 = math.max(x0 + 1, (tx + 1) * w / width)
+            var (rs, gs, bs, n) = (0L, 0L, 0L, 0L)
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val rgb = img.getRGB(x, y)
+                rs += (rgb >> 16) & 0xff; gs += (rgb >> 8) & 0xff
+                bs += rgb & 0xff; n += 1
+                x += 1
+              }
+              y += 1
+            }
+            out.setRGB(tx, ty,
+              (((rs / n).toInt) << 16) | (((gs / n).toInt) << 8) | (bs / n).toInt)
+            tx += 1
+          }
+          ty += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        row.copy(content = bos.toByteArray, format = "png")
+      case _ => super.resize(row, width, height)
+    }
+
   /** Images are their own single frame; audio/video are not this
     * codec's media type (compose with a video codec at the seam). */
   override def sampleFrames(row: MediaRow, n: Int): Seq[Array[Byte]] =

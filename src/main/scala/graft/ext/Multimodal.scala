@@ -52,6 +52,20 @@ object Multimodal {
     def features(batch: Seq[MediaRow], dim: Int): Seq[MediaFeatures]
     /** Sample up to `n` evenly spaced frame payloads of a video. */
     def sampleFrames(row: MediaRow, n: Int): Seq[Array[Byte]]
+    /** Re-encode `row`'s payload at the target dimensions. The default
+      * is the stub contract (payload truncated proportionally to the
+      * pixel-count ratio from the decoded metadata — schema/batch
+      * plumbing only); a real image codec overrides with an actual
+      * rescale + re-encode ([[ImageIoCodec.resize]]). */
+    def resize(row: MediaRow, width: Int, height: Int): MediaRow = {
+      val m = decode(Seq(row)).head
+      val scale =
+        if (m.width <= 0 || m.height <= 0) 1.0
+        else math.min(1.0,
+          (width.toLong * height).toDouble / (m.width.toLong * m.height))
+      val newLen = math.max(1, (row.content.length * scale).toInt)
+      row.copy(content = row.content.take(newLen))
+    }
     /** Perceptual hash per row (media_id, phash). A real codec
       * computes mean-thresholded 8×8 luma (classic aHash), which is
       * locality-sensitive on pixels; the stub derives
@@ -166,25 +180,17 @@ object Multimodal {
       _.grouped(batchSize).flatMap(b => codec.features(b.toSeq, dim)))
   }
 
-  /** Resize: image/video rows get target dimensions; a real codec
-    * re-encodes the payload, the stub tags metadata and truncates
-    * deterministically (plumbing contract: output schema + batch shape
-    * identical to the real path). */
+  /** Resize: image/video rows re-encoded at target dimensions through
+    * the codec seam — [[ImageIoCodec]] performs an actual box-filter
+    * rescale + PNG re-encode, the stub truncates deterministically
+    * (same schema and batch shape either way). */
   def resize(
       media: Dataset[MediaRow], width: Int, height: Int,
       codec: Codec = DeterministicStubCodec,
       batchSize: Int = 64): Dataset[(MediaRow, Int, Int)] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.grouped(batchSize).flatMap { batch =>
-      codec.decode(batch.toSeq).zip(batch).map { case (m, r) =>
-        val scale =
-          if (m.width <= 0 || m.height <= 0) 1.0
-          else math.min(1.0,
-            (width.toLong * height).toDouble / (m.width.toLong * m.height))
-        val newLen = math.max(1, (r.content.length * scale).toInt)
-        (r.copy(content = r.content.take(newLen)), width, height)
-      }
-    })
+    media.mapPartitions(_.grouped(batchSize).flatMap(
+      _.map(r => (codec.resize(r, width, height), width, height))))
   }
 
   /** Frame sampling: video row → up to n (media_id, frame_index,

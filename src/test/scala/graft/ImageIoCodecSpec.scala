@@ -87,6 +87,28 @@ class ImageIoCodecSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("resize: REAL downscale through the seam — output re-decodes " +
+    "at target dims and keeps the perceptual hash close") {
+    val rows = Seq(MediaRow(1L, "image", img(W, H, "png")(gradient), "png"))
+    val resized = Multimodal
+      .resize(rows.toDS(), width = 16, height = 12, codec = ImageIoCodec)
+      .collect()
+    assert(resized.length === 1 && resized.head._2 === 16)
+    val outRow = resized.head._1
+    val meta = ImageIoCodec.decode(Seq(outRow)).head
+    assert(meta.valid && meta.width === 16 && meta.height === 12,
+      s"resized payload decodes to ${meta.width}x${meta.height}")
+    // box-filter downscale preserves the 8x8 cell structure: the
+    // resized image's aHash stays within a small Hamming distance
+    val h0 = ImageIoCodec.phash(rows).head._2
+    val h1 = ImageIoCodec.phash(Seq(outRow)).head._2
+    assert(java.lang.Long.bitCount(h0 ^ h1) <= 6,
+      s"resize moved the aHash ${java.lang.Long.bitCount(h0 ^ h1)} bits")
+    // non-image rows fall back to the stub truncation contract
+    val stubRow = MediaRow(2L, "audio", Array.fill(100)(7.toByte), "wav")
+    assert(ImageIoCodec.resize(stubRow, 16, 12).content.length <= 100)
+  }
+
   test("deterministic across batch sizes and repeated runs") {
     val rows = (0L until 7L).map(i =>
       MediaRow(i, "image", img(W, H, "png")((x, y) =>

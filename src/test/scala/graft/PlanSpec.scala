@@ -60,6 +60,20 @@ class PlanSpec extends SparkSpec {
     assert(finalPlan.contains("* HashAggregate"), finalPlan.take(1500))
   }
 
+  test("q12 portable HLL: two partial/final aggs (registers then " +
+    "estimate), pruned scan, no extra exchange") {
+    val q12 = SparkEntry.queries("q12_approx_distinct_users")(spark, dir)
+    val plan = planOf(q12)
+    // register agg (event_type, idx) + estimate agg (event_type):
+    // both partial/final = 4 HashAggregates, exactly 2 exchanges —
+    // the second keyed frame is ≤ |event_type|·256 skinny rows, the
+    // mergeable-sketch shape that makes 100 TB re-aggregation cheap
+    assert("HashAggregate".r.findAllIn(plan).size === 4, plan.take(2000))
+    assert("Exchange".r.findAllIn(plan).size === 2, plan.take(2000))
+    // the scan reads only the two columns the sketch needs
+    assert(plan.contains("ReadSchema: struct<user_id:"), plan.take(2000))
+  }
+
   test("top-k compiles to TakeOrderedAndProject, not a global sort") {
     val q3 = SparkEntry.queries("q3_topk_orders")(spark, dir)
     val plan = planOf(q3)
