@@ -174,6 +174,88 @@ object MultimodalQueries {
         .groupBy("video_a", "video_b")
         .agg(count(lit(1)).as("n_frame_matches"),
           min(col("hamming")).as("min_hamming"))
+    },
+
+    // REAL-decoder round trips (round 8). The stub is replayable
+    // because its outputs are md5 arithmetic; a real codec's pixel/
+    // sample path is not — but its DECODED METADATA is, when the media
+    // is GENERATED with dimensions derived from the row id: the oracle
+    // replays the generator formula, and agreement proves the actual
+    // javax.imageio / javax.sound decoder recovered the true shape
+    // end to end through the batched seam (encode → bytes → decode).
+    Q(
+      "m5_imageio_roundtrip",
+      """SELECT doc_id AS media_id,
+        |  CAST(16 + doc_id % 48 AS BIGINT) AS width,
+        |  CAST(16 + (doc_id // 48) % 32 AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels,
+        |  CAST(1 AS BIGINT) AS n_frames
+        |FROM documents""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val media = Tables.load(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          val w = 16 + (id % 48).toInt
+          val h = 16 + ((id / 48) % 32).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val g = ((x * 7 + y * 13 + id) % 256).toInt
+              img.setRGB(x, y, (g << 16) | (g << 8) | g)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          Multimodal.MediaRow(id, "image", bos.toByteArray, "png")
+        }
+      Multimodal.decode(media, ImageIoCodec).toDF()
+        .select(col("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          col("n_frames").cast("long").as("n_frames"))
+    },
+
+    Q(
+      "m6_wav_roundtrip",
+      """SELECT doc_id AS media_id,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS BIGINT)
+        |    AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(((1000 + doc_id % 3000) * 1000)
+        |    // (CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END)
+        |    AS BIGINT) AS duration_ms
+        |FROM documents""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val media = Tables.load(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          val rate = if (id % 2 == 0) 8000f else 16000f
+          val n = 1000 + (id % 3000).toInt
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val v = (((i * 31 + id) % 2048) - 1024).toShort
+            pcm(2 * i) = (v & 0xff).toByte
+            pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          Multimodal.MediaRow(id, "audio", bos.toByteArray, "wav")
+        }
+      Multimodal.decode(media, WavCodec).toDF()
+        .select(col("media_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("duration_ms").as("duration_ms"))
     }
   )
 }
