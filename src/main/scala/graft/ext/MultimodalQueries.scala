@@ -256,6 +256,47 @@ object MultimodalQueries {
           col("sample_rate").cast("long").as("sample_rate"),
           col("channels").cast("long").as("channels"),
           col("duration_ms").as("duration_ms"))
+    },
+
+    Q(
+      "m7_video_roundtrip",
+      """SELECT doc_id AS media_id,
+        |  CAST(2 + doc_id % 6 AS BIGINT) AS n_frames,
+        |  CAST(16 + doc_id % 16 AS BIGINT) AS width,
+        |  CAST(16 + (doc_id // 16) % 16 AS BIGINT) AS height,
+        |  CAST((2 + doc_id % 6) * 40 AS BIGINT) AS duration_ms
+        |FROM documents""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val media = Tables.load(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          val k = 2 + (id % 6).toInt
+          val w = 16 + (id % 16).toInt
+          val h = 16 + ((id / 16) % 16).toInt
+          val frames = (0 until k).map { t =>
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val g = ((x * 5 + y * 11 + t * 17 + id) % 256).toInt
+                img.setRGB(x, y, (g << 16) | (g << 8) | g)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            bos.toByteArray
+          }
+          Multimodal.MediaRow(id, "video", VideoCodec.encode(frames), "gvid")
+        }
+      Multimodal.decode(media, VideoCodec).toDF()
+        .select(col("media_id"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("duration_ms").as("duration_ms"))
     }
   )
 }
