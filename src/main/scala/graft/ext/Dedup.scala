@@ -633,10 +633,18 @@ object Dedup {
     * that shuffle instead of re-aggregating the full inverted frame. */
   private def verifyJaccard(
       cand: DataFrame, inverted: DataFrame, sizes: DataFrame,
+      threshold: Double): DataFrame =
+    verifyJaccardAcross(cand, inverted, inverted, sizes, threshold)
+
+  /** [[verifyJaccard]] with distinct posting frames per pair side —
+    * the cross-corpus probe case, where id_a postings live in the
+    * batch's inverted frame and id_b postings in the corpus index. */
+  private def verifyJaccardAcross(
+      cand: DataFrame, invA: DataFrame, invB: DataFrame, sizes: DataFrame,
       threshold: Double): DataFrame = {
     val shared = cand
-      .join(inverted.select(col("id").as("id_a"), col("g")), "id_a")
-      .join(inverted.select(col("id").as("id_b"), col("g")), Seq("id_b", "g"))
+      .join(invA.select(col("id").as("id_a"), col("g")), "id_a")
+      .join(invB.select(col("id").as("id_b"), col("g")), Seq("id_b", "g"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("shared"))
     shared
@@ -656,10 +664,7 @@ object Dedup {
     * cheap enough to recompute from cache for each consumer. */
   private def bandCandidates(
       withBands: DataFrame, bands: Int, maxBucket: Int): DataFrame = {
-    val buckets = withBands
-      .select(col("id"), explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"), col(s"bh$b").as("bh"))): _*)).as("b"))
-      .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val buckets = explodeBandBuckets(withBands, bands)
     val small = buckets.groupBy("band", "bh").count()
       .where(col("count") <= maxBucket).drop("count")
     val capped = buckets.join(small, Seq("band", "bh"))
@@ -670,6 +675,13 @@ object Dedup {
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** (id, band, bh) rows from the scalar [[minhashBandsAgg]] frame. */
+  private def explodeBandBuckets(withBands: DataFrame, bands: Int): DataFrame =
+    withBands
+      .select(col("id"), explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), col(s"bh$b").as("bh"))): _*)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
 
   /** MinHash band hashes + set sizes in ONE aggregation pass over the
     * inverted frame, emitted as SCALAR columns (id, n, bh0..bh{B-1}).
@@ -718,6 +730,56 @@ object Dedup {
     verifyJaccard(
       bandCandidates(withBands, bands, maxBucket), inverted,
       withBands.select(col("id"), col("n")), threshold)
+  }
+
+  /** Incremental MinHash-LSH near-dup: an arriving `batch` probed
+    * against an accumulated `corpus` — [[dedupAgainstCorpus]] (d14's
+    * exact-digest incremental dedup) generalized to NEAR-duplicates,
+    * the continuous-crawl shape where every new snapshot is deduped
+    * against all previous ones without ever rescanning them.
+    * Candidates are cross-side band collisions ONLY (batch↔corpus;
+    * within-batch dedup composes with [[minhashPairs]] over the batch
+    * alone), verified with exact Jaccard via shared postings. The
+    * bucket cap applies to the CORPUS side (the index skew guard: a
+    * boilerplate bucket with more than `maxBucket` index entries is
+    * dropped rather than handing every probe O(bucket) candidates).
+    * Ids must be globally distinct across the two frames.
+    *
+    * 100 TB shape: the corpus's band signatures and inverted postings
+    * are write-once tables keyed by (band, bh) and (id, g) — here they
+    * are recomputed because the fixture has no persisted index, but
+    * nothing downstream of `sigC`/`invC` depends on how they
+    * materialized. A batch probe shuffles only its own signatures plus
+    * the colliding index rows; corpus cost is O(matches), not O(size).
+    *
+    * Returns (id_a = batch id, id_b = corpus id, jaccard ≥ threshold). */
+  def minhashPairsAgainstCorpus(
+      batch: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, k: Int = 64, bands: Int = 16,
+      maxBucket: Int = 1000, w: Int = 3): DataFrame = {
+    val invB = invertedIndex(batch, idCol, textCol, w)
+    val invC = invertedIndex(corpus, idCol, textCol, w)
+    val sigB = minhashBandsAgg(invB, k, bands)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigC = minhashBandsAgg(invC, k, bands)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    sigB.count(); sigC.count() // eager: each feeds buckets AND sizes
+    val buckC = explodeBandBuckets(sigC, bands)
+    val okC = buckC.groupBy("band", "bh").count()
+      .where(col("count") <= maxBucket).drop("count")
+    val cand = explodeBandBuckets(sigB, bands)
+      .select(col("band"), col("bh"), col("id").as("id_a"))
+      .join(
+        buckC.join(okC, Seq("band", "bh"))
+          .select(col("band"), col("bh"), col("id").as("id_b")),
+        Seq("band", "bh"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    verifyJaccardAcross(
+      cand, invB, invC,
+      sigB.select(col("id"), col("n"))
+        .union(sigC.select(col("id"), col("n"))),
+      threshold)
   }
 
   // ---- SimHash ----------------------------------------------------------

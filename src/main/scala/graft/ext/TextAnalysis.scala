@@ -448,4 +448,61 @@ object TextAnalysis {
           col("sx").cast("double") * col("sx").cast("double")) * 1e6)
         .cast("long").as("zipf_slope_e6"))
   }
+
+  /** DSIR-style hashed importance weights (data selection via
+    * importance resampling): score each document by the log-likelihood
+    * ratio of its tokens under a hashed bag-of-unigrams model of the
+    * TARGET slice (`targetPred` rows) versus the model of the full RAW
+    * pool — documents that "read like" the target rank high, and a
+    * downstream resample/top-k (t22's budget pruner composes directly)
+    * selects raw data matching the target distribution.
+    *
+    * Hashed models: token → [[Dedup.pmd5]] mod `buckets` (feature
+    * hashing caps model size at `buckets` regardless of vocabulary, the
+    * published formulation's trick); add-1 smoothing on both sides. Per
+    * token t in bucket b the ratio term is
+    * log( ((t_b+1)/(T+B)) / ((r_b+1)/(R+B)) ), computed as one
+    * IEEE-exact double tree (each count casts to double, products and
+    * the quotient are correctly-rounded double ops) and e6-floored per
+    * BUCKET (the t14/t18 log discipline) so the per-document weight is
+    * an exact integer sum both engines reproduce.
+    *
+    * Shape: one shuffle reduces tokens to the B-row bucket-count model;
+    * totals are a single tiny agg; the model then BROADCASTS back onto
+    * the token stream (B ≈ 4096 rows at any corpus size) and the only
+    * data-scale shuffle is the per-document sum. At 100 TB the model
+    * pass and the scoring pass both stream map-side; nothing grows with
+    * vocabulary or corpus beyond the two keyed aggregations.
+    *
+    * Returns (doc_id, n_tokens, logweight_e6). */
+  def dsirWeights(
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int = 4096)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"), targetPred.as("is_target"),
+        explode(tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"), col("is_target"),
+        (Dedup.pmd5(col("tok")) % buckets).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    toks.count() // eager: model pass + scoring pass in one action
+    val counts = toks.groupBy("b").agg(
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("tb"),
+      count(lit(1)).as("rb"))
+    val totals = counts.agg(sum("tb").as("tt"), sum("rb").as("rt"))
+    val model = counts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        floor(lit(1e6) * log(
+          ((col("tb") + 1).cast("double") / (col("tt") + buckets).cast("double")) /
+            ((col("rb") + 1).cast("double") / (col("rt") + buckets).cast("double"))))
+          .cast("long").as("lr_e6"))
+    val scored = toks.join(broadcast(model), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lr_e6")).as("logweight_e6"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("logweight_e6"), lit(0L)).as("logweight_e6"))
+  }
 }

@@ -748,6 +748,46 @@ object TextQueries {
       TextAnalysis.zipfSlope(
         Tables.load(s, dir, "documents"), "source", "text")
         .withColumnRenamed("slice", "source")
+    },
+
+    // DSIR hashed importance weights: rank every document by how much
+    // more likely its tokens are under a 4096-bucket hashed unigram
+    // model of the TARGET slice (lang='en') than under the raw pool's
+    // model — the importance-resampling data-selection score. Bucket
+    // log-ratios are one IEEE-exact double tree e6-floored per bucket
+    // (the t14/t18 log discipline), so per-doc weights are exact
+    // integer sums; the oracle replays hashing, smoothing, and the
+    // identical division nesting.
+    Q(
+      "t26_dsir_weights",
+      """WITH tok AS (
+        |  SELECT doc_id, lang = 'en' AS is_target,
+        |    ('0x'||substr(md5(unnest(string_split_regex(trim(text), ' +'))),1,15))::BIGINT % 4096 AS b
+        |  FROM documents
+        |), counts AS (
+        |  SELECT b, sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS tb,
+        |    count(*) AS rb
+        |  FROM tok GROUP BY b
+        |), tot AS (
+        |  SELECT sum(tb) AS tt, sum(rb) AS rt FROM counts
+        |), model AS (
+        |  SELECT b, CAST(floor(1e6 * ln(
+        |      (CAST(tb + 1 AS DOUBLE) / CAST(tt + 4096 AS DOUBLE))
+        |      / (CAST(rb + 1 AS DOUBLE) / CAST(rt + 4096 AS DOUBLE))))
+        |    AS BIGINT) AS lr_e6
+        |  FROM counts, tot
+        |), per AS (
+        |  SELECT doc_id, count(*) AS n_tokens, sum(lr_e6) AS logweight_e6
+        |  FROM tok JOIN model USING (b) GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(p.logweight_e6, 0) AS BIGINT) AS logweight_e6
+        |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin) {
+      (s, dir) =>
+        TextAnalysis.dsirWeights(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          col("lang") === "en")
     }
   )
 

@@ -37,6 +37,26 @@ class DedupSpec extends SparkSpec {
       s"missing exact-dup pair ($i, ${200 + i})")
   }
 
+  test("minhash against-corpus probe: cross-side pairs only, equal to the self-join restricted") {
+    val index = corpus.where(col("doc_id") < 100) // the accumulated corpus
+    val batch = corpus.where(col("doc_id") >= 100) // the arriving batch
+    val cross = Dedup.minhashPairsAgainstCorpus(
+      batch, index, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // every pair is batch->corpus; never corpus-corpus or batch-batch
+    assert(cross.keys.forall { case (a, b) => a >= 100 && b < 100 })
+    for (i <- 0 until 5) assert(cross.contains((100L + i, i.toLong)),
+      s"missing near-dup probe hit (${100 + i}, $i)")
+    for (i <- 5 until 8) assert(cross.contains((200L + i, i.toLong)),
+      s"missing exact-dup probe hit (${200 + i}, $i)")
+    // identical to the full self-join restricted to cross-split pairs
+    // (no bucket hits the cap in this corpus), jaccard included
+    val full = Dedup.minhashPairs(corpus, "doc_id", "text", threshold = 0.5)
+      .where(col("id_a") < 100 && col("id_b") >= 100)
+      .collect().map(r => ((r.getLong(1), r.getLong(0)), r.getDouble(2))).toMap
+    assert(cross === full)
+  }
+
   test("exact jaccard via shared-count equals array-intersect definition") {
     val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 0.3)
     val viaCounts = pairs.where(col("id_a") === 0 && col("id_b") === 100)

@@ -416,4 +416,30 @@ class PlanSpec extends SparkSpec {
     assert("InMemoryTableScan".r.findAllIn(plan).size >= 3, plan.take(3000))
     spark.catalog.clearCache()
   }
+
+  test("DSIR: the bucket model broadcasts onto the token stream — " +
+    "the scoring join never shuffles the tokens") {
+    val df = SparkEntry.queries("t26_dsir_weights")(spark, dir)
+    val plan = planOf(df)
+    // model (≤4096 rows) and totals (1 row) are explicit broadcasts;
+    // the only sort-merge-eligible join is the final per-doc left join
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the persisted token frame serves both the model pass and the
+    // scoring pass from cache
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 2, plan.take(3000))
+    spark.catalog.clearCache()
+  }
+
+  test("incremental minhash probe: cross-side equi-join candidates, " +
+    "no corpus self-join") {
+    val df = SparkEntry.queries("d19_incremental_minhash")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // four persisted frames (two inverted, two signature) feed the
+    // candidate and verify stages from cache
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 4, plan.take(3000))
+    spark.catalog.clearCache()
+  }
 }

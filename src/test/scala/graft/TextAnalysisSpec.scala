@@ -373,4 +373,28 @@ class TextAnalysisSpec extends SparkSpec {
     // floor(600/i) quantization + OLS-on-logs noise → within 0.08
     assert(math.abs(slope + 1.0) < 0.08, s"slope $slope")
   }
+
+  test("dsirWeights ranks target-like docs above raw-like, exact token counts") {
+    // target slice speaks A-words, the raw-only pool speaks B-words;
+    // two unlabeled probe docs — one in each dialect — must separate.
+    // 100 tokens per doc: the corpus must carry enough token mass that
+    // true bucket counts dominate the +1-per-bucket smoothing (B=4096),
+    // exactly as at data scale
+    val aWords = Seq.fill(20)("alpha beta gamma delta epsilon").mkString(" ")
+    val bWords = Seq.fill(20)("zork quux blarg frotz yonk").mkString(" ")
+    val docs = (
+      (0 until 10).map(i => (i.toLong, true, aWords)) ++
+        (10 until 30).map(i => (i.toLong, false, bWords)) :+
+        (100L, false, aWords) :+ (101L, false, bWords)
+      ).toDF("doc_id", "is_t", "text")
+    val w = TextAnalysis.dsirWeights(docs, "doc_id", "text", col("is_t"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(w.values.forall(_._1 === 100L)) // every doc has 100 tokens
+    val (aProbe, bProbe) = (w(100L)._2, w(101L)._2)
+    assert(aProbe > 0 && bProbe < 0,
+      s"target-dialect probe $aProbe should be positive, raw-dialect $bProbe negative")
+    // weight is a pure function of the token multiset
+    assert(w(100L)._2 === w(0L)._2 && w(101L)._2 === w(10L)._2)
+  }
 }
