@@ -113,6 +113,23 @@ object ScaleProbe {
             d.withColumn("src", col("doc_id") % 20), "src", "text")
             .count()
         }
+        // incremental minhash probe: a FIXED 500-doc batch against a
+        // corpus that grows 10x. Production cost model: the index
+        // signatures are write-once (recomputed here, so that half
+        // grows linearly with the corpus); the probe itself tracks
+        // |matches| — at 10x each batch doc has ~10 copy near-dups in
+        // the corpus, so verified pairs grow ~10x too.
+        time(s"$label minhashProbe(b500)") {
+          graft.ext.Dedup.minhashPairsAgainstCorpus(
+            d.where(col("doc_id") < 500), d.where(col("doc_id") >= 500),
+            "doc_id", "text", 0.5).count()
+        }
+        // DSIR weights: one token shuffle to the 4096-bucket model +
+        // a broadcast scoring pass — should track corpus size ~linearly
+        time(s"$label dsirWeights") {
+          graft.ext.TextAnalysis.dsirWeights(
+            d, "doc_id", "text", col("doc_id") % 3 === 0).count()
+        }
         // frame-level pHash video dedup: explode frames → banded
         // Hamming candidates (bucket-capped), never all-pairs
         time(s"$label phashFrameDedup") {

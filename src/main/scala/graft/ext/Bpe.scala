@@ -119,6 +119,48 @@ object Bpe {
     sym
   }
 
+  /** (doc_id, n_bpe_tokens) by ROUND-BASED application of a trained
+    * merge list — the declarative twin of [[encodeTokens]]: merge k
+    * applies everywhere before merge k+1, the exact transformation
+    * [[train]] performs while discovering the list, so the
+    * segmentation equals the training-time vocab state after the last
+    * round (BpeSpec pins equality with the rank-greedy [[encodeWord]]
+    * path on the fixture corpus). The per-word fold runs over the
+    * DISTINCT-WORD frame (each word folded once per merge, lineage cut
+    * every few rounds); symbol counts then join back onto the token
+    * stream by word — a shuffle join (the vocab may exceed broadcast
+    * size at 100 TB) plus one per-doc sum. */
+  def encodeTokensByRounds(
+      docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .where(length(col("w")) > 0)
+      .distinct()
+      .select(col("w"),
+        filter(split(col("w"), ""), c => length(c) > 0).as("symbols"))
+    val vN = merges.zipWithIndex.foldLeft(words) {
+      case (v, ((a, b), i)) =>
+        val next = v.select(col("w"), mergePair(col("symbols"), a, b).as("symbols"))
+        // cut lineage every 4 rounds: 12 nested fold lambdas in one
+        // projection would otherwise blow the expression tree
+        if ((i + 1) % 4 == 0) next.localCheckpoint(true) else next
+    }
+    val wlen = vN.select(col("w"), size(col("symbols")).cast("long").as("n_sym"))
+    val toks = docs
+      .where(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(TextAnalysis.tokens(coalesce(col(textCol), lit("")))).as("w"))
+      .where(length(col("w")) > 0)
+    val per = toks.join(wlen, "w")
+      .groupBy("doc_id").agg(sum("n_sym").as("n_bpe_tokens"))
+    docs.where(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+  }
+
   /** (doc_id, n_bpe_tokens) per document under a trained merge list.
     * mapPartitions seam with a per-partition word→count memo — each
     * distinct word is BPE-encoded once per partition, and only two

@@ -748,26 +748,40 @@ object Dedup {
     * 100 TB shape: the corpus's band signatures and inverted postings
     * are write-once tables keyed by (band, bh) and (id, g) — here they
     * are recomputed because the fixture has no persisted index, but
-    * nothing downstream of `sigC`/`invC` depends on how they
-    * materialized. A batch probe shuffles only its own signatures plus
-    * the colliding index rows; corpus cost is O(matches), not O(size).
+    * nothing downstream of the corpus side of `sig`/`inverted` depends
+    * on how it materialized. A batch probe shuffles only its own
+    * signatures plus the colliding index rows; corpus cost is
+    * O(matches), not O(size).
     *
     * Returns (id_a = batch id, id_b = corpus id, jaccard ≥ threshold). */
   def minhashPairsAgainstCorpus(
       batch: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, k: Int = 64, bands: Int = 16,
       maxBucket: Int = 1000, w: Int = 3): DataFrame = {
-    val invB = invertedIndex(batch, idCol, textCol, w)
-    val invC = invertedIndex(corpus, idCol, textCol, w)
-    val sigB = minhashBandsAgg(invB, k, bands)
+    // one inverted index + one signature aggregation over the UNION
+    // (ids are disjoint, signatures are per-document functions), with a
+    // skinny id→side frame joined on after the agg — half the scans
+    // and materializations of a per-side formulation, and at scale the
+    // shape stays: the persisted index IS the corpus half of `sig`
+    val un = batch.select(col(idCol), col(textCol))
+      .unionByName(corpus.select(col(idCol), col(textCol)))
+    val inverted = invertedIndex(un, idCol, textCol, w)
+    val sides = batch.select(col(idCol).as("id"), lit(true).as("is_batch"))
+      .unionByName(corpus.select(col(idCol).as("id"), lit(false).as("is_batch")))
+    val sig = minhashBandsAgg(inverted, k, bands)
+      .join(sides, "id")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val sigC = minhashBandsAgg(invC, k, bands)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    sigB.count(); sigC.count() // eager: each feeds buckets AND sizes
-    val buckC = explodeBandBuckets(sigC, bands)
+    sig.count() // eager: feeds both bucket sides AND the size lookup
+    val buck = sig
+      .select(col("id"), col("is_batch"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"), col(s"bh$b").as("bh"))): _*)).as("b"))
+      .select(col("id"), col("is_batch"),
+        col("b.band").as("band"), col("b.bh").as("bh"))
+    val buckC = buck.where(!col("is_batch")).drop("is_batch")
     val okC = buckC.groupBy("band", "bh").count()
       .where(col("count") <= maxBucket).drop("count")
-    val cand = explodeBandBuckets(sigB, bands)
+    val cand = buck.where(col("is_batch"))
       .select(col("band"), col("bh"), col("id").as("id_a"))
       .join(
         buckC.join(okC, Seq("band", "bh"))
@@ -775,11 +789,7 @@ object Dedup {
         Seq("band", "bh"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    verifyJaccardAcross(
-      cand, invB, invC,
-      sigB.select(col("id"), col("n"))
-        .union(sigC.select(col("id"), col("n"))),
-      threshold)
+    verifyJaccard(cand, inverted, sig.select(col("id"), col("n")), threshold)
   }
 
   // ---- SimHash ----------------------------------------------------------

@@ -788,6 +788,19 @@ object TextQueries {
         TextAnalysis.dsirWeights(
           Tables.load(s, dir, "documents"), "doc_id", "text",
           col("lang") === "en")
+    },
+
+    // corpus-scale BPE tokenization: train 12 merges (t11), then apply
+    // them round-by-round over the distinct-word vocabulary and count
+    // per-document BPE tokens — "tokenize the corpus with the trained
+    // tokenizer", the step between tokenizer training and sequence
+    // packing (t12). The round-based form is the oracle-replayable
+    // declarative twin of the memoized mapPartitions encoder
+    // (Bpe.encodeTokens); BpeSpec pins the two equal on this corpus.
+    Q("t27_bpe_encode", bpeEncodeOracleSql(12)) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val merges = Bpe.train(docs, "text", numMerges = 12)
+      Bpe.encodeTokensByRounds(docs, "doc_id", "text", merges)
     }
   )
 
@@ -806,7 +819,9 @@ object TextQueries {
     * `AS MATERIALIZED`: each is referenced twice (pair counting and the
     * next merge application), and CTE inlining would re-expand the
     * whole chain 2^rounds times. */
-  private def bpeOracleSql(rounds: Int): String = {
+  /** The WITH-chain shared by t11 and t27: corpus word table, v0 char
+    * split, and `rounds` unrolled merge rounds ending at v`rounds`. */
+  private def bpeChainCtes(rounds: Int): String = {
     val base =
       """WITH words AS (
         |  SELECT w, count(*) AS freq FROM (
@@ -856,10 +871,14 @@ object TextQueries {
          |  ) GROUP BY w
          |)""".stripMargin
     }.mkString
+    base + steps
+  }
+
+  private def bpeOracleSql(rounds: Int): String = {
     val out = (1 to rounds)
       .map(k => s"SELECT ${k - 1} AS r, a, b FROM m$k")
       .mkString("\n  UNION ALL ")
-    base + steps +
+    bpeChainCtes(rounds) +
       s"""
          |SELECT CAST(r AS BIGINT) AS rank, a AS first, b AS second,
          |  a || b AS merged
@@ -867,4 +886,24 @@ object TextQueries {
          |  $out
          |)""".stripMargin
   }
+
+  /** t27 replay: the t11 merge chain to v`rounds`, then every corpus
+    * token joins its word's final symbol count and sums per document —
+    * [[Bpe.encodeTokensByRounds]] exactly (the words CTE is the same
+    * distinct-word universe; tokens of length 0 are excluded on both
+    * sides; docs whose every token vanished keep 0 via the left join). */
+  private def bpeEncodeOracleSql(rounds: Int): String =
+    bpeChainCtes(rounds) +
+      s"""
+         |, tokd AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS w
+         |  FROM documents
+         |), per AS (
+         |  SELECT t.doc_id, sum(len(v.symbols)) AS n
+         |  FROM tokd t JOIN v$rounds v USING (w)
+         |  WHERE len(t.w) > 0
+         |  GROUP BY t.doc_id
+         |)
+         |SELECT d.doc_id, CAST(coalesce(p.n, 0) AS BIGINT) AS n_bpe_tokens
+         |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin
 }

@@ -77,4 +77,33 @@ class BpeSpec extends SparkSpec {
     // 4 words/doc, each compressed to fewer tokens than characters
     assert(counts.forall(_ <= 4 * 6))
   }
+
+  test("encodeTokensByRounds equals the rank-greedy memoized encoder " +
+    "on the fixture corpus") {
+    // round-based merge application (the t27 declarative/oracle path)
+    // vs encodeWord's repeated lowest-rank scan: equivalent unless a
+    // later merge resurrects an earlier merge's input — pinned here on
+    // the real corpus plus the crafted overlap vocab below
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val merges = Bpe.train(docs, "text", numMerges = 12)
+    assert(merges.nonEmpty)
+    val byRounds = Bpe.encodeTokensByRounds(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val greedy = Bpe.encodeTokens(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byRounds === greedy)
+    // overlap stress: "aaaa" under merge list ((a,a), (aa,aa))
+    import spark.implicits._
+    val tricky = Seq((1L, "aaaa aaa aa a")).toDF("doc_id", "text")
+    val trickyMerges = Seq(("a", "a"), ("aa", "aa"))
+    val tr = Bpe.encodeTokensByRounds(tricky, "doc_id", "text", trickyMerges)
+      .collect().head.getLong(1)
+    val tg = Bpe.encodeTokens(tricky, "doc_id", "text", trickyMerges)
+      .collect().head.getLong(1)
+    // aaaa->[aaaa], aaa->[aa,a], aa->[aa], a->[a] = 5 tokens
+    assert(tr === 5L && tg === 5L)
+  }
 }

@@ -186,6 +186,43 @@ class StreamingWindowSpec extends SparkSpec {
     assert(out.select("content_hash").distinct().count() === distinctTexts)
   }
 
+  test("streaming near-dup probe: per-micro-batch minhash against a " +
+    "static index equals the one-shot batch probe") {
+    // the d19 continuous-crawl wire: the corpus index is static, each
+    // arriving micro-batch probes it independently (batch→index pairs
+    // are a pure per-batch function, so micro-batching can't change
+    // the union — pinned here against the one-shot result)
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.where(col("doc_id") < 250)
+    val batch = docs.where(col("doc_id") >= 250)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-sprobe")
+    batch.repartition(3).write.mode("overwrite").parquet(streamDir.toString)
+    val schema = spark.read.parquet(streamDir.toString).schema
+    val hits = new scala.collection.concurrent.TrieMap[(Long, Long), Double]
+    var batches = 0
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += 1
+        graft.ext.Dedup
+          .minhashPairsAgainstCorpus(b, corpus, "doc_id", "text", 0.5)
+          .collect()
+          .foreach(r => hits.put((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val oneShot = graft.ext.Dedup
+      .minhashPairsAgainstCorpus(batch, corpus, "doc_id", "text", 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(batches >= 2, s"expected multiple micro-batches, got $batches")
+    assert(oneShot.nonEmpty)
+    assert(hits.toMap === oneShot)
+  }
+
   test("native session_window matches the analytic sessionization (q14)") {
     val dir = "/root/testdata/sf0.001"
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
