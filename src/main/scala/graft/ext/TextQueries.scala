@@ -801,6 +801,25 @@ object TextQueries {
       val docs = Tables.load(s, dir, "documents")
       val merges = Bpe.train(docs, "text", numMerges = 12)
       Bpe.encodeTokensByRounds(docs, "doc_id", "text", merges)
+    },
+
+    // in-engine quality-classifier distillation: exact-integer batch-GD
+    // linear probability model (the q77 recipe, two features) distills
+    // a metadata label (n_chars >= 320 — stand-in for any expensive
+    // quality signal) into cheap text-derived features (token count,
+    // en-stopword hits), then EVERY document is scored under the
+    // trained weights — the classifier-filtering step of a
+    // training-data pipeline with a bit-exact unrolled-epoch oracle
+    // (weights AND scores replay; StatsSpec pins separation on a
+    // crafted corpus).
+    Q("t28_quality_classifier", qualityLrOracleSql(8)) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      graft.query.Stats.gdLinearModel2Scores(
+        docs, col("doc_id"),
+        tokenCount(col("text")),
+        stopwordHits(col("text"), stopwords("en")),
+        when(col("n_chars") >= 320, 1000000L).otherwise(0L))
+        .withColumnRenamed("id", "doc_id")
     }
   )
 
@@ -885,6 +904,42 @@ object TextQueries {
          |FROM (
          |  $out
          |)""".stripMargin
+  }
+
+  /** t28 replay: exact-integer 2-feature batch GD (the q77 idiom —
+    * HUGEINT gradient sums, truncating `//` updates) on
+    * (token count, en-stopword hits) → n_chars>=320 e6 labels, then
+    * every document scored under the final weights. Learning-rate
+    * divisors are contract constants inlined on both engines. */
+  private def qualityLrOracleSql(epochs: Int): String = {
+    val lrw = 10000L; val lrb = 10L
+    val base =
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(text), ' +')) AS HUGEINT) AS x1,
+         |    CAST(len(list_filter(string_split_regex(trim(text), ' +'),
+         |      t -> t IN ('the','a','of','and','to','in','is','it'))) AS HUGEINT) AS x2,
+         |    CAST(CASE WHEN n_chars >= 320 THEN 1000000 ELSE 0 END AS HUGEINT) AS y6
+         |  FROM documents
+         |), e0 AS (SELECT CAST(0 AS HUGEINT) AS w1, CAST(0 AS HUGEINT) AS w2,
+         |  CAST(0 AS HUGEINT) AS b)""".stripMargin
+    val steps = (1 to epochs).map { k =>
+      s""", g$k AS (
+         |  SELECT e.w1, e.w2, e.b,
+         |    sum((e.w1*f.x1 + e.w2*f.x2 + e.b - f.y6)*f.x1) AS s1,
+         |    sum((e.w1*f.x1 + e.w2*f.x2 + e.b - f.y6)*f.x2) AS s2,
+         |    sum(e.w1*f.x1 + e.w2*f.x2 + e.b - f.y6) AS sb, count(*) AS n
+         |  FROM e${k - 1} e, f GROUP BY e.w1, e.w2, e.b
+         |), e$k AS (
+         |  SELECT w1 - (2*s1) // (n*$lrw) AS w1, w2 - (2*s2) // (n*$lrw) AS w2,
+         |    b - (2*sb) // (n*$lrb) AS b FROM g$k
+         |)""".stripMargin
+    }.mkString
+    base + steps +
+      s"""
+         |SELECT f.doc_id,
+         |  CAST(e.w1*f.x1 + e.w2*f.x2 + e.b AS BIGINT) AS score_e6
+         |FROM f, e$epochs e""".stripMargin
   }
 
   /** t27 replay: the t11 merge chain to v`rounds`, then every corpus

@@ -232,4 +232,56 @@ object Stats {
     spark.range(1).select(lit(n).as("n"),
       lit(w.toLong).as("w_e6"), lit(b.toLong).as("b_e6"))
   }
+
+  /** Two-feature [[gdLinearRegression]] that additionally SCORES every
+    * row under the trained weights — the in-engine classifier shape
+    * (train a linear probability model on labeled rows, rank everything
+    * by w·x + b). Identical exactness contract: Decimal(38,0) error
+    * terms, HUGEINT-equivalent gradient sums, truncating-division
+    * updates, so an unrolled-epoch SQL replay reproduces the weights
+    * and therefore every score bit-for-bit. One tiny aggregation per
+    * epoch (nothing but three sums and a count cross the stages); the
+    * scoring pass is a single projection over the feature frame.
+    * Returns (id, score_e6 = w1·x1 + w2·x2 + b). */
+  def gdLinearModel2Scores(
+      df: DataFrame, idCol: Column, x1Col: Column, x2Col: Column,
+      yE6Col: Column, epochs: Int = 8, lrDenW: Long = 10000L,
+      lrDenB: Long = 10L): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val d = df.select(idCol.as("id"), x1Col.cast("long").as("_x1"),
+      x2Col.cast("long").as("_x2"), yE6Col.as("_y6"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var w1 = BigInt(0); var w2 = BigInt(0); var b = BigInt(0); var n = 0L
+    var epoch = 0
+    while (epoch < epochs && (epoch == 0 || n > 0)) {
+      require(w1.isValidLong && w2.isValidLong && b.isValidLong,
+        s"gdLinearModel2 diverged: w1=$w1 w2=$w2 b=$b — lower the learning rate")
+      val err = lit(w1.toLong).cast(dec) * col("_x1").cast(dec) +
+        lit(w2.toLong).cast(dec) * col("_x2").cast(dec) +
+        lit(b.toLong).cast(dec) - col("_y6").cast(dec)
+      val row = d.agg(
+        sum(err * col("_x1").cast(dec)).as("g1"),
+        sum(err * col("_x2").cast(dec)).as("g2"),
+        sum(err).as("gb"), count(lit(1)).as("n")).head()
+      n = row.getAs[Long]("n")
+      if (n > 0) {
+        val g1 = BigInt(row.getAs[java.math.BigDecimal]("g1").toBigInteger)
+        val g2 = BigInt(row.getAs[java.math.BigDecimal]("g2").toBigInteger)
+        val gb = BigInt(row.getAs[java.math.BigDecimal]("gb").toBigInteger)
+        w1 -= (2 * g1) / (BigInt(n) * lrDenW)
+        w2 -= (2 * g2) / (BigInt(n) * lrDenW)
+        b -= (2 * gb) / (BigInt(n) * lrDenB)
+      }
+      epoch += 1
+    }
+    // score in Decimal(38,0) like the error term (ANSI-safe for any
+    // Long weights), emitted as long — the oracle's HUGEINT→BIGINT cast
+    val out = d.select(col("id"),
+      (lit(w1.toLong).cast(dec) * col("_x1").cast(dec) +
+        lit(w2.toLong).cast(dec) * col("_x2").cast(dec) +
+        lit(b.toLong).cast(dec)).cast("long").as("score_e6"))
+    d.unpersist(false)
+    out
+  }
 }

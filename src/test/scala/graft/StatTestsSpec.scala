@@ -250,4 +250,42 @@ class StatTestsSpec extends SparkSpec {
     // slope direction learned on positively-correlated data
     assert(row.getAs[Long]("w_e6") > 0L)
   }
+
+  test("gdLinearModel2Scores matches an independent BigInt replay and " +
+    "separates a feature-determined label") {
+    import org.apache.spark.sql.functions.col
+    import graft.query.Stats
+    val rnd = new scala.util.Random(43)
+    // label is a noisy function of x1: positives have larger x1
+    val data = (0 until 400).map { i =>
+      val pos = i % 2 == 0
+      val x1 = (if (pos) 60 else 30) + rnd.nextInt(20)
+      val x2 = rnd.nextInt(10)
+      (i.toLong, x1.toLong, x2.toLong, if (pos) 1000000L else 0L)
+    }
+    val df = data.toDF("id", "x1", "x2", "y6")
+    val scores = Stats.gdLinearModel2Scores(
+      df, col("id"), col("x1"), col("x2"), col("y6"), epochs = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent replay: plain BigInt, truncating division
+    var w1 = BigInt(0); var w2 = BigInt(0); var b = BigInt(0)
+    val n = BigInt(data.size)
+    (0 until 8).foreach { _ =>
+      val errs = data.map { case (_, x1, x2, y6) => w1 * x1 + w2 * x2 + b - y6 }
+      w1 -= (2 * errs.zip(data).map { case (e, (_, x1, _, _)) => e * x1 }.sum) /
+        (n * 10000)
+      w2 -= (2 * errs.zip(data).map { case (e, (_, _, x2, _)) => e * x2 }.sum) /
+        (n * 10000)
+      b -= (2 * errs.sum) / (n * 10)
+    }
+    data.foreach { case (id, x1, x2, _) =>
+      assert(scores(id) === (w1 * x1 + w2 * x2 + b).toLong)
+    }
+    // trained scores separate the classes
+    val (pos, neg) = data.partition(_._4 > 0L)
+    val avgPos = pos.map(d => scores(d._1)).sum / pos.size
+    val avgNeg = neg.map(d => scores(d._1)).sum / neg.size
+    assert(avgPos > avgNeg + 100000L,
+      s"no separation: pos=$avgPos neg=$avgNeg")
+  }
 }
