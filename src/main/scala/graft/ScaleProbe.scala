@@ -486,6 +486,17 @@ object ScaleProbe {
         time(s"$label fuzzyPairs") {
           graft.ext.Dedup.fuzzyPairs(d, "doc_id", "text", maxDist = 2).count()
         }
+      // incremental probe at 100x: FIXED 500-doc batch, corpus 10x->100x;
+      // matches grow ~10x (one copy clique per batch doc per replica) —
+      // the probe half must track |matches|, the signature recompute
+      // (amortized to zero by a persisted index in production) is the
+      // only linear term
+      for ((label, d) <- Seq(("10x(50k)", d10), ("100x(500k)", d100)))
+        time(s"$label minhashProbe(b500)") {
+          graft.ext.Dedup.minhashPairsAgainstCorpus(
+            d.where(col("doc_id") < 500), d.where(col("doc_id") >= 500),
+            "doc_id", "text", 0.5).count()
+        }
       val v10 = mat(repVecs(10), "v10"); println(s"vecs10 = ${v10.count()}")
       val v100 = mat(repVecs(100), "v100"); println(s"vecs100 = ${v100.count()}")
       for ((label, v) <- Seq(("10x(20k)", v10), ("100x(200k)", v100))) {

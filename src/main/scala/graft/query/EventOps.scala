@@ -485,4 +485,52 @@ object EventOps {
       .groupBy("day_offset")
       .agg(countDistinct(col(userCol)).as("n_active"))
   }
+
+  // ---- mergeable histogram-quantile sketch (q86) -----------------------
+
+  /** Fixed histogram bucket width in cents — the q86 sketch contract
+    * (inlined into the DuckDB oracle; change both together). */
+  val HistBucketCents = 500L
+
+  /** Quantile read-off over any (event_type, bucket, c) histogram
+    * frame, pre-merged or not: buckets re-sum (the sketch union —
+    * associative, any re-aggregation tree), then p50/p95 come from the
+    * merged cumulative counts via the q52 integer-threshold rule
+    * (smallest bucket with 2·cum ≥ n / 20·cum ≥ 19·n), reported as the
+    * bucket's inclusive upper bound in cents. Windows run over the
+    * ≤(types × buckets) merged frame, never raw events. */
+  def histogramQuantiles(sketch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val merged = sketch.groupBy("event_type", "bucket").agg(sum("c").as("c"))
+    val cum = merged
+      .withColumn("cum",
+        sum("c").over(Window.partitionBy("event_type").orderBy("bucket")))
+      .withColumn("n", sum("c").over(Window.partitionBy("event_type")))
+    cum.groupBy("event_type").agg(
+      max(col("n")).cast("long").as("n"),
+      (min(when(col("cum") * 2 >= col("n"), col("bucket"))) *
+        HistBucketCents + (HistBucketCents - 1))
+        .cast("long").as("p50_upper_c"),
+      (min(when(col("cum") * 20 >= col("n") * 19, col("bucket"))) *
+        HistBucketCents + (HistBucketCents - 1))
+        .cast("long").as("p95_upper_c"))
+  }
+
+  /** The q86 sketch as a STREAMING aggregation: per (1-day event-time
+    * window, event_type) bucket counts under a watermark — the
+    * pre-aggregation a 100 TB dashboard pipeline maintains
+    * continuously; [[histogramQuantiles]] reads quantiles off the
+    * emitted sketch table at query time (any subset of windows —
+    * merging is just the bucket re-sum). State is bounded by
+    * types × buckets per open window, independent of event volume.
+    * `tsCol` must be a native timestamp column. */
+  def histogramSketchStream(
+      events: DataFrame, tsCol: String, delay: String): DataFrame =
+    events
+      .withWatermark(tsCol, delay)
+      .groupBy(
+        window(col(tsCol), "1 day"), col("event_type"),
+        expr(s"CAST(round(value*100) AS BIGINT) div $HistBucketCents")
+          .as("bucket"))
+      .agg(count(lit(1)).as("c"))
 }

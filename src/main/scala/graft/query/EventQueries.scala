@@ -483,6 +483,46 @@ object EventQueries {
         .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
     },
 
+    // mergeable histogram-quantile sketch — the quantile companion to
+    // q36's portable HLL: per (event_type, day) a fixed-width cents
+    // histogram is the daily SKETCH (500-cent buckets, a few hundred
+    // ints per group at any data size); merging = summing buckets
+    // (associative, any re-aggregation tree), and p50/p95 read off the
+    // merged cumulative counts with the q52 integer-threshold rule
+    // (smallest bucket whose 2·cum ≥ n / 20·cum ≥ 19·n), reported as
+    // the bucket's inclusive upper bound. The whole pipeline is
+    // engine-portable integer arithmetic → full hash oracle; accuracy
+    // is ±bucket width by construction, the mergeable trade q20's
+    // exact pass can't make at 100 TB dashboard cadence.
+    Q(
+      "q86_histogram_quantile_sketch",
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    (CAST(round(value*100) AS BIGINT) // 500) AS bucket,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2, 3
+        |), merged AS (
+        |  SELECT event_type, bucket, sum(c) AS c FROM daily GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT event_type, bucket, c,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM merged
+        |)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(min(CASE WHEN 2*cum >= n THEN bucket END)*500 + 499 AS BIGINT)
+        |    AS p50_upper_c,
+        |  CAST(min(CASE WHEN 20*cum >= 19*n THEN bucket END)*500 + 499 AS BIGINT)
+        |    AS p95_upper_c
+        |FROM cum GROUP BY event_type""".stripMargin) { (s, dir) =>
+      val daily = Tables.load(s, dir, "events")
+        .selectExpr("event_type", "(ts div 1000) div 86400000000 AS day",
+          s"CAST(round(value*100) AS BIGINT) div ${EventOps.HistBucketCents} AS bucket")
+        .groupBy("event_type", "day", "bucket")
+        .agg(count(lit(1)).as("c"))
+      EventOps.histogramQuantiles(daily)
+    },
+
     // correlated EXISTS through the SQL front-end (TPC-H Q4 shape) —
     // Catalyst rewrites the subquery to a left-semi join; the identical
     // SQL text runs on the oracle.

@@ -393,8 +393,8 @@ class PlanSpec extends SparkSpec {
       "q65_sequence_next_node", "q79_locf_fill", "q80_session_window",
       "q83_sliding_distinct")
     val names = SparkEntry.queries.keys
-      .filter(_.matches("q(59|[6-7][0-9]|8[0-5])_.*")).toSeq.sorted
-    assert(names.size == 27, names.mkString(","))
+      .filter(_.matches("q(59|[6-7][0-9]|8[0-6])_.*")).toSeq.sorted
+    assert(names.size == 28, names.mkString(","))
     for (name <- names) {
       val plan = planOf(SparkEntry.queries(name)(spark, dir))
       assert(!plan.contains("CartesianProduct"),

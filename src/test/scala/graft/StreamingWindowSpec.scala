@@ -223,6 +223,59 @@ class StreamingWindowSpec extends SparkSpec {
     assert(hits.toMap === oneShot)
   }
 
+  test("streaming histogram-quantile sketch: windowed bucket counts " +
+    "equal the batch daily sketch, quantiles match q86") {
+    val dir = "/root/testdata/sf0.001"
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-hist")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    // far-future sentinel row: pushes the final watermark past every
+    // real 1-day window so append mode flushes them all (only the
+    // sentinel's own window stays open; excluded from comparison below)
+    spark.read.parquet(s"$dir/events.parquet")
+      .orderBy("event_id").limit(1)
+      .withColumn("ts", col("ts") + expr("INTERVAL 40 DAYS"))
+      .write.mode("append").parquet(streamDir.toString)
+    val src = graft.query.Tables.nanosView(
+      spark.readStream.schema(schema).parquet(streamDir.toString))
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    val q = graft.query.EventOps
+      .histogramSketchStream(src, "event_time", "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("hist_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("day"), r.getAs[String]("event_type"),
+        r.getAs[Long]("bucket"), r.getAs[Long]("c"))).toSet
+    val batchSketch = graft.query.Tables.load(spark, dir, "events")
+      .selectExpr("event_type", "(ts div 1000) div 86400000000 AS day",
+        s"CAST(round(value*100) AS BIGINT) div ${graft.query.EventOps.HistBucketCents} AS bucket")
+      .groupBy("event_type", "day", "bucket")
+      .agg(count(lit(1)).as("c"))
+    val maxDay = batchSketch.agg(max("day")).head().getLong(0)
+    val streamedSketch = spark.table("hist_out")
+      .select(expr("unix_micros(window.start) div 86400000000").as("day"),
+        col("event_type"), col("bucket"), col("c"))
+      .where(col("day") <= maxDay) // drop the sentinel's window
+    val streamed = rows(streamedSketch)
+    assert(streamed.nonEmpty)
+    assert(streamed === rows(batchSketch))
+    // quantiles read off the STREAMED sketch equal the q86 batch query
+    def quant(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("p50_upper_c"),
+          r.getAs[Long]("p95_upper_c"))).toMap
+    val fromStream = quant(
+      graft.query.EventOps.histogramQuantiles(streamedSketch))
+    val fromBatch = quant(
+      SparkEntry.queries("q86_histogram_quantile_sketch")(spark, dir))
+    assert(fromStream === fromBatch)
+  }
+
   test("native session_window matches the analytic sessionization (q14)") {
     val dir = "/root/testdata/sf0.001"
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
