@@ -124,6 +124,24 @@ object ScaleProbe {
             d.where(col("doc_id") < 500), d.where(col("doc_id") >= 500),
             "doc_id", "text", 0.5).count()
         }
+        // the same probe against a PERSISTED index: build once (the
+        // write-once production artifact, linear in corpus), then the
+        // probe alone — the amortized per-batch cost, which must stay
+        // ~flat in index size (two index scans + |matches| work)
+        locally {
+          val idxDir = java.nio.file.Files
+            .createTempDirectory("graft-scale-mhidx").toString
+          time(s"$label minhashIndexBuild") {
+            graft.ext.Dedup.minhashIndexWrite(
+              d.where(col("doc_id") >= 500), "doc_id", "text", idxDir); 0L
+          }
+          time(s"$label minhashIndexProbe(b500)") {
+            graft.ext.Dedup.minhashProbeIndex(
+              d.where(col("doc_id") < 500), "doc_id", "text", idxDir).count()
+          }
+          graft.util.Fs.deleteRecursively(
+            java.nio.file.Paths.get(idxDir))
+        }
         // DSIR weights: one token shuffle to the 4096-bucket model +
         // a broadcast scoring pass — should track corpus size ~linearly
         time(s"$label dsirWeights") {

@@ -792,6 +792,67 @@ object Dedup {
     verifyJaccard(cand, inverted, sig.select(col("id"), col("n")), threshold)
   }
 
+  /** Materialize the write-once minhash index of a corpus under `dir`:
+    * three skinny parquet tables — `postings` (id, g), `sizes` (id, n),
+    * and `buckets` (band, bh, id, bucket_n) with the per-(band, bh)
+    * bucket size PRE-COMPUTED so a probe never re-counts the index.
+    * This is the production artifact [[minhashPairsAgainstCorpus]]
+    * recomputes inline when no index exists; build cost is one corpus
+    * scan + the signature aggregation, paid once per corpus version. */
+  def minhashIndexWrite(
+      corpus: DataFrame, idCol: String, textCol: String, dir: String,
+      k: Int = 64, bands: Int = 16, w: Int = 3): Unit = {
+    val inverted = invertedIndex(corpus, idCol, textCol, w)
+    val sig = minhashBandsAgg(inverted, k, bands)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    sig.count() // eager: sizes AND buckets read it
+    inverted.write.mode("overwrite").parquet(s"$dir/postings")
+    sig.select(col("id"), col("n")).write.mode("overwrite")
+      .parquet(s"$dir/sizes")
+    val buck = explodeBandBuckets(sig, bands)
+    val counts = buck.groupBy("band", "bh").agg(count(lit(1)).as("bucket_n"))
+    buck.join(counts, Seq("band", "bh"))
+      .write.mode("overwrite").parquet(s"$dir/buckets")
+    sig.unpersist(false)
+    inverted.unpersist(false)
+  }
+
+  /** Probe a persisted minhash index with an arriving batch — the
+    * amortized form of [[minhashPairsAgainstCorpus]] (bit-identical
+    * results; spec-pinned). The batch's signatures and candidate ids
+    * BROADCAST against the index tables, so the index is only ever
+    * SCANNED (twice: bucket probe + posting verify), never shuffled —
+    * per-probe cost is the two scans plus work proportional to
+    * |batch| + |matches|, independent of index size up to scan
+    * bandwidth; a (band, bh)-bucketed layout turns the scans into
+    * pruned reads. The stored `bucket_n` applies the skew cap without
+    * re-counting. */
+  def minhashProbeIndex(
+      batch: DataFrame, idCol: String, textCol: String, dir: String,
+      threshold: Double = 0.5, k: Int = 64, bands: Int = 16,
+      maxBucket: Int = 1000, w: Int = 3): DataFrame = {
+    val spark = batch.sparkSession
+    val invC = spark.read.parquet(s"$dir/postings")
+    val sizesC = spark.read.parquet(s"$dir/sizes")
+    val buckC = spark.read.parquet(s"$dir/buckets")
+    val invB = invertedIndex(batch, idCol, textCol, w)
+    val sigB = minhashBandsAgg(invB, k, bands)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    sigB.count() // eager: bucket probe AND size lookup
+    val cand = buckC
+      .where(col("bucket_n") <= maxBucket)
+      .join(
+        broadcast(explodeBandBuckets(sigB, bands)
+          .select(col("band"), col("bh"), col("id").as("id_a"))),
+        Seq("band", "bh"))
+      .select(col("id_a"), col("id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    verifyJaccardAcross(
+      cand, invB, invC,
+      sigB.select(col("id"), col("n")).unionByName(sizesC),
+      threshold)
+  }
+
   // ---- SimHash ----------------------------------------------------------
 
   /** Signature width = the informative width of [[pmd5]] (60 bits, 15

@@ -57,6 +57,44 @@ class DedupSpec extends SparkSpec {
     assert(cross === full)
   }
 
+  test("persisted IVF index: centroids round-trip exactly, probe equals " +
+    "in-memory, cell filter prunes partitions") {
+    val dim = 16
+    val vecs = (0 until 120).map { i =>
+      (i.toLong, Seq.tabulate(dim)(j => math.sin(i / 12 * 17.0 + j).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val idx = graft.ext.Similarity.ivfBuild(
+      df, "vec_id", "embedding", k = 8, dim = Some(dim))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString
+    graft.ext.Similarity.ivfIndexWrite(idx, dir)
+    val idx2 = graft.ext.Similarity.ivfIndexRead(spark, dir)
+    assert(idx2.centroids === idx.centroids) // doubles round-trip parquet
+    val q = vecs.head._2
+    def top(i: graft.ext.Similarity.IvfIndex) =
+      graft.ext.Similarity.ivfTopK(i, q, 8)
+    assert(top(idx2).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      === top(idx).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // the persisted probe must reach the scan as a PARTITION filter
+    val plan = top(idx2).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("c#"),
+      plan.take(2000))
+  }
+
+  test("persisted minhash index: probe equals the inline against-corpus form") {
+    val index = corpus.where(col("doc_id") < 100)
+    val batch = corpus.where(col("doc_id") >= 100)
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhidx").toString
+    Dedup.minhashIndexWrite(index, "doc_id", "text", dir)
+    val probed = Dedup.minhashProbeIndex(batch, "doc_id", "text", dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val inline = Dedup.minhashPairsAgainstCorpus(
+      batch, index, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(probed.nonEmpty)
+    assert(probed === inline)
+  }
+
   test("exact jaccard via shared-count equals array-intersect definition") {
     val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 0.3)
     val viaCounts = pairs.where(col("id_a") === 0 && col("id_b") === 100)
