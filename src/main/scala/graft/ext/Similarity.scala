@@ -607,6 +607,45 @@ object Similarity {
     * is the L2-ADC idiom and would score (q−c)·r̂ instead, collapsing a
     * cell's ordering to a constant when q ≈ c). Shortlist by the
     * additive score, re-rank the shortlist exactly. */
+  /** Persist an IVF-PQ index under `dir` — [[ivfIndexWrite]]'s layout
+    * extended with the PQ artifacts: tiny `centroids`/`codebooks`
+    * tables, `encoded` PARTITIONED BY cell id (the probe's cell filter
+    * prunes partitions; codes are m ints/vector, the 100 TB scan
+    * footprint), and `base` (exact re-rank source — in deployment this
+    * is the corpus table itself, written here for self-containment). */
+  def ivfPqIndexWrite(index: IvfPqIndex, dir: String): Unit = {
+    val spark = index.encoded.sparkSession
+    import spark.implicits._
+    index.centroids.zipWithIndex.map { case (v, c) => (c, v) }
+      .toDF("c", "vec").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    (for {
+      (cb, s) <- index.codebooks.zipWithIndex
+      (v, code) <- cb.zipWithIndex
+    } yield (s, code, v)).toDF("sub", "code", "vec").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+    index.encoded.write.mode("overwrite").partitionBy("c")
+      .parquet(s"$dir/encoded")
+    index.base.write.mode("overwrite").parquet(s"$dir/base")
+  }
+
+  /** Load a persisted IVF-PQ index; doubles round-trip parquet exactly,
+    * so probes, LUTs and re-ranks equal the in-memory index's. */
+  def ivfPqIndexRead(
+      spark: org.apache.spark.sql.SparkSession, dir: String): IvfPqIndex = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .orderBy("c").collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("vec"))).toSeq
+    val cbRows = spark.read.parquet(s"$dir/codebooks").collect()
+      .map(r => (r.getInt(r.fieldIndex("sub")), r.getInt(r.fieldIndex("code")),
+        r.getSeq[Double](r.fieldIndex("vec"))))
+    val codebooks = cbRows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._2).map(_._3).toSeq }
+    IvfPqIndex(cents, codebooks,
+      spark.read.parquet(s"$dir/encoded"),
+      spark.read.parquet(s"$dir/base"))
+  }
+
   def ivfPqTopK(
       index: IvfPqIndex, query: Seq[Float], k: Int,
       nProbe: Int = 4, shortlist: Int = 50): DataFrame = {

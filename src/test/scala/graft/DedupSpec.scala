@@ -81,6 +81,26 @@ class DedupSpec extends SparkSpec {
       plan.take(2000))
   }
 
+  test("persisted IVF-PQ index: artifacts round-trip, probe equals in-memory") {
+    val dim = 16
+    val vecs = (0 until 120).map { i =>
+      (i.toLong, Seq.tabulate(dim)(j => math.sin(i / 12 * 17.0 + j).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val idx = graft.ext.Similarity.ivfPqBuild(
+      df, "vec_id", "embedding", k = 8, m = 4, pqK = 8, dim = Some(dim))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpqidx").toString
+    graft.ext.Similarity.ivfPqIndexWrite(idx, dir)
+    val idx2 = graft.ext.Similarity.ivfPqIndexRead(spark, dir)
+    assert(idx2.centroids === idx.centroids)
+    assert(idx2.codebooks === idx.codebooks)
+    def top(i: graft.ext.Similarity.IvfPqIndex) =
+      graft.ext.Similarity.ivfPqTopK(i, vecs.head._2, 8)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top(idx2) === top(idx))
+    spark.catalog.clearCache() // ivfPqBuild persists the residual frame
+  }
+
   test("persisted minhash index: probe equals the inline against-corpus form") {
     val index = corpus.where(col("doc_id") < 100)
     val batch = corpus.where(col("doc_id") >= 100)

@@ -398,4 +398,21 @@ class EventOpsSpec extends SparkSpec {
         s"native HLL++ for $et: ${native(et)} vs exact $n (err $nErr)")
     }
   }
+
+  test("q30/q86 bucket oracle precondition: event values are non-negative") {
+    // the histogram bucket `cents div width` replays as DuckDB `//`,
+    // which FLOORS where Spark's `div` truncates toward zero — the two
+    // agree only for non-negative cents. The fixture satisfies this;
+    // a regen with negative values must fail here with a clear message
+    // rather than as an opaque q30/q86 hash mismatch (the m3/m4 ASCII
+    // gate pattern).
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val neg = graft.query.Tables.load(spark, dir, "events")
+        .where(col("value") < 0).count()
+      assert(neg === 0L,
+        s"$dir/events has $neg negative values: q30/q86 bucket division " +
+          "(Spark div = truncate, DuckDB // = floor) diverges below zero — " +
+          "switch both to an explicit floor-div before trusting the oracles")
+    }
+  }
 }
