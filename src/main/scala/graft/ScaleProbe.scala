@@ -515,6 +515,21 @@ object ScaleProbe {
             d.where(col("doc_id") < 500), d.where(col("doc_id") >= 500),
             "doc_id", "text", 0.5).count()
         }
+      // persisted-index split at 100x: the probe half must stay ~flat
+      // in index size (two broadcast-filtered scans + |matches| work)
+      for ((label, d) <- Seq(("10x(50k)", d10), ("100x(500k)", d100))) {
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("graft-100x-mhidx").toString
+        time(s"$label minhashIndexBuild") {
+          graft.ext.Dedup.minhashIndexWrite(
+            d.where(col("doc_id") >= 500), "doc_id", "text", idxDir); 0L
+        }
+        time(s"$label minhashIndexProbe(b500)") {
+          graft.ext.Dedup.minhashProbeIndex(
+            d.where(col("doc_id") < 500), "doc_id", "text", idxDir).count()
+        }
+        graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(idxDir))
+      }
       val v10 = mat(repVecs(10), "v10"); println(s"vecs10 = ${v10.count()}")
       val v100 = mat(repVecs(100), "v100"); println(s"vecs100 = ${v100.count()}")
       for ((label, v) <- Seq(("10x(20k)", v10), ("100x(200k)", v100))) {

@@ -826,7 +826,11 @@ object Dedup {
     * |batch| + |matches|, independent of index size up to scan
     * bandwidth; a (band, bh)-bucketed layout turns the scans into
     * pruned reads. The stored `bucket_n` applies the skew cap without
-    * re-counting. */
+    * re-counting. The broadcasts bound the BATCH size (~16 band rows
+    * and ~1 candidate row per batch doc must fit the broadcast limit —
+    * fine for the micro-batch/daily-increment sizes this exists for);
+    * a crawl-sized "batch" should use [[minhashPairsAgainstCorpus]],
+    * whose candidate join shuffles both sides. */
   def minhashProbeIndex(
       batch: DataFrame, idCol: String, textCol: String, dir: String,
       threshold: Double = 0.5, k: Int = 64, bands: Int = 16,

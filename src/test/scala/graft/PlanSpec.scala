@@ -431,6 +431,27 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("BPE corpus encode: vocab fold joins back by word, no cartesian") {
+    val df = SparkEntry.queries("t27_bpe_encode")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    spark.catalog.clearCache()
+  }
+
+  test("quality classifier: scoring is a pure projection over the " +
+    "feature frame (weights are literals), no cartesian") {
+    val df = SparkEntry.queries("t28_quality_classifier")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // trained weights fold into the plan as literals — no joins beyond
+    // the doc_id left join back to the corpus
+    assert("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findAllIn(plan).size <= 2, plan.take(3000))
+    spark.catalog.clearCache()
+  }
+
   test("incremental minhash probe: cross-side equi-join candidates, " +
     "no corpus self-join") {
     val df = SparkEntry.queries("d19_incremental_minhash")(spark, dir)
