@@ -75,6 +75,30 @@ object Similarity {
 
   def cosineDistance(a: Column, b: Column): Column = lit(1.0) - cosine(a, b)
 
+  /** Semantic decontamination: corpus vectors whose best cosine against
+    * ANY benchmark vector reaches `threshold` — the embedding-space
+    * companion to `Dedup.contamination`'s n-gram overlap (catches
+    * paraphrased/translated eval leakage that token overlap misses).
+    * The benchmark BROADCASTS (eval sets are tiny relative to any
+    * corpus); the corpus is scanned once and grouped per id for the
+    * deterministic argmax (highest cosine, then lowest benchmark id).
+    * Returns (id, bench_id, cos6) for flagged vectors only. */
+  def semanticContamination(
+      corpus: DataFrame, bench: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val b = broadcast(
+      bench.select(col(idCol).as("b_id"), col(vecCol).as("b_v")))
+    corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(b)
+      .select(col("id"), col("b_id"),
+        round(cosine(col("v"), col("b_v")), 6).as("cos6"))
+      .groupBy("id")
+      .agg(max(struct(col("cos6"), (-col("b_id")).as("nb"))).as("m"))
+      .select(col("id"), (-col("m.nb")).as("bench_id"),
+        col("m.cos6").as("cos6"))
+      .where(col("cos6") >= threshold)
+  }
+
   /** Exact top-k by cosine against a literal query vector. */
   def cosineTopK(
       vectors: DataFrame, idCol: String, vecCol: String,

@@ -81,6 +81,23 @@ class DedupSpec extends SparkSpec {
       plan.take(2000))
   }
 
+  test("semanticContamination flags planted twins with the right match, " +
+    "ignores orthogonal vectors") {
+    def axis(i: Int): Seq[Float] =
+      Seq.tabulate(8)(j => if (j == i) 1f else 0f)
+    val bench = Seq((0L, axis(0)), (1L, axis(1))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (100L, axis(0)), // exact twin of bench 0 -> flagged, match 0
+      (101L, axis(1).zipWithIndex.map { case (v, j) => // near twin of bench 1
+        v + (if (j == 2) 0.1f else 0f) }.toSeq),
+      (102L, axis(3)), (103L, axis(4)) // orthogonal -> clean
+    ).toDF("vec_id", "embedding")
+    val out = graft.ext.Similarity
+      .semanticContamination(corpus, bench, "vec_id", "embedding", 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(100L -> 0L, 101L -> 1L))
+  }
+
   test("persisted IVF-PQ index: artifacts round-trip, probe equals in-memory") {
     val dim = 16
     val vecs = (0 until 120).map { i =>
