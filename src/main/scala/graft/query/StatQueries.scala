@@ -418,6 +418,61 @@ object StatQueries {
         Tables.load(s, dir, "events"),
         col("user_id") % 20,
         (col("event_type") === "purchase").cast("long"))
+    },
+
+    // one-pass pairwise Pearson MATRIX (ClickHouse corrMatrix) over
+    // lineitem's four numeric measures in cents: a single aggregation
+    // carries n, every Σx and every Σx·y as exact Decimal sums, then
+    // each of the 6 correlations is one fixed double tree (q34's
+    // discipline, matrix-wide). Oracle replays the identical sums in
+    // HUGEINT and the identical trees.
+    Q("q87_corr_matrix", corrMatrixOracleSql) { (s, dir) =>
+      Stats.corrMatrixE6(
+        Tables.load(s, dir, "lineitem"),
+        CorrMatrixVars.map { case (n, c) => n -> Tables.cents(col(c)) })
     }
   )
+
+  /** (output var name, lineitem column) — shared by q87 and its oracle.
+    * `lazy` because `all`'s Q entries force the oracle SQL during
+    * object init, before ordinary vals declared below `all` would be
+    * assigned (the d3 "null" lesson). */
+  private lazy val CorrMatrixVars = Seq(
+    ("quantity_c", "l_quantity"), ("price_c", "l_extendedprice"),
+    ("discount_c", "l_discount"), ("tax_c", "l_tax"))
+
+  private lazy val corrMatrixOracleSql: String = {
+    val vs = CorrMatrixVars
+    val defs = vs.map { case (n, c) => s"CAST(round($c*100) AS BIGINT) AS $n" }
+      .mkString(",\n    ")
+    val sums = vs.map { case (n, _) => s"sum($n) AS s_$n" }
+    val prods = for {
+      i <- vs.indices; j <- i until vs.size
+    } yield s"sum(CAST(${vs(i)._1} AS HUGEINT)*CAST(${vs(j)._1} AS HUGEINT))" +
+      s" AS ss_${vs(i)._1}_${vs(j)._1}"
+    def dbl(c: String) = s"CAST($c AS DOUBLE)"
+    val arms = for {
+      i <- vs.indices; j <- (i + 1) until vs.size
+    } yield {
+      val (a, b) = (vs(i)._1, vs(j)._1)
+      val cov = s"(${dbl("n")}*${dbl(s"ss_${a}_$b")} - ${dbl(s"s_$a")}*${dbl(s"s_$b")})"
+      val va = s"(${dbl("n")}*${dbl(s"ss_${a}_$a")} - ${dbl(s"s_$a")}*${dbl(s"s_$a")})"
+      val vb = s"(${dbl("n")}*${dbl(s"ss_${b}_$b")} - ${dbl(s"s_$b")}*${dbl(s"s_$b")})"
+      s"""SELECT '$a' AS var_a, '$b' AS var_b,
+         |  CASE WHEN $va > 0 AND $vb > 0
+         |    THEN CAST(floor($cov / (sqrt($va) * sqrt($vb)) * 1e6) AS BIGINT)
+         |  END AS corr_e6
+         |FROM m""".stripMargin
+    }
+    s"""WITH d AS (
+       |  SELECT
+       |    $defs
+       |  FROM lineitem
+       |), m AS (
+       |  SELECT count(*) AS n,
+       |    ${(sums ++ prods).mkString(",\n    ")}
+       |  FROM d
+       |)
+       |${arms.mkString("\nUNION ALL\n")}""".stripMargin
+  }
 }

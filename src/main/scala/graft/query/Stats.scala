@@ -233,6 +233,43 @@ object Stats {
       lit(w.toLong).as("w_e6"), lit(b.toLong).as("b_e6"))
   }
 
+  /** One-pass pairwise Pearson correlation MATRIX (the ClickHouse
+    * `corrMatrix` shape) over integer-valued columns: ONE aggregation
+    * computes n, every Σxᵢ and every Σxᵢxⱼ as exact Decimal(38,0)
+    * sums (associative — reproducible across partitionings and
+    * engines), then each of the k·(k−1)/2 correlations is one fixed
+    * double tree over those exact integers (the q34 discipline,
+    * matrix-wide). Zero-variance pairs yield NULL. Output:
+    * (var_a, var_b, corr_e6) for i < j. */
+  def corrMatrixE6(df: DataFrame, vars: Seq[(String, Column)]): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val names = vars.map(_._1)
+    val sums = vars.map { case (n, c) => sum(c.cast(dec)).as(s"s_$n") }
+    val prods = for {
+      i <- vars.indices; j <- i until vars.size
+    } yield sum((vars(i)._2.cast(dec) * vars(j)._2.cast(dec)).cast(dec))
+      .as(s"ss_${names(i)}_${names(j)}")
+    val aggd = df.agg(
+      count(lit(1)).as("n"), (sums ++ prods): _*)
+    def d(c: String) = col(c).cast("double")
+    val nd = col("n").cast("double")
+    val cells = for {
+      i <- vars.indices; j <- (i + 1) until vars.size
+    } yield {
+      val (a, b) = (names(i), names(j))
+      val cov = nd * d(s"ss_${a}_$b") - d(s"s_$a") * d(s"s_$b")
+      val va = nd * d(s"ss_${a}_$a") - d(s"s_$a") * d(s"s_$a")
+      val vb = nd * d(s"ss_${b}_$b") - d(s"s_$b") * d(s"s_$b")
+      struct(
+        lit(a).as("var_a"), lit(b).as("var_b"),
+        when(va > 0 && vb > 0,
+          floor(cov / (sqrt(va) * sqrt(vb)) * 1e6).cast("long"))
+          .as("corr_e6"))
+    }
+    aggd.select(explode(array(cells: _*)).as("p")).select(col("p.*"))
+  }
+
   /** Two-feature [[gdLinearRegression]] that additionally SCORES every
     * row under the trained weights — the in-engine classifier shape
     * (train a linear probability model on labeled rows, rank everything

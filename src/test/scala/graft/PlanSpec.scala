@@ -452,6 +452,19 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("semantic decontam: benchmark side broadcasts (BNLJ BuildRight), " +
+    "never a CartesianProduct") {
+    // the cross join is INTENTIONAL — 50 benchmark rows against the
+    // corpus scan; the gate pins that it stays a broadcast nested loop
+    // with the benchmark built, not a partitioned cartesian
+    val df = SparkEntry.queries("d20_semantic_decontam")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("BroadcastNestedLoopJoin BuildRight, Cross"),
+      plan.take(3000))
+    spark.catalog.clearCache()
+  }
+
   test("incremental minhash probe: cross-side equi-join candidates, " +
     "no corpus self-join") {
     val df = SparkEntry.queries("d19_incremental_minhash")(spark, dir)

@@ -251,6 +251,28 @@ class StatTestsSpec extends SparkSpec {
     assert(row.getAs[Long]("w_e6") > 0L)
   }
 
+  test("corrMatrixE6: perfect/anti-correlated pairs at ±1e6, " +
+    "zero-variance pairs NULL, all 6 cells present") {
+    import org.apache.spark.sql.functions.col
+    import graft.query.Stats
+    val df = (1 to 100).map(i => (i.toLong, 2L * i, 101L - i, 7L))
+      .toDF("a", "b", "c", "k")
+    val out = Stats.corrMatrixE6(df, Seq(
+      "a" -> col("a"), "b" -> col("b"), "c" -> col("c"), "k" -> col("k")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(out.size === 6)
+    // b = 2a exactly; c = 101 - a exactly (floor of the double tree may
+    // shave an ulp off ±1.0)
+    assert(out(("a", "b")).exists(v => v >= 999998L && v <= 1000000L), out)
+    assert(out(("a", "c")).exists(v => v <= -999998L), out)
+    // k is constant: every pair with k is NULL, others are defined
+    assert(out(("a", "k")) === None)
+    assert(out(("b", "k")) === None)
+    assert(out(("c", "k")) === None)
+    assert(out(("b", "c")).isDefined)
+  }
+
   test("gdLinearModel2Scores matches an independent BigInt replay and " +
     "separates a feature-determined label") {
     import org.apache.spark.sql.functions.col
