@@ -475,6 +475,54 @@ object TextAnalysis {
     * vocabulary or corpus beyond the two keyed aggregations.
     *
     * Returns (doc_id, n_tokens, logweight_e6). */
+  /** The standalone B-row DSIR model — [[dsirWeights]]'s training half,
+    * for the train-once / score-anywhere deployment shape: compute it
+    * on the reference corpus, persist or broadcast it, then
+    * [[dsirScore]] any frame (batch or per-micro-batch) against it.
+    * Returns (b, lr_e6). */
+  def dsirModel(
+      docs: org.apache.spark.sql.DataFrame, textCol: String,
+      targetPred: Column, buckets: Int = 4096)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = docs
+      .select(targetPred.as("is_target"), explode(tokens(col(textCol))).as("tok"))
+      .select(col("is_target"), (Dedup.pmd5(col("tok")) % buckets).as("b"))
+    val counts = toks.groupBy("b").agg(
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("tb"),
+      count(lit(1)).as("rb"))
+    val totals = counts.agg(sum("tb").as("tt"), sum("rb").as("rt"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        floor(lit(1e6) * log(
+          ((col("tb") + 1).cast("double") / (col("tt") + buckets).cast("double")) /
+            ((col("rb") + 1).cast("double") / (col("rt") + buckets).cast("double"))))
+          .cast("long").as("lr_e6"))
+  }
+
+  /** Score any document frame under a trained [[dsirModel]]: tokens
+    * hash into the model's `buckets` space (must match training), the
+    * model broadcasts, and the only shuffle is the per-doc sum — the
+    * shape that scores an arriving micro-batch as cheaply as a corpus.
+    * Returns (doc_id, n_tokens, logweight_e6); docs whose tokens all
+    * miss the model (impossible when the model trained with add-1
+    * smoothing on the same bucket space) and empty docs score 0. */
+  def dsirScore(
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      model: org.apache.spark.sql.DataFrame, buckets: Int = 4096)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"), (Dedup.pmd5(col("tok")) % buckets).as("b"))
+    val scored = toks.join(broadcast(model), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lr_e6")).as("logweight_e6"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("logweight_e6"), lit(0L)).as("logweight_e6"))
+  }
+
   def dsirWeights(
       docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
       targetPred: Column, buckets: Int = 4096)

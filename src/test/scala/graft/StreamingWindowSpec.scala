@@ -223,6 +223,42 @@ class StreamingWindowSpec extends SparkSpec {
     assert(hits.toMap === oneShot)
   }
 
+  test("streaming DSIR scoring: per-micro-batch scores under a " +
+    "persisted model equal the batch scores") {
+    // the train-once / score-stream wire: the B-row model computes on
+    // the reference corpus once, then every arriving micro-batch joins
+    // it broadcast — scores are a pure per-doc function of the model
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val model = graft.ext.TextAnalysis
+      .dsirModel(docs, "text", col("lang") === "en")
+      .persist()
+    model.count()
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-sdsir")
+    docs.select("doc_id", "text").repartition(3)
+      .write.mode("overwrite").parquet(streamDir.toString)
+    val schema = spark.read.parquet(streamDir.toString).schema
+    val got = new scala.collection.concurrent.TrieMap[Long, (Long, Long)]
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.ext.TextAnalysis.dsirScore(b, "doc_id", "text", model)
+          .collect()
+          .foreach(r => got.put(r.getLong(0), (r.getLong(1), r.getLong(2))))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val batch = graft.ext.TextAnalysis
+      .dsirScore(docs, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    model.unpersist()
+    assert(got.nonEmpty)
+    assert(got.toMap === batch)
+  }
+
   test("streaming histogram-quantile sketch: windowed bucket counts " +
     "equal the batch daily sketch, quantiles match q86") {
     val dir = "/root/testdata/sf0.001"

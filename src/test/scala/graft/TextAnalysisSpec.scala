@@ -396,5 +396,11 @@ class TextAnalysisSpec extends SparkSpec {
       s"target-dialect probe $aProbe should be positive, raw-dialect $bProbe negative")
     // weight is a pure function of the token multiset
     assert(w(100L)._2 === w(0L)._2 && w(101L)._2 === w(10L)._2)
+    // decomposed train/score path equals the fused operator
+    val viaModel = TextAnalysis.dsirScore(
+      docs, "doc_id", "text",
+      TextAnalysis.dsirModel(docs, "text", col("is_t")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(viaModel === w)
   }
 }
