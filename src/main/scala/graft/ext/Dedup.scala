@@ -851,10 +851,25 @@ object Dedup {
         Seq("band", "bh"))
       .select(col("id_a"), col("id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    verifyJaccardAcross(
-      cand, invB, invC,
-      sigB.select(col("id"), col("n")).unionByName(sizesC),
-      threshold)
+    // verify WITHOUT exchanging the index: candidate pairs × batch
+    // postings are micro-batch-sized, so they broadcast onto single
+    // scans of the index's postings and sizes tables — the generic
+    // verifyJaccard would sort-merge the O(index) frames instead
+    val candPost = cand
+      .join(invB.select(col("id").as("id_a"), col("g")), "id_a")
+    val shared = invC.select(col("id").as("id_b"), col("g"))
+      .join(broadcast(candPost), Seq("id_b", "g"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"))
+    val withA = shared
+      .join(sigB.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
+    sizesC.select(col("id").as("id_b"), col("n").as("n_b"))
+      .join(broadcast(withA), "id_b")
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
   // ---- SimHash ----------------------------------------------------------

@@ -86,9 +86,15 @@ object Similarity {
   def semanticContamination(
       corpus: DataFrame, bench: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
+    // zero-norm vectors carry no direction: excluded up front, on BOTH
+    // sides — cosine would be 0/0 (an ANSI divide-by-zero error; NaN
+    // on the oracle, where it would otherwise out-sort every real
+    // value and flag the whole corpus off one zero benchmark vector)
     val b = broadcast(
-      bench.select(col(idCol).as("b_id"), col(vecCol).as("b_v")))
+      bench.select(col(idCol).as("b_id"), col(vecCol).as("b_v"))
+        .where(norm(col("b_v")) > 0))
     corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .where(norm(col("v")) > 0)
       .crossJoin(b)
       .select(col("id"), col("b_id"),
         round(cosine(col("v"), col("b_v")), 6).as("cos6"))

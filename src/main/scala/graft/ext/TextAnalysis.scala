@@ -475,23 +475,28 @@ object TextAnalysis {
     * vocabulary or corpus beyond the two keyed aggregations.
     *
     * Returns (doc_id, n_tokens, logweight_e6). */
-  /** The standalone B-row DSIR model — [[dsirWeights]]'s training half,
-    * for the train-once / score-anywhere deployment shape: compute it
-    * on the reference corpus, persist or broadcast it, then
-    * [[dsirScore]] any frame (batch or per-micro-batch) against it.
-    * Returns (b, lr_e6). */
-  def dsirModel(
-      docs: org.apache.spark.sql.DataFrame, textCol: String,
-      targetPred: Column, buckets: Int = 4096)
+  /** Per-bucket e6-floored log-ratio model from a (is_target, b)
+    * token frame — the ONE copy of the IEEE-order-sensitive double
+    * tree every DSIR path (and the t26 oracle) must match. DENSE over
+    * all `buckets` rows: buckets unseen in training carry the pure
+    * smoothing ratio log(((0+1)/(T+B)) / ((0+1)/(R+B))), so scoring
+    * never drops a token that hashes to an empty bucket. */
+  private def dsirModelFromToks(
+      toks: org.apache.spark.sql.DataFrame, buckets: Int)
       : org.apache.spark.sql.DataFrame = {
-    val toks = docs
-      .select(targetPred.as("is_target"), explode(tokens(col(textCol))).as("tok"))
-      .select(col("is_target"), (Dedup.pmd5(col("tok")) % buckets).as("b"))
+    val spark = toks.sparkSession
     val counts = toks.groupBy("b").agg(
       sum(when(col("is_target"), 1L).otherwise(0L)).as("tb"),
       count(lit(1)).as("rb"))
-    val totals = counts.agg(sum("tb").as("tt"), sum("rb").as("rt"))
-    counts.crossJoin(broadcast(totals))
+    val totals = counts.agg(
+      coalesce(sum("tb"), lit(0L)).as("tt"),
+      coalesce(sum("rb"), lit(0L)).as("rt"))
+    spark.range(buckets).select(col("id").as("b"))
+      .join(counts, Seq("b"), "left")
+      .select(col("b"),
+        coalesce(col("tb"), lit(0L)).as("tb"),
+        coalesce(col("rb"), lit(0L)).as("rb"))
+      .crossJoin(broadcast(totals))
       .select(col("b"),
         floor(lit(1e6) * log(
           ((col("tb") + 1).cast("double") / (col("tt") + buckets).cast("double")) /
@@ -499,29 +504,56 @@ object TextAnalysis {
           .cast("long").as("lr_e6"))
   }
 
-  /** Score any document frame under a trained [[dsirModel]]: tokens
-    * hash into the model's `buckets` space (must match training), the
-    * model broadcasts, and the only shuffle is the per-doc sum — the
-    * shape that scores an arriving micro-batch as cheaply as a corpus.
-    * Returns (doc_id, n_tokens, logweight_e6); docs whose tokens all
-    * miss the model (impossible when the model trained with add-1
-    * smoothing on the same bucket space) and empty docs score 0. */
-  def dsirScore(
-      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
-      model: org.apache.spark.sql.DataFrame, buckets: Int = 4096)
+  /** Per-doc weight sums of a (doc_id, b) token frame under a model,
+    * zero-filled back onto `ids` — the one copy of the scoring tail. */
+  private def dsirScoreFromToks(
+      toks: org.apache.spark.sql.DataFrame,
+      model: org.apache.spark.sql.DataFrame,
+      ids: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val toks = docs
-      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
-      .select(col("doc_id"), (Dedup.pmd5(col("tok")) % buckets).as("b"))
     val scored = toks.join(broadcast(model), "b")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("lr_e6")).as("logweight_e6"))
-    docs.select(col(idCol).as("doc_id"))
-      .join(scored, Seq("doc_id"), "left")
+    ids.join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("logweight_e6"), lit(0L)).as("logweight_e6"))
   }
+
+  /** The standalone DSIR model — [[dsirWeights]]'s training half, for
+    * the train-once / score-anywhere deployment shape: compute it on
+    * the reference corpus, persist or broadcast it, then [[dsirScore]]
+    * any frame (batch or per-micro-batch) against it. DENSE: exactly
+    * `buckets` rows, including the smoothing ratio for buckets unseen
+    * in training. Returns (b, lr_e6). */
+  def dsirModel(
+      docs: org.apache.spark.sql.DataFrame, textCol: String,
+      targetPred: Column, buckets: Int = 4096)
+      : org.apache.spark.sql.DataFrame =
+    dsirModelFromToks(
+      docs
+        .select(targetPred.as("is_target"),
+          explode(tokens(col(textCol))).as("tok"))
+        .select(col("is_target"), (Dedup.pmd5(col("tok")) % buckets).as("b")),
+      buckets)
+
+  /** Score any document frame under a trained [[dsirModel]]: tokens
+    * hash into the model's `buckets` space (must match training), the
+    * model broadcasts, and the only shuffle is the per-doc sum — the
+    * shape that scores an arriving micro-batch as cheaply as a corpus.
+    * The dense model guarantees every token finds its bucket (unseen
+    * vocabulary gets the smoothing ratio); empty docs score (0, 0).
+    * Returns (doc_id, n_tokens, logweight_e6). */
+  def dsirScore(
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      model: org.apache.spark.sql.DataFrame, buckets: Int = 4096)
+      : org.apache.spark.sql.DataFrame =
+    dsirScoreFromToks(
+      docs
+        .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+        .select(col("doc_id"), (Dedup.pmd5(col("tok")) % buckets).as("b")),
+      model,
+      docs.select(col(idCol).as("doc_id")))
 
   def dsirWeights(
       docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
@@ -534,23 +566,9 @@ object TextAnalysis {
         (Dedup.pmd5(col("tok")) % buckets).as("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     toks.count() // eager: model pass + scoring pass in one action
-    val counts = toks.groupBy("b").agg(
-      sum(when(col("is_target"), 1L).otherwise(0L)).as("tb"),
-      count(lit(1)).as("rb"))
-    val totals = counts.agg(sum("tb").as("tt"), sum("rb").as("rt"))
-    val model = counts.crossJoin(broadcast(totals))
-      .select(col("b"),
-        floor(lit(1e6) * log(
-          ((col("tb") + 1).cast("double") / (col("tt") + buckets).cast("double")) /
-            ((col("rb") + 1).cast("double") / (col("rt") + buckets).cast("double"))))
-          .cast("long").as("lr_e6"))
-    val scored = toks.join(broadcast(model), "b")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum(col("lr_e6")).as("logweight_e6"))
-    docs.select(col(idCol).as("doc_id"))
-      .join(scored, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        coalesce(col("logweight_e6"), lit(0L)).as("logweight_e6"))
+    dsirScoreFromToks(
+      toks.select("doc_id", "b"),
+      dsirModelFromToks(toks.select("is_target", "b"), buckets),
+      docs.select(col(idCol).as("doc_id")))
   }
 }

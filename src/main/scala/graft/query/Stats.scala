@@ -313,12 +313,14 @@ object Stats {
       epoch += 1
     }
     // score in Decimal(38,0) like the error term (ANSI-safe for any
-    // Long weights), emitted as long — the oracle's HUGEINT→BIGINT cast
-    val out = d.select(col("id"),
+    // Long weights), emitted as long — the oracle's HUGEINT→BIGINT
+    // cast. `d` stays persisted: the returned frame READS it (an
+    // unpersist here would force the scoring action to recompute the
+    // feature extraction from source); the caller/harness clears
+    // caches per query, the pack convention.
+    d.select(col("id"),
       (lit(w1.toLong).cast(dec) * col("_x1").cast(dec) +
         lit(w2.toLong).cast(dec) * col("_x2").cast(dec) +
         lit(b.toLong).cast(dec)).cast("long").as("score_e6"))
-    d.unpersist(false)
-    out
   }
 }

@@ -96,6 +96,20 @@ class DedupSpec extends SparkSpec {
       .semanticContamination(corpus, bench, "vec_id", "embedding", 0.9)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out === Map(100L -> 0L, 101L -> 1L))
+    // zero vectors make cosine NaN (0/0) — they must flag NOTHING, in
+    // either role (Spark sorts NaN above every double; unguarded, one
+    // zero benchmark vector would flag the whole corpus)
+    val zero = Seq.fill(8)(0f).toSeq
+    val withZeroCorpus = graft.ext.Similarity.semanticContamination(
+      corpus.unionByName(Seq((999L, zero)).toDF("vec_id", "embedding")),
+      bench, "vec_id", "embedding", 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(withZeroCorpus === Set(100L, 101L))
+    val withZeroBench = graft.ext.Similarity.semanticContamination(
+      corpus, bench.unionByName(Seq((9L, zero)).toDF("vec_id", "embedding")),
+      "vec_id", "embedding", 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(withZeroBench === Map(100L -> 0L, 101L -> 1L))
   }
 
   test("persisted IVF-PQ index: artifacts round-trip, probe equals in-memory") {

@@ -399,20 +399,25 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
-  test("q30/q86 bucket oracle precondition: event values are non-negative") {
-    // the histogram bucket `cents div width` replays as DuckDB `//`,
-    // which FLOORS where Spark's `div` truncates toward zero — the two
-    // agree only for non-negative cents. The fixture satisfies this;
-    // a regen with negative values must fail here with a clear message
-    // rather than as an opaque q30/q86 hash mismatch (the m3/m4 ASCII
-    // gate pattern).
+  test("q30/q86 bucket precondition: event values are non-negative") {
+    // both engines TRUNCATE toward zero (Spark `div` ≡ DuckDB `//`:
+    // -7//2 = -3 on BIGINT and HUGEINT), so the oracles stay in hash
+    // agreement on negative cents — but the bucket SEMANTICS break
+    // identically on both: truncation makes bucket 0 span
+    // [-499, 499] cents (double width) and q86's inclusive upper bound
+    // `bucket*500 + 499` is wrong for every negative bucket. The
+    // fixture is non-negative; a regen with negative values must fail
+    // here with the real reason rather than ship silently-wrong
+    // quantiles (the m3/m4 ASCII-gate pattern).
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       val neg = graft.query.Tables.load(spark, dir, "events")
         .where(col("value") < 0).count()
       assert(neg === 0L,
-        s"$dir/events has $neg negative values: q30/q86 bucket division " +
-          "(Spark div = truncate, DuckDB // = floor) diverges below zero — " +
-          "switch both to an explicit floor-div before trusting the oracles")
+        s"$dir/events has $neg negative values: truncating bucketing " +
+          "gives bucket 0 a double-width span and mis-labels negative " +
+          "buckets' upper bounds (identically on both engines) — switch " +
+          "q30/q86 to an explicit floor-div and fix the bound formula " +
+          "before trusting the histograms")
     }
   }
 }

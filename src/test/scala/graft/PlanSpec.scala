@@ -381,7 +381,7 @@ class PlanSpec extends SparkSpec {
     assert(nEx >= 1 && nEx <= 3, s"q59 exchanges = $nEx\n${p.take(3000)}")
   }
 
-  test("q59-q85 stats/time-series family: no cartesian blowups, " +
+  test("q59-q87 stats/time-series family: no cartesian blowups, " +
     "keyed windows never globally sorted") {
     // blanket gate for the round-5 operator family: every plan must be
     // free of CartesianProduct (the only join shape that cannot
@@ -393,8 +393,8 @@ class PlanSpec extends SparkSpec {
       "q65_sequence_next_node", "q79_locf_fill", "q80_session_window",
       "q83_sliding_distinct")
     val names = SparkEntry.queries.keys
-      .filter(_.matches("q(59|[6-7][0-9]|8[0-6])_.*")).toSeq.sorted
-    assert(names.size == 28, names.mkString(","))
+      .filter(_.matches("q(59|[6-7][0-9]|8[0-7])_.*")).toSeq.sorted
+    assert(names.size == 29, names.mkString(","))
     for (name <- names) {
       val plan = planOf(SparkEntry.queries(name)(spark, dir))
       assert(!plan.contains("CartesianProduct"),

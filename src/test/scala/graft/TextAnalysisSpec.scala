@@ -397,10 +397,19 @@ class TextAnalysisSpec extends SparkSpec {
     // weight is a pure function of the token multiset
     assert(w(100L)._2 === w(0L)._2 && w(101L)._2 === w(10L)._2)
     // decomposed train/score path equals the fused operator
-    val viaModel = TextAnalysis.dsirScore(
-      docs, "doc_id", "text",
-      TextAnalysis.dsirModel(docs, "text", col("is_t")))
+    val model = TextAnalysis.dsirModel(docs, "text", col("is_t"))
+    val viaModel = TextAnalysis.dsirScore(docs, "doc_id", "text", model)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(viaModel === w)
+    // the model is DENSE: unseen vocabulary still counts and scores
+    // the pure smoothing ratio, never silently dropped
+    assert(model.count() === 4096L)
+    val unseen = TextAnalysis.dsirScore(
+      Seq((500L, "xyzzy plugh unheld wordz never seenbefore"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", model)
+      .collect().head
+    assert(unseen.getLong(1) === 6L, "unseen tokens must still count")
+    assert(unseen.getLong(2) !== 0L, "unseen buckets carry the smoothing ratio")
   }
 }
