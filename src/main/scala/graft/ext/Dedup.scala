@@ -1103,4 +1103,64 @@ object Dedup {
         levenshtein(col("_ha"), col("_hb"), maxDist).cast("long").as("dist"))
       .where(col("dist").between(0, maxDist))
   }
+
+  // ---- Bloom-prefiltered decontamination --------------------------------
+
+  /** Exact shingle-level decontamination with a Bloom-filter prefilter —
+    * the SCAN-SPEED screen for the small-reference-set / huge-corpus
+    * case: which corpus docs contain ANY eval-set shingle, and how many
+    * (cf. [[contamination]], which joins every corpus shingle against
+    * the broadcast eval set to compute fractions; and
+    * [[dedupAgainstCorpus]]'s shuffle anti-join for when BOTH sides are
+    * data-scale).
+    *
+    * Shape at 100 TB: the eval side is aggregated once into a
+    * `util.sketch.BloomFilter` (a distributed pass; the sketch is
+    * ~1.2 bytes/key at 1% fpp — ~1 MB per million eval shingles, far
+    * smaller than the hash set itself), which ships to every task as a
+    * binary literal inside Spark's codegen'd `BloomFilterMightContain`
+    * predicate. The corpus pass is then a pure MAP-SIDE scan filter —
+    * no shuffle, no join state, for the vast majority of shingles a
+    * real corpus/eval pair rejects (the fixture's tiny vocabulary makes
+    * everything collide; production shingle spaces are ~2⁶⁰-sparse).
+    * Only bloom survivors (true matches + the fpp tail) reach the
+    * broadcast semi-join that restores EXACTNESS — blooms have no
+    * false negatives, so prefilter + exact verify ≡ the plain
+    * semi-join — and only verified (id, shingle) rows pay the one
+    * skinny aggregation shuffle. Returns one row per contaminated
+    * corpus doc: (id, hit_shingles). */
+  def bloomDecontam(
+      corpus: DataFrame, idCol: String, textCol: String,
+      eval: DataFrame, evalTextCol: String,
+      w: Int = 3, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.graft.ColumnBridge
+    val evalShingles = eval
+      .select(explode(shingleHashes(col(evalTextCol), w)).as("g"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Two actions over the persisted shingle frame: the count sizes the
+    // sketch, the aggregate fills it. Items are xxhash64 longs (seed 42,
+    // the `functions.xxhash64` default) because the probe side's
+    // BloomFilterMightContain tests `mightContainLong`.
+    val n = math.max(evalShingles.count(), 1L)
+    val bloom = evalShingles.stat.bloomFilter(xxhash64(col("g")), n, fpp)
+    val bytes = {
+      val os = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(os)
+      os.toByteArray
+    }
+    val corpusShingles = corpus
+      .select(col(idCol).as("id"), tokenHashes(col(textCol)).as("th"))
+      .select(col("id"), explode(shingleHashArray(col("th"), w)).as("g"))
+    val mightContain = ColumnBridge.column(BloomFilterMightContain(
+      Literal(bytes, org.apache.spark.sql.types.BinaryType),
+      XxHash64(Seq(ColumnBridge.expression(col("g"))), 42L)))
+    corpusShingles
+      .where(mightContain)
+      .join(broadcast(evalShingles), Seq("g"), "left_semi")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("hit_shingles"))
+  }
 }

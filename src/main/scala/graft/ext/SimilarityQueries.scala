@@ -376,6 +376,15 @@ object SimilarityQueries {
           queryVec(s, dir), prefixDims = 16, candidates = 50, k = 10)
           .select(col("id"),
             round(col("cos_sim") * 1e6).cast("long").as("cos_e6"))
+    },
+
+    // top principal component: one-pass integer covariance moments +
+    // 60 deterministic e6-integer power-iteration rounds — the full
+    // training loop replays in DuckDB ([[PcaOracle]]), the s4/t11
+    // exact-replay program applied to eigen-decomposition.
+    Q("s13_pca_top_component", PcaOracle.sql()) { (s, dir) =>
+      Pca.topComponent(
+        s, Tables.load(s, dir, "embeddings"), "embedding", dim = 64)
     }
   )
 

@@ -567,4 +567,30 @@ class DedupSpec extends SparkSpec {
       .phashNearDupPairs(flood, maxBucket = 10)
     assert(cappedOut.count() === 0L)
   }
+
+  test("bloom decontam equals the exact shingle semi-join at any fpp") {
+    val eval = corpus.where(col("doc_id") < 3)
+    // ground truth: the plain (unprefiltered) exact semi-join + count
+    val evalShingles = eval
+      .select(explode(Dedup.shingleHashes(col("text"))).as("g")).distinct()
+    val exact = corpus
+      .select(col("doc_id"), explode(Dedup.shingleHashes(col("text"))).as("g"))
+      .join(evalShingles, Seq("g"), "left_semi")
+      .groupBy("doc_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // the base docs are Caesar-shifted token sequences (pairwise
+    // disjoint vocab positions), so only the eval docs and their
+    // planted near-dups share shingles — the screen is selective
+    assert(exact.keySet === Set(0L, 1L, 2L, 100L, 101L, 102L))
+    // fpp = 0.5 floods the probe with false positives; the broadcast
+    // verify must kill every one of them (bloom is correctness-
+    // transparent in both directions)
+    for (fpp <- Seq(0.5, 0.01)) {
+      val got = Dedup
+        .bloomDecontam(corpus, "doc_id", "text", eval, "text", fpp = fpp)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got === exact, s"fpp=$fpp")
+    }
+    spark.catalog.clearCache()
+  }
 }

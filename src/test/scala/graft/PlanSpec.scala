@@ -476,4 +476,25 @@ class PlanSpec extends SparkSpec {
     assert("InMemoryTableScan".r.findAllIn(plan).size >= 4, plan.take(3000))
     spark.catalog.clearCache()
   }
+
+  test("bloom decontam: map-side might_contain prefilter below a " +
+    "broadcast semi-join, one id-keyed exchange") {
+    val df = SparkEntry.queries("d21_bloom_decontam")(spark, dir)
+    val plan = planOf(df)
+    // the corpus pass is a scan-side Filter on the codegen'd bloom
+    // probe — rows the sketch rejects never reach any join or shuffle
+    assert(plan.contains("might_contain"), plan.take(3000))
+    // exact verify is a broadcast LeftSemi (eval side is the small side)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      plan.take(3000))
+    // the bloom filter sits BELOW the join (plan prints top-down, so
+    // the probe appears after the join header)
+    assert(plan.indexOf("might_contain") > plan.indexOf("BroadcastHashJoin"),
+      plan.take(3000))
+    // only verified (id, shingle) survivors pay a shuffle: the single
+    // hashpartitioning exchange keys the per-doc count
+    assert("Exchange hashpartitioning\\(id".r.findAllIn(plan).size === 1 &&
+      !plan.contains("CartesianProduct"), plan.take(3000))
+    spark.catalog.clearCache()
+  }
 }
