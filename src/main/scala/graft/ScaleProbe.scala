@@ -19,6 +19,7 @@ object ScaleProbe {
     if (args.contains("100x")) { probe100x(spark); spark.stop(); return }
     if (args.contains("ann")) { probeAnn(spark); spark.stop(); return }
     if (args.contains("stream")) { probeStream(spark); spark.stop(); return }
+    if (args.contains("bloom")) { probeBloom(spark); spark.stop(); return }
     val docs1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .select(col("doc_id"), col("text"))
     // 10x: replicate with distinct ids and a per-copy suffix token so
@@ -545,6 +546,71 @@ object ScaleProbe {
               threshold = 0.9, k = k, dim = Some(64)).count()
           }
       }
+    } finally {
+      dirs.foreach(graft.util.Fs.deleteRecursively)
+    }
+  }
+
+  /** `bloom` mode: the round-8 session-3 operators at 10x/100x.
+    * bloomDecontam vs the d10 broadcast-join form on a FIXED 500-doc
+    * eval set (the production shape: eval benchmarks are constant while
+    * the corpus grows — the screen should track the corpus SCAN, and
+    * the verify-join should track |hits|, not corpus size); Pca
+    * .topComponent (one moment pass + constant driver iteration —
+    * should track the scan too). */
+  private def probeBloom(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.DataFrame
+    val docs1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val vecs1 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    def repDocs(r: Int): DataFrame =
+      (0 until r).map { i =>
+        docs1.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+          concat(col("text"), lit(s" copytag$i")).as("text"))
+      }.reduce(_ unionByName _)
+    def repVecs(r: Int): DataFrame =
+      (0 until r).map { i =>
+        vecs1.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+          transform(col("embedding"), (x, j) =>
+            when(j === 0, x + lit(0.001f * (i + 1))).otherwise(x))
+            .as("embedding"))
+      }.reduce(_ unionByName _)
+    val dirs = collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    def mat(df: DataFrame, tag: String): DataFrame = {
+      val d = java.nio.file.Files.createTempDirectory(s"graft-bloom-$tag")
+      dirs += d
+      df.repartition(32).write.mode("overwrite").parquet(d.toString)
+      spark.read.parquet(d.toString)
+    }
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$name%-30s ${(System.nanoTime() - t0) / 1e9}%6.2f s  rows=$n")
+      spark.catalog.clearCache()
+    }
+    val eval = docs1.where(col("doc_id") < 500) // fixed eval benchmark
+    try {
+      val d10 = mat(repDocs(10), "d10"); println(s"docs10 = ${d10.count()}")
+      val d100 = mat(repDocs(100), "d100")
+      println(s"docs100 = ${d100.count()}")
+      for ((label, d) <- Seq(("10x(50k)", d10), ("100x(500k)", d100))) {
+        time(s"$label bloomDecontam") {
+          graft.ext.Dedup.bloomDecontam(d, "doc_id", "text", eval, "text")
+            .count()
+        }
+        time(s"$label contamination(d10 form)") {
+          graft.ext.Dedup.contamination(d, "doc_id", "text", eval, "text")
+            .count()
+        }
+      }
+      val v10 = mat(repVecs(10), "v10"); println(s"vecs10 = ${v10.count()}")
+      val v100 = mat(repVecs(100), "v100")
+      println(s"vecs100 = ${v100.count()}")
+      for ((label, v) <- Seq(("10x(20k)", v10), ("100x(200k)", v100)))
+        time(s"$label pcaTopComponent") {
+          graft.ext.Pca.topComponent(spark, v, "embedding", dim = 64)
+            .count()
+        }
     } finally {
       dirs.foreach(graft.util.Fs.deleteRecursively)
     }

@@ -794,6 +794,21 @@ object EventQueries {
         .selectExpr("CAST(n_days AS BIGINT) AS n_days", hllEstimateExpr)
     },
 
+    // Count-Min sketch top-20 user frequencies — the mergeable POINT-
+    // FREQUENCY sketch beside q36's HLL (distinct) and q38's
+    // Misra–Gries (top-k): 4×256 integer counters built PER DAY and
+    // merged by addition, probed for every distinct user, top-20 by
+    // (estimate, id). Width 256 ≪ |users| forces real collisions, so
+    // estimates genuinely over-count — and both engines replay the
+    // identical integer pipeline, so the hash oracle still pins it.
+    Q("q88_cms_topk_freq", q88OracleSql) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+        .selectExpr("user_id", "(ts div 1000) div 86400000000 AS day")
+      Stats.cmsEstimates(ev, "user_id", col("day"))
+        .orderBy(col("est_count").desc, col("user_id").asc)
+        .limit(20)
+    },
+
     // FORWARD as-of join ("time to next event"): each view matched to
     // the user's earliest purchase at-or-after it. Purchases are deduped
     // per (user, time) first so ties are deterministic in both engines;
@@ -1282,4 +1297,32 @@ object EventQueries {
        |), nd AS (SELECT count(DISTINCT day) AS n_days FROM d)
        |SELECT CAST(n_days AS BIGINT) AS n_days, $hllEstimateExpr
        |FROM a, nd""".stripMargin
+
+  /** q88 oracle: the identical CMS pipeline in DuckDB syntax — per-day
+    * 4×256 counter cells, merged by addition, min-over-rows estimates,
+    * top-20. Row hash = pmd5 of `key || '#' || row`. */
+  private lazy val q88OracleSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+      |), cells AS (
+      |  SELECT day, t.j,
+      |    ('0x'||substr(md5(CAST(user_id AS VARCHAR) || '#' ||
+      |      CAST(t.j AS VARCHAR)),1,15))::BIGINT % 256 AS b,
+      |    count(*) AS c
+      |  FROM e, range(0, 4) t(j)
+      |  GROUP BY 1, 2, 3
+      |), merged AS (
+      |  SELECT j, b, sum(c) AS c FROM cells GROUP BY 1, 2
+      |), pb AS (
+      |  SELECT DISTINCT user_id, t.j,
+      |    ('0x'||substr(md5(CAST(user_id AS VARCHAR) || '#' ||
+      |      CAST(t.j AS VARCHAR)),1,15))::BIGINT % 256 AS b
+      |  FROM e, range(0, 4) t(j)
+      |), est AS (
+      |  SELECT user_id, CAST(min(coalesce(m.c, 0)) AS BIGINT) AS est_count
+      |  FROM pb p LEFT JOIN merged m ON m.j = p.j AND m.b = p.b
+      |  GROUP BY 1
+      |)
+      |SELECT user_id, est_count FROM est
+      |ORDER BY est_count DESC, user_id ASC LIMIT 20""".stripMargin
 }

@@ -323,4 +323,44 @@ object Stats {
         lit(w2.toLong).cast(dec) * col("_x2").cast(dec) +
         lit(b.toLong).cast(dec)).cast("long").as("score_e6"))
   }
+
+  /** PORTABLE Count-Min sketch estimates — the mergeable POINT-
+    * FREQUENCY companion to the q36/q12 HLL (distinct counts) and
+    * q38's Misra–Gries (top-k): depth×width counters, row hashes from
+    * the pmd5 family (`md5(key || '#' || row)`), per-slice sketches
+    * MERGED BY ADDITION (the CMS merge is `+`, so pre-aggregated
+    * daily/shard sketches re-aggregate without touching raw data —
+    * the 100 TB shape: the only full-data shuffle is the skinny
+    * (slice, row, bucket) partial-count, ≤ depth·width rows per slice
+    * after map-side combine). Estimate = min over rows of the hit
+    * counter: ≥ exact always, = exact absent collisions, error
+    * ≤ 2n/width with prob 1−2^−depth. Every step is integer, so the
+    * whole sketch (build → merge → probe) replays in DuckDB.
+    *
+    * Returns (key AS `keyCol`, est_count) for every distinct key; the
+    * caller slices/authorizes top-k. `sliceCol` exists to EXERCISE the
+    * merge (per-slice sketches summed); estimates are identical to the
+    * unsliced build by associativity. */
+  def cmsEstimates(
+      df: DataFrame, keyCol: String, sliceCol: Column,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    def bucket(key: String) =
+      s"CAST(conv(substr(md5(concat(CAST($key AS STRING), '#', " +
+        s"CAST(j AS STRING))),1,15),16,10) AS BIGINT) % $width"
+    val rows = array((0 until depth).map(lit(_)): _*)
+    val cells = df
+      .select(col(keyCol), sliceCol.as("_slice"))
+      .withColumn("j", explode(rows))
+      .selectExpr("_slice", "j", s"${bucket(keyCol)} AS b")
+      .groupBy(col("_slice"), col("j"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val merged = cells.groupBy(col("j"), col("b")).agg(sum(col("c")).as("c"))
+    val probes = df.select(col(keyCol)).distinct()
+      .withColumn("j", explode(rows))
+      .selectExpr(keyCol, "j", s"${bucket(keyCol)} AS b")
+    probes
+      .join(broadcast(merged), Seq("j", "b"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est_count"))
+  }
 }

@@ -310,4 +310,29 @@ class StatTestsSpec extends SparkSpec {
     assert(avgPos > avgNeg + 100000L,
       s"no separation: pos=$avgPos neg=$avgNeg")
   }
+  test("CMS estimates: over-estimate-only, exact at ample width, " +
+    "slice-merge invariant") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.query.Stats
+    // keys 0..99 with frequency i+1, spread over 5 slices
+    val rows = for (k <- 0 until 100; r <- 0 to k) yield (k.toLong, r % 5)
+    val df = rows.toDF("k", "slice")
+    val exact = rows.groupBy(_._1).map { case (k, v) => (k, v.size.toLong) }
+    // width 8 << 100 keys: heavy collisions -- CMS must only OVER-count
+    val est8 = Stats.cmsEstimates(df, "k", col("slice"), width = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(est8.keySet === exact.keySet)
+    for ((k, c) <- exact) assert(est8(k) >= c, s"under-count at key $k")
+    assert(exact.exists { case (k, c) => est8(k) > c },
+      "width 8 over 100 keys should collide somewhere")
+    // width 4096 with depth 4: an all-rows collision is ~impossible,
+    // so estimates are exact
+    val est4k = Stats.cmsEstimates(df, "k", col("slice"), width = 4096)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(est4k === exact.toMap)
+    // merge-by-addition: slicing cannot change the merged estimates
+    val unsliced = Stats.cmsEstimates(df, "k", lit(0), width = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(unsliced === est8)
+  }
 }
