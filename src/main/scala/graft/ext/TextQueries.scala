@@ -820,8 +820,125 @@ object TextQueries {
         stopwordHits(col("text"), stopwords("en")),
         when(col("n_chars") >= 320, 1000000L).otherwise(0L))
         .withColumnRenamed("id", "doc_id")
+    },
+
+    // END-TO-END curation pipeline: the operators COMPOSE into one
+    // declarative DAG — Gopher quality gate (t13 flags, all five) →
+    // keep-best exact dedup (d7) → benchmark-decontamination screen
+    // (d10 fraction < 20%) → content-hash shard assignment (t17) with
+    // per-shard running token budget (t12's prefix-sum shape). One
+    // hash oracle certifies the whole chain; every stage stays
+    // partition-parallel (the only windows key on content_hash /
+    // shard). This is the "switch your pipeline to one engine" query.
+    Q("t30_curation_pipeline", t30OracleSql) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      val flagged = docs
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"),
+          charSum(col("text")).cast("long").as("charsum"))
+        .select(col("doc_id"), col("text"),
+          size(col("toks")).cast("long").as("ntok"),
+          gopherFlags(col("text"), col("toks"),
+            size(col("toks")).cast("long"), col("charsum")).as("fl"))
+      val quality = flagged
+        .where(col("fl.f_wordcount") === 1 && col("fl.f_wordlen") === 1 &&
+          col("fl.f_symbols") === 1 && col("fl.f_bullet") === 1 &&
+          col("fl.f_stopwords") === 1)
+        .select(col("doc_id"), col("text"), col("ntok"))
+        .persist()
+      quality.count() // eager: three consumers in the composed DAG
+      val kept = Dedup.dedupKeepBest(quality, "doc_id", "text", col("ntok"))
+      val keptDocs = quality.join(kept.select("doc_id"), Seq("doc_id"))
+      val contam = Dedup.contamination(
+        keptDocs, "doc_id", "text",
+        docs.where(col("doc_id") < 10), "text")
+      val clean = keptDocs
+        .join(
+          contam.where(col("contamination_e4") < 2000)
+            .select(col("id").as("doc_id")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("ntok"))
+      val sharded = Splits.shardByHash(clean.select("doc_id"), "doc_id", 8)
+      val w = Window.partitionBy(col("shard")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sharded
+        .join(clean, Seq("doc_id"))
+        .select(col("doc_id"), col("ntok"), col("shard"),
+          col("pos").cast("long").as("pos"),
+          sum(col("ntok")).over(w).as("cum_tok"))
     }
   )
+
+  /** t30 oracle: the full curation chain in DuckDB — t13's flag
+    * predicates inlined as a WHERE, the d7 keep-best window, the d10
+    * shingle-fraction screen, the t17 shard hash, and the per-shard
+    * running token sum. */
+  private lazy val t30OracleSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, text,
+      |    CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS ntok,
+      |    CAST(length(regexp_replace(trim(text), ' +', '', 'g')) AS BIGINT) AS charsum
+      |  FROM documents
+      |), q AS (
+      |  SELECT doc_id, text, ntok FROM f
+      |  WHERE ntok BETWEEN 50 AND 100000
+      |    AND floor((CAST(charsum AS DOUBLE) * 100.0) / CAST(ntok AS DOUBLE))
+      |        BETWEEN 300 AND 1000
+      |    AND ((length(text) - length(replace(text, '...', ''))) // 3
+      |        + length(text) - length(replace(text, '#', ''))) * 10 <= ntok
+      |    AND NOT (text LIKE '- %' OR text LIKE '* %')
+      |    AND len(list_filter(string_split_regex(trim(text), ' +'),
+      |        t -> t IN ('the','a','of','and','to','in','is','it'))) >= 2
+      |), kb AS (
+      |  SELECT doc_id, text, ntok FROM (
+      |    SELECT doc_id, text, ntok, row_number() OVER (
+      |      PARTITION BY md5(text) ORDER BY ntok DESC, doc_id ASC) AS rn
+      |    FROM q) WHERE rn = 1
+      |), tt AS (
+      |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM kb
+      |), ss AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(toks) >= 3
+      |      THEN list_transform(range(1, len(toks) - 1),
+      |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+      |      ELSE [array_to_string(toks, ' ')] END) AS sh
+      |  FROM tt
+      |), et AS (
+      |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+      |  FROM documents WHERE doc_id < 10
+      |), es AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(toks) >= 3
+      |      THEN list_transform(range(1, len(toks) - 1),
+      |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+      |      ELSE [array_to_string(toks, ' ')] END) AS sh
+      |  FROM et
+      |), ev AS (
+      |  SELECT DISTINCT unnest(sh) AS g FROM es
+      |), d AS (
+      |  SELECT doc_id, unnest(sh) AS g FROM ss
+      |), hits AS (
+      |  SELECT doc_id, count(*) AS ch FROM d JOIN ev USING (g) GROUP BY 1
+      |), tot AS (
+      |  SELECT doc_id, len(sh) AS n FROM ss
+      |), clean AS (
+      |  SELECT kb.doc_id, kb.ntok
+      |  FROM kb JOIN tot USING (doc_id) LEFT JOIN hits USING (doc_id)
+      |  WHERE floor(CAST(coalesce(ch, 0) AS DOUBLE) / CAST(n AS DOUBLE) * 10000) < 2000
+      |), k AS (
+      |  SELECT doc_id, ntok, md5(CAST(doc_id AS VARCHAR)) AS sk FROM clean
+      |), sh2 AS (
+      |  SELECT doc_id, ntok,
+      |    ('0x'||substr(sk,1,4))::BIGINT % 8 AS shard,
+      |    CAST(row_number() OVER (
+      |      PARTITION BY ('0x'||substr(sk,1,4))::BIGINT % 8
+      |      ORDER BY sk, doc_id) AS BIGINT) AS pos
+      |  FROM k
+      |)
+      |SELECT doc_id, ntok, shard, pos,
+      |  CAST(sum(ntok) OVER (PARTITION BY shard ORDER BY pos
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+      |FROM sh2""".stripMargin
 
   /** Constructive DuckDB replay of [[Bpe.train]] — `rounds` unrolled
     * merge rounds over the (word, symbols, freq) vocab. Per round k:

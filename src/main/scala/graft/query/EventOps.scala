@@ -533,4 +533,25 @@ object EventOps {
         expr(s"CAST(round(value*100) AS BIGINT) div $HistBucketCents")
           .as("bucket"))
       .agg(count(lit(1)).as("c"))
+
+  /** Streaming Count-Min cells: the q88 sketch as a watermarked
+    * windowed aggregation. Emits one (window, j, b, c) counter row per
+    * day and occupied cell when the watermark closes the window —
+    * state ≤ depth·width per open window, independent of event volume
+    * (the CMS compression is exactly what makes unbounded-key
+    * streaming frequency tracking feasible: the q43 heavy-hitter
+    * stream keeps per-KEY state, this keeps per-CELL state). Any
+    * subset of emitted windows merges by addition in
+    * [[Stats.cmsEstimatesFromCells]]. `keyExpr` is the SQL text of the
+    * key column (e.g. "user_id"); `tsCol` must be a native timestamp.
+    */
+  def cmsCellStream(
+      events: DataFrame, tsCol: String, keyExpr: String, delay: String,
+      depth: Int = 4, width: Int = 256): DataFrame =
+    events
+      .withWatermark(tsCol, delay)
+      .withColumn("j", explode(Stats.cmsRows(depth)))
+      .withColumn("b", expr(Stats.cmsBucket(keyExpr, width)))
+      .groupBy(window(col(tsCol), "1 day"), col("j"), col("b"))
+      .agg(count(lit(1)).as("c"))
 }

@@ -344,20 +344,39 @@ object Stats {
   def cmsEstimates(
       df: DataFrame, keyCol: String, sliceCol: Column,
       depth: Int = 4, width: Int = 256): DataFrame = {
-    def bucket(key: String) =
-      s"CAST(conv(substr(md5(concat(CAST($key AS STRING), '#', " +
-        s"CAST(j AS STRING))),1,15),16,10) AS BIGINT) % $width"
-    val rows = array((0 until depth).map(lit(_)): _*)
     val cells = df
       .select(col(keyCol), sliceCol.as("_slice"))
-      .withColumn("j", explode(rows))
-      .selectExpr("_slice", "j", s"${bucket(keyCol)} AS b")
+      .withColumn("j", explode(cmsRows(depth)))
+      .selectExpr("_slice", "j", s"${cmsBucket(keyCol, width)} AS b")
       .groupBy(col("_slice"), col("j"), col("b"))
       .agg(count(lit(1)).as("c"))
+    cmsEstimatesFromCells(
+      cells, df.select(col(keyCol)).distinct(), keyCol, depth, width)
+  }
+
+  /** CMS row-hash bucket of `key` for the depth index in column `j`:
+    * pmd5 of `key || '#' || j`, mod width. Shared by the batch build,
+    * the probe side, and the streaming cell aggregation
+    * ([[EventOps.cmsCellStream]]). */
+  def cmsBucket(key: String, width: Int): String =
+    s"CAST(conv(substr(md5(concat(CAST($key AS STRING), '#', " +
+      s"CAST(j AS STRING))),1,15),16,10) AS BIGINT) % $width"
+
+  /** The depth-index array [0, depth) to explode as column `j`. */
+  def cmsRows(depth: Int): Column = array((0 until depth).map(lit(_)): _*)
+
+  /** Finalize CMS cells — any frame of (j, b, c) rows, possibly
+    * pre-aggregated per slice/window (extra columns ignored): merge by
+    * addition, probe every key in `keys`. This is the re-aggregation
+    * half a streaming sketch table feeds ([[EventOps.cmsCellStream]]
+    * emits the cells; ANY subset of its windows merges here). */
+  def cmsEstimatesFromCells(
+      cells: DataFrame, keys: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 256): DataFrame = {
     val merged = cells.groupBy(col("j"), col("b")).agg(sum(col("c")).as("c"))
-    val probes = df.select(col(keyCol)).distinct()
-      .withColumn("j", explode(rows))
-      .selectExpr(keyCol, "j", s"${bucket(keyCol)} AS b")
+    val probes = keys
+      .withColumn("j", explode(cmsRows(depth)))
+      .selectExpr(keyCol, "j", s"${cmsBucket(keyCol, width)} AS b")
     probes
       .join(broadcast(merged), Seq("j", "b"), "left")
       .groupBy(col(keyCol))

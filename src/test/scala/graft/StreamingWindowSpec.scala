@@ -312,6 +312,51 @@ class StreamingWindowSpec extends SparkSpec {
     assert(fromStream === fromBatch)
   }
 
+  test("streaming CMS cells: merged windows equal the batch sketch, " +
+    "estimates match q88's substrate") {
+    val dir = "/root/testdata/sf0.001"
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-cms")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    // far-future sentinel flushes every real 1-day window (q86 idiom)
+    spark.read.parquet(s"$dir/events.parquet")
+      .orderBy("event_id").limit(1)
+      .withColumn("ts", col("ts") + expr("INTERVAL 40 DAYS"))
+      .write.mode("append").parquet(streamDir.toString)
+    val src = graft.query.Tables.nanosView(
+      spark.readStream.schema(schema).parquet(streamDir.toString))
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    val q = graft.query.EventOps
+      .cmsCellStream(src, "event_time", "user_id", "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cms_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val ev = graft.query.Tables.load(spark, dir, "events")
+      .selectExpr("user_id", "(ts div 1000) div 86400000000 AS day")
+    val maxDay = ev.agg(max("day")).head().getLong(0)
+    val streamedCells = spark.table("cms_out")
+      .select(expr("unix_micros(window.start) div 86400000000").as("day"),
+        col("j"), col("b"), col("c"))
+      .where(col("day") <= maxDay) // drop the sentinel's open-window day
+    assert(streamedCells.count() > 0)
+    def ests(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fromStream = ests(graft.query.Stats.cmsEstimatesFromCells(
+      streamedCells, ev.select("user_id").distinct(), "user_id"))
+    val fromBatch = ests(graft.query.Stats.cmsEstimates(
+      ev, "user_id", col("day")))
+    assert(fromStream === fromBatch)
+    // and the estimates are true frequency over-estimates
+    val exact = ev.groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((k, c) <- exact) assert(fromBatch(k) >= c, s"under-count at $k")
+    graft.util.Fs.deleteRecursively(streamDir)
+  }
+
   test("native session_window matches the analytic sessionization (q14)") {
     val dir = "/root/testdata/sf0.001"
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
