@@ -105,9 +105,14 @@ object Pca {
     val dot = aggregate(
       zip_with(col(vecCol), unitCol, (a, b) => a.cast("double") * b),
       lit(0d), (acc, x) => acc + x)
-    emb.withColumn(
-      vecCol,
-      zip_with(col(vecCol), unitCol,
-        (a, b) => (a.cast("double") - dot * b).cast("float")))
+    // `_dot` MATERIALIZED in a prior projection: embedded inside the
+    // zip_with lambda it would re-run the 64-element fold per ELEMENT
+    // (the shingleHashArray lesson — O(dim²) per row)
+    emb.withColumn("_dot", dot)
+      .withColumn(
+        vecCol,
+        zip_with(col(vecCol), unitCol,
+          (a, b) => (a.cast("double") - col("_dot") * b).cast("float")))
+      .drop("_dot")
   }
 }

@@ -13,9 +13,18 @@ object PcaOracle {
 
   def sql(
       table: String = "embeddings", vecCol: String = "embedding",
+      dim: Int = 64, iters: Int = 60, scale: Long = 10000L): String =
+    s"WITH ${ctes(table, vecCol, dim, iters, scale)}\n" +
+      s"SELECT CAST(i AS BIGINT) AS dim_idx, CAST(v AS BIGINT) AS eig_e6\n" +
+      s"FROM v$iters"
+
+  /** The CTE body alone (`q … v{iters}`), for composition — s14 appends
+    * the dominant-direction-removal projection and a cosine re-rank. */
+  def ctes(
+      table: String = "embeddings", vecCol: String = "embedding",
       dim: Int = 64, iters: Int = 60, scale: Long = 10000L): String = {
     val sb = new StringBuilder
-    sb ++= s"""WITH q AS MATERIALIZED (
+    sb ++= s"""q AS MATERIALIZED (
               |  SELECT list_transform($vecCol, x ->
               |    CAST(round(CAST(x AS DOUBLE) * $scale) AS BIGINT)) AS e
               |  FROM $table
@@ -50,9 +59,6 @@ object PcaOracle {
                 |  SELECT i, (w * 1000000) // m AS v FROM w$it, x$it
                 |)""".stripMargin
     }
-    sb ++= s"""
-              |SELECT CAST(i AS BIGINT) AS dim_idx, CAST(v AS BIGINT) AS eig_e6
-              |FROM v$iters""".stripMargin
     sb.result()
   }
 }

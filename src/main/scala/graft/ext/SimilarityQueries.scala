@@ -385,8 +385,49 @@ object SimilarityQueries {
     Q("s13_pca_top_component", PcaOracle.sql()) { (s, dir) =>
       Pca.topComponent(
         s, Tables.load(s, dir, "embeddings"), "embedding", dim = 64)
+    },
+
+    // dominant-direction removal applied (ABTT post-processing): train
+    // the s13 component, project it out of every vector (float32
+    // re-quantized — both engines produce identical REAL bits from the
+    // identical double tree), then exact cosine top-k in the residual
+    // space. The oracle composes the FULL s13 training replay with the
+    // projection and the s1 rank — train AND apply, one hash gate.
+    Q("s14_pca_residual_topk", s14OracleSql) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val eig = Pca.topComponent(s, emb, "embedding", dim = 64)
+        .orderBy("dim_idx").collect().map(_.getLong(1)) // 64 longs
+      val cleaned = Pca.removeComponent(emb, "embedding", eig)
+        .persist()
+      cleaned.count() // eager: query-vector head() + the scan below
+      val qv = cleaned.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      Similarity.cosineTopK(cleaned, "vec_id", "embedding", qv, k = 10)
+        .select(col("id"),
+          round(col("cos_sim") * 1e6).cast("long").as("cos_e6"))
     }
   )
+
+  /** s14 oracle: the s13 CTE chain (training replay), the unit-vector
+    * projection in the engine's exact double tree (list_sum is a strict
+    * left fold in both engines — verified), float32 re-quantization via
+    * CAST AS REAL, then the s1 cosine rank over residuals. */
+  private lazy val s14OracleSql: String =
+    s"""WITH ${PcaOracle.ctes()},
+       |eigl AS (SELECT list(CAST(v AS DOUBLE) ORDER BY i) AS lv FROM v60),
+       |un AS (SELECT list_transform(lv, x ->
+       |  x / sqrt(list_sum(list_transform(lv, y -> y * y)))) AS u FROM eigl),
+       |raw AS (SELECT vec_id AS id, embedding AS e0 FROM embeddings),
+       |dt AS MATERIALIZED (
+       |  SELECT id, e0, list_sum(list_transform(range(1, 65),
+       |    i -> CAST(e0[i] AS DOUBLE) * u[i])) AS dot
+       |  FROM raw, un),
+       |res AS MATERIALIZED (
+       |  SELECT id, list_transform(range(1, 65),
+       |    i -> CAST(CAST(e0[i] AS DOUBLE) - dot * u[i] AS REAL)) AS e
+       |  FROM dt, un),
+       |qv AS (SELECT e AS q FROM res WHERE id = 0),
+       |${cosineRankSql(64, 10, "res x")}""".stripMargin
 
   /** Left-associated dot chain of a vector column against inlined
     * double literals — replays VectorDot's sequential fold (the d6
