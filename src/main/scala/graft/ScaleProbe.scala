@@ -273,6 +273,47 @@ object ScaleProbe {
     * state-size-cliff check), per-batch latency mean/max, and for MG
     * the emitted bound width n_shard/(cap+1) — the sketch's
     * explicit-uncertainty contract at scale. */
+  // ---- shared corpus replication (one definition: the id-offset and
+  // near-dup scheme must not diverge between probes) ----------------------
+
+  /** Replicate a (doc_id, text) corpus r x: distinct ids via a
+    * 1,000,000-per-replica offset (asserted against fixture growth),
+    * each copy a near-dup of its source (per-copy suffix token). */
+  private def repDocsFrom(
+      docs1: org.apache.spark.sql.DataFrame, r: Int)
+      : org.apache.spark.sql.DataFrame = {
+    (0 until r).map { i =>
+      docs1.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+        concat(col("text"), lit(s" copytag$i")).as("text"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Replicate a (vec_id, embedding) corpus r x: distinct ids, one
+    * coordinate nudged per replica (near-dup geometry). */
+  private def repVecsFrom(
+      vecs1: org.apache.spark.sql.DataFrame, r: Int)
+      : org.apache.spark.sql.DataFrame =
+    (0 until r).map { i =>
+      vecs1.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+        transform(col("embedding"), (x, j) =>
+          when(j === 0, x + lit(0.001f * (i + 1))).otherwise(x))
+          .as("embedding"))
+    }.reduce(_ unionByName _)
+
+  /** Materialize to a tracked temp parquet dir so every scale reads
+    * from disk under identical conditions (a cached frame would be
+    * wiped by per-op clearCache and silently re-derived mid-timing). */
+  private def matTo(
+      spark: SparkSession,
+      dirs: collection.mutable.ArrayBuffer[java.nio.file.Path],
+      df: org.apache.spark.sql.DataFrame, tag: String)
+      : org.apache.spark.sql.DataFrame = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft-probe-$tag")
+    dirs += d
+    df.repartition(32).write.mode("overwrite").parquet(d.toString)
+    spark.read.parquet(d.toString)
+  }
+
   private def probeStream(spark: SparkSession): Unit = {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -377,20 +418,10 @@ object ScaleProbe {
       .select(col("vec_id"), col("embedding"))
     val qv: Seq[Float] = vecs1.where(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0)
-    def repVecs(r: Int): DataFrame =
-      (0 until r).map { i =>
-        vecs1.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
-          transform(col("embedding"), (x, j) =>
-            when(j === 0, x + lit(0.001f * (i + 1))).otherwise(x))
-            .as("embedding"))
-      }.reduce(_ unionByName _)
+    def repVecs(r: Int): DataFrame = repVecsFrom(vecs1, r)
     val dirs = collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
-    def mat(df: DataFrame, tag: String): DataFrame = {
-      val d = java.nio.file.Files.createTempDirectory(s"graft-ann-$tag")
-      dirs += d
-      df.repartition(32).write.mode("overwrite").parquet(d.toString)
-      spark.read.parquet(d.toString)
-    }
+    def mat(df: DataFrame, tag: String): DataFrame =
+      matTo(spark, dirs, df, s"ann-$tag")
     def timed[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime(); val a = f
       println(f"$name%-34s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
@@ -479,25 +510,11 @@ object ScaleProbe {
       println(f"$name%-32s ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
       spark.catalog.clearCache()
     }
-    def repDocs(r: Int): DataFrame =
-      (0 until r).map { i =>
-        docs1.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
-          concat(col("text"), lit(s" copytag$i")).as("text"))
-      }.reduce(_ unionByName _)
-    def repVecs(r: Int): DataFrame =
-      (0 until r).map { i =>
-        vecs1.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
-          transform(col("embedding"), (x, j) =>
-            when(j === 0, x + lit(0.001f * (i + 1))).otherwise(x))
-            .as("embedding"))
-      }.reduce(_ unionByName _)
+    def repDocs(r: Int): DataFrame = repDocsFrom(docs1, r)
+    def repVecs(r: Int): DataFrame = repVecsFrom(vecs1, r)
     val dirs = collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
-    def mat(df: DataFrame, tag: String): DataFrame = {
-      val d = java.nio.file.Files.createTempDirectory(s"graft-100x-$tag")
-      dirs += d
-      df.repartition(32).write.mode("overwrite").parquet(d.toString)
-      spark.read.parquet(d.toString)
-    }
+    def mat(df: DataFrame, tag: String): DataFrame =
+      matTo(spark, dirs, df, s"100x-$tag")
     try {
       val d10 = mat(repDocs(10), "d10"); println(s"docs10 = ${d10.count()}")
       val d100 = mat(repDocs(100), "d100"); println(s"docs100 = ${d100.count()}")
@@ -564,25 +581,11 @@ object ScaleProbe {
       .select(col("doc_id"), col("text"))
     val vecs1 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
-    def repDocs(r: Int): DataFrame =
-      (0 until r).map { i =>
-        docs1.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
-          concat(col("text"), lit(s" copytag$i")).as("text"))
-      }.reduce(_ unionByName _)
-    def repVecs(r: Int): DataFrame =
-      (0 until r).map { i =>
-        vecs1.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
-          transform(col("embedding"), (x, j) =>
-            when(j === 0, x + lit(0.001f * (i + 1))).otherwise(x))
-            .as("embedding"))
-      }.reduce(_ unionByName _)
+    def repDocs(r: Int): DataFrame = repDocsFrom(docs1, r)
+    def repVecs(r: Int): DataFrame = repVecsFrom(vecs1, r)
     val dirs = collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
-    def mat(df: DataFrame, tag: String): DataFrame = {
-      val d = java.nio.file.Files.createTempDirectory(s"graft-bloom-$tag")
-      dirs += d
-      df.repartition(32).write.mode("overwrite").parquet(d.toString)
-      spark.read.parquet(d.toString)
-    }
+    def mat(df: DataFrame, tag: String): DataFrame =
+      matTo(spark, dirs, df, s"bloom-$tag")
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val n = f
       println(f"$name%-30s ${(System.nanoTime() - t0) / 1e9}%6.2f s  rows=$n")

@@ -1137,7 +1137,8 @@ object Dedup {
       BloomFilterMightContain, Literal}
     import org.apache.spark.sql.graft.ColumnBridge
     val evalShingles = eval
-      .select(explode(shingleHashes(col(evalTextCol), w)).as("g"))
+      .select(tokenHashes(col(evalTextCol)).as("th")) // two projections:
+      .select(explode(shingleHashArray(col("th"), w)).as("g")) // no inline re-eval
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Two actions over the persisted shingle frame: the count sizes the

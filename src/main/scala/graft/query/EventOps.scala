@@ -554,4 +554,8 @@ object EventOps {
       .withColumn("b", expr(Stats.cmsBucket(keyExpr, width)))
       .groupBy(window(col(tsCol), "1 day"), col("j"), col("b"))
       .agg(count(lit(1)).as("c"))
+      // geometry columns: the batch finalizer refuses mod-mismatched
+      // probes (Stats.cmsEstimatesFromCells's guard)
+      .withColumn("_depth", lit(depth))
+      .withColumn("_width", lit(width))
 }

@@ -343,16 +343,26 @@ object Stats {
     * unsliced build by associativity. */
   def cmsEstimates(
       df: DataFrame, keyCol: String, sliceCol: Column,
-      depth: Int = 4, width: Int = 256): DataFrame = {
-    val cells = df
-      .select(col(keyCol), sliceCol.as("_slice"))
+      depth: Int = 4, width: Int = 256): DataFrame =
+    cmsEstimatesFromCells(
+      cmsCells(df, keyCol, sliceCol, depth, width),
+      df.select(col(keyCol)).distinct(), keyCol, depth, width)
+
+  /** Per-slice CMS counter cells (_slice, j, b, c, _depth, _width).
+    * The geometry rides in two literal columns so a finalize with
+    * MISMATCHED depth/width fails loudly instead of silently
+    * under-counting (a probe hashed mod a different width would join
+    * against the wrong cells — breaking the ≥-exact guarantee). */
+  def cmsCells(
+      df: DataFrame, keyCol: String, sliceCol: Column,
+      depth: Int, width: Int): DataFrame =
+    df.select(col(keyCol), sliceCol.as("_slice"))
       .withColumn("j", explode(cmsRows(depth)))
       .selectExpr("_slice", "j", s"${cmsBucket(keyCol, width)} AS b")
       .groupBy(col("_slice"), col("j"), col("b"))
       .agg(count(lit(1)).as("c"))
-    cmsEstimatesFromCells(
-      cells, df.select(col(keyCol)).distinct(), keyCol, depth, width)
-  }
+      .withColumn("_depth", lit(depth))
+      .withColumn("_width", lit(width))
 
   /** CMS row-hash bucket of `key` for the depth index in column `j`:
     * pmd5 of `key || '#' || j`, mod width. Shared by the batch build,
@@ -365,14 +375,26 @@ object Stats {
   /** The depth-index array [0, depth) to explode as column `j`. */
   def cmsRows(depth: Int): Column = array((0 until depth).map(lit(_)): _*)
 
-  /** Finalize CMS cells — any frame of (j, b, c) rows, possibly
-    * pre-aggregated per slice/window (extra columns ignored): merge by
-    * addition, probe every key in `keys`. This is the re-aggregation
-    * half a streaming sketch table feeds ([[EventOps.cmsCellStream]]
-    * emits the cells; ANY subset of its windows merges here). */
+  /** Finalize CMS cells — any frame of (j, b, c, _depth, _width) rows,
+    * possibly pre-aggregated per slice/window (extra columns ignored):
+    * merge by addition, probe every key in `keys`. This is the
+    * re-aggregation half a streaming sketch table feeds
+    * ([[EventOps.cmsCellStream]] emits the cells; ANY subset of its
+    * windows merges here). Guards the sketch contract first: every
+    * cell's recorded geometry must equal THIS call's depth/width —
+    * a mod-mismatched probe would silently return under-estimates
+    * (one tiny aggregate over the ≤ slices·depth·width cell frame). */
   def cmsEstimatesFromCells(
       cells: DataFrame, keys: DataFrame, keyCol: String,
       depth: Int = 4, width: Int = 256): DataFrame = {
+    val g = cells.agg(
+      min(col("_depth")).as("dLo"), max(col("_depth")).as("dHi"),
+      min(col("_width")).as("wLo"), max(col("_width")).as("wHi")).head()
+    if (!g.isNullAt(0)) require(
+      g.getInt(0) == depth && g.getInt(1) == depth &&
+        g.getInt(2) == width && g.getInt(3) == width,
+      s"CMS geometry mismatch: cells carry depth ${g.getInt(0)}..${g.getInt(1)}" +
+        s" width ${g.getInt(2)}..${g.getInt(3)}, finalize asked ($depth, $width)")
     val merged = cells.groupBy(col("j"), col("b")).agg(sum(col("c")).as("c"))
     val probes = keys
       .withColumn("j", explode(cmsRows(depth)))

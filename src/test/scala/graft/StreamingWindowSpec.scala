@@ -340,7 +340,7 @@ class StreamingWindowSpec extends SparkSpec {
     val maxDay = ev.agg(max("day")).head().getLong(0)
     val streamedCells = spark.table("cms_out")
       .select(expr("unix_micros(window.start) div 86400000000").as("day"),
-        col("j"), col("b"), col("c"))
+        col("j"), col("b"), col("c"), col("_depth"), col("_width"))
       .where(col("day") <= maxDay) // drop the sentinel's open-window day
     assert(streamedCells.count() > 0)
     def ests(df: org.apache.spark.sql.DataFrame) =
@@ -354,6 +354,14 @@ class StreamingWindowSpec extends SparkSpec {
     val exact = ev.groupBy("user_id").count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     for ((k, c) <- exact) assert(fromBatch(k) >= c, s"under-count at $k")
+    // geometry guard: finalizing with a different width must refuse,
+    // not silently under-count
+    val ex = intercept[IllegalArgumentException] {
+      graft.query.Stats.cmsEstimatesFromCells(
+        streamedCells, ev.select("user_id").distinct(), "user_id",
+        width = 512)
+    }
+    assert(ex.getMessage.contains("geometry mismatch"))
     graft.util.Fs.deleteRecursively(streamDir)
   }
 
