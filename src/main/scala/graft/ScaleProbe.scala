@@ -397,6 +397,11 @@ object ScaleProbe {
       report("sequenceCount", run("sequenceCount")(src => graft.query.EventOps
         .sequenceCountStream(src, "user_id", "event_time", "event_type",
           "view", "purchase", hourUs, delay)))
+      // CMS cells: the per-CELL state contrast to heavyHitters' per-key
+      // state — peakState must stay ≤ depth·width per open window at
+      // ANY user cardinality (10x fresh users: same ceiling)
+      report("cmsCells", run("cmsCells")(src => graft.query.EventOps
+        .cmsCellStream(src, "event_time", "user_id", delay)))
     }
   }
 
