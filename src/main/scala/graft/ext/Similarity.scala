@@ -169,7 +169,6 @@ object Similarity {
   def knnJoin(
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val q = broadcast(
       queries.select(col(idCol).as("_qid"), col(vecCol).as("_qv")))
     val scored = corpus
@@ -177,6 +176,38 @@ object Similarity {
       .join(q)
       .select(col("_qid"), col("_cid"),
         round(cosine(col("_cv"), col("_qv")), 6).as("_cos"))
+    perQueryTopK(scored, k)
+  }
+
+  /** Hard-negative mining for contrastive training data: for each
+    * query vector, the k MOST SIMILAR corpus vectors with a DIFFERENT
+    * label — the highest-loss negatives an embedding model trains
+    * against. Identical distribution shape to [[knnJoin]] (broadcast
+    * queries, one corpus scan, two-phase top-k) with the label-
+    * mismatch gate applied BEFORE the partial top-k, so same-label
+    * rows never occupy candidate slots and the k negatives per query
+    * are exact. Output: (query_id, neighbor_id, cos_e6). */
+  def hardNegatives(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("_qid"), col(vecCol).as("_qv"), col(labelCol).as("_ql")))
+    val scored = corpus
+      .select(col(idCol).as("_cid"), col(vecCol).as("_cv"),
+        col(labelCol).as("_cl"))
+      .join(q)
+      .where(col("_cl") =!= col("_ql"))
+      .select(col("_qid"), col("_cid"),
+        round(cosine(col("_cv"), col("_qv")), 6).as("_cos"))
+    perQueryTopK(scored, k)
+  }
+
+  /** Two-phase per-query top-k over (_qid, _cid, _cos) rows — the
+    * groupBy analog of TakeOrderedAndProject (see [[knnJoin]] doc):
+    * per-partition k-best, then one skinny rank shuffle. Ties break by
+    * neighbor id ascending (the s1 contract). */
+  private def perQueryTopK(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val partial = scored
       .withColumn("_p", spark_partition_id())
       .groupBy(col("_qid"), col("_p"))

@@ -405,6 +405,41 @@ object SimilarityQueries {
       Similarity.cosineTopK(cleaned, "vec_id", "embedding", qv, k = 10)
         .select(col("id"),
           round(col("cos_sim") * 1e6).cast("long").as("cos_e6"))
+    },
+
+    // hard-negative mining (contrastive-training data): for each of 5
+    // anchor vectors, the 5 most-similar vectors with a DIFFERENT
+    // label — the s10 distribution shape with the mismatch gate before
+    // the partial top-k.
+    Q(
+      "s15_hard_negatives",
+      """WITH v AS (
+        |  SELECT vec_id AS id, embedding AS e, label FROM embeddings
+        |), qs AS (
+        |  SELECT id AS qid, e AS qv, label AS ql FROM v WHERE id < 5
+        |), sc AS (
+        |  SELECT qid, v.id AS cid,
+        |    round(
+        |      list_sum(list_transform(range(1, len(v.e) + 1),
+        |        i -> CAST(v.e[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(v.e,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(qv,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+        |      6) AS cos6
+        |  FROM v, qs WHERE v.label <> ql
+        |), r AS (
+        |  SELECT qid, cid, cos6, row_number() OVER
+        |    (PARTITION BY qid ORDER BY cos6 DESC, cid ASC) AS rn
+        |  FROM sc
+        |)
+        |SELECT qid AS query_id, cid AS neighbor_id,
+        |  CAST(round(cos6 * 1000000) AS BIGINT) AS cos_e6
+        |FROM r WHERE rn <= 5""".stripMargin) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.hardNegatives(
+        emb.where(col("vec_id") < 5), emb,
+        "vec_id", "embedding", "label", k = 5)
     }
   )
 

@@ -568,6 +568,41 @@ class DedupSpec extends SparkSpec {
     assert(cappedOut.count() === 0L)
   }
 
+  test("hardNegatives: k best AMONG different-label vectors, equals " +
+    "the label-filtered brute force") {
+    // 3 labeled clusters on orthogonal axes + deterministic jitter
+    val rows = (0 until 30).map { i =>
+      val lab = i % 3
+      val v = Array.tabulate(8)(d => 0.01f * ((i * 7 + d * 3) % 5))
+      v(lab) = 1.0f
+      (i.toLong, v, lab)
+    }
+    val vecs = rows.toDF("vec_id", "embedding", "label")
+    val got = graft.ext.Similarity
+      .hardNegatives(vecs.where(col("vec_id") < 3), vecs,
+        "vec_id", "embedding", "label", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val labels = rows.map(r => r._1 -> r._3).toMap
+    assert(got.size === 12) // 3 queries x exactly k rows
+    got.foreach { case (q, n) =>
+      assert(labels(q) !== labels(n), s"same-label neighbor $n for $q") }
+    // brute force: cosine over the label-mismatched pairs, top-4
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val expected = (for {
+      q <- rows.take(3)
+      bf = rows.filter(_._3 != q._3)
+        .map(c => (c._1, cos(q._2, c._2)))
+        .sortBy { case (id, s) => (-s, id) }
+        .take(4).map(_._1)
+      n <- bf
+    } yield (q._1, n)).toSet
+    assert(got === expected)
+  }
+
   test("bloom decontam equals the exact shingle semi-join at any fpp") {
     val eval = corpus.where(col("doc_id") < 3)
     // ground truth: the plain (unprefiltered) exact semi-join + count
