@@ -497,4 +497,42 @@ class PlanSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), plan.take(3000))
     spark.catalog.clearCache()
   }
+
+  test("session-3 operators: no cartesians, broadcast probes, partial " +
+    "aggs where the sketch claims them") {
+    // q88 CMS: the cell aggregation is partial/final (map-side combine
+    // collapses to <= depth*width rows per partition BEFORE the
+    // shuffle), and the probe joins the merged cells by broadcast
+    val q88 = planOf(SparkEntry.queries("q88_cms_topk_freq")(spark, dir))
+    assert(q88.contains("partial_count"), q88.take(3000))
+    assert(q88.contains("BroadcastHashJoin"), q88.take(3000))
+    assert(!q88.contains("CartesianProduct"), q88.take(3000))
+    spark.catalog.clearCache()
+    // s13 PCA: the moment pass is ONE partial/final aggregation over
+    // the posexploded flat vector — a single hashpartitioning exchange
+    // on pos; the driver matrix never appears as a plan node
+    val s13 = planOf(SparkEntry.queries("s13_pca_top_component")(spark, dir))
+    assert("Exchange hashpartitioning\\(pos".r.findAllIn(s13).size <= 1,
+      s13.take(3000))
+    assert(!s13.contains("CartesianProduct"), s13.take(3000))
+    spark.catalog.clearCache()
+    // s15 hard negatives: queries broadcast (BNLJ over the corpus scan
+    // is the intended shape — label gate + scoring are projections),
+    // never a CartesianProduct; the rank shuffle moves skinny triples
+    val s15 = planOf(SparkEntry.queries("s15_hard_negatives")(spark, dir))
+    assert(s15.contains("BroadcastNestedLoopJoin"), s15.take(3000))
+    assert(!s15.contains("CartesianProduct"), s15.take(3000))
+    spark.catalog.clearCache()
+    // t30 curation composition: every stage partition-parallel — no
+    // cartesian anywhere, windows keyed (content_hash / shard), and
+    // the decontam screen's eval side broadcasts
+    val t30 = planOf(SparkEntry.queries("t30_curation_pipeline")(spark, dir))
+    assert(!t30.contains("CartesianProduct"), t30.take(3000))
+    // every window is keyed — an empty partitionBy would print
+    // "windowspartitionspec" with no hashpartitioning exchange above it
+    assert(!t30.contains("SinglePartition"), t30.take(3000))
+    assert(t30.contains("BroadcastHashJoin") ||
+      t30.contains("BroadcastExchange"), t30.take(3000))
+    spark.catalog.clearCache()
+  }
 }
