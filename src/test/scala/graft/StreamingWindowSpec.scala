@@ -365,6 +365,38 @@ class StreamingWindowSpec extends SparkSpec {
     graft.util.Fs.deleteRecursively(streamDir)
   }
 
+  test("bloom decontam screen is streaming-composable unchanged: " +
+    "streamed survivors equal the batch screen") {
+    // the operator is a stateless scan filter + stream-static broadcast
+    // semi-join + keyed agg — running it on a readStream corpus needs
+    // no code changes (complete mode carries the per-doc counts)
+    val dir = "/root/testdata/sf0.001"
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-bloomstr")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      streamDir.resolve("documents.parquet"))
+    val staticDocs = spark.read.parquet(s"$dir/documents.parquet")
+    val eval = staticDocs.where(col("doc_id") < 10)
+    val streamed = graft.ext.Dedup.bloomDecontam(
+      spark.readStream.schema(schema).parquet(streamDir.toString),
+      "doc_id", "text", eval, "text")
+    val q = streamed.writeStream.outputMode("complete").format("memory")
+      .queryName("bloom_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fromStream = rows(spark.table("bloom_out"))
+    val fromBatch = rows(graft.ext.Dedup.bloomDecontam(
+      staticDocs, "doc_id", "text", eval, "text"))
+    assert(fromStream.nonEmpty)
+    assert(fromStream === fromBatch)
+    spark.catalog.clearCache()
+    graft.util.Fs.deleteRecursively(streamDir)
+  }
+
   test("native session_window matches the analytic sessionization (q14)") {
     val dir = "/root/testdata/sf0.001"
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
