@@ -101,7 +101,7 @@ object Pca {
   def removeComponent(
       emb: DataFrame, vecCol: String, eigE6: Array[Long]): DataFrame = {
     val norm = math.sqrt(eigE6.map(v => v.toDouble * v).sum)
-    val unitCol = array(eigE6.map(v => lit(v / norm)): _*)
+    val unitCol = array(eigE6.toIndexedSeq.map(v => lit(v / norm)): _*)
     val dot = aggregate(
       zip_with(col(vecCol), unitCol, (a, b) => a.cast("double") * b),
       lit(0d), (acc, x) => acc + x)
