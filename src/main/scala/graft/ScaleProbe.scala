@@ -29,10 +29,7 @@ object ScaleProbe {
     // and silently re-derived inside whichever timing ran next.
     val tmpDir = java.nio.file.Files.createTempDirectory("graft-scale")
     val tmp = tmpDir.toString
-    (0 until 10).map { r =>
-      docs1.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"),
-        concat(col("text"), lit(s" copytag$r")).as("text"))
-    }.reduce(_ unionByName _).repartition(32)
+    repDocsFrom(docs1, 10).repartition(32)
       .write.mode("overwrite").parquet(tmp)
     val docs10 = spark.read.parquet(tmp)
     println(s"docs10 = ${docs10.count()}")
@@ -47,12 +44,7 @@ object ScaleProbe {
     val vecs1 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
     val vtmpDir = java.nio.file.Files.createTempDirectory("graft-scale-vec")
-    (0 until 10).map { r =>
-      vecs1.select((col("vec_id") + lit(r * 1000000L)).as("vec_id"),
-        transform(col("embedding"), (x, i) =>
-          when(i === 0, x + lit(0.001f * (r + 1))).otherwise(x))
-          .as("embedding"))
-    }.reduce(_ unionByName _).repartition(32)
+    repVecsFrom(vecs1, 10).repartition(32)
       .write.mode("overwrite").parquet(vtmpDir.toString)
     val vecs10 = spark.read.parquet(vtmpDir.toString)
     println(s"vecs10 = ${vecs10.count()}")
@@ -63,11 +55,7 @@ object ScaleProbe {
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
         col("value"))
     val etmpDir = java.nio.file.Files.createTempDirectory("graft-scale-ev")
-    (0 until 10).map { r =>
-      ev1.select((col("event_id") + lit(r * 100000000L)).as("event_id"),
-        (col("user_id") + lit(r * 1000000L)).as("user_id"),
-        col("ts"), col("event_type"), col("value"))
-    }.reduce(_ unionByName _).repartition(32)
+    repEventsFrom(ev1, 10).repartition(32)
       .write.mode("overwrite").parquet(etmpDir.toString)
     val ev10 = spark.read.parquet(etmpDir.toString)
     println(s"ev10 = ${ev10.count()}")
@@ -277,28 +265,52 @@ object ScaleProbe {
   // near-dup scheme must not diverge between probes) ----------------------
 
   /** Replicate a (doc_id, text) corpus r x: distinct ids via a
-    * 1,000,000-per-replica offset (asserted against fixture growth),
-    * each copy a near-dup of its source (per-copy suffix token). */
+    * 1,000,000-per-replica offset (asserted against fixture growth —
+    * a fixture past 1M ids would silently alias replicas onto source
+    * rows and corrupt every probe), each copy a near-dup of its
+    * source (per-copy suffix token). */
   private def repDocsFrom(
       docs1: org.apache.spark.sql.DataFrame, r: Int)
       : org.apache.spark.sql.DataFrame = {
+    require(docs1.agg(max(col("doc_id"))).head().getLong(0) < 1000000L,
+      "fixture doc_ids exceed the 1M replica offset")
     (0 until r).map { i =>
       docs1.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
         concat(col("text"), lit(s" copytag$i")).as("text"))
     }.reduce(_ unionByName _)
   }
 
-  /** Replicate a (vec_id, embedding) corpus r x: distinct ids, one
-    * coordinate nudged per replica (near-dup geometry). */
+  /** Replicate a (vec_id, embedding) corpus r x: distinct ids
+    * (offset asserted like [[repDocsFrom]]), one coordinate nudged
+    * per replica (near-dup geometry). */
   private def repVecsFrom(
       vecs1: org.apache.spark.sql.DataFrame, r: Int)
-      : org.apache.spark.sql.DataFrame =
+      : org.apache.spark.sql.DataFrame = {
+    require(vecs1.agg(max(col("vec_id"))).head().getLong(0) < 1000000L,
+      "fixture vec_ids exceed the 1M replica offset")
     (0 until r).map { i =>
       vecs1.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
         transform(col("embedding"), (x, j) =>
           when(j === 0, x + lit(0.001f * (i + 1))).otherwise(x))
           .as("embedding"))
     }.reduce(_ unionByName _)
+  }
+
+  /** Replicate an events frame r x: fresh user ids per replica (10x
+    * users at constant per-user density — the per-key growth shape),
+    * fresh event ids; offsets asserted like [[repDocsFrom]]. */
+  private def repEventsFrom(
+      ev1: org.apache.spark.sql.DataFrame, r: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val mx = ev1.agg(max(col("event_id")), max(col("user_id"))).head()
+    require(mx.getLong(0) < 100000000L && mx.getLong(1) < 1000000L,
+      "fixture event/user ids exceed the replica offsets")
+    (0 until r).map { i =>
+      ev1.select((col("event_id") + lit(i * 100000000L)).as("event_id"),
+        (col("user_id") + lit(i * 1000000L)).as("user_id"),
+        col("ts"), col("event_type"), col("value"))
+    }.reduce(_ unionByName _)
+  }
 
   /** Materialize to a tracked temp parquet dir so every scale reads
     * from disk under identical conditions (a cached frame would be

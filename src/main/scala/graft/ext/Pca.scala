@@ -101,18 +101,25 @@ object Pca {
   def removeComponent(
       emb: DataFrame, vecCol: String, eigE6: Array[Long]): DataFrame = {
     val norm = math.sqrt(eigE6.map(v => v.toDouble * v).sum)
-    val unitCol = array(eigE6.toIndexedSeq.map(v => lit(v / norm)): _*)
-    val dot = aggregate(
-      zip_with(col(vecCol), unitCol, (a, b) => a.cast("double") * b),
-      lit(0d), (acc, x) => acc + x)
-    // `_dot` MATERIALIZED in a prior projection: embedded inside the
-    // zip_with lambda it would re-run the 64-element fold per ELEMENT
-    // (the shingleHashArray lesson — O(dim²) per row)
+    val unit = eigE6.map(_ / norm)
+    val unitCol = array(unit.toIndexedSeq.map(lit(_)): _*)
+    // dot via the codegen'd VectorDot — the same left-to-right double
+    // fold as the `aggregate(zip_with(...))` formulation (so the s14
+    // oracle's list_sum replay still matches bit-for-bit), minus the
+    // interpreted per-element lambda cost
+    val dot = Similarity.dot(col(vecCol), unitCol)
+    // residual as an EXPLICIT per-index array: `_dot` is referenced
+    // dim times, which stops CollapseProject from inlining it back
+    // into the projection — a single-reference zip_with lambda gets
+    // collapsed and silently re-runs the whole fold per element
+    // (verified on this Spark: the "materialize in a prior
+    // projection" trick alone is a no-op for HOF lambdas)
     emb.withColumn("_dot", dot)
       .withColumn(
         vecCol,
-        zip_with(col(vecCol), unitCol,
-          (a, b) => (a.cast("double") - col("_dot") * b).cast("float")))
+        array(unit.indices.map(i =>
+          (element_at(col(vecCol), i + 1).cast("double") -
+            col("_dot") * lit(unit(i))).cast("float")): _*))
       .drop("_dot")
   }
 }

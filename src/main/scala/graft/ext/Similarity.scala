@@ -186,7 +186,11 @@ object Similarity {
     * queries, one corpus scan, two-phase top-k) with the label-
     * mismatch gate applied BEFORE the partial top-k, so same-label
     * rows never occupy candidate slots and the k negatives per query
-    * are exact. Output: (query_id, neighbor_id, cos_e6). */
+    * are exact. The gate is NULL-SAFE (`not(<=>)`, SQL IS DISTINCT
+    * FROM): an unlabeled corpus row IS a valid negative for a labeled
+    * query and vice versa — a plain `=!=` would evaluate to NULL and
+    * silently drop every pair touching an unlabeled row. Output:
+    * (query_id, neighbor_id, cos_e6). */
   def hardNegatives(
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       labelCol: String, k: Int): DataFrame = {
@@ -196,7 +200,7 @@ object Similarity {
       .select(col(idCol).as("_cid"), col(vecCol).as("_cv"),
         col(labelCol).as("_cl"))
       .join(q)
-      .where(col("_cl") =!= col("_ql"))
+      .where(not(col("_cl") <=> col("_ql")))
       .select(col("_qid"), col("_cid"),
         round(cosine(col("_cv"), col("_qv")), 6).as("_cos"))
     perQueryTopK(scored, k)

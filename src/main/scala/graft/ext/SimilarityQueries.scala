@@ -427,7 +427,7 @@ object SimilarityQueries {
         |         * sqrt(list_sum(list_transform(qv,
         |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
         |      6) AS cos6
-        |  FROM v, qs WHERE v.label <> ql
+        |  FROM v, qs WHERE v.label IS DISTINCT FROM ql
         |), r AS (
         |  SELECT qid, cid, cos6, row_number() OVER
         |    (PARTITION BY qid ORDER BY cos6 DESC, cid ASC) AS rn

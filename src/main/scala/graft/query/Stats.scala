@@ -380,22 +380,30 @@ object Stats {
     * merge by addition, probe every key in `keys`. This is the
     * re-aggregation half a streaming sketch table feeds
     * ([[EventOps.cmsCellStream]] emits the cells; ANY subset of its
-    * windows merges here). Guards the sketch contract first: every
-    * cell's recorded geometry must equal THIS call's depth/width —
-    * a mod-mismatched probe would silently return under-estimates
-    * (one tiny aggregate over the ≤ slices·depth·width cell frame). */
+    * windows merges here). The sketch contract is guarded IN-PLAN:
+    * the merge aggregation also folds min/max of the cells' recorded
+    * geometry, and an `assert_true` on the merged rows throws at
+    * execution if any cell disagrees with THIS call's depth/width — a
+    * mod-mismatched probe would otherwise silently under-estimate.
+    * Lazy and free: no extra pass, no job at construction time (an
+    * earlier eager `.head()` guard doubled the cell build on every
+    * finalize). */
   def cmsEstimatesFromCells(
       cells: DataFrame, keys: DataFrame, keyCol: String,
       depth: Int = 4, width: Int = 256): DataFrame = {
-    val g = cells.agg(
-      min(col("_depth")).as("dLo"), max(col("_depth")).as("dHi"),
-      min(col("_width")).as("wLo"), max(col("_width")).as("wHi")).head()
-    if (!g.isNullAt(0)) require(
-      g.getInt(0) == depth && g.getInt(1) == depth &&
-        g.getInt(2) == width && g.getInt(3) == width,
-      s"CMS geometry mismatch: cells carry depth ${g.getInt(0)}..${g.getInt(1)}" +
-        s" width ${g.getInt(2)}..${g.getInt(3)}, finalize asked ($depth, $width)")
-    val merged = cells.groupBy(col("j"), col("b")).agg(sum(col("c")).as("c"))
+    val merged = cells.groupBy(col("j"), col("b"))
+      .agg(sum(col("c")).as("_c"),
+        min(col("_depth")).as("_dLo"), max(col("_depth")).as("_dHi"),
+        min(col("_width")).as("_wLo"), max(col("_width")).as("_wHi"))
+      .select(col("j"), col("b"),
+        coalesce(
+          assert_true(
+            col("_dLo") === depth && col("_dHi") === depth &&
+              col("_wLo") === width && col("_wHi") === width,
+            lit(s"CMS geometry mismatch: finalize asked ($depth, $width)" +
+              " but the cells were built with a different geometry"))
+            .cast("long"),
+          col("_c")).as("c"))
     val probes = keys
       .withColumn("j", explode(cmsRows(depth)))
       .selectExpr(keyCol, "j", s"${cmsBucket(keyCol, width)} AS b")

@@ -568,24 +568,33 @@ class DedupSpec extends SparkSpec {
     assert(cappedOut.count() === 0L)
   }
 
-  test("hardNegatives: k best AMONG different-label vectors, equals " +
-    "the label-filtered brute force") {
-    // 3 labeled clusters on orthogonal axes + deterministic jitter
+  test("hardNegatives: k best AMONG different-label vectors (null-safe), " +
+    "equals the label-filtered brute force") {
+    // 3 labeled clusters on orthogonal axes + deterministic jitter,
+    // plus two UNLABELED rows near the cluster-0 axis: null vs 'x' is
+    // a mismatch (they must surface as negatives), null vs null is not
     val rows = (0 until 30).map { i =>
       val lab = i % 3
       val v = Array.tabulate(8)(d => 0.01f * ((i * 7 + d * 3) % 5))
       v(lab) = 1.0f
-      (i.toLong, v, lab)
+      (i.toLong, v, Option(lab))
+    } ++ Seq(30L, 31L).map { i =>
+      val v = Array.tabulate(8)(d => 0.02f * ((i + d) % 3).toInt)
+      v(0) = 0.99f
+      (i, v, Option.empty[Int])
     }
     val vecs = rows.toDF("vec_id", "embedding", "label")
+    val queries = vecs.where(col("vec_id") < 3 || col("vec_id") === 30)
     val got = graft.ext.Similarity
-      .hardNegatives(vecs.where(col("vec_id") < 3), vecs,
-        "vec_id", "embedding", "label", k = 4)
+      .hardNegatives(queries, vecs, "vec_id", "embedding", "label", k = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val labels = rows.map(r => r._1 -> r._3).toMap
-    assert(got.size === 12) // 3 queries x exactly k rows
+    assert(got.size === 16) // 4 queries x exactly k rows
     got.foreach { case (q, n) =>
       assert(labels(q) !== labels(n), s"same-label neighbor $n for $q") }
+    // the unlabeled rows rank as negatives for the labeled axis-0 query
+    assert(got.exists { case (q, n) => q == 0L && n >= 30L },
+      "null-labeled corpus rows must be minable negatives")
     // brute force: cosine over the label-mismatched pairs, top-4
     def cos(a: Array[Float], b: Array[Float]): Double = {
       val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
@@ -593,7 +602,7 @@ class DedupSpec extends SparkSpec {
         math.sqrt(b.map(x => x.toDouble * x).sum))
     }
     val expected = (for {
-      q <- rows.take(3)
+      q <- rows.filter(r => r._1 < 3 || r._1 == 30L)
       bf = rows.filter(_._3 != q._3)
         .map(c => (c._1, cos(q._2, c._2)))
         .sortBy { case (id, s) => (-s, id) }

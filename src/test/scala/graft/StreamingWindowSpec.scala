@@ -354,14 +354,16 @@ class StreamingWindowSpec extends SparkSpec {
     val exact = ev.groupBy("user_id").count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     for ((k, c) <- exact) assert(fromBatch(k) >= c, s"under-count at $k")
-    // geometry guard: finalizing with a different width must refuse,
-    // not silently under-count
-    val ex = intercept[IllegalArgumentException] {
+    // geometry guard: finalizing with a different width must refuse at
+    // execution (the in-plan assert_true), not silently under-count
+    val ex = intercept[Throwable] {
       graft.query.Stats.cmsEstimatesFromCells(
         streamedCells, ev.select("user_id").distinct(), "user_id",
-        width = 512)
+        width = 512).collect()
     }
-    assert(ex.getMessage.contains("geometry mismatch"))
+    val msgs = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("geometry mismatch"), msgs)
     graft.util.Fs.deleteRecursively(streamDir)
   }
 
