@@ -1132,37 +1132,73 @@ object Dedup {
   def bloomDecontam(
       corpus: DataFrame, idCol: String, textCol: String,
       eval: DataFrame, evalTextCol: String,
-      w: Int = 3, fpp: Double = 0.01): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{
-      BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.graft.ColumnBridge
+      w: Int = 3, fpp: Double = 0.01): DataFrame =
+    bloomProbe(corpus, idCol, textCol,
+      bloomScreenBuild(eval, evalTextCol, w, fpp), w)
+
+  /** The eval-side screen artifact: the serialized Bloom sketch plus
+    * the exact distinct-shingle frame the verify join needs. Built once
+    * per eval-set VERSION — [[bloomScreenWrite]]/[[bloomScreenRead]]
+    * persist it like the minhash index, so production probes never
+    * re-derive the eval side. */
+  final case class BloomScreen(bytes: Array[Byte], shingles: DataFrame)
+
+  /** Build the screen in memory (shingle frame persisted + eagerly
+    * counted: the count sizes the sketch, the aggregate fills it).
+    * Items are the 60-bit shingle hashes THEMSELVES (already uniform —
+    * pmd5), inserted via putLong and probed via
+    * BloomFilterMightContain's mightContainLong, a consistent pair; no
+    * re-hash wrapper needed (measured ~15% faster than the
+    * runtime-filter-style xxhash64 wrap at 100x). */
+  def bloomScreenBuild(
+      eval: DataFrame, evalTextCol: String,
+      w: Int = 3, fpp: Double = 0.01): BloomScreen = {
     val evalShingles = eval
       .select(tokenHashes(col(evalTextCol)).as("th")) // two projections:
       .select(explode(shingleHashArray(col("th"), w)).as("g")) // no inline re-eval
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Two actions over the persisted shingle frame: the count sizes the
-    // sketch, the aggregate fills it. Items are the 60-bit shingle
-    // hashes THEMSELVES (already uniform — pmd5), inserted via putLong
-    // and probed via BloomFilterMightContain's mightContainLong, a
-    // consistent pair; no re-hash wrapper needed (measured ~15% faster
-    // than the runtime-filter-style xxhash64 wrap at 100x).
     val n = math.max(evalShingles.count(), 1L)
     val bloom = evalShingles.stat.bloomFilter(col("g"), n, fpp)
-    val bytes = {
-      val os = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(os)
-      os.toByteArray
-    }
+    val os = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(os)
+    BloomScreen(os.toByteArray, evalShingles)
+  }
+
+  /** Persist a screen: the shingle frame as parquet + the sketch as a
+    * one-row binary parquet (kept beside the shingles so the artifact
+    * versions atomically with them). */
+  def bloomScreenWrite(screen: BloomScreen, dir: String): Unit = {
+    screen.shingles.write.mode("overwrite").parquet(s"$dir/shingles")
+    val spark = screen.shingles.sparkSession
+    import spark.implicits._
+    Seq(Tuple1(screen.bytes)).toDF("bloom")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/bloom")
+  }
+
+  def bloomScreenRead(
+      spark: org.apache.spark.sql.SparkSession, dir: String): BloomScreen =
+    BloomScreen(
+      spark.read.parquet(s"$dir/bloom").head().getAs[Array[Byte]](0),
+      spark.read.parquet(s"$dir/shingles"))
+
+  /** The corpus half: map-side sketch filter, broadcast exact verify,
+    * per-doc hit count (see [[bloomDecontam]] for the full shape). */
+  def bloomProbe(
+      corpus: DataFrame, idCol: String, textCol: String,
+      screen: BloomScreen, w: Int = 3): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graft.ColumnBridge
     val corpusShingles = corpus
       .select(col(idCol).as("id"), tokenHashes(col(textCol)).as("th"))
       .select(col("id"), explode(shingleHashArray(col("th"), w)).as("g"))
     val mightContain = ColumnBridge.column(BloomFilterMightContain(
-      Literal(bytes, org.apache.spark.sql.types.BinaryType),
+      Literal(screen.bytes, org.apache.spark.sql.types.BinaryType),
       ColumnBridge.expression(col("g"))))
     corpusShingles
       .where(mightContain)
-      .join(broadcast(evalShingles), Seq("g"), "left_semi")
+      .join(broadcast(screen.shingles), Seq("g"), "left_semi")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("hit_shingles"))
   }

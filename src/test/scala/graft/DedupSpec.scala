@@ -612,6 +612,22 @@ class DedupSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("persisted bloom screen: write/read round-trip probes equal the " +
+    "inline form") {
+    val eval = corpus.where(col("doc_id") < 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloomscr").toString
+    Dedup.bloomScreenWrite(Dedup.bloomScreenBuild(eval, "text"), dir)
+    val probed = Dedup
+      .bloomProbe(corpus, "doc_id", "text", Dedup.bloomScreenRead(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val inline = Dedup.bloomDecontam(corpus, "doc_id", "text", eval, "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(probed.nonEmpty)
+    assert(probed === inline)
+    spark.catalog.clearCache()
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("bloom decontam equals the exact shingle semi-join at any fpp") {
     val eval = corpus.where(col("doc_id") < 3)
     // ground truth: the plain (unprefiltered) exact semi-join + count

@@ -334,5 +334,17 @@ class StatTestsSpec extends SparkSpec {
     val unsliced = Stats.cmsEstimates(df, "k", lit(0), width = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(unsliced === est8)
+    // the cells frame IS the persisted artifact: parquet round-trip
+    // finalizes to the same estimates (the pre-aggregated daily-sketch
+    // table of a production pipeline)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cms").toString
+    Stats.cmsCells(df, "k", col("slice"), depth = 4, width = 8)
+      .write.mode("overwrite").parquet(dir)
+    val fromDisk = Stats.cmsEstimatesFromCells(
+      spark.read.parquet(dir), df.select(col("k")).distinct(), "k",
+      width = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fromDisk === est8)
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 }
