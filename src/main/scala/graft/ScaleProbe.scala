@@ -20,6 +20,7 @@ object ScaleProbe {
     if (args.contains("ann")) { probeAnn(spark); spark.stop(); return }
     if (args.contains("stream")) { probeStream(spark); spark.stop(); return }
     if (args.contains("bloom")) { probeBloom(spark); spark.stop(); return }
+    if (args.contains("graph")) { probeGraph(spark); spark.stop(); return }
     val docs1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .select(col("doc_id"), col("text"))
     // 10x: replicate with distinct ids and a per-copy suffix token so
@@ -592,6 +593,76 @@ object ScaleProbe {
     * the verify-join should track |hits|, not corpus size); Pca
     * .topComponent (one moment pass + constant driver iteration —
     * should track the scan too). */
+  /** `graph` mode: the session-4 operators at scale. PageRank over the
+    * shingle-overlap graph at 1x/10x docs — the replicated corpus is
+    * the adversarial shape (copy cliques of 10 ⇒ edge count grows
+    * ~clique² per base doc, the output-driven growth d17 documents),
+    * so the probe separates EDGE GENERATION (tracks |true edges|, the
+    * capped inverted-index join) from the PAGERANK SUPERSTEPS (5 joins
+    * against the persisted edge relation — O(|E|) per round). The
+    * blocklist screen at 1x/10x/100x must track the corpus SCAN
+    * (broadcast phrase list, no corpus-sized state), and MMR at
+    * 10x/100x vectors must track the top-candidates scan (the greedy
+    * tail is a query-time constant). */
+  private def probeGraph(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.DataFrame
+    val docs1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val vecs1 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val qv: Seq[Float] = vecs1.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val dirs = collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    def mat(df: DataFrame, tag: String): DataFrame =
+      matTo(spark, dirs, df, s"graph-$tag")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$name%-30s ${(System.nanoTime() - t0) / 1e9}%6.2f s  rows=$n")
+      spark.catalog.clearCache()
+    }
+    try {
+      val d10 = mat(repDocsFrom(docs1, 10), "d10")
+      println(s"docs10 = ${d10.count()}")
+      for ((label, d) <- Seq(("1x(5k)", docs1), ("10x(50k)", d10))) {
+        // edge generation alone (the capped production path)
+        var edges: DataFrame = null
+        time(s"$label overlapEdges") {
+          edges = graft.ext.Dedup.shingleOverlapPairs(
+            d, "doc_id", "text", minShared = 2)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          edges.count()
+        }
+        // 5 supersteps over the persisted edges (edge gen already paid)
+        time(s"$label pageRank(5 iters)") {
+          graft.ext.Graph.pageRankInt(
+            d.select(col("doc_id")), edges, iterations = 5).count()
+        }
+        edges.unpersist(false)
+      }
+      val d100 = mat(repDocsFrom(docs1, 100), "d100")
+      println(s"docs100 = ${d100.count()}")
+      for ((label, d) <- Seq(
+          ("1x(5k)", docs1), ("10x(50k)", d10), ("100x(500k)", d100)))
+        time(s"$label blocklistHits") {
+          graft.ext.TextAnalysis.blocklistHits(
+            d, "doc_id", "text",
+            Seq("spark", "merge", "slow", "table table", "fast sort",
+              "key agg")).count()
+        }
+      val v10 = mat(repVecsFrom(vecs1, 10), "v10")
+      println(s"vecs10 = ${v10.count()}")
+      val v100 = mat(repVecsFrom(vecs1, 100), "v100")
+      println(s"vecs100 = ${v100.count()}")
+      for ((label, v) <- Seq(("10x(20k)", v10), ("100x(200k)", v100)))
+        time(s"$label mmrTopK(c=50,k=5)") {
+          graft.ext.Similarity.mmrTopK(
+            v, "vec_id", "embedding", qv, candidates = 50, k = 5).count()
+        }
+    } finally {
+      dirs.foreach(graft.util.Fs.deleteRecursively)
+    }
+  }
+
   private def probeBloom(spark: SparkSession): Unit = {
     import org.apache.spark.sql.DataFrame
     val docs1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")

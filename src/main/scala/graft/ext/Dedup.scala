@@ -965,6 +965,30 @@ object Dedup {
 
   // ---- n-gram Jaccard (exact, no sketch) --------------------------------
 
+  /** Candidate pairs by ABSOLUTE shingle overlap: every (id_a, id_b)
+    * sharing at least `minShared` distinct w-shingles, with the exact
+    * shared count. The un-normalized companion to
+    * [[ngramJaccardPairs]] (same inverted-index join, no size
+    * normalization): absolute overlap is the edge criterion a
+    * duplication GRAPH wants — a 40-token template pasted into a
+    * 4,000-token page is invisible to Jaccard but is exactly the hub
+    * edge [[Graph.pageRankInt]] scores. Same maxPostings skew guard.
+    * Output: (id_a, id_b, shared) with id_a < id_b. */
+  def shingleOverlapPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      minShared: Int, w: Int = 3, maxPostings: Int = 1000): DataFrame = {
+    val inverted = invertedIndex(docs, idCol, textCol, w)
+    val rare = inverted.groupBy("g").count()
+      .where(col("count") <= maxPostings).drop("count")
+    val capped = inverted.join(rare, Seq("g"))
+    capped.select(col("g"), col("id").as("id_a"))
+      .join(capped.select(col("g"), col("id").as("id_b")), Seq("g"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+  }
+
   /** Exact n-gram Jaccard for all pairs sharing ≥1 shingle, via
     * inverted-index join on shingle hashes. `|A∩B|` comes from counting
     * posting-list collisions per pair and `J = shared/(|A|+|B|−shared)`

@@ -1,0 +1,79 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Vertex-centric iterative graph computation in the Pregel shape —
+  * one join-per-superstep against a persisted edge relation, rank
+  * state as a skinny (id, rank) frame. Nothing graph-shaped lives on
+  * the driver: at 100 TB the edge relation partitions by `src`, each
+  * superstep is one shuffle of the skinny rank frame onto that
+  * partitioning, and AQE handles hub-vertex skew. The curation use is
+  * duplication-hub scoring: PageRank over the near-dup candidate
+  * graph ranks the documents whose content radiates through the
+  * corpus (template/boilerplate hubs), a removal-priority signal the
+  * pairwise dedup family (d3–d9) cannot see because it scores pairs,
+  * not positions in the whole graph.
+  */
+object Graph {
+
+  /** Integer-exact unnormalized PageRank over an undirected pair list.
+    *
+    * All arithmetic is BIGINT so the fixpoint prefix is engine-exact:
+    * ranks start at `initE9` (1e9 = "1.0"), each superstep a vertex
+    * emits `((rank * dampNum) div dampDen) div outdeg` along every
+    * incident edge (truncating integer division, identical to DuckDB's
+    * `//` on the positive domain), and absorbs `baseE9` plus the sum
+    * of incoming contributions. Dangling mass is dropped, not
+    * redistributed — the standard simplification, replayed identically
+    * by the oracle. Overflow headroom: total mass is ≤ n·initE9, so
+    * the multiply stays in Long for corpora to ~10^8 vertices per
+    * rank unit; beyond that, lower initE9.
+    *
+    * The edge relation (directed both ways + outdeg) is persisted and
+    * eagerly populated once — every superstep joins against the cached
+    * form, so the pair generator (typically
+    * [[Dedup.shingleOverlapPairs]]) runs exactly once. Iteration count
+    * is a constant (PageRank converges geometrically; 5–20 rounds);
+    * each round extends the lineage by one join+agg — for hundreds of
+    * rounds a periodic `localCheckpoint` would bound the plan, same as
+    * the connected-components loop in [[Dedup]].
+    *
+    * Output: (id, rank) with rank in e9 units.
+    */
+  def pageRankInt(
+      vertices: DataFrame,
+      pairs: DataFrame,
+      iterations: Int = 5,
+      initE9: Long = 1000000000L,
+      baseE9: Long = 150000000L,
+      dampNum: Long = 85L,
+      dampDen: Long = 100L): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val verts = vertices.select(col(vertices.columns.head).as("id"))
+    val directed = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val outdeg = directed.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val edges = directed.join(outdeg, "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count() // eager populate: every superstep reads this frame
+
+    var ranks = verts.select(col("id"), lit(initE9).as("rank"))
+    for (_ <- 1 to iterations) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(
+          col("dst").as("id"),
+          expr(s"((rank * $dampNum) div $dampDen) div outdeg").as("c"))
+      val in = contrib.groupBy("id").agg(sum(col("c")).as("m"))
+      ranks = verts
+        .join(in, Seq("id"), "left")
+        .select(
+          col("id"),
+          (lit(baseE9) + coalesce(col("m"), lit(0L))).as("rank"))
+    }
+    ranks
+  }
+}

@@ -231,6 +231,78 @@ object Similarity {
         round(col("_cos") * 1e6).cast("long").as("cos_e6"))
   }
 
+  /** Maximal-marginal-relevance diversified top-k (Carbonell &
+    * Goldstein 1998): retrieve `k` results that balance query
+    * relevance against redundancy with what is already selected —
+    * the retrieval shape RAG context assembly and eval-set selection
+    * want, where plain top-k returns five copies of the same
+    * paragraph. Two phases with the 100 TB split between them:
+    *
+    *  1. CORPUS-SCALE (distributed): exact cosine top-`candidates`
+    *     scan — the s1 TakeOrderedAndProject shape, one pass, no
+    *     shuffle of vectors; then the candidates² pairwise sims via
+    *     the same broadcast self-join `knnJoin` uses. Everything that
+    *     touches n rows stays in the engine.
+    *  2. QUERY-TIME CONSTANT (driver): greedy MMR selection over the
+    *     collected candidate matrix — `candidates` defaults to 50, so
+    *     the collect is ≤2,450 skinny rows and the greedy loop is
+    *     O(candidates·k) integer ops, independent of corpus size (the
+    *     BPE-argmax discipline: only constant-size reductions land on
+    *     the driver).
+    *
+    * Integer-exact scoring so the oracle replays bit-for-bit: rel and
+    * pairwise sims are the e6-rounded cosines (the family contract),
+    * and the MMR objective is `lamTenths·rel − (10−lamTenths)·maxSim`
+    * in e7 units (tenths of e6) — pure BIGINT, no float λ. The first
+    * pick has no selected set, so its objective is `lamTenths·rel`
+    * (pure relevance, the standard initialization). Ties break by id
+    * ascending. Output: (rank, vec_id, rel_e6, mmr_e7). */
+  def mmrTopK(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], candidates: Int = 50, k: Int = 5,
+      lamTenths: Int = 7): DataFrame = {
+    require(k >= 1 && candidates >= k, "need candidates >= k >= 1")
+    require(lamTenths >= 0 && lamTenths <= 10, "lamTenths in [0,10]")
+    val sp = vectors.sparkSession
+    import sp.implicits._
+    val q = array(query.map(v => lit(v.toDouble)): _*)
+    val cand = vectors
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        round(cosine(col(vecCol), q), 6).as("cos"))
+      .orderBy(col("cos").desc, col("id").asc)
+      .limit(candidates)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rel: Seq[(Long, Long)] = cand
+      .select(col("id"), round(col("cos") * 1e6).cast("long"))
+      .collect().toSeq.map(r => r.getLong(0) -> r.getLong(1))
+    val a = cand.select(col("id").as("ia"), col("v").as("va"))
+    val b = cand.select(col("id").as("ib"), col("v").as("vb"))
+    val sims: Map[(Long, Long), Long] = a.join(broadcast(b))
+      .where(col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib"),
+        round(round(cosine(col("va"), col("vb")), 6) * 1e6).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    cand.unpersist(false)
+
+    val relMap = rel.toMap
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+    var remaining = rel.map(_._1).toSet
+    for (rank <- 1 to k) {
+      val scored = remaining.toSeq.map { id =>
+        val maxSim =
+          if (chosen.isEmpty) 0L
+          else chosen.map(c => sims((id, c._2))).max
+        val mmr = lamTenths * relMap(id) - (10L - lamTenths) * maxSim
+        (id, mmr)
+      }
+      val (bestId, bestMmr) = scored.minBy { case (id, m) => (-m, id) }
+      chosen += ((rank, bestId, relMap(bestId), bestMmr))
+      remaining -= bestId
+    }
+    chosen.toSeq.toDF("rank", "vec_id", "rel_e6", "mmr_e7")
+  }
+
   /** Deterministic pseudo-random hyperplanes (fixed seed). */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)

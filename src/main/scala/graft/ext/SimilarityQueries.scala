@@ -440,8 +440,76 @@ object SimilarityQueries {
       Similarity.hardNegatives(
         emb.where(col("vec_id") < 5), emb,
         "vec_id", "embedding", "label", k = 5)
+    },
+
+    // MMR diversified retrieval: top-5 balancing relevance against
+    // redundancy with the already-selected set (λ=0.7) over a top-50
+    // candidate scan — the shape plain top-k gets wrong when the
+    // corpus has near-duplicate high scorers. Hash-oracled: the
+    // candidate scan and pairwise sims are the s1/s10 double-cosine
+    // idiom, and the greedy selection unrolls as 5 CTE stages in pure
+    // BIGINT (mmr_e7 = 7·rel_e6 − 3·maxSim_e6).
+    Q("s16_mmr_topk", mmrOracleSql(k = 5)) { (s, dir) =>
+      Similarity.mmrTopK(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        queryVec(s, dir), candidates = 50, k = 5, lamTenths = 7)
     }
   )
+
+  /** s16 replay: s1's candidate rank (top-50), the s10 pairwise-cosine
+    * idiom among candidates, then `k` unrolled greedy stages — each
+    * picks argmax of `7·rel − 3·maxSimToChosen` (BIGINT, id
+    * tiebreak) from the not-yet-chosen set. */
+  private def mmrOracleSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+      |c0 AS (
+      |  SELECT e.vec_id AS id, e.embedding AS v,
+      |    round(
+      |      list_sum(list_transform(range(1, len(e.embedding) + 1),
+      |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q[i] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(e.embedding,
+      |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |         * sqrt(list_sum(list_transform(q,
+      |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+      |      6) AS cos6
+      |  FROM embeddings e, qv
+      |), cand AS (
+      |  SELECT id, v, CAST(round(cos6 * 1000000) AS BIGINT) AS rel
+      |  FROM c0 ORDER BY cos6 DESC, id ASC LIMIT 50
+      |), ps AS (
+      |  SELECT a.id AS ia, b.id AS ib,
+      |    CAST(round(round(
+      |      list_sum(list_transform(range(1, len(a.v) + 1),
+      |        i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(a.v,
+      |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |         * sqrt(list_sum(list_transform(b.v,
+      |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+      |      6) * 1000000) AS BIGINT) AS sim
+      |  FROM cand a JOIN cand b ON a.id <> b.id
+      |),
+      |g1 AS (SELECT 1 AS rank, id, rel, 7 * rel AS mmr
+      |       FROM cand ORDER BY rel DESC, id ASC LIMIT 1),
+      |ch1 AS (SELECT id FROM g1)""".stripMargin
+    for (i <- 2 to k) sb ++= s""",
+      |g$i AS (
+      |  SELECT $i AS rank, c.id, c.rel,
+      |    7 * c.rel - 3 * (SELECT max(sim) FROM ps
+      |      WHERE ps.ia = c.id
+      |        AND ps.ib IN (SELECT id FROM ch${i - 1})) AS mmr
+      |  FROM cand c WHERE c.id NOT IN (SELECT id FROM ch${i - 1})
+      |  ORDER BY mmr DESC, c.id ASC LIMIT 1),
+      |ch$i AS (SELECT id FROM ch${i - 1} UNION ALL SELECT id FROM g$i)"""
+      .stripMargin
+    sb ++= s"""
+      |SELECT rank, id AS vec_id, CAST(rel AS BIGINT) AS rel_e6,
+      |  CAST(mmr AS BIGINT) AS mmr_e7
+      |FROM (${(1 to k).map(i => s"SELECT * FROM g$i").mkString(
+        " UNION ALL ")})
+      |ORDER BY rank""".stripMargin
+    sb.toString
+  }
 
   /** s14 oracle: the s13 CTE chain (training replay), the unit-vector
     * projection in the engine's exact double tree (list_sum is a strict

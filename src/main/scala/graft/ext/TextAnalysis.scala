@@ -571,4 +571,91 @@ object TextAnalysis {
       dsirModelFromToks(toks.select("is_target", "b"), buckets),
       docs.select(col(idCol).as("doc_id")))
   }
+
+  // ---- blocklist (badwords) filtering -----------------------------------
+
+  /** Token n-grams of a document up to `maxLen` tokens, as literal
+    * space-joined strings — the match grain for phrase blocklists.
+    * Unigrams are the token list itself; higher orders slide a window
+    * over it. Pure column expression (flatten of per-order transforms),
+    * so the gram stream stays in codegen. */
+  def phraseGrams(text: Column, maxLen: Int = 2): Column = {
+    val toks = tokens(text)
+    val orders = (1 to maxLen).map { n =>
+      if (n == 1) toks
+      else
+        when(
+          size(toks) >= n,
+          transform(
+            sequence(lit(1), size(toks) - (n - 1)),
+            i => concat_ws(" ",
+              (0 until n).map(o => element_at(toks, i + o)): _*)))
+          .otherwise(array().cast("array<string>"))
+    }
+    flatten(array(orders: _*))
+  }
+
+  /** C4-style blocklist screen: occurrence stats for each banned
+    * phrase (1–2 token phrases) over the corpus — the audit view a
+    * curation pipeline publishes alongside the filter itself. The
+    * phrase list broadcasts (it is a few KB against TBs of corpus), so
+    * the plan is one document scan → gram explode → broadcast-hash
+    * join → count aggregation; nothing corpus-sized shuffles except
+    * the matched grams, which the blocklist join has already cut to
+    * the hit stream. Output: (phrase, n_hits, n_docs) for phrases with
+    * ≥1 hit. */
+  def blocklistHits(
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      phrases: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val maxLen = phrases.map(_.split(" ").length).max
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val bl = broadcast(phrases.toDF("phrase"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(phraseGrams(col(textCol), maxLen)).as("phrase"))
+      .join(bl, "phrase")
+      .groupBy("phrase")
+      .agg(
+        count(lit(1)).as("n_hits"),
+        countDistinct(col("doc_id")).as("n_docs"))
+  }
+
+  /** Per-document blocklist predicate in its INLINE-LITERAL form: true
+    * iff any gram of `text` appears in `phrases`. A single codegen'd
+    * `arrays_overlap` against the literal phrase array — no explode,
+    * no join, no state — so it composes onto a readStream unchanged
+    * (the stream analog of [[blocklistFilter]], whose anti-join form
+    * references the stream twice). Right for phrase lists up to a few
+    * thousand entries; beyond that the broadcast-join form wins. */
+  def blocklistPred(text: Column, phrases: Seq[String]): Column = {
+    val maxLen = phrases.map(_.split(" ").length).max
+    arrays_overlap(
+      phraseGrams(text, maxLen), array(phrases.map(lit): _*))
+  }
+
+  /** Stateless filter via [[blocklistPred]] — identical survivors to
+    * [[blocklistFilter]] (spec-pinned), streaming-composable. */
+  def blocklistFilterInline(
+      docs: org.apache.spark.sql.DataFrame, textCol: String,
+      phrases: Seq[String]): org.apache.spark.sql.DataFrame =
+    docs.where(!blocklistPred(col(textCol), phrases))
+
+  /** The filter itself: documents containing NO blocklisted phrase —
+    * broadcast left-anti join on the gram stream (each doc's grams cut
+    * to hits first, so the anti-join state is tiny). */
+  def blocklistFilter(
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      phrases: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val maxLen = phrases.map(_.split(" ").length).max
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val bl = broadcast(phrases.toDF("phrase"))
+    val flagged = docs
+      .select(col(idCol), explode(phraseGrams(col(textCol), maxLen)).as("phrase"))
+      .join(bl, "phrase")
+      .select(col(idCol))
+      .distinct()
+    docs.join(flagged, Seq(idCol), "left_anti")
+  }
 }

@@ -866,6 +866,37 @@ object TextQueries {
         .select(col("doc_id"), col("ntok"), col("shard"),
           col("pos").cast("long").as("pos"),
           sum(col("ntok")).over(w).as("cum_tok"))
+    },
+
+    // C4-style blocklist screen: occurrence audit for a banned-phrase
+    // list (1–2 token phrases) — one corpus scan, gram explode,
+    // broadcast-hash join against the phrase list (few KB vs TBs),
+    // count aggregation. The filter itself (blocklistFilter, left-anti
+    // on the same hit stream) is spec-pinned; the audit view is the
+    // oracled vehicle. Oracle: unigram ∪ bigram unnest joined to a
+    // VALUES list — literal string grams on both engines.
+    Q(
+      "t29_blocklist_filter",
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(toks) AS phrase FROM t
+        |  UNION ALL
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> concat_ws(' ', toks[i], toks[i+1]))) AS phrase FROM t
+        |), b AS (
+        |  SELECT unnest(['spark', 'merge', 'slow',
+        |    'table table', 'fast sort', 'key agg']) AS phrase
+        |)
+        |SELECT phrase, count(*) AS n_hits,
+        |  count(DISTINCT doc_id) AS n_docs
+        |FROM g JOIN b USING (phrase)
+        |GROUP BY phrase""".stripMargin) { (s, dir) =>
+      TextAnalysis.blocklistHits(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "merge", "slow", "table table", "fast sort",
+          "key agg"))
     }
   )
 

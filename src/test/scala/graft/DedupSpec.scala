@@ -653,4 +653,54 @@ class DedupSpec extends SparkSpec {
     }
     spark.catalog.clearCache()
   }
+
+  test("mmrTopK: diversity-weighted selection skips the near-duplicate") {
+    // a is the top hit; b is a's near-exact duplicate with the #2
+    // relevance; c is diverse with decent relevance; d is orthogonal
+    // junk. Diversity-heavy λ=0.3 seats d (zero penalty) then c, and
+    // the near-dup b drops to LAST; relevance-only λ=10 keeps b at 2.
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),          // a = the query
+      (2L, Seq(0.9999f, 0.0141f, 0.0f, 0.0f)),    // b ≈ a
+      (3L, Seq(0.7f, 0.7f, 0.0f, 0.0f)),          // c diverse
+      (4L, Seq(0.0f, 0.0f, 1.0f, 0.0f))           // d orthogonal
+    ).toDF("vec_id", "embedding")
+    val q = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    val diverse = Similarity.mmrTopK(
+      vecs, "vec_id", "embedding", q,
+      candidates = 4, k = 3, lamTenths = 3)
+      .orderBy("rank").collect()
+    assert(diverse.map(_.getLong(1)).toSeq === Seq(1L, 4L, 3L),
+      "λ=0.3 order must be a, d, c — the near-dup b never seats")
+    // rank 1 is always pure argmax relevance with mmr = λ·rel
+    assert(diverse.head.getLong(3) === 3L * diverse.head.getLong(2))
+    val relevanceOnly = Similarity.mmrTopK(
+      vecs, "vec_id", "embedding", q,
+      candidates = 4, k = 3, lamTenths = 10)
+      .orderBy("rank").collect()
+    assert(relevanceOnly.map(_.getLong(1)).toSeq === Seq(1L, 2L, 3L),
+      "λ=1.0 must reduce to plain top-k order")
+    spark.catalog.clearCache()
+  }
+
+  test("mmrTopK: selected ids are distinct, ranks dense, rel from top-k") {
+    val n = 60
+    val vecs = (0 until n).map { i =>
+      val a = i * 0.1
+      (i.toLong, Seq(math.cos(a).toFloat, math.sin(a).toFloat,
+        (i % 7) / 7.0f, (i % 3) / 3.0f))
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.mmrTopK(
+      vecs, "vec_id", "embedding", Seq(1.0f, 0.0f, 0.0f, 0.0f),
+      candidates = 20, k = 5)
+      .orderBy("rank").collect()
+    assert(got.map(_.getInt(0)).toSeq === (1 to 5))
+    assert(got.map(_.getLong(1)).distinct.length === 5)
+    // every selected id must come from the exact top-20 candidate set
+    val top20 = Similarity.cosineTopK(
+      vecs, "vec_id", "embedding", Seq(1.0f, 0.0f, 0.0f, 0.0f), k = 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.map(_.getLong(1)).forall(top20.contains))
+    spark.catalog.clearCache()
+  }
 }

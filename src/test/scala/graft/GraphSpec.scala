@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Graph}
+
+/** Integer PageRank (Pregel-shape join-per-superstep) + the
+  * shingle-overlap edge generator it rides on.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: two-vertex cycle conserves mass exactly") {
+    // 1 <-> 2: each emits ((1e9*85) div 100) div 1 = 850000000 and
+    // absorbs base 150000000 → rank stays exactly 1e9 every round
+    val verts = Seq(1L, 2L).toDF("id")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val r = Graph.pageRankInt(verts, pairs, iterations = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(1L -> 1000000000L, 2L -> 1000000000L))
+  }
+
+  test("pageRank: star center ranks highest, exact first-round values") {
+    // center 0 — leaves 1,2,3. r1(0) = 0.15e9 + 3·850000000 = 2.7e9+…
+    // r1(leaf) = 0.15e9 + (850000000 div 3); isolated 9 gets base only
+    val verts = Seq(0L, 1L, 2L, 3L, 9L).toDF("id")
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("id_a", "id_b")
+    val r1 = Graph.pageRankInt(verts, pairs, iterations = 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r1(0L) === 150000000L + 3L * 850000000L)
+    assert(r1(1L) === 150000000L + 850000000L / 3L)
+    assert(r1(1L) === r1(2L) && r1(2L) === r1(3L))
+    assert(r1(9L) === 150000000L)
+    // and the ordering persists at the fixpoint prefix
+    val r5 = Graph.pageRankInt(verts, pairs, iterations = 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r5(0L) > r5(1L) && r5(1L) > r5(9L))
+  }
+
+  test("shingleOverlapPairs: absolute-overlap edges with exact counts") {
+    // a/b share the 5-token run "v w x y z" → 3 shared trigrams; c
+    // shares nothing trigram-level with either
+    val docs = Seq(
+      (1L, "v w x y z p q"),
+      (2L, "m n v w x y z"),
+      (3L, "a b c d e f g")).toDF("doc_id", "text")
+    val pairs = Dedup.shingleOverlapPairs(
+      docs, "doc_id", "text", minShared = 2, maxPostings = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 3L)))
+    // minShared above the true overlap → no edge
+    assert(Dedup.shingleOverlapPairs(
+      docs, "doc_id", "text", minShared = 4, maxPostings = 1000)
+      .count() === 0L)
+  }
+
+  test("pageRank over overlap edges: hub doc outranks the chain ends") {
+    // hub shares a distinct 4-token run with EACH spoke; spokes share
+    // nothing with each other → star in the overlap graph
+    val docs = Seq(
+      (0L, "a b c d e f g h"),
+      (1L, "a b c d zz yy xx"),
+      (2L, "e f g h qq rr ss"),
+      (3L, "uu vv ww zz1 yy1 xx1")).toDF("doc_id", "text")
+    val pairs = Dedup.shingleOverlapPairs(
+      docs, "doc_id", "text", minShared = 2, maxPostings = 1000)
+    val r = Graph.pageRankInt(
+      docs.select(col("doc_id")), pairs, iterations = 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(0L) > r(1L) && r(0L) > r(2L))
+    assert(r(1L) > r(3L)) // spoke beats isolated
+    assert(r(3L) === 150000000L)
+  }
+}

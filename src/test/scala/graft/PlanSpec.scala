@@ -535,4 +535,32 @@ class PlanSpec extends SparkSpec {
       t30.contains("BroadcastExchange"), t30.take(3000))
     spark.catalog.clearCache()
   }
+
+  test("session-4 operators: pagerank joins the cached edge relation, " +
+    "blocklist broadcasts the phrase list, MMR output is driver-constant") {
+    // d22 PageRank: every superstep joins the PERSISTED edge relation
+    // (InMemoryTableScan per iteration, no pair-generator re-run) and
+    // the candidate join is an equi-join on the shingle hash — never a
+    // CartesianProduct anywhere in the unrolled 5-superstep plan
+    val d22 = planOf(
+      SparkEntry.queries("d22_pagerank_dup_hubs")(spark, dir))
+    assert(!d22.contains("CartesianProduct"), d22.take(3000))
+    assert("InMemoryTableScan".r.findAllIn(d22).size >= 5, d22.take(3000))
+    spark.catalog.clearCache()
+    // t29 blocklist: the phrase list is a broadcast-hash build side
+    // against the exploded gram stream — one corpus scan, no shuffle
+    // of unmatched grams beyond the aggregation
+    val t29 = planOf(
+      SparkEntry.queries("t29_blocklist_filter")(spark, dir))
+    assert(t29.contains("BroadcastHashJoin"), t29.take(3000))
+    assert(!t29.contains("CartesianProduct"), t29.take(3000))
+    spark.catalog.clearCache()
+    // s16 MMR: the returned frame is the constant-size greedy result
+    // materialized driver-side (LocalTableScan) — the corpus-scale
+    // phases (top-N scan, candidate self-join) ran as engine jobs
+    // inside the builder; nothing data-scale survives to the output
+    val s16 = planOf(SparkEntry.queries("s16_mmr_topk")(spark, dir))
+    assert(s16.contains("LocalTableScan"), s16.take(3000))
+    spark.catalog.clearCache()
+  }
 }

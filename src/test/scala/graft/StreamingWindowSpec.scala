@@ -399,6 +399,36 @@ class StreamingWindowSpec extends SparkSpec {
     graft.util.Fs.deleteRecursively(streamDir)
   }
 
+  test("inline blocklist filter is streaming-composable unchanged: " +
+    "streamed survivors equal the batch filter") {
+    // blocklistPred is a single stateless codegen'd arrays_overlap —
+    // no join, no state — so the filter runs on a readStream corpus in
+    // plain append mode with no code changes
+    val dir = "/root/testdata/sf0.001"
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-blstr")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      streamDir.resolve("documents.parquet"))
+    val phrases = Seq("spark", "table table", "fast sort")
+    val streamed = graft.ext.TextAnalysis.blocklistFilterInline(
+      spark.readStream.schema(schema).parquet(streamDir.toString),
+      "text", phrases)
+    val q = streamed.select("doc_id").writeStream.outputMode("append")
+      .format("memory").queryName("blocklist_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val fromStream = spark.table("blocklist_out")
+      .collect().map(_.getLong(0)).toSet
+    val fromBatch = graft.ext.TextAnalysis.blocklistFilterInline(
+      spark.read.parquet(s"$dir/documents.parquet"), "text", phrases)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(fromStream.nonEmpty)
+    assert(fromStream === fromBatch)
+    graft.util.Fs.deleteRecursively(streamDir)
+  }
+
   test("native session_window matches the analytic sessionization (q14)") {
     val dir = "/root/testdata/sf0.001"
     val schema = spark.read.parquet(s"$dir/events.parquet").schema

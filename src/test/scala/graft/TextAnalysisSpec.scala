@@ -412,4 +412,50 @@ class TextAnalysisSpec extends SparkSpec {
     assert(unseen.getLong(1) === 6L, "unseen tokens must still count")
     assert(unseen.getLong(2) !== 0L, "unseen buckets carry the smoothing ratio")
   }
+
+  test("blocklistHits counts phrase occurrences and distinct docs") {
+    val docs = Seq(
+      (1L, "a b c a b"),
+      (2L, "b c d"),
+      (3L, "c")).toDF("doc_id", "text")
+    val got = TextAnalysis.blocklistHits(
+      docs, "doc_id", "text", Seq("b c", "c", "zz"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // "b c" as bigram: doc1 once, doc2 once; "c": doc1 once, doc2
+    // once, doc3 once; "zz" never occurs → absent, not zero-row
+    assert(got === Map("b c" -> ((2L, 2L)), "c" -> ((3L, 3L))))
+  }
+
+  test("blocklistFilter drops exactly the docs containing a phrase") {
+    val docs = Seq(
+      (1L, "clean text here"),
+      (2L, "contains bad word now"),
+      (3L, "two token phrase bad word split"), // "bad word" bigram hits
+      (4L, "word bad reversed is fine")).toDF("doc_id", "text")
+    val kept = TextAnalysis.blocklistFilter(
+      docs, "doc_id", "text", Seq("bad word"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 4L))
+    // multi-phrase: unigram + bigram mix
+    val kept2 = TextAnalysis.blocklistFilter(
+      docs, "doc_id", "text", Seq("bad word", "clean"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 === Set(4L))
+    // the inline-literal (stateless/streaming) form keeps the same set
+    val inline2 = TextAnalysis.blocklistFilterInline(
+      docs, "text", Seq("bad word", "clean"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(inline2 === kept2)
+    // and on the real fixture the two forms agree doc-for-doc
+    val fix = graft.query.Tables.load(
+      spark, "/root/testdata/sf0.001", "documents")
+    val phrases = Seq("spark", "table table", "fast sort")
+    val viaJoin = TextAnalysis.blocklistFilter(
+      fix, "doc_id", "text", phrases)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaInline = TextAnalysis.blocklistFilterInline(fix, "text", phrases)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaInline === viaJoin && viaInline.nonEmpty)
+  }
 }
