@@ -50,8 +50,51 @@ object Graph {
       baseE9: Long = 150000000L,
       dampNum: Long = 85L,
       dampDen: Long = 100L): DataFrame = {
-    require(iterations >= 1, "iterations must be >= 1")
     val verts = vertices.select(col(vertices.columns.head).as("id"))
+    iterate(
+      verts.select(col("id"),
+        lit(baseE9).as("base"), lit(initE9).as("init")),
+      pairs, iterations, dampNum, dampDen)
+  }
+
+  /** Personalized PageRank: teleport mass lands ONLY on the seed set —
+    * rank measures multi-hop proximity TO the seeds through the graph.
+    * The curation use is transitive contamination/expansion discovery:
+    * d10/d21 find documents that DIRECTLY overlap an eval benchmark;
+    * seeding PPR with that benchmark on the shingle-overlap graph also
+    * surfaces the paraphrase CHAINS (A overlaps B overlaps the
+    * benchmark, but A touches no benchmark shingle itself) that a
+    * one-hop screen structurally cannot see. Same integer contract as
+    * [[pageRankInt]] with base/init gated to seeds (non-seeds start at
+    * 0 and receive no teleport); unreached vertices therefore finish
+    * at exactly 0 and callers filter `rank > 0`. Output: (id, rank).
+    */
+  def personalizedPageRankInt(
+      vertices: DataFrame,
+      pairs: DataFrame,
+      seeds: DataFrame,
+      iterations: Int = 5,
+      initE9: Long = 1000000000L,
+      baseE9: Long = 150000000L,
+      dampNum: Long = 85L,
+      dampDen: Long = 100L): DataFrame = {
+    val verts = vertices.select(col(vertices.columns.head).as("id"))
+    val seedIds = seeds
+      .select(col(seeds.columns.head).as("id"), lit(1L).as("is_seed"))
+      .distinct()
+    val vertsBase = verts
+      .join(seedIds, Seq("id"), "left")
+      .select(col("id"),
+        (coalesce(col("is_seed"), lit(0L)) * baseE9).as("base"),
+        (coalesce(col("is_seed"), lit(0L)) * initE9).as("init"))
+    iterate(vertsBase, pairs, iterations, dampNum, dampDen)
+  }
+
+  /** The shared superstep loop over (id, base, init) vertices. */
+  private def iterate(
+      vertsBase: DataFrame, pairs: DataFrame, iterations: Int,
+      dampNum: Long, dampDen: Long): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
     val directed = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -59,8 +102,9 @@ object Graph {
     val edges = directed.join(outdeg, "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     edges.count() // eager populate: every superstep reads this frame
+    val vb = vertsBase.persist(StorageLevel.MEMORY_AND_DISK)
 
-    var ranks = verts.select(col("id"), lit(initE9).as("rank"))
+    var ranks = vb.select(col("id"), col("init").as("rank"))
     for (_ <- 1 to iterations) {
       val contrib = edges
         .join(ranks.withColumnRenamed("id", "src"), "src")
@@ -68,11 +112,11 @@ object Graph {
           col("dst").as("id"),
           expr(s"((rank * $dampNum) div $dampDen) div outdeg").as("c"))
       val in = contrib.groupBy("id").agg(sum(col("c")).as("m"))
-      ranks = verts
+      ranks = vb
         .join(in, Seq("id"), "left")
         .select(
           col("id"),
-          (lit(baseE9) + coalesce(col("m"), lit(0L))).as("rank"))
+          (col("base") + coalesce(col("m"), lit(0L))).as("rank"))
     }
     ranks
   }

@@ -53,6 +53,40 @@ class GraphSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("personalized pageRank: teleport pinned to seeds, exact rounds, " +
+    "unreached vertices stay at zero") {
+    // star 0–{1,2,3} + isolated 9; seed = leaf 1 only
+    val verts = Seq(0L, 1L, 2L, 3L, 9L).toDF("id")
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("id_a", "id_b")
+    val seeds = Seq(1L).toDF("id")
+    val r1 = Graph.personalizedPageRankInt(
+      verts, pairs, seeds, iterations = 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // round 1: only the seed had mass — the center absorbs its full
+    // damped contribution, the seed keeps just its base, the other
+    // leaves and the isolated vertex are exactly 0
+    assert(r1 === Map(
+      0L -> 850000000L, 1L -> 150000000L,
+      2L -> 0L, 3L -> 0L, 9L -> 0L))
+    // round 2: center mass fans to all three leaves; the seed also
+    // gets the seed-ward trickle from the center
+    val r2 = Graph.personalizedPageRankInt(
+      verts, pairs, seeds, iterations = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val fromCenter = (850000000L * 85L / 100L) / 3L
+    val fromSeed = 150000000L * 85L / 100L
+    assert(r2 === Map(
+      0L -> fromSeed,
+      1L -> (150000000L + fromCenter),
+      2L -> fromCenter, 3L -> fromCenter, 9L -> 0L))
+    // proximity ordering at the fixpoint prefix: seed > center-adjacent
+    // leaves (symmetric), isolated still exactly 0
+    val r5 = Graph.personalizedPageRankInt(
+      verts, pairs, seeds, iterations = 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r5(1L) > r5(2L) && r5(2L) === r5(3L) && r5(9L) === 0L)
+  }
+
   test("pageRank over overlap edges: hub doc outranks the chain ends") {
     // hub shares a distinct 4-token run with EACH spoke; spokes share
     // nothing with each other → star in the overlap graph
