@@ -989,6 +989,32 @@ object Dedup {
       .where(col("shared") >= minShared)
   }
 
+  /** Incremental-novelty profile: per document, how much of its
+    * distinct w-shingle set is FIRST SEEN in that document, taking
+    * ascending id as ingestion order — `novelty_e4 =
+    * (novel·10000) div n_shingles`. The curation read: an exact dup of
+    * anything earlier scores 0, pure boilerplate recombination scores
+    * low, genuinely new content scores high — a cheap removal-priority
+    * signal that needs no pair join at all. Two shuffles, both keyed
+    * on the shingle hash (the min-id "first occurrence" agg reuses the
+    * posting partitioning for the join back), then one id-keyed count:
+    * nothing pairwise, nothing driver-side, linear at any corpus size.
+    * Output: (id, n_shingles, novel, novelty_e4). */
+  def noveltyProfile(
+      docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 3): DataFrame = {
+    val inverted = invertedIndex(docs, idCol, textCol, w)
+    val first = inverted.groupBy("g").agg(min(col("id")).as("first_id"))
+    inverted.join(first, "g")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("first_id") === col("id"), 1L).otherwise(0L))
+          .as("novel"))
+      .select(col("id"), col("n_shingles"), col("novel"),
+        expr("(novel * 10000) div n_shingles").as("novelty_e4"))
+  }
+
   /** Exact n-gram Jaccard for all pairs sharing ≥1 shingle, via
     * inverted-index join on shingle hashes. `|A∩B|` comes from counting
     * posting-list collisions per pair and `J = shared/(|A|+|B|−shared)`

@@ -654,6 +654,23 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("noveltyProfile: first occurrence scores full, exact dup zero, " +
+    "partial overlap the exact integer ratio") {
+    val docs = Seq(
+      (1L, "a b c d e"),        // abc bcd cde — all first
+      (2L, "a b c d e"),        // exact dup → novelty 0
+      (3L, "a b c x y z")       // abc seen; bcx cxy xyz new → 3/4
+    ).toDF("doc_id", "text")
+    val got = Dedup.noveltyProfile(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) === ((3L, 3L, 10000L)))
+    assert(got(2L) === ((3L, 0L, 0L)))
+    assert(got(3L) === ((4L, 3L, 7500L)))
+    spark.catalog.clearCache()
+  }
+
   test("mmrTopK: diversity-weighted selection skips the near-duplicate") {
     // a is the top hit; b is a's near-exact duplicate with the #2
     // relevance; c is diverse with decent relevance; d is orthogonal
