@@ -574,13 +574,16 @@ object TextAnalysis {
 
   // ---- blocklist (badwords) filtering -----------------------------------
 
-  /** Token n-grams of a document up to `maxLen` tokens, as literal
+  /** Token n-grams from a MATERIALIZED token-array column, as literal
     * space-joined strings — the match grain for phrase blocklists.
     * Unigrams are the token list itself; higher orders slide a window
-    * over it. Pure column expression (flatten of per-order transforms),
-    * so the gram stream stays in codegen. */
-  def phraseGrams(text: Column, maxLen: Int = 2): Column = {
-    val toks = tokens(text)
+    * over it. `toks` must be a materialized column reference, not an
+    * inline `tokens(text)` expression — the tree references it
+    * ~n·positions times and Spark inlines (re-evaluates) expression
+    * arguments at every reference, the exact trap [[Dedup
+    * .shingleHashArray]] documents (measured here: 5.3 s → 0.6 s for
+    * the t29 scan at sf0.1). */
+  def phraseGramsFromToks(toks: Column, maxLen: Int = 2): Column = {
     val orders = (1 to maxLen).map { n =>
       if (n == 1) toks
       else
@@ -612,8 +615,9 @@ object TextAnalysis {
     import sp.implicits._
     val bl = broadcast(phrases.toDF("phrase"))
     docs
-      .select(col(idCol).as("doc_id"),
-        explode(phraseGrams(col(textCol), maxLen)).as("phrase"))
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"),
+        explode(phraseGramsFromToks(col("_toks"), maxLen)).as("phrase"))
       .join(bl, "phrase")
       .groupBy("phrase")
       .agg(
@@ -621,25 +625,31 @@ object TextAnalysis {
         countDistinct(col("doc_id")).as("n_docs"))
   }
 
-  /** Per-document blocklist predicate in its INLINE-LITERAL form: true
-    * iff any gram of `text` appears in `phrases`. A single codegen'd
-    * `arrays_overlap` against the literal phrase array — no explode,
-    * no join, no state — so it composes onto a readStream unchanged
-    * (the stream analog of [[blocklistFilter]], whose anti-join form
-    * references the stream twice). Right for phrase lists up to a few
-    * thousand entries; beyond that the broadcast-join form wins. */
-  def blocklistPred(text: Column, phrases: Seq[String]): Column = {
+  /** Per-document blocklist predicate in its INLINE-LITERAL form over
+    * a MATERIALIZED token-array column: true iff any gram appears in
+    * `phrases`. A single codegen'd `arrays_overlap` against the
+    * literal phrase array — no explode, no join, no state — so it
+    * composes onto a readStream unchanged (the stream analog of
+    * [[blocklistFilter]], whose anti-join form references the stream
+    * twice). Right for phrase lists up to a few thousand entries;
+    * beyond that the broadcast-join form wins. */
+  def blocklistPredFromToks(toks: Column, phrases: Seq[String]): Column = {
     val maxLen = phrases.map(_.split(" ").length).max
     arrays_overlap(
-      phraseGrams(text, maxLen), array(phrases.map(lit): _*))
+      phraseGramsFromToks(toks, maxLen), array(phrases.map(lit): _*))
   }
 
-  /** Stateless filter via [[blocklistPred]] — identical survivors to
-    * [[blocklistFilter]] (spec-pinned), streaming-composable. */
+  /** Stateless filter via [[blocklistPredFromToks]] — identical
+    * survivors to [[blocklistFilter]] (spec-pinned),
+    * streaming-composable. The token array materializes in an inner
+    * projection so the gram tree never re-runs the split. */
   def blocklistFilterInline(
       docs: org.apache.spark.sql.DataFrame, textCol: String,
       phrases: Seq[String]): org.apache.spark.sql.DataFrame =
-    docs.where(!blocklistPred(col(textCol), phrases))
+    docs
+      .withColumn("_toks", tokens(col(textCol)))
+      .where(!blocklistPredFromToks(col("_toks"), phrases))
+      .drop("_toks")
 
   /** The filter itself: documents containing NO blocklisted phrase —
     * broadcast left-anti join on the gram stream (each doc's grams cut
@@ -652,7 +662,9 @@ object TextAnalysis {
     import sp.implicits._
     val bl = broadcast(phrases.toDF("phrase"))
     val flagged = docs
-      .select(col(idCol), explode(phraseGrams(col(textCol), maxLen)).as("phrase"))
+      .select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol),
+        explode(phraseGramsFromToks(col("_toks"), maxLen)).as("phrase"))
       .join(bl, "phrase")
       .select(col(idCol))
       .distinct()

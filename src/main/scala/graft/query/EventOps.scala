@@ -558,4 +558,42 @@ object EventOps {
       // probes (Stats.cmsEstimatesFromCells's guard)
       .withColumn("_depth", lit(depth))
       .withColumn("_width", lit(width))
+
+  /** Pairwise co-occurrence PMI over per-entity type sets — the
+    * classic association-mining primitive (phrase mining, behavioral
+    * correlation): for unordered type pair (a,b),
+    * `PMI = ln(u_ab·n / (u_a·u_b))` over DISTINCT-entity incidence
+    * counts, e6-floored on the identical left-associated double tree
+    * both engines evaluate (the t14/t18 discipline). Positive = the
+    * pair co-occurs more than independence predicts.
+    *
+    * Scale shape: one distinct on (entity, type) — the only
+    * entity-cardinality shuffle — then a self-join keyed on the
+    * ENTITY, whose output is bounded by |types|² per entity (types is
+    * a small vocabulary by assumption, the ClickHouse enum shape);
+    * the marginals and the 1-row total broadcast back onto the
+    * pair frame. No all-pairs anything. Output:
+    * (ta, tb, uxy, pmi_e6). */
+  def typePmi(
+      events: DataFrame, entityCol: String, typeCol: String): DataFrame = {
+    val ut = events
+      .select(col(entityCol).as("u"), col(typeCol).as("t")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ut.count() // eager: marginals + pairs + total consume it in one action
+    val n = ut.select(count_distinct(col("u")).as("nu"))
+    val ux = ut.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val pairs = ut.select(col("u"), col("t").as("ta"))
+      .join(ut.select(col("u"), col("t").as("tb")), Seq("u"))
+      .where(col("ta") < col("tb"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("uxy"))
+    pairs
+      .join(broadcast(ux.select(col("t").as("ta"), col("c").as("ca"))), "ta")
+      .join(broadcast(ux.select(col("t").as("tb"), col("c").as("cb"))), "tb")
+      .join(broadcast(n))
+      .select(col("ta"), col("tb"), col("uxy"),
+        floor(
+          log(col("uxy").cast("double") * col("nu").cast("double")
+            / col("ca").cast("double") / col("cb").cast("double")) * 1e6)
+          .cast("long").as("pmi_e6"))
+  }
 }

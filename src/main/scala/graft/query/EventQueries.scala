@@ -1263,6 +1263,33 @@ object EventQueries {
           Tables.load(s, dir, "events")
             .select(col("user_id"), cents(col("value")).as("vc")),
           "user_id", "vc", 0.008)
+    },
+
+    // event-type co-occurrence PMI over per-user distinct type sets —
+    // the association-mining primitive (which behaviors travel
+    // together beyond what independence predicts). e6-floored ln on
+    // the identical left-associated double tree (t14/t18 discipline).
+    Q(
+      "q89_type_pmi",
+      """WITH ut AS (
+        |  SELECT DISTINCT user_id AS u, event_type AS t FROM events
+        |), n AS (SELECT count(DISTINCT u) AS nu FROM ut),
+        |ux AS (SELECT t, count(*) AS c FROM ut GROUP BY t),
+        |p AS (
+        |  SELECT a.t AS ta, b.t AS tb, count(*) AS uxy
+        |  FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t
+        |  GROUP BY 1, 2
+        |)
+        |SELECT ta, tb, CAST(uxy AS BIGINT) AS uxy,
+        |  CAST(floor(ln(
+        |    CAST(uxy AS DOUBLE) * CAST(nu AS DOUBLE)
+        |      / CAST(xa.c AS DOUBLE) / CAST(xb.c AS DOUBLE)) * 1e6)
+        |    AS BIGINT) AS pmi_e6
+        |FROM p
+        |JOIN ux xa ON xa.t = p.ta
+        |JOIN ux xb ON xb.t = p.tb, n""".stripMargin) { (s, dir) =>
+      graft.query.EventOps.typePmi(
+        Tables.load(s, dir, "events"), "user_id", "event_type")
     }
   )
 

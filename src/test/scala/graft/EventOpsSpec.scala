@@ -420,4 +420,26 @@ class EventOpsSpec extends SparkSpec {
           "before trusting the histograms")
     }
   }
+
+  test("typePmi: hand-computed marginals, distinct-entity incidence, " +
+    "no row for never-co-occurring pairs") {
+    // u1{A,B} u2{A,B} u3{A,C} u4{B}; u1 repeats A (must collapse):
+    // n=4, uA=3, uB=3, uC=1; AB=2, AC=1, BC absent
+    val ev = Seq(
+      (1L, "A"), (1L, "A"), (1L, "B"),
+      (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "C"),
+      (4L, "B")).toDF("user_id", "event_type")
+    val got = EventOps.typePmi(ev, "user_id", "event_type")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet === Set(("A", "B"), ("A", "C")))
+    // PMI(A,B) = ln(2·4/(3·3)) = ln(8/9) → floor(-117783.03…) = -117784
+    assert(got(("A", "B")) === ((2L, -117784L)))
+    // PMI(A,C) = ln(1·4/(3·1)) = ln(4/3) → floor(287682.07…) = 287682
+    assert(got(("A", "C")) === ((1L, 287682L)))
+    spark.catalog.clearCache()
+  }
 }
