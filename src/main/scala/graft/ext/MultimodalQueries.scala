@@ -230,32 +230,42 @@ object MultimodalQueries {
         |    // (CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END)
         |    AS BIGINT) AS duration_ms
         |FROM documents""".stripMargin) { (s, dir) =>
-      import s.implicits._
-      val media = Tables.load(s, dir, "documents").select(col("doc_id"))
-        .as[Long].map { id =>
-          val rate = if (id % 2 == 0) 8000f else 16000f
-          val n = 1000 + (id % 3000).toInt
-          val pcm = new Array[Byte](n * 2)
-          var i = 0
-          while (i < n) {
-            val v = (((i * 31 + id) % 2048) - 1024).toShort
-            pcm(2 * i) = (v & 0xff).toByte
-            pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
-            i += 1
-          }
-          val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.sound.sampled.AudioSystem.write(
-            new javax.sound.sampled.AudioInputStream(
-              new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
-            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-          Multimodal.MediaRow(id, "audio", bos.toByteArray, "wav")
-        }
-      Multimodal.decode(media, WavCodec).toDF()
+      Multimodal.decode(wavMedia(s, dir), WavCodec).toDF()
         .select(col("media_id"),
           col("sample_rate").cast("long").as("sample_rate"),
           col("channels").cast("long").as("channels"),
           col("duration_ms").as("duration_ms"))
+    },
+
+    // frame-level audio features through the REAL WAV decoder:
+    // 256-sample frames, zero-crossing count + exact integer energy.
+    // Same analytic-payload discipline as m6 — the PCM is a formula of
+    // doc_id, so the oracle regenerates every sample with range() and
+    // replays the frame aggregation without parsing a byte.
+    Q(
+      "m8_wav_frame_features",
+      """WITH d AS (
+        |  SELECT doc_id AS id, 1000 + doc_id % 3000 AS n FROM documents
+        |), s AS (
+        |  SELECT id, unnest(range(0, n)) AS i FROM d
+        |), v AS (
+        |  SELECT id, i, ((i * 31 + id) % 2048) - 1024 AS v FROM s
+        |), g AS (
+        |  SELECT id, i, i // 256 AS f, v,
+        |    CASE WHEN v < 0 THEN 1 ELSE 0 END AS neg
+        |  FROM v
+        |), w AS (
+        |  SELECT id, f, i, v, neg,
+        |    lag(neg) OVER (PARTITION BY id, f ORDER BY i) AS pneg
+        |  FROM g
+        |)
+        |SELECT id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(CASE WHEN pneg IS NOT NULL AND neg <> pneg
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS zcr,
+        |  CAST(sum(v * v) AS BIGINT) AS energy
+        |FROM w GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      WavCodec.frameFeatures(wavMedia(s, dir))
     },
 
     Q(
@@ -299,4 +309,35 @@ object MultimodalQueries {
           col("duration_ms").as("duration_ms"))
     }
   )
+
+  /** Shared m6/m8 payload generator: a REAL RIFF/WAVE file per doc,
+    * PCM entirely a formula of doc_id — sample_i = ((i·31 + id) mod
+    * 2048) − 1024 over n = 1000 + id mod 3000 samples at 8/16 kHz —
+    * so the oracles regenerate the payload analytically instead of
+    * parsing bytes. */
+  private def wavMedia(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select(col("doc_id"))
+      .as[Long].map { id =>
+        val rate = if (id % 2 == 0) 8000f else 16000f
+        val n = 1000 + (id % 3000).toInt
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val v = (((i * 31 + id) % 2048) - 1024).toShort
+          pcm(2 * i) = (v & 0xff).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Multimodal.MediaRow(id, "audio", bos.toByteArray, "wav")
+      }
+  }
 }

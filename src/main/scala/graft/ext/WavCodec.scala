@@ -132,6 +132,47 @@ object WavCodec extends Codec {
       (r.media_id, bits)
     }
 
+  /** Frame-level PCM features through the REAL decoder: non-overlapping
+    * `frameLen`-sample frames, per frame the zero-crossing count
+    * (frame-LOCAL sign transitions, v<0 vs v≥0 — no cross-frame pair)
+    * and the exact integer energy Σv² over the reconstructed 16-bit
+    * sample values. Integer domain end-to-end (the decode normalizes
+    * to [-1,1]; `round(v·32768)` reconstructs the original PCM shorts
+    * exactly), so the whole feature frame is engine-replayable when
+    * the payload generator is analytic — the m-family oracle
+    * discipline. The imperative loop lives at the codec seam like
+    * every decoder here; everything downstream is a plain DataFrame.
+    * Output: (media_id, frame_idx, n_samples, zcr, energy). */
+  def frameFeatures(
+      media: org.apache.spark.sql.Dataset[MediaRow],
+      frameLen: Int = 256): org.apache.spark.sql.DataFrame = {
+    require(frameLen >= 2, "frameLen must be >= 2")
+    val sp = media.sparkSession
+    import sp.implicits._
+    media.flatMap { r =>
+      read(r) match {
+        case Some(c) if c.samples.nonEmpty =>
+          val s = c.samples.map(v =>
+            math.max(-32768, math.min(32767, math.round(v * 32768.0).toInt)))
+          val nFrames = (s.length + frameLen - 1) / frameLen
+          (0 until nFrames).map { f =>
+            val start = f * frameLen
+            val end = math.min(start + frameLen, s.length)
+            var zcr = 0L
+            var energy = 0L
+            var j = start
+            while (j < end) {
+              if (j > start && ((s(j) < 0) != (s(j - 1) < 0))) zcr += 1
+              energy += s(j).toLong * s(j).toLong
+              j += 1
+            }
+            (r.media_id, f.toLong, (end - start).toLong, zcr, energy)
+          }
+        case _ => Seq.empty
+      }
+    }.toDF("media_id", "frame_idx", "n_samples", "zcr", "energy")
+  }
+
   /** Audio "frames" = n evenly spaced decoded PCM chunks (byte slices
     * of the RAW payload would include the RIFF header; these are the
     * decoded samples re-encoded as 16-bit little-endian mono-order

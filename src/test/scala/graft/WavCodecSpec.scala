@@ -113,4 +113,29 @@ class WavCodecSpec extends SparkSpec {
     val es = frames.map(energy)
     for (i <- 0 until 3) assert(es(i) < es(i + 1))
   }
+
+  test("frameFeatures: hand-computed ZCR and exact integer energy, " +
+    "frame-local transitions only") {
+    // 6 samples alternating ±1000/32768, frameLen=4 → two frames:
+    // [1000,-1000,1000,-1000] (3 transitions) and [1000,-1000] (1);
+    // the frame boundary pair (-1000 → 1000) must NOT count
+    val alt = wav(6)(i => (if (i % 2 == 0) 1000.0 else -1000.0) / 32768.0)
+    val media = Seq(MediaRow(7L, "audio", alt, "wav")).toDS()
+    val got = WavCodec.frameFeatures(media, frameLen = 4)
+      .collect()
+      .map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // wav() scales by 32767 then decode reconstructs round(v·32768):
+    // 1000/32768 → short 1000 both ways (the m-family round trip)
+    assert(got(0L) === ((4L, 3L, 4L * 1000L * 1000L)))
+    assert(got(1L) === ((2L, 1L, 2L * 1000L * 1000L)))
+    // a constant-sign clip has zero crossings, exact DC energy
+    val dc = wav(5)(_ => 512.0 / 32768.0)
+    val got2 = WavCodec.frameFeatures(
+      Seq(MediaRow(8L, "audio", dc, "wav")).toDS(), frameLen = 8)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got2 === Seq((0L, 5L, 0L, 5L * 512L * 512L)))
+  }
 }
