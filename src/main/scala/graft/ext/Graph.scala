@@ -90,7 +90,12 @@ object Graph {
     iterate(vertsBase, pairs, iterations, dampNum, dampDen)
   }
 
-  /** The shared superstep loop over (id, base, init) vertices. */
+  /** The shared superstep loop over (id, base, init) vertices. Each
+    * superstep is ONE join (the skinny rank frame onto the persisted
+    * edge relation) and ONE aggregation — the teleport base term rides
+    * the aggregation as union rows rather than a third per-round join,
+    * which also keeps every vertex present in the output (a vertex
+    * with no in-edges still contributes its base row). */
   private def iterate(
       vertsBase: DataFrame, pairs: DataFrame, iterations: Int,
       dampNum: Long, dampDen: Long): DataFrame = {
@@ -111,12 +116,9 @@ object Graph {
         .select(
           col("dst").as("id"),
           expr(s"((rank * $dampNum) div $dampDen) div outdeg").as("c"))
-      val in = contrib.groupBy("id").agg(sum(col("c")).as("m"))
-      ranks = vb
-        .join(in, Seq("id"), "left")
-        .select(
-          col("id"),
-          (col("base") + coalesce(col("m"), lit(0L))).as("rank"))
+      ranks = contrib
+        .union(vb.select(col("id"), col("base")))
+        .groupBy("id").agg(sum(col("c")).as("rank"))
     }
     ranks
   }
