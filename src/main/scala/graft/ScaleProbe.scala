@@ -624,7 +624,12 @@ object ScaleProbe {
       val d10 = mat(repDocsFrom(docs1, 10), "d10")
       println(s"docs10 = ${d10.count()}")
       for ((label, d) <- Seq(("1x(5k)", docs1), ("10x(50k)", d10))) {
-        // edge generation alone (the capped production path)
+        // edge generation alone (the capped production path). NOT run
+        // at 100x: the replicated corpus turns every 1x edge into a
+        // copy-clique of 100² pairs (~1B edges) — an adversarial
+        // EDGE-COUNT blowup, not a superstep question; the superstep
+        // asymptote at 100x is probed below on a synthetic sparse
+        // graph instead.
         var edges: DataFrame = null
         time(s"$label overlapEdges") {
           edges = graft.ext.Dedup.shingleOverlapPairs(
@@ -636,6 +641,25 @@ object ScaleProbe {
         time(s"$label pageRank(5 iters)") {
           graft.ext.Graph.pageRankInt(
             d.select(col("doc_id")), edges, iterations = 5).count()
+        }
+        edges.unpersist(false)
+      }
+      // superstep asymptote, edge-gen decoupled: synthetic sparse
+      // graphs (avg degree 10, hash-scattered endpoints) at 500k and
+      // 5M vertices — 5M/50M edges, the shape a REAL (non-replicated)
+      // web-scale dup graph has. Cost claim: O(|E|) per superstep.
+      for ((label, n) <- Seq(("sparse(500k,5M e)", 500000L),
+          ("sparse(5M,50M e)", 5000000L))) {
+        val verts = spark.range(n).select(col("id"))
+        val rawE = spark.range(n * 5).select(
+          (col("id") % n).as("id_a"),
+          (abs(xxhash64(col("id"))) % n).as("id_b"))
+          .where(col("id_a") < col("id_b"))
+        val edges = rawE.repartition(32)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        println(s"$label edges = ${edges.count()}")
+        time(s"$label pageRank(5 iters)") {
+          graft.ext.Graph.pageRankInt(verts, edges, iterations = 5).count()
         }
         edges.unpersist(false)
       }

@@ -87,6 +87,59 @@ class GraphSpec extends SparkSpec {
     assert(r5(1L) > r5(2L) && r5(2L) === r5(3L) && r5(9L) === 0L)
   }
 
+  test("random graphs: engine ranks equal an independent driver-side " +
+    "integer replay, plain and personalized") {
+    // a from-scratch reference implementation of the integer contract
+    // (adjacency maps + truncating div) — any divergence in the join/
+    // union/agg formulation from the declared arithmetic fails here
+    def ref(
+        n: Int, pairs: Seq[(Long, Long)], seeds: Option[Set[Long]],
+        iters: Int): Map[Long, Long] = {
+      val out = scala.collection.mutable.Map.empty[Long, List[Long]]
+      for ((a, b) <- pairs) {
+        out(a) = b :: out.getOrElse(a, Nil)
+        out(b) = a :: out.getOrElse(b, Nil)
+      }
+      def base(v: Long) =
+        if (seeds.forall(_.contains(v))) 150000000L else 0L
+      def init(v: Long) =
+        if (seeds.forall(_.contains(v))) 1000000000L else 0L
+      var r = (0L until n).map(v => v -> init(v)).toMap
+      for (_ <- 1 to iters) {
+        val next = scala.collection.mutable.Map.empty[Long, Long]
+        for (v <- 0L until n) next(v) = base(v)
+        for ((u, nbrs) <- out; v <- nbrs)
+          next(v) = next(v) + ((r(u) * 85L) / 100L) / nbrs.length
+        r = next.toMap
+      }
+      r
+    }
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 0 until 8) {
+      val n = 5 + rnd.nextInt(20)
+      val pairs = (for {
+        a <- 0L until n; b <- (a + 1) until n
+        if rnd.nextDouble() < 0.2
+      } yield (a, b)).toSeq
+      val iters = 1 + rnd.nextInt(4)
+      val verts = (0L until n).toDF("id")
+      val pairsDf = pairs.toDF("id_a", "id_b")
+      val got = Graph.pageRankInt(verts, pairsDf, iters)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(got === ref(n, pairs, None, iters),
+        s"plain trial=$trial n=$n e=${pairs.size} iters=$iters")
+      val seedSet = (0L until n).filter(_ => rnd.nextDouble() < 0.3).toSet
+      if (seedSet.nonEmpty) {
+        val gotP = Graph.personalizedPageRankInt(
+          verts, pairsDf, seedSet.toSeq.toDF("id"), iters)
+          .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+        assert(gotP === ref(n, pairs, Some(seedSet), iters),
+          s"ppr trial=$trial n=$n seeds=${seedSet.size} iters=$iters")
+      }
+      spark.catalog.clearCache()
+    }
+  }
+
   test("pageRank over overlap edges: hub doc outranks the chain ends") {
     // hub shares a distinct 4-token run with EACH spoke; spokes share
     // nothing with each other → star in the overlap graph
