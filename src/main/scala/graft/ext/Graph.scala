@@ -90,6 +90,33 @@ object Graph {
     iterate(vertsBase, pairs, iterations, dampNum, dampDen)
   }
 
+  /** Edge-WEIGHTED PageRank: a vertex splits its damped mass across
+    * neighbors in proportion to integer edge weights — on the
+    * shingle-overlap graph, weight = shared-shingle count, so a
+    * 40-gram template edge pulls 20× the mass of a borderline 2-gram
+    * edge and hub scores track overlap DEPTH, not just degree.
+    * Contribution along (u→v, w): `(((rank·dampNum) div dampDen)·w)
+    * div Σw(u)` — pure BIGINT, same engine-exactness contract
+    * (headroom: rank·85·w must stay in Long — fine for corpus-scale
+    * weights; renormalize weights if Σrank·maxW nears 2⁶³).
+    * `pairs` must carry (id_a, id_b, `weightCol`). With all weights
+    * equal this reduces exactly to [[pageRankInt]]. */
+  def pageRankWeightedInt(
+      vertices: DataFrame,
+      pairs: DataFrame,
+      weightCol: String,
+      iterations: Int = 5,
+      initE9: Long = 1000000000L,
+      baseE9: Long = 150000000L,
+      dampNum: Long = 85L,
+      dampDen: Long = 100L): DataFrame = {
+    val verts = vertices.select(col(vertices.columns.head).as("id"))
+    iterate(
+      verts.select(col("id"),
+        lit(baseE9).as("base"), lit(initE9).as("init")),
+      pairs, iterations, dampNum, dampDen, weightCol = Some(weightCol))
+  }
+
   /** The shared superstep loop over (id, base, init) vertices. Each
     * superstep is ONE join (the skinny rank frame onto the persisted
     * edge relation) and ONE aggregation — the teleport base term rides
@@ -98,13 +125,17 @@ object Graph {
     * with no in-edges still contributes its base row). */
   private def iterate(
       vertsBase: DataFrame, pairs: DataFrame, iterations: Int,
-      dampNum: Long, dampDen: Long): DataFrame = {
+      dampNum: Long, dampDen: Long,
+      weightCol: Option[String] = None): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
+    val w = weightCol.map(col).getOrElse(lit(1L))
     val directed = pairs
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-    val outdeg = directed.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val edges = directed.join(outdeg, "src")
+      .select(col("id_a").as("src"), col("id_b").as("dst"),
+        w.cast("long").as("w"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"),
+        w.cast("long").as("w")))
+    val sw = directed.groupBy("src").agg(sum(col("w")).as("sw"))
+    val edges = directed.join(sw, "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     edges.count() // eager populate: every superstep reads this frame
     val vb = vertsBase.persist(StorageLevel.MEMORY_AND_DISK)
@@ -115,7 +146,7 @@ object Graph {
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .select(
           col("dst").as("id"),
-          expr(s"((rank * $dampNum) div $dampDen) div outdeg").as("c"))
+          expr(s"(((rank * $dampNum) div $dampDen) * w) div sw").as("c"))
       ranks = contrib
         .union(vb.select(col("id"), col("base")))
         .groupBy("id").agg(sum(col("c")).as("rank"))

@@ -87,6 +87,30 @@ class GraphSpec extends SparkSpec {
     assert(r5(1L) > r5(2L) && r5(2L) === r5(3L) && r5(9L) === 0L)
   }
 
+  test("weighted pageRank: mass splits by weight, uniform weights " +
+    "reduce to the plain operator") {
+    // star 0–1 (w=9), 0–2 (w=1): the center splits 850e6 as 9:1
+    val verts = Seq(0L, 1L, 2L).toDF("id")
+    val wpairs = Seq((0L, 1L, 9L), (0L, 2L, 1L)).toDF("id_a", "id_b", "w")
+    val r1 = Graph.pageRankWeightedInt(verts, wpairs, "w", iterations = 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r1(0L) === 150000000L + 850000000L + 850000000L)
+    assert(r1(1L) === 150000000L + (850000000L * 9L) / 10L)
+    assert(r1(2L) === 150000000L + 850000000L / 10L)
+    // uniform weights ≡ plain (the ×w div Σw factor cancels exactly)
+    val verts5 = Seq(0L, 1L, 2L, 3L, 4L).toDF("id")
+    val pairs = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L))
+    val plain = Graph.pageRankInt(
+      verts5, pairs.toDF("id_a", "id_b"), iterations = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val uniform = Graph.pageRankWeightedInt(
+      verts5, pairs.map(p => (p._1, p._2, 7L)).toDF("id_a", "id_b", "w"),
+      "w", iterations = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(uniform === plain)
+    spark.catalog.clearCache()
+  }
+
   test("random graphs: engine ranks equal an independent driver-side " +
     "integer replay, plain and personalized") {
     // a from-scratch reference implementation of the integer contract
