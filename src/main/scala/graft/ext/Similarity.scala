@@ -288,16 +288,22 @@ object Similarity {
     val relMap = rel.toMap
     val chosen = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
     var remaining = rel.map(_._1).toSet
-    for (rank <- 1 to k) {
+    // k truncates to the candidates actually present (a corpus smaller
+    // than k returns what exists, like any top-k)
+    for (rank <- 1 to math.min(k, rel.size)) {
       val scored = remaining.toSeq.map { id =>
-        val maxSim =
-          if (chosen.isEmpty) 0L
-          else chosen.map(c => sims((id, c._2))).max
-        val mmr = lamTenths * relMap(id) - (10L - lamTenths) * maxSim
+        // rank 1 is PURE relevance by definition (the standard MMR
+        // initialization and the oracle's g1 stage) — scoring it as
+        // λ·rel would degenerate to an id tiebreak at λ=0
+        val mmr =
+          if (chosen.isEmpty) relMap(id)
+          else lamTenths * relMap(id) -
+            (10L - lamTenths) * chosen.map(c => sims((id, c._2))).max
         (id, mmr)
       }
       val (bestId, bestMmr) = scored.minBy { case (id, m) => (-m, id) }
-      chosen += ((rank, bestId, relMap(bestId), bestMmr))
+      chosen += ((rank, bestId, relMap(bestId),
+        if (chosen.isEmpty) lamTenths * bestMmr else bestMmr))
       remaining -= bestId
     }
     chosen.toSeq.toDF("rank", "vec_id", "rel_e6", "mmr_e7")

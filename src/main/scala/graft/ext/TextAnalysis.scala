@@ -607,9 +607,14 @@ object TextAnalysis {
     * the matched grams, which the blocklist join has already cut to
     * the hit stream. Output: (phrase, n_hits, n_docs) for phrases with
     * ≥1 hit. */
-  def blocklistHits(
+  /** The shared hit stream: one (doc_id, phrase) row per blocklisted
+    * gram occurrence — tokenize once, gram-explode, broadcast-join
+    * the phrase list. Both the audit view and the filter consume this
+    * single definition so their gram semantics can never diverge. */
+  private def blocklistHitStream(
       docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
       phrases: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(phrases.nonEmpty, "blocklist phrases must be non-empty")
     val maxLen = phrases.map(_.split(" ").length).max
     val sp = docs.sparkSession
     import sp.implicits._
@@ -619,11 +624,16 @@ object TextAnalysis {
       .select(col("doc_id"),
         explode(phraseGramsFromToks(col("_toks"), maxLen)).as("phrase"))
       .join(bl, "phrase")
+  }
+
+  def blocklistHits(
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      phrases: Seq[String]): org.apache.spark.sql.DataFrame =
+    blocklistHitStream(docs, idCol, textCol, phrases)
       .groupBy("phrase")
       .agg(
         count(lit(1)).as("n_hits"),
         countDistinct(col("doc_id")).as("n_docs"))
-  }
 
   /** Per-document blocklist predicate in its INLINE-LITERAL form over
     * a MATERIALIZED token-array column: true iff any gram appears in
@@ -634,6 +644,7 @@ object TextAnalysis {
     * twice). Right for phrase lists up to a few thousand entries;
     * beyond that the broadcast-join form wins. */
   def blocklistPredFromToks(toks: Column, phrases: Seq[String]): Column = {
+    require(phrases.nonEmpty, "blocklist phrases must be non-empty")
     val maxLen = phrases.map(_.split(" ").length).max
     arrays_overlap(
       phraseGramsFromToks(toks, maxLen), array(phrases.map(lit): _*))
@@ -642,31 +653,26 @@ object TextAnalysis {
   /** Stateless filter via [[blocklistPredFromToks]] — identical
     * survivors to [[blocklistFilter]] (spec-pinned),
     * streaming-composable. The token array materializes in an inner
-    * projection so the gram tree never re-runs the split. */
+    * projection so the gram tree never re-runs the split. NULL text
+    * (null grams → null overlap) is kept, matching the anti-join
+    * form, where a null doc emits no gram rows and is never flagged. */
   def blocklistFilterInline(
       docs: org.apache.spark.sql.DataFrame, textCol: String,
       phrases: Seq[String]): org.apache.spark.sql.DataFrame =
     docs
       .withColumn("_toks", tokens(col(textCol)))
-      .where(!blocklistPredFromToks(col("_toks"), phrases))
+      .where(
+        !coalesce(blocklistPredFromToks(col("_toks"), phrases), lit(false)))
       .drop("_toks")
 
   /** The filter itself: documents containing NO blocklisted phrase —
-    * broadcast left-anti join on the gram stream (each doc's grams cut
-    * to hits first, so the anti-join state is tiny). */
+    * broadcast left-anti join on the shared hit stream (each doc's
+    * grams cut to hits first, so the anti-join state is tiny). */
   def blocklistFilter(
       docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
       phrases: Seq[String]): org.apache.spark.sql.DataFrame = {
-    val maxLen = phrases.map(_.split(" ").length).max
-    val sp = docs.sparkSession
-    import sp.implicits._
-    val bl = broadcast(phrases.toDF("phrase"))
-    val flagged = docs
-      .select(col(idCol), tokens(col(textCol)).as("_toks"))
-      .select(col(idCol),
-        explode(phraseGramsFromToks(col("_toks"), maxLen)).as("phrase"))
-      .join(bl, "phrase")
-      .select(col(idCol))
+    val flagged = blocklistHitStream(docs, idCol, textCol, phrases)
+      .select(col("doc_id").as(idCol))
       .distinct()
     docs.join(flagged, Seq(idCol), "left_anti")
   }
