@@ -164,6 +164,36 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("session-4 operators tolerate empty frames (no crash, empty or " +
+    "base-only output)") {
+    import graft.ext.{Similarity, TextAnalysis}
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val noVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    // graph: empty vertex set → empty ranks; vertices with no edges →
+    // every vertex at base
+    assert(Graph.pageRankInt(
+      noDocs.select(col("doc_id")), noPairs, 2).count() === 0L)
+    val isolated = Graph.pageRankInt(
+      Seq(1L, 2L).toDF("id"), noPairs, 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(isolated === Map(1L -> 150000000L, 2L -> 150000000L))
+    // dedup/text/similarity: empty in → empty out
+    assert(graft.ext.Dedup.noveltyProfile(
+      noDocs, "doc_id", "text").count() === 0L)
+    assert(TextAnalysis.blocklistHits(
+      noDocs, "doc_id", "text", Seq("x")).count() === 0L)
+    assert(TextAnalysis.blocklistFilter(
+      noDocs, "doc_id", "text", Seq("x")).count() === 0L)
+    assert(Similarity.mmrTopK(
+      noVecs, "vec_id", "embedding", Seq(1.0f, 0.0f), candidates = 5,
+      k = 3).count() === 0L)
+    assert(graft.query.EventOps.typePmi(
+      Seq.empty[(Long, String)].toDF("user_id", "event_type"),
+      "user_id", "event_type").count() === 0L)
+    spark.catalog.clearCache()
+  }
+
   test("pageRank over overlap edges: hub doc outranks the chain ends") {
     // hub shares a distinct 4-token run with EACH spoke; spokes share
     // nothing with each other → star in the overlap graph
