@@ -803,6 +803,33 @@ object TextQueries {
       Bpe.encodeTokensByRounds(docs, "doc_id", "text", merges)
     },
 
+    // tokenizer fertility audit: per language, BPE tokens per
+    // whitespace word (fertility) and chars per BPE token
+    // (compression) under the t11/t27-trained merges — the
+    // vocabulary-quality metric tokenizer teams track per language
+    // before committing a vocab. Integer ratios on corpus-level sums
+    // (one div per group, not per doc), full t27 chain replay + a
+    // lang rollup in the oracle.
+    Q("t31_bpe_fertility", bpeFertilityOracleSql(12)) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val merges = Bpe.train(docs, "text", numMerges = 12)
+      val enc = Bpe.encodeTokensByRounds(docs, "doc_id", "text", merges)
+      docs
+        .select(col("doc_id"), col("lang"),
+          tokenCount(col("text")).cast("long").as("ws"), col("n_chars"))
+        .join(enc, "doc_id")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_bpe_tokens").as("bpe_tokens"),
+          sum("ws").as("ws_tokens"),
+          sum("n_chars").as("nch"))
+        .select(col("lang"), col("n_docs"), col("bpe_tokens"),
+          col("ws_tokens"),
+          expr("(bpe_tokens * 10000) div ws_tokens").as("fertility_e4"),
+          expr("(nch * 10000) div bpe_tokens").as("chars_per_bpe_e4"))
+    },
+
     // in-engine quality-classifier distillation: exact-integer batch-GD
     // linear probability model (the q77 recipe, two features) distills
     // a metadata label (n_chars >= 320 — stand-in for any expensive
@@ -1109,4 +1136,32 @@ object TextQueries {
          |)
          |SELECT d.doc_id, CAST(coalesce(p.n, 0) AS BIGINT) AS n_bpe_tokens
          |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin
+
+  /** t31 replay: the t27 chain + per-doc whitespace/char counts,
+    * rolled up per language with integer fertility/compression
+    * ratios on the group sums. */
+  private def bpeFertilityOracleSql(rounds: Int): String =
+    bpeChainCtes(rounds) +
+      s"""
+         |, tokd AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS w
+         |  FROM documents
+         |), per AS (
+         |  SELECT t.doc_id, sum(len(v.symbols)) AS n
+         |  FROM tokd t JOIN v$rounds v USING (w)
+         |  WHERE len(t.w) > 0
+         |  GROUP BY t.doc_id
+         |), base AS (
+         |  SELECT d.doc_id, d.lang,
+         |    len(string_split_regex(trim(d.text), ' +')) AS ws,
+         |    d.n_chars, coalesce(p.n, 0) AS bpe
+         |  FROM documents d LEFT JOIN per p USING (doc_id)
+         |)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+         |  CAST(sum(ws) AS BIGINT) AS ws_tokens,
+         |  CAST((sum(bpe) * 10000) // sum(ws) AS BIGINT) AS fertility_e4,
+         |  CAST((sum(n_chars) * 10000) // sum(bpe) AS BIGINT)
+         |    AS chars_per_bpe_e4
+         |FROM base GROUP BY lang""".stripMargin
 }
