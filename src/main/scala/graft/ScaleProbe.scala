@@ -669,6 +669,25 @@ object ScaleProbe {
         }
         edges.unpersist(false)
       }
+      // novelty profile: two shingle-keyed shuffles + one id-keyed
+      // count — must track the corpus scan (no pairwise term at all)
+      for ((label, d) <- Seq(("1x(5k)", docs1), ("10x(50k)", d10)))
+        time(s"$label noveltyProfile") {
+          graft.ext.Dedup.noveltyProfile(d, "doc_id", "text").count()
+        }
+      // type-PMI: the entity-keyed distinct is the only
+      // entity-cardinality shuffle; pairs bounded by |types|² per user
+      val ev1 = graft.query.Tables
+        .load(spark, "/root/testdata/sf0.1", "events")
+        .select(col("user_id"), col("event_type"))
+      val ev10 = (0 until 10).map { r =>
+        ev1.select((col("user_id") + lit(r * 1000000L)).as("user_id"),
+          col("event_type"))
+      }.reduce(_ unionByName _)
+      for ((label, e) <- Seq(("1x(ev)", ev1), ("10x(ev)", ev10)))
+        time(s"$label typePmi") {
+          graft.query.EventOps.typePmi(e, "user_id", "event_type").count()
+        }
       val d100 = mat(repDocsFrom(docs1, 100), "d100")
       println(s"docs100 = ${d100.count()}")
       for ((label, d) <- Seq(
