@@ -442,6 +442,41 @@ object SimilarityQueries {
         "vec_id", "embedding", "label", k = 5)
     },
 
+    // kNN label-noise screen: per vector, how many of its 10 nearest
+    // neighbors disagree with its label — the mislabel audit a
+    // supervised corpus runs before training. Oracled with the s10
+    // pairwise double-cosine idiom + per-query rank + label rollup.
+    Q(
+      "s17_label_noise_screen",
+      """WITH v AS (SELECT vec_id, embedding, label FROM embeddings),
+        |sc AS (
+        |  SELECT a.vec_id AS qid, a.label AS ql,
+        |    b.vec_id AS cid, b.label AS cl,
+        |    round(
+        |      list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(a.embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(b.embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+        |      6) AS cos6
+        |  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+        |), r AS (
+        |  SELECT qid, ql, cl, row_number() OVER
+        |    (PARTITION BY qid ORDER BY cos6 DESC, cid ASC) AS rn
+        |  FROM sc
+        |)
+        |SELECT qid AS vec_id, CAST(ql AS BIGINT) AS label,
+        |  CAST(sum(CASE WHEN cl IS DISTINCT FROM ql THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_disagree,
+        |  CAST((sum(CASE WHEN cl IS DISTINCT FROM ql THEN 1 ELSE 0 END)
+        |    * 10000) // 10 AS BIGINT) AS disagree_e4
+        |FROM r WHERE rn <= 10 GROUP BY qid, ql""".stripMargin) { (s, dir) =>
+      Similarity.labelNoiseScreen(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        "label", k = 10)
+    },
+
     // MMR diversified retrieval: top-5 balancing relevance against
     // redundancy with the already-selected set (λ=0.7) over a top-50
     // candidate scan — the shape plain top-k gets wrong when the

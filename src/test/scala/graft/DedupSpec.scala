@@ -671,6 +671,31 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("labelNoiseScreen: planted mislabel maxes disagreement, clean " +
+    "members near zero, ties break by id") {
+    // cluster A at (1,0,0,0): ids 1-6, id 2 MISLABELED as 2; cluster B
+    // at (0,1,0,0): ids 10-13 labeled 2. k=4 with exact cosine ties →
+    // neighbors are the 4 lowest other ids in-cluster (B pads with A's
+    // id 1 across clusters)
+    val a = (1L to 6L).map(i =>
+      (i, Seq(1.0f, 0.0f, 0.0f, 0.0f), if (i == 2L) 2 else 1))
+    val b = (10L to 13L).map(i => (i, Seq(0.0f, 1.0f, 0.0f, 0.0f), 2))
+    val vecs = (a ++ b).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelNoiseScreen(
+      vecs, "vec_id", "embedding", "label", k = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // the mislabel: all 4 neighbors disagree → 10000 e4
+    assert(got(2L) === ((2L, 4L, 10000L)))
+    // clean A members: exactly the mislabeled neighbor disagrees
+    for (i <- Seq(1L, 3L, 4L, 5L, 6L))
+      assert(got(i) === ((1L, 1L, 2500L)), s"id=$i")
+    // B members: 3 in-cluster agreements + A's id 1 across the gap
+    for (i <- 10L to 13L) assert(got(i) === ((2L, 1L, 2500L)), s"id=$i")
+    spark.catalog.clearCache()
+  }
+
   test("mmrTopK: diversity-weighted selection skips the near-duplicate") {
     // a is the top hit; b is a's near-exact duplicate with the #2
     // relevance; c is diverse with decent relevance; d is orthogonal
