@@ -707,6 +707,35 @@ object ScaleProbe {
           graft.ext.Similarity.mmrTopK(
             v, "vec_id", "embedding", qv, candidates = 50, k = 5).count()
         }
+      // label-noise screen: the exact n² baseline vs the cell-keyed
+      // scale path (cells = n/128 pins pair count at ~128·n — linear).
+      // Replicated vectors inherit their source's label (near-dup
+      // clique with one label: the adversarial agreement shape).
+      val vl1 = spark.read
+        .parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      def repVl(r: Int) = (0 until r).map { i =>
+        vl1.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+          transform(col("embedding"), (x, j) =>
+            when(j === 0, x + lit(0.001f * (i + 1))).otherwise(x))
+            .as("embedding"),
+          col("label"))
+      }.reduce(_ unionByName _)
+      val vl10 = mat(repVl(10), "vl10")
+      for ((label, v) <- Seq(("1x(2k)", vl1), ("10x(20k)", vl10)))
+        time(s"$label s17 exact") {
+          graft.ext.Similarity.labelNoiseScreen(
+            v, "vec_id", "embedding", "label").count()
+        }
+      val vl100 = mat(repVl(100), "vl100")
+      for ((label, v) <- Seq(("10x(20k)", vl10), ("100x(200k)", vl100))) {
+        val cells = math.max(16, (v.count() / 128).toInt)
+        time(s"$label s17 cells(n/128=$cells)") {
+          graft.ext.Similarity.labelNoiseScreenCells(
+            v, "vec_id", "embedding", "label", cells = cells,
+            dim = Some(64)).count()
+        }
+      }
     } finally {
       dirs.foreach(graft.util.Fs.deleteRecursively)
     }

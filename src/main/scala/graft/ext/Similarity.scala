@@ -243,7 +243,49 @@ object Similarity {
     half.count() // eager: both union branches read this frame
     val scored = half.union(half.select(
       col("_cid").as("_qid"), col("_qid").as("_cid"), col("_cos")))
-    perQueryTopK(scored, k)
+    disagreementRollup(perQueryTopK(scored, k), labels, k)
+  }
+
+  /** Cell-restricted label-noise screen — the SCALE PATH for
+    * [[labelNoiseScreen]]: vectors k-means-assign once (the
+    * [[ivfBuild]] machinery, one distributed agg per Lloyd iteration)
+    * and the candidate self-join keys on the CELL id, so the scored
+    * pairs are Σ|cell|² instead of n² — linear in n when `cells`
+    * scales with corpus size (the SemDeDup recall trade: a true
+    * nearest neighbor in another cell is invisible, bounded by cell
+    * granularity). Oversized cells drop via `maxCell` (the universal
+    * degenerate-skew guard; dropped members emit no row). Same
+    * disagreement tail as the exact screen — on well-separated
+    * clusters the two are spec-pinned EQUAL. */
+  def labelNoiseScreenCells(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int = 10, cells: Int = 16,
+      maxCell: Int = 10000, dim: Option[Int] = None): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val labels = vectors
+      .select(col(idCol).as("_id"), col(labelCol).as("_l"))
+    val idx = ivfBuild(vectors, idCol, vecCol, k = cells, dim = dim)
+    val assigned = idx.assigned
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assigned.count() // eager: both join sides read this frame
+    val small = assigned.groupBy("c").count()
+      .where(col("count") <= maxCell).drop("count")
+    val inCell = assigned.join(small, Seq("c"))
+    val scored = inCell
+      .select(col("c"), col("id").as("_cid"), col("v").as("_cv"))
+      .join(inCell.select(col("c"), col("id").as("_qid"),
+        col("v").as("_qv")), Seq("c"))
+      .where(col("_cid") =!= col("_qid"))
+      .select(col("_qid"), col("_cid"),
+        round(cosine(col("_cv"), col("_qv")), 6).as("_cos"))
+    disagreementRollup(perQueryTopK(scored, k), labels, k)
+  }
+
+  /** Shared tail: label both sides of a (query_id, neighbor_id, …)
+    * top-k frame and roll up null-safe disagreement counts. */
+  private def disagreementRollup(
+      topk: DataFrame, labels: DataFrame, k: Int): DataFrame =
+    topk
       .join(labels.withColumnRenamed("_id", "query_id"), "query_id")
       .join(
         labels.select(col("_id").as("neighbor_id"), col("_l").as("_nl")),
@@ -256,7 +298,6 @@ object Similarity {
         col("_l").cast("long").as("label"),
         col("n_disagree"),
         expr(s"(n_disagree * 10000) div $k").as("disagree_e4"))
-  }
 
   /** Two-phase per-query top-k over (_qid, _cid, _cos) rows — the
     * groupBy analog of TakeOrderedAndProject (see [[knnJoin]] doc):

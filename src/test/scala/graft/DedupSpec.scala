@@ -696,6 +696,32 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("labelNoiseScreenCells equals the exact screen on separable " +
+    "clusters; oversized cells drop") {
+    // two tight clusters, each big enough that every top-4 list is
+    // in-cluster — identical vectors can never split across k-means
+    // cells, so the cell-restricted screen must equal the exact one
+    val a = (1L to 6L).map(i =>
+      (i, Seq(1.0f, 0.0f, 0.0f, 0.0f), if (i == 2L) 2 else 1))
+    val b = (10L to 14L).map(i => (i, Seq(0.0f, 1.0f, 0.0f, 0.0f), 2))
+    val vecs = (a ++ b).toDF("vec_id", "embedding", "label")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val exact = rows(Similarity.labelNoiseScreen(
+      vecs, "vec_id", "embedding", "label", k = 4))
+    val cells = rows(Similarity.labelNoiseScreenCells(
+      vecs, "vec_id", "embedding", "label", k = 4, cells = 4,
+      dim = Some(4)))
+    assert(cells === exact)
+    // maxCell below the cluster size drops every member's row
+    assert(Similarity.labelNoiseScreenCells(
+      vecs, "vec_id", "embedding", "label", k = 4, cells = 1,
+      maxCell = 5, dim = Some(4)).count() === 0L)
+    spark.catalog.clearCache()
+  }
+
   test("mmrTopK: diversity-weighted selection skips the near-duplicate") {
     // a is the top hit; b is a's near-exact duplicate with the #2
     // relevance; c is diverse with decent relevance; d is orthogonal

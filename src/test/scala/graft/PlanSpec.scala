@@ -562,5 +562,22 @@ class PlanSpec extends SparkSpec {
     val s16 = planOf(SparkEntry.queries("s16_mmr_topk")(spark, dir))
     assert(s16.contains("LocalTableScan"), s16.take(3000))
     spark.catalog.clearCache()
+    // s17 exact: the half-matrix scoring is the INTENDED broadcast
+    // nested loop (n² exact baseline, query side broadcast), the
+    // mirrored union reads the persisted half frame, and the top-k is
+    // the two-phase partial agg — never a CartesianProduct node
+    val s17 = planOf(
+      SparkEntry.queries("s17_label_noise_screen")(spark, dir))
+    assert(s17.contains("BroadcastNestedLoopJoin"), s17.take(3000))
+    assert(s17.contains("InMemoryTableScan"), s17.take(3000))
+    assert(!s17.contains("CartesianProduct"), s17.take(3000))
+    spark.catalog.clearCache()
+    // s17 cells (the scale path): candidates come from an EQUI-join on
+    // the cell id — no corpus-scale nested loop anywhere
+    val s17c = planOf(graft.ext.Similarity.labelNoiseScreenCells(
+      graft.query.Tables.load(spark, dir, "embeddings"),
+      "vec_id", "embedding", "label", cells = 8, dim = Some(64)))
+    assert(!s17c.contains("CartesianProduct"), s17c.take(3000))
+    spark.catalog.clearCache()
   }
 }
