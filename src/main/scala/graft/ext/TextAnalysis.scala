@@ -572,6 +572,46 @@ object TextAnalysis {
       docs.select(col(idCol).as("doc_id")))
   }
 
+  /** Per-slice unigram KL divergence against the whole corpus — the
+    * distribution-drift audit a corpus mixture runs per source (is
+    * this crawl snapshot / domain distributionally unlike the rest?).
+    * Add-one smoothing over the GLOBAL vocabulary on both sides
+    * (`p = (c_st+1)/(n_s+V)`, `q = (c_t+1)/(N+V)`), per-TERM e9
+    * floors of the identical double tree, then exact integer sums —
+    * the t14/t18 discipline, so the whole statistic replays
+    * engine-exactly. Scale shape: the token shuffle is the only
+    * corpus-sized exchange; the scoring grid is |slices|·|vocab| rows
+    * (vocab-bounded, slice count small by construction) with the
+    * 1-row totals broadcast. Output: (source, n_tokens, kl_e9). */
+  def unigramKl(
+      docs: org.apache.spark.sql.DataFrame, sliceCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val tok = docs
+      .select(col(sliceCol).as("s"), explode(tokens(col(textCol))).as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tok.count() // eager: four aggregations consume this frame
+    val cst = tok.groupBy("s", "t").agg(count(lit(1)).as("c"))
+    val ct = tok.groupBy("t").agg(count(lit(1)).as("cg"))
+    val ns = tok.groupBy("s").agg(count(lit(1)).as("ns"))
+    val tot = tok.agg(
+      count(lit(1)).as("nn"), countDistinct(col("t")).as("vv"))
+    val p = (col("c") + 1).cast("double") /
+      (col("ns") + col("vv")).cast("double")
+    val q = (col("cg") + 1).cast("double") /
+      (col("nn") + col("vv")).cast("double")
+    ns.crossJoin(ct)
+      .join(cst, Seq("s", "t"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("s"), col("ns"),
+        coalesce(col("c"), lit(0L)).as("c"), col("cg"),
+        col("nn"), col("vv"))
+      .select(col("s"), col("ns"),
+        floor(p * log(p / q) * 1e9).as("e"))
+      .groupBy("s")
+      .agg(max(col("ns")).as("n_tokens"), sum(col("e")).as("kl_e9"))
+      .select(col("s").as("source"), col("n_tokens"), col("kl_e9"))
+  }
+
   // ---- blocklist (badwords) filtering -----------------------------------
 
   /** Token n-grams from a MATERIALIZED token-array column, as literal

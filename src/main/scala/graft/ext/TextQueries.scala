@@ -895,6 +895,46 @@ object TextQueries {
           sum(col("ntok")).over(w).as("cum_tok"))
     },
 
+    // per-source unigram KL divergence vs the whole corpus: the
+    // distribution-drift audit of a corpus mixture (which source is
+    // distributionally unlike the rest). Add-one smoothing over the
+    // global vocab on both sides; per-term e9 floors of one shared
+    // double tree, exact integer sums.
+    Q(
+      "t32_unigram_kl",
+      """WITH tok AS (
+        |  SELECT source AS s,
+        |    unnest(string_split_regex(trim(text), ' +')) AS t
+        |  FROM documents
+        |), cst AS (
+        |  SELECT s, t, count(*) AS c FROM tok GROUP BY 1, 2
+        |), ct AS (
+        |  SELECT t, count(*) AS cg FROM tok GROUP BY 1
+        |), ns AS (
+        |  SELECT s, count(*) AS ns FROM tok GROUP BY 1
+        |), tot AS (
+        |  SELECT count(*) AS nn, count(DISTINCT t) AS vv FROM tok
+        |), term AS (
+        |  SELECT ns.s, ns.ns,
+        |    floor(
+        |      (CAST(coalesce(cst.c, 0) + 1 AS DOUBLE)
+        |        / CAST(ns.ns + vv AS DOUBLE))
+        |      * ln(
+        |        (CAST(coalesce(cst.c, 0) + 1 AS DOUBLE)
+        |          / CAST(ns.ns + vv AS DOUBLE))
+        |        / (CAST(ct.cg + 1 AS DOUBLE)
+        |          / CAST(nn + vv AS DOUBLE)))
+        |      * 1e9) AS e
+        |  FROM ns CROSS JOIN ct CROSS JOIN tot
+        |  LEFT JOIN cst ON cst.s = ns.s AND cst.t = ct.t
+        |)
+        |SELECT s AS source, CAST(max(ns) AS BIGINT) AS n_tokens,
+        |  CAST(sum(e) AS BIGINT) AS kl_e9
+        |FROM term GROUP BY s""".stripMargin) { (s, dir) =>
+      TextAnalysis.unigramKl(
+        Tables.load(s, dir, "documents"), "source", "text")
+    },
+
     // C4-style blocklist screen: occurrence audit for a banned-phrase
     // list (1–2 token phrases) — one corpus scan, gram explode,
     // broadcast-hash join against the phrase list (few KB vs TBs),

@@ -413,6 +413,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(unseen.getLong(2) !== 0L, "unseen buckets carry the smoothing ratio")
   }
 
+  test("unigramKl: single slice is exactly zero, vocab-shifted slice " +
+    "dominates a same-distribution slice") {
+    // one slice: p == q term-by-term (same counts, same totals) →
+    // every per-term floor is floor(ln(1)·…) = 0 exactly
+    val solo = Seq((1L, "a", "x y x z"), (2L, "a", "y z z"))
+      .toDF("doc_id", "source", "text")
+    val k0 = TextAnalysis.unigramKl(solo, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(k0 === Map("a" -> 0L))
+    // three slices: b repeats a's distribution; c is disjoint vocab —
+    // c's divergence must dominate both, and a ≈ b by symmetry
+    val mixed = Seq(
+      (1L, "a", "x y x z"), (2L, "a", "y z z"),
+      (3L, "b", "x y x z"), (4L, "b", "y z z"),
+      (5L, "c", "q r q r q r w")).toDF("doc_id", "source", "text")
+    val kl = TextAnalysis.unigramKl(mixed, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(kl("a") === kl("b"), "identical slices must tie exactly")
+    assert(kl("c") > kl("a") * 2, "disjoint vocab must dominate")
+    spark.catalog.clearCache()
+  }
+
   test("blocklistHits counts phrase occurrences and distinct docs") {
     val docs = Seq(
       (1L, "a b c a b"),
