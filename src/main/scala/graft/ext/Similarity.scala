@@ -243,7 +243,7 @@ object Similarity {
     half.count() // eager: both union branches read this frame
     val scored = half.union(half.select(
       col("_cid").as("_qid"), col("_qid").as("_cid"), col("_cos")))
-    disagreementRollup(perQueryTopK(scored, k), labels, k)
+    disagreementRollup(perQueryTopK(scored, k), labels)
   }
 
   /** Cell-restricted label-noise screen — the SCALE PATH for
@@ -271,33 +271,48 @@ object Similarity {
     val small = assigned.groupBy("c").count()
       .where(col("count") <= maxCell).drop("count")
     val inCell = assigned.join(small, Seq("c"))
-    val scored = inCell
+    // same half-matrix + mirror trick as the exact path: cosine is
+    // symmetric, so each in-cell unordered pair dots once
+    val half = inCell
       .select(col("c"), col("id").as("_cid"), col("v").as("_cv"))
       .join(inCell.select(col("c"), col("id").as("_qid"),
         col("v").as("_qv")), Seq("c"))
-      .where(col("_cid") =!= col("_qid"))
+      .where(col("_cid") < col("_qid"))
       .select(col("_qid"), col("_cid"),
         round(cosine(col("_cv"), col("_qv")), 6).as("_cos"))
-    disagreementRollup(perQueryTopK(scored, k), labels, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    half.count() // eager: both union branches read this frame
+    val scored = half.union(half.select(
+      col("_cid").as("_qid"), col("_qid").as("_cid"), col("_cos")))
+    disagreementRollup(perQueryTopK(scored, k), labels)
   }
 
   /** Shared tail: label both sides of a (query_id, neighbor_id, …)
-    * top-k frame and roll up null-safe disagreement counts. */
+    * top-k frame and roll up null-safe disagreement counts. The
+    * fraction denominator is the ACTUAL scored-neighbor count per
+    * query, not the requested k — in a small k-means cell (or a
+    * corpus smaller than k+1) a vector has fewer than k neighbors,
+    * and dividing by k would understate certain mislabels exactly
+    * where the screen matters most. Output includes `n_nbrs` so the
+    * caller can see thin-evidence rows. */
   private def disagreementRollup(
-      topk: DataFrame, labels: DataFrame, k: Int): DataFrame =
+      topk: DataFrame, labels: DataFrame): DataFrame =
     topk
       .join(labels.withColumnRenamed("_id", "query_id"), "query_id")
       .join(
         labels.select(col("_id").as("neighbor_id"), col("_l").as("_nl")),
         "neighbor_id")
       .groupBy(col("query_id"), col("_l"))
-      .agg(sum(when(not(col("_nl") <=> col("_l")), 1L).otherwise(0L))
-        .as("n_disagree"))
+      .agg(
+        count(lit(1)).as("n_nbrs"),
+        sum(when(not(col("_nl") <=> col("_l")), 1L).otherwise(0L))
+          .as("n_disagree"))
       .select(
         col("query_id").as("vec_id"),
         col("_l").cast("long").as("label"),
+        col("n_nbrs"),
         col("n_disagree"),
-        expr(s"(n_disagree * 10000) div $k").as("disagree_e4"))
+        expr("(n_disagree * 10000) div n_nbrs").as("disagree_e4"))
 
   /** Two-phase per-query top-k over (_qid, _cid, _cos) rows — the
     * groupBy analog of TakeOrderedAndProject (see [[knnJoin]] doc):

@@ -467,10 +467,11 @@ object SimilarityQueries {
         |  FROM sc
         |)
         |SELECT qid AS vec_id, CAST(ql AS BIGINT) AS label,
+        |  CAST(count(*) AS BIGINT) AS n_nbrs,
         |  CAST(sum(CASE WHEN cl IS DISTINCT FROM ql THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_disagree,
         |  CAST((sum(CASE WHEN cl IS DISTINCT FROM ql THEN 1 ELSE 0 END)
-        |    * 10000) // 10 AS BIGINT) AS disagree_e4
+        |    * 10000) // count(*) AS BIGINT) AS disagree_e4
         |FROM r WHERE rn <= 10 GROUP BY qid, ql""".stripMargin) { (s, dir) =>
       Similarity.labelNoiseScreen(
         Tables.load(s, dir, "embeddings"), "vec_id", "embedding",

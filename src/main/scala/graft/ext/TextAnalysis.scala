@@ -586,15 +586,19 @@ object TextAnalysis {
   def unigramKl(
       docs: org.apache.spark.sql.DataFrame, sliceCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
-    val tok = docs
+    // ONE corpus-sized aggregation: the (slice, term) count frame is
+    // |slices|·|vocab|-bounded, and every marginal (per-term, per-
+    // slice, totals) derives from it with bit-identical integer sums
+    // — the raw token stream is never re-scanned
+    val cst = docs
       .select(col(sliceCol).as("s"), explode(tokens(col(textCol))).as("t"))
+      .groupBy("s", "t").agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    tok.count() // eager: four aggregations consume this frame
-    val cst = tok.groupBy("s", "t").agg(count(lit(1)).as("c"))
-    val ct = tok.groupBy("t").agg(count(lit(1)).as("cg"))
-    val ns = tok.groupBy("s").agg(count(lit(1)).as("ns"))
-    val tot = tok.agg(
-      count(lit(1)).as("nn"), countDistinct(col("t")).as("vv"))
+    cst.count() // eager: four derivations consume this frame
+    val ct = cst.groupBy("t").agg(sum(col("c")).as("cg"))
+    val ns = cst.groupBy("s").agg(sum(col("c")).as("ns"))
+    val tot = cst.agg(
+      sum(col("c")).as("nn"), count_distinct(col("t")).as("vv"))
     val p = (col("c") + 1).cast("double") /
       (col("ns") + col("vv")).cast("double")
     val q = (col("cg") + 1).cast("double") /

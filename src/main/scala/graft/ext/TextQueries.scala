@@ -814,10 +814,14 @@ object TextQueries {
       val docs = Tables.load(s, dir, "documents")
       val merges = Bpe.train(docs, "text", numMerges = 12)
       val enc = Bpe.encodeTokensByRounds(docs, "doc_id", "text", merges)
+      // LEFT join + coalesce mirrors the oracle's base CTE exactly: a
+      // doc the encoder dropped (null id) still counts toward its
+      // language's doc/word/char sums with zero BPE tokens
       docs
         .select(col("doc_id"), col("lang"),
           tokenCount(col("text")).cast("long").as("ws"), col("n_chars"))
-        .join(enc, "doc_id")
+        .join(enc, Seq("doc_id"), "left")
+        .withColumn("n_bpe_tokens", coalesce(col("n_bpe_tokens"), lit(0L)))
         .groupBy("lang")
         .agg(
           count(lit(1)).as("n_docs"),

@@ -684,15 +684,29 @@ class DedupSpec extends SparkSpec {
     val got = Similarity.labelNoiseScreen(
       vecs, "vec_id", "embedding", "label", k = 4)
       .collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
       .toMap
     // the mislabel: all 4 neighbors disagree → 10000 e4
-    assert(got(2L) === ((2L, 4L, 10000L)))
+    assert(got(2L) === ((2L, 4L, 4L, 10000L)))
     // clean A members: exactly the mislabeled neighbor disagrees
     for (i <- Seq(1L, 3L, 4L, 5L, 6L))
-      assert(got(i) === ((1L, 1L, 2500L)), s"id=$i")
+      assert(got(i) === ((1L, 4L, 1L, 2500L)), s"id=$i")
     // B members: 3 in-cluster agreements + A's id 1 across the gap
-    for (i <- 10L to 13L) assert(got(i) === ((2L, 1L, 2500L)), s"id=$i")
+    for (i <- 10L to 13L) assert(got(i) === ((2L, 4L, 1L, 2500L)), s"id=$i")
+    // denominator is the ACTUAL neighbor count: a 3-vector corpus at
+    // k=10 has 2 neighbors each — the lone disagreeing pair must read
+    // as a 50% fraction, not 2/10ths
+    val tiny = Seq(
+      (1L, Seq(1.0f, 0.0f), 1), (2L, Seq(1.0f, 0.01f), 1),
+      (3L, Seq(1.0f, 0.02f), 2)).toDF("vec_id", "embedding", "label")
+    val tg = Similarity.labelNoiseScreen(
+      tiny, "vec_id", "embedding", "label", k = 10)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(tg(1L) === ((2L, 1L, 5000L)))
+    assert(tg(3L) === ((2L, 2L, 10000L)))
     spark.catalog.clearCache()
   }
 
@@ -707,7 +721,8 @@ class DedupSpec extends SparkSpec {
     val vecs = (a ++ b).toDF("vec_id", "embedding", "label")
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
         .toSet
     val exact = rows(Similarity.labelNoiseScreen(
       vecs, "vec_id", "embedding", "label", k = 4))
