@@ -35,6 +35,11 @@ class ReferenceReplaySpec extends SparkSpec {
   private def randVec(rnd: scala.util.Random, dim: Int): Seq[Float] =
     Seq.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)
 
+  /** Collapse -0.0 to +0.0 before using a rounded cosine as a sort
+    * key: Scala's total Ordering[Double] ranks -0.0 < 0.0 while the
+    * engine's sort ties them and falls through to the id tie-break. */
+  private def zeroNorm(c: Double): Double = if (c == 0.0) 0.0 else c
+
   test("mmrTopK equals an independent greedy replay on random corpora") {
     val rnd = new scala.util.Random(77)
     for (trial <- 0 until 5) {
@@ -49,7 +54,8 @@ class ReferenceReplaySpec extends SparkSpec {
       // reference: candidate rank, pairwise sims, unrolled greedy
       val rel = vecs.map { case (id, v) => id -> e6(cos6(v, q)) }.toMap
       val order = vecs.map { case (id, v) => (id, cos6(v, q)) }
-        .sortBy { case (id, c) => (-c, id) }.take(cands).map(_._1)
+        .sortBy { case (id, c) => (-zeroNorm(c), id) }
+        .take(cands).map(_._1)
       val byId = vecs.toMap
       def sim(a: Long, b: Long): Long = e6(cos6(byId(a), byId(b)))
       var remaining = order.toSet
@@ -91,7 +97,7 @@ class ReferenceReplaySpec extends SparkSpec {
       val ref = vecs.map { case (id, v, l) =>
         val nbrs = vecs.filter(_._1 != id)
           .map { case (cid, cv, _) => (cid, cos6(cv, v)) }
-          .sortBy { case (cid, c) => (-c, cid) }
+          .sortBy { case (cid, c) => (-zeroNorm(c), cid) }
           .take(k).map(_._1)
         val dis = nbrs.count(c => lab(c) != l)
         id -> ((l.toLong, nbrs.size.toLong, dis.toLong,
