@@ -21,6 +21,7 @@ object ScaleProbe {
     if (args.contains("stream")) { probeStream(spark); spark.stop(); return }
     if (args.contains("bloom")) { probeBloom(spark); spark.stop(); return }
     if (args.contains("graph")) { probeGraph(spark); spark.stop(); return }
+    if (args.contains("s17")) { probeS17(spark); spark.stop(); return }
     val docs1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .select(col("doc_id"), col("text"))
     // 10x: replicate with distinct ids and a per-copy suffix token so
@@ -604,6 +605,49 @@ object ScaleProbe {
     * (broadcast phrase list, no corpus-sized state), and MMR at
     * 10x/100x vectors must track the top-candidates scan (the greedy
     * tail is a query-time constant). */
+  /** s17 exact-path memory probe: runs the EXACT label-noise screen at
+    * 1x/10x (2k/20k vectors) and the cells path at 10x, on whatever
+    * heap the fork gives it (default 8g — the configuration the round-8
+    * probe OOMed under with the collect_list partial; the bounded
+    * per-query top-k aggregate is the fix under measurement here). Run:
+    * `sbt "runMain graft.ScaleProbe s17"`. */
+  private def probeS17(spark: SparkSession): Unit = {
+    println(s"maxHeap = ${Runtime.getRuntime.maxMemory() / (1 << 20)} MiB")
+    val vl1 = spark.read
+      .parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    def repVl(r: Int) = (0 until r).map { i =>
+      vl1.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+        transform(col("embedding"), (x, j) =>
+          when(j === 0, x + lit(0.001f * (i + 1))).otherwise(x))
+          .as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+    val dirs = collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$name%-30s ${(System.nanoTime() - t0) / 1e9}%6.2f s  rows=$n")
+      spark.catalog.clearCache()
+    }
+    try {
+      val vl10 = matTo(spark, dirs, repVl(10), "s17-vl10")
+      println(s"vl10 = ${vl10.count()}")
+      for ((label, v) <- Seq(("1x(2k)", vl1), ("10x(20k)", vl10)))
+        time(s"$label s17 exact") {
+          graft.ext.Similarity.labelNoiseScreen(
+            v, "vec_id", "embedding", "label").count()
+        }
+      time("10x(20k) s17 cells(n/128)") {
+        graft.ext.Similarity.labelNoiseScreenCells(
+          vl10, "vec_id", "embedding", "label",
+          cells = math.max(16, (vl10.count() / 128).toInt),
+          dim = Some(64)).count()
+      }
+    } finally {
+      dirs.foreach(graft.util.Fs.deleteRecursively)
+    }
+  }
+
   private def probeGraph(spark: SparkSession): Unit = {
     import org.apache.spark.sql.DataFrame
     val docs1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")

@@ -314,29 +314,33 @@ object Similarity {
         col("n_disagree"),
         expr("(n_disagree * 10000) div n_nbrs").as("disagree_e4"))
 
-  /** Two-phase per-query top-k over (_qid, _cid, _cos) rows — the
-    * groupBy analog of TakeOrderedAndProject (see [[knnJoin]] doc):
-    * per-partition k-best, then one skinny rank shuffle. Ties break by
-    * neighbor id ascending (the s1 contract). */
+  /** Bounded per-query top-k over (_qid, _cid, _cos) rows — the
+    * groupBy analog of TakeOrderedAndProject (see [[knnJoin]] doc),
+    * with the bound enforced INSIDE the aggregation buffer: one
+    * hash-aggregate on _qid whose partial state is a size-k heap
+    * ([[graft.expr.BoundedTopK]]), so the map side holds at most k
+    * entries per (query, partition) and the shuffle carries only the
+    * surviving k-bounded states. The previous collect_list+slice
+    * partial materialized every scored row of a group-partition at
+    * once — the measured s17 exact-path OOM at a 20k corpus
+    * (~400M scored rows through the partial lists; BASELINE.md).
+    * Ranking is on the e6-rounded cosine as BIGINT (the family's
+    * score contract — ordering over rounded-6 doubles and their e6
+    * integers is identical, and integer compare sidesteps the ±0.0
+    * total-order wrinkle). Ties break by neighbor id ascending (the
+    * s1 contract). */
   private def perQueryTopK(scored: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val partial = scored
-      .withColumn("_p", spark_partition_id())
-      .groupBy(col("_qid"), col("_p"))
-      .agg(slice(
-        sort_array(collect_list(struct((-col("_cos")).as("_n"),
-          col("_cid")))),
-        1, k).as("_top"))
-      .select(col("_qid"), explode(col("_top")).as("_t"))
-      .select(col("_qid"), col("_t._cid").as("_cid"),
-        (-col("_t._n")).as("_cos"))
-    val w = Window.partitionBy(col("_qid"))
-      .orderBy(col("_cos").desc, col("_cid").asc)
-    partial
-      .withColumn("_rn", row_number().over(w))
-      .where(col("_rn") <= k)
-      .select(col("_qid").as("query_id"), col("_cid").as("neighbor_id"),
-        round(col("_cos") * 1e6).cast("long").as("cos_e6"))
+    import org.apache.spark.sql.graft.ColumnBridge
+    val top = ColumnBridge.column(
+      graft.expr.BoundedTopK(
+        ColumnBridge.expression(round(col("_cos") * 1e6).cast("long")),
+        ColumnBridge.expression(col("_cid")), k).toAggregateExpression())
+    scored
+      .groupBy(col("_qid"))
+      .agg(top.as("_top"))
+      .select(col("_qid").as("query_id"), explode(col("_top")).as("_t"))
+      .select(col("query_id"), col("_t.id").as("neighbor_id"),
+        col("_t.score").as("cos_e6"))
   }
 
   /** Maximal-marginal-relevance diversified top-k (Carbonell &
