@@ -972,7 +972,12 @@ object Dedup {
     * normalization): absolute overlap is the edge criterion a
     * duplication GRAPH wants — a 40-token template pasted into a
     * 4,000-token page is invisible to Jaccard but is exactly the hub
-    * edge [[Graph.pageRankInt]] scores. Same maxPostings skew guard.
+    * edge [[Graph.pageRankInt]] scores. Same maxPostings skew guard —
+    * NOTE the default 1000 cap drops hub-shingle postings, while the
+    * d22/d23/d25 DuckDB oracles replay the UNCAPPED join: oracle
+    * parity requires `maxPostings = Int.MaxValue` (those queries pass
+    * it explicitly, the same contract [[ngramJaccardPairs]]'s uncapped
+    * variant documents for d5). Production callers keep the cap.
     * Output: (id_a, id_b, shared) with id_a < id_b. */
   def shingleOverlapPairs(
       docs: DataFrame, idCol: String, textCol: String,

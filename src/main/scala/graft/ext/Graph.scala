@@ -49,12 +49,15 @@ object Graph {
       initE9: Long = 1000000000L,
       baseE9: Long = 150000000L,
       dampNum: Long = 85L,
-      dampDen: Long = 100L): DataFrame = {
+      dampDen: Long = 100L,
+      checkpointEvery: Int = 8,
+      stopDeltaE9: Option[Long] = None): DataFrame = {
     val verts = vertices.select(col(vertices.columns.head).as("id"))
     iterate(
       verts.select(col("id"),
         lit(baseE9).as("base"), lit(initE9).as("init")),
-      pairs, iterations, dampNum, dampDen)
+      pairs, iterations, dampNum, dampDen,
+      checkpointEvery = checkpointEvery, stopDeltaE9 = stopDeltaE9)
   }
 
   /** Personalized PageRank: teleport mass lands ONLY on the seed set —
@@ -122,34 +125,75 @@ object Graph {
     * edge relation) and ONE aggregation — the teleport base term rides
     * the aggregation as union rows rather than a third per-round join,
     * which also keeps every vertex present in the output (a vertex
-    * with no in-edges still contributes its base row). */
+    * with no in-edges still contributes its base row).
+    *
+    * The edge relation is VERTEX-RESTRICTED up front (semi-join of
+    * both endpoints against the vertex frame): a pair whose endpoint
+    * is absent from `vertices` would otherwise appear in the output
+    * with no base term and begin radiating mass from superstep 2,
+    * diverging from the oracle's verts-restricted formulation. All
+    * in-repo pair generators derive from the vertex frame (no-op
+    * semi-joins), but the operator no longer relies on that.
+    *
+    * Lineage control: every `checkpointEvery` supersteps the rank
+    * frame `localCheckpoint`s (eager) — the plan would otherwise grow
+    * one join+agg per round, and at hundreds of rounds analysis time
+    * and driver stack depth dominate. Each checkpoint is a
+    * materialization barrier, so the default trades one extra action
+    * per 8 rounds for bounded plans; the d22/d23/d25 pack queries run
+    * 5 rounds and never hit it.
+    *
+    * Early exit: `stopDeltaE9 = Some(d)` stops once the max absolute
+    * per-vertex rank change of a superstep is ≤ d (integer ranks make
+    * d=0 an EXACT fixpoint test). Costs one join+agg action per
+    * round, so it is opt-in; the fixed-iteration form stays the
+    * engine-exact replay contract ([[pageRankInt]] docs). */
   private def iterate(
       vertsBase: DataFrame, pairs: DataFrame, iterations: Int,
       dampNum: Long, dampDen: Long,
-      weightCol: Option[String] = None): DataFrame = {
+      weightCol: Option[String] = None,
+      checkpointEvery: Int = 8,
+      stopDeltaE9: Option[Long] = None): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val w = weightCol.map(col).getOrElse(lit(1L))
+    val vb = vertsBase.persist(StorageLevel.MEMORY_AND_DISK)
     val directed = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"),
         w.cast("long").as("w"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"),
         w.cast("long").as("w")))
+      .join(vb.select(col("id").as("src")), Seq("src"), "leftsemi")
+      .join(vb.select(col("id").as("dst")), Seq("dst"), "leftsemi")
     val sw = directed.groupBy("src").agg(sum(col("w")).as("sw"))
     val edges = directed.join(sw, "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     edges.count() // eager populate: every superstep reads this frame
-    val vb = vertsBase.persist(StorageLevel.MEMORY_AND_DISK)
 
     var ranks = vb.select(col("id"), col("init").as("rank"))
-    for (_ <- 1 to iterations) {
+    var round = 0
+    var converged = false
+    while (round < iterations && !converged) {
       val contrib = edges
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .select(
           col("dst").as("id"),
           expr(s"(((rank * $dampNum) div $dampDen) * w) div sw").as("c"))
-      ranks = contrib
+      val next = contrib
         .union(vb.select(col("id"), col("base")))
         .groupBy("id").agg(sum(col("c")).as("rank"))
+      val bounded =
+        if ((round + 1) % checkpointEvery == 0) next.localCheckpoint(true)
+        else next
+      stopDeltaE9.foreach { d =>
+        val maxDelta = bounded.withColumnRenamed("rank", "r2")
+          .join(ranks, Seq("id"))
+          .agg(coalesce(max(abs(col("r2") - col("rank"))), lit(0L)))
+          .head().getLong(0)
+        if (maxDelta <= d) converged = true
+      }
+      ranks = bounded
+      round += 1
     }
     ranks
   }

@@ -225,15 +225,20 @@ object Similarity {
       vectors: DataFrame, idCol: String, vecCol: String,
       labelCol: String, k: Int = 10): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val labels = vectors
+    // zero-norm vectors carry no direction (the semanticContamination
+    // discipline): cosine would be 0/0 = NaN, which out-sorts every
+    // real score in the DESC top-k. Excluded from BOTH roles — they
+    // neither audit nor serve as neighbors, and emit no output row.
+    val vecs = vectors.where(norm(col(vecCol)) > 0)
+    val labels = vecs
       .select(col(idCol).as("_id"), col(labelCol).as("_l"))
     val q = broadcast(
-      vectors.select(col(idCol).as("_qid"), col(vecCol).as("_qv")))
+      vecs.select(col(idCol).as("_qid"), col(vecCol).as("_qv")))
     // cosine is symmetric: score each unordered pair ONCE (the strict
     // half-matrix), persist the skinny (qid, cid, cos) frame eagerly,
     // and mirror it for the per-query ranking — half the VectorDot
     // work of the naive full matrix, measured 8.1 → 6.0 s at sf0.1
-    val half = vectors
+    val half = vecs
       .select(col(idCol).as("_cid"), col(vecCol).as("_cv"))
       .join(q)
       .where(col("_cid") < col("_qid"))
@@ -262,9 +267,11 @@ object Similarity {
       labelCol: String, k: Int = 10, cells: Int = 16,
       maxCell: Int = 10000, dim: Option[Int] = None): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val labels = vectors
+    // zero-norm gate, same contract as the exact screen
+    val vecs = vectors.where(norm(col(vecCol)) > 0)
+    val labels = vecs
       .select(col(idCol).as("_id"), col(labelCol).as("_l"))
-    val idx = ivfBuild(vectors, idCol, vecCol, k = cells, dim = dim)
+    val idx = ivfBuild(vecs, idCol, vecCol, k = cells, dim = dim)
     val assigned = idx.assigned
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     assigned.count() // eager: both join sides read this frame
@@ -378,7 +385,12 @@ object Similarity {
     val sp = vectors.sparkSession
     import sp.implicits._
     val q = array(query.map(v => lit(v.toDouble)): _*)
+    // zero-norm corpus vectors would score NaN (0/0) and out-sort
+    // every real candidate; a NaN pairwise sim then NPEs the greedy
+    // lookup — gated here like the rest of the family. A zero-norm
+    // QUERY is a caller error (no direction to retrieve toward).
     val cand = vectors
+      .where(norm(col(vecCol)) > 0)
       .select(col(idCol).as("id"), col(vecCol).as("v"),
         round(cosine(col(vecCol), q), 6).as("cos"))
       .orderBy(col("cos").desc, col("id").asc)

@@ -658,11 +658,11 @@ object TextAnalysis {
   private def blocklistHitStream(
       docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
       phrases: Seq[String]): org.apache.spark.sql.DataFrame = {
-    require(phrases.nonEmpty, "blocklist phrases must be non-empty")
-    val maxLen = phrases.map(_.split(" ").length).max
+    val norm = normPhrases(phrases)
+    val maxLen = norm.map(_.split(" ").length).max
     val sp = docs.sparkSession
     import sp.implicits._
-    val bl = broadcast(phrases.toDF("phrase"))
+    val bl = broadcast(norm.toDF("phrase"))
     docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
       .select(col("doc_id"),
@@ -688,10 +688,23 @@ object TextAnalysis {
     * twice). Right for phrase lists up to a few thousand entries;
     * beyond that the broadcast-join form wins. */
   def blocklistPredFromToks(toks: Column, phrases: Seq[String]): Column = {
-    require(phrases.nonEmpty, "blocklist phrases must be non-empty")
-    val maxLen = phrases.map(_.split(" ").length).max
+    val norm = normPhrases(phrases)
+    val maxLen = norm.map(_.split(" ").length).max
     arrays_overlap(
-      phraseGramsFromToks(toks, maxLen), array(phrases.map(lit): _*))
+      phraseGramsFromToks(toks, maxLen), array(norm.map(lit): _*))
+  }
+
+  /** Phrase-list normalization shared by every blocklist entry point:
+    * trim + collapse internal whitespace (grams from [[tokens]] are
+    * single-space-joined, so a doubled/leading/trailing space both
+    * inflates maxLen and makes the entry an unmatchable silent no-op),
+    * drop entries that normalize to empty, dedupe (a duplicated
+    * phrase would double its audit counts through the hit join). */
+  private def normPhrases(phrases: Seq[String]): Seq[String] = {
+    val norm = phrases.map(_.trim.replaceAll("\\s+", " "))
+      .filter(_.nonEmpty).distinct
+    require(norm.nonEmpty, "blocklist phrases must be non-empty")
+    norm
   }
 
   /** Stateless filter via [[blocklistPredFromToks]] — identical

@@ -710,6 +710,37 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("zero-norm vectors are excluded from both roles of the screens " +
+    "and from mmrTopK candidates (no NaN ranks, no NPE)") {
+    // id 5 is all-zero: cosine against it is 0/0 = NaN, which would
+    // out-sort every real score in the DESC top-k. It must neither
+    // audit (no output row) nor occupy neighbor slots.
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f), 1), (2L, Seq(1.0f, 0.01f), 1),
+      (3L, Seq(1.0f, 0.02f), 2), (5L, Seq(0.0f, 0.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val exact = Similarity.labelNoiseScreen(
+      vecs, "vec_id", "embedding", "label", k = 10)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(!exact.contains(5L))
+    assert(exact(1L) === ((2L, 1L))) // 2 real neighbors, not 3
+    val cells = Similarity.labelNoiseScreenCells(
+      vecs, "vec_id", "embedding", "label", k = 10, cells = 1,
+      dim = Some(2))
+      .collect().map(_.getLong(0)).toSet
+    assert(cells === Set(1L, 2L, 3L))
+    // mmrTopK: the zero vector must not enter the candidate set (a
+    // NaN pairwise sim would NPE the greedy lookup)
+    val got = Similarity.mmrTopK(
+      vecs, "vec_id", "embedding", query = Seq(1.0f, 0.0f),
+      candidates = 4, k = 4)
+      .collect().map(_.getLong(1)).toSeq
+    assert(got.toSet === Set(1L, 2L, 3L))
+    spark.catalog.clearCache()
+  }
+
   test("labelNoiseScreenCells equals the exact screen on separable " +
     "clusters; oversized cells drop") {
     // two tight clusters, each big enough that every top-4 list is

@@ -211,4 +211,64 @@ class GraphSpec extends SparkSpec {
     assert(r(1L) > r(3L)) // spoke beats isolated
     assert(r(3L) === 150000000L)
   }
+
+  test("pairs endpoints outside the vertex frame are ignored: no " +
+    "foreign ids in the output, no mass leaking in from them") {
+    val verts = Seq(1L, 2L).toDF("id")
+    // 99 is not a vertex: the 2-99 edge must vanish entirely — vertex 2
+    // must NOT split its out-mass with 99 nor absorb mass from it
+    val pairs = Seq((1L, 2L), (2L, 99L)).toDF("id_a", "id_b")
+    val r = Graph.pageRankInt(verts, pairs, iterations = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // identical to the clean two-vertex cycle: mass conserved at 1e9
+    assert(r === Map(1L -> 1000000000L, 2L -> 1000000000L))
+  }
+
+  test("checkpointed long run: 50 supersteps complete with bounded " +
+    "plan depth and agree with the uncheckpointed form") {
+    val verts = Seq(0L, 1L, 2L, 3L).toDF("id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L))
+      .toDF("id_a", "id_b")
+    // 12 rounds spans one checkpoint boundary (every 8): results must
+    // be bit-identical to a checkpoint-free run of the same 12 rounds
+    val chk = Graph.pageRankInt(verts, pairs, iterations = 12)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val plain = Graph.pageRankInt(verts, pairs, iterations = 12,
+      checkpointEvery = 1000)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(chk === plain)
+    // 50 rounds: the analyzed plan must stay bounded (a checkpoint
+    // resets lineage, so depth reflects at most checkpointEvery
+    // rounds, not all 50)
+    val long = Graph.pageRankInt(verts, pairs, iterations = 50)
+    val depth = long.queryExecution.analyzed.collect { case p => p }.size
+    assert(depth < 200, s"plan nodes = $depth")
+    assert(long.count() === 4L)
+    spark.catalog.clearCache()
+  }
+
+  test("integer fixpoint early exit: stopDeltaE9=0 stops at the exact " +
+    "fixpoint and further rounds do not change ranks") {
+    // two-vertex cycle reaches its fixpoint immediately (mass
+    // conserved at 1e9): with stopDeltaE9=0 a 40-round budget stops
+    // after round 1's delta check yet returns the exact ranks
+    val verts = Seq(1L, 2L).toDF("id")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val r = Graph.pageRankInt(verts, pairs, iterations = 40,
+      stopDeltaE9 = Some(0L))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(1L -> 1000000000L, 2L -> 1000000000L))
+    // star graph, same budget both sides: a delta-0 exit is a TRUE
+    // fixpoint (deterministic map), so stopping early must be
+    // indistinguishable from running the full budget
+    val sverts = Seq(0L, 1L, 2L, 3L).toDF("id")
+    val spairs = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("id_a", "id_b")
+    val early = Graph.pageRankInt(sverts, spairs, iterations = 100,
+      stopDeltaE9 = Some(0L))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val fixed = Graph.pageRankInt(sverts, spairs, iterations = 100)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(early === fixed)
+    spark.catalog.clearCache()
+  }
 }

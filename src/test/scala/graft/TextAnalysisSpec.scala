@@ -480,4 +480,30 @@ class TextAnalysisSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(viaInline === viaJoin && viaInline.nonEmpty)
   }
+
+  test("blocklist phrase lists normalize: messy whitespace matches, " +
+    "duplicates don't double-count, all-blank lists reject") {
+    val docs = Seq(
+      (1L, "contains bad word now"),
+      (2L, "clean text")).toDF("doc_id", "text")
+    // "  bad   word " would otherwise inflate maxLen AND never match
+    // the single-space grams tokens() produces — a silent no-op entry
+    val messy = Seq("  bad   word ", "bad word", "\tbad  word")
+    val got = TextAnalysis.blocklistHits(docs, "doc_id", "text", messy)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // three spellings collapse to ONE normalized phrase, counted once
+    assert(got === Map("bad word" -> ((1L, 1L))))
+    val kept = TextAnalysis.blocklistFilter(
+      docs, "doc_id", "text", Seq(" bad   word ".replace(' ', ' ')))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L))
+    val keptInline = TextAnalysis.blocklistFilterInline(
+      docs, "text", Seq("  bad   word "))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptInline === Set(2L))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.blocklistHits(docs, "doc_id", "text", Seq("  ", ""))
+    }
+  }
 }
