@@ -478,16 +478,28 @@ object Dedup {
   def dedupSpans(
       docs: DataFrame, idCol: String, textCol: String, n: Int = 8)
       : DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val tp = docs
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
-      .select(col("doc_id"), posexplode(col("t")).as(Seq("p", "tk")))
     val grams = positionalGrams(docs, idCol, textCol, n)
     val shared = sharedGrams(grams)
     val starts = grams
       .join(shared, Seq("g"), "left_semi")
       .select(col("doc_id"), col("q").as("p"), lit(1).as("st"))
+    cutCoveredTokens(docs, idCol, textCol, starts, n)
+  }
 
+  /** Shared cut-and-reassemble tail for the span-dedup transforms:
+    * given duplicate-gram START positions (doc_id, p, st=1), mark
+    * every token within the n-token window of a start (per-document
+    * ROWS frame — coverage of [p, p+n−1]) and rebuild each document
+    * from the surviving tokens in order (the one bounded-by-doc-length
+    * collect in the family). Output: doc_id, clean_hash, n_kept,
+    * n_removed. */
+  private def cutCoveredTokens(
+      docs: DataFrame, idCol: String, textCol: String,
+      starts: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tp = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("p", "tk")))
     val byDoc = Window.partitionBy("doc_id").orderBy("p")
       .rowsBetween(-(n - 1), Window.currentRow)
     tp.join(starts, Seq("doc_id", "p"), "left_outer")
@@ -503,6 +515,85 @@ object Dedup {
           " ").cast("binary")).as("clean_hash"),
         sum(when(col("c") === 0, 1L).otherwise(0L)).as("n_kept"),
         sum(col("c").cast("long")).as("n_removed"))
+  }
+
+  /** L-gram positions whose CORPUS-WIDE occurrence count (with
+    * multiplicity — a within-document repeat counts, unlike
+    * [[sharedGrams]]' distinct-docs test) is ≥ 2: exactly the start
+    * positions of length-L windows lying inside an exactly-duplicated
+    * token run. */
+  private def dupGramStarts(grams: DataFrame): DataFrame =
+    grams
+      .join(
+        grams.groupBy("g").agg(count(lit(1)).as("n"))
+          .where(col("n") >= 2).select("g"),
+        Seq("g"), "left_semi")
+      .select(col("doc_id"), col("q"))
+
+  /** Exact repeated-substring SPANS at suffix grain (Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better",
+    * ExactSubstr): the maximal token runs of length ≥ `minLen` that
+    * occur (token-exactly) at least twice in the corpus — across
+    * documents OR repeated within one — with PRECISE token boundaries.
+    *
+    * Why d12/d13 don't subsume this: they mark positions whose
+    * fixed-n gram (n ≪ L) is shared by ≥2 documents, so a repeat whose
+    * internal n-grams are individually common is over-flagged (no ≥L
+    * run need exist), within-document repeats are invisible, and
+    * boundaries smear to gram grain. Here the gram length IS `minLen`,
+    * which makes the window-union EXACT: a position lies under a
+    * duplicated L-gram window iff it lies inside a duplicated run of
+    * length ≥ L (every length-L window of such a run is itself
+    * duplicated; conversely a duplicated L-gram is such a run). The
+    * suffix-array machinery of the paper is replaced by one
+    * inverted-index aggregation — the partition-parallel formulation.
+    *
+    * Plan: positional L-gram digests (one skinny persisted frame) →
+    * corpus-wide count ≥ 2 (one shuffle, WITH multiplicity) → per-doc
+    * interval union of the hit windows [q, q+L−1] (lag/sum windows
+    * over the hit positions only — never the token stream). No pair
+    * join anywhere; reducers bound by gram frequency.
+    *
+    * Output: (doc_id, span_start 0-based, span_len ≥ minLen) — one row
+    * per maximal duplicated span. */
+  def exactSubstrSpans(
+      docs: DataFrame, idCol: String, textCol: String, minLen: Int = 20)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minLen >= 2, "minLen must be >= 2")
+    val grams = positionalGrams(docs, idCol, textCol, minLen)
+    val hits = dupGramStarts(grams)
+    val w = Window.partitionBy("doc_id").orderBy("q")
+    // consecutive hit windows [q, q+L-1] union iff gap(q) <= L; a
+    // larger gap starts a new maximal span
+    hits
+      .withColumn("_brk",
+        when(coalesce(col("q") - lag(col("q"), 1).over(w), lit(minLen.toLong + 1))
+          > minLen, 1L).otherwise(0L))
+      .withColumn("_grp", sum(col("_brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("_grp"))
+      .agg(
+        min(col("q")).cast("long").as("span_start"),
+        (max(col("q")) - min(col("q")) + minLen).cast("long").as("span_len"))
+      .select("doc_id", "span_start", "span_len")
+  }
+
+  /** Exact repeated-substring DEDUP transform — cuts every token
+    * inside a [[exactSubstrSpans]] span and reassembles the document
+    * (the drop-all-occurrences variant, matching [[dedupSpans]]'
+    * documented aggressive semantics; keep-one-copy needs a global
+    * tie-break pass on top). Same output contract as [[dedupSpans]]:
+    * (doc_id, clean_hash, n_kept, n_removed) — but the removal set is
+    * the EXACT ≥minLen duplicated runs, not the n-gram smear. */
+  def exactSubstrDedup(
+      docs: DataFrame, idCol: String, textCol: String, minLen: Int = 20)
+      : DataFrame = {
+    require(minLen >= 2, "minLen must be >= 2")
+    val grams = positionalGrams(docs, idCol, textCol, minLen)
+    val starts = dupGramStarts(grams)
+      .select(col("doc_id"), col("q").as("p"), lit(1).as("st"))
+    cutCoveredTokens(docs, idCol, textCol, starts, minLen)
   }
 
   // ---- shingling --------------------------------------------------------

@@ -710,6 +710,68 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("exactSubstrSpans: precise boundaries for planted repeats, " +
+    "within-doc multiplicity, immunity to shingle-common text") {
+    def words(tag: String, n: Int) = (0 until n).map(i => s"$tag$i")
+    val run = words("dup", 12).mkString(" ") // the planted 12-token repeat
+    val docs = Seq(
+      // repeat embedded mid-document at position 3
+      (1L, (words("a", 3) :+ run).mkString(" ") + " " +
+        words("b", 5).mkString(" ")),
+      // same repeat at position 0, different surroundings
+      (2L, run + " " + words("c", 7).mkString(" ")),
+      // within-ONE-doc repeat of a different 10-token run at 2 and 20
+      (3L, (words("x", 2) ++ words("w", 10) ++ words("y", 8) ++
+        words("w", 10) ++ words("z", 3)).mkString(" ")),
+      // shares a 9-token run with doc 5 — BELOW minLen, must not flag
+      (4L, (words("common", 9) ++ words("p", 6)).mkString(" ")),
+      (5L, (words("q", 6) ++ words("common", 9)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val spans = Dedup.exactSubstrSpans(docs, "doc_id", "text", minLen = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans === Set(
+      (1L, 3L, 12L),   // exact start and length, not gram-smeared
+      (2L, 0L, 12L),
+      (3L, 2L, 10L), (3L, 20L, 10L))) // both within-doc occurrences
+    // the 9-token shared run is invisible at minLen=10 — but the
+    // n-gram profile at n=8 DOES see it (the d12 over-flagging this
+    // operator exists to avoid)
+    val profile = Dedup.dupSpanProfile(docs, "doc_id", "text", n = 8)
+      .where(col("n_dup_spans") > 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(Set(4L, 5L).subsetOf(profile))
+    spark.catalog.clearCache()
+  }
+
+  test("exactSubstrSpans merges overlapping windows into one maximal " +
+    "span; exactSubstrDedup cuts exactly the span tokens") {
+    def words(tag: String, n: Int) = (0 until n).map(i => s"$tag$i")
+    val long = words("m", 25) // 25-token duplicated run
+    val head6 = words("h", 6)
+    val tail4 = words("t", 4)
+    val docs = Seq(
+      (1L, (head6 ++ long ++ tail4).mkString(" ")),
+      (2L, (words("u", 2) ++ long).mkString(" ")))
+      .toDF("doc_id", "text")
+    val spans = Dedup.exactSubstrSpans(docs, "doc_id", "text", minLen = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // all 16 overlapping 10-gram windows union to ONE maximal span
+    assert(spans === Set((1L, 6L, 25L), (2L, 2L, 25L)))
+
+    val got = Dedup.exactSubstrDedup(docs, "doc_id", "text", minLen = 10)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    def md5hex(s: String) = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // doc 1 keeps exactly its unique head+tail, boundaries untouched
+    assert(got(1L) ===
+      ((md5hex((head6 ++ tail4).mkString(" ")), 10L, 25L)))
+    assert(got(2L) === ((md5hex(words("u", 2).mkString(" ")), 2L, 25L)))
+    spark.catalog.clearCache()
+  }
+
   test("zero-norm vectors are excluded from both roles of the screens " +
     "and from mmrTopK candidates (no NaN ranks, no NPE)") {
     // id 5 is all-zero: cosine against it is 0/0 = NaN, which would
