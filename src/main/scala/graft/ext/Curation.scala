@@ -1,0 +1,185 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor}
+
+/** The t30 curation DAG as ONE continuous `readStream` job — the
+  * live-crawl form of the batch pipeline (SURVEY §2: END-TO-END
+  * curation composition). Stage-for-stage mapping, each with the
+  * streaming-legality argument:
+  *
+  *  1. Gopher quality gate — [[TextAnalysis.gopherFlags]], pure column
+  *     expressions, STATELESS.
+  *  2. Exact dedup — `dropDuplicatesWithinWatermark` on the content
+  *     digest ([[Dedup.streamingExactDedup]]'s contract): state keyed
+  *     by digest, EVICTED past the watermark horizon, so state is
+  *     bounded by rate×horizon. Keep-first semantics; the batch
+  *     keep-BEST twin picks a different duplicate ID but the same
+  *     CONTENT (exact duplicates tie on every content-derived score),
+  *     which is why the composed stream keys every downstream decision
+  *     on the content digest, never the arrival id.
+  *  3. Decontamination — the d21 Bloom screen applied INLINE: the
+  *     sketch ships inside a codegen'd `might_contain` EXISTS over the
+  *     doc's shingle array (map-side, no join), and survivors of the
+  *     prefilter pay an exact `array_intersect` against the broadcast
+  *     eval gram set — blooms have no false negatives, so
+  *     prefilter+exact ≡ the batch [[Dedup.contamination]] fraction
+  *     bit-for-bit. STATELESS (stream-static against a built screen).
+  *     Precondition: the eval gram set inlines as a literal array
+  *     (fine to ~10⁴ grams — the blocklist-literal contract; beyond
+  *     that run the d21 exploded join as a periodic batch pass).
+  *  4. Blocklist — [[TextAnalysis.blocklistPredFromToks]], the
+  *     inline-literal form, STATELESS.
+  *  5. Shard assignment — the t17 hash formula keyed on the CONTENT
+  *     digest (see stage 2), stateless.
+  *
+  * The one stage with no stateless form — the per-shard running token
+  * budget — is [[shardBudgetStream]]: a `transformWithState` counter
+  * per shard (state cardinality = nShards exactly, no growth, no TTL
+  * needed — the q86-family discipline of bounded stream state made
+  * trivial by the fixed key domain). StreamingWindowSpec pins the
+  * composed stream ≡ the batch stages on the fixture corpus under
+  * out-of-order multi-file micro-batches.
+  */
+object Curation {
+
+  /** Stage 1 — stateless Gopher gate, shared verbatim by the batch
+    * twin and the stream: (doc_id, text, toks, ntok) for documents
+    * passing ALL five flags (the t30 predicate). */
+  def qualityGate(
+      docs: DataFrame, idCol: String, textCol: String,
+      keep: Seq[String] = Nil): DataFrame = {
+    import TextAnalysis.{charSum, gopherFlags, tokens}
+    val kept = keep.map(col)
+    docs
+      .select(Seq(col(idCol).as("doc_id"), col(textCol).as("text"),
+        tokens(col(textCol)).as("toks"),
+        charSum(col(textCol)).cast("long").as("charsum")) ++ kept: _*)
+      .select(Seq(col("doc_id"), col("text"), col("toks"),
+        size(col("toks")).cast("long").as("ntok"),
+        gopherFlags(col("text"), col("toks"),
+          size(col("toks")).cast("long"), col("charsum")).as("fl")) ++
+        kept: _*)
+      .where(col("fl.f_wordcount") === 1 && col("fl.f_wordlen") === 1 &&
+        col("fl.f_symbols") === 1 && col("fl.f_bullet") === 1 &&
+        col("fl.f_stopwords") === 1)
+      .select(Seq(col("doc_id"), col("text"), col("toks"),
+        col("ntok")) ++ kept: _*)
+  }
+
+  /** Stage 3 — the exact contamination fraction as ONE column
+    * expression over a MATERIALIZED shingle-array column `sh`:
+    * `floor(|sh ∩ eval| / |sh| · 10⁴)`, with the Bloom sketch as a
+    * short-circuit EXISTS so the (overwhelmingly common) no-hit row
+    * never pays the intersect. Equals [[Dedup.contamination]]'s
+    * `contamination_e4` exactly — same distinct-shingle space
+    * ([[Dedup.shingleHashArray]] over pmd5 token hashes), same
+    * formula. */
+  def contaminationE4Inline(
+      sh: Column, screen: Dedup.BloomScreen): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graft.ColumnBridge
+    val evalGrams = screen.shingles.collect().map(_.getLong(0)).sorted
+    val evalLit = array(evalGrams.map(lit(_)).toIndexedSeq: _*)
+    def mightContain(g: Column) = ColumnBridge.column(BloomFilterMightContain(
+      Literal(screen.bytes, org.apache.spark.sql.types.BinaryType),
+      ColumnBridge.expression(g)))
+    val hits = when(exists(sh, mightContain),
+      size(array_intersect(sh, evalLit)).cast("long")).otherwise(0L)
+    floor(hits.cast("double") / size(sh).cast("double") * 10000)
+      .cast("long")
+  }
+
+  /** Stage 5 — the t17 shard formula keyed on the content digest (a
+    * hex md5 column): first 4 hex chars mod nShards. Content-keyed so
+    * WHICH duplicate survived the horizon dedup cannot move a
+    * document's shard. */
+  def shardOfContent(contentHash: Column, nShards: Int): Column =
+    pmod(conv(substring(contentHash, 1, 4), 16, 10).cast("long"),
+      lit(nShards.toLong))
+
+  /** The composed streaming job (stages 1–5). `docs` is a STREAMING
+    * frame with (idCol, textCol, tsCol); output is the append stream
+    * of curated survivors: (doc_id, content_hash, ntok,
+    * contamination_e4, shard). Feed [[shardBudgetStream]] for running
+    * budgets, or any writeStream sink directly. */
+  def curationStream(
+      docs: DataFrame, idCol: String, textCol: String, tsCol: String,
+      screen: Dedup.BloomScreen, blocklist: Seq[String],
+      nShards: Int = 8, contamMaxE4: Long = 2000,
+      delay: String = "1 hour"): DataFrame = {
+    val projected = qualityGate(
+      docs.withColumnRenamed(tsCol, "_ts"), idCol, textCol,
+      keep = Seq("_ts"))
+    val deduped = projected
+      .withColumn("content_hash", md5(col("text").cast("binary")))
+      .withWatermark("_ts", delay)
+      .dropDuplicatesWithinWatermark("content_hash")
+    val decontaminated = deduped
+      .withColumn("_th", Dedup.tokenHashes(col("text")))
+      .withColumn("_sh", Dedup.shingleHashArray(col("_th"), 3))
+      .withColumn("contamination_e4",
+        contaminationE4Inline(col("_sh"), screen))
+      .where(col("contamination_e4") < contamMaxE4)
+    decontaminated
+      .where(!coalesce(
+        TextAnalysis.blocklistPredFromToks(col("toks"), blocklist),
+        lit(false)))
+      .select(col("doc_id"), col("content_hash"), col("ntok"),
+        col("contamination_e4"),
+        shardOfContent(col("content_hash"), nShards).as("shard"))
+  }
+
+  final case class BudgetIn(shard: Long, doc_id: Long, ntok: Long)
+  final case class BudgetRow(
+      shard: Long, doc_id: Long, ntok: Long, cum_tok: Long)
+
+  /** Per-shard running token counter: ValueState[Long] per shard
+    * (cardinality = nShards — state CANNOT grow), rows within one
+    * micro-batch folded in (doc_id) order for determinism given an
+    * arrival sequence. Emits every doc with its running `cum_tok`; the
+    * batch t30 analog is the prefix-sum window (which ranks by the
+    * shuffle key — a FINALIZE-time order no online operator can know,
+    * so the streaming contract is arrival-order prefix sums with
+    * identical per-shard TOTALS, pinned by spec). */
+  final class ShardBudgetProcessor
+      extends StatefulProcessor[Long, BudgetIn, BudgetRow] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var total: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      total = getHandle.getValueState(
+        "total", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[BudgetIn],
+        timerValues: TimerValues): Iterator[BudgetRow] = {
+      var cum = if (total.exists()) total.get() else 0L
+      val out = rows.toSeq.sortBy(_.doc_id).map { r =>
+        cum += r.ntok
+        BudgetRow(key, r.doc_id, r.ntok, cum)
+      }
+      total.update(cum)
+      out.iterator
+    }
+  }
+
+  /** Wire [[ShardBudgetProcessor]] onto a curated stream carrying
+    * (shard, doc_id, ntok). Requires the RocksDB state store provider
+    * ([[graft.etl.TxCorrelator.ensureRocksDb]]). */
+  def shardBudgetStream(curated: DataFrame): Dataset[BudgetRow] = {
+    import org.apache.spark.sql.streaming.TimeMode
+    val spark = curated.sparkSession
+    import spark.implicits._
+    curated
+      .select(col("shard").cast("long").as("shard"),
+        col("doc_id").cast("long").as("doc_id"),
+        col("ntok").cast("long").as("ntok"))
+      .as[BudgetIn]
+      .groupByKey(_.shard)
+      .transformWithState(
+        new ShardBudgetProcessor, TimeMode.None(), OutputMode.Append())
+  }
+}

@@ -471,4 +471,133 @@ class StreamingWindowSpec extends SparkSpec {
     }
     assert(streamedByUser.values.map(_._1).sum > 0)
   }
+
+  test("composed curation stream equals the batch stages under " +
+    "out-of-order micro-batches (content-keyed survivors)") {
+    import graft.ext.{Curation, Dedup, TextAnalysis}
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // plant exact duplicates with DIFFERENT ids, and deliver them in
+    // the FIRST file while the originals arrive in the second — the
+    // stream's keep-first dedup then keeps the HIGH id where the batch
+    // keep-best keeps the low one, and the content-keyed contract is
+    // what makes the two pipelines agree anyway. Event times all
+    // within one horizon so nothing is late-dropped, only reordered.
+    val t0 = 1704067200000000L
+    val base = docs.withColumn("event_time",
+      timestamp_micros(lit(t0) + col("doc_id") * 1000000L))
+    val dups = base.where(col("doc_id") % 3 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("event_time", // dups carry EARLIER event times
+        timestamp_micros(lit(t0 - 1000000L) + (col("doc_id") - 1000000L)))
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-cur")
+    dups.coalesce(1).write.parquet(streamDir.resolve("f0").toString)
+    base.coalesce(1).write.parquet(streamDir.resolve("f1").toString)
+    val schema = spark.read.parquet(streamDir.resolve("f0").toString).schema
+
+    val eval = docs.where(col("doc_id") < 10)
+    val screen = Dedup.bloomScreenBuild(eval, "text")
+    val blocklist = Seq("spark", "table table")
+    val q = Curation.curationStream(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$streamDir/*"),
+      "doc_id", "text", "event_time", screen, blocklist,
+      nShards = 4, contamMaxE4 = 2000, delay = "2 hours")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("curation_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("curation_out")
+      .collect()
+      .map(r => r.getAs[String]("content_hash") ->
+        ((r.getLong(0), r.getAs[Long]("ntok"),
+          r.getAs[Long]("contamination_e4"), r.getAs[Long]("shard"))))
+      .toMap
+
+    // batch reference: the SAME stages with the batch operators
+    val all = base.unionByName(dups).drop("event_time")
+    val quality = Curation.qualityGate(all, "doc_id", "text").persist()
+    val kept = Dedup.dedupKeepBest(quality, "doc_id", "text", col("ntok"))
+    val keptDocs = quality.join(kept.select("doc_id"), Seq("doc_id"))
+    val contam = Dedup.contamination(keptDocs, "doc_id", "text", eval, "text")
+    val clean = keptDocs.join(
+      contam.where(col("contamination_e4") < 2000)
+        .select(col("id").as("doc_id"), col("contamination_e4")),
+      Seq("doc_id"))
+    val batchRows = TextAnalysis
+      .blocklistFilterInline(clean, "text", blocklist)
+      .withColumn("content_hash", md5(col("text").cast("binary")))
+      .withColumn("shard", Curation.shardOfContent(col("content_hash"), 4))
+      .collect()
+      .map(r => r.getAs[String]("content_hash") ->
+        ((r.getAs[Long]("doc_id"), r.getAs[Long]("ntok"),
+          r.getAs[Long]("contamination_e4"), r.getAs[Long]("shard"))))
+      .toMap
+    quality.unpersist()
+
+    // identical survivor CONTENT set, and per-content identical
+    // ntok / contamination / shard — the id may differ (keep-first vs
+    // keep-best), which the planted first-file dups force at least once
+    assert(streamed.keySet === batchRows.keySet)
+    assert(streamed.nonEmpty)
+    streamed.foreach { case (h, (_, ntok, e4, shard)) =>
+      val (_, bNtok, bE4, bShard) = batchRows(h)
+      assert((ntok, e4, shard) === ((bNtok, bE4, bShard)), s"hash $h")
+    }
+    val idDiffers = streamed.exists { case (h, (id, _, _, _)) =>
+      batchRows(h)._1 != id
+    }
+    assert(idDiffers, "expected at least one keep-first/keep-best id divergence")
+    // per-shard token totals agree (the budget invariant)
+    val streamTotals = streamed.values.groupBy(_._4)
+      .view.mapValues(_.map(_._2).sum).toMap
+    val batchTotals = batchRows.values.groupBy(_._4)
+      .view.mapValues(_.map(_._2).sum).toMap
+    assert(streamTotals === batchTotals)
+    spark.catalog.clearCache()
+  }
+
+  test("per-shard running token budget: bounded transformWithState " +
+    "counter matches batch totals across micro-batches") {
+    import graft.ext.Curation
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.Encoders
+    graft.etl.TxCorrelator.ensureRocksDb(spark)
+    val stream = MemoryStream[Curation.BudgetIn](
+      Encoders.product[Curation.BudgetIn], spark)
+    val name = "budget_out"
+    val q = Curation.shardBudgetStream(stream.toDS().toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 300).map { i =>
+      Curation.BudgetIn(rnd.nextInt(4).toLong, i.toLong,
+        (rnd.nextInt(90) + 10).toLong)
+    }
+    try {
+      // three micro-batches, interleaved shards
+      rows.grouped(100).foreach { g =>
+        stream.addData(g)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val out = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length === rows.length) // every doc emitted exactly once
+    // final per-shard cum equals the batch sum; prefix sums are
+    // strictly increasing in emission order per shard
+    val byShard = out.groupBy(_._1)
+    val want = rows.groupBy(_.shard).view.mapValues(_.map(_.ntok).sum).toMap
+    byShard.foreach { case (shard, rs) =>
+      assert(rs.map(_._4).max === want(shard), s"shard $shard")
+      val sorted = rs.sortBy(_._4)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 + b._3 === b._4,
+          s"non-contiguous prefix in shard $shard: $a -> $b")
+        case _ =>
+      }
+    }
+  }
 }
