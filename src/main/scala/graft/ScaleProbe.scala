@@ -464,6 +464,29 @@ object ScaleProbe {
             .persist(); d.count(); d
         })
         report(s"$label s2 LSH", s2, truth)
+        // s2 SCALE PATH: persisted (band, bucket)-partitioned sign-LSH
+        // index — probe touches only matching buckets, LOSSLESS vs the
+        // flat scan at the index's nPlanes (pigeonhole chunking)
+        val flat30 = ids(timed(s"$label s2 flat scan (nPlanes=30)") {
+          val d = Similarity.annTopK(
+            v, "vec_id", "embedding", qv, k = 10, nPlanes = 30)
+            .persist(); d.count(); d
+        })
+        val idxDir = java.nio.file.Files.createTempDirectory("graft-sbi")
+        dirs += idxDir
+        timed(s"$label s2 band index build+write") {
+          Similarity.signBandIndexWrite(
+            Similarity.signBandIndexBuild(
+              v, "vec_id", "embedding", dim = qv.length),
+            idxDir.toString)
+        }
+        val sbi = Similarity.signBandIndexRead(spark, idxDir.toString)
+        val s2i = ids(timed(s"$label s2 indexed probe") {
+          val d = Similarity.annTopKIndexed(sbi, qv, k = 10)
+            .persist(); d.count(); d
+        })
+        report(s"$label s2 indexed probe", s2i, truth)
+        println(s"$label s2 indexed == flat(nPlanes=30): ${s2i == flat30}")
         // IVF: pack config, then the scale policy
         val kScaled = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
         val probeScaled = math.max(4, kScaled / 20)

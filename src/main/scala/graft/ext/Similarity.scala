@@ -472,6 +472,109 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persisted sign-LSH band index — the SCALE PATH for [[annTopK]]:
+    * the flat form recomputes every vector's signature and scans the
+    * whole frame per query (linear — 5.8 s at 200k vectors and
+    * growing, BASELINE.md ann probe). Here signatures are computed
+    * ONCE into an index whose rows key on (band, bucket) chunk values;
+    * a probe touches only the rows whose chunk equals one of the
+    * query's `chunks` chunk values. The chunking is the d4/SimHash
+    * PIGEONHOLE: any signature within Hamming distance ≤ chunks−1 of
+    * the query's agrees with it on ≥1 whole chunk, so filtering the
+    * bucket matches by the SAME `bit_count(xor) <= probe` predicate
+    * reproduces the flat candidate set EXACTLY for probe ≤ chunks−1 —
+    * the index is lossless, not approximately-recalled (spec-pinned
+    * equal both sides of any routing threshold). Per-query scanned
+    * fraction ≈ chunks/2^(nPlanes/chunks) of the corpus; at scale
+    * write `buckets` partitioned by (band, bucket)
+    * ([[signBandIndexWrite]]) and the equality predicate prunes to
+    * matching parquet partitions — the probe never opens the rest. */
+  final case class SignBandIndex(
+      nPlanes: Int, chunks: Int, dim: Int, buckets: DataFrame)
+
+  /** Build the band index: one pass over the corpus (signature = pure
+    * projection), exploded into `chunks` (band, bucket) rows carrying
+    * the full signature (for the exact Hamming filter) and the vector
+    * (for the exact re-rank — at 100 TB keep vectors in the base table
+    * and join by id instead; the fixture-scale index inlines them).
+    * `nPlanes` must divide into `chunks` even slices. */
+  def signBandIndexBuild(
+      vectors: DataFrame, idCol: String, vecCol: String, dim: Int,
+      nPlanes: Int = 30, chunks: Int = 5): SignBandIndex = {
+    require(nPlanes % chunks == 0, "chunks must divide nPlanes evenly")
+    require(nPlanes <= 62, "signature must fit a positive Long")
+    val width = nPlanes / chunks
+    val mask = (1L << width) - 1
+    val planes = hyperplanes(nPlanes, dim)
+    val withSig = vectors
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("sig", lshSignature(col("v"), planes))
+    val bandStructs = (0 until chunks).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sig"), b * width).bitwiseAND(mask).as("bucket"))
+    }
+    SignBandIndex(nPlanes, chunks, dim,
+      withSig
+        .select(col("id"), col("sig"), col("v"),
+          explode(array(bandStructs: _*)).as("bb"))
+        .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
+          col("id"), col("sig"), col("v")))
+  }
+
+  /** Persist / reload the index partitioned by (band, bucket) — the
+    * layout that turns a probe's chunk-equality predicate into parquet
+    * PARTITION PRUNING (params ride a one-row side table, the
+    * ivfIndexWrite idiom). */
+  def signBandIndexWrite(index: SignBandIndex, dir: String): Unit = {
+    index.buckets.write.mode("overwrite")
+      .partitionBy("band", "bucket").parquet(s"$dir/buckets")
+    val spark = index.buckets.sparkSession
+    import spark.implicits._
+    Seq((index.nPlanes, index.chunks, index.dim))
+      .toDF("n_planes", "chunks", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+  }
+
+  def signBandIndexRead(
+      spark: SparkSession, dir: String): SignBandIndex = {
+    val p = spark.read.parquet(s"$dir/params").head()
+    SignBandIndex(p.getInt(0), p.getInt(1), p.getInt(2),
+      spark.read.parquet(s"$dir/buckets"))
+  }
+
+  /** [[annTopK]] through a [[SignBandIndex]]: chunk-equality bucket
+    * probe → exact Hamming gate → exact cosine rank. IDENTICAL results
+    * to the flat scan at the index's nPlanes (pigeonhole — see
+    * [[SignBandIndex]]), touching only matching buckets. Requires
+    * `probe <= chunks - 1` (the losslessness bound). */
+  def annTopKIndexed(
+      index: SignBandIndex, query: Seq[Float], k: Int,
+      probe: Int = 4): DataFrame = {
+    require(probe <= index.chunks - 1,
+      s"probe $probe exceeds the pigeonhole bound (chunks-1 = ${index.chunks - 1})")
+    require(query.length == index.dim,
+      s"query dim ${query.length} != index dim ${index.dim}")
+    val width = index.nPlanes / index.chunks
+    val mask = (1L << width) - 1
+    val planes = hyperplanes(index.nPlanes, index.dim)
+    val qSig = planes.zipWithIndex.map { case (p, j) =>
+      val d = p.zip(query).map { case (h, v) => h * v }.sum
+      if (d >= 0) 1L << j else 0L
+    }.foldLeft(0L)(_ | _)
+    val bucketHit = (0 until index.chunks).map { b =>
+      col("band") === b && col("bucket") === ((qSig >> (b * width)) & mask)
+    }.reduce(_ || _)
+    val q = array(query.map(v => lit(v.toDouble)): _*)
+    index.buckets
+      .where(bucketHit)
+      .where(bit_count(col("sig").bitwiseXOR(lit(qSig))) <= probe)
+      .select(col("id"), col("v"))
+      .dropDuplicates("id") // a candidate may match several chunks
+      .select(col("id"), round(cosine(col("v"), q), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** IVF (inverted-file) index: k-means centroids trained with a few
     * Lloyd iterations (distributed assign + average; only the k×dim
     * centroid matrix ever reaches the driver), then each vector is
@@ -784,15 +887,22 @@ object Similarity {
     * duplicate clique above the true one, that whole clique floods a
     * fixed shortlist before any true neighbor enters — recall@10
     * collapsed 1.00→0.00 between cliques of 10 and cliques of 100 at
-    * the default 50. Size shortlist ≳ a few × the expected duplicate
-    * multiplicity (1000 = recall 1.00 at 200k vectors, and CHEAPER:
-    * the re-rank join is still tiny). Corpora with heavy duplication
-    * should prefer [[ivfPqTopK]], which holds full recall at the
-    * default — cells partition competing cliques away and residual
-    * codebooks don't tie across cells. */
+    * the default 50. The round-9 default ENCODES that policy instead
+    * of prose: `shortlist <= 0` (the default) auto-sizes to
+    * `max(50, ceil(n/200))` — 0.5% of the corpus, which dominates any
+    * duplicate clique that is itself ≤0.5% of the corpus and restores
+    * recall 1.00 at the 200k probe (1000 ≥ the measured fix) while
+    * staying the small re-rank join (the one extra count() action is
+    * the price; pass an explicit shortlist to skip it). Corpora with
+    * heavier duplication should prefer [[ivfPqTopK]], which holds
+    * full recall at a fixed default — cells partition competing
+    * cliques away and residual codebooks don't tie across cells. */
   def pqTopK(
       index: PqIndex, query: Seq[Float], k: Int,
-      shortlist: Int = 50): DataFrame = {
+      shortlist: Int = 0): DataFrame = {
+    val sl =
+      if (shortlist > 0) shortlist
+      else math.max(50, math.ceil(index.encoded.count() / 200.0).toInt)
     val m = index.codebooks.length
     val subDim = index.codebooks.head.head.length
     require(query.length == m * subDim,
@@ -806,7 +916,7 @@ object Similarity {
     val coarse = index.encoded
       .select(col("id"), approx.as("approx"))
       .orderBy(col("approx").desc, col("id").asc)
-      .limit(shortlist)
+      .limit(sl)
     val q = array(query.map(v => lit(v.toDouble)): _*)
     index.base
       .join(broadcast(coarse.select("id")), "id")

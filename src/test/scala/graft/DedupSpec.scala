@@ -710,6 +710,46 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("sign-band index probe is LOSSLESS vs the flat annTopK scan " +
+    "(pigeonhole), survives a write/read round-trip, rejects " +
+    "over-probe") {
+    val rnd = new scala.util.Random(5)
+    val vecs = (0L until 400L).map { i =>
+      (i, Seq.fill(16)(rnd.nextGaussian().toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val query = vecs(7)._2.map(x => x + 0.01f)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // identical RESULT (ids AND scores, in order) to the flat scan at
+    // the index's nPlanes — candidates match exactly by pigeonhole
+    val flat = rows(Similarity.annTopK(
+      df, "vec_id", "embedding", query, k = 10, nPlanes = 30, probe = 4))
+    val idx = Similarity.signBandIndexBuild(
+      df, "vec_id", "embedding", dim = 16)
+    assert(rows(Similarity.annTopKIndexed(idx, query, k = 10)) === flat)
+    // round-trip through the (band, bucket)-partitioned layout
+    val dir = java.nio.file.Files.createTempDirectory("graft-sbi-spec")
+    try {
+      Similarity.signBandIndexWrite(idx, dir.toString)
+      val back = Similarity.signBandIndexRead(spark, dir.toString)
+      assert(back.nPlanes === 30 && back.chunks === 5 && back.dim === 16)
+      assert(rows(Similarity.annTopKIndexed(back, query, k = 10)) === flat)
+      // smaller probe radii stay lossless too (probe <= chunks-1)
+      for (p <- Seq(0, 2)) {
+        val f = rows(Similarity.annTopK(
+          df, "vec_id", "embedding", query, k = 10, nPlanes = 30, probe = p))
+        assert(rows(Similarity.annTopKIndexed(back, query, k = 10,
+          probe = p)) === f, s"probe=$p")
+      }
+    } finally graft.util.Fs.deleteRecursively(dir)
+    // beyond the pigeonhole bound the equality argument breaks: reject
+    intercept[IllegalArgumentException] {
+      Similarity.annTopKIndexed(idx, query, k = 10, probe = 5)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("exactSubstrSpans: precise boundaries for planted repeats, " +
     "within-doc multiplicity, immunity to shingle-common text") {
     def words(tag: String, n: Int) = (0 until n).map(i => s"$tag$i")
