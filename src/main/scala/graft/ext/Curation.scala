@@ -92,13 +92,12 @@ object Curation {
       .cast("long")
   }
 
-  /** Stage 5 — the t17 shard formula keyed on the content digest (a
-    * hex md5 column): first 4 hex chars mod nShards. Content-keyed so
-    * WHICH duplicate survived the horizon dedup cannot move a
+  /** Stage 5 — the t17 shard formula ([[Splits.shardOfDigest]], the
+    * single definition of the contract) keyed on the content digest,
+    * so WHICH duplicate survived the horizon dedup cannot move a
     * document's shard. */
   def shardOfContent(contentHash: Column, nShards: Int): Column =
-    pmod(conv(substring(contentHash, 1, 4), 16, 10).cast("long"),
-      lit(nShards.toLong))
+    Splits.shardOfDigest(contentHash, nShards)
 
   /** The composed streaming job (stages 1–5). `docs` is a STREAMING
     * frame with (idCol, textCol, tsCol); output is the append stream

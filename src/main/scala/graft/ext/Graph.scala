@@ -145,9 +145,13 @@ object Graph {
     *
     * Early exit: `stopDeltaE9 = Some(d)` stops once the max absolute
     * per-vertex rank change of a superstep is ≤ d (integer ranks make
-    * d=0 an EXACT fixpoint test). Costs one join+agg action per
-    * round, so it is opt-in; the fixed-iteration form stays the
-    * engine-exact replay contract ([[pageRankInt]] docs). */
+    * d=0 an EXACT fixpoint test). The check is an action per round,
+    * so with it enabled EVERY round localCheckpoints first — without
+    * that, each check would re-execute the whole uncached segment
+    * since the last checkpoint (quadratic recompute) and the returned
+    * frame would replay it once more. Opt-in; the fixed-iteration
+    * form stays the engine-exact replay contract ([[pageRankInt]]
+    * docs). */
   private def iterate(
       vertsBase: DataFrame, pairs: DataFrame, iterations: Int,
       dampNum: Long, dampDen: Long,
@@ -183,7 +187,8 @@ object Graph {
         .union(vb.select(col("id"), col("base")))
         .groupBy("id").agg(sum(col("c")).as("rank"))
       val bounded =
-        if ((round + 1) % checkpointEvery == 0) next.localCheckpoint(true)
+        if (stopDeltaE9.isDefined || (round + 1) % checkpointEvery == 0)
+          next.localCheckpoint(true)
         else next
       stopDeltaE9.foreach { d =>
         val maxDelta = bounded.withColumnRenamed("rank", "r2")

@@ -169,10 +169,14 @@ object Similarity {
   def knnJoin(
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
+    // zero-norm gate on BOTH sides (the family discipline): a NaN
+    // cosine would otherwise rank as a fabricated neighbor
     val q = broadcast(
-      queries.select(col(idCol).as("_qid"), col(vecCol).as("_qv")))
+      queries.select(col(idCol).as("_qid"), col(vecCol).as("_qv"))
+        .where(norm(col("_qv")) > 0))
     val scored = corpus
       .select(col(idCol).as("_cid"), col(vecCol).as("_cv"))
+      .where(norm(col("_cv")) > 0)
       .join(q)
       .select(col("_qid"), col("_cid"),
         round(cosine(col("_cv"), col("_qv")), 6).as("_cos"))
@@ -195,10 +199,12 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       labelCol: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(
-      col(idCol).as("_qid"), col(vecCol).as("_qv"), col(labelCol).as("_ql")))
+      col(idCol).as("_qid"), col(vecCol).as("_qv"), col(labelCol).as("_ql"))
+      .where(norm(col("_qv")) > 0)) // zero-norm gate, the family discipline
     val scored = corpus
       .select(col(idCol).as("_cid"), col(vecCol).as("_cv"),
         col(labelCol).as("_cl"))
+      .where(norm(col("_cv")) > 0)
       .join(q)
       .where(not(col("_cl") <=> col("_ql")))
       .select(col("_qid"), col("_cid"),
@@ -338,10 +344,18 @@ object Similarity {
     * s1 contract). */
   private def perQueryTopK(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
+    // defense in depth behind the operators' zero-norm gates: a NaN
+    // score maps to NULL (not a cast artifact) and BoundedTopK skips
+    // null-score rows, so a NaN can never occupy a neighbor slot. The
+    // id widens to BIGINT — the aggregate's (and the family output's)
+    // type contract.
+    val e6 = when(isnan(col("_cos")), lit(null))
+      .otherwise(round(col("_cos") * 1e6)).cast("long")
     val top = ColumnBridge.column(
       graft.expr.BoundedTopK(
-        ColumnBridge.expression(round(col("_cos") * 1e6).cast("long")),
-        ColumnBridge.expression(col("_cid")), k).toAggregateExpression())
+        ColumnBridge.expression(e6),
+        ColumnBridge.expression(col("_cid").cast("long")),
+        k).toAggregateExpression())
     scored
       .groupBy(col("_qid"))
       .agg(top.as("_top"))
@@ -800,7 +814,8 @@ object Similarity {
   final case class PqIndex(
       codebooks: Seq[Seq[Seq[Double]]], // (subspace)(code)(dim-in-sub)
       encoded: DataFrame, // (id, codes array<int>)
-      base: DataFrame) // (id, v) — re-rank source
+      base: DataFrame, // (id, v) — re-rank source
+      n: Long) // corpus size, captured at build (auto-shortlist input)
 
   /** Argmin-L2 code for a subvector column: argmax of x·c − |c|²/2. */
   private def nearestCode(sv: Column, codes: Seq[Seq[Double]]): Column = {
@@ -823,7 +838,8 @@ object Similarity {
     val dimRow = base.agg(
       max(size(col("v"))), min(size(col("v"))),
       sum(when(col("v").isNull ||
-        exists(col("v"), _.isNull), 1L).otherwise(0L))).head()
+        exists(col("v"), _.isNull), 1L).otherwise(0L)),
+      count(lit(1))).head() // corpus size rides the existing probe agg
     require(!dimRow.isNullAt(0), "pqBuild: empty or all-null vector input")
     val dim = dimRow.getInt(0)
     require(dimRow.getLong(2) == 0L,
@@ -873,7 +889,8 @@ object Similarity {
 
     val codes = array((0 until m).map(j =>
       nearestCode(slice(col("v"), j * subDim + 1, subDim), books(j))): _*)
-    PqIndex(books, base.select(col("id"), codes.as("codes")), base)
+    PqIndex(books, base.select(col("id"), codes.as("codes")), base,
+      dimRow.getLong(3))
   }
 
   /** ANN top-k through a PQ index: build the m×k lookup table of partial
@@ -892,8 +909,8 @@ object Similarity {
     * `max(50, ceil(n/200))` — 0.5% of the corpus, which dominates any
     * duplicate clique that is itself ≤0.5% of the corpus and restores
     * recall 1.00 at the 200k probe (1000 ≥ the measured fix) while
-    * staying the small re-rank join (the one extra count() action is
-    * the price; pass an explicit shortlist to skip it). Corpora with
+    * staying the small re-rank join (the corpus size rides the build's
+    * existing probe aggregation — no per-query action). Corpora with
     * heavier duplication should prefer [[ivfPqTopK]], which holds
     * full recall at a fixed default — cells partition competing
     * cliques away and residual codebooks don't tie across cells. */
@@ -902,7 +919,12 @@ object Similarity {
       shortlist: Int = 0): DataFrame = {
     val sl =
       if (shortlist > 0) shortlist
-      else math.max(50, math.ceil(index.encoded.count() / 200.0).toInt)
+      else {
+        // build-time corpus size — no per-query action; count only for
+        // a hand-assembled index that didn't capture it
+        val n = if (index.n > 0) index.n else index.encoded.count()
+        math.max(50, math.ceil(n / 200.0).toInt)
+      }
     val m = index.codebooks.length
     val subDim = index.codebooks.head.head.length
     require(query.length == m * subDim,

@@ -54,11 +54,16 @@ object SimilarityQueries {
     // side broadcasts the probe batch and two-phase-reduces top-k.
     Q(
       "s10_knn_join",
-      """WITH qs AS (
-        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      """WITH nz AS (
+        |  -- zero-norm gate, mirroring the engine's both-sides filter
+        |  SELECT vec_id, embedding FROM embeddings
+        |  WHERE list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+        |), qs AS (
+        |  SELECT vec_id AS qid, embedding AS qv FROM nz
         |  WHERE vec_id < 20
         |), cs AS (
-        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        |  SELECT vec_id AS cid, embedding AS cv FROM nz
         |  WHERE vec_id >= 20
         |), sc AS (
         |  SELECT qid, cid,
@@ -193,7 +198,10 @@ object SimilarityQueries {
     Q("s7_pq_ann", s7OracleSql) { (s, dir) =>
       val idx = Similarity.pqBuild(
         Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
-      Similarity.pqTopK(idx, queryVec(s, dir), k = 10)
+      // shortlist pinned to the oracle's LIMIT 50 — the operator's
+      // auto-scale default (max(50, n/200)) would silently diverge
+      // from the fixed replay once a fixture exceeds 10k vectors
+      Similarity.pqTopK(idx, queryVec(s, dir), k = 10, shortlist = 50)
         .select(
           col("id"),
           round(col("cos_sim") * 1e6).cast("long").as("cos_e6"))
@@ -415,6 +423,9 @@ object SimilarityQueries {
       "s15_hard_negatives",
       """WITH v AS (
         |  SELECT vec_id AS id, embedding AS e, label FROM embeddings
+        |  -- zero-norm gate, mirroring the engine's both-sides filter
+        |  WHERE list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
         |), qs AS (
         |  SELECT id AS qid, e AS qv, label AS ql FROM v WHERE id < 5
         |), sc AS (
@@ -448,7 +459,13 @@ object SimilarityQueries {
     // pairwise double-cosine idiom + per-query rank + label rollup.
     Q(
       "s17_label_noise_screen",
-      """WITH v AS (SELECT vec_id, embedding, label FROM embeddings),
+      """WITH v AS (
+        |  SELECT vec_id, embedding, label FROM embeddings
+        |  -- zero-norm gate, mirroring the engine (NaN cosine would
+        |  -- out-sort every real score in this DESC rank)
+        |  WHERE list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+        |),
         |sc AS (
         |  SELECT a.vec_id AS qid, a.label AS ql,
         |    b.vec_id AS cid, b.label AS cl,
@@ -510,6 +527,9 @@ object SimilarityQueries {
       |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
       |      6) AS cos6
       |  FROM embeddings e, qv
+      |  -- zero-norm gate, mirroring the engine's candidate filter
+      |  WHERE list_sum(list_transform(e.embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
       |), cand AS (
       |  SELECT id, v, CAST(round(cos6 * 1000000) AS BIGINT) AS rel
       |  FROM c0 ORDER BY cos6 DESC, id ASC LIMIT 50

@@ -87,6 +87,17 @@ object Splits {
     * partitioned by shard, so the sort parallelizes across shards —
     * exactly the layout a sharded training-set writer needs
     * (`.repartition(shard).sortWithinPartitions(pos)`). */
+  /** The shard expression itself — ONE definition of the contract
+    * (first 4 hex chars of an md5 digest, mod nShards) shared by
+    * [[shardByHash]] and the streaming composition's content-keyed
+    * variant ([[graft.ext.Curation.shardOfContent]]), so the two
+    * cannot drift. */
+  def shardOfDigest(
+      digestHex: org.apache.spark.sql.Column,
+      nShards: Int): org.apache.spark.sql.Column =
+    pmod(conv(substring(digestHex, 1, 4), 16, 10).cast("long"),
+      lit(nShards.toLong))
+
   def shardByHash(
       docs: org.apache.spark.sql.DataFrame, idCol: String,
       nShards: Int): org.apache.spark.sql.DataFrame = {
@@ -94,9 +105,7 @@ object Splits {
     val k = md5(col(idCol).cast("string"))
     docs
       .withColumn("shuffle_key", k)
-      .withColumn("shard",
-        pmod(conv(substring(col("shuffle_key"), 1, 4), 16, 10).cast("long"),
-          lit(nShards.toLong)))
+      .withColumn("shard", shardOfDigest(col("shuffle_key"), nShards))
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("shard"))
           .orderBy(col("shuffle_key"), col(idCol))))

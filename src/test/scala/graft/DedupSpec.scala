@@ -840,6 +840,17 @@ class DedupSpec extends SparkSpec {
       candidates = 4, k = 4)
       .collect().map(_.getLong(1)).toSeq
     assert(got.toSet === Set(1L, 2L, 3L))
+    // knnJoin / hardNegatives: the gate applies on BOTH sides — the
+    // zero vector neither queries (no rows for qid 5) nor serves as a
+    // neighbor (it would rank with a fabricated score otherwise)
+    val knn = Similarity.knnJoin(vecs, vecs, "vec_id", "embedding", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!knn.exists(_._1 == 5L) && !knn.exists(_._2 == 5L))
+    assert(knn.map(_._1).toSet === Set(1L, 2L, 3L))
+    val hn = Similarity.hardNegatives(
+      vecs, vecs, "vec_id", "embedding", "label", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!hn.exists(_._1 == 5L) && !hn.exists(_._2 == 5L))
     spark.catalog.clearCache()
   }
 

@@ -492,6 +492,7 @@ class StreamingWindowSpec extends SparkSpec {
       .withColumn("event_time", // dups carry EARLIER event times
         timestamp_micros(lit(t0 - 1000000L) + (col("doc_id") - 1000000L)))
     val streamDir = java.nio.file.Files.createTempDirectory("graft-cur")
+    try {
     dups.coalesce(1).write.parquet(streamDir.resolve("f0").toString)
     base.coalesce(1).write.parquet(streamDir.resolve("f1").toString)
     val schema = spark.read.parquet(streamDir.resolve("f0").toString).schema
@@ -556,6 +557,7 @@ class StreamingWindowSpec extends SparkSpec {
     val batchTotals = batchRows.values.groupBy(_._4)
       .view.mapValues(_.map(_._2).sum).toMap
     assert(streamTotals === batchTotals)
+    } finally graft.util.Fs.deleteRecursively(streamDir)
     spark.catalog.clearCache()
   }
 
