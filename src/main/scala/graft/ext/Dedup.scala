@@ -596,6 +596,45 @@ object Dedup {
     cutCoveredTokens(docs, idCol, textCol, starts, minLen)
   }
 
+  /** KEEP-ONE-COPY exact substring dedup — the removal policy of Lee
+    * et al. 2022 itself (each duplicated substring survives once in
+    * the corpus), where [[exactSubstrDedup]] is the aggressive
+    * drop-all form: a duplicated-L-gram position is cut only if it is
+    * NOT the gram's CANONICAL occurrence — canonical = the corpus-wide
+    * minimum (doc_id, position) for that digest, a deterministic
+    * ingestion-order tie-break (the d24 first-seen discipline). For a
+    * run duplicated across documents, every window of its first-corpus
+    * occurrence is canonical there, so the first document keeps the
+    * text intact and every later copy is cut at exact boundaries; a
+    * within-document repeat keeps its earlier occurrence. (A gram
+    * whose canonical home lies inside a DIFFERENT earlier repeat still
+    * counts as seen — "first occurrence" is by digest, the same
+    * greedy-linear-scan semantics as the paper's implementation.)
+    *
+    * Plan: one argmin-struct aggregation per digest on top of the d26
+    * machinery (same shuffle key as the count — no new exchange
+    * shape), then the shared coverage/reassembly tail. Same output
+    * contract as [[dedupSpans]]/[[exactSubstrDedup]]. */
+  def exactSubstrDedupKeepFirst(
+      docs: DataFrame, idCol: String, textCol: String, minLen: Int = 20)
+      : DataFrame = {
+    require(minLen >= 2, "minLen must be >= 2")
+    val grams = positionalGrams(docs, idCol, textCol, minLen)
+    val canon = grams
+      .groupBy("g")
+      .agg(
+        count(lit(1)).as("n"),
+        min(struct(col("doc_id"), col("q"))).as("first"))
+      .where(col("n") >= 2)
+      .select(col("g"), col("first.doc_id").as("_fd"),
+        col("first.q").as("_fq"))
+    val starts = grams
+      .join(canon, Seq("g"))
+      .where(!(col("doc_id") === col("_fd") && col("q") === col("_fq")))
+      .select(col("doc_id"), col("q").as("p"), lit(1).as("st"))
+    cutCoveredTokens(docs, idCol, textCol, starts, minLen)
+  }
+
   // ---- shingling --------------------------------------------------------
 
   /** Word w-shingles of a document (w consecutive tokens, space-joined). */

@@ -809,6 +809,28 @@ class DedupSpec extends SparkSpec {
     assert(got(1L) ===
       ((md5hex((head6 ++ tail4).mkString(" ")), 10L, 25L)))
     assert(got(2L) === ((md5hex(words("u", 2).mkString(" ")), 2L, 25L)))
+
+    // keep-FIRST: doc 1 (the corpus-minimum occurrence) survives
+    // INTACT; only doc 2's copy is cut, at the same exact boundaries
+    val kf = Dedup
+      .exactSubstrDedupKeepFirst(docs, "doc_id", "text", minLen = 10)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(kf(1L) ===
+      ((md5hex((head6 ++ long ++ tail4).mkString(" ")), 35L, 0L)))
+    assert(kf(2L) === ((md5hex(words("u", 2).mkString(" ")), 2L, 25L)))
+    // within-document repeat: the EARLIER occurrence survives
+    val wdoc = Seq((7L, (words("x", 2) ++ words("w", 10) ++ words("y", 8) ++
+      words("w", 10) ++ words("z", 3)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val wkf = Dedup
+      .exactSubstrDedupKeepFirst(wdoc, "doc_id", "text", minLen = 10)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(wkf(7L) === ((md5hex((words("x", 2) ++ words("w", 10) ++
+      words("y", 8) ++ words("z", 3)).mkString(" ")), 23L, 10L)))
     spark.catalog.clearCache()
   }
 
