@@ -22,6 +22,7 @@ object ScaleProbe {
     if (args.contains("bloom")) { probeBloom(spark); spark.stop(); return }
     if (args.contains("graph")) { probeGraph(spark); spark.stop(); return }
     if (args.contains("s17")) { probeS17(spark); spark.stop(); return }
+    if (args.contains("substr")) { probeSubstr(spark); spark.stop(); return }
     val docs1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .select(col("doc_id"), col("text"))
     // 10x: replicate with distinct ids and a per-copy suffix token so
@@ -665,6 +666,40 @@ object ScaleProbe {
           vl10, "vec_id", "embedding", "label",
           cells = math.max(16, (vl10.count() / 128).toInt),
           dim = Some(64)).count()
+      }
+    } finally {
+      dirs.foreach(graft.util.Fs.deleteRecursively)
+    }
+  }
+
+  /** Exact-substring family at 1x/10x: the same inverted-index shape
+    * as d12/d13 but at L=20 gram grain plus the interval/canonicality
+    * windows — cost should track the positional-gram shuffle (gram
+    * count ≈ token count either way), not blow up with L. Run:
+    * `sbt "runMain graft.ScaleProbe substr"`. */
+  private def probeSubstr(spark: SparkSession): Unit = {
+    val docs1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val dirs = collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$name%-34s ${(System.nanoTime() - t0) / 1e9}%6.2f s  rows=$n")
+      spark.catalog.clearCache()
+    }
+    try {
+      val d10 = matTo(spark, dirs, repDocsFrom(docs1, 10), "substr-d10")
+      println(s"docs10 = ${d10.count()}")
+      for ((label, d) <- Seq(("1x(5k)", docs1), ("10x(50k)", d10))) {
+        time(s"$label exactSubstrSpans") {
+          graft.ext.Dedup.exactSubstrSpans(d, "doc_id", "text").count()
+        }
+        time(s"$label exactSubstrDedup") {
+          graft.ext.Dedup.exactSubstrDedup(d, "doc_id", "text").count()
+        }
+        time(s"$label exactSubstrKeepFirst") {
+          graft.ext.Dedup
+            .exactSubstrDedupKeepFirst(d, "doc_id", "text").count()
+        }
       }
     } finally {
       dirs.foreach(graft.util.Fs.deleteRecursively)

@@ -40,7 +40,11 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor}
   * needed — the q86-family discipline of bounded stream state made
   * trivial by the fixed key domain). StreamingWindowSpec pins the
   * composed stream ≡ the batch stages on the fixture corpus under
-  * out-of-order multi-file micro-batches.
+  * out-of-order multi-file micro-batches, AND that
+  * [[curationStream]] chains into [[shardBudgetStream]] as ONE
+  * streaming query (dropDuplicatesWithinWatermark +
+  * transformWithState — two stateful operators in append mode is a
+  * supported combination on the RocksDB provider).
   */
 object Curation {
 

@@ -710,6 +710,38 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("round-9 operators tolerate empty and too-short inputs (no " +
+    "crash, empty or identity results)") {
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.exactSubstrSpans(noDocs, "doc_id", "text").count() === 0L)
+    assert(Dedup.exactSubstrDedup(noDocs, "doc_id", "text").count() === 0L)
+    assert(Dedup
+      .exactSubstrDedupKeepFirst(noDocs, "doc_id", "text").count() === 0L)
+    // below-minLen documents produce no grams: no spans, and the cut
+    // transform returns them INTACT (kept = token count, removed = 0)
+    val short = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    assert(Dedup
+      .exactSubstrSpans(short, "doc_id", "text", minLen = 10).count() === 0L)
+    val cut = Dedup
+      .exactSubstrDedup(short, "doc_id", "text", minLen = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(cut === Set((1L, 3L, 0L), (2L, 3L, 0L)))
+
+    val noVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.knnJoin(
+      noVecs, noVecs, "vec_id", "embedding", k = 3).count() === 0L)
+    val idx = Similarity.signBandIndexBuild(
+      noVecs, "vec_id", "embedding", dim = 4)
+    assert(Similarity.annTopKIndexed(
+      idx, Seq(1.0f, 0.0f, 0.0f, 0.0f), k = 3).count() === 0L)
+    assert(Similarity.mmrTopK(
+      noVecs, "vec_id", "embedding", Seq(1.0f, 0.0f, 0.0f, 0.0f),
+      candidates = 5, k = 3).count() === 0L)
+    assert(graft.ext.Curation.qualityGate(
+      noDocs, "doc_id", "text").count() === 0L)
+    spark.catalog.clearCache()
+  }
+
   test("sign-band index probe is LOSSLESS vs the flat annTopK scan " +
     "(pigeonhole), survives a write/read round-trip, rejects " +
     "over-probe") {

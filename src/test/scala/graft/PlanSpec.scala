@@ -580,4 +580,39 @@ class PlanSpec extends SparkSpec {
     assert(!s17c.contains("CartesianProduct"), s17c.take(3000))
     spark.catalog.clearCache()
   }
+
+  test("sign-band index probe: chunk-equality predicate prunes to " +
+    "matching (band, bucket) parquet partitions — the scan never " +
+    "opens the rest") {
+    import graft.ext.Similarity
+    val emb = Tables.load(spark, dir, "embeddings")
+    val qv: Seq[Float] = emb.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-plan-sbi")
+    try {
+      Similarity.signBandIndexWrite(
+        Similarity.signBandIndexBuild(
+          emb, "vec_id", "embedding", dim = qv.length),
+        idxDir.toString)
+      val idx = Similarity.signBandIndexRead(spark, idxDir.toString)
+      val probe = Similarity.annTopKIndexed(idx, qv, k = 10)
+      val plan = formatted(probe)
+      // the (band = b AND bucket = v) disjunction lands in the scan's
+      // PartitionFilters — the probe reads ≤ chunks directories of the
+      // (band, bucket)-partitioned layout, not the corpus
+      val scanLine = plan.linesIterator
+        .find(_.contains("PartitionFilters"))
+        .getOrElse(fail(s"no PartitionFilters line in:\n${plan.take(4000)}"))
+      assert(scanLine.contains("band") && scanLine.contains("bucket"),
+        scanLine)
+      assert(!scanLine.replaceAll("PartitionFilters: \\[\\]", "X")
+        .contains("PartitionFilters: []"), scanLine)
+      // and the probe still finds the query vector itself through the
+      // pruned scan (a 30-bit radius-4 ball is sparse at sf0.001 —
+      // candidate COUNT is not the point here, the scan shape is)
+      val top = probe.head()
+      assert(top.getLong(0) === 0L && top.getDouble(1) === 1.0, top)
+    } finally graft.util.Fs.deleteRecursively(idxDir)
+    spark.catalog.clearCache()
+  }
 }

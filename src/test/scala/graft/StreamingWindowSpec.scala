@@ -561,6 +561,44 @@ class StreamingWindowSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("curation stream chains into the budget processor as ONE query " +
+    "(two stateful operators), totals equal the batch sums") {
+    import graft.ext.{Curation, Dedup}
+    graft.etl.TxCorrelator.ensureRocksDb(spark)
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val base = docs.withColumn("event_time",
+      timestamp_micros(lit(1704067200000000L) + col("doc_id") * 1000000L))
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-cur1q")
+    try {
+      base.coalesce(2).write.parquet(streamDir.resolve("f0").toString)
+      val schema =
+        spark.read.parquet(streamDir.resolve("f0").toString).schema
+      val eval = docs.where(col("doc_id") < 10)
+      val screen = Dedup.bloomScreenBuild(eval, "text")
+      val curated = Curation.curationStream(
+        spark.readStream.schema(schema).parquet(s"$streamDir/*"),
+        "doc_id", "text", "event_time", screen, Seq("spark"),
+        nShards = 4, delay = "2 hours")
+      val q = Curation.shardBudgetStream(curated)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("cur1q_out")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = spark.table("cur1q_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(out.nonEmpty)
+      // per-shard max cum equals that shard's token sum
+      val byShard = out.groupBy(_._1)
+      byShard.foreach { case (shard, rs) =>
+        assert(rs.map(_._4).max === rs.map(_._3).sum, s"shard $shard")
+      }
+    } finally graft.util.Fs.deleteRecursively(streamDir)
+    spark.catalog.clearCache()
+  }
+
   test("per-shard running token budget: bounded transformWithState " +
     "counter matches batch totals across micro-batches") {
     import graft.ext.Curation
