@@ -23,6 +23,7 @@ object ScaleProbe {
     if (args.contains("graph")) { probeGraph(spark); spark.stop(); return }
     if (args.contains("s17")) { probeS17(spark); spark.stop(); return }
     if (args.contains("substr")) { probeSubstr(spark); spark.stop(); return }
+    if (args.contains("curation")) { probeCuration(spark); spark.stop(); return }
     val docs1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .select(col("doc_id"), col("text"))
     // 10x: replicate with distinct ids and a per-copy suffix token so
@@ -703,6 +704,63 @@ object ScaleProbe {
       }
     } finally {
       dirs.foreach(graft.util.Fs.deleteRecursively)
+    }
+  }
+
+  /** Streaming curation throughput at 1x/10x: the FULL composed
+    * pipeline (gopher → horizon dedup → bloom decontam → blocklist →
+    * shard → budget, chained as ONE query — two stateful operators)
+    * fed in 20 micro-batches. Reports docs/s through the whole DAG
+    * and the peak state (dedup keys within the horizon + nShards
+    * budget counters). 10x replication = every doc near-duplicated
+    * 10x, the adversarial dedup-state shape. Run:
+    * `sbt "runMain graft.ScaleProbe curation"`. */
+  private def probeCuration(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    graft.etl.TxCorrelator.ensureRocksDb(spark)
+    val docs1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val eval = docs1.where(col("doc_id") < 10)
+    val screen = graft.ext.Dedup.bloomScreenBuild(eval, "text")
+    val blocklist = Seq("spark", "merge", "table table", "fast sort")
+    val t0us = 1704067200000000L
+    for ((label, rep) <- Seq(("1x(5k)", 1), ("10x(50k)", 10))) {
+      val corpus = (0 until rep).map { i =>
+        docs1.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+          if (i == 0) col("text")
+          else concat(col("text"), lit("")).as("text")) // exact dups
+      }.reduce(_ unionByName _)
+        .withColumn("us", lit(t0us) + col("doc_id") % 1000000L * 1000L)
+        .select(col("doc_id"), col("text"), col("us"))
+        .as[(Long, String, Long)].collect()
+      val stream = MemoryStream[(Long, String, Long)](spark)
+      val src = stream.toDS().select(
+        col("_1").as("doc_id"), col("_2").as("text"),
+        timestamp_micros(col("_3")).as("event_time"))
+      val qn = s"probe_curation_${label.takeWhile(_ != '(')}"
+      val q = graft.ext.Curation.shardBudgetStream(
+        graft.ext.Curation.curationStream(
+          src, "doc_id", "text", "event_time", screen, blocklist,
+          nShards = 8, delay = "2 hours"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName(qn).start()
+      val t0 = System.nanoTime()
+      try {
+        corpus.grouped(math.max(1, corpus.length / 20)).foreach { g =>
+          stream.addData(g.toIndexedSeq)
+          q.processAllAvailable()
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        val rows = spark.table(qn).count()
+        val stateMax = q.recentProgress.flatMap(_.stateOperators)
+        val peak =
+          if (stateMax.isEmpty) 0L else stateMax.map(_.numRowsTotal).max
+        println(f"$label curation stream: in=${corpus.length}%7d " +
+          f"survivors=$rows%7d  ${secs}%6.1f s  " +
+          f"${corpus.length / secs}%8.0f docs/s  peakState=$peak rows")
+      } finally q.stop()
+      spark.catalog.clearCache()
     }
   }
 

@@ -947,6 +947,40 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist a PQ index: codebooks as a tiny (sub, code, vec) table,
+    * the byte-code frame, the re-rank base, and the build-time corpus
+    * size in a one-row params table (so the auto-shortlist policy
+    * survives persistence without a count). Codebook doubles
+    * round-trip parquet exactly — probes equal the in-memory
+    * index's. */
+  def pqIndexWrite(index: PqIndex, dir: String): Unit = {
+    val spark = index.encoded.sparkSession
+    import spark.implicits._
+    index.codebooks.zipWithIndex.flatMap { case (book, sub) =>
+      book.zipWithIndex.map { case (v, code) => (sub, code, v) }
+    }.toDF("sub", "code", "vec").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+    index.encoded.write.mode("overwrite").parquet(s"$dir/encoded")
+    index.base.write.mode("overwrite").parquet(s"$dir/base")
+    Seq(Tuple1(index.n)).toDF("n")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+  }
+
+  def pqIndexRead(
+      spark: org.apache.spark.sql.SparkSession, dir: String): PqIndex = {
+    val rows = spark.read.parquet(s"$dir/codebooks")
+      .orderBy("sub", "code").collect()
+    val books = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (_, rs) =>
+        rs.sortBy(_.getInt(1))
+          .map(r => r.getSeq[Double](r.fieldIndex("vec"))).toSeq
+      }
+    PqIndex(books,
+      spark.read.parquet(s"$dir/encoded"),
+      spark.read.parquet(s"$dir/base"),
+      spark.read.parquet(s"$dir/params").head().getLong(0))
+  }
+
   /** IVF-PQ composite index (Jégou et al. 2011's IVFADC — the canonical
     * billion-vector layout FAISS ships as `IVFx,PQy`): a coarse k-means
     * quantizer routes each vector to a cell, and PQ encodes the

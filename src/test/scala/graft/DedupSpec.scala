@@ -213,6 +213,21 @@ class DedupSpec extends SparkSpec {
     val codes = pq.encoded.collect()
     assert(codes.length == vecs.length)
     assert(codes.forall(_.getSeq[Int](1).forall(c => c >= 0 && c < 16)))
+    // persistence round-trip: codebooks/codes/base/n all survive, and
+    // the reloaded index answers identically (incl. the auto-shortlist
+    // input n — no count() on the read path)
+    val pqDir = java.nio.file.Files.createTempDirectory("graft-pq-idx")
+    try {
+      Similarity.pqIndexWrite(pq, pqDir.toString)
+      val back = Similarity.pqIndexRead(spark, pqDir.toString)
+      assert(back.codebooks === pq.codebooks)
+      assert(back.n === pq.n && back.n === vecs.length.toLong)
+      val backTop = Similarity.pqTopK(back, query, 8)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val origTop = Similarity.pqTopK(pq, query, 8)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(backTop === origTop)
+    } finally graft.util.Fs.deleteRecursively(pqDir)
 
     // IVF-PQ composite (coarse cells + residual PQ + per-cell ADC):
     // residual quantization is strictly tighter than raw PQ at the same
