@@ -47,10 +47,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "nfc_normalize expects exactly one argument")
         graft.expr.NfcNormalize(args.head)
       }))
+    e.injectFunction((
+      FunctionIdentifier("bounded_top_k"),
+      new ExpressionInfo(
+        classOf[graft.expr.BoundedTopK].getName, "bounded_top_k"),
+      GraftExtensions.boundedTopKBuilder))
   }
 }
 
 object GraftExtensions {
+  /** SQL builder for the bounded top-k AGGREGATE (the analyzer wraps
+    * a resolved AggregateFunction in AggregateExpression itself):
+    * `bounded_top_k(score, id, k)` with k a positive integer literal
+    * — the buffer is sized at plan time, so a column-valued k cannot
+    * exist. */
+  private[graft] val boundedTopKBuilder: Seq[Expression] => Expression =
+    (args: Seq[Expression]) => {
+      require(args.length == 3,
+        "bounded_top_k expects (score bigint, id bigint, k int literal)")
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      val k = args(2) match {
+        case Literal(v: Int, _) => v
+        case Literal(v: Long, _) => v.toInt
+        case _ => throw new IllegalArgumentException(
+          "bounded_top_k: k must be an integer literal")
+      }
+      graft.expr.BoundedTopK(args.head, args(1), k)
+    }
+
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -74,5 +98,7 @@ object GraftExtensions {
         graft.expr.NfcNormalize(args.head)
       },
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bounded_top_k", boundedTopKBuilder, "scala_udf")
   }
 }

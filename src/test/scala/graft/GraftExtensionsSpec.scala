@@ -87,4 +87,27 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head()
     assert(ok.getDouble(0) === 11.0)
   }
+
+  test("bounded_top_k is callable from raw SQL as a grouped aggregate; " +
+    "k must be a literal") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq((1L, 5L, 11L), (1L, 9L, 12L), (1L, 9L, 10L), (1L, 1L, 13L),
+      (2L, 4L, 20L))
+      .toDF("g", "s", "i").createOrReplaceTempView("btk_in")
+    val rows = spark.sql(
+      """SELECT g, t.score, t.id
+        |FROM (SELECT g, bounded_top_k(s, i, 2) AS tk
+        |      FROM btk_in GROUP BY g)
+        |LATERAL VIEW explode(tk) AS t
+        |ORDER BY g, t.score DESC, t.id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // group 1: the two 9s tie -> lower id first; 5 misses the k=2 cut
+    assert(rows === Seq((1L, 9L, 10L), (1L, 9L, 12L), (2L, 4L, 20L)))
+    val err = intercept[Exception] {
+      spark.sql("SELECT bounded_top_k(s, i, s) FROM btk_in").collect()
+    }
+    assert(err.getMessage.contains("integer literal") ||
+      err.getMessage.toLowerCase.contains("literal"), err.getMessage)
+  }
 }
