@@ -87,6 +87,40 @@ object Splits {
     * partitioned by shard, so the sort parallelizes across shards —
     * exactly the layout a sharded training-set writer needs
     * (`.repartition(shard).sortWithinPartitions(pos)`). */
+  /** Per-key document CAP — the hard-ceiling companion to
+    * [[temperatureMix]]'s proportional resampler (C4/Gopher-style "at
+    * most N pages per domain": a ceiling also bounds the WORST key,
+    * where a rate only scales it). Selection is the deterministic
+    * hash rank: each key keeps its `cap` documents with the LOWEST
+    * portable 60-bit md5 ([[Dedup.pmd5]]) of the id, ties (a 2⁻⁶⁰
+    * event) by id — a uniform, layout/cluster/rerun-independent
+    * sample, the [[assignSplit]] no-RNG discipline.
+    *
+    * Plan shape: ONE hash aggregate on the key whose state is the
+    * size-cap [[graft.expr.BoundedTopK]] heap — O(cap) memory per key
+    * at every phase including the map side, shuffled rows ≤
+    * cap·partitions per key. The window-rank formulation
+    * (row_number ≤ cap) sorts EVERY key's full row set; this keeps
+    * heavy domains (the op's whole reason to exist) from paying a
+    * sort on rows that are about to be dropped.
+    * Output: (keyCol, idCol) of the kept documents. */
+  def capPerKey(
+      docs: org.apache.spark.sql.DataFrame, keyCol: String, idCol: String,
+      cap: Int): org.apache.spark.sql.DataFrame = {
+    require(cap >= 1, "cap must be >= 1")
+    import org.apache.spark.sql.graft.ColumnBridge
+    // BoundedTopK keeps the HIGHEST scores; lowest-hash-wins = negate
+    val top = ColumnBridge.column(
+      graft.expr.BoundedTopK(
+        ColumnBridge.expression(-Dedup.pmd5(col(idCol))),
+        ColumnBridge.expression(col(idCol).cast("long")),
+        cap).toAggregateExpression())
+    docs
+      .groupBy(col(keyCol))
+      .agg(top.as("_top"))
+      .select(col(keyCol), explode(col("_top.id")).as(idCol))
+  }
+
   /** The shard expression itself — ONE definition of the contract
     * (first 4 hex chars of an md5 digest, mod nShards) shared by
     * [[shardByHash]] and the streaming composition's content-keyed

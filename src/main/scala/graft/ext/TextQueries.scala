@@ -968,6 +968,30 @@ object TextQueries {
         Tables.load(s, dir, "documents"), "doc_id", "text",
         Seq("spark", "merge", "slow", "table table", "fast sort",
           "key agg"))
+    },
+
+    // per-source document CAP (the C4 "at most N pages per domain"
+    // ceiling, the companion to t15's proportional temperature mix):
+    // each source keeps its 20 lowest-pmd5(doc_id) documents — a
+    // deterministic uniform sample realized as ONE bounded-top-k hash
+    // aggregate (O(cap) state per key at every phase). Oracle replays
+    // the portable hash rank with a row_number window.
+    Q(
+      "t33_domain_cap",
+      """WITH h AS (
+        |  SELECT source, doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      AS hk
+        |  FROM documents
+        |), r AS (
+        |  SELECT source, doc_id, row_number() OVER
+        |    (PARTITION BY source ORDER BY hk, doc_id) AS rn
+        |  FROM h
+        |)
+        |SELECT source, doc_id FROM r WHERE rn <= 20""".stripMargin) {
+      (s, dir) =>
+        graft.ext.Splits.capPerKey(
+          Tables.load(s, dir, "documents"), "source", "doc_id", cap = 20)
     }
   )
 

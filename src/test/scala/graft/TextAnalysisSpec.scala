@@ -295,6 +295,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(kept2 === kept)
   }
 
+  test("capPerKey: exact per-key ceiling, lowest-hash-wins selection, " +
+    "layout-independent, under-cap keys kept whole") {
+    import graft.ext.Splits
+    val docs = (0 until 500).map { i =>
+      (i.toLong, if (i < 400) "web" else if (i < 490) "code" else "math")
+    }.toDF("doc_id", "domain")
+    val capped = Splits.capPerKey(docs, "domain", "doc_id", cap = 50)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byKey = capped.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byKey("web").size === 50)
+    assert(byKey("code").size === 50)
+    assert(byKey("math").size === 10) // under cap: kept whole
+    // selection = the 50 lowest pmd5(id) per key (driver replay)
+    def pmd5(id: Long): BigInt = BigInt(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+    val wantWeb = (0L until 400L).sortBy(i => (pmd5(i), i)).take(50).toSet
+    assert(byKey("web") === wantWeb)
+    // layout-independent: identical sample under a different
+    // partitioning (the assignSplit no-RNG discipline)
+    val again = Splits.capPerKey(
+      docs.repartition(7), "domain", "doc_id", cap = 50)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(again === byKey)
+  }
+
   test("winnow: matches brute force; shared runs share a fingerprint") {
     val shared = "alpha beta gamma delta epsilon zeta" // w+k-1 = 6 tokens
     val texts = Map(
