@@ -418,9 +418,23 @@ object Dedup {
     * oracle contract for d12 AND d13 — both operators must group on the
     * bit-identical digest, which is why they share this one builder. */
   private def positionalGrams(
-      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    positionalGramsFromTokens(
+      docs.select(col(idCol), tokens(col(textCol)).as("__toks")),
+      idCol, "__toks", n)
+
+  /** Token-grain-agnostic form of [[positionalGrams]]: `toksCol` is a
+    * MATERIALIZED array<string> column — whitespace tokens for the
+    * d12/d13/d26 family, but equally [[TextAnalysis.tokensRegex]]
+    * output or [[Bpe.encode]] ids rendered as strings (the Lee et al.
+    * operator's BPE-token grain). The digest is md5 of the
+    * space-joined rendering, so grain choice changes WHAT counts as a
+    * repeat, never the machinery. */
+  private def positionalGramsFromTokens(
+      docs: DataFrame, idCol: String, toksCol: String, n: Int)
+      : DataFrame = {
     val g = docs
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+      .select(col(idCol).as("doc_id"), col(toksCol).as("t"))
       .where(size(col("t")) >= n)
       .select(col("doc_id"),
         posexplode(transform(
@@ -495,10 +509,17 @@ object Dedup {
     * n_removed. */
   private def cutCoveredTokens(
       docs: DataFrame, idCol: String, textCol: String,
+      starts: DataFrame, n: Int): DataFrame =
+    cutCoveredFromTokens(
+      docs.select(col(idCol), tokens(col(textCol)).as("__toks")),
+      idCol, "__toks", starts, n)
+
+  private def cutCoveredFromTokens(
+      docs: DataFrame, idCol: String, toksCol: String,
       starts: DataFrame, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tp = docs
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+      .select(col(idCol).as("doc_id"), col(toksCol).as("t"))
       .select(col("doc_id"), posexplode(col("t")).as(Seq("p", "tk")))
     val byDoc = Window.partitionBy("doc_id").orderBy("p")
       .rowsBetween(-(n - 1), Window.currentRow)
@@ -558,10 +579,21 @@ object Dedup {
     * per maximal duplicated span. */
   def exactSubstrSpans(
       docs: DataFrame, idCol: String, textCol: String, minLen: Int = 20)
+      : DataFrame =
+    exactSubstrSpansFromTokens(
+      docs.select(col(idCol), tokens(col(textCol)).as("__toks")),
+      idCol, "__toks", minLen)
+
+  /** [[exactSubstrSpans]] at ANY token grain: `toksCol` is a
+    * materialized array<string> — regex tokens, or [[Bpe.encode]] ids
+    * rendered as strings for the paper's BPE-token-grain semantics
+    * (positions/lengths are then BPE-token offsets). */
+  def exactSubstrSpansFromTokens(
+      docs: DataFrame, idCol: String, toksCol: String, minLen: Int = 20)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(minLen >= 2, "minLen must be >= 2")
-    val grams = positionalGrams(docs, idCol, textCol, minLen)
+    val grams = positionalGramsFromTokens(docs, idCol, toksCol, minLen)
     val hits = dupGramStarts(grams)
     val w = Window.partitionBy("doc_id").orderBy("q")
     // consecutive hit windows [q, q+L-1] union iff gap(q) <= L; a
@@ -588,12 +620,22 @@ object Dedup {
     * the EXACT ≥minLen duplicated runs, not the n-gram smear. */
   def exactSubstrDedup(
       docs: DataFrame, idCol: String, textCol: String, minLen: Int = 20)
+      : DataFrame =
+    exactSubstrDedupFromTokens(
+      docs.select(col(idCol), tokens(col(textCol)).as("__toks")),
+      idCol, "__toks", minLen)
+
+  /** [[exactSubstrDedup]] at any token grain (see
+    * [[exactSubstrSpansFromTokens]]); clean_hash digests the
+    * space-joined KEPT tokens of `toksCol`. */
+  def exactSubstrDedupFromTokens(
+      docs: DataFrame, idCol: String, toksCol: String, minLen: Int = 20)
       : DataFrame = {
     require(minLen >= 2, "minLen must be >= 2")
-    val grams = positionalGrams(docs, idCol, textCol, minLen)
+    val grams = positionalGramsFromTokens(docs, idCol, toksCol, minLen)
     val starts = dupGramStarts(grams)
       .select(col("doc_id"), col("q").as("p"), lit(1).as("st"))
-    cutCoveredTokens(docs, idCol, textCol, starts, minLen)
+    cutCoveredFromTokens(docs, idCol, toksCol, starts, minLen)
   }
 
   /** KEEP-ONE-COPY exact substring dedup — the removal policy of Lee
@@ -617,9 +659,18 @@ object Dedup {
     * contract as [[dedupSpans]]/[[exactSubstrDedup]]. */
   def exactSubstrDedupKeepFirst(
       docs: DataFrame, idCol: String, textCol: String, minLen: Int = 20)
+      : DataFrame =
+    exactSubstrDedupKeepFirstFromTokens(
+      docs.select(col(idCol), tokens(col(textCol)).as("__toks")),
+      idCol, "__toks", minLen)
+
+  /** [[exactSubstrDedupKeepFirst]] at any token grain (see
+    * [[exactSubstrSpansFromTokens]]). */
+  def exactSubstrDedupKeepFirstFromTokens(
+      docs: DataFrame, idCol: String, toksCol: String, minLen: Int = 20)
       : DataFrame = {
     require(minLen >= 2, "minLen must be >= 2")
-    val grams = positionalGrams(docs, idCol, textCol, minLen)
+    val grams = positionalGramsFromTokens(docs, idCol, toksCol, minLen)
     val canon = grams
       .groupBy("g")
       .agg(
@@ -632,7 +683,7 @@ object Dedup {
       .join(canon, Seq("g"))
       .where(!(col("doc_id") === col("_fd") && col("q") === col("_fq")))
       .select(col("doc_id"), col("q").as("p"), lit(1).as("st"))
-    cutCoveredTokens(docs, idCol, textCol, starts, minLen)
+    cutCoveredFromTokens(docs, idCol, toksCol, starts, minLen)
   }
 
   // ---- shingling --------------------------------------------------------

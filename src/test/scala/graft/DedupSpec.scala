@@ -881,6 +881,42 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("exactSubstr family is token-grain-agnostic: FromTokens over " +
+    "tokens(text) equals the text form; id-array grain finds repeats") {
+    def words(tag: String, n: Int) = (0 until n).map(i => s"$tag$i")
+    val run = words("dup", 12).mkString(" ")
+    val docs = Seq(
+      (1L, (words("a", 3) :+ run).mkString(" ") + " " +
+        words("b", 5).mkString(" ")),
+      (2L, run + " " + words("c", 7).mkString(" ")))
+      .toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"),
+      split(trim(col("text")), " +").as("toks"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(
+      rows(Dedup.exactSubstrSpansFromTokens(toks, "doc_id", "toks", 10))
+        === rows(Dedup.exactSubstrSpans(docs, "doc_id", "text", 10)))
+    assert(
+      rows(Dedup.exactSubstrDedupFromTokens(toks, "doc_id", "toks", 10))
+        === rows(Dedup.exactSubstrDedup(docs, "doc_id", "text", 10)))
+    assert(
+      rows(Dedup.exactSubstrDedupKeepFirstFromTokens(
+        toks, "doc_id", "toks", 10))
+        === rows(Dedup.exactSubstrDedupKeepFirst(docs, "doc_id", "text", 10)))
+    // BPE-shaped grain: token-id sequences rendered as strings — the
+    // planted 10-id repeat is found with id-offset boundaries
+    val ids = Seq(
+      (1L, ((1 to 2) ++ (100 to 109) ++ (3 to 6)).map(_.toString)),
+      (2L, ((7 to 9) ++ (100 to 109)).map(_.toString)))
+      .toDF("doc_id", "toks")
+    val spans = Dedup
+      .exactSubstrSpansFromTokens(ids, "doc_id", "toks", minLen = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans === Set((1L, 2L, 10L), (2L, 3L, 10L)))
+    spark.catalog.clearCache()
+  }
+
   test("zero-norm vectors are excluded from both roles of the screens " +
     "and from mmrTopK candidates (no NaN ranks, no NPE)") {
     // id 5 is all-zero: cosine against it is 0/0 = NaN, which would
