@@ -638,6 +638,43 @@ object Dedup {
     cutCoveredFromTokens(docs, idCol, toksCol, starts, minLen)
   }
 
+  /** SPAN-LEVEL decontamination — the middle ground between
+    * [[contamination]] (a per-doc SCORE; the caller drops whole
+    * documents over a threshold) and dropping nothing: cut exactly
+    * the token spans that overlap the benchmark and keep the rest of
+    * the document. The right response when contamination is a quoted
+    * eval question inside an otherwise-good page — doc-level dropping
+    * throws away the page, doc-level keeping leaks the question.
+    *
+    * Mechanics: every position whose w-gram (md5 of the space-joined
+    * gram text, the d12/d13 digest) appears in the benchmark's
+    * distinct gram set is a cut start; the shared coverage window
+    * removes [q, q+w−1]; reassembly as in [[dedupSpans]]. The
+    * benchmark gram frame BROADCASTS (eval sets are tiny — the d10
+    * contract). Output: (doc_id, clean_hash, n_kept, n_removed);
+    * n_removed = 0 rows are the untouched documents. */
+  def decontamSpanCut(
+      docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, w: Int = 8)
+      : DataFrame = {
+    require(w >= 2, "w must be >= 2")
+    val benchGrams = benchmark
+      .select(col(benchTextCol).as("__bt"))
+      .select(tokens(col("__bt")).as("t"))
+      .where(size(col("t")) >= w)
+      .select(explode(transform(
+        sequence(lit(1), size(col("t")) - (w - 1)),
+        i => md5(concat_ws(" ",
+          (0 until w).map(o => element_at(col("t"), i + o)): _*)
+          .cast("binary")))).as("g"))
+      .distinct()
+    val grams = positionalGrams(docs, idCol, textCol, w)
+    val starts = grams
+      .join(broadcast(benchGrams), Seq("g"), "left_semi")
+      .select(col("doc_id"), col("q").as("p"), lit(1).as("st"))
+    cutCoveredTokens(docs, idCol, textCol, starts, w)
+  }
+
   /** KEEP-ONE-COPY exact substring dedup — the removal policy of Lee
     * et al. 2022 itself (each duplicated substring survives once in
     * the corpus), where [[exactSubstrDedup]] is the aggressive

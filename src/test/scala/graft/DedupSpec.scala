@@ -881,6 +881,37 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("decontamSpanCut: cuts exactly the benchmark-overlapping span, " +
+    "leaves clean docs and sub-w docs untouched") {
+    def words(tag: String, n: Int) = (0 until n).map(i => s"$tag$i")
+    val quote = words("q", 9) // a 9-token eval question
+    val bench = Seq((100L, quote.mkString(" "))).toDF("bid", "btext")
+    val head5 = words("h", 5)
+    val tail6 = words("t", 6)
+    val docs = Seq(
+      // quotes the eval question mid-document
+      (1L, (head5 ++ quote ++ tail6).mkString(" ")),
+      // clean document
+      (2L, words("z", 12).mkString(" ")),
+      // shorter than w: no grams, kept whole
+      (3L, words("s", 4).mkString(" ")))
+      .toDF("doc_id", "text")
+    def md5hex(s: String) = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val got = Dedup
+      .decontamSpanCut(docs, "doc_id", "text", bench, "btext", w = 8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // the quote's two 8-gram windows cover exactly its 9 tokens
+    assert(got(1L) ===
+      ((md5hex((head5 ++ tail6).mkString(" ")), 11L, 9L)))
+    assert(got(2L) === ((md5hex(words("z", 12).mkString(" ")), 12L, 0L)))
+    assert(got(3L) === ((md5hex(words("s", 4).mkString(" ")), 4L, 0L)))
+    spark.catalog.clearCache()
+  }
+
   test("exactSubstr family is token-grain-agnostic: FromTokens over " +
     "tokens(text) equals the text form; id-array grain finds repeats") {
     def words(tag: String, n: Int) = (0 until n).map(i => s"$tag$i")
