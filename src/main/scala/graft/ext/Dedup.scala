@@ -723,6 +723,78 @@ object Dedup {
     cutCoveredFromTokens(docs, idCol, toksCol, starts, minLen)
   }
 
+  /** GLOBAL line-level dedup (the C4/RefinedWeb line-grain pass —
+    * Raffel et al. 2020 §2.2's "discard all but one of any repeated
+    * line" and the CCNet/RefinedWeb boilerplate-line collapse): every
+    * distinct line keeps exactly its CANONICAL occurrence — the
+    * corpus-wide minimum (doc_id, line_no), the d24/d28 first-seen
+    * discipline — and every other occurrence is cut; documents then
+    * reassemble from their surviving lines. Nav bars, cookie banners
+    * and footers collapse to one copy corpus-wide while the first page
+    * that carried them stays intact; a document whose every line is
+    * seen elsewhere first dedups to the empty document (clean_hash of
+    * '' with n_kept = 0 — the caller's drop gate).
+    *
+    * Input is a LINES frame (idCol, lineNoCol, lineCol) so the caller
+    * owns the segmentation contract ([[lineDedup]] splits `textCol` on
+    * a separator; a fixture with no newlines can derive fixed-width
+    * token blocks — the d30 query does). Plan: one digest-keyed
+    * argmin aggregation over the lines (singleton digests drop at the
+    * `n ≥ 2` gate, so the join side is bounded by DISTINCT duplicated
+    * lines, never occurrences), one hash join back on the digest, one
+    * per-doc reassembly agg — two linear exchanges, nothing pairwise;
+    * a pathologically hot line ("Home") is one agg group and one
+    * skewed-but-AQE-splittable join key, never a pair blowup.
+    *
+    * Output: (doc_id, clean_hash = md5 of surviving lines
+    * '\n'-joined in line order, n_kept, n_removed) — the
+    * d26/d27/d28 contract at line grain. */
+  def lineDedupFromLines(
+      lines: DataFrame, idCol: String, lineNoCol: String, lineCol: String)
+      : DataFrame = {
+    val base = lines.select(
+      col(idCol).as("doc_id"),
+      col(lineNoCol).cast("long").as("line_no"),
+      col(lineCol).as("line"))
+    val withG = base.withColumn("g", md5(col("line").cast("binary")))
+    val canon = withG
+      .groupBy("g")
+      .agg(
+        count(lit(1)).as("n"),
+        min(struct(col("doc_id"), col("line_no"))).as("first"))
+      .where(col("n") >= 2)
+      .select(col("g"), col("first.doc_id").as("_fd"),
+        col("first.line_no").as("_fq"))
+    withG
+      .join(canon, Seq("g"), "left_outer")
+      .withColumn("rm",
+        when(col("_fd").isNotNull &&
+          !(col("doc_id") === col("_fd") && col("line_no") === col("_fq")),
+          1L).otherwise(0L))
+      .groupBy("doc_id")
+      .agg(
+        md5(array_join(
+          transform(
+            sort_array(collect_list(
+              when(col("rm") === 0, struct(col("line_no"), col("line"))))),
+            x => x.getField("line")),
+          "\n").cast("binary")).as("clean_hash"),
+        sum(when(col("rm") === 0, 1L).otherwise(0L)).as("n_kept"),
+        sum(col("rm")).as("n_removed"))
+  }
+
+  /** [[lineDedupFromLines]] over a text column: lines are `sep`-split
+    * segments of `textCol` in document order (the production contract
+    * — '\n' for web pages). */
+  def lineDedup(
+      docs: DataFrame, idCol: String, textCol: String, sep: String = "\n")
+      : DataFrame =
+    lineDedupFromLines(
+      docs.select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("__ln", "__line"))),
+      idCol, "__ln", "__line")
+
   // ---- shingling --------------------------------------------------------
 
   /** Word w-shingles of a document (w consecutive tokens, space-joined). */

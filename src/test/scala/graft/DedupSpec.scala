@@ -1066,4 +1066,54 @@ class DedupSpec extends SparkSpec {
     assert(got.map(_.getLong(1)).forall(top20.contains))
     spark.catalog.clearCache()
   }
+
+  test("lineDedup: corpus-wide canonical line survives, every other " +
+    "occurrence (cross-doc AND within-doc) is cut; full-dup doc dedups " +
+    "to the empty shell; text form equals the lines form") {
+    def md5hex(s: String) = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val banner = "accept cookies to continue"
+    val docs = Seq(
+      // first carrier of the banner: keeps it (canonical min doc/line)
+      (1L, s"$banner\nunique alpha line\nrepeated local line\n" +
+        "repeated local line"),
+      // later carrier: banner cut, own singleton lines kept
+      (2L, s"unique beta line\n$banner\nunique gamma line"),
+      // exact duplicate of doc 2's lines, all seen earlier → empty shell
+      (3L, s"unique beta line\n$banner\nunique gamma line"),
+      // no shared lines at all: untouched
+      (4L, "only here one\nonly here two"))
+      .toDF("doc_id", "text")
+    val got = Dedup.lineDedup(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // doc 1: keeps banner + alpha + FIRST "repeated local line";
+    // the within-doc second copy is cut
+    assert(got(1L) === ((md5hex(
+      s"$banner\nunique alpha line\nrepeated local line"), 3L, 1L)))
+    // doc 2: banner cut (doc 1 is canonical), but its beta/gamma lines
+    // are canonical vs doc 3's copies
+    assert(got(2L) ===
+      ((md5hex("unique beta line\nunique gamma line"), 2L, 1L)))
+    // doc 3: every line seen earlier → empty document shell
+    assert(got(3L) === ((md5hex(""), 0L, 3L)))
+    assert(got(4L) ===
+      ((md5hex("only here one\nonly here two"), 2L, 0L)))
+    // text form ≡ explicit lines form (the caller-owned segmentation
+    // contract)
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("ln", "line")))
+    val viaLines = Dedup
+      .lineDedupFromLines(lines, "doc_id", "ln", "line")
+      .collect().map(_.toSeq).toSet
+    assert(viaLines === Dedup.lineDedup(docs, "doc_id", "text")
+      .collect().map(_.toSeq).toSet)
+    // empty frame: no rows, schema intact
+    val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.lineDedup(none, "doc_id", "text").count() === 0L)
+    spark.catalog.clearCache()
+  }
 }
