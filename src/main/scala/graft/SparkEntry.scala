@@ -19,6 +19,7 @@ object SparkEntry {
       graft.ext.SimilarityQueries.all ++
       graft.ext.MultimodalQueries.all ++
       graft.ext.TextQueries.all ++
+      graft.ext.ClassifierQueries.all ++
       graft.etl.PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

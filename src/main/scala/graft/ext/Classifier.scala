@@ -1,0 +1,140 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Trainable linear quality classifier — the model-based filter stage
+  * of the published curation pipelines (fastText quality models;
+  * FineWeb-Edu's educational-value classifier; GPT-3/PaLM's
+  * "looks-like-the-reference-corpus" LR filter), in a batch-perceptron
+  * form whose arithmetic is INTEGER-exact so training replays
+  * engine-identically (the PageRank/k-means/BPE fixpoint discipline,
+  * [[Graph]] / [[KmeansOracle]]).
+  *
+  * Model: hashed bag-of-unigrams — token → [[Dedup.pmd5]] mod
+  * `buckets` (the [[TextAnalysis.dsirModel]] feature space; hashing
+  * caps model size regardless of vocabulary). Training is the batch
+  * perceptron: start at w=0; each round scores every document with the
+  * CURRENT weights (margin = Σ_b w_b·count_b, a BIGINT dot product),
+  * and every misclassified document (y·margin ≤ 0, y ∈ {+1,−1})
+  * contributes y·x to the weight update, summed corpus-wide in one
+  * aggregation. All quantities are integer counts and integer sums —
+  * no learning-rate float, no sigmoid — so the trained weights are a
+  * deterministic function of the corpus alone, independent of
+  * partitioning and aggregation order.
+  *
+  * Scale shape (the 100 TB contract): featurization is ONE corpus
+  * shuffle to the (doc, bucket) count frame, persisted and reused
+  * across rounds. Each round is two keyed aggregations over that frame
+  * — per-doc margins (after a BROADCAST join of the B-row weight
+  * frame, B ≈ 4k rows at any corpus size) and the per-bucket update —
+  * plus a B-row collect to the driver (the Lloyd-iteration k×dim
+  * discipline: model state on the driver is bounded by the model, not
+  * the data). Nothing is pairwise, nothing grows with vocabulary
+  * beyond the hash space, and rounds are strictly sequential-in-model
+  * but embarrassingly parallel in data.
+  *
+  * Overflow headroom: |w_b| after R rounds is bounded by R · Σ_docs
+  * count_b ≤ R · total corpus tokens; margins by doc_len · max|w|.
+  * At 10^12 tokens and R ≤ 100 the margin bound stays under 2^62 for
+  * documents ≤ 4k tokens; callers beyond that cap per-doc counts
+  * (the [[TextAnalysis]] clip idiom) before training.
+  *
+  * Sibling: [[graft.query.Stats.gdLinearModel2Scores]] (t28) distills
+  * a label into TWO hand-picked features by integer batch-GD; this
+  * operator learns over the full hashed vocabulary — the fastText
+  * shape — where feature engineering isn't available.
+  */
+object Classifier {
+
+  /** Hashed unigram count features: (doc_id, b, c) with
+    * b = pmd5(token) mod buckets, c = occurrences in the document.
+    * Empty documents yield no rows (they score 0 everywhere). */
+  def featurize(
+      docs: DataFrame, idCol: String, textCol: String, buckets: Int)
+      : DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"),
+        (Dedup.pmd5(col("tok")) % buckets).as("b"))
+      .groupBy("doc_id", "b")
+      .agg(count(lit(1)).as("c"))
+
+  /** Train `iters` batch-perceptron rounds. `labelPred` is the
+    * supervision signal (true → y=+1): a metadata column, a heuristic
+    * gate (gopher-pass), or a joined human-label frame — anything
+    * Column-expressible over `docs`. Returns the DENSE weight frame
+    * (b, w): exactly `buckets` rows, unseen buckets at 0, so scoring
+    * joins never drop a token. */
+  def trainPerceptron(
+      docs: DataFrame, idCol: String, textCol: String, labelPred: Column,
+      buckets: Int = 4096, iters: Int = 3): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val spark = docs.sparkSession
+    val feat = featurize(docs, idCol, textCol, buckets)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val labels = docs.select(col(idCol).as("doc_id"),
+      when(labelPred, 1L).otherwise(-1L).as("y"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    feat.count(); labels.count() // eager: reused every round
+    // driver-side model state: B longs (bounded by the model, never
+    // the data — the Lloyd k×dim discipline)
+    val w = new Array[Long](buckets)
+    var it = 0
+    while (it < iters) {
+      val mis =
+        if (it == 0) labels // w=0: every margin 0, every doc y·0 ≤ 0
+        else {
+          val wDf = weightsDf(spark, w)
+          val margins = feat.join(broadcast(wDf), "b")
+            .groupBy("doc_id").agg(sum(col("w") * col("c")).as("m"))
+          labels.join(margins, Seq("doc_id"), "left")
+            .where(col("y") * coalesce(col("m"), lit(0L)) <= 0)
+            .select("doc_id", "y")
+        }
+      feat.join(mis, "doc_id")
+        .groupBy("b").agg(sum(col("y") * col("c")).as("dw"))
+        .collect()
+        .foreach(r => w(r.getLong(0).toInt) += r.getLong(1))
+      it += 1
+    }
+    feat.unpersist(); labels.unpersist()
+    weightsDf(spark, w)
+  }
+
+  private def weightsDf(spark: SparkSession, w: Array[Long]): DataFrame = {
+    import spark.implicits._
+    w.toSeq.zipWithIndex.map { case (wt, b) => (b.toLong, wt) }
+      .toDF("b", "w")
+  }
+
+  /** Score any document frame under a trained model (train-once /
+    * score-anywhere: the model broadcasts, so a streaming micro-batch
+    * scores as cheaply as a corpus — the [[TextAnalysis.dsirScore]]
+    * deployment shape). Returns (doc_id, margin, pred) zero-filled
+    * over all input ids; pred = 1 iff margin > 0 (the keep gate). */
+  def scoreDocs(
+      docs: DataFrame, idCol: String, textCol: String, model: DataFrame,
+      buckets: Int = 4096): DataFrame = {
+    val scored = featurize(docs, idCol, textCol, buckets)
+      .join(broadcast(model), "b")
+      .groupBy("doc_id").agg(sum(col("w") * col("c")).as("m"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("m"), lit(0L)).as("margin"),
+        when(coalesce(col("m"), lit(0L)) > 0, 1L).otherwise(0L).as("pred"))
+  }
+
+  /** Train + apply in one call: the production filter composition
+    * (label on a supervised slice, keep what the model accepts).
+    * Returns the scored frame of [[scoreDocs]]. */
+  def perceptronFilter(
+      docs: DataFrame, idCol: String, textCol: String, labelPred: Column,
+      buckets: Int = 4096, iters: Int = 3): DataFrame =
+    scoreDocs(docs, idCol, textCol,
+      trainPerceptron(docs, idCol, textCol, labelPred, buckets, iters),
+      buckets)
+}
