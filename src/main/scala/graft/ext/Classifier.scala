@@ -137,4 +137,126 @@ object Classifier {
     scoreDocs(docs, idCol, textCol,
       trainPerceptron(docs, idCol, textCol, labelPred, buckets, iters),
       buckets)
+
+  /** One-vs-rest MULTI-class perceptron — the domain/topic classifier
+    * of a mixture pipeline (label every crawl page with the source it
+    * "reads like"; the FineWeb/DoReMi domain-annotation stage). All K
+    * binary problems train in the SAME per-round aggregations: the
+    * label frame carries a `cls` key (K rows per doc), the weight
+    * frame is (cls, b, w) with K·B rows, and each round is still two
+    * keyed aggs + one bounded collect — K scales the model state and
+    * the broadcast, never the number of passes over the data.
+    * Class list = distinct `classCol` values (must be model-bounded:
+    * domains/languages/sources, not ids). Returns dense (cls, b, w). */
+  def trainPerceptronOvR(
+      docs: DataFrame, idCol: String, textCol: String, classCol: String,
+      buckets: Int = 4096, iters: Int = 3): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val classes = docs.select(col(classCol).cast("string"))
+      .distinct().as[String].collect().sorted
+    val clsDf = classes.toSeq.toDF("cls")
+    val feat = featurize(docs, idCol, textCol, buckets)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val labels = docs
+      .select(col(idCol).as("doc_id"), col(classCol).cast("string").as("dc"))
+      .crossJoin(broadcast(clsDf))
+      .select(col("doc_id"), col("cls"),
+        when(col("dc") === col("cls"), 1L).otherwise(-1L).as("y"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    feat.count(); labels.count()
+    // model state: K·B longs on the driver
+    val w = scala.collection.mutable.Map.empty[(String, Long), Long]
+      .withDefaultValue(0L)
+    var it = 0
+    while (it < iters) {
+      val mis =
+        if (it == 0) labels
+        else {
+          val wDf = ovrWeightsDf(spark, classes, buckets, w)
+          val margins = feat.join(broadcast(wDf), "b")
+            .groupBy("doc_id", "cls").agg(sum(col("w") * col("c")).as("m"))
+          labels.join(margins, Seq("doc_id", "cls"), "left")
+            .where(col("y") * coalesce(col("m"), lit(0L)) <= 0)
+            .select("doc_id", "cls", "y")
+        }
+      feat.join(mis, "doc_id")
+        .groupBy("cls", "b").agg(sum(col("y") * col("c")).as("dw"))
+        .collect()
+        .foreach(r =>
+          w((r.getString(0), r.getLong(1))) += r.getLong(2))
+      it += 1
+    }
+    feat.unpersist(); labels.unpersist()
+    ovrWeightsDf(spark, classes, buckets, w)
+  }
+
+  private def ovrWeightsDf(
+      spark: SparkSession, classes: Array[String], buckets: Int,
+      w: scala.collection.Map[(String, Long), Long]): DataFrame = {
+    import spark.implicits._
+    (for { c <- classes.toSeq; b <- 0L until buckets.toLong }
+      yield (c, b, w.getOrElse((c, b), 0L))).toDF("cls", "b", "w")
+  }
+
+  /** Predict under an OvR model: argmax class margin per document,
+    * ties broken by class name ascending (deterministic). One
+    * broadcast join + one keyed agg + one per-doc window over the
+    * K-row margin frame. Returns (doc_id, pred_cls, margin). */
+  def predictOvR(
+      docs: DataFrame, idCol: String, textCol: String, model: DataFrame,
+      buckets: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val margins = featurize(docs, idCol, textCol, buckets)
+      .join(broadcast(model), "b")
+      .groupBy("doc_id", "cls").agg(sum(col("w") * col("c")).as("m"))
+    val win = Window.partitionBy("doc_id")
+      .orderBy(col("m").desc, col("cls").asc)
+    margins
+      .withColumn("rn", row_number().over(win))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("cls").as("pred_cls"), col("m").as("margin"))
+  }
+
+  /** Precision/recall threshold sweep over a scored frame — the
+    * calibration audit that picks the keep threshold of a quality
+    * filter. `scores` = (doc_id, margin); `truth` = (doc_id, y01 ∈
+    * {0,1}). Margins floor to `granularity` buckets FIRST (the
+    * knob that bounds output and window size at corpus scale), then
+    * one keyed agg reduces docs to per-threshold (n, tp) rows and the
+    * cumulative sums run over that REDUCED frame (t12 prefix-sum
+    * shape: the global window orders thresholds, never documents).
+    * Semantics: row t reports keeping every doc with margin ≥ t.
+    * Returns (threshold, n_kept, tp, prec_e4, rec_e4) — integer e4
+    * ratios via truncating div; rec_e4 = 0 when the corpus has no
+    * positives. */
+  def prCurve(
+      scores: DataFrame, truth: DataFrame, granularity: Long = 1L)
+      : DataFrame = {
+    require(granularity >= 1, "granularity must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    // FLOOR division (margins go negative; DuckDB `//` floors while
+    // Spark `div` truncates toward zero): subtract the positive
+    // remainder first, then the truncating div is exact
+    val perT = scores.join(truth, "doc_id")
+      .select(
+        expr(s"(margin - pmod(margin, ${granularity}L)) " +
+          s"div ${granularity}L * ${granularity}L").as("threshold"),
+        col("y01").cast("long").as("y01"))
+      .groupBy("threshold")
+      .agg(count(lit(1)).as("n"), sum(col("y01")).as("tp"))
+    val totPos = perT.agg(coalesce(sum("tp"), lit(0L)).as("pos_total"))
+    val win = Window.orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perT
+      .select(col("threshold"),
+        sum(col("n")).over(win).as("n_kept"),
+        sum(col("tp")).over(win).as("tp"))
+      .crossJoin(broadcast(totPos))
+      .select(col("threshold"), col("n_kept"), col("tp"),
+        expr("tp * 10000 div n_kept").as("prec_e4"),
+        when(col("pos_total") > 0, expr("tp * 10000 div pos_total"))
+          .otherwise(0L).as("rec_e4"))
+  }
 }

@@ -14,6 +14,7 @@ object ClassifierQueries {
 
   private val B = 64 // hash buckets for the pack queries (model size)
   private val ITERS = 3 // training rounds, unrolled in the oracle
+  private val GRAN = 8L // c5 threshold granularity (floor buckets)
   // supervision for the pack: does the document mention 'table'? —
   // content-derived so training has real signal to move weights
   private val LABEL_SQL = "contains(text, 'table')"
@@ -60,6 +61,52 @@ object ClassifierQueries {
     head + rounds
   }
 
+  /** OvR oracle: the binary chain with a `cls` key threaded through
+    * every stage — K binary problems, same number of CTEs. */
+  private def trainCtesOvR: String = {
+    val head =
+      s"""tok AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS t
+         |  FROM documents
+         |), feat AS (
+         |  SELECT doc_id, ${DedupQueries.pmSql("t")} % $B AS b,
+         |    count(*)::BIGINT AS c
+         |  FROM tok GROUP BY 1, 2
+         |), cl AS (
+         |  SELECT DISTINCT source::VARCHAR AS cls FROM documents
+         |), lab AS (
+         |  SELECT d.doc_id, c.cls,
+         |    CASE WHEN d.source = c.cls THEN 1 ELSE -1 END AS y
+         |  FROM documents d CROSS JOIN cl c
+         |), grid AS (
+         |  SELECT c.cls, g.b FROM cl c CROSS JOIN (
+         |    SELECT unnest(generate_series(0, ${B - 1}))::BIGINT AS b) g
+         |), w1 AS (
+         |  SELECT g.cls, g.b, coalesce(s.w, 0)::BIGINT AS w
+         |  FROM grid g LEFT JOIN (
+         |    SELECT l.cls, f.b, sum(l.y * f.c) AS w
+         |    FROM feat f JOIN lab l USING (doc_id) GROUP BY 1, 2) s
+         |    ON g.cls = s.cls AND g.b = s.b
+         |)""".stripMargin
+    val rounds = (2 to ITERS).map { i =>
+      s""", m$i AS (
+         |  SELECT f.doc_id, w.cls, sum(w.w * f.c) AS m
+         |  FROM feat f JOIN w${i - 1} w ON f.b = w.b GROUP BY 1, 2
+         |), mis$i AS (
+         |  SELECT l.doc_id, l.cls, l.y FROM lab l LEFT JOIN m$i m
+         |    ON l.doc_id = m.doc_id AND l.cls = m.cls
+         |  WHERE l.y * coalesce(m.m, 0) <= 0
+         |), w$i AS (
+         |  SELECT w.cls, w.b, (w.w + coalesce(s.dw, 0))::BIGINT AS w
+         |  FROM w${i - 1} w LEFT JOIN (
+         |    SELECT mis.cls, f.b, sum(mis.y * f.c) AS dw
+         |    FROM feat f JOIN mis$i mis USING (doc_id) GROUP BY 1, 2) s
+         |    ON w.cls = s.cls AND w.b = s.b
+         |)""".stripMargin
+    }.mkString
+    head + rounds
+  }
+
   def all: Seq[Q] = Seq(
 
     // Batch-perceptron training: the dense B-row weight frame after
@@ -89,6 +136,84 @@ object ClassifierQueries {
         Classifier.perceptronFilter(
           Tables.load(s, dir, "documents"), "doc_id", "text",
           col("text").contains("table"), buckets = B, iters = ITERS)
+    },
+
+    // One-vs-rest multiclass training: the dense (cls, b, w) weight
+    // frame — K binary perceptrons trained in shared per-round
+    // aggregations, every round of every class replayed in the oracle.
+    Q(
+      "c3_perceptron_ovr_train",
+      s"WITH $trainCtesOvR SELECT cls, b, w FROM w$ITERS") { (s, dir) =>
+      Classifier.trainPerceptronOvR(
+        Tables.load(s, dir, "documents"), "doc_id", "text", "source",
+        buckets = B, iters = ITERS)
+    },
+
+    // OvR prediction: argmax class margin per document (ties → class
+    // name ascending), trained and applied on the same corpus — the
+    // domain-annotation stage of a mixture pipeline, end-to-end.
+    Q(
+      "c4_perceptron_ovr_predict",
+      s"""WITH $trainCtesOvR, ms AS (
+         |  SELECT f.doc_id, w.cls, sum(w.w * f.c)::BIGINT AS m
+         |  FROM feat f JOIN w$ITERS w ON f.b = w.b GROUP BY 1, 2
+         |), rk AS (
+         |  SELECT doc_id, cls, m, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY m DESC, cls ASC) AS rn
+         |  FROM ms
+         |)
+         |SELECT doc_id, cls AS pred_cls, m AS margin
+         |FROM rk WHERE rn = 1""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      Classifier.predictOvR(docs, "doc_id", "text",
+        Classifier.trainPerceptronOvR(
+          docs, "doc_id", "text", "source", buckets = B, iters = ITERS),
+        buckets = B)
+    },
+
+    // Precision/recall threshold sweep over the trained binary model's
+    // margins — the calibration audit that picks a filter's keep
+    // threshold. Oracle replays training, scoring, the granularity-G
+    // floor bucketing, and both cumulative sums.
+    Q(
+      "c5_pr_curve",
+      s"""WITH $trainCtes, ms AS (
+         |  SELECT f.doc_id, sum(w.w * f.c) AS m
+         |  FROM feat f JOIN w$ITERS w ON f.b = w.b GROUP BY 1
+         |), sc AS (
+         |  SELECT d.doc_id, coalesce(m.m, 0)::BIGINT AS margin,
+         |    (CASE WHEN $LABEL_SQL THEN 1 ELSE 0 END)::BIGINT AS y01
+         |  FROM documents d LEFT JOIN ms m ON d.doc_id = m.doc_id
+         |), per_t AS (
+         |  SELECT (margin // $GRAN) * $GRAN AS threshold,
+         |    count(*)::BIGINT AS n, sum(y01)::BIGINT AS tp
+         |  FROM sc GROUP BY 1
+         |), cum AS (
+         |  SELECT threshold,
+         |    sum(n) OVER (ORDER BY threshold DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         |      AS n_kept,
+         |    sum(tp) OVER (ORDER BY threshold DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         |      AS tp
+         |  FROM per_t
+         |), tot AS (
+         |  SELECT coalesce(sum(tp), 0)::BIGINT AS pos_total FROM per_t
+         |)
+         |SELECT threshold, n_kept, tp,
+         |  (tp * 10000 // n_kept)::BIGINT AS prec_e4,
+         |  (CASE WHEN pos_total > 0 THEN tp * 10000 // pos_total
+         |    ELSE 0 END)::BIGINT AS rec_e4
+         |FROM cum CROSS JOIN tot""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val model = Classifier.trainPerceptron(
+        docs, "doc_id", "text", col("text").contains("table"),
+        buckets = B, iters = ITERS)
+      val scores = Classifier.scoreDocs(docs, "doc_id", "text", model, B)
+        .select("doc_id", "margin")
+      val truth = docs.select(col("doc_id"),
+        when(col("text").contains("table"), 1L).otherwise(0L).as("y01"))
+      Classifier.prCurve(scores, truth, granularity = GRAN)
     }
   )
 }

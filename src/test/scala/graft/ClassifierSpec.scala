@@ -84,4 +84,99 @@ class ClassifierSpec extends SparkSpec {
     assert(w0.length === 8 && w0.forall(_ === 0L))
     spark.catalog.clearCache()
   }
+
+  test("OvR recovers the class of every doc on a separable 3-class " +
+    "corpus; model is dense K*B; prediction deterministic under " +
+    "repartition") {
+    val docs = (0L until 30L).map { i =>
+      val cls = (i % 3) match {
+        case 0 => ("news", "politics election senate common filler")
+        case 1 => ("code", "function return variable common filler")
+        case _ => ("chat", "lol haha emoji common filler")
+      }
+      (i, cls._2, cls._1)
+    }.toDF("doc_id", "text", "source")
+    val model = Classifier.trainPerceptronOvR(
+      docs, "doc_id", "text", "source", buckets = 64, iters = 5)
+    assert(model.count() === 3L * 64)
+    assert(model.select("cls").distinct().collect().map(_.getString(0))
+      .toSet === Set("news", "code", "chat"))
+    val pred = Classifier.predictOvR(docs, "doc_id", "text", model, 64)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (0L until 30L).foreach { i =>
+      val want = (i % 3) match {
+        case 0 => "news"; case 1 => "code"; case _ => "chat"
+      }
+      assert(pred(i) === want, s"doc $i")
+    }
+    val pred2 = Classifier.predictOvR(
+      docs.repartition(7), "doc_id", "text", model, 64)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred === pred2)
+  }
+
+  test("OvR with two classes trains each class's weights identically " +
+    "to the binary perceptron with that class as +1") {
+    val docs = Seq(
+      (1L, "alpha beta gamma", "a"), (2L, "beta gamma delta", "b"),
+      (3L, "delta epsilon", "a"), (4L, "zeta eta theta alpha", "b"),
+      (5L, "alpha alpha beta", "a"))
+      .toDF("doc_id", "text", "source")
+    val ovr = Classifier.trainPerceptronOvR(
+      docs, "doc_id", "text", "source", buckets = 32, iters = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    Seq("a", "b").foreach { c =>
+      val bin = Classifier.trainPerceptron(
+        docs, "doc_id", "text", col("source") === c,
+        buckets = 32, iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (0L until 32L).foreach { b =>
+        assert(ovr((c, b)) === bin(b), s"cls $c bucket $b")
+      }
+    }
+  }
+
+  test("OvR argmax ties break by class name ascending") {
+    // two classes with identical corpora => identical weights =>
+    // every margin ties => 'x' (asc-first) wins everywhere
+    val docs = Seq(
+      (1L, "same words here", "x"), (2L, "same words here", "y"))
+      .toDF("doc_id", "text", "source")
+    val model = Classifier.trainPerceptronOvR(
+      docs, "doc_id", "text", "source", buckets = 16, iters = 2)
+    val pred = Classifier.predictOvR(docs, "doc_id", "text", model, 16)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred === Map(1L -> "x", 2L -> "x"))
+  }
+
+  test("prCurve matches a hand computation at granularity 1 and floors " +
+    "negative margins correctly at granularity 4") {
+    val scores = Seq((1L, 10L), (2L, 5L), (3L, -3L), (4L, 0L))
+      .toDF("doc_id", "margin")
+    val truth = Seq((1L, 1L), (2L, 0L), (3L, 1L), (4L, 0L))
+      .toDF("doc_id", "y01")
+    val g1 = Classifier.prCurve(scores, truth, 1L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(g1(10L) === ((1L, 1L, 10000L, 5000L)))
+    assert(g1(5L) === ((2L, 1L, 5000L, 5000L)))
+    assert(g1(0L) === ((3L, 1L, 3333L, 5000L)))
+    assert(g1(-3L) === ((4L, 2L, 5000L, 10000L)))
+    // granularity 4: 10→8, 5→4, 0→0, -3→-4 (floor, not trunc-to-zero)
+    val g4 = Classifier.prCurve(scores, truth, 4L)
+      .collect().map(_.getLong(0)).toSet
+    assert(g4 === Set(8L, 4L, 0L, -4L))
+  }
+
+  test("prCurve with zero positives reports rec_e4 = 0 on every row") {
+    val scores = Seq((1L, 7L), (2L, -2L)).toDF("doc_id", "margin")
+    val truth = Seq((1L, 0L), (2L, 0L)).toDF("doc_id", "y01")
+    val rows = Classifier.prCurve(scores, truth, 1L).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(4) === 0L)
+      assert(r.getLong(2) === 0L)
+    }
+  }
 }
