@@ -66,13 +66,15 @@ object GraftExtensions {
       require(args.length == 3,
         "bounded_top_k expects (score bigint, id bigint, k int literal)")
       import org.apache.spark.sql.catalyst.expressions.Literal
-      val k = args(2) match {
-        case Literal(v: Int, _) => v
-        case Literal(v: Long, _) => v.toInt
+      val kLong: Long = args(2) match {
+        case Literal(v: Int, _) => v.toLong
+        case Literal(v: Long, _) => v
         case _ => throw new IllegalArgumentException(
           "bounded_top_k: k must be an integer literal")
       }
-      graft.expr.BoundedTopK(args.head, args(1), k)
+      require(kLong >= 1 && kLong <= Int.MaxValue,
+        s"bounded_top_k: k must be in [1, ${Int.MaxValue}], got $kLong")
+      graft.expr.BoundedTopK(args.head, args(1), kLong.toInt)
     }
 
   /** Register on an already-built session (tests, notebooks). */

@@ -154,8 +154,13 @@ object Classifier {
     require(iters >= 1, "iters must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
+    // NULL-labeled docs train as rest-side (y = -1) for EVERY class —
+    // the `dc === cls` label below already yields -1 for a null dc —
+    // but null is never a class of its own (and would NPE the sort).
     val classes = docs.select(col(classCol).cast("string"))
-      .distinct().as[String].collect().sorted
+      .distinct().as[String].collect().filter(_ != null).sorted
+    require(classes.nonEmpty,
+      s"trainPerceptronOvR: no non-null values in class column '$classCol'")
     val clsDf = classes.toSeq.toDF("cls")
     val feat = featurize(docs, idCol, textCol, buckets)
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -92,8 +92,12 @@ object Curation {
       ColumnBridge.expression(g)))
     val hits = when(exists(sh, mightContain),
       size(array_intersect(sh, evalLit)).cast("long")).otherwise(0L)
-    floor(hits.cast("double") / size(sh).cast("double") * 10000)
-      .cast("long")
+    // A doc with fewer than w tokens has an empty shingle array; 0/0
+    // would be NaN → NULL after the cast, silently dropping the doc at
+    // a `< max` filter. An empty shingle set is UNcontaminated: 0.
+    when(size(sh) === 0, 0L)
+      .otherwise(floor(hits.cast("double") / size(sh).cast("double") * 10000)
+        .cast("long"))
   }
 
   /** Stage 5 — the t17 shard formula ([[Splits.shardOfDigest]], the

@@ -757,7 +757,13 @@ object Dedup {
       col(lineNoCol).cast("long").as("line_no"),
       col(lineCol).as("line"))
     val withG = base.withColumn("g", md5(col("line").cast("binary")))
+    // Blank/whitespace-only lines (paragraph separators, trailing
+    // newlines) are STRUCTURE, not content: they all share one digest,
+    // so admitting them to the canonicality test would strip every
+    // blank line in the corpus but one. They are kept unconditionally
+    // by excluding them from the canonical-occurrence frame.
     val canon = withG
+      .where(length(trim(col("line"))) > 0)
       .groupBy("g")
       .agg(
         count(lit(1)).as("n"),

@@ -137,6 +137,42 @@ class ClassifierSpec extends SparkSpec {
     }
   }
 
+  test("OvR: null-labeled docs are rest-side negatives for every class, " +
+    "never a class of their own; all-null class column is rejected") {
+    val docs = Seq(
+      (1L, "alpha beta gamma", "a"), (2L, "beta gamma delta", "b"),
+      (3L, "delta epsilon", "a"), (4L, "zeta eta theta alpha", "b"),
+      (5L, "alpha alpha beta", null))
+      .toDF("doc_id", "text", "source")
+    val model = Classifier.trainPerceptronOvR(
+      docs, "doc_id", "text", "source", buckets = 32, iters = 3)
+    // null never becomes a class
+    assert(model.select("cls").distinct().collect().map(_.getString(0))
+      .toSet === Set("a", "b"))
+    // the null-labeled doc participated as a NEGATIVE for both classes:
+    // training each binary problem directly with doc 5 labeled false
+    // reproduces the OvR weights exactly
+    val ovr = model.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    Seq("a", "b").foreach { c =>
+      val bin = Classifier.trainPerceptron(
+        docs, "doc_id", "text",
+        coalesce(col("source") === c, lit(false)),
+        buckets = 32, iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (0L until 32L).foreach { b =>
+        assert(ovr((c, b)) === bin(b), s"cls $c bucket $b")
+      }
+    }
+    val allNull = Seq((1L, "alpha", null: String), (2L, "beta", null: String))
+      .toDF("doc_id", "text", "source")
+    val err = intercept[IllegalArgumentException] {
+      Classifier.trainPerceptronOvR(
+        allNull, "doc_id", "text", "source", buckets = 8, iters = 1)
+    }
+    assert(err.getMessage.contains("no non-null"))
+  }
+
   test("OvR argmax ties break by class name ascending") {
     // two classes with identical corpora => identical weights =>
     // every margin ties => 'x' (asc-first) wins everywhere

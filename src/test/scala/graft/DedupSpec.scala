@@ -1116,4 +1116,32 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.lineDedup(none, "doc_id", "text").count() === 0L)
     spark.catalog.clearCache()
   }
+
+  test("lineDedup: blank/whitespace-only lines are structure, kept " +
+    "unconditionally — never canonicalized, never cut") {
+    def md5hex(s: String) = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // Both docs use blank lines as paragraph separators AND share a
+    // real duplicated line; doc 2 ends with a trailing newline (split
+    // yields a trailing empty segment). Every empty/whitespace segment
+    // must survive in BOTH docs — only the content line dedups.
+    val docs = Seq(
+      (1L, "para one\n\nshared banner\n\npara two"),
+      (2L, "intro\n \nshared banner\nclose\n"))
+      .toDF("doc_id", "text")
+    val got = Dedup.lineDedup(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // doc 1 keeps everything incl. both blank separators (canonical
+    // carrier of the shared banner)
+    assert(got(1L) === ((md5hex(
+      "para one\n\nshared banner\n\npara two"), 5L, 0L)))
+    // doc 2 loses ONLY the shared banner; the " " separator and the
+    // trailing empty segment are preserved verbatim
+    assert(got(2L) === ((md5hex("intro\n \nclose\n"), 4L, 1L)))
+    spark.catalog.clearCache()
+  }
 }

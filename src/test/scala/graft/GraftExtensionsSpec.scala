@@ -110,4 +110,27 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(err.getMessage.contains("integer literal") ||
       err.getMessage.toLowerCase.contains("literal"), err.getMessage)
   }
+
+  test("bounded_top_k rejects k <= 0 and k beyond Int range at the " +
+    "builder with the usage message (no silent Long truncation)") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq((1L, 5L, 11L)).toDF("g", "s", "i")
+      .createOrReplaceTempView("btk_range_in")
+    Seq("0", "-3", s"${Int.MaxValue.toLong + 1}L", "4294967297L")
+      .foreach { k =>
+        val err = intercept[Exception] {
+          spark.sql(
+            s"SELECT g, bounded_top_k(s, i, $k) FROM btk_range_in GROUP BY g")
+            .collect()
+        }
+        assert(err.getMessage.contains("bounded_top_k"), s"k=$k: $err")
+        assert(err.getMessage.contains("must be in [1,"), s"k=$k: $err")
+      }
+    // a large in-range k still plans and runs (buffer is O(k))
+    val ok = spark.sql(
+      """SELECT g, size(bounded_top_k(s, i, 100000)) AS n
+        |FROM btk_range_in GROUP BY g""".stripMargin).head()
+    assert(ok.getInt(1) === 1)
+  }
 }

@@ -640,4 +640,26 @@ class StreamingWindowSpec extends SparkSpec {
       }
     }
   }
+
+  test("contaminationE4Inline is total on an empty shingle array: " +
+    "0 (uncontaminated), never NaN/NULL, so a `< max` gate keeps it") {
+    import graft.ext.{Curation, Dedup}
+    import spark.implicits._
+    val eval = Seq((0L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val screen = Dedup.bloomScreenBuild(eval, "text")
+    val got = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // real contamination
+      (2L, "totally unrelated words here"))   // none
+      .toDF("doc_id", "text")
+      .withColumn("sh",
+        when(col("doc_id") === 1L,
+          Dedup.shingleHashes(col("text")))
+          .otherwise(expr("array()").cast("array<bigint>")))
+      .select(col("doc_id"),
+        Curation.contaminationE4Inline(col("sh"), screen).as("c"))
+      .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(got(1L).asInstanceOf[Long] > 0L)
+    assert(got(2L) === 0L) // empty shingles: exactly 0, not null
+    spark.catalog.clearCache()
+  }
 }
