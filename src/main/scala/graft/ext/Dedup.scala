@@ -491,13 +491,24 @@ object Dedup {
     */
   def dedupSpans(
       docs: DataFrame, idCol: String, textCol: String, n: Int = 8)
-      : DataFrame = {
+      : DataFrame =
+    cutCoveredTokens(docs, idCol, textCol,
+      dedupSpanStarts(docs, idCol, textCol, n), n)
+
+  /** [[dedupSpans]] surfacing the cleaned text itself:
+    * (doc_id, clean_text, clean_hash, n_kept, n_removed). */
+  def dedupSpansText(
+      docs: DataFrame, idCol: String, textCol: String, n: Int = 8)
+      : DataFrame =
+    cutCoveredTokensText(docs, idCol, textCol,
+      dedupSpanStarts(docs, idCol, textCol, n), n)
+
+  private def dedupSpanStarts(
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val grams = positionalGrams(docs, idCol, textCol, n)
-    val shared = sharedGrams(grams)
-    val starts = grams
-      .join(shared, Seq("g"), "left_semi")
+    grams
+      .join(sharedGrams(grams), Seq("g"), "left_semi")
       .select(col("doc_id"), col("q").as("p"), lit(1).as("st"))
-    cutCoveredTokens(docs, idCol, textCol, starts, n)
   }
 
   /** Shared cut-and-reassemble tail for the span-dedup transforms:
@@ -514,7 +525,28 @@ object Dedup {
       docs.select(col(idCol), tokens(col(textCol)).as("__toks")),
       idCol, "__toks", starts, n)
 
+  private def cutCoveredTokensText(
+      docs: DataFrame, idCol: String, textCol: String,
+      starts: DataFrame, n: Int): DataFrame =
+    cutCoveredFromTokensText(
+      docs.select(col(idCol), tokens(col(textCol)).as("__toks")),
+      idCol, "__toks", starts, n)
+
   private def cutCoveredFromTokens(
+      docs: DataFrame, idCol: String, toksCol: String,
+      starts: DataFrame, n: Int): DataFrame =
+    cutCoveredFromTokensText(docs, idCol, toksCol, starts, n)
+      .select("doc_id", "clean_hash", "n_kept", "n_removed")
+
+  /** The shared cut tail, now ALSO surfacing the cleaned text itself:
+    * the reassembly agg builds the space-joined surviving tokens
+    * anyway (the hash was always md5 OF that string), so the text
+    * variant is the same plan with one fewer projection drop — a
+    * production pipeline writes `clean_text` to the output corpus
+    * while `clean_hash` stays the portable oracle/audit digest
+    * (`md5(clean_text) == clean_hash` by construction, spec-pinned).
+    * Output: (doc_id, clean_text, clean_hash, n_kept, n_removed). */
+  private def cutCoveredFromTokensText(
       docs: DataFrame, idCol: String, toksCol: String,
       starts: DataFrame, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -528,14 +560,17 @@ object Dedup {
       .withColumn("c", max(col("st")).over(byDoc))
       .groupBy("doc_id")
       .agg(
-        md5(array_join(
+        array_join(
           transform(
             sort_array(collect_list(
               when(col("c") === 0, struct(col("p"), col("tk"))))),
             x => x.getField("tk")),
-          " ").cast("binary")).as("clean_hash"),
+          " ").as("clean_text"),
         sum(when(col("c") === 0, 1L).otherwise(0L)).as("n_kept"),
         sum(col("c").cast("long")).as("n_removed"))
+      .select(col("doc_id"), col("clean_text"),
+        md5(col("clean_text").cast("binary")).as("clean_hash"),
+        col("n_kept"), col("n_removed"))
   }
 
   /** L-gram positions whose CORPUS-WIDE occurrence count (with
@@ -630,12 +665,33 @@ object Dedup {
     * space-joined KEPT tokens of `toksCol`. */
   def exactSubstrDedupFromTokens(
       docs: DataFrame, idCol: String, toksCol: String, minLen: Int = 20)
+      : DataFrame =
+    cutCoveredFromTokens(docs, idCol, toksCol,
+      exactSubstrStarts(docs, idCol, toksCol, minLen), minLen)
+
+  /** [[exactSubstrDedup]] surfacing the cleaned text:
+    * (doc_id, clean_text, clean_hash, n_kept, n_removed). */
+  def exactSubstrDedupText(
+      docs: DataFrame, idCol: String, textCol: String, minLen: Int = 20)
+      : DataFrame =
+    exactSubstrDedupTextFromTokens(
+      docs.select(col(idCol), tokens(col(textCol)).as("__toks")),
+      idCol, "__toks", minLen)
+
+  /** [[exactSubstrDedupText]] at any token grain. */
+  def exactSubstrDedupTextFromTokens(
+      docs: DataFrame, idCol: String, toksCol: String, minLen: Int = 20)
+      : DataFrame =
+    cutCoveredFromTokensText(docs, idCol, toksCol,
+      exactSubstrStarts(docs, idCol, toksCol, minLen), minLen)
+
+  private def exactSubstrStarts(
+      docs: DataFrame, idCol: String, toksCol: String, minLen: Int)
       : DataFrame = {
     require(minLen >= 2, "minLen must be >= 2")
     val grams = positionalGramsFromTokens(docs, idCol, toksCol, minLen)
-    val starts = dupGramStarts(grams)
+    dupGramStarts(grams)
       .select(col("doc_id"), col("q").as("p"), lit(1).as("st"))
-    cutCoveredFromTokens(docs, idCol, toksCol, starts, minLen)
   }
 
   /** SPAN-LEVEL decontamination — the middle ground between
@@ -656,7 +712,23 @@ object Dedup {
   def decontamSpanCut(
       docs: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String, w: Int = 8)
-      : DataFrame = {
+      : DataFrame =
+    cutCoveredTokens(docs, idCol, textCol,
+      decontamStarts(docs, idCol, textCol, benchmark, benchTextCol, w), w)
+
+  /** [[decontamSpanCut]] surfacing the cleaned text — the form a
+    * production pipeline actually writes back out:
+    * (doc_id, clean_text, clean_hash, n_kept, n_removed). */
+  def decontamSpanCutText(
+      docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, w: Int = 8)
+      : DataFrame =
+    cutCoveredTokensText(docs, idCol, textCol,
+      decontamStarts(docs, idCol, textCol, benchmark, benchTextCol, w), w)
+
+  private def decontamStarts(
+      docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, w: Int): DataFrame = {
     require(w >= 2, "w must be >= 2")
     val benchGrams = benchmark
       .select(col(benchTextCol).as("__bt"))
@@ -668,11 +740,9 @@ object Dedup {
           (0 until w).map(o => element_at(col("t"), i + o)): _*)
           .cast("binary")))).as("g"))
       .distinct()
-    val grams = positionalGrams(docs, idCol, textCol, w)
-    val starts = grams
+    positionalGrams(docs, idCol, textCol, w)
       .join(broadcast(benchGrams), Seq("g"), "left_semi")
       .select(col("doc_id"), col("q").as("p"), lit(1).as("st"))
-    cutCoveredTokens(docs, idCol, textCol, starts, w)
   }
 
   /** KEEP-ONE-COPY exact substring dedup — the removal policy of Lee
@@ -705,6 +775,22 @@ object Dedup {
     * [[exactSubstrSpansFromTokens]]). */
   def exactSubstrDedupKeepFirstFromTokens(
       docs: DataFrame, idCol: String, toksCol: String, minLen: Int = 20)
+      : DataFrame =
+    cutCoveredFromTokens(docs, idCol, toksCol,
+      keepFirstStarts(docs, idCol, toksCol, minLen), minLen)
+
+  /** [[exactSubstrDedupKeepFirst]] surfacing the cleaned text:
+    * (doc_id, clean_text, clean_hash, n_kept, n_removed). */
+  def exactSubstrDedupKeepFirstText(
+      docs: DataFrame, idCol: String, textCol: String, minLen: Int = 20)
+      : DataFrame = {
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    cutCoveredFromTokensText(toks, idCol, "__toks",
+      keepFirstStarts(toks, idCol, "__toks", minLen), minLen)
+  }
+
+  private def keepFirstStarts(
+      docs: DataFrame, idCol: String, toksCol: String, minLen: Int)
       : DataFrame = {
     require(minLen >= 2, "minLen must be >= 2")
     val grams = positionalGramsFromTokens(docs, idCol, toksCol, minLen)
@@ -716,11 +802,10 @@ object Dedup {
       .where(col("n") >= 2)
       .select(col("g"), col("first.doc_id").as("_fd"),
         col("first.q").as("_fq"))
-    val starts = grams
+    grams
       .join(canon, Seq("g"))
       .where(!(col("doc_id") === col("_fd") && col("q") === col("_fq")))
       .select(col("doc_id"), col("q").as("p"), lit(1).as("st"))
-    cutCoveredFromTokens(docs, idCol, toksCol, starts, minLen)
   }
 
   /** GLOBAL line-level dedup (the C4/RefinedWeb line-grain pass —
@@ -751,6 +836,15 @@ object Dedup {
     * d26/d27/d28 contract at line grain. */
   def lineDedupFromLines(
       lines: DataFrame, idCol: String, lineNoCol: String, lineCol: String)
+      : DataFrame =
+    lineDedupFromLinesText(lines, idCol, lineNoCol, lineCol)
+      .select("doc_id", "clean_hash", "n_kept", "n_removed")
+
+  /** [[lineDedupFromLines]] surfacing the cleaned text (surviving
+    * lines '\n'-joined in line order):
+    * (doc_id, clean_text, clean_hash, n_kept, n_removed). */
+  def lineDedupFromLinesText(
+      lines: DataFrame, idCol: String, lineNoCol: String, lineCol: String)
       : DataFrame = {
     val base = lines.select(
       col(idCol).as("doc_id"),
@@ -779,15 +873,28 @@ object Dedup {
           1L).otherwise(0L))
       .groupBy("doc_id")
       .agg(
-        md5(array_join(
+        array_join(
           transform(
             sort_array(collect_list(
               when(col("rm") === 0, struct(col("line_no"), col("line"))))),
             x => x.getField("line")),
-          "\n").cast("binary")).as("clean_hash"),
+          "\n").as("clean_text"),
         sum(when(col("rm") === 0, 1L).otherwise(0L)).as("n_kept"),
         sum(col("rm")).as("n_removed"))
+      .select(col("doc_id"), col("clean_text"),
+        md5(col("clean_text").cast("binary")).as("clean_hash"),
+        col("n_kept"), col("n_removed"))
   }
+
+  /** [[lineDedup]] surfacing the cleaned text. */
+  def lineDedupText(
+      docs: DataFrame, idCol: String, textCol: String, sep: String = "\n")
+      : DataFrame =
+    lineDedupFromLinesText(
+      docs.select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("__ln", "__line"))),
+      idCol, "__ln", "__line")
 
   /** [[lineDedupFromLines]] over a text column: lines are `sep`-split
     * segments of `textCol` in document order (the production contract

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.ext.{Dedup, Multimodal, Similarity}
 
@@ -909,6 +910,70 @@ class DedupSpec extends SparkSpec {
       ((md5hex((head5 ++ tail6).mkString(" ")), 11L, 9L)))
     assert(got(2L) === ((md5hex(words("z", 12).mkString(" ")), 12L, 0L)))
     assert(got(3L) === ((md5hex(words("s", 4).mkString(" ")), 4L, 0L)))
+    spark.catalog.clearCache()
+  }
+
+  test("cleaned-text variants: clean_text is the actual surviving " +
+    "corpus, md5(clean_text) == clean_hash on every row, and dropping " +
+    "the text reproduces the hash form exactly") {
+    def words(tag: String, n: Int) = (0 until n).map(i => s"$tag$i")
+    val long = words("m", 25)
+    val docs = Seq(
+      (1L, (words("h", 6) ++ long ++ words("t", 4)).mkString(" ")),
+      (2L, (words("u", 2) ++ long).mkString(" ")),
+      (3L, words("z", 12).mkString(" ")))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, words("m", 9).mkString(" "))).toDF("bid", "btext")
+    val lineDocs = Seq(
+      (1L, "alpha one\nshared banner\nalpha two"),
+      (2L, "beta one\nshared banner"))
+      .toDF("doc_id", "text")
+    def md5hex(s: String) = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val variants: Seq[(String, DataFrame, DataFrame)] = Seq(
+      ("dedupSpans",
+        Dedup.dedupSpansText(docs, "doc_id", "text", n = 8),
+        Dedup.dedupSpans(docs, "doc_id", "text", n = 8)),
+      ("exactSubstrDedup",
+        Dedup.exactSubstrDedupText(docs, "doc_id", "text", minLen = 10),
+        Dedup.exactSubstrDedup(docs, "doc_id", "text", minLen = 10)),
+      ("exactSubstrKeepFirst",
+        Dedup.exactSubstrDedupKeepFirstText(docs, "doc_id", "text", 10),
+        Dedup.exactSubstrDedupKeepFirst(docs, "doc_id", "text", 10)),
+      ("decontamSpanCut",
+        Dedup.decontamSpanCutText(docs, "doc_id", "text", bench, "btext", 8),
+        Dedup.decontamSpanCut(docs, "doc_id", "text", bench, "btext", 8)),
+      ("lineDedup",
+        Dedup.lineDedupText(lineDocs, "doc_id", "text"),
+        Dedup.lineDedup(lineDocs, "doc_id", "text")))
+    variants.foreach { case (name, textForm, hashForm) =>
+      assert(textForm.columns.toSeq ===
+        Seq("doc_id", "clean_text", "clean_hash", "n_kept", "n_removed"),
+        name)
+      val rows = textForm.collect()
+      rows.foreach { r =>
+        assert(md5hex(r.getString(1)) === r.getString(2),
+          s"$name doc ${r.getLong(0)}: md5(clean_text) != clean_hash")
+      }
+      assert(
+        rows.map(r => (r.getLong(0), r.getString(2), r.getLong(3),
+          r.getLong(4))).toSet ===
+          hashForm.collect().map(r =>
+            (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet,
+        s"$name: text form projected != hash form")
+    }
+    // the surfaced text IS the surviving corpus (one spot check per
+    // removal policy)
+    val substr = Dedup
+      .exactSubstrDedupText(docs, "doc_id", "text", minLen = 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(substr(1L) === (words("h", 6) ++ words("t", 4)).mkString(" "))
+    assert(substr(3L) === words("z", 12).mkString(" "))
+    val lines = Dedup.lineDedupText(lineDocs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(lines(1L) === "alpha one\nshared banner\nalpha two")
+    assert(lines(2L) === "beta one")
     spark.catalog.clearCache()
   }
 
