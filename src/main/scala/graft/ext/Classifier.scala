@@ -71,6 +71,38 @@ object Classifier {
   def trainPerceptron(
       docs: DataFrame, idCol: String, textCol: String, labelPred: Column,
       buckets: Int = 4096, iters: Int = 3): DataFrame = {
+    val (fin, _) = trainCore(docs, idCol, textCol, labelPred, buckets, iters)
+    weightsDf(docs.sparkSession, fin)
+  }
+
+  /** AVERAGED perceptron (Freund & Schapire 1999, the batch-snapshot
+    * form): returns `W_avg = Σ_r w_r` — the SUM of the per-round
+    * weight snapshots, integer-exact (the 1/R normalization is a
+    * positive scalar: every sign decision, argmax, and margin ORDER is
+    * unchanged, so it is dropped to stay in BIGINT; margins scale by
+    * ~R, so a caller's absolute threshold must be calibrated against
+    * THIS model — [[prCurve]] does exactly that).
+    *
+    * Why it exists: on a non-separable corpus (every real quality
+    * corpus) the plain perceptron's final-iterate weights oscillate —
+    * adding one training round can flip predictions wholesale
+    * (ClassifierSpec pins a period-2 fixture). The snapshot sum
+    * dampens the cycle: it is the standard production stabilization
+    * and costs nothing extra at scale — one more B-long driver array
+    * updated per round, identical passes over the data. */
+  def trainPerceptronAveraged(
+      docs: DataFrame, idCol: String, textCol: String, labelPred: Column,
+      buckets: Int = 4096, iters: Int = 3): DataFrame = {
+    val (_, avg) = trainCore(docs, idCol, textCol, labelPred, buckets, iters)
+    weightsDf(docs.sparkSession, avg)
+  }
+
+  /** Shared training loop: returns (final-iterate weights, snapshot
+    * sum Σ_r w_r). Driver-side model state: 2·B longs (bounded by the
+    * model, never the data — the Lloyd k×dim discipline). */
+  private def trainCore(
+      docs: DataFrame, idCol: String, textCol: String, labelPred: Column,
+      buckets: Int, iters: Int): (Array[Long], Array[Long]) = {
     require(iters >= 1, "iters must be >= 1")
     val spark = docs.sparkSession
     val feat = featurize(docs, idCol, textCol, buckets)
@@ -79,9 +111,8 @@ object Classifier {
       when(labelPred, 1L).otherwise(-1L).as("y"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     feat.count(); labels.count() // eager: reused every round
-    // driver-side model state: B longs (bounded by the model, never
-    // the data — the Lloyd k×dim discipline)
     val w = new Array[Long](buckets)
+    val wSum = new Array[Long](buckets)
     var it = 0
     while (it < iters) {
       val mis =
@@ -98,10 +129,12 @@ object Classifier {
         .groupBy("b").agg(sum(col("y") * col("c")).as("dw"))
         .collect()
         .foreach(r => w(r.getLong(0).toInt) += r.getLong(1))
+      var b = 0
+      while (b < buckets) { wSum(b) += w(b); b += 1 }
       it += 1
     }
     feat.unpersist(); labels.unpersist()
-    weightsDf(spark, w)
+    (w, wSum)
   }
 
   private def weightsDf(spark: SparkSession, w: Array[Long]): DataFrame = {
@@ -151,6 +184,29 @@ object Classifier {
   def trainPerceptronOvR(
       docs: DataFrame, idCol: String, textCol: String, classCol: String,
       buckets: Int = 4096, iters: Int = 3): DataFrame = {
+    val (classes, fin, _) =
+      trainCoreOvR(docs, idCol, textCol, classCol, buckets, iters)
+    ovrWeightsDf(docs.sparkSession, classes, buckets, fin)
+  }
+
+  /** AVERAGED one-vs-rest perceptron: `W_avg = Σ_r w_r` per class —
+    * see [[trainPerceptronAveraged]] for the rationale. The argmax of
+    * [[predictOvR]] is unchanged in scale (all K margins scale by the
+    * same positive factor), so averaged OvR models drop into the same
+    * predict path. */
+  def trainPerceptronOvRAveraged(
+      docs: DataFrame, idCol: String, textCol: String, classCol: String,
+      buckets: Int = 4096, iters: Int = 3): DataFrame = {
+    val (classes, _, avg) =
+      trainCoreOvR(docs, idCol, textCol, classCol, buckets, iters)
+    ovrWeightsDf(docs.sparkSession, classes, buckets, avg)
+  }
+
+  private def trainCoreOvR(
+      docs: DataFrame, idCol: String, textCol: String, classCol: String,
+      buckets: Int, iters: Int)
+      : (Array[String], scala.collection.Map[(String, Long), Long],
+         scala.collection.Map[(String, Long), Long]) = {
     require(iters >= 1, "iters must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -171,8 +227,10 @@ object Classifier {
         when(col("dc") === col("cls"), 1L).otherwise(-1L).as("y"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     feat.count(); labels.count()
-    // model state: K·B longs on the driver
+    // model state: 2·K·B longs on the driver
     val w = scala.collection.mutable.Map.empty[(String, Long), Long]
+      .withDefaultValue(0L)
+    val wSum = scala.collection.mutable.Map.empty[(String, Long), Long]
       .withDefaultValue(0L)
     var it = 0
     while (it < iters) {
@@ -191,10 +249,11 @@ object Classifier {
         .collect()
         .foreach(r =>
           w((r.getString(0), r.getLong(1))) += r.getLong(2))
+      w.foreach { case (k, v) => wSum(k) += v }
       it += 1
     }
     feat.unpersist(); labels.unpersist()
-    ovrWeightsDf(spark, classes, buckets, w)
+    (classes, w, wSum)
   }
 
   private def ovrWeightsDf(

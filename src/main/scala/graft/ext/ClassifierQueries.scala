@@ -214,6 +214,36 @@ object ClassifierQueries {
       val truth = docs.select(col("doc_id"),
         when(col("text").contains("table"), 1L).otherwise(0L).as("y01"))
       Classifier.prCurve(scores, truth, granularity = GRAN)
+    },
+
+    // AVERAGED perceptron (Freund & Schapire): W_avg = Σ_r w_r, the
+    // sum of the per-round weight snapshots — the stabilization that
+    // makes final weights insensitive to the oscillation of the plain
+    // perceptron on non-separable data. The oracle already carries
+    // every round's snapshot as a CTE; the average is their join-sum.
+    Q(
+      "c6_perceptron_avg_train",
+      s"""WITH $trainCtes
+         |SELECT w1.b, (${(1 to ITERS).map(i => s"w$i.w").mkString(" + ")})
+         |  ::BIGINT AS w
+         |FROM w1${(2 to ITERS).map(i => s" JOIN w$i USING (b)").mkString}""".stripMargin) {
+      (s, dir) =>
+        Classifier.trainPerceptronAveraged(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          col("text").contains("table"), buckets = B, iters = ITERS)
+    },
+
+    // Averaged one-vs-rest: the same snapshot sum per (cls, b).
+    Q(
+      "c7_perceptron_ovr_avg_train",
+      s"""WITH $trainCtesOvR
+         |SELECT w1.cls, w1.b,
+         |  (${(1 to ITERS).map(i => s"w$i.w").mkString(" + ")})::BIGINT AS w
+         |FROM w1${(2 to ITERS).map(i => s" JOIN w$i USING (cls, b)").mkString}""".stripMargin) {
+      (s, dir) =>
+        Classifier.trainPerceptronOvRAveraged(
+          Tables.load(s, dir, "documents"), "doc_id", "text", "source",
+          buckets = B, iters = ITERS)
     }
   )
 }

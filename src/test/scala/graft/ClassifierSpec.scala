@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.ext.Classifier
 
@@ -184,6 +185,65 @@ class ClassifierSpec extends SparkSpec {
     val pred = Classifier.predictOvR(docs, "doc_id", "text", model, 16)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(pred === Map(1L -> "x", 2L -> "x"))
+  }
+
+  test("averaged perceptron: on a non-separable fixture where " +
+    "final-iterate weights oscillate with period 2, the snapshot-sum " +
+    "model's predictions are stable across iters; W_avg equals the " +
+    "hand-summed per-round snapshots") {
+    // A "x x" (+), B "x y" (-), C "y" (+) is non-separable and cycles:
+    // w1 = (x:+1), w2 = 0, w3 = w1, ... — adding one round flips doc
+    // A's final-iterate prediction between 1 and 0 forever.
+    val docs = Seq(
+      (1L, "xray xray", true), (2L, "xray yankee", false),
+      (3L, "yankee", true)).toDF("doc_id", "text", "good")
+    val B = 256
+    def preds(model: DataFrame): Map[Long, Long] =
+      Classifier.scoreDocs(docs, "doc_id", "text", model, B)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // final-iterate: doc 1 prediction depends on iters parity
+    val finByIters = (3 to 6).map { n =>
+      preds(Classifier.trainPerceptron(
+        docs, "doc_id", "text", col("good"), B, iters = n))(1L)
+    }
+    assert(finByIters === Seq(1L, 0L, 1L, 0L)) // the oscillation
+    // averaged: stable at every horizon
+    val avgByIters = (3 to 6).map { n =>
+      preds(Classifier.trainPerceptronAveraged(
+        docs, "doc_id", "text", col("good"), B, iters = n))(1L)
+    }
+    assert(avgByIters === Seq(1L, 1L, 1L, 1L))
+    // W_avg is exactly the sum of the per-round final-iterate
+    // snapshots (integer-exact, no normalization)
+    val snapSum = (1 to 4).map { r =>
+      Classifier.trainPerceptron(
+        docs, "doc_id", "text", col("good"), B, iters = r)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    }.reduce((a, b) => a.map { case (k, v) => k -> (v + b(k)) })
+    val avg4 = Classifier.trainPerceptronAveraged(
+      docs, "doc_id", "text", col("good"), B, iters = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(avg4 === snapSum)
+    // OvR averaged: scale-invariant argmax — on a separable corpus the
+    // averaged model predicts identically to the final-iterate model
+    val docs3 = (0L until 30L).map { i =>
+      val cls = (i % 3) match {
+        case 0 => ("news", "politics election senate common filler")
+        case 1 => ("code", "function return variable common filler")
+        case _ => ("chat", "lol haha emoji common filler")
+      }
+      (i, cls._2, cls._1)
+    }.toDF("doc_id", "text", "source")
+    val avgOvr = Classifier.trainPerceptronOvRAveraged(
+      docs3, "doc_id", "text", "source", buckets = 64, iters = 5)
+    val p = Classifier.predictOvR(docs3, "doc_id", "text", avgOvr, 64)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (0L until 30L).foreach { i =>
+      val want = (i % 3) match {
+        case 0 => "news"; case 1 => "code"; case _ => "chat"
+      }
+      assert(p(i) === want, s"doc $i")
+    }
   }
 
   test("prCurve matches a hand computation at granularity 1 and floors " +
