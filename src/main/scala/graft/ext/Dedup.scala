@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -1395,6 +1395,43 @@ object Dedup {
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("shared"))
       .where(col("shared") >= minShared)
+  }
+
+  /** Persisted shingle-overlap edge artifact — the graph-family
+    * analog of the minhash/sign-band/IVF/PQ persisted indexes: the
+    * edge list of [[shingleOverlapPairs]] is a pure function of the
+    * corpus and is consumed by EVERY graph computation over it
+    * (PageRank hubs, personalized seed expansion, weighted variants,
+    * components), so a production caller pays the shingle
+    * inverted-index shuffle ONCE at ingest and every ranking job
+    * starts from a parquet scan of (id_a, id_b, shared) — no
+    * re-tokenization, no posting join, no pair aggregation. Params
+    * ride a one-row side table (the ivfIndexWrite idiom) so a reader
+    * can verify it probes the graph it thinks it does. */
+  final case class EdgeIndex(
+      w: Int, minShared: Int, maxPostings: Int, edges: DataFrame)
+
+  /** Build the artifact: exactly [[shingleOverlapPairs]] with its
+    * parameters recorded. */
+  def edgeIndexBuild(
+      docs: DataFrame, idCol: String, textCol: String,
+      minShared: Int, w: Int = 3, maxPostings: Int = 1000): EdgeIndex =
+    EdgeIndex(w, minShared, maxPostings,
+      shingleOverlapPairs(docs, idCol, textCol, minShared, w, maxPostings))
+
+  def edgeIndexWrite(index: EdgeIndex, dir: String): Unit = {
+    index.edges.write.mode("overwrite").parquet(s"$dir/edges")
+    val spark = index.edges.sparkSession
+    import spark.implicits._
+    Seq((index.w, index.minShared, index.maxPostings))
+      .toDF("w", "min_shared", "max_postings")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+  }
+
+  def edgeIndexRead(spark: SparkSession, dir: String): EdgeIndex = {
+    val p = spark.read.parquet(s"$dir/params").head()
+    EdgeIndex(p.getInt(0), p.getInt(1), p.getInt(2),
+      spark.read.parquet(s"$dir/edges"))
   }
 
   /** Incremental-novelty profile: per document, how much of its

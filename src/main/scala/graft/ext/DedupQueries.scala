@@ -6,6 +6,33 @@ import graft.query.{Q, Tables}
 /** Query-pack surface for Dedup over the `documents` table. */
 object DedupQueries {
 
+  /** The d22/d23/d25 PageRank family all rank over the SAME
+    * shingle-overlap graph; the production shape is
+    * [[Dedup.edgeIndexWrite]] at ingest + a parquet scan per ranking
+    * job, so the pack does exactly that: the first query to need the
+    * edges builds and persists the artifact (per sf dir, per JVM),
+    * the rest start from [[Dedup.edgeIndexRead]] — one shingle
+    * inverted-index shuffle per pack run instead of three.
+    * `maxPostings = Int.MaxValue` because the DuckDB oracles replay
+    * the uncapped join (the d5 contract); production callers cap. */
+  private val edgeArtifacts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def sharedEdges(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val art = edgeArtifacts.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-edge-index").toString
+      Dedup.edgeIndexWrite(
+        Dedup.edgeIndexBuild(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          minShared = 2, w = 3, maxPostings = Int.MaxValue),
+        tmp)
+      tmp
+    })
+    Dedup.edgeIndexRead(s, art).edges
+  }
+
   val all: Seq[Q] = Seq(
     // exact dedup: content-digest groupBy; keep lowest doc_id per digest.
     Q(
@@ -664,9 +691,7 @@ object DedupQueries {
     // `div` and DuckDB's `//`, so the fixpoint prefix is engine-exact.
     Q("d22_pagerank_dup_hubs", d22OracleSql) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
-      val pairs = Dedup.shingleOverlapPairs(
-        docs, "doc_id", "text", minShared = 2,
-        maxPostings = Int.MaxValue)
+      val pairs = sharedEdges(s, dir)
       Graph.pageRankInt(docs.select(col("doc_id")), pairs, iterations = 5)
         .select(col("id").as("doc_id"), col("rank").as("rank_e9"))
         .orderBy(col("rank_e9").desc, col("doc_id").asc)
@@ -683,9 +708,7 @@ object DedupQueries {
     Q("d23_ppr_seed_expand", pagerankOracleSql(
       seedWhere = Some("doc_id < 10"))) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
-      val pairs = Dedup.shingleOverlapPairs(
-        docs, "doc_id", "text", minShared = 2,
-        maxPostings = Int.MaxValue)
+      val pairs = sharedEdges(s, dir)
       Graph.personalizedPageRankInt(
         docs.select(col("doc_id")), pairs,
         docs.where(col("doc_id") < 10).select(col("doc_id")),
@@ -705,9 +728,7 @@ object DedupQueries {
     Q("d25_weighted_pagerank", pagerankOracleSql(
       None, weighted = true)) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
-      val pairs = Dedup.shingleOverlapPairs(
-        docs, "doc_id", "text", minShared = 2,
-        maxPostings = Int.MaxValue)
+      val pairs = sharedEdges(s, dir)
       Graph.pageRankWeightedInt(
         docs.select(col("doc_id")), pairs, "shared", iterations = 5)
         .select(col("id").as("doc_id"), col("rank").as("rank_e9"))

@@ -581,6 +581,39 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("pagerank pack queries rank over the persisted edge artifact: " +
+    "the plan scans the edge-index parquet and never rebuilds the " +
+    "shingle inverted index (no explode/posting join upstream)") {
+    import graft.ext.{Dedup, Graph}
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-edgeidx")
+    try {
+      val docs = Tables.load(spark, dir, "documents")
+      Dedup.edgeIndexWrite(
+        Dedup.edgeIndexBuild(docs, "doc_id", "text", minShared = 2,
+          w = 3, maxPostings = Int.MaxValue),
+        idxDir.toString)
+      val idx = Dedup.edgeIndexRead(spark, idxDir.toString)
+      assert((idx.w, idx.minShared, idx.maxPostings) ===
+        ((3, 2, Int.MaxValue)))
+      // artifact round-trips the uncapped pair builder bit-exactly
+      val direct = Dedup.shingleOverlapPairs(
+        docs, "doc_id", "text", minShared = 2, maxPostings = Int.MaxValue)
+        .collect().map(_.toSeq).toSet
+      assert(idx.edges.collect().map(_.toSeq).toSet === direct)
+      // the ranking job's source is a FileScan of the artifact — the
+      // analyzed plan has NO Generate (shingle explode) anywhere; the
+      // only exploded thing in the old shape was the token stream
+      val rank = Graph.pageRankInt(
+        docs.select(col("doc_id")), idx.edges, iterations = 2)
+      val analyzed = rank.queryExecution.optimizedPlan.toString
+      assert(!analyzed.contains("Generate"), analyzed.take(3000))
+      assert(analyzed.contains("graft-edgeidx") ||
+        planOf(rank).contains("graft-edgeidx"),
+        analyzed.take(3000))
+      spark.catalog.clearCache()
+    } finally graft.util.Fs.deleteRecursively(idxDir)
+  }
+
   test("sign-band index probe: chunk-equality predicate prunes to " +
     "matching (band, bucket) parquet partitions — the scan never " +
     "opens the rest") {
