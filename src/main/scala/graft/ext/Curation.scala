@@ -26,9 +26,13 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor}
   *     eval gram set — blooms have no false negatives, so
   *     prefilter+exact ≡ the batch [[Dedup.contamination]] fraction
   *     bit-for-bit. STATELESS (stream-static against a built screen).
-  *     Precondition: the eval gram set inlines as a literal array
-  *     (fine to ~10⁴ grams — the blocklist-literal contract; beyond
-  *     that run the d21 exploded join as a periodic batch pass).
+  *     Gram sets up to [[DefaultMaxInlineGrams]] inline as a literal
+  *     array (the blocklist-literal contract); above the bound
+  *     [[curationStream]] switches MECHANICALLY to
+  *     [[contaminationE4Joined]] — the same exact computation with
+  *     the gram set as a one-row broadcast frame (stream-static cross
+  *     join, still stateless; spec-pinned equal on both sides of the
+  *     threshold).
   *  4. Blocklist — [[TextAnalysis.blocklistPredFromToks]], the
   *     inline-literal form, STATELESS.
   *  5. Shard assignment — the t17 hash formula keyed on the CONTENT
@@ -81,17 +85,59 @@ object Curation {
     * ([[Dedup.shingleHashArray]] over pmd5 token hashes), same
     * formula. */
   def contaminationE4Inline(
-      sh: Column, screen: Dedup.BloomScreen): Column = {
+      sh: Column, screen: Dedup.BloomScreen,
+      maxInlineGrams: Int = DefaultMaxInlineGrams): Column = {
+    val evalGrams = screen.shingles.collect().map(_.getLong(0)).sorted
+    require(evalGrams.length <= maxInlineGrams,
+      s"contaminationE4Inline: eval gram set has ${evalGrams.length} " +
+        s"entries, above the $maxInlineGrams inline-literal bound — use " +
+        "contaminationE4Joined (the broadcast-join form; curationStream " +
+        "switches automatically)")
+    contamE4Expr(sh, array(evalGrams.map(lit(_)).toIndexedSeq: _*), screen)
+  }
+
+  /** The literal-array bound of [[contaminationE4Inline]]: ~10⁴ grams
+    * keeps the parsed expression tree and codegen inputs sane (the
+    * blocklist-literal contract). Above it, [[contaminationE4Joined]]
+    * carries the gram set as broadcast DATA instead of plan TEXT. */
+  val DefaultMaxInlineGrams: Int = 10000
+
+  /** Stage 3 above the inline bound — the same exact computation with
+    * the eval gram set as a ONE-ROW broadcast static frame (the whole
+    * distinct set packed into a single sorted array column) instead of
+    * an expression-tree literal: a stream-static broadcast cross join
+    * is stateless and append-legal, so the composed ONE-query shape
+    * survives; the Bloom EXISTS prefilter and the exact
+    * `array_intersect` are the identical expressions over the joined
+    * array. Equal to the inline form on every input (spec-pinned both
+    * sides of the threshold). */
+  def contaminationE4Joined(
+      df: DataFrame, sh: Column, screen: Dedup.BloomScreen,
+      outCol: String = "contamination_e4"): DataFrame = {
+    val evalArr = screen.shingles
+      .agg(sort_array(collect_list(col("g"))).as("__eval_g"))
+    df.withColumn("__sh", sh)
+      .crossJoin(broadcast(evalArr))
+      .withColumn(outCol,
+        contamE4Expr(col("__sh"), col("__eval_g"), screen))
+      .drop("__sh", "__eval_g")
+  }
+
+  /** Shared stage-3 expression: Bloom might_contain EXISTS
+    * short-circuit, exact intersect against `evalArr`, e4 floor.
+    * Equals [[Dedup.contamination]]'s `contamination_e4` exactly —
+    * same distinct-shingle space ([[Dedup.shingleHashArray]] over
+    * pmd5 token hashes), same formula. */
+  private def contamE4Expr(
+      sh: Column, evalArr: Column, screen: Dedup.BloomScreen): Column = {
     import org.apache.spark.sql.catalyst.expressions.{
       BloomFilterMightContain, Literal}
     import org.apache.spark.sql.graft.ColumnBridge
-    val evalGrams = screen.shingles.collect().map(_.getLong(0)).sorted
-    val evalLit = array(evalGrams.map(lit(_)).toIndexedSeq: _*)
     def mightContain(g: Column) = ColumnBridge.column(BloomFilterMightContain(
       Literal(screen.bytes, org.apache.spark.sql.types.BinaryType),
       ColumnBridge.expression(g)))
     val hits = when(exists(sh, mightContain),
-      size(array_intersect(sh, evalLit)).cast("long")).otherwise(0L)
+      size(array_intersect(sh, evalArr)).cast("long")).otherwise(0L)
     // A doc with fewer than w tokens has an empty shingle array; 0/0
     // would be NaN → NULL after the cast, silently dropping the doc at
     // a `< max` filter. An empty shingle set is UNcontaminated: 0.
@@ -116,7 +162,8 @@ object Curation {
       docs: DataFrame, idCol: String, textCol: String, tsCol: String,
       screen: Dedup.BloomScreen, blocklist: Seq[String],
       nShards: Int = 8, contamMaxE4: Long = 2000,
-      delay: String = "1 hour"): DataFrame = {
+      delay: String = "1 hour",
+      maxInlineGrams: Int = DefaultMaxInlineGrams): DataFrame = {
     val projected = qualityGate(
       docs.withColumnRenamed(tsCol, "_ts"), idCol, textCol,
       keep = Seq("_ts"))
@@ -124,12 +171,22 @@ object Curation {
       .withColumn("content_hash", md5(col("text").cast("binary")))
       .withWatermark("_ts", delay)
       .dropDuplicatesWithinWatermark("content_hash")
-    val decontaminated = deduped
+    val shingled = deduped
       .withColumn("_th", Dedup.tokenHashes(col("text")))
       .withColumn("_sh", Dedup.shingleHashArray(col("_th"), 3))
-      .withColumn("contamination_e4",
-        contaminationE4Inline(col("_sh"), screen))
-      .where(col("contamination_e4") < contamMaxE4)
+    // the gram bound is MECHANICAL: small eval sets inline as a
+    // codegen'd literal array; above the bound the identical exact
+    // computation runs as the broadcast-join form (stream-static
+    // cross join of the one-row gram-array frame — still stateless)
+    val nEvalGrams =
+      screen.shingles.limit(maxInlineGrams + 1).count()
+    val decontaminated =
+      (if (nEvalGrams <= maxInlineGrams)
+        shingled.withColumn("contamination_e4",
+          contaminationE4Inline(col("_sh"), screen, maxInlineGrams))
+      else
+        contaminationE4Joined(shingled, col("_sh"), screen))
+        .where(col("contamination_e4") < contamMaxE4)
     decontaminated
       .where(!coalesce(
         TextAnalysis.blocklistPredFromToks(col("toks"), blocklist),

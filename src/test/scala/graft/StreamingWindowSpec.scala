@@ -641,6 +641,69 @@ class StreamingWindowSpec extends SparkSpec {
     }
   }
 
+  test("contamination gram bound is mechanical: joined form equals the " +
+    "inline form on every doc; the composed stream through the join " +
+    "path (threshold forced below the gram count) equals the inline " +
+    "stream; inline above the bound is refused") {
+    import graft.ext.{Curation, Dedup}
+    graft.etl.TxCorrelator.ensureRocksDb(spark)
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val eval = docs.where(col("doc_id") < 10)
+    val screen = Dedup.bloomScreenBuild(eval, "text")
+    // batch equality: same frame through both forms
+    val shingled = docs
+      .withColumn("_th", Dedup.tokenHashes(col("text")))
+      .withColumn("_sh", Dedup.shingleHashArray(col("_th"), 3))
+    val inline = shingled
+      .withColumn("c", Curation.contaminationE4Inline(col("_sh"), screen))
+      .select("doc_id", "c").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val joined = Curation
+      .contaminationE4Joined(shingled, col("_sh"), screen, outCol = "c")
+      .select("doc_id", "c").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(joined === inline)
+    assert(inline.exists(_._2 > 0)) // the pin is non-vacuous
+    // inline above the bound: refused with the redirect message
+    val err = intercept[IllegalArgumentException] {
+      Curation.contaminationE4Inline(col("_sh"), screen,
+        maxInlineGrams = 5)
+    }
+    assert(err.getMessage.contains("contaminationE4Joined"))
+    // composed stream: forcing the join path (threshold below the
+    // eval gram count) must produce the identical curated survivors
+    val base = docs.withColumn("event_time",
+      timestamp_micros(lit(1704067200000000L) + col("doc_id") * 1000000L))
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-curj")
+    try {
+      base.coalesce(2).write.parquet(streamDir.resolve("f0").toString)
+      val schema =
+        spark.read.parquet(streamDir.resolve("f0").toString).schema
+      def run(name: String, maxInline: Int): Set[(String, Long, Long, Long)] = {
+        val q = Curation.curationStream(
+          spark.readStream.schema(schema).parquet(s"$streamDir/*"),
+          "doc_id", "text", "event_time", screen, Seq("spark"),
+          nShards = 4, delay = "2 hours", maxInlineGrams = maxInline)
+          .writeStream.outputMode("append").format("memory")
+          .queryName(name)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.table(name).collect()
+          .map(r => (r.getAs[String]("content_hash"),
+            r.getAs[Long]("ntok"), r.getAs[Long]("contamination_e4"),
+            r.getAs[Long]("shard"))).toSet
+      }
+      val viaInline = run("curj_inline", Curation.DefaultMaxInlineGrams)
+      val viaJoin = run("curj_join", 5)
+      assert(viaJoin === viaInline)
+      assert(viaInline.nonEmpty)
+    } finally graft.util.Fs.deleteRecursively(streamDir)
+    spark.catalog.clearCache()
+  }
+
   test("contaminationE4Inline is total on an empty shingle array: " +
     "0 (uncontaminated), never NaN/NULL, so a `< max` gate keeps it") {
     import graft.ext.{Curation, Dedup}
