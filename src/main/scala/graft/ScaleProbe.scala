@@ -762,6 +762,64 @@ object ScaleProbe {
       } finally q.stop()
       spark.catalog.clearCache()
     }
+
+    // REALISTIC-survivor variant (round-9 verdict item 8): the fixture
+    // corpus is gate-dominated (~0.3% survive, so docs/s prices the
+    // Gopher REJECT path, not the stateful stages). Engineer a ~50%
+    // mix — half unique passers built from texts that clear every
+    // batch stage, half instant gate-fails — so the per-stage split
+    // (gate vs dedup-state vs contamination vs budget) is visible and
+    // the dedup/budget state actually fills at survivor scale.
+    {
+      import graft.ext.{Curation, Dedup, TextAnalysis}
+      val quality = Curation.qualityGate(docs1, "doc_id", "text")
+      val contamOk = Dedup.contamination(
+        docs1, "doc_id", "text", eval, "text")
+        .where(col("contamination_e4") < 2000)
+        .select(col("id").as("doc_id"))
+      val goodTexts = quality
+        .join(contamOk, "doc_id")
+        .where(!coalesce(
+          TextAnalysis.blocklistPredFromToks(col("toks"), blocklist),
+          lit(false)))
+        .where(col("doc_id") >= 10) // eval carriers would re-contaminate
+        .select("text").limit(50).collect().map(_.getString(0))
+      require(goodTexts.nonEmpty, "no gate-passing fixture texts")
+      val n = 50000
+      val mix: IndexedSeq[(Long, String, Long)] = (0 until n).map { i =>
+        val text =
+          if (i % 2 == 0) // unique content per doc: survives dedup too
+            s"${goodTexts((i / 2) % goodTexts.length)} pv$i the of and"
+          else "short" // fails the wordcount flag immediately
+        (i.toLong, text, t0us + i * 1000L)
+      }
+      val stream = MemoryStream[(Long, String, Long)](spark)
+      val src = stream.toDS().select(
+        col("_1").as("doc_id"), col("_2").as("text"),
+        timestamp_micros(col("_3")).as("event_time"))
+      val q = Curation.shardBudgetStream(
+        Curation.curationStream(
+          src, "doc_id", "text", "event_time", screen, blocklist,
+          nShards = 8, delay = "2 hours"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("probe_curation_mix").start()
+      val t0 = System.nanoTime()
+      try {
+        mix.grouped(math.max(1, mix.length / 20)).foreach { g =>
+          stream.addData(g)
+          q.processAllAvailable()
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        val rows = spark.table("probe_curation_mix").count()
+        val stateMax = q.recentProgress.flatMap(_.stateOperators)
+        val peak =
+          if (stateMax.isEmpty) 0L else stateMax.map(_.numRowsTotal).max
+        println(f"mix(50k,~50%%) curation stream: in=${mix.length}%7d " +
+          f"survivors=$rows%7d  ${secs}%6.1f s  " +
+          f"${mix.length / secs}%8.0f docs/s  peakState=$peak rows")
+      } finally q.stop()
+      spark.catalog.clearCache()
+    }
   }
 
   private def probeGraph(spark: SparkSession): Unit = {

@@ -27,8 +27,11 @@ object KmeansOracle {
     s"sqrt(list_sum(list_transform($vec, " +
       "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 
-  /** One assignment CTE: each vector to its best cell of `cents`. */
-  private def assignCte(name: String, cents: String, dim: Int): String =
+  /** One assignment CTE: each vector of `src` to its best cell of
+    * `cents`. */
+  private def assignCte(
+      name: String, cents: String, dim: Int,
+      src: String = "v"): String =
     s"""$name AS (
        |  SELECT id, e, ci FROM (
        |    SELECT id, e, ci,
@@ -37,26 +40,35 @@ object KmeansOracle {
        |    FROM (
        |      SELECT v.id, v.e, c.ci,
        |        ${dotListQ("v.e", "c.cv", dim)} / ${normQ("v.e")} AS sc
-       |      FROM v, $cents c))
+       |      FROM $src v, $cents c))
        |  WHERE rn = 1)""".stripMargin
 
-  /** CTE chain `v, cents0, a1, cents1, …, cents{iters}, asg`. Caller
-    * prepends `WITH [RECURSIVE]` and appends its own consumers. */
+  /** CTE chain `v, vt, cents0, a1, cents1, …, cents{iters}, asg`.
+    * Caller prepends `WITH [RECURSIVE]` and appends its own consumers.
+    * `vt` is the deterministic pmd5-ordered Lloyd TRAINING sample
+    * (min(n, trainCap) rows, default 50·k — the engine's
+    * [[Similarity.trainSampleFrame]] contract); iteration CTEs assign
+    * `vt`, the final `asg` assigns the FULL corpus. */
   def lloydCtes(
-      k: Int = 16, iters: Int = 3, dim: Int = 64, seed: Long = 42L)
-      : String = {
+      k: Int = 16, iters: Int = 3, dim: Int = 64, seed: Long = 42L,
+      trainCap: Int = 0): String = {
+    val cap = if (trainCap > 0) trainCap else 50 * k
     val init = Similarity.initialCentroids(k, dim, seed)
     val c0rows = init.zipWithIndex.map { case (c, i) =>
       s"($i, [${c.mkString(", ")}])"
     }.mkString(",\n    ")
     val sb = new StringBuilder
     sb ++= s"""v AS (SELECT vec_id AS id, embedding AS e FROM embeddings),
+              |vt AS (
+              |  SELECT id, e FROM v
+              |  ORDER BY ${DedupQueries.pmSql("CAST(id AS VARCHAR)")}, id
+              |  LIMIT $cap),
               |cents0(ci, cv) AS (VALUES
               |    $c0rows),
               |""".stripMargin
     for (it <- 1 to iters) {
       val prev = s"cents${it - 1}"
-      sb ++= assignCte(s"a$it", prev, dim) + ",\n"
+      sb ++= assignCte(s"a$it", prev, dim, src = "vt") + ",\n"
       // e6-integer per-(cell, dim) sums -> exact means; empty cells
       // keep the previous centroid
       sb ++= s"""s$it AS (
@@ -91,13 +103,14 @@ object KmeansOracle {
   def pqCtes(
       src: String, rCol: String, m: Int = 8, k: Int = 16,
       iters: Int = 3, subDim: Int = 8, seed: Long = 42L,
-      p: String = "pq"): String = {
+      p: String = "pq", trainCap: Int = 0): String = {
+    val cap = if (trainCap > 0) trainCap else 50 * k
     val init = Similarity.initialCodebooks(m, k, subDim, seed)
     val b0rows = (for {
       j <- 0 until m; code <- 0 until k
     } yield s"($j, $code, [${init(j)(code).mkString(", ")}])")
       .mkString(",\n    ")
-    def assign(name: String, books: String): String =
+    def assign(name: String, books: String, sub: String): String =
       s"""$name AS (
          |  SELECT id, j, sv, code FROM (
          |    SELECT id, j, sv, code,
@@ -108,10 +121,21 @@ object KmeansOracle {
          |        list_sum(list_transform(range(1, ${subDim + 1}),
          |          i -> s.sv[i] * b.cv[i]))
          |        - list_sum(list_transform(b.cv, x -> x * x)) / 2.0 AS sc
-         |      FROM ${p}sub s JOIN $books b ON b.j = s.j))
+         |      FROM $sub s JOIN $books b ON b.j = s.j))
          |  WHERE rn = 1)""".stripMargin
+    // training subvectors come from the deterministic pmd5-ordered
+    // sample ({p}smp — the engine's trainSampleFrame contract); the
+    // final encode ({p}af) assigns the FULL source
     val sb = new StringBuilder
-    sb ++= s"""${p}sub AS (
+    sb ++= s"""${p}smp AS (
+              |  SELECT * FROM $src
+              |  ORDER BY ${DedupQueries.pmSql("CAST(id AS VARCHAR)")}, id
+              |  LIMIT $cap),
+              |${p}sub AS (
+              |  SELECT id, j, list_transform(range(1, ${subDim + 1}),
+              |    i -> CAST($rCol[j * $subDim + i] AS DOUBLE)) AS sv
+              |  FROM ${p}smp, range(0, $m) t(j)),
+              |${p}subf AS (
               |  SELECT id, j, list_transform(range(1, ${subDim + 1}),
               |    i -> CAST($rCol[j * $subDim + i] AS DOUBLE)) AS sv
               |  FROM $src, range(0, $m) t(j)),
@@ -119,7 +143,7 @@ object KmeansOracle {
               |    $b0rows),
               |""".stripMargin
     for (it <- 1 to iters) {
-      sb ++= assign(s"${p}a$it", s"${p}b${it - 1}") + ",\n"
+      sb ++= assign(s"${p}a$it", s"${p}b${it - 1}", s"${p}sub") + ",\n"
       sb ++= s"""${p}s$it AS (
                 |  SELECT a.j, a.code, t.i,
                 |    sum(CAST(round(sv[t.i] * 1000000) AS BIGINT)) AS s,
@@ -134,7 +158,7 @@ object KmeansOracle {
                 |    FROM ${p}s$it GROUP BY 1, 2) u USING (j, code)),
                 |""".stripMargin
     }
-    sb ++= assign(s"${p}af", s"${p}b$iters") + ",\n"
+    sb ++= assign(s"${p}af", s"${p}b$iters", s"${p}subf") + ",\n"
     sb ++= s"""${p}codes AS (
               |  SELECT id, list(code ORDER BY j) AS codes
               |  FROM ${p}af GROUP BY id)""".stripMargin

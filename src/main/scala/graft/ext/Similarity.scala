@@ -656,10 +656,24 @@ object Similarity {
       base.join(assigned, "id")
     }
 
+  /** Deterministic Lloyd training sample — the FAISS discipline:
+    * codebooks/centroids train on ~`cap` points (default 50·k), the
+    * full corpus only pays ASSIGNMENT passes. The sample is the `cap`
+    * ids smallest under pmd5 (content-keyed, partition-independent —
+    * a TakeOrdered, never a full sort), so an independent engine
+    * replays the identical subset and the Lloyd oracles stay exact;
+    * when n ≤ cap the sample IS the corpus and nothing changes. */
+  private[graft] def trainSampleFrame(base: DataFrame, cap: Int): DataFrame =
+    base
+      .withColumn("_ord", Dedup.pmd5(col("id").cast("string")))
+      .orderBy(col("_ord"), col("id"))
+      .limit(cap)
+      .drop("_ord")
+
   def ivfBuild(
       vectors: DataFrame, idCol: String, vecCol: String,
       k: Int = 16, iters: Int = 3, seed: Long = 42L,
-      dim: Option[Int] = None): IvfIndex = {
+      dim: Option[Int] = None, trainCap: Int = 0): IvfIndex = {
     val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
     // dim probe only when the caller doesn't know it — at 100 TB the
     // probe is a full column scan before the first Lloyd pass starts
@@ -669,6 +683,10 @@ object Similarity {
         "ivfBuild: empty or all-null vector input") // clean error, not NPE
       dimRow.getInt(0)
     }
+    val cap = if (trainCap > 0) trainCap else 50 * k
+    val train = trainSampleFrame(base, cap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    train.count()
     var cents: Seq[Seq[Double]] = initialCentroids(k, dimV, seed)
     for (_ <- 0 until iters) {
       // assign + per-cluster mean: one distributed pass, k×dim values
@@ -680,7 +698,7 @@ object Similarity {
       // Integer sums are associative; the single division
       // s/(n·10⁶) is then one deterministic double op, which is what
       // makes the s4/s6/d18 full-replay DuckDB oracles possible.
-      val assigned = assignCells(base, cents)
+      val assigned = assignCells(train, cents)
       val sums = assigned
         .groupBy("c")
         .agg(
@@ -697,6 +715,7 @@ object Similarity {
       }.toMap
       cents = cents.indices.map(i => updated.getOrElse(i, cents(i)))
     }
+    train.unpersist()
     IvfIndex(cents, assignCells(base, cents))
   }
 
@@ -829,7 +848,8 @@ object Similarity {
 
   def pqBuild(
       vectors: DataFrame, idCol: String, vecCol: String,
-      m: Int = 8, k: Int = 16, iters: Int = 3, seed: Long = 42L): PqIndex = {
+      m: Int = 8, k: Int = 16, iters: Int = 3, seed: Long = 42L,
+      trainCap: Int = 0): PqIndex = {
     val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
     // ragged or partially-null input would silently corrupt the codebook
     // means (null elements sum as 0 while the count includes the row) or
@@ -849,10 +869,17 @@ object Similarity {
     require(dim % m == 0, s"pqBuild: dim $dim not divisible by m=$m")
     val subDim = dim / m
 
-    // (subspace, subvector) training frame — recomputed per iteration
-    // (3 slices of a columnar scan; cheaper than caching array columns,
-    // the documented array-persist trap)
-    def subFrame: DataFrame = base.select(
+    // (subspace, subvector) TRAINING frame over the deterministic
+    // pmd5-ordered sample (the FAISS ~50·k-points discipline; each
+    // sampled vector contributes one training point per subspace) —
+    // recomputed per iteration (3 slices of a tiny columnar scan;
+    // cheaper than caching array columns, the documented
+    // array-persist trap). Final encode below runs over the FULL base.
+    val cap = if (trainCap > 0) trainCap else 50 * k
+    val train = trainSampleFrame(base, cap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    train.count()
+    def subFrame: DataFrame = train.select(
       posexplode(array((0 until m).map(j =>
         slice(col("v"), j * subDim + 1, subDim)): _*)).as(Seq("sub", "sv")))
 
@@ -887,6 +914,7 @@ object Similarity {
       }
     }
 
+    train.unpersist()
     val codes = array((0 until m).map(j =>
       nearestCode(slice(col("v"), j * subDim + 1, subDim), books(j))): _*)
     PqIndex(books, base.select(col("id"), codes.as("codes")), base,
@@ -1010,8 +1038,9 @@ object Similarity {
   def ivfPqBuild(
       vectors: DataFrame, idCol: String, vecCol: String,
       k: Int = 16, m: Int = 8, pqK: Int = 16, iters: Int = 3,
-      seed: Long = 42L, dim: Option[Int] = None): IvfPqIndex = {
-    val ivf = ivfBuild(vectors, idCol, vecCol, k, iters, seed, dim)
+      seed: Long = 42L, dim: Option[Int] = None,
+      trainCap: Int = 0): IvfPqIndex = {
+    val ivf = ivfBuild(vectors, idCol, vecCol, k, iters, seed, dim, trainCap)
     // persisted + eager: the assignment CASE + residual zip_with would
     // otherwise recompute for pqBuild's validation probe, every Lloyd
     // iteration, the final encode, AND the cell join-back (~6 scans of
@@ -1021,7 +1050,7 @@ object Similarity {
       residualExpr(col("v"), col("c"), ivf.centroids).as("r"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     resid.count()
-    val pq = pqBuild(resid, "id", "r", m, pqK, iters, seed)
+    val pq = pqBuild(resid, "id", "r", m, pqK, iters, seed, trainCap)
     // column order pinned to the documented (id, c, codes) contract
     val encoded = pq.encoded
       .join(resid.select(col("id"), col("c")), "id")

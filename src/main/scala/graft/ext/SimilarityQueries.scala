@@ -207,6 +207,22 @@ object SimilarityQueries {
           round(col("cos_sim") * 1e6).cast("long").as("cos_e6"))
     },
 
+    // SAMPLED codebook training, exercised below the corpus size (the
+    // FAISS ~50·k-points discipline; s7/s9 sample too but their
+    // default cap exceeds the fixture): trainCap=100 < 500 vectors, so
+    // the Lloyd loop trains on ONLY the 100 pmd5-smallest ids while
+    // the final encode covers the full corpus — the oracle replays the
+    // identical deterministic sample and every per-vector code.
+    Q("s18_pq_sampled_codebooks", s18OracleSql) { (s, dir) =>
+      val idx = Similarity.pqBuild(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        trainCap = 100)
+      idx.encoded.select(
+        col("id").as("vec_id"),
+        concat_ws(",", transform(col("codes"), c => c.cast("string")))
+          .as("codes"))
+    },
+
     // end-to-end RAG indexing composition: overlapping chunking →
     // per-chunk embedding (deterministic hash-derived stand-in — the
     // container has no embedding model, but the pipeline shape is the
@@ -634,6 +650,19 @@ object SimilarityQueries {
        |co AS (SELECT id FROM ap ORDER BY approx DESC, id ASC LIMIT 50),
        |${cosineRankSql(64, 10, "(SELECT v.id, v.e FROM v JOIN co USING (id)) x")}"""
       .stripMargin
+  }
+
+  /** s18: sampled-codebook pqBuild replay — pqCtes with the trainCap
+    * forced below the fixture size, final per-vector codes as a
+    * comma-joined string (portable array render). */
+  private lazy val s18OracleSql: String = {
+    val m = 8; val subDim = 8
+    s"""WITH v AS (SELECT vec_id AS id, embedding AS e FROM embeddings),
+       |${KmeansOracle.pqCtes("v", "e", m = m, subDim = subDim,
+          trainCap = 100)}
+       |SELECT id AS vec_id,
+       |  string_agg(CAST(code AS VARCHAR), ',' ORDER BY j) AS codes
+       |FROM pqaf GROUP BY id""".stripMargin
   }
 
   /** s9: ivfPqTopK replay — lloydCtes coarse centroids, residuals
