@@ -74,6 +74,7 @@ object ClassifierQueries {
          |  FROM tok GROUP BY 1, 2
          |), cl AS (
          |  SELECT DISTINCT source::VARCHAR AS cls FROM documents
+         |  WHERE source IS NOT NULL
          |), lab AS (
          |  SELECT d.doc_id, c.cls,
          |    CASE WHEN d.source = c.cls THEN 1 ELSE -1 END AS y

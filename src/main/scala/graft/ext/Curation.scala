@@ -114,13 +114,20 @@ object Curation {
   def contaminationE4Joined(
       df: DataFrame, sh: Column, screen: Dedup.BloomScreen,
       outCol: String = "contamination_e4"): DataFrame = {
+    // internal working columns must not clobber caller columns — pick
+    // names fresh against the input schema
+    def fresh(base: String): String =
+      Iterator.iterate(base)(_ + "_")
+        .find(n => !df.columns.contains(n)).get
+    val shName = fresh("__sh")
+    val evName = fresh("__eval_g")
     val evalArr = screen.shingles
-      .agg(sort_array(collect_list(col("g"))).as("__eval_g"))
-    df.withColumn("__sh", sh)
+      .agg(sort_array(collect_list(col("g"))).as(evName))
+    df.withColumn(shName, sh)
       .crossJoin(broadcast(evalArr))
       .withColumn(outCol,
-        contamE4Expr(col("__sh"), col("__eval_g"), screen))
-      .drop("__sh", "__eval_g")
+        contamE4Expr(col(shName), col(evName), screen))
+      .drop(shName, evName)
   }
 
   /** Shared stage-3 expression: Bloom might_contain EXISTS
@@ -177,13 +184,17 @@ object Curation {
     // the gram bound is MECHANICAL: small eval sets inline as a
     // codegen'd literal array; above the bound the identical exact
     // computation runs as the broadcast-join form (stream-static
-    // cross join of the one-row gram-array frame — still stateless)
-    val nEvalGrams =
-      screen.shingles.limit(maxInlineGrams + 1).count()
+    // cross join of the one-row gram-array frame — still stateless).
+    // ONE bounded driver job decides AND feeds the inline literal:
+    // limit(max+1) caps driver memory on the over-bound path, and
+    // under the bound the limited collect IS the complete gram set.
+    val headGrams = screen.shingles.limit(maxInlineGrams + 1)
+      .collect().map(_.getLong(0))
     val decontaminated =
-      (if (nEvalGrams <= maxInlineGrams)
+      (if (headGrams.length <= maxInlineGrams)
         shingled.withColumn("contamination_e4",
-          contaminationE4Inline(col("_sh"), screen, maxInlineGrams))
+          contamE4Expr(col("_sh"),
+            array(headGrams.sorted.map(lit(_)).toIndexedSeq: _*), screen))
       else
         contaminationE4Joined(shingled, col("_sh"), screen))
         .where(col("contamination_e4") < contamMaxE4)

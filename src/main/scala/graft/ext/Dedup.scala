@@ -902,11 +902,8 @@ object Dedup {
   def lineDedup(
       docs: DataFrame, idCol: String, textCol: String, sep: String = "\n")
       : DataFrame =
-    lineDedupFromLines(
-      docs.select(col(idCol),
-        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
-          .as(Seq("__ln", "__line"))),
-      idCol, "__ln", "__line")
+    lineDedupText(docs, idCol, textCol, sep)
+      .select("doc_id", "clean_hash", "n_kept", "n_removed")
 
   // ---- shingling --------------------------------------------------------
 

@@ -22,13 +22,15 @@ object DedupQueries {
       : org.apache.spark.sql.DataFrame = {
     val art = edgeArtifacts.computeIfAbsent(dir, _ => {
       val tmp = java.nio.file.Files
-        .createTempDirectory("graft-edge-index").toString
+        .createTempDirectory("graft-edge-index")
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => graft.util.Fs.deleteRecursively(tmp)))
       Dedup.edgeIndexWrite(
         Dedup.edgeIndexBuild(
           Tables.load(s, dir, "documents"), "doc_id", "text",
           minShared = 2, w = 3, maxPostings = Int.MaxValue),
-        tmp)
-      tmp
+        tmp.toString)
+      tmp.toString
     })
     Dedup.edgeIndexRead(s, art).edges
   }

@@ -52,7 +52,7 @@ object KmeansOracle {
   def lloydCtes(
       k: Int = 16, iters: Int = 3, dim: Int = 64, seed: Long = 42L,
       trainCap: Int = 0): String = {
-    val cap = if (trainCap > 0) trainCap else 50 * k
+    val cap = Similarity.lloydTrainCap(trainCap, k)
     val init = Similarity.initialCentroids(k, dim, seed)
     val c0rows = init.zipWithIndex.map { case (c, i) =>
       s"($i, [${c.mkString(", ")}])"
@@ -104,7 +104,7 @@ object KmeansOracle {
       src: String, rCol: String, m: Int = 8, k: Int = 16,
       iters: Int = 3, subDim: Int = 8, seed: Long = 42L,
       p: String = "pq", trainCap: Int = 0): String = {
-    val cap = if (trainCap > 0) trainCap else 50 * k
+    val cap = Similarity.lloydTrainCap(trainCap, k)
     val init = Similarity.initialCodebooks(m, k, subDim, seed)
     val b0rows = (for {
       j <- 0 until m; code <- 0 until k

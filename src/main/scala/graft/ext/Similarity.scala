@@ -663,6 +663,17 @@ object Similarity {
     * a TakeOrdered, never a full sort), so an independent engine
     * replays the identical subset and the Lloyd oracles stay exact;
     * when n ≤ cap the sample IS the corpus and nothing changes. */
+  /** FAISS's ~50 training points per centroid/code — the ONE
+    * definition both the engine builds and the KmeansOracle replay
+    * CTEs derive the default cap from (`min(n, 50·k)`): the
+    * engine/oracle hash equivalence depends on the two sides agreeing
+    * on the cap, so it must not be duplicated. */
+  val LloydSamplePointsPerCentroid: Int = 50
+
+  /** Resolved training cap: explicit `trainCap` wins, else 50·k. */
+  private[ext] def lloydTrainCap(trainCap: Int, k: Int): Int =
+    if (trainCap > 0) trainCap else LloydSamplePointsPerCentroid * k
+
   private[graft] def trainSampleFrame(base: DataFrame, cap: Int): DataFrame =
     base
       .withColumn("_ord", Dedup.pmd5(col("id").cast("string")))
@@ -683,7 +694,7 @@ object Similarity {
         "ivfBuild: empty or all-null vector input") // clean error, not NPE
       dimRow.getInt(0)
     }
-    val cap = if (trainCap > 0) trainCap else 50 * k
+    val cap = lloydTrainCap(trainCap, k)
     val train = trainSampleFrame(base, cap)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     train.count()
@@ -875,7 +886,7 @@ object Similarity {
     // recomputed per iteration (3 slices of a tiny columnar scan;
     // cheaper than caching array columns, the documented
     // array-persist trap). Final encode below runs over the FULL base.
-    val cap = if (trainCap > 0) trainCap else 50 * k
+    val cap = lloydTrainCap(trainCap, k)
     val train = trainSampleFrame(base, cap)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     train.count()
