@@ -1271,4 +1271,83 @@ object Similarity {
       .where(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
+
+  /** Squared L2 distance to a DRIVER-HELD center, e6-floored to BIGINT
+    * — the k-center loop's scoring primitive. The fold is the s11
+    * `l2Distance` idiom (left-to-right double over `zip_with`), so
+    * DuckDB's `list_sum` over the identical term list replays it
+    * bit-exactly; flooring BEFORE the cross-round `least` keeps every
+    * downstream comparison in integers. */
+  private def sqDistE6(vec: Column, center: Seq[Float]): Column = {
+    val c = array(center.map(f => lit(f.toDouble)): _*)
+    floor(aggregate(
+      zip_with(vec, c, (x, y) =>
+        (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, d) => acc + d) * 1e6).cast("long")
+  }
+
+  /** Greedy k-center coreset (farthest-point sampling, Gonzalez 1985)
+    * over the FULL corpus — the diversity-selection step of coreset /
+    * active-learning data curation (pick k exemplars such that every
+    * vector is within the returned radius of one of them; the greedy
+    * rule is a 2-approximation of the optimal k-center cover).
+    *
+    * Unlike [[mmrTopK]] (greedy over a 50-candidate shortlist held on
+    * the driver), this is the at-scale shape: the per-round state is
+    * ONE corpus-sized frame `(id, v, md)` holding each vector's
+    * integer min-distance to the chosen set, updated incrementally —
+    * round j broadcasts only the single new center (a lit array) and
+    * performs one narrow map (`least`) plus one TakeOrderedAndProject
+    * argmax. Total work O(n·k) distance evaluations, driver state k
+    * rows, no shuffle in the loop at all (argmax is a reduce).
+    * Persist/unpersist per round caps lineage like [[Graph.iterate]].
+    *
+    * Determinism contract: the seed center is the vector with the
+    * smallest portable 60-bit hash of its id ([[Dedup.pmd5]], id
+    * tiebreak) — layout-independent "random" start; each round's
+    * argmax breaks distance ties by id ascending. Distances are
+    * e6-floored integers from the moment they're computed, so the
+    * running `least` chain never mixes float rounding across rounds
+    * and an independent engine replays the selection exactly.
+    *
+    * Output: `(rank, vec_id, radius_e6)` — radius_e6 is the chosen
+    * vector's min-distance to the previously chosen set at selection
+    * time (the non-increasing coverage-radius curve; rank 1 is the
+    * seed, radius 0 by convention). */
+  def kCenterCoreset(
+      vectors: DataFrame, idCol: String, vecCol: String, k: Int)
+      : DataFrame = {
+    require(k >= 1, "kCenterCoreset needs k >= 1")
+    val sp = vectors.sparkSession
+    import sp.implicits._
+    val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val seed = base
+      .withColumn("h", Dedup.pmd5(col("id")))
+      .orderBy(col("h").asc, col("id").asc)
+      .limit(1).select("id", "v").collect()
+    if (seed.isEmpty)
+      return Seq.empty[(Long, Long, Long)].toDF("rank", "vec_id", "radius_e6")
+    val seedRow = seed(0)
+    val seedId = seedRow.getLong(0)
+    var center: Seq[Float] = seedRow.getSeq[Float](1)
+    val chosen = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)](
+      (1L, seedId, 0L))
+    var cur = base.withColumn("md", sqDistE6(col("v"), center))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // k truncates to the vectors actually present (top-k convention)
+    val kk = math.min(k.toLong, base.count())
+    for (rank <- 2L to kk) {
+      val far = cur.orderBy(col("md").desc, col("id").asc).limit(1).head()
+      chosen += ((rank, far.getLong(0), far.getLong(2)))
+      center = far.getSeq[Float](1)
+      val prev = cur
+      cur = prev
+        .withColumn("md", least(col("md"), sqDistE6(col("v"), center)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (rank < kk) cur.count() // materialize before dropping parent
+      prev.unpersist(false)
+    }
+    cur.unpersist(false)
+    chosen.toSeq.toDF("rank", "vec_id", "radius_e6")
+  }
 }

@@ -223,6 +223,21 @@ object SimilarityQueries {
           .as("codes"))
     },
 
+    // greedy k-center coreset (farthest-point sampling) over the FULL
+    // corpus — the diversity-selection step of coreset-based data
+    // curation: 6 exemplars such that the coverage radius (max
+    // distance of any vector to its nearest exemplar) is within 2× of
+    // the optimal 6-center cover. The at-scale greedy: per round ONE
+    // narrow map (`least` against the single broadcast new center)
+    // plus a reduce-style argmax — no shuffle in the loop. Oracled by
+    // 6 unrolled CTE stages: distances are e6-floored integers at the
+    // moment of computation, so the cross-round min chain and the
+    // (md DESC, id ASC) argmax replay exactly.
+    Q("s19_kcenter_coreset", kCenterOracleSql(k = 6)) { (s, dir) =>
+      Similarity.kCenterCoreset(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding", k = 6)
+    },
+
     // end-to-end RAG indexing composition: overlapping chunking →
     // per-chunk embedding (deterministic hash-derived stand-in — the
     // container has no embedding model, but the pipeline shape is the
@@ -841,5 +856,46 @@ object SimilarityQueries {
        |)
        |SELECT id, CAST(round(cos6 * 1000000) AS BIGINT) AS cos_e6
        |FROM c ORDER BY cos6 DESC, id ASC LIMIT $k""".stripMargin
+  }
+
+  /** s19 replay: the seed is the min-pmd5 vector; then k−1 unrolled
+    * greedy stages — stage j takes the (md DESC, id ASC) argmax of the
+    * running integer min-distance frame, and the next frame folds the
+    * new center in with `least`. The squared-L2 term list is the s11
+    * idiom (identical left-to-right double fold), e6-floored BEFORE
+    * any cross-stage comparison so every min/argmax is pure BIGINT. */
+  private def kCenterOracleSql(k: Int): String = {
+    def d2(a: String, b: String): String =
+      s"""CAST(floor(list_sum(list_transform(range(1, len($a)+1),
+         |      i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+         |         * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))
+         |    * 1e6) AS BIGINT)""".stripMargin
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH g1 AS (
+         |  SELECT vec_id AS id, embedding AS v FROM embeddings
+         |  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT ASC,
+         |    vec_id ASC LIMIT 1
+         |), m1 AS (
+         |  SELECT e.vec_id AS id, e.embedding AS v,
+         |    ${d2("e.embedding", "g1.v")} AS md
+         |  FROM embeddings e, g1
+         |)""".stripMargin
+    for (j <- 2 to k) {
+      sb ++=
+        s""", g$j AS (
+           |  SELECT id, v, md FROM m${j - 1} ORDER BY md DESC, id ASC LIMIT 1
+           |)""".stripMargin
+      if (j < k) sb ++=
+        s""", m$j AS (
+           |  SELECT m.id, m.v, least(m.md, ${d2("m.v", s"g$j.v")}) AS md
+           |  FROM m${j - 1} m, g$j
+           |)""".stripMargin
+    }
+    sb ++= "\nSELECT CAST(1 AS BIGINT) AS rank, id AS vec_id, " +
+      "CAST(0 AS BIGINT) AS radius_e6 FROM g1"
+    for (j <- 2 to k)
+      sb ++= s"\nUNION ALL SELECT CAST($j AS BIGINT), id, md FROM g$j"
+    sb.toString
   }
 }

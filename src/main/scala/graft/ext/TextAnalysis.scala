@@ -572,6 +572,103 @@ object TextAnalysis {
       docs.select(col(idCol).as("doc_id")))
   }
 
+  /** Deterministic standard-Gumbel noise from the portable 60-bit hash
+    * of an id, e6-floored: `u = (pmd5(id) % 1e9 + 1) / (1e9 + 1)` ∈
+    * (0,1) strictly, then `floor(−1e6·ln(−ln u))`. One shared double
+    * tree (the t14/t18 log discipline) so DuckDB replays it bit-
+    * exactly; no RNG — reruns, layouts, and engines agree. */
+  def gumbelE6(id: Column): Column =
+    floor(lit(-1e6) * log(-log(
+      (Dedup.pmd5(id) % lit(1000000000L) + 1).cast("double") /
+        lit(1000000001L).cast("double")))).cast("long")
+
+  /** DSIR importance-resampling EXECUTION — the sampling step the
+    * [[dsirWeights]] scores exist for (Xie et al. 2023 select their
+    * training subset this way). Sampling k docs WITHOUT replacement
+    * with probability ∝ importance weight is exactly Gumbel top-k:
+    * add standard Gumbel noise to each log-weight and keep the k
+    * largest keys. The noise is hash-derived ([[gumbelE6]]) so the
+    * drawn sample is a pure function of corpus content — rerun- and
+    * cluster-layout-independent, and replayable by the oracle.
+    *
+    * k = max(1, n/keepNth) (driver-side count — one metadata-cheap
+    * job). The selection itself is ONE [[graft.expr.BoundedTopK]]
+    * global aggregate: O(k) state at every phase including the
+    * map-side partial, so no global sort and no unbounded collect —
+    * the same at-scale top-k shape as s17/t33. Both output weights
+    * are recomputed from the returned (score, id) pairs (key −
+    * gumbel(id)), so no join back to the corpus is needed.
+    *
+    * Output: `(rank, doc_id, logweight_e6, key_e6)`, rank 1 = largest
+    * key (key DESC, doc_id ASC — the BoundedTopK contract). */
+  def dsirResample(
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      targetPred: Column, keepNth: Int = 10)
+      : org.apache.spark.sql.DataFrame = {
+    require(keepNth >= 1, "keepNth must be >= 1")
+    val n = docs.count()
+    require(n >= 1, "dsirResample needs a non-empty corpus")
+    val k = math.max(1L, n / keepNth).toInt
+    val keyed = dsirWeights(docs, idCol, textCol, targetPred)
+      .select(col("doc_id").cast("long").as("doc_id"), col("logweight_e6"),
+        (col("logweight_e6") + gumbelE6(col("doc_id"))).as("key_e6"))
+    import org.apache.spark.sql.graft.ColumnBridge
+    val top = ColumnBridge.column(graft.expr.BoundedTopK(
+      ColumnBridge.expression(col("key_e6")),
+      ColumnBridge.expression(col("doc_id")), k).toAggregateExpression())
+    keyed.agg(top.as("_top"))
+      .select(posexplode(col("_top")))
+      .select(
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("doc_id"),
+        (col("col.score") - gumbelE6(col("col.id"))).as("logweight_e6"),
+        col("col.score").as("key_e6"))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): per
+    * language, rank documents by LM score and label the best third
+    * `head`, then `middle`, then `tail` — the standard quality
+    * stratification crawls are partitioned by before mixing. The
+    * score is [[lmScore]]'s bigram NLL averaged per bigram in pure
+    * integers (`(−logprob_e6_sum) div n_bigrams` — both sums are
+    * strictly positive, where Spark `div` ≡ DuckDB `//`); lower
+    * average NLL = lower perplexity = `head`. Documents with no
+    * bigram (fewer than 2 tokens) carry no LM evidence and are
+    * labeled `tail` with a NULL score, outside the terciles.
+    *
+    * Scale shape: the window is PARTITIONED BY language — a keyed
+    * range sort, never a single global one. (Production CCNet
+    * computes the two cutoffs on a per-language reservoir and assigns
+    * by comparison — one agg + broadcast instead of the sort; the
+    * exact ntile form here is the deterministic, oracle-able
+    * contract, and the reservoir form is a threshold-join away.)
+    *
+    * Output: `(doc_id, lang, n_bigrams, avg_nll_e6, bucket)`. */
+  def ccnetBuckets(
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      langCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = lmScore(docs, idCol, textCol)
+      .join(docs.select(col(idCol).as("doc_id"), col(langCol).as("lang")),
+        Seq("doc_id"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("avg_nll_e6").asc, col("doc_id").asc)
+    val bucketed = joined
+      .where(col("n_bigrams") >= 1)
+      .withColumn("avg_nll_e6", expr("(-logprob_e6_sum) div n_bigrams"))
+      .withColumn("tile", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        col("avg_nll_e6"),
+        when(col("tile") === 1, "head")
+          .when(col("tile") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+    val scoreless = joined
+      .where(col("n_bigrams") === 0)
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        lit(null).cast("long").as("avg_nll_e6"), lit("tail").as("bucket"))
+    bucketed.unionByName(scoreless)
+  }
+
   /** Per-slice unigram KL divergence against the whole corpus — the
     * distribution-drift audit a corpus mixture runs per source (is
     * this crawl snapshot / domain distributionally unlike the rest?).

@@ -760,26 +760,8 @@ object TextQueries {
     // identical division nesting.
     Q(
       "t26_dsir_weights",
-      """WITH tok AS (
-        |  SELECT doc_id, lang = 'en' AS is_target,
-        |    ('0x'||substr(md5(unnest(string_split_regex(trim(text), ' +'))),1,15))::BIGINT % 4096 AS b
-        |  FROM documents
-        |), counts AS (
-        |  SELECT b, sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS tb,
-        |    count(*) AS rb
-        |  FROM tok GROUP BY b
-        |), tot AS (
-        |  SELECT sum(tb) AS tt, sum(rb) AS rt FROM counts
-        |), model AS (
-        |  SELECT b, CAST(floor(1e6 * ln(
-        |      (CAST(tb + 1 AS DOUBLE) / CAST(tt + 4096 AS DOUBLE))
-        |      / (CAST(rb + 1 AS DOUBLE) / CAST(rt + 4096 AS DOUBLE))))
-        |    AS BIGINT) AS lr_e6
-        |  FROM counts, tot
-        |), per AS (
-        |  SELECT doc_id, count(*) AS n_tokens, sum(lr_e6) AS logweight_e6
-        |  FROM tok JOIN model USING (b) GROUP BY doc_id
-        |)
+      dsirChainSql +
+        """
         |SELECT d.doc_id,
         |  CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
         |  CAST(coalesce(p.logweight_e6, 0) AS BIGINT) AS logweight_e6
@@ -992,8 +974,138 @@ object TextQueries {
       (s, dir) =>
         graft.ext.Splits.capPerKey(
           Tables.load(s, dir, "documents"), "source", "doc_id", cap = 20)
+    },
+
+    // DSIR importance-resampling EXECUTION (Gumbel top-k): t26 scores
+    // the corpus; this draws the n/10-doc training subset with
+    // probability ∝ importance weight — sampling without replacement
+    // via hash-derived standard Gumbel noise added to each log-weight,
+    // keep the largest keys. Deterministic (no RNG: the draw is a pure
+    // function of corpus content), executed as ONE BoundedTopK global
+    // aggregate (O(k) state at every phase — no global sort), and
+    // fully hash-oracled: DuckDB replays the t26 chain, the shared
+    // -1e6·ln(-ln u) double tree, and the (key DESC, id ASC) top-k.
+    Q("t34_dsir_resample", dsirResampleOracleSql) { (s, dir) =>
+      TextAnalysis.dsirResample(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", keepNth = 10)
+    },
+
+    // CCNet perplexity buckets: per language, tercile the corpus by
+    // average bigram NLL (t18's LM score, integer-averaged per
+    // bigram) into head/middle/tail — the quality stratification
+    // CCNet-style pipelines partition each language's crawl by before
+    // choosing mixing rates. The window is per-language (keyed range
+    // sort, no global window); sub-2-token docs carry no LM evidence
+    // and land in tail with a NULL score.
+    Q("t35_ccnet_buckets", ccnetBucketsOracleSql) { (s, dir) =>
+      TextAnalysis.ccnetBuckets(
+        Tables.load(s, dir, "documents"), "doc_id", "text", "lang")
     }
   )
+
+  /** The t26 DSIR scoring chain (hashed 4096-bucket unigram models of
+    * target vs raw pool, smoothed bucket log-ratios e6-floored, exact
+    * integer per-doc sums) — shared verbatim by the t26 weights oracle
+    * and the t34 resampling oracle, which extends it with the Gumbel
+    * top-k draw. Ends at the `per` CTE. */
+  private lazy val dsirChainSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang = 'en' AS is_target,
+      |    ('0x'||substr(md5(unnest(string_split_regex(trim(text), ' +'))),1,15))::BIGINT % 4096 AS b
+      |  FROM documents
+      |), counts AS (
+      |  SELECT b, sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS tb,
+      |    count(*) AS rb
+      |  FROM tok GROUP BY b
+      |), tot AS (
+      |  SELECT sum(tb) AS tt, sum(rb) AS rt FROM counts
+      |), model AS (
+      |  SELECT b, CAST(floor(1e6 * ln(
+      |      (CAST(tb + 1 AS DOUBLE) / CAST(tt + 4096 AS DOUBLE))
+      |      / (CAST(rb + 1 AS DOUBLE) / CAST(rt + 4096 AS DOUBLE))))
+      |    AS BIGINT) AS lr_e6
+      |  FROM counts, tot
+      |), per AS (
+      |  SELECT doc_id, count(*) AS n_tokens, sum(lr_e6) AS logweight_e6
+      |  FROM tok JOIN model USING (b) GROUP BY doc_id
+      |)""".stripMargin
+
+  /** t34 oracle: the t26 chain, then the hash-derived standard Gumbel
+    * (one shared double tree, e6-floored), key = logweight + gumbel,
+    * and the top n/10 by (key DESC, doc_id ASC) via row_number —
+    * the oracle replays the BoundedTopK selection with a window. */
+  private lazy val dsirResampleOracleSql: String =
+    dsirChainSql +
+      """, w AS (
+        |  SELECT d.doc_id,
+        |    CAST(coalesce(p.logweight_e6, 0) AS BIGINT) AS logweight_e6
+        |  FROM documents d LEFT JOIN per p USING (doc_id)
+        |), g AS (
+        |  SELECT doc_id, logweight_e6,
+        |    logweight_e6 + CAST(floor(-1e6 * ln(-ln(
+        |      CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+        |          % 1000000000 + 1 AS DOUBLE)
+        |      / CAST(1000000001 AS DOUBLE)))) AS BIGINT) AS key_e6
+        |  FROM w
+        |), kc AS (
+        |  SELECT greatest(1, count(*) // 10) AS kk FROM documents
+        |), r AS (
+        |  SELECT doc_id, logweight_e6, key_e6,
+        |    row_number() OVER (ORDER BY key_e6 DESC, doc_id ASC) AS rn
+        |  FROM g
+        |)
+        |SELECT CAST(rn AS BIGINT) AS rank, doc_id, logweight_e6, key_e6
+        |FROM r, kc WHERE rn <= kk""".stripMargin
+
+  /** t35 oracle: the t18 bigram-NLL chain, integer-averaged per bigram
+    * (`//` on two positives ≡ Spark `div`), then per-language ntile(3)
+    * terciles with the (score, doc_id) deterministic order; docs
+    * without a bigram (absent from `sc`) are labeled tail with NULL
+    * score outside the terciles. */
+  private lazy val ccnetBucketsOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents
+      |), pos AS (
+      |  SELECT unnest(generate_series(1,
+      |    (SELECT CAST(max(len(t)) AS INT) FROM toks))) AS i
+      |), grams AS (
+      |  SELECT doc_id, t[i] AS prev, t[i+1] AS cur
+      |  FROM toks JOIN pos ON i <= len(t) - 1
+      |  WHERE len(t) >= 2
+      |), c2 AS (
+      |  SELECT prev, cur, count(*) AS n2 FROM grams GROUP BY prev, cur
+      |), c1 AS (
+      |  SELECT prev, count(*) AS n1 FROM grams GROUP BY prev
+      |), v AS (
+      |  SELECT count(DISTINCT t[i]) AS v
+      |  FROM toks JOIN pos ON i <= len(t)
+      |), sc AS (
+      |  SELECT doc_id, count(*) AS n_bigrams,
+      |    sum(CAST(floor(1e6 * ln(
+      |      CAST(n2 + 1 AS DOUBLE) / CAST(n1 + v AS DOUBLE))) AS BIGINT))
+      |      AS logprob_e6_sum
+      |  FROM grams JOIN c2 USING (prev, cur) JOIN c1 USING (prev), v
+      |  GROUP BY doc_id
+      |), b AS (
+      |  SELECT s.doc_id, d.lang, CAST(s.n_bigrams AS BIGINT) AS n_bigrams,
+      |    (-s.logprob_e6_sum) // s.n_bigrams AS avg_nll_e6
+      |  FROM sc s JOIN documents d USING (doc_id)
+      |), t AS (
+      |  SELECT doc_id, lang, n_bigrams, avg_nll_e6,
+      |    ntile(3) OVER (PARTITION BY lang
+      |      ORDER BY avg_nll_e6 ASC, doc_id ASC) AS tile
+      |  FROM b
+      |)
+      |SELECT doc_id, lang, n_bigrams,
+      |  CAST(avg_nll_e6 AS BIGINT) AS avg_nll_e6,
+      |  CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+      |    AS bucket
+      |FROM t
+      |UNION ALL
+      |SELECT d.doc_id, d.lang, CAST(0 AS BIGINT), CAST(NULL AS BIGINT), 'tail'
+      |FROM documents d LEFT JOIN sc s ON s.doc_id = d.doc_id
+      |WHERE s.doc_id IS NULL""".stripMargin
 
   /** t30 oracle: the full curation chain in DuckDB — t13's flag
     * predicates inlined as a WHERE, the d7 keep-best window, the d10

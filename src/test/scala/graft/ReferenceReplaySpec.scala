@@ -84,6 +84,52 @@ class ReferenceReplaySpec extends SparkSpec {
     }
   }
 
+  test("kCenterCoreset equals an independent greedy FPS replay on " +
+    "random corpora") {
+    // fully independent replay: test-side md5 hash for the seed, a
+    // plain left-fold double for the squared distance, e6 floors
+    // BEFORE every min/argmax — the engine's exact contract
+    def pmd5(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+    def d2e6(a: Seq[Float], b: Seq[Float]): Long = {
+      var s = 0.0
+      for (i <- a.indices) {
+        val d = a(i).toDouble - b(i).toDouble
+        s += d * d
+      }
+      math.floor(s * 1e6).toLong
+    }
+    val rnd = new scala.util.Random(123)
+    for (trial <- 0 until 5) {
+      val n = 5 + rnd.nextInt(25)
+      val k = 1 + rnd.nextInt(8) // may exceed n -> truncation path
+      val vecs = (0 until n).map(i => (i.toLong, randVec(rnd, 4)))
+      val byId = vecs.toMap
+      val seedId = vecs.map(_._1).minBy(id => (pmd5(id), id))
+      var md = vecs.map { case (id, v) => id -> d2e6(v, byId(seedId)) }.toMap
+      val want = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)](
+        (1L, seedId, 0L))
+      for (rank <- 2L to math.min(k.toLong, n.toLong)) {
+        val (fid, fmd) = md.toSeq.minBy { case (id, m) => (-m, id) }
+        want += ((rank, fid, fmd))
+        md = md.map { case (id, m) =>
+          id -> math.min(m, d2e6(byId(id), byId(fid)))
+        }
+      }
+      val got = Similarity.kCenterCoreset(
+        vecs.toDF("vec_id", "embedding"), "vec_id", "embedding", k)
+        .orderBy("rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.toSeq === want.toSeq, s"trial=$trial n=$n k=$k")
+      // the coverage-radius curve is non-increasing past the seed
+      val radii = got.toSeq.drop(1).map(_._3)
+      assert(radii === radii.sorted(Ordering[Long].reverse))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("labelNoiseScreen equals an independent kNN replay on random " +
     "labeled corpora") {
     val rnd = new scala.util.Random(99)

@@ -534,4 +534,99 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.blocklistHits(docs, "doc_id", "text", Seq("  ", ""))
     }
   }
+
+  test("dsirResample draws the Gumbel top-k of the weight frame, " +
+    "layout-independent") {
+    val rnd = new scala.util.Random(31)
+    val words = Vector("the", "of", "and", "le", "la", "und", "der",
+      "alpha", "beta", "gamma", "delta", "epsilon")
+    val docs = (0L until 37L).map { i =>
+      val lang = Seq("en", "fr", "de")(rnd.nextInt(3))
+      val text = Seq.fill(3 + rnd.nextInt(9))(
+        words(rnd.nextInt(words.size))).mkString(" ")
+      (i, text, lang)
+    }.toDF("doc_id", "text", "lang")
+
+    // independent replay of the NOISE + SELECTION stage (the weights
+    // themselves are t26's differential): test-side md5 Gumbel, then
+    // a plain sort — vs the engine's BoundedTopK draw
+    def gumbel(id: Long): Long = {
+      val h = BigInt(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15), 16).toLong
+      val u = (h % 1000000000L + 1).toDouble / 1000000001L.toDouble
+      math.floor(-1e6 * math.log(-math.log(u))).toLong
+    }
+    val w = TextAnalysis.dsirWeights(docs, "doc_id", "text",
+      col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val want = w.toSeq
+      .map { case (id, lw) => (id, lw, lw + gumbel(id)) }
+      .sortBy { case (id, _, key) => (-key, id) }
+      .take(math.max(1, w.size / 10))
+      .zipWithIndex
+      .map { case ((id, lw, key), i) => (i + 1L, id, lw, key) }
+    val got = TextAnalysis.dsirResample(
+      docs, "doc_id", "text", col("lang") === "en", keepNth = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === want)
+    // layout-independent: identical draw under a different partitioning
+    val again = TextAnalysis.dsirResample(
+      docs.repartition(7), "doc_id", "text", col("lang") === "en",
+      keepNth = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq === want)
+    // keepNth=1 keeps the whole corpus, ranked
+    val all = TextAnalysis.dsirResample(
+      docs, "doc_id", "text", col("lang") === "en", keepNth = 1)
+    assert(all.count() === 37L)
+  }
+
+  test("ccnetBuckets: per-language terciles by avg bigram NLL, " +
+    "scoreless docs land in tail") {
+    // two languages with hand-sized terciles (en: 7 -> 3/2/2,
+    // fr: 4 -> 2/1/1) plus a 1-token doc with no bigram evidence
+    val en = (0L until 7L).map(i =>
+      (i, ("tok " * (i + 2).toInt).trim + s" u$i", "en"))
+    val fr = (10L until 14L).map(i =>
+      (i, ("mot " * (i - 8).toInt).trim + s" v$i", "fr"))
+    val docs = (en ++ fr :+ ((20L, "solo", "en")))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.ccnetBuckets(docs, "doc_id", "text", "lang")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          r.getString(4)))).toMap
+    assert(out.size === 12)
+    // the 1-token doc: no bigram, NULL score, tail
+    assert(out(20L) === (("en", 0L, None, "tail")))
+    // replay the tercile assignment from the engine's own scores:
+    // sort (avg_nll, id) per lang, split 3/2/2 and 2/1/1
+    def replay(lang: String, sizes: Seq[Int]): Map[Long, String] = {
+      val scored = out.toSeq
+        .filter { case (_, (l, nb, _, _)) => l == lang && nb >= 1 }
+        .map { case (id, (_, _, s, _)) => (id, s.get) }
+        .sortBy { case (id, s) => (s, id) }
+      val names = Seq("head", "middle", "tail")
+      sizes.zipWithIndex.flatMap { case (sz, b) =>
+        val off = sizes.take(b).sum
+        scored.slice(off, off + sz).map(_._1 -> names(b))
+      }.toMap
+    }
+    val wantEn = replay("en", Seq(3, 2, 2))
+    val wantFr = replay("fr", Seq(2, 1, 1))
+    for ((id, (l, nb, _, bucket)) <- out if nb >= 1)
+      assert(bucket === (if (l == "en") wantEn(id) else wantFr(id)),
+        s"doc $id")
+    // monotone: within a language, every head score <= every tail score
+    val enScores = out.collect {
+      case (_, ("en", nb, Some(s), b)) if nb >= 1 => (b, s)
+    }
+    assert(enScores.collect { case ("head", s) => s }.max <=
+      enScores.collect { case ("tail", s) => s }.min)
+  }
 }
