@@ -24,6 +24,7 @@ object ScaleProbe {
     if (args.contains("s17")) { probeS17(spark); spark.stop(); return }
     if (args.contains("substr")) { probeSubstr(spark); spark.stop(); return }
     if (args.contains("curation")) { probeCuration(spark); spark.stop(); return }
+    if (args.contains("coreset")) { probeCoreset(spark); spark.stop(); return }
     val docs1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .select(col("doc_id"), col("text"))
     // 10x: replicate with distinct ids and a per-copy suffix token so
@@ -998,6 +999,54 @@ object ScaleProbe {
           graft.ext.Pca.topComponent(spark, v, "embedding", dim = 64)
             .count()
         }
+    } finally {
+      dirs.foreach(graft.util.Fs.deleteRecursively)
+    }
+  }
+
+  /** `coreset` mode: the round-10 session-2 operators at 10x/100x.
+    * s19 k-center FPS (cost model O(n·k): k narrow maps + k reduce
+    * argmaxes, no loop shuffle — should track corpus size linearly),
+    * t34 DSIR resampling (one token shuffle + one BoundedTopK global
+    * agg over a k that GROWS with n — state O(n/10) stays
+    * corpus-proportional by design), and t35 CCNet buckets (t18's
+    * bigram shuffle + a per-language keyed window).
+    * `sbt "runMain graft.ScaleProbe coreset"`. */
+  private def probeCoreset(spark: SparkSession): Unit = {
+    import graft.ext.{Similarity, TextAnalysis}
+    val dirs = collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    def timed(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$name%-34s ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
+      spark.catalog.clearCache()
+    }
+    val vecs1 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val docs1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+    // lang-preserving replicator (repDocsFrom drops it): near-dup
+    // copies, fresh ids, same disk-materialization discipline
+    def repDocs(r: Int) = (0 until r).map { i =>
+      docs1.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+        concat(col("text"), lit(s" copytag$i")).as("text"), col("lang"))
+    }.reduce(_ unionByName _)
+    try {
+      for ((label, rep) <- Seq(("1x", 1), ("10x", 10), ("100x", 100))) {
+        val v = matTo(spark, dirs, repVecsFrom(vecs1, rep), s"cs-v$rep")
+        timed(s"$label(${rep * 2}k) s19 kCenter k=6") {
+          Similarity.kCenterCoreset(v, "vec_id", "embedding", k = 6).count()
+        }
+        if (rep <= 10) {
+          val d = matTo(spark, dirs, repDocs(rep), s"cs-d$rep")
+          timed(s"$label(${rep * 5}k) t34 dsirResample") {
+            TextAnalysis.dsirResample(
+              d, "doc_id", "text", col("lang") === "en").count()
+          }
+          timed(s"$label(${rep * 5}k) t35 ccnetBuckets") {
+            TextAnalysis.ccnetBuckets(d, "doc_id", "text", "lang").count()
+          }
+        }
+      }
     } finally {
       dirs.foreach(graft.util.Fs.deleteRecursively)
     }
