@@ -1394,6 +1394,51 @@ object Dedup {
       .where(col("shared") >= minShared)
   }
 
+  /** SLICE-level distinct-shingle Jaccard overlap matrix — how much
+    * raw text two corpus slices (domains, crawl snapshots, sources)
+    * share, the audit a mixture designer reads before setting rates
+    * (near-identical slices double-weight their content) and the
+    * corpus-level companion to the DOC-level [[ngramJaccardPairs]].
+    *
+    * Set math over DISTINCT (slice, shingle-hash) rows: one explode +
+    * distinct (the corpus-sized exchange, keyed on a 60-bit
+    * [[pmd5]] so the shuffle carries ints, not gram strings), then an
+    * inverted join whose per-gram fan-out is bounded by |slices| (a
+    * gram contributes at most C(|slices|,2) pairs), and a
+    * |slices|²-row tail. Jaccard in pure integers:
+    * `shared·10⁶ div (na + nb − shared)` — no doubles anywhere.
+    * Zero-overlap pairs are kept (matrix semantics, coalesced 0).
+    *
+    * Output: (source_a, source_b, na, nb, shared, jaccard_ppm),
+    * source_a < source_b. */
+  def sliceOverlapMatrix(
+      docs: DataFrame, sliceCol: String, textCol: String, w: Int = 3)
+      : DataFrame = {
+    val sg = docs
+      .select(col(sliceCol).as("s"),
+        explode(shingles(col(textCol), w)).as("g"))
+      .select(col("s"), pmd5(col("g")).as("h"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sg.count() // eager: sizes + both join sides read one cache
+    val sizes = sg.groupBy("s").agg(count(lit(1)).as("n"))
+    val shared = sg.select(col("s").as("source_a"), col("h"))
+      .join(sg.select(col("s").as("source_b"), col("h")), Seq("h"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("shared"))
+    sizes.select(col("s").as("source_a"), col("n").as("na"))
+      .crossJoin(broadcast(
+        sizes.select(col("s").as("source_b"), col("n").as("nb"))))
+      .where(col("source_a") < col("source_b"))
+      .join(shared, Seq("source_a", "source_b"), "left")
+      .withColumn("shared", coalesce(col("shared"), lit(0L)))
+      .withColumn("jaccard_ppm",
+        expr("shared * 1000000 div (na + nb - shared)"))
+      .select(col("source_a"), col("source_b"), col("na"), col("nb"),
+        col("shared"), col("jaccard_ppm"))
+  }
+
   /** Persisted shingle-overlap edge artifact — the graph-family
     * analog of the minhash/sign-band/IVF/PQ persisted indexes: the
     * edge list of [[shingleOverlapPairs]] is a pure function of the

@@ -1052,6 +1052,53 @@ object DedupQueries {
           length(col("clean_text")).cast("long").as("clean_len"),
           md5(col("clean_text").cast("binary")).as("text_md5"),
           col("n_kept"), col("n_removed"))
+    },
+
+    // SLICE-level distinct-trigram Jaccard matrix: how much raw text
+    // each pair of sources shares — the overlap audit a mixture
+    // designer runs before setting domain rates (two near-identical
+    // slices would double-weight their content). Pure integer set
+    // math over DISTINCT (source, shingle-pmd5) rows; zero-overlap
+    // pairs kept (matrix semantics); jaccard_ppm =
+    // shared·10⁶ div (na+nb−shared) — no doubles anywhere, so the
+    // oracle replays every cell exactly.
+    Q(
+      "d32_source_overlap",
+      """WITH t AS (
+        |  SELECT source, string_split_regex(trim(text), ' +') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT source, unnest(CASE WHEN len(toks) >= 3
+        |    THEN list_transform(range(1, len(toks) - 1),
+        |         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |    ELSE [array_to_string(toks, ' ')] END) AS g
+        |  FROM t
+        |), h AS (
+        |  SELECT DISTINCT source,
+        |    ('0x'||substr(md5(g),1,15))::BIGINT AS h
+        |  FROM sh
+        |), sizes AS (
+        |  SELECT source, count(*) AS n FROM h GROUP BY source
+        |), shr AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    count(*) AS shared
+        |  FROM h a JOIN h b USING (h)
+        |  WHERE a.source < b.source GROUP BY 1, 2
+        |), p AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    a.n AS na, b.n AS nb
+        |  FROM sizes a, sizes b WHERE a.source < b.source
+        |)
+        |SELECT p.source_a, p.source_b,
+        |  CAST(p.na AS BIGINT) AS na, CAST(p.nb AS BIGINT) AS nb,
+        |  CAST(coalesce(s.shared, 0) AS BIGINT) AS shared,
+        |  CAST(coalesce(s.shared, 0) * 1000000
+        |    // (p.na + p.nb - coalesce(s.shared, 0)) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM p LEFT JOIN shr s USING (source_a, source_b)""".stripMargin) {
+      (s, dir) =>
+        Dedup.sliceOverlapMatrix(
+          Tables.load(s, dir, "documents"), "source", "text")
     }
   )
 

@@ -121,6 +121,50 @@ object Splits {
       .select(col(keyCol), explode(col("_top.id")).as(idCol))
   }
 
+  /** Token-budget mixture PLAN — the per-domain epoch table a training
+    * run is scheduled from (the UniMax / LLaMA-style step after
+    * temperature weighting): given per-domain token counts, α = 0.5
+    * temperature target shares ∝ √tokens, and a global training-token
+    * budget, emit each domain's share and its repeat factor
+    * (`epochs_e4` > 10000 means the domain is seen more than once —
+    * the up-sampling [[temperatureMix]]'s down-sampler cannot express).
+    *
+    * All integer, engine-exact: `sqrt_tok = floor(√tokens)` (IEEE
+    * sqrt, correctly rounded on every engine; tokens < 2⁵³ exact in
+    * double), integer ppm share `sqrt_tok·10⁶ div Σsqrt_tok`, and the
+    * exact product-division decomposition
+    * `(b div 10⁶)·w + ((b mod 10⁶)·w) div 10⁶ = (b·w) div 10⁶`
+    * (the Classifier remainder-first trick) so a multi-trillion-token
+    * budget never overflows a BIGINT mid-product.
+    *
+    * Plan shape: ONE aggregation to a |domains|-row frame, a 1-row
+    * broadcast total, pure projections after — nothing corpus-sized
+    * past the first agg. Output: (domainCol, n_docs, tokens,
+    * weight_ppm, target_tokens, epochs_e4; epochs NULL for a
+    * zero-token domain). */
+  def mixturePlan(
+      docs: org.apache.spark.sql.DataFrame, domainCol: String,
+      tokensCol: Column, budgetTokens: Long)
+      : org.apache.spark.sql.DataFrame = {
+    require(budgetTokens >= 1, "budgetTokens must be >= 1")
+    val s = docs.groupBy(col(domainCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(tokensCol.cast("long")).as("tokens"))
+    val q = s.withColumn("sqrt_tok",
+      floor(sqrt(col("tokens").cast("double"))).cast("long"))
+    val tot = q.agg(sum(col("sqrt_tok")).as("tot"))
+    q.crossJoin(broadcast(tot))
+      .withColumn("weight_ppm",
+        expr("CASE WHEN tot > 0 THEN sqrt_tok * 1000000 div tot ELSE 0 END"))
+      .withColumn("target_tokens",
+        expr(s"($budgetTokens div 1000000) * weight_ppm" +
+          s" + (($budgetTokens % 1000000) * weight_ppm) div 1000000"))
+      .withColumn("epochs_e4",
+        expr("CASE WHEN tokens > 0 THEN target_tokens * 10000 div tokens END"))
+      .select(col(domainCol), col("n_docs"), col("tokens"),
+        col("weight_ppm"), col("target_tokens"), col("epochs_e4"))
+  }
+
   /** The shard expression itself — ONE definition of the contract
     * (first 4 hex chars of an md5 digest, mod nShards) shared by
     * [[shardByHash]] and the streaming composition's content-keyed

@@ -1001,8 +1001,57 @@ object TextQueries {
     Q("t35_ccnet_buckets", ccnetBucketsOracleSql) { (s, dir) =>
       TextAnalysis.ccnetBuckets(
         Tables.load(s, dir, "documents"), "doc_id", "text", "lang")
+    },
+
+    // token-budget mixture PLAN: per-source α=0.5 temperature shares
+    // (∝ √tokens) and repeat factors under a 1M-token training
+    // budget — the per-domain epoch table a training run is scheduled
+    // from (epochs_e4 > 10000 = the domain is seen more than once;
+    // the up-sampling t15's down-sampler cannot express). All
+    // integer: floor(√tokens) is correctly-rounded IEEE on both
+    // engines, shares are ppm integer divisions, and the budget
+    // product uses the exact remainder-first decomposition so a
+    // multi-trillion-token budget cannot overflow a BIGINT.
+    Q("t36_mixture_plan", mixturePlanOracleSql(budget = 1000000L)) {
+      (s, dir) =>
+        Splits.mixturePlan(
+          Tables.load(s, dir, "documents"), "source",
+          tokenCount(col("text")), budgetTokens = 1000000L)
     }
   )
+
+  /** t36 replay: per-source token sums, floor-√ integer weights, the
+    * remainder-first exact `(b·w) div 10⁶` decomposition, and the
+    * integer epochs ratio — every op `div`/`//`-portable (all
+    * operands strictly positive). */
+  private def mixturePlanOracleSql(budget: Long): String =
+    s"""WITH s AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    sum(len(string_split_regex(trim(text), ' +'))) AS tokens
+       |  FROM documents GROUP BY source
+       |), q AS (
+       |  SELECT source, n_docs, tokens,
+       |    CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS sqrt_tok
+       |  FROM s
+       |), t AS (SELECT sum(sqrt_tok) AS tot FROM q),
+       |w AS (
+       |  SELECT source, n_docs, tokens,
+       |    CASE WHEN tot > 0 THEN sqrt_tok * 1000000 // tot
+       |         ELSE 0 END AS weight_ppm
+       |  FROM q, t
+       |), tgt AS (
+       |  SELECT source, n_docs, tokens, weight_ppm,
+       |    ($budget // 1000000) * weight_ppm
+       |      + (($budget % 1000000) * weight_ppm) // 1000000 AS target_tokens
+       |  FROM w
+       |)
+       |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(tokens AS BIGINT) AS tokens,
+       |  CAST(weight_ppm AS BIGINT) AS weight_ppm,
+       |  CAST(target_tokens AS BIGINT) AS target_tokens,
+       |  CAST(CASE WHEN tokens > 0 THEN target_tokens * 10000 // tokens END
+       |    AS BIGINT) AS epochs_e4
+       |FROM tgt""".stripMargin
 
   /** The t26 DSIR scoring chain (hashed 4096-bucket unigram models of
     * target vs raw pool, smoothed bucket log-ratios e6-floored, exact

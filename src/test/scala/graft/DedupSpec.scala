@@ -1209,4 +1209,24 @@ class DedupSpec extends SparkSpec {
     assert(got(2L) === ((md5hex("intro\n \nclose\n"), 4L, 1L)))
     spark.catalog.clearCache()
   }
+
+  test("sliceOverlapMatrix: exact distinct-trigram set math, " +
+    "zero-overlap pairs kept, in-slice duplicates collapse") {
+    val docs = Seq(
+      ("A", "a b c d"), // trigrams {a b c, b c d}
+      ("A", "a b c d"), // duplicate doc: distinct set unchanged
+      ("B", "a b c x"), // {a b c, b c x} -> shares 1 with A
+      ("C", "z z")) // short doc -> single whole-text gram {z z}
+      .toDF("source", "text")
+    val got = Dedup.sliceOverlapMatrix(docs, "source", "text")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.size === 3) // full matrix: all C(3,2) pairs present
+    // (A,B): 1 shared of 2+2 -> 10^6 div 3 = 333333
+    assert(got(("A", "B")) === ((2L, 2L, 1L, 333333L)))
+    assert(got(("A", "C")) === ((2L, 1L, 0L, 0L)))
+    assert(got(("B", "C")) === ((2L, 1L, 0L, 0L)))
+    spark.catalog.clearCache()
+  }
 }

@@ -535,6 +535,29 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("mixturePlan: hand-computed integer shares, epochs, and the " +
+    "zero-token domain") {
+    import graft.ext.Splits
+    // token counts passed explicitly: 100, 400, and a 0-token domain
+    val docs = ((0 until 10).map(i => ("small", 10L)) ++
+      (0 until 8).map(i => ("big", 50L)) :+ (("zero", 0L)))
+      .toDF("domain", "ntok")
+    val got = Splits.mixturePlan(docs, "domain", col("ntok"),
+      budgetTokens = 3000L)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getLong(5))))).toMap
+    // sqrt floors: 10 and 20, tot 30 -> ppm 333333 / 666666 / 0
+    // targets: (3000*w) div 1e6 = 999 / 1999 / 0
+    // epochs_e4: 999*1e4 div 100 = 99900; 1999*1e4 div 400 = 49975
+    assert(got("small") === ((10L, 100L, 333333L, 999L, Some(99900L))))
+    assert(got("big") === ((8L, 400L, 666666L, 1999L, Some(49975L))))
+    assert(got("zero") === ((1L, 0L, 0L, 0L, None)))
+    // the plan never over-allocates the budget
+    assert(got.values.map(_._4).sum <= 3000L)
+  }
+
   test("dsirResample draws the Gumbel top-k of the weight frame, " +
     "layout-independent") {
     val rnd = new scala.util.Random(31)
