@@ -1317,29 +1317,39 @@ object Similarity {
   def kCenterCoreset(
       vectors: DataFrame, idCol: String, vecCol: String, k: Int)
       : DataFrame = {
-    require(k >= 1, "kCenterCoreset needs k >= 1")
     val sp = vectors.sparkSession
     import sp.implicits._
+    kCenterChosen(vectors, idCol, vecCol, k)
+      .map { case (rank, id, radius, _) => (rank, id, radius) }
+      .toDF("rank", "vec_id", "radius_e6")
+  }
+
+  /** The greedy FPS loop itself — driver-held chosen centers WITH
+    * their vectors, so [[kCenterCover]] can assign against them
+    * without a second pass over the selection. */
+  private[ext] def kCenterChosen(
+      vectors: DataFrame, idCol: String, vecCol: String, k: Int)
+      : Seq[(Long, Long, Long, Seq[Float])] = {
+    require(k >= 1, "kCenterCoreset needs k >= 1")
     val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
     val seed = base
       .withColumn("h", Dedup.pmd5(col("id")))
       .orderBy(col("h").asc, col("id").asc)
       .limit(1).select("id", "v").collect()
-    if (seed.isEmpty)
-      return Seq.empty[(Long, Long, Long)].toDF("rank", "vec_id", "radius_e6")
+    if (seed.isEmpty) return Seq.empty
     val seedRow = seed(0)
-    val seedId = seedRow.getLong(0)
     var center: Seq[Float] = seedRow.getSeq[Float](1)
-    val chosen = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)](
-      (1L, seedId, 0L))
+    val chosen =
+      scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Seq[Float])](
+        (1L, seedRow.getLong(0), 0L, center))
     var cur = base.withColumn("md", sqDistE6(col("v"), center))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // k truncates to the vectors actually present (top-k convention)
     val kk = math.min(k.toLong, base.count())
     for (rank <- 2L to kk) {
       val far = cur.orderBy(col("md").desc, col("id").asc).limit(1).head()
-      chosen += ((rank, far.getLong(0), far.getLong(2)))
       center = far.getSeq[Float](1)
+      chosen += ((rank, far.getLong(0), far.getLong(2), center))
       val prev = cur
       cur = prev
         .withColumn("md", least(col("md"), sqDistE6(col("v"), center)))
@@ -1348,6 +1358,54 @@ object Similarity {
       prev.unpersist(false)
     }
     cur.unpersist(false)
-    chosen.toSeq.toDF("rank", "vec_id", "radius_e6")
+    chosen.toSeq
+  }
+
+  /** The COVER the k-center coreset defines: every vector assigned to
+    * its nearest chosen center (integer e6 distances, ties by center
+    * rank ascending — first-match, the same rule the oracle's CASE
+    * chain evaluates), rolled up to one row per center: member count
+    * and the cell's coverage radius (max member distance — the
+    * quantity the greedy 2-approximation bounds). The per-cell radii
+    * and populations are the audit a coreset consumer reads to decide
+    * whether k suffices.
+    *
+    * Plan shape: the selection is [[kCenterChosen]]'s k passes; the
+    * assignment is ONE corpus scan against k broadcast literal
+    * centers (k narrow columns + a `least`, no join, no shuffle
+    * before the |k|-row aggregate). Output: (center_rank, center_id,
+    * n_members, cover_radius_e6); a center orphaned by duplicate
+    * geometry keeps its row with 0 members. */
+  def kCenterCover(
+      vectors: DataFrame, idCol: String, vecCol: String, k: Int)
+      : DataFrame = {
+    val sp = vectors.sparkSession
+    import sp.implicits._
+    val centers = kCenterChosen(vectors, idCol, vecCol, k)
+    if (centers.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("center_rank", "center_id", "n_members", "cover_radius_e6")
+    val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val withD = centers.foldLeft(base) { case (df, (rank, _, _, cv)) =>
+      df.withColumn(s"d$rank", sqDistE6(col("v"), cv))
+    }
+    val dCols = centers.map { case (rank, _, _, _) => col(s"d$rank") }
+    val withMd = withD.withColumn("md",
+      if (dCols.size == 1) dCols.head else least(dCols: _*))
+    val crCol = centers.tail
+      .foldLeft(when(col("d1") === col("md"), lit(1L))) {
+        case (acc, (rank, _, _, _)) =>
+          acc.when(col(s"d$rank") === col("md"), lit(rank))
+      }
+    val stats = withMd
+      .withColumn("center_rank", crCol)
+      .groupBy("center_rank")
+      .agg(count(lit(1)).as("n_members"), max(col("md")).as("radius"))
+    centers.map { case (rank, id, _, _) => (rank, id) }
+      .toDF("center_rank", "center_id")
+      .join(broadcast(stats), Seq("center_rank"), "left")
+      .select(col("center_rank"), col("center_id"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        coalesce(col("radius"), lit(0L)).as("cover_radius_e6"))
   }
 }

@@ -24,22 +24,7 @@ object SimilarityQueries {
     // shape s3 pins), rounds to 6 decimals for the ordering, and emits
     // integer micro-units.
     Q(
-      "s1_cosine_topk",
-      """WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
-        |c AS (
-        |  SELECT e.vec_id AS id,
-        |    round(
-        |      list_sum(list_transform(range(1, len(e.embedding) + 1),
-        |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q[i] AS DOUBLE)))
-        |      / (sqrt(list_sum(list_transform(e.embedding,
-        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-        |         * sqrt(list_sum(list_transform(q,
-        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
-        |      6) AS cos6
-        |  FROM embeddings e, qv
-        |)
-        |SELECT id, CAST(round(cos6 * 1000000) AS BIGINT) AS cos_e6
-        |FROM c ORDER BY cos6 DESC, id ASC LIMIT 10""".stripMargin) { (s, dir) =>
+      "s1_cosine_topk", s1OracleSql) { (s, dir) =>
       Similarity.cosineTopK(
         Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
         queryVec(s, dir), k = 10)
@@ -235,6 +220,37 @@ object SimilarityQueries {
     // (md DESC, id ASC) argmax replay exactly.
     Q("s19_kcenter_coreset", kCenterOracleSql(k = 6)) { (s, dir) =>
       Similarity.kCenterCoreset(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding", k = 6)
+    },
+
+    // ANN recall AUDIT as a first-class query — the metric a
+    // production vector index is monitored by (every probe table in
+    // BASELINE.md reports it; this puts the methodology itself on the
+    // oracled surface): exact s1 top-10 ∩ LSH s2 top-10, recall as an
+    // integer basis-point ratio. Composition of two published
+    // contracts, so the oracle nests both replay SQLs verbatim.
+    Q("s20_ann_recall", s20OracleSql) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val qv = queryVec(s, dir)
+      val ex = Similarity
+        .cosineTopK(emb, "vec_id", "embedding", qv, k = 10).select("id")
+      val ap = Similarity
+        .annTopK(emb, "vec_id", "embedding", qv, k = 10).select("id")
+      ex.join(ap, Seq("id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(10L).as("k"), col("n_hits"),
+          expr("n_hits * 10000 div 10").as("recall_e4"))
+    },
+
+    // the COVER the s19 coreset defines: every vector assigned to its
+    // nearest center (integer distances, rank-ascending tiebreak),
+    // rolled up to per-center population + coverage radius — the
+    // audit that says whether k centers suffice (the greedy radius is
+    // within 2x of the optimal k-center cover). ONE corpus scan
+    // against 6 broadcast literal centers; no join, no shuffle before
+    // the 6-row aggregate.
+    Q("s21_kcenter_cover", kCenterCoverOracleSql(k = 6)) { (s, dir) =>
+      Similarity.kCenterCover(
         Tables.load(s, dir, "embeddings"), "vec_id", "embedding", k = 6)
     },
 
@@ -825,6 +841,38 @@ object SimilarityQueries {
     * corpus and query signatures assembled bit-by-bit from the sign of
     * each left-associated dot chain, the probe filter as
     * bit_count(xor) <= 4, then the s1 cosine rank over survivors. */
+  /** s1 replay (also the exact side of the s20 recall audit): the
+    * bit-equal double cosine over the whole corpus, (rounded cos DESC,
+    * id ASC) top-10. */
+  private lazy val s1OracleSql: String =
+    """WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+      |c AS (
+      |  SELECT e.vec_id AS id,
+      |    round(
+      |      list_sum(list_transform(range(1, len(e.embedding) + 1),
+      |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q[i] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(e.embedding,
+      |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |         * sqrt(list_sum(list_transform(q,
+      |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+      |      6) AS cos6
+      |  FROM embeddings e, qv
+      |)
+      |SELECT id, CAST(round(cos6 * 1000000) AS BIGINT) AS cos_e6
+      |FROM c ORDER BY cos6 DESC, id ASC LIMIT 10""".stripMargin
+
+  /** s20 replay: both published oracles nested verbatim as CTEs (the
+    * engines being compared ARE the audited artifacts), joined on id. */
+  private lazy val s20OracleSql: String =
+    s"""WITH exact AS (
+       |$s1OracleSql
+       |), appr AS (
+       |$s2OracleSql
+       |)
+       |SELECT CAST(10 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_hits,
+       |  CAST(count(*) * 10000 // 10 AS BIGINT) AS recall_e4
+       |FROM exact JOIN appr USING (id)""".stripMargin
+
   private lazy val s2OracleSql: String = {
     val dim = 64; val nPlanes = 12; val probe = 4; val k = 10
     val planes = Similarity.hyperplanes(nPlanes, dim, seed = 42L)
@@ -864,12 +912,16 @@ object SimilarityQueries {
     * new center in with `least`. The squared-L2 term list is the s11
     * idiom (identical left-to-right double fold), e6-floored BEFORE
     * any cross-stage comparison so every min/argmax is pure BIGINT. */
-  private def kCenterOracleSql(k: Int): String = {
-    def d2(a: String, b: String): String =
-      s"""CAST(floor(list_sum(list_transform(range(1, len($a)+1),
-         |      i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
-         |         * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))
-         |    * 1e6) AS BIGINT)""".stripMargin
+  private def kCenterD2(a: String, b: String): String =
+    s"""CAST(floor(list_sum(list_transform(range(1, len($a)+1),
+       |      i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+       |         * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))
+       |    * 1e6) AS BIGINT)""".stripMargin
+
+  /** The shared g/m CTE chain of the greedy FPS replay (see
+    * [[kCenterOracleSql]]) — consumed by both the s19 selection oracle
+    * and the s21 cover oracle. */
+  private def kCenterCtes(k: Int): String = {
     val sb = new StringBuilder
     sb ++=
       s"""WITH g1 AS (
@@ -878,7 +930,7 @@ object SimilarityQueries {
          |    vec_id ASC LIMIT 1
          |), m1 AS (
          |  SELECT e.vec_id AS id, e.embedding AS v,
-         |    ${d2("e.embedding", "g1.v")} AS md
+         |    ${kCenterD2("e.embedding", "g1.v")} AS md
          |  FROM embeddings e, g1
          |)""".stripMargin
     for (j <- 2 to k) {
@@ -888,14 +940,61 @@ object SimilarityQueries {
            |)""".stripMargin
       if (j < k) sb ++=
         s""", m$j AS (
-           |  SELECT m.id, m.v, least(m.md, ${d2("m.v", s"g$j.v")}) AS md
+           |  SELECT m.id, m.v, least(m.md, ${kCenterD2("m.v", s"g$j.v")}) AS md
            |  FROM m${j - 1} m, g$j
            |)""".stripMargin
     }
+    sb.toString
+  }
+
+  /** s19 replay: the seed is the min-pmd5 vector; then k−1 unrolled
+    * greedy stages — stage j takes the (md DESC, id ASC) argmax of the
+    * running integer min-distance frame, and the next frame folds the
+    * new center in with `least`. The squared-L2 term list is the s11
+    * idiom (identical left-to-right double fold), e6-floored BEFORE
+    * any cross-stage comparison so every min/argmax is pure BIGINT. */
+  private def kCenterOracleSql(k: Int): String = {
+    val sb = new StringBuilder(kCenterCtes(k))
     sb ++= "\nSELECT CAST(1 AS BIGINT) AS rank, id AS vec_id, " +
       "CAST(0 AS BIGINT) AS radius_e6 FROM g1"
     for (j <- 2 to k)
       sb ++= s"\nUNION ALL SELECT CAST($j AS BIGINT), id, md FROM g$j"
+    sb.toString
+  }
+
+  /** s21 replay: the s19 chain's centers, then ONE assignment scan —
+    * per vector the k integer distances, `least` for the min, a
+    * first-match CASE chain for the rank tiebreak (center rank
+    * ascending, the engine's `when` chain), and the per-center
+    * rollup; orphaned centers keep a 0-member row via the LEFT join. */
+  private def kCenterCoverOracleSql(k: Int): String = {
+    val gs = (1 to k)
+    val sb = new StringBuilder(kCenterCtes(k))
+    sb ++= ", cen AS (\n  SELECT CAST(1 AS BIGINT) AS center_rank, " +
+      "id AS center_id FROM g1"
+    for (j <- 2 to k)
+      sb ++= s"\n  UNION ALL SELECT CAST($j AS BIGINT), id FROM g$j"
+    sb ++= "\n), a AS (\n  SELECT e.vec_id AS id"
+    for (j <- gs)
+      sb ++= s",\n    ${kCenterD2("e.embedding", s"g$j.v")} AS d$j"
+    sb ++= s"\n  FROM embeddings e, ${gs.map(j => s"g$j").mkString(", ")}"
+    val lst = s"least(${gs.map(j => s"d$j").mkString(", ")})"
+    sb ++= s"""
+       |), p0 AS (
+       |  SELECT id, $lst AS md, ${gs.map(j => s"d$j").mkString(", ")} FROM a
+       |), pick AS (
+       |  SELECT id, md,
+       |    CASE ${gs.map(j => s"WHEN d$j = md THEN $j").mkString(" ")}
+       |    END AS center_rank
+       |  FROM p0
+       |), st AS (
+       |  SELECT center_rank, count(*) AS n_members, max(md) AS radius
+       |  FROM pick GROUP BY center_rank
+       |)
+       |SELECT c.center_rank, c.center_id,
+       |  CAST(coalesce(st.n_members, 0) AS BIGINT) AS n_members,
+       |  CAST(coalesce(st.radius, 0) AS BIGINT) AS cover_radius_e6
+       |FROM cen c LEFT JOIN st USING (center_rank)""".stripMargin
     sb.toString
   }
 }

@@ -126,6 +126,27 @@ class ReferenceReplaySpec extends SparkSpec {
       // the coverage-radius curve is non-increasing past the seed
       val radii = got.toSeq.drop(1).map(_._3)
       assert(radii === radii.sorted(Ordering[Long].reverse))
+
+      // the cover: independent nearest-center assignment (integer
+      // distances, rank-ascending tiebreak) rolled up per center
+      val centers = want.toSeq.map { case (rank, id, _) => (rank, id) }
+      val assign = vecs.map { case (id, v) =>
+        val ds = centers.map { case (rank, cid) => (d2e6(v, byId(cid)), rank) }
+        val m = ds.map(_._1).min
+        ds.find(_._1 == m).get._2 -> m
+      }
+      val wantCover = centers.map { case (rank, cid) =>
+        val mine = assign.filter(_._1 == rank).map(_._2)
+        (rank, cid, mine.size.toLong,
+          if (mine.isEmpty) 0L else mine.max)
+      }
+      val gotCover = Similarity.kCenterCover(
+        vecs.toDF("vec_id", "embedding"), "vec_id", "embedding", k)
+        .orderBy("center_rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(gotCover.toSeq === wantCover, s"cover trial=$trial n=$n k=$k")
+      // every vector is covered exactly once
+      assert(gotCover.map(_._3).sum === n.toLong)
       spark.catalog.clearCache()
     }
   }
