@@ -625,6 +625,49 @@ object TextAnalysis {
         col("col.score").as("key_e6"))
   }
 
+  /** Vocabulary coverage curve — for each candidate vocabulary size V,
+    * the fraction of corpus TOKEN OCCURRENCES covered by the V most
+    * frequent types (ties by term ascending): the audit a tokenizer
+    * team reads before committing a vocab budget (the knee of this
+    * curve is where added vocab stops paying), and the OOV-rate
+    * companion to t31's fertility metric.
+    *
+    * Scale shape: one token shuffle to the type-count frame, then a
+    * TakeOrderedAndProject of only the TOP max(sizes) types — the
+    * rank window runs over that ≤64k-row frame, never the full
+    * vocabulary (a web-scale corpus has billions of types; a global
+    * row_number over them would single-partition the sort). Coverage
+    * in integer basis points (`·10⁴ div total` — exact to ~9·10¹⁴
+    * tokens; ppm would overflow a BIGINT product at ~9·10¹²).
+    *
+    * Output: (vocab_size, covered_tokens, coverage_bp, oov_bp). */
+  def vocabCoverage(
+      docs: org.apache.spark.sql.DataFrame, textCol: String,
+      sizes: Seq[Int] = Seq(1000, 4000, 16000, 64000))
+      : org.apache.spark.sql.DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ >= 1),
+      "vocab sizes must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val counts = docs.select(explode(tokens(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    counts.count() // eager: total + top-V read one cache
+    val tot = counts.agg(sum(col("c")).as("total"))
+    val top = counts.orderBy(col("c").desc, col("t").asc).limit(sizes.max)
+    val ranked = top.withColumn("rank",
+      row_number().over(Window.orderBy(col("c").desc, col("t").asc)))
+    val vs = sizes.map(_.toLong).toDF("vocab_size")
+    ranked.join(broadcast(vs), col("rank") <= col("vocab_size"))
+      .groupBy("vocab_size")
+      .agg(sum(col("c")).as("covered_tokens"))
+      .crossJoin(broadcast(tot))
+      .select(col("vocab_size"), col("covered_tokens"),
+        expr("covered_tokens * 10000 div total").as("coverage_bp"),
+        expr("10000 - covered_tokens * 10000 div total").as("oov_bp"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): per
     * language, rank documents by LM score and label the best third
     * `head`, then `middle`, then `tail` — the standard quality

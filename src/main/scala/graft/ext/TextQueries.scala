@@ -1017,8 +1017,91 @@ object TextQueries {
         Splits.mixturePlan(
           Tables.load(s, dir, "documents"), "source",
           tokenCount(col("text")), budgetTokens = 1000000L)
+    },
+
+    // vocabulary coverage curve: token-occurrence coverage of the V
+    // most frequent types at V = 100/1000/10000 — the audit a
+    // tokenizer team reads before committing a vocab budget (t31's
+    // fertility companion). Scale-shaped: the rank window runs over a
+    // TakeOrdered top-max(V) frame, never the full type inventory.
+    Q("t37_vocab_coverage", vocabCoverageOracleSql(Seq(100, 1000, 10000))) {
+      (s, dir) =>
+        TextAnalysis.vocabCoverage(
+          Tables.load(s, dir, "documents"), "text",
+          sizes = Seq(100, 1000, 10000))
+    },
+
+    // split-balance drift audit: the t32 per-slice unigram KL with the
+    // slice = the t10 content-hash train/val/test assignment — the
+    // hygiene check that the eval splits are distributionally
+    // representative of train (a skewed val set invalidates every
+    // downstream metric). Pure composition of two published
+    // contracts; KL near zero is the expected (healthy) reading.
+    Q("t38_split_drift", splitDriftOracleSql) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .select(Splits.assignSplit(col("doc_id")).as("split"), col("text"))
+      TextAnalysis.unigramKl(docs, "split", "text")
+        .withColumnRenamed("source", "split")
     }
   )
+
+  /** t37 replay: type counts, TakeOrdered top-max(V), rank window over
+    * that reduced frame, per-V coverage sums in integer basis points. */
+  private def vocabCoverageOracleSql(sizes: Seq[Int]): String =
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split_regex(trim(text), ' +')) AS t
+       |  FROM documents
+       |), c AS (
+       |  SELECT t, count(*) AS c FROM tok GROUP BY t
+       |), tot AS (SELECT sum(c) AS total FROM c),
+       |top AS (SELECT t, c FROM c ORDER BY c DESC, t ASC LIMIT ${sizes.max}),
+       |r AS (
+       |  SELECT c, row_number() OVER (ORDER BY c DESC, t ASC) AS rank
+       |  FROM top
+       |), v AS (SELECT unnest([${sizes.mkString(", ")}]) AS vocab_size)
+       |SELECT CAST(v.vocab_size AS BIGINT) AS vocab_size,
+       |  CAST(sum(r.c) AS BIGINT) AS covered_tokens,
+       |  CAST(sum(r.c) * 10000 // total AS BIGINT) AS coverage_bp,
+       |  CAST(10000 - sum(r.c) * 10000 // total AS BIGINT) AS oov_bp
+       |FROM v JOIN r ON r.rank <= v.vocab_size, tot
+       |GROUP BY v.vocab_size, total""".stripMargin
+
+  /** t38 replay: the t32 chain verbatim with the slice expression =
+    * t10's md5-bucket split assignment. */
+  private lazy val splitDriftOracleSql: String =
+    """WITH tok AS (
+      |  SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+      |           THEN 'train'
+      |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3'
+      |           THEN 'val'
+      |         ELSE 'test' END AS s,
+      |    unnest(string_split_regex(trim(text), ' +')) AS t
+      |  FROM documents
+      |), cst AS (
+      |  SELECT s, t, count(*) AS c FROM tok GROUP BY 1, 2
+      |), ct AS (
+      |  SELECT t, count(*) AS cg FROM tok GROUP BY 1
+      |), ns AS (
+      |  SELECT s, count(*) AS ns FROM tok GROUP BY 1
+      |), tot AS (
+      |  SELECT count(*) AS nn, count(DISTINCT t) AS vv FROM tok
+      |), term AS (
+      |  SELECT ns.s, ns.ns,
+      |    floor(
+      |      (CAST(coalesce(cst.c, 0) + 1 AS DOUBLE)
+      |        / CAST(ns.ns + vv AS DOUBLE))
+      |      * ln(
+      |        (CAST(coalesce(cst.c, 0) + 1 AS DOUBLE)
+      |          / CAST(ns.ns + vv AS DOUBLE))
+      |        / (CAST(ct.cg + 1 AS DOUBLE)
+      |          / CAST(nn + vv AS DOUBLE)))
+      |      * 1e9) AS e
+      |  FROM ns CROSS JOIN ct CROSS JOIN tot
+      |  LEFT JOIN cst ON cst.s = ns.s AND cst.t = ct.t
+      |)
+      |SELECT s AS split, CAST(max(ns) AS BIGINT) AS n_tokens,
+      |  CAST(sum(e) AS BIGINT) AS kl_e9
+      |FROM term GROUP BY s""".stripMargin
 
   /** t36 replay: per-source token sums, floor-√ integer weights, the
     * remainder-first exact `(b·w) div 10⁶` decomposition, and the

@@ -558,6 +558,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.values.map(_._4).sum <= 3000L)
   }
 
+  test("vocabCoverage: hand-computed coverage curve with frequency " +
+    "ties broken by term") {
+    // counts: a:3, b:2, d:2, c:1 -> total 8; tie (b, d) orders b first
+    val docs = Seq((1L, "a a a b b"), (2L, "d d c")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(docs, "text", sizes = Seq(1, 2, 10))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) === ((3L, 3750L, 6250L))) // top-1 = a
+    assert(got(2L) === ((5L, 6250L, 3750L))) // top-2 = a, b (not d)
+    assert(got(10L) === ((8L, 10000L, 0L))) // vocab < V: full coverage
+    intercept[IllegalArgumentException] {
+      TextAnalysis.vocabCoverage(docs, "text", sizes = Seq.empty)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("dsirResample draws the Gumbel top-k of the weight frame, " +
     "layout-independent") {
     val rnd = new scala.util.Random(31)
