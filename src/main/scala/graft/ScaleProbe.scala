@@ -1045,6 +1045,18 @@ object ScaleProbe {
           timed(s"$label(${rep * 5}k) t35 ccnetBuckets") {
             TextAnalysis.ccnetBuckets(d, "doc_id", "text", "lang").count()
           }
+          // d32: the (slice, gram)-distinct exchange is the cost; the
+          // pair join fans out at most C(|slices|,2) per gram
+          timed(s"$label(${rep * 5}k) d32 sliceOverlap") {
+            graft.ext.Dedup.sliceOverlapMatrix(
+              d.withColumn("src", col("doc_id") % 20), "src", "text")
+              .count()
+          }
+          // t37: one token shuffle + a TakeOrdered top-64k — the rank
+          // window never sees the full type inventory
+          timed(s"$label(${rep * 5}k) t37 vocabCoverage") {
+            TextAnalysis.vocabCoverage(d, "text").count()
+          }
         }
       }
     } finally {
