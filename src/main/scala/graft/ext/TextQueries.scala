@@ -1042,8 +1042,86 @@ object TextQueries {
         .select(Splits.assignSplit(col("doc_id")).as("split"), col("text"))
       TextAnalysis.unigramKl(docs, "split", "text")
         .withColumnRenamed("source", "split")
+    },
+
+    // curation FUNNEL: every document labeled with the FIRST t30 stage
+    // that rejects it (the five Gopher gates in order, then exact
+    // dedup, then benchmark contamination) or 'kept' — the funnel
+    // table every published curation pipeline reports (how many docs/
+    // tokens each gate costs). Same predicates as t30 (shared oracle
+    // CTE chain), labeling instead of filtering, so the 'kept' row is
+    // definitionally t30's survivor set.
+    Q("t39_curation_funnel", t39OracleSql) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val flagged = docs
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"),
+          charSum(col("text")).cast("long").as("charsum"))
+        .select(col("doc_id"), col("text"),
+          size(col("toks")).cast("long").as("ntok"),
+          gopherFlags(col("text"), col("toks"),
+            size(col("toks")).cast("long"), col("charsum")).as("fl"))
+        .persist()
+      flagged.count() // eager: label pass + quality subset share one scan
+      val quality = flagged
+        .where(col("fl.f_wordcount") === 1 && col("fl.f_wordlen") === 1 &&
+          col("fl.f_symbols") === 1 && col("fl.f_bullet") === 1 &&
+          col("fl.f_stopwords") === 1)
+        .select(col("doc_id"), col("text"), col("ntok"))
+      val kept = Dedup.dedupKeepBest(quality, "doc_id", "text", col("ntok"))
+        .select(col("doc_id"), lit(1L).as("kb"))
+      val keptDocs = quality.join(kept.select("doc_id"), Seq("doc_id"))
+      val contam = Dedup.contamination(
+        keptDocs, "doc_id", "text",
+        docs.where(col("doc_id") < 10), "text")
+        .select(col("id").as("doc_id"), col("contamination_e4"))
+      flagged
+        .join(kept, Seq("doc_id"), "left")
+        .join(contam, Seq("doc_id"), "left")
+        .select(col("ntok"),
+          when(col("fl.f_wordcount") === 0, "wordcount")
+            .when(col("fl.f_wordlen") === 0, "wordlen")
+            .when(col("fl.f_symbols") === 0, "symbols")
+            .when(col("fl.f_bullet") === 0, "bullet")
+            .when(col("fl.f_stopwords") === 0, "stopwords")
+            .when(col("kb").isNull, "dedup")
+            .when(col("contamination_e4") >= 2000, "contamination")
+            .otherwise("kept").as("stage"))
+        .groupBy("stage")
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
     }
   )
+
+  /** t39 replay: the shared t30 chain, then one first-match CASE over
+    * the identical gate predicates (negated, in gate order) labeling
+    * every document; LEFT joins carry the dedup-survivor and
+    * contamination evidence only the later stages consult. */
+  private lazy val t39OracleSql: String = t30ChainSql +
+    """, lab AS (
+      |  SELECT f.doc_id, f.ntok,
+      |    CASE
+      |      WHEN NOT (f.ntok BETWEEN 50 AND 100000) THEN 'wordcount'
+      |      WHEN NOT (floor((CAST(f.charsum AS DOUBLE) * 100.0)
+      |          / CAST(f.ntok AS DOUBLE)) BETWEEN 300 AND 1000)
+      |        THEN 'wordlen'
+      |      WHEN ((length(f.text) - length(replace(f.text, '...', ''))) // 3
+      |          + length(f.text) - length(replace(f.text, '#', ''))) * 10
+      |          > f.ntok THEN 'symbols'
+      |      WHEN f.text LIKE '- %' OR f.text LIKE '* %' THEN 'bullet'
+      |      WHEN len(list_filter(string_split_regex(trim(f.text), ' +'),
+      |          t -> t IN ('the','a','of','and','to','in','is','it'))) < 2
+      |        THEN 'stopwords'
+      |      WHEN kb.doc_id IS NULL THEN 'dedup'
+      |      WHEN floor(CAST(coalesce(h.ch, 0) AS DOUBLE)
+      |          / CAST(tt.n AS DOUBLE) * 10000) >= 2000
+      |        THEN 'contamination'
+      |      ELSE 'kept' END AS stage
+      |  FROM f LEFT JOIN kb ON kb.doc_id = f.doc_id
+      |  LEFT JOIN tot tt ON tt.doc_id = f.doc_id
+      |  LEFT JOIN hits h ON h.doc_id = f.doc_id
+      |)
+      |SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(ntok) AS BIGINT) AS n_tokens
+      |FROM lab GROUP BY stage""".stripMargin
 
   /** t37 replay: type counts, TakeOrdered top-max(V), rank window over
     * that reduced frame, per-V coverage sums in integer basis points. */
@@ -1243,7 +1321,10 @@ object TextQueries {
     * predicates inlined as a WHERE, the d7 keep-best window, the d10
     * shingle-fraction screen, the t17 shard hash, and the per-shard
     * running token sum. */
-  private lazy val t30OracleSql: String =
+  /** The t30 gate+dedup+contamination CTE chain (through `tot`) —
+    * shared by the t30 pipeline oracle and the t39 funnel oracle,
+    * which labels instead of filtering. */
+  private lazy val t30ChainSql: String =
     """WITH f AS (
       |  SELECT doc_id, text,
       |    CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS ntok,
@@ -1291,7 +1372,10 @@ object TextQueries {
       |  SELECT doc_id, count(*) AS ch FROM d JOIN ev USING (g) GROUP BY 1
       |), tot AS (
       |  SELECT doc_id, len(sh) AS n FROM ss
-      |), clean AS (
+      |)""".stripMargin
+
+  private lazy val t30OracleSql: String = t30ChainSql +
+    """, clean AS (
       |  SELECT kb.doc_id, kb.ntok
       |  FROM kb JOIN tot USING (doc_id) LEFT JOIN hits USING (doc_id)
       |  WHERE floor(CAST(coalesce(ch, 0) AS DOUBLE) / CAST(n AS DOUBLE) * 10000) < 2000

@@ -558,6 +558,54 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.values.map(_._4).sum <= 3000L)
   }
 
+  test("t39 curation funnel: every stage fires once on a crafted " +
+    "corpus, docs and tokens conserved") {
+    // one document engineered per stage, written as a real documents
+    // table so the PACK entry (incl. the doc_id<10 benchmark rule)
+    // runs end-to-end
+    val q = "the data of work and time to keep in line is good it works "
+    val q4 = (q * 4).trim // 56 tokens, ratio ~321, stopword-rich
+    val s20 = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val docs = (Seq(
+      (0L, s20), // benchmark leak source: 20 tokens -> wordcount
+      (10L, ("a " * 50).trim), // ratio 100 -> wordlen
+      (11L, ("abcde " * 50).trim + (" #" * 10)), // 10 hashes -> symbols
+      (12L, "- " + q4), // bullet prefix
+      (13L, (1 to 50).map(i => s"cont${i}word").mkString(" ")), // no stopwords
+      (14L, q4), // dedup winner -> kept
+      (15L, q4), // dedup loser
+      (16L, s20 + " " + (q * 3).trim)) ++ // 18/60 benchmark grams -> contamination
+      (1L to 9L).map(i => (i, s"tiny bench doc $i"))) // short -> wordcount
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("crafted"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel")
+    try {
+      docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = SparkEntry.queries("t39_curation_funnel")(
+        spark, dir.toString)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      assert(got.keySet === Set("wordcount", "wordlen", "symbols",
+        "bullet", "stopwords", "dedup", "contamination", "kept"))
+      assert(got("wordcount")._1 === 10L) // ids 0..9
+      assert(got("wordlen") === ((1L, 50L)))
+      assert(got("symbols") === ((1L, 60L)))
+      assert(got("bullet") === ((1L, 57L)))
+      assert(got("stopwords") === ((1L, 50L)))
+      assert(got("dedup") === ((1L, 56L)))
+      assert(got("contamination") === ((1L, 62L)))
+      assert(got("kept") === ((1L, 56L)))
+      // conservation: every document is counted exactly once
+      assert(got.values.map(_._1).sum === 17L)
+    } finally {
+      graft.util.Fs.deleteRecursively(dir)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("vocabCoverage: hand-computed coverage curve with frequency " +
     "ties broken by term") {
     // counts: a:3, b:2, d:2, c:1 -> total 8; tie (b, d) orders b first
