@@ -1350,12 +1350,14 @@ object Similarity {
       val far = cur.orderBy(col("md").desc, col("id").asc).limit(1).head()
       center = far.getSeq[Float](1)
       chosen += ((rank, far.getLong(0), far.getLong(2), center))
-      val prev = cur
-      cur = prev
-        .withColumn("md", least(col("md"), sqDistE6(col("v"), center)))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      if (rank < kk) cur.count() // materialize before dropping parent
-      prev.unpersist(false)
+      if (rank < kk) { // the final selection needs no updated frame
+        val prev = cur
+        cur = prev
+          .withColumn("md", least(col("md"), sqDistE6(col("v"), center)))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cur.count() // materialize before dropping parent
+        prev.unpersist(false)
+      }
     }
     cur.unpersist(false)
     chosen.toSeq

@@ -906,12 +906,10 @@ object SimilarityQueries {
        |FROM c ORDER BY cos6 DESC, id ASC LIMIT $k""".stripMargin
   }
 
-  /** s19 replay: the seed is the min-pmd5 vector; then k−1 unrolled
-    * greedy stages — stage j takes the (md DESC, id ASC) argmax of the
-    * running integer min-distance frame, and the next frame folds the
-    * new center in with `least`. The squared-L2 term list is the s11
-    * idiom (identical left-to-right double fold), e6-floored BEFORE
-    * any cross-stage comparison so every min/argmax is pure BIGINT. */
+  /** One e6-floored squared-L2 expression between two list columns —
+    * the s11 idiom (identical left-to-right double fold), floored
+    * BEFORE any cross-stage comparison so every min/argmax downstream
+    * is pure BIGINT. */
   private def kCenterD2(a: String, b: String): String =
     s"""CAST(floor(list_sum(list_transform(range(1, len($a)+1),
        |      i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))

@@ -608,7 +608,10 @@ object TextAnalysis {
     require(keepNth >= 1, "keepNth must be >= 1")
     val n = docs.count()
     require(n >= 1, "dsirResample needs a non-empty corpus")
-    val k = math.max(1L, n / keepNth).toInt
+    // BoundedTopK's heap is array-backed: k caps at Int.MaxValue (a
+    // >2^31-doc draw would clamp; partition the corpus first if a
+    // larger sample is really wanted)
+    val k = math.min(math.max(1L, n / keepNth), Int.MaxValue.toLong).toInt
     val keyed = dsirWeights(docs, idCol, textCol, targetPred)
       .select(col("doc_id").cast("long").as("doc_id"), col("logweight_e6"),
         (col("logweight_e6") + gumbelE6(col("doc_id"))).as("key_e6"))
