@@ -433,7 +433,7 @@ object Dedup {
   private def positionalGramsFromTokens(
       docs: DataFrame, idCol: String, toksCol: String, n: Int)
       : DataFrame = {
-    val g = docs
+    val g = spread(docs)
       .select(col(idCol).as("doc_id"), col(toksCol).as("t"))
       .where(size(col("t")) >= n)
       .select(col("doc_id"),
@@ -1012,9 +1012,24 @@ object Dedup {
     * — the array column dominates the whole pipeline). Shingle hashing
     * runs exactly once; signatures, set sizes and shared-shingle counts
     * all derive from this frame by aggregation/join. */
+  /** Widen-only repartition ahead of an explode-amplifying map: a
+    * narrow input (one small single-row-group parquet file, a skewed
+    * upstream coalesce) would run the whole gram/signature expansion
+    * on one task even though the EXPANSION — not the input — is the
+    * cost. No-op (no shuffle) when the input is already at least as
+    * wide as the cluster parallelism, so large corpora keep their
+    * natural splits; every consumer is content-keyed, so the result
+    * is layout-independent by contract (the t33/q24 no-RNG
+    * discipline). */
+  private[ext] def spread(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df
+    val width = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < width) df.repartition(width) else df
+  }
+
   private def invertedIndex(
       docs: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
-    val df = docs
+    val df = spread(docs)
       .select(col(idCol).as("id"), tokenHashes(col(textCol)).as("th"))
       .select(col("id"), explode(shingleHashArray(col("th"), w)).as("g"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -1319,7 +1334,8 @@ object Dedup {
     * shuffle moves (id, 60 ints)), identical bit-for-bit because the
     * per-bit vote sum is order-insensitive integer math. */
   private def simhashSigsAgg(
-      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+      docs0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docs = spread(docs0)
     def vote(b: Int) =
       sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"v$b")
@@ -1414,7 +1430,7 @@ object Dedup {
   def sliceOverlapMatrix(
       docs: DataFrame, sliceCol: String, textCol: String, w: Int = 3)
       : DataFrame = {
-    val sg = docs
+    val sg = spread(docs)
       .select(col(sliceCol).as("s"),
         explode(shingles(col(textCol), w)).as("g"))
       .select(col("s"), pmd5(col("g")).as("h"))
@@ -1530,6 +1546,46 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT pairs — doc-inside-doc detection. Jaccard
+    * normalizes by the UNION, so a short document pasted verbatim into
+    * a long one scores near zero (40 shared shingles over a 4,000-
+    * shingle union); containment normalizes by the SMALLER set,
+    * `C = |A∩B| / min(|A|,|B|)`, which is 1.0 for any full inclusion
+    * regardless of the size ratio — the quote/boilerplate-wrap/
+    * excerpt case every corpus audit needs alongside symmetric
+    * near-dup (the "containment MinHash" motivation, here exact).
+    *
+    * Same machinery as [[ngramJaccardPairs]]: one inverted index, the
+    * rare-gram capped self-join, shared counts per pair — plus the two
+    * set sizes that already ride the index. Score in pure integers
+    * (`shared·10⁶ div least(n_a,n_b)` — parts-per-million, exactly
+    * replayable), so the oracle needs no double tree at all. Posting
+    * lists above `maxPostings` are dropped (skew guard, documented
+    * recall trade; oracle parity passes Int.MaxValue like d5/d22).
+    * Output: (id_a, id_b, n_a, n_b, shared, containment_ppm) with
+    * id_a < id_b, containment_ppm ≥ `thresholdPpm`. */
+  def containmentPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      thresholdPpm: Long = 800000L, w: Int = 3,
+      maxPostings: Int = 1000): DataFrame = {
+    val inverted = invertedIndex(docs, idCol, textCol, w)
+    val sizes = inverted.groupBy("id").agg(count(lit(1)).as("n"))
+    val rare = inverted.groupBy("g").count()
+      .where(col("count") <= maxPostings).drop("count")
+    val capped = inverted.join(rare, Seq("g"))
+    capped.select(col("g"), col("id").as("id_a"))
+      .join(capped.select(col("g"), col("id").as("id_b")), Seq("g"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
+      .withColumn("containment_ppm",
+        expr("shared * 1000000 div least(n_a, n_b)"))
+      .where(col("containment_ppm") >= thresholdPpm)
+      .select("id_a", "id_b", "n_a", "n_b", "shared", "containment_ppm")
+  }
+
   /** Winnowing-based near-dup pairs: documents sharing ≥ `minShared`
     * winnowing fingerprints (TextAnalysis.winnowFingerprints). The MOSS
     * guarantee makes this a SUBSTRING-level detector — any shared run
@@ -1604,7 +1660,7 @@ object Dedup {
       lower(regexp_replace(trim(col(textCol)), "\\s+", " ")), 1, headLen)
     // persisted + eager like invertedIndex: feeds the gram index AND
     // both head lookups of the verify join
-    val heads = docs.select(col(idCol).as("id"), norm.as("h"))
+    val heads = spread(docs).select(col(idCol).as("id"), norm.as("h"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     heads.count()
     val gramArr = transform(

@@ -324,7 +324,8 @@ object TextAnalysis {
       docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
       k: Int = 3, w: Int = 4): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
+    val toks = Dedup.spread(docs)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
     val grams = toks
       .where(size(col("t")) >= k)
       .select(col("id"), posexplode(expr(
@@ -396,6 +397,77 @@ object TextAnalysis {
         col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("logprob_e6_sum"), lit(0L)).as("logprob_e6_sum"))
+  }
+
+  /** Interpolated Kneser–Ney bigram document scoring — the smoothing
+    * the production perplexity filters actually run (KenLM inside
+    * CCNet/cc_net): where [[lmScore]]'s add-one flattens mass onto the
+    * whole vocabulary, KN discounts each seen bigram by a fixed D and
+    * backs off to the CONTINUATION unigram — "how many distinct
+    * contexts precede this word" — so boilerplate tokens that appear
+    * everywhere in one context (e.g. a templated phrase) stop looking
+    * like fluent prose. Standard formula at bigram order, D = 0.75:
+    *
+    *   P(cur|prev) = max(c(prev,cur) − D, 0) / c(prev)
+    *               + (D · N1+(prev·) / c(prev)) · (N1+(·cur) / T)
+    *
+    * with N1+(prev·) = distinct followers of prev, N1+(·cur) =
+    * distinct predecessors of cur, T = distinct bigram types. All five
+    * statistics are aggregations over the ONE persisted gram frame
+    * (same skinny shuffle [[lmScore]] uses; T broadcasts as a 1-row
+    * scalar). Exactness: the per-bigram log-prob is one fixed
+    * left-associated double tree over integers (exact in IEEE double —
+    * counts ≪ 2⁵³, and both engines evaluate the identical expression),
+    * e6-floored BEFORE the per-doc sum, so the score is
+    * layout-independent and hash-oracle-able like t18. Every scored
+    * bigram occurs in the corpus, so the log argument is > 0 by
+    * construction. Output: (doc_id, n_bigrams, kn_e6_sum); docs with
+    * < 2 tokens score 0 over 0 bigrams. */
+  def knScore(
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(
+        zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => struct(a.as("prev"), b.as("cur")))).as("g"))
+      .select(col("doc_id"), col("g.prev").as("prev"), col("g.cur").as("cur"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    grams.count() // eager: five consumers in the scoring action
+    val c2 = grams.groupBy("prev", "cur").agg(count(lit(1)).as("n2"))
+    val c1 = grams.groupBy("prev").agg(count(lit(1)).as("n1"))
+    val nFollow = grams.groupBy("prev")
+      .agg(countDistinct(col("cur")).as("nf"))
+    val nPrec = grams.groupBy("cur")
+      .agg(countDistinct(col("prev")).as("np"))
+    val nTypes = grams.select(col("prev"), col("cur")).distinct()
+      .agg(count(lit(1)).as("nt"))
+    val d = lit(0.75)
+    val prob =
+      greatest(col("n2").cast("double") - d, lit(0.0)) /
+        col("n1").cast("double") +
+        ((d * col("nf").cast("double")) / col("n1").cast("double")) *
+          (col("np").cast("double") / col("nt").cast("double"))
+    val scored = grams
+      .join(c2, Seq("prev", "cur"))
+      .join(c1, Seq("prev"))
+      .join(nFollow, Seq("prev"))
+      .join(nPrec, Seq("cur"))
+      .crossJoin(broadcast(nTypes))
+      .select(
+        col("doc_id"),
+        floor(lit(1e6) * log(prob)).cast("long").as("lp_e6"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_e6")).as("kn_e6_sum"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("kn_e6_sum"), lit(0L)).as("kn_e6_sum"))
   }
 
   /** Vocabulary statistics per corpus slice: vocabulary size, token
