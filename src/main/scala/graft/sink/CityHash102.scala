@@ -1,0 +1,202 @@
+package graft.sink
+
+/** CityHash128, v1.0.2 flavor — the checksum ClickHouse applies to every
+  * compressed frame (reference pipeline: `/root/reference/src/click.rs:50-85`
+  * inserts over the native protocol, whose `CompressedWriteBuffer` prefixes
+  * each LZ4 frame with CityHash128 of the frame body; ClickHouse pins the
+  * OLD v1.0.2 constants/structure, which is why the Java/Rust client
+  * ecosystems all carry their own ports rather than using current CityHash).
+  *
+  * This is an independent Scala implementation of the published v1.0.2
+  * algorithm (Google, MIT license; the version with the `k3` constant and
+  * the CityMurmur short path). All arithmetic is 64-bit modular, so plain
+  * `Long` ops are exact; "unsigned" only matters at shifts, which are all
+  * logical (`>>>`).
+  *
+  * Scope note: in this sandbox there is no ClickHouse server to verify
+  * against, so the spec pins (a) self-consistency (decoder recomputes and
+  * verifies every frame checksum), (b) length-boundary coverage across all
+  * algorithm paths (0..300 bytes), and (c) frozen output vectors so the
+  * implementation cannot drift silently.
+  */
+object CityHash102 {
+
+  private final val k0 = 0xc3a5c85c97cb3127L
+  private final val k1 = 0xb492b66fbe98f273L
+  private final val k2 = 0x9ae16a3b2f90404fL
+  private final val k3 = 0xc949d7c7509e6557L
+  private final val kMul = 0x9ddfea08eb382d69L
+
+  @inline private def fetch64(s: Array[Byte], i: Int): Long =
+    (s(i) & 0xffL) |
+      ((s(i + 1) & 0xffL) << 8) |
+      ((s(i + 2) & 0xffL) << 16) |
+      ((s(i + 3) & 0xffL) << 24) |
+      ((s(i + 4) & 0xffL) << 32) |
+      ((s(i + 5) & 0xffL) << 40) |
+      ((s(i + 6) & 0xffL) << 48) |
+      ((s(i + 7) & 0xffL) << 56)
+
+  @inline private def fetch32(s: Array[Byte], i: Int): Long =
+    (s(i) & 0xffL) |
+      ((s(i + 1) & 0xffL) << 8) |
+      ((s(i + 2) & 0xffL) << 16) |
+      ((s(i + 3) & 0xffL) << 24)
+
+  @inline private def rotate(v: Long, shift: Int): Long =
+    if (shift == 0) v else (v >>> shift) | (v << (64 - shift))
+
+  // v1.0.2's RotateByAtLeast1: callers guarantee 1 <= shift <= 63.
+  @inline private def rotateByAtLeast1(v: Long, shift: Int): Long =
+    (v >>> shift) | (v << (64 - shift))
+
+  @inline private def shiftMix(v: Long): Long = v ^ (v >>> 47)
+
+  @inline private def hash128to64(lo: Long, hi: Long): Long = {
+    var a = (lo ^ hi) * kMul
+    a ^= (a >>> 47)
+    var b = (hi ^ a) * kMul
+    b ^= (b >>> 47)
+    b * kMul
+  }
+
+  @inline private def hashLen16(u: Long, v: Long): Long = hash128to64(u, v)
+
+  private def hashLen0to16(s: Array[Byte], off: Int, len: Int): Long = {
+    if (len > 8) {
+      val a = fetch64(s, off)
+      val b = fetch64(s, off + len - 8)
+      hashLen16(a, rotateByAtLeast1(b + len, len)) ^ b
+    } else if (len >= 4) {
+      val a = fetch32(s, off)
+      hashLen16(len + (a << 3), fetch32(s, off + len - 4))
+    } else if (len > 0) {
+      val a = s(off) & 0xff
+      val b = s(off + (len >> 1)) & 0xff
+      val c = s(off + len - 1) & 0xff
+      val y = a + (b << 8)
+      val z = len + (c << 2)
+      shiftMix(y * k2 ^ z * k3) * k2
+    } else k2
+  }
+
+  /** (a+w, b+c) pair used by the long-input loop. */
+  @inline private def weakHashLen32WithSeeds(
+      w: Long, x: Long, y: Long, z: Long, a0: Long, b0: Long): (Long, Long) = {
+    var a = a0 + w
+    var b = rotate(b0 + a + z, 21)
+    val c = a
+    a += x
+    a += y
+    b += rotate(a, 44)
+    (a + z, b + c)
+  }
+
+  @inline private def weakHashLen32WithSeeds(
+      s: Array[Byte], off: Int, a: Long, b: Long): (Long, Long) =
+    weakHashLen32WithSeeds(
+      fetch64(s, off), fetch64(s, off + 8),
+      fetch64(s, off + 16), fetch64(s, off + 24), a, b)
+
+  /** CityMurmur — the <128-byte path of CityHash128WithSeed. */
+  private def cityMurmur(
+      s: Array[Byte], off: Int, len: Int, seedLo: Long, seedHi: Long)
+      : (Long, Long) = {
+    var a = seedLo
+    var b = seedHi
+    var c = 0L
+    var d = 0L
+    var l = len - 16
+    if (l <= 0) {
+      a = shiftMix(a * k1) * k1
+      c = b * k1 + hashLen0to16(s, off, len)
+      d = shiftMix(a + (if (len >= 8) fetch64(s, off) else c))
+    } else {
+      c = hashLen16(fetch64(s, off + len - 8) + k1, a)
+      d = hashLen16(b + len, c + fetch64(s, off + len - 16))
+      a += d
+      var p = off
+      while (l > 0) {
+        a ^= shiftMix(fetch64(s, p) * k1) * k1
+        a *= k1
+        b ^= a
+        c ^= shiftMix(fetch64(s, p + 8) * k1) * k1
+        c *= k1
+        d ^= c
+        p += 16
+        l -= 16
+      }
+    }
+    a = hashLen16(a, c)
+    b = hashLen16(d, b)
+    (a ^ b, hashLen16(b, a))
+  }
+
+  /** CityHash128WithSeed(s[off, off+len), (seedLo, seedHi)). */
+  def hashWithSeed(
+      s: Array[Byte], off: Int, len: Int, seedLo: Long, seedHi: Long)
+      : (Long, Long) = {
+    if (len < 128) return cityMurmur(s, off, len, seedLo, seedHi)
+
+    var x = seedLo
+    var y = seedHi
+    var z = len * k1
+    var vFirst = rotate(y ^ k1, 49) * k1 + fetch64(s, off)
+    var vSecond = rotate(vFirst, 42) * k1 + fetch64(s, off + 8)
+    var wFirst = rotate(y + z, 35) * k1 + x
+    var wSecond = rotate(x + fetch64(s, off + 88), 53) * k1
+
+    var p = off
+    var rem = len
+    while (rem >= 128) {
+      // two unrolled 64-byte halves per 128-byte chunk
+      var i = 0
+      while (i < 2) {
+        x = rotate(x + y + vFirst + fetch64(s, p + 16), 37) * k1
+        y = rotate(y + vSecond + fetch64(s, p + 48), 42) * k1
+        x ^= wSecond
+        y ^= vFirst
+        z = rotate(z ^ wFirst, 33)
+        val v = weakHashLen32WithSeeds(s, p, vSecond * k1, x + wFirst)
+        val w = weakHashLen32WithSeeds(s, p + 32, z + wSecond, y)
+        vFirst = v._1; vSecond = v._2
+        wFirst = w._1; wSecond = w._2
+        val t = z; z = x; x = t
+        p += 64
+        i += 1
+      }
+      rem -= 128
+    }
+
+    y += rotate(wFirst, 37) * k0 + z
+    x += rotate(vFirst + z, 49) * k0
+    var tailDone = 0
+    while (tailDone < rem) {
+      tailDone += 32
+      y = rotate(y - x, 42) * k0 + vSecond
+      wFirst += fetch64(s, p + rem - tailDone + 16)
+      x = rotate(x, 49) * k0 + wFirst
+      wFirst += vFirst
+      val v = weakHashLen32WithSeeds(s, p + rem - tailDone, vFirst, wFirst)
+      vFirst = v._1; vSecond = v._2
+    }
+    x = hashLen16(x, vFirst)
+    y = hashLen16(y, wFirst)
+    (hashLen16(x + vSecond, wSecond) + y,
+      hashLen16(x + wSecond, y + vSecond))
+  }
+
+  /** CityHash128 — (low64, high64) of the 128-bit digest. */
+  def hash(s: Array[Byte], off: Int, len: Int): (Long, Long) = {
+    if (len >= 16)
+      hashWithSeed(
+        s, off + 16, len - 16, fetch64(s, off) ^ k3, fetch64(s, off + 8))
+    else if (len >= 8)
+      hashWithSeed(
+        s, 0, 0,
+        fetch64(s, off) ^ (len * k0), fetch64(s, off + len - 8) ^ k1)
+    else hashWithSeed(s, off, len, k0, k1)
+  }
+
+  def hash(s: Array[Byte]): (Long, Long) = hash(s, 0, s.length)
+}

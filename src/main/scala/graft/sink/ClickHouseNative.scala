@@ -1,0 +1,449 @@
+package graft.sink
+
+import java.io.{ByteArrayOutputStream, DataOutputStream, EOFException,
+  InputStream, OutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import net.jpountz.lz4.LZ4Factory
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** ClickHouse Native-format block codec + LZ4 compressed framing — the
+  * byte-level half of the wire-deployment story.
+  *
+  * The reference inserts rows over ClickHouse's native TCP protocol with
+  * LZ4 compression (`/root/reference/Cargo.toml:34` pulls the `clickhouse`
+  * crate with the `lz4` feature; `/root/reference/src/click.rs:50-85` does
+  * the batched inserts). The TCP handshake itself is environment-blocked
+  * here (no network), so this module implements the exactly-reusable
+  * layers beneath it, from the public format documentation:
+  *
+  *   1. the Native columnar block encoding (what `FORMAT Native` emits and
+  *      what every `Data` packet on the wire carries): varint column/row
+  *      counts, then per column name, type string, and column-oriented
+  *      values;
+  *   2. the compressed-frame envelope shared by the wire and by
+  *      `clickhouse-compressor`: CityHash128(v1.0.2) checksum over
+  *      [method byte | compressed size | uncompressed size | LZ4 block].
+  *
+  * A file produced by [[write]] is `INSERT ... FORMAT Native`-loadable;
+  * a production sink would wrap the same frames in Query/Data packets.
+  *
+  * Type coverage is exactly the engine's eight output tables
+  * ([[ClickHouseDdl.chType]]): UInt16/32/64, UInt128 (u128 amounts),
+  * DateTime64(9,'UTC') (nanosecond timestamps), String, Enum8,
+  * Array(String), Nullable(T). Encoders are column-at-a-time over row
+  * batches — the same shape ClickHouse stores, so a 1000-executor insert
+  * path is one `foreachPartition` with no row-level dispatch in the hot
+  * loop beyond a match on the column codec.
+  */
+object ClickHouseNative {
+
+  /** Parsed ClickHouse column type (the subset the DDL emitter produces). */
+  sealed trait ChType { def render: String }
+  case object ChUInt16 extends ChType { val render = "UInt16" }
+  case object ChUInt32 extends ChType { val render = "UInt32" }
+  case object ChUInt64 extends ChType { val render = "UInt64" }
+  case object ChUInt128 extends ChType { val render = "UInt128" }
+  case object ChString extends ChType { val render = "String" }
+  final case class ChDateTime64(precision: Int, tz: String) extends ChType {
+    def render = s"DateTime64($precision, '$tz')"
+  }
+  /** values are 1-based in DDL declaration order (ClickHouse's implicit
+    * numbering for `Enum('a','b')`). */
+  final case class ChEnum8(values: Seq[String]) extends ChType {
+    def render =
+      values.zipWithIndex
+        .map { case (v, i) => s"'$v' = ${i + 1}" }
+        .mkString("Enum8(", ", ", ")")
+    val toCode: Map[String, Byte] =
+      values.zipWithIndex.map { case (v, i) => v -> (i + 1).toByte }.toMap
+    val fromCode: Map[Byte, String] =
+      toCode.map(_.swap)
+  }
+  final case class ChNullable(inner: ChType) extends ChType {
+    def render = s"Nullable(${inner.render})"
+  }
+  final case class ChArray(inner: ChType) extends ChType {
+    def render = s"Array(${inner.render})"
+  }
+
+  /** Parse the strings [[ClickHouseDdl.chType]] emits (plus the explicit
+    * `Enum8('x' = 1, ...)` render round-trip). Not a general CH type
+    * parser — unknown shapes fail loudly. */
+  def parseType(s0: String): ChType = {
+    val s = s0.trim
+    def inner(prefix: String): String =
+      s.substring(prefix.length, s.length - 1)
+    s match {
+      case "UInt16" => ChUInt16
+      case "UInt32" => ChUInt32
+      case "UInt64" => ChUInt64
+      case "UInt128" => ChUInt128
+      case "String" => ChString
+      case _ if s.startsWith("Nullable(") =>
+        ChNullable(parseType(inner("Nullable(")))
+      case _ if s.startsWith("Array(") =>
+        ChArray(parseType(inner("Array(")))
+      case _ if s.startsWith("DateTime64(") =>
+        val args = inner("DateTime64(").split(",").map(_.trim)
+        val tz = if (args.length > 1) args(1).stripPrefix("'").stripSuffix("'")
+          else "UTC"
+        ChDateTime64(args(0).toInt, tz)
+      case _ if s.startsWith("Enum8(") || s.startsWith("Enum(") =>
+        val body = if (s.startsWith("Enum8(")) inner("Enum8(") else inner("Enum(")
+        val vals = body.split(",").map(_.trim).map { ent =>
+          val name = ent.split("=")(0).trim
+          name.stripPrefix("'").stripSuffix("'")
+        }
+        ChEnum8(vals.toSeq)
+      case other => sys.error(s"ClickHouseNative: unsupported type '$other'")
+    }
+  }
+
+  final case class ChColumn(name: String, tpe: ChType)
+
+  /** Column plan for one engine table: DDL names/types in schema order. */
+  def columns(table: String, schema: StructType): Seq[ChColumn] =
+    schema.fields.toSeq.map { f =>
+      ChColumn(f.name, parseType(ClickHouseDdl.chType(table, f)))
+    }
+
+  // ---------------------------------------------------------------------
+  // primitive writers (all little-endian, per the format)
+
+  private final class Out(val os: OutputStream) {
+    def byte(b: Int): Unit = os.write(b)
+    def varUInt(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) { os.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      os.write(v.toInt)
+    }
+    def u16(v: Int): Unit = { os.write(v & 0xff); os.write((v >>> 8) & 0xff) }
+    def u32(v: Long): Unit = {
+      os.write((v & 0xff).toInt); os.write(((v >>> 8) & 0xff).toInt)
+      os.write(((v >>> 16) & 0xff).toInt); os.write(((v >>> 24) & 0xff).toInt)
+    }
+    def u64(v: Long): Unit = { u32(v & 0xffffffffL); u32(v >>> 32) }
+    def u128(v: java.math.BigInteger): Unit = {
+      // 16 bytes little-endian, non-negative by engine contract (F6)
+      require(v.signum >= 0 && v.bitLength <= 128,
+        s"u128 out of range: $v")
+      val lo = v.and(Mask64)
+      val hi = v.shiftRight(64)
+      u64(lo.longValue); u64(hi.longValue)
+    }
+    def str(sv: String): Unit = {
+      val b = sv.getBytes(UTF_8)
+      varUInt(b.length.toLong)
+      os.write(b)
+    }
+  }
+
+  private val Mask64 =
+    java.math.BigInteger.ONE.shiftLeft(64).subtract(java.math.BigInteger.ONE)
+
+  private final class In(val is: InputStream) {
+    def byte(): Int = {
+      val b = is.read()
+      if (b < 0) throw new EOFException("clickhouse native: truncated")
+      b
+    }
+    def tryByte(): Int = is.read()
+    def varUInt(): Long = {
+      var v = 0L; var shift = 0; var b = 0
+      do {
+        b = byte()
+        v |= (b & 0x7fL) << shift
+        shift += 7
+      } while ((b & 0x80) != 0)
+      v
+    }
+    def u16(): Int = byte() | (byte() << 8)
+    def u32(): Long =
+      byte().toLong | (byte().toLong << 8) |
+        (byte().toLong << 16) | (byte().toLong << 24)
+    def u64(): Long = u32() | (u32() << 32)
+    def u128(): java.math.BigInteger = {
+      val lo = u64(); val hi = u64()
+      java.math.BigInteger.valueOf(hi).and(Mask64).shiftLeft(64)
+        .or(java.math.BigInteger.valueOf(lo).and(Mask64))
+    }
+    def bytes(n: Int): Array[Byte] = {
+      val a = new Array[Byte](n)
+      var got = 0
+      while (got < n) {
+        val r = is.read(a, got, n - got)
+        if (r < 0) throw new EOFException("clickhouse native: truncated")
+        got += r
+      }
+      a
+    }
+    def str(): String = new String(bytes(varUInt().toInt), UTF_8)
+  }
+
+  // ---------------------------------------------------------------------
+  // column codecs: whole-column encode/decode over a row batch
+
+  private def writeColumn(
+      o: Out, t: ChType, vals: IndexedSeq[Any]): Unit = t match {
+    case ChUInt16 => vals.foreach(v => o.u16(v.asInstanceOf[Int]))
+    case ChUInt32 =>
+      vals.foreach(v => o.u32(v.asInstanceOf[Int].toLong & 0xffffffffL))
+    case ChUInt64 => vals.foreach(v => o.u64(v.asInstanceOf[Long]))
+    case ChDateTime64(_, _) => vals.foreach(v => o.u64(v.asInstanceOf[Long]))
+    case ChUInt128 =>
+      vals.foreach {
+        case d: java.math.BigDecimal => o.u128(d.toBigIntegerExact)
+        case d: scala.math.BigDecimal => o.u128(d.toBigInt.bigInteger)
+        case b: java.math.BigInteger => o.u128(b)
+        case other => sys.error(s"u128 column got $other")
+      }
+    case ChString => vals.foreach(v => o.str(v.asInstanceOf[String]))
+    case e: ChEnum8 =>
+      vals.foreach { v =>
+        val s = v.asInstanceOf[String]
+        o.byte(e.toCode.getOrElse(s,
+          sys.error(s"enum value '$s' not in ${e.render}")).toInt)
+      }
+    case ChNullable(inner) =>
+      // null map first (1 = NULL), then values with defaults in null slots
+      vals.foreach(v => o.byte(if (v == null) 1 else 0))
+      val defaulted = vals.map {
+        case null => defaultFor(inner)
+        case v => v
+      }
+      writeColumn(o, inner, defaulted)
+    case ChArray(inner) =>
+      // cumulative end offsets (UInt64), then the flattened values
+      var off = 0L
+      val flat = IndexedSeq.newBuilder[Any]
+      vals.foreach { v =>
+        val seq: Seq[Any] = v match {
+          case s: scala.collection.Seq[_] => s.toSeq
+          case a: Array[_] => a.toSeq
+          case other => sys.error(s"array column got $other")
+        }
+        off += seq.length
+        o.u64(off)
+        flat ++= seq
+      }
+      writeColumn(o, inner, flat.result())
+  }
+
+  private def defaultFor(t: ChType): Any = t match {
+    case ChUInt16 | ChUInt32 => 0
+    case ChUInt64 | ChDateTime64(_, _) => 0L
+    case ChUInt128 => java.math.BigInteger.ZERO
+    case ChString => ""
+    case e: ChEnum8 => e.values.head
+    case ChNullable(inner) => defaultFor(inner)
+    case ChArray(_) => Seq.empty[Any]
+  }
+
+  private def readColumn(
+      i: In, t: ChType, rows: Int): IndexedSeq[Any] = t match {
+    case ChUInt16 => IndexedSeq.fill(rows)(i.u16())
+    case ChUInt32 => IndexedSeq.fill(rows)(i.u32().toInt)
+    case ChUInt64 => IndexedSeq.fill(rows)(i.u64())
+    case ChDateTime64(_, _) => IndexedSeq.fill(rows)(i.u64())
+    case ChUInt128 => IndexedSeq.fill(rows)(i.u128())
+    case ChString => IndexedSeq.fill(rows)(i.str())
+    case e: ChEnum8 =>
+      IndexedSeq.fill(rows) {
+        val c = i.byte().toByte
+        e.fromCode.getOrElse(c, sys.error(s"enum code $c not in ${e.render}"))
+      }
+    case ChNullable(inner) =>
+      val nulls = IndexedSeq.fill(rows)(i.byte() == 1)
+      val vals = readColumn(i, inner, rows)
+      nulls.zip(vals).map { case (n, v) => if (n) null else v }
+    case ChArray(inner) =>
+      val ends = IndexedSeq.fill(rows)(i.u64())
+      val total = if (rows == 0) 0L else ends.last
+      val flat = readColumn(i, inner, total.toInt)
+      var start = 0L
+      ends.map { e =>
+        val slice = flat.slice(start.toInt, e.toInt)
+        start = e
+        slice
+      }
+  }
+
+  // ---------------------------------------------------------------------
+  // block encode/decode (plain Native format, as in `FORMAT Native`)
+
+  /** One block: column-oriented values, `data(c)(r)`. */
+  final case class Block(cols: Seq[ChColumn], data: IndexedSeq[IndexedSeq[Any]]) {
+    def rows: Int = if (data.isEmpty) 0 else data.head.length
+  }
+
+  def writeBlock(os: OutputStream, block: Block): Unit = {
+    val o = new Out(os)
+    o.varUInt(block.cols.length.toLong)
+    o.varUInt(block.rows.toLong)
+    block.cols.zip(block.data).foreach { case (c, vals) =>
+      o.str(c.name)
+      o.str(c.tpe.render)
+      writeColumn(o, c.tpe, vals)
+    }
+  }
+
+  /** Reads one block; None at clean EOF. */
+  def readBlock(is: InputStream): Option[Block] = {
+    val i = new In(is)
+    val first = i.tryByte()
+    if (first < 0) return None
+    // re-assemble the varint whose first byte we consumed
+    var nCols = (first & 0x7fL)
+    if ((first & 0x80) != 0) {
+      var shift = 7; var b = 0
+      do { b = i.byte(); nCols |= (b & 0x7fL) << shift; shift += 7 }
+      while ((b & 0x80) != 0)
+    }
+    val nRows = i.varUInt().toInt
+    val cols = IndexedSeq.newBuilder[ChColumn]
+    val data = IndexedSeq.newBuilder[IndexedSeq[Any]]
+    var c = 0
+    while (c < nCols) {
+      val name = i.str()
+      val tpe = parseType(i.str())
+      cols += ChColumn(name, tpe)
+      data += readColumn(i, tpe, nRows)
+      c += 1
+    }
+    Some(Block(cols.result(), data.result()))
+  }
+
+  // ---------------------------------------------------------------------
+  // compressed framing (wire + clickhouse-compressor envelope)
+
+  /** LZ4 method byte in the frame header. */
+  final val MethodLz4: Byte = 0x82.toByte
+  private final val HeaderSize = 9 // method + compressed u32 + uncompressed u32
+
+  private lazy val lz4 = LZ4Factory.fastestInstance()
+
+  /** [16B CityHash128 | method | compressed size (incl header) |
+    * uncompressed size | LZ4 block] — checksum covers header+payload. */
+  def writeFrame(os: OutputStream, raw: Array[Byte]): Unit = {
+    val comp = lz4.fastCompressor()
+    val maxLen = comp.maxCompressedLength(raw.length)
+    val payload = new Array[Byte](HeaderSize + maxLen)
+    val compLen = comp.compress(raw, 0, raw.length, payload, HeaderSize, maxLen)
+    val total = HeaderSize + compLen
+    payload(0) = MethodLz4
+    var v = total
+    var i = 1
+    while (i < 5) { payload(i) = (v & 0xff).toByte; v >>>= 8; i += 1 }
+    v = raw.length
+    while (i < 9) { payload(i) = (v & 0xff).toByte; v >>>= 8; i += 1 }
+    val (lo, hi) = CityHash102.hash(payload, 0, total)
+    val o = new Out(os)
+    o.u64(lo); o.u64(hi)
+    os.write(payload, 0, total)
+  }
+
+  /** Reads one frame, verifying checksum + method; None at clean EOF. */
+  def readFrame(is: InputStream): Option[Array[Byte]] = {
+    val i = new In(is)
+    val first = i.tryByte()
+    if (first < 0) return None
+    val rest = i.bytes(15)
+    val head = (first.toByte +: rest)
+    def le64(a: Array[Byte], off: Int): Long = {
+      var v = 0L; var k = 7
+      while (k >= 0) { v = (v << 8) | (a(off + k) & 0xffL); k -= 1 }
+      v
+    }
+    val expLo = le64(head, 0); val expHi = le64(head, 8)
+    val method = i.byte()
+    require(method == (MethodLz4 & 0xff),
+      f"unsupported compression method 0x$method%02x")
+    val compTotal = i.u32().toInt
+    val rawLen = i.u32().toInt
+    val payload = new Array[Byte](compTotal)
+    payload(0) = MethodLz4
+    var v = compTotal; var k = 1
+    while (k < 5) { payload(k) = (v & 0xff).toByte; v >>>= 8; k += 1 }
+    v = rawLen
+    while (k < 9) { payload(k) = (v & 0xff).toByte; v >>>= 8; k += 1 }
+    System.arraycopy(i.bytes(compTotal - HeaderSize), 0, payload, HeaderSize,
+      compTotal - HeaderSize)
+    val (lo, hi) = CityHash102.hash(payload, 0, compTotal)
+    require(lo == expLo && hi == expHi,
+      "clickhouse frame checksum mismatch (corrupt frame)")
+    val raw = new Array[Byte](rawLen)
+    lz4.fastDecompressor().decompress(payload, HeaderSize, raw, 0, rawLen)
+    Some(raw)
+  }
+
+  // ---------------------------------------------------------------------
+  // DataFrame sink / source
+
+  /** Spark rows → column-oriented block for `cols` (names must exist in
+    * the row schema; order follows `cols`). */
+  def toBlock(cols: Seq[ChColumn], schema: StructType, rows: Seq[Row]): Block = {
+    val idx = cols.map(c => schema.fieldIndex(c.name))
+    val data = cols.indices.map { ci =>
+      val fi = idx(ci)
+      rows.iterator.map(r => if (r.isNullAt(fi)) null else r.get(fi))
+        .toIndexedSeq
+    }
+    Block(cols, data)
+  }
+
+  /** Writes `df` as ClickHouse Native, one file per partition under
+    * `dir` (`part-NNNNN.native.lz4`), blocks of `blockRows` rows each,
+    * every block LZ4-framed. Distributed: no driver materialization —
+    * each executor streams its partition; at 100 TB this is the same
+    * per-partition batching the reference's inserter does
+    * (click.rs batches + commits per block range). */
+  def write(
+      df: DataFrame, table: String, dir: String,
+      blockRows: Int = 65536): Unit = {
+    val schema = df.schema
+    val cols = columns(table, schema)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    df.rdd.foreachPartition { it =>
+      if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val path = java.nio.file.Paths.get(dir, f"part-$pid%05d.native.lz4")
+        val os = new java.io.BufferedOutputStream(
+          java.nio.file.Files.newOutputStream(path))
+        try {
+          it.grouped(blockRows).foreach { batch =>
+            val buf = new ByteArrayOutputStream()
+            writeBlock(buf, toBlock(cols, schema, batch))
+            writeFrame(os, buf.toByteArray)
+          }
+        } finally os.close()
+      }
+    }
+  }
+
+  /** Reads every `part-*.native.lz4` under `dir` back to blocks —
+    * the verification path (a real consumer is ClickHouse itself). */
+  def readDir(dir: String): Seq[Block] = {
+    val d = java.nio.file.Paths.get(dir)
+    val files = java.nio.file.Files.list(d).iterator()
+    val out = Seq.newBuilder[Block]
+    files.forEachRemaining { p =>
+      if (p.getFileName.toString.endsWith(".native.lz4")) {
+        val is = new java.io.BufferedInputStream(
+          java.nio.file.Files.newInputStream(p))
+        try {
+          var frame = readFrame(is)
+          while (frame.isDefined) {
+            val bis = new java.io.ByteArrayInputStream(frame.get)
+            var blk = readBlock(bis)
+            while (blk.isDefined) { out += blk.get; blk = readBlock(bis) }
+            frame = readFrame(is)
+          }
+        } finally is.close()
+      }
+    }
+    out.result()
+  }
+}
