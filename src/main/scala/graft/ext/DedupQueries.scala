@@ -1099,6 +1099,59 @@ object DedupQueries {
       (s, dir) =>
         Dedup.sliceOverlapMatrix(
           Tables.load(s, dir, "documents"), "source", "text")
+    },
+
+    // asymmetric containment pairs: doc-inside-doc detection. Jaccard
+    // normalizes by the union (a short doc pasted into a long one
+    // scores ~0); containment normalizes by the SMALLER shingle set —
+    // 1.0 for full inclusion at any size ratio. The corpus has no
+    // verbatim inclusions, so the query plants them the d7 way: each
+    // shifted-id copy keeps the first 40 tokens (an excerpt), giving
+    // known high-containment, low-Jaccard pairs on BOTH engines.
+    // Pure integer score (shared·10⁶ div min set size) — exactly
+    // replayable, no doubles. Uncapped postings for oracle parity
+    // (the d5 contract); production callers keep the skew cap.
+    Q(
+      "d33_containment_pairs",
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    array_to_string(string_split_regex(trim(text), ' +')[1:40], ' ')
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+        |  FROM d
+        |), s AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, len(toks) - 1),
+        |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |      ELSE [array_to_string(toks, ' ')] END) AS sh
+        |  FROM t
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.sh, b.sh)) AS shared,
+        |    len(a.sh) AS na, len(b.sh) AS nb
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |)
+        |SELECT id_a, id_b,
+        |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CAST(shared AS BIGINT) AS shared,
+        |  CAST(shared * 1000000 // least(na, nb) AS BIGINT)
+        |    AS containment_ppm
+        |FROM p
+        |WHERE shared > 0
+        |  AND shared * 1000000 // least(na, nb) >= 900000""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+        val planted = docs.unionAll(docs.select(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          array_join(slice(
+            split(trim(col("text")), " +"), 1, 40), " ").as("text")))
+        Dedup.containmentPairs(
+          planted, "doc_id", "text",
+          thresholdPpm = 900000L, maxPostings = Int.MaxValue)
     }
   )
 

@@ -1088,6 +1088,52 @@ object TextQueries {
             .otherwise("kept").as("stage"))
         .groupBy("stage")
         .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+    },
+
+    // interpolated Kneser-Ney bigram scoring (the KenLM/CCNet
+    // smoothing, vs t18's add-one): discount D=0.75 off every seen
+    // bigram, back off to the CONTINUATION unigram (distinct
+    // predecessors / distinct bigram types). Per-bigram log-prob is
+    // ONE left-associated double tree over five integer count frames
+    // — bit-identical across engines (t18/t14 precedent) — e6-floored
+    // before the exact integer per-doc sum.
+    Q(
+      "t40_kneser_ney",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents
+        |), pos AS (
+        |  SELECT unnest(generate_series(1,
+        |    (SELECT CAST(max(len(t)) AS INT) FROM toks))) AS i
+        |), grams AS (
+        |  SELECT doc_id, t[i] AS prev, t[i+1] AS cur
+        |  FROM toks JOIN pos ON i <= len(t) - 1
+        |  WHERE len(t) >= 2
+        |), c2 AS (
+        |  SELECT prev, cur, count(*) AS n2 FROM grams GROUP BY prev, cur
+        |), c1 AS (
+        |  SELECT prev, count(*) AS n1 FROM grams GROUP BY prev
+        |), nf AS (
+        |  SELECT prev, count(DISTINCT cur) AS nf FROM grams GROUP BY prev
+        |), np AS (
+        |  SELECT cur, count(DISTINCT prev) AS np FROM grams GROUP BY cur
+        |), nt AS (
+        |  SELECT count(*) AS nt FROM (SELECT DISTINCT prev, cur FROM grams)
+        |), sc AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    sum(CAST(floor(1e6 * ln(
+        |      greatest(CAST(n2 AS DOUBLE) - 0.75, 0.0) / CAST(n1 AS DOUBLE)
+        |      + ((0.75 * CAST(nf AS DOUBLE)) / CAST(n1 AS DOUBLE))
+        |        * (CAST(np AS DOUBLE) / CAST(nt AS DOUBLE)))) AS BIGINT))
+        |      AS kn_e6_sum
+        |  FROM grams JOIN c2 USING (prev, cur) JOIN c1 USING (prev)
+        |    JOIN nf USING (prev) JOIN np USING (cur), nt
+        |  GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+        |  CAST(coalesce(sc.kn_e6_sum, 0) AS BIGINT) AS kn_e6_sum
+        |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin) {
+      (s, dir) =>
+        TextAnalysis.knScore(Tables.load(s, dir, "documents"), "doc_id", "text")
     }
   )
 

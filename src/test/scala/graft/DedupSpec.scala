@@ -1229,4 +1229,45 @@ class DedupSpec extends SparkSpec {
     assert(got(("B", "C")) === ((2L, 1L, 0L, 0L)))
     spark.catalog.clearCache()
   }
+
+  test("containmentPairs: excerpt-in-document scores 10^6 ppm where " +
+    "Jaccard misses it; matches the set definition; cap guard holds") {
+    // doc 900 = the first 8 tokens of doc 0 (a short excerpt — well
+    // under the Jaccard radar against the ~30-token source)
+    val toks0 = corpus.where(col("doc_id") === 0)
+      .select("text").head().getString(0).split(" ")
+    val planted = corpus.select("doc_id", "text").unionAll(
+      Seq((900L, toks0.take(8).mkString(" "))).toDF("doc_id", "text"))
+    val pairs = Dedup.containmentPairs(
+      planted, "doc_id", "text", thresholdPpm = 800000L,
+      maxPostings = Int.MaxValue)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val hit = pairs((0L, 900L))
+    assert(hit._4 === 1000000L, s"full inclusion should be 10^6 ppm: $hit")
+    assert(hit._2 > 0L && hit._2 <= 6L) // 8 tokens -> <= 6 distinct trigrams
+    assert(hit._3 === hit._2) // every excerpt shingle is in the source
+    // the same pair is invisible to Jaccard at any reasonable bar:
+    // J = 6 / (28 + 6 - 6) ~ 0.21
+    val j = Dedup.ngramJaccardPairs(
+      planted, "doc_id", "text", 0.5, maxPostings = Int.MaxValue)
+      .where(col("id_a") === 0 && col("id_b") === 900).count()
+    assert(j === 0L)
+    // independent set-definition check on one organic near-dup pair
+    val sets = planted
+      .select(col("doc_id"), Dedup.shingleHashes(col("text")).as("sh"))
+      .where(col("doc_id").isin(0, 100))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val expect = sets(0L).intersect(sets(100L)).size.toLong * 1000000L /
+      math.min(sets(0L).size, sets(100L).size)
+    val organic = pairs.get((0L, 100L))
+    if (expect >= 800000L)
+      assert(organic.get._4 === expect)
+    else assert(organic.isEmpty)
+    // skew cap: capping postings to 1 kills shared counts entirely
+    assert(Dedup.containmentPairs(planted, "doc_id", "text",
+      thresholdPpm = 1L, maxPostings = 0).count() === 0L)
+    spark.catalog.clearCache()
+  }
 }

@@ -717,4 +717,53 @@ class TextAnalysisSpec extends SparkSpec {
     assert(enScores.collect { case ("head", s) => s }.max <=
       enScores.collect { case ("tail", s) => s }.min)
   }
+
+  test("knScore: exact plain-Scala Kneser-Ney replay; short docs 0/0; " +
+    "boilerplate context scores below fresh continuation") {
+    val texts = Map(
+      1L -> "the cat sat on the mat",
+      2L -> "the cat ran to the mat",
+      3L -> "a dog sat on a rug",
+      4L -> "the cat sat on the mat extra words here now",
+      5L -> "singleton")
+    val docs = texts.toSeq.map { case (id, t) => (id, t) }.toDF("doc_id", "text")
+    val out = TextAnalysis.knScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    // independent replay of the published formula over raw token lists
+    val grams = texts.toSeq.flatMap { case (id, t) =>
+      val toks = t.trim.split(" +").toSeq
+      if (toks.length < 2) Seq.empty
+      else toks.zip(toks.tail).map { case (p, c) => (id, p, c) }
+    }
+    val c2 = grams.groupBy(g => (g._2, g._3)).view.mapValues(_.size).toMap
+    val c1 = grams.groupBy(_._2).view.mapValues(_.size).toMap
+    val nf = grams.map(g => (g._2, g._3)).distinct
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    val np = grams.map(g => (g._2, g._3)).distinct
+      .groupBy(_._2).view.mapValues(_.size).toMap
+    val nt = grams.map(g => (g._2, g._3)).distinct.size.toDouble
+    def lpE6(p: String, c: String): Long = {
+      val prob = math.max(c2((p, c)) - 0.75, 0.0) / c1(p) +
+        ((0.75 * nf(p)) / c1(p)) * (np(c) / nt)
+      math.floor(1e6 * math.log(prob)).toLong
+    }
+    val want = texts.keys.map { id =>
+      val docGrams = grams.filter(_._1 == id)
+      id -> ((docGrams.size.toLong,
+        docGrams.map(g => lpE6(g._2, g._3)).sum))
+    }.toMap
+    assert(out === want)
+    assert(out(5L) === ((0L, 0L)))
+    // KN property the fixture encodes: P sums over SEEN continuations
+    // of a context stay <= 1 (proper distribution, discount left for
+    // unseen mass)
+    c1.keys.foreach { p =>
+      val mass = c2.collect { case ((`p`, c), _) =>
+        math.max(c2((p, c)) - 0.75, 0.0) / c1(p) +
+          ((0.75 * nf(p)) / c1(p)) * (np(c) / nt)
+      }.sum
+      assert(mass <= 1.0 + 1e-12, s"context '$p' mass $mass")
+    }
+  }
 }
