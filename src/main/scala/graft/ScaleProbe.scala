@@ -25,6 +25,7 @@ object ScaleProbe {
     if (args.contains("substr")) { probeSubstr(spark); spark.stop(); return }
     if (args.contains("curation")) { probeCuration(spark); spark.stop(); return }
     if (args.contains("coreset")) { probeCoreset(spark); spark.stop(); return }
+    if (args.contains("native")) { probeNative(spark); spark.stop(); return }
     val docs1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .select(col("doc_id"), col("text"))
     // 10x: replicate with distinct ids and a per-copy suffix token so
@@ -1061,6 +1062,58 @@ object ScaleProbe {
       }
     } finally {
       dirs.foreach(graft.util.Fs.deleteRecursively)
+    }
+  }
+
+  /** Native-format sink throughput: encode+LZ4-frame the actions table
+    * from a large fixture corpus (distributed, one writer per
+    * partition), vs the parquet baseline writer on the same frame; the
+    * decode pass is the single-threaded verification reader.
+    * `sbt "runMain graft.ScaleProbe native"`. */
+  private def probeNative(spark: SparkSession): Unit = {
+    import graft.etl.ActionsExtract
+    import graft.sink.ClickHouseNative
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"$name%-34s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      r
+    }
+    def dirBytes(d: String): Long = {
+      val p = java.nio.file.Paths.get(d)
+      val it = java.nio.file.Files.walk(p).iterator()
+      var n = 0L
+      it.forEachRemaining(f =>
+        if (java.nio.file.Files.isRegularFile(f))
+          n += java.nio.file.Files.size(f))
+      n
+    }
+    for (nBlocks <- Seq(2000, 20000)) {
+      val acts = ActionsExtract.indexedReceipts(
+        graft.fixtures.BlockFixtures.df(spark, nBlocks))
+        .transform(ActionsExtract.actions)
+        .repartition(32)
+        .persist()
+      val rows = acts.count()
+      val out = java.nio.file.Files
+        .createTempDirectory("native-probe").toString
+      timed(s"${nBlocks}blk native write ($rows rows)") {
+        ClickHouseNative.write(acts, "actions", out)
+      }
+      val nb = dirBytes(out)
+      val pq = java.nio.file.Files
+        .createTempDirectory("native-probe-pq").toString
+      timed(s"${nBlocks}blk parquet write baseline") {
+        acts.write.mode("overwrite").parquet(pq)
+      }
+      val decoded = timed(s"${nBlocks}blk native decode (1 thread)") {
+        ClickHouseNative.readDir(out).map(_.rows.toLong).sum
+      }
+      require(decoded == rows, s"decode row drift: $decoded != $rows")
+      println(f"${nBlocks}blk native bytes=${nb / 1e6}%.1f MB " +
+        f"parquet bytes=${dirBytes(pq) / 1e6}%.1f MB")
+      acts.unpersist()
+      graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(out))
+      graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(pq))
     }
   }
 }

@@ -423,6 +423,51 @@ object ClickHouseNative {
     }
   }
 
+  /** Idempotent micro-batch insert — the `foreachBatch` form of
+    * [[write]] and the Spark analog of the reference's batched insert +
+    * commit cadence (K1/K2: click.rs batches rows per block range and
+    * commits once the insert settles). File names are deterministic in
+    * `(batchId, partition)` and every `batch-<id>-*` file is removed
+    * before the batch writes, so the at-least-once replay contract of
+    * `foreachBatch` yields exactly-once table contents: a replayed
+    * micro-batch — even one re-planned to a different partition count —
+    * replaces its own files and nothing else. Usage:
+    * {{{
+    * stream.writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+    *   ClickHouseNative.appendBatch(b, "actions", wireDir, id)
+    * }
+    * }}} */
+  def appendBatch(
+      df: DataFrame, table: String, dir: String, batchId: Long,
+      blockRows: Int = 65536): Unit = {
+    val schema = df.schema
+    val cols = columns(table, schema)
+    val d = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(d)
+    val prefix = f"batch-$batchId%09d-"
+    val stale = java.nio.file.Files.list(d).iterator()
+    stale.forEachRemaining { p =>
+      if (p.getFileName.toString.startsWith(prefix))
+        java.nio.file.Files.delete(p)
+    }
+    df.rdd.foreachPartition { it =>
+      if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val path = java.nio.file.Paths.get(
+          dir, f"${prefix}part-$pid%05d.native.lz4")
+        val os = new java.io.BufferedOutputStream(
+          java.nio.file.Files.newOutputStream(path))
+        try {
+          it.grouped(blockRows).foreach { batch =>
+            val buf = new ByteArrayOutputStream()
+            writeBlock(buf, toBlock(cols, schema, batch))
+            writeFrame(os, buf.toByteArray)
+          }
+        } finally os.close()
+      }
+    }
+  }
+
   /** Reads every `part-*.native.lz4` under `dir` back to blocks —
     * the verification path (a real consumer is ClickHouse itself). */
   def readDir(dir: String): Seq[Block] = {

@@ -168,6 +168,33 @@ class ClickHouseNativeSpec extends SparkSpec {
       assert(got === want, s"$name round-trip")
     }
   }
+  test("appendBatch: a replayed micro-batch replaces exactly its own " +
+    "files (even re-planned to fewer partitions); other batches stay") {
+    import Blocks.encoder
+    val ds = spark.createDataset(BlockFixtures.blocks(6))(encoder)
+    val indexed = ActionsExtract.indexedReceipts(BlockFixtures.df(spark, 6))
+    val acts = ActionsExtract.actions(indexed).cache()
+    val n = acts.count()
+    assert(n > 10)
+    val dir = java.nio.file.Files.createTempDirectory("chnative-stream").toString
+
+    // batch 0 first attempt: 4 partitions; replay: 1 partition
+    N.appendBatch(acts.repartition(4), "actions", dir, batchId = 0L)
+    N.appendBatch(acts.repartition(1), "actions", dir, batchId = 0L)
+    // batch 1: a different slice, appended once
+    val b1 = acts.limit(5)
+    N.appendBatch(b1.repartition(2), "actions", dir, batchId = 1L)
+
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator()
+    val names = scala.collection.mutable.ArrayBuffer[String]()
+    files.forEachRemaining(p => names += p.getFileName.toString)
+    // replay removed the 4 stale part files before writing its 1
+    assert(names.count(_.startsWith("batch-000000000-")) === 1, names)
+
+    val total = N.readDir(dir).map(_.rows.toLong).sum
+    assert(total === n + 5L, "exactly-once contents after replay")
+  }
 }
 
 object ClickHouseNativeSpec {
