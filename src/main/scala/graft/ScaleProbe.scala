@@ -1058,6 +1058,16 @@ object ScaleProbe {
           timed(s"$label(${rep * 5}k) t37 vocabCoverage") {
             TextAnalysis.vocabCoverage(d, "text").count()
           }
+          // d33: production path (capped postings) — the pair join is
+          // bounded by posting-list width, not corpus size
+          timed(s"$label(${rep * 5}k) d33 containment") {
+            graft.ext.Dedup.containmentPairs(
+              d, "doc_id", "text", thresholdPpm = 800000L).count()
+          }
+          // t40: five keyed aggs over one gram shuffle (t18's floor)
+          timed(s"$label(${rep * 5}k) t40 knScore") {
+            TextAnalysis.knScore(d, "doc_id", "text").count()
+          }
         }
       }
     } finally {
