@@ -648,4 +648,28 @@ class PlanSpec extends SparkSpec {
     } finally graft.util.Fs.deleteRecursively(idxDir)
     spark.catalog.clearCache()
   }
+
+  test("round-10 operators: KN scoring reuses one cached gram frame " +
+    "across its five count consumers; containment join is keyed, " +
+    "no cartesian anywhere") {
+    val pKn = planOf(SparkEntry.queries("t40_kneser_ney")(spark, dir))
+    assert(!pKn.contains("CartesianProduct"), pKn.take(3000))
+    // 1-row bigram-type total broadcasts (the t18 vocab idiom)
+    assert(!pKn.contains("BroadcastNestedLoopJoin") ||
+      pKn.contains("BuildRight, Cross"), pKn.take(3000))
+    // the persisted gram frame feeds grams + c2 + c1 + nf + np from
+    // cache (nt derives from c2's distinct, also cached)
+    assert("InMemoryTableScan".r.findAllIn(pKn).size >= 5, pKn.take(3000))
+    spark.catalog.clearCache()
+
+    val pCt = planOf(SparkEntry.queries("d33_containment_pairs")(spark, dir))
+    assert(!pCt.contains("CartesianProduct"), pCt.take(3000))
+    // the pair self-join and both size joins are all hash-keyed
+    assert(pCt.contains("SortMergeJoin") || pCt.contains("BroadcastHashJoin"),
+      pCt.take(3000))
+    // inverted frame read from cache by postings count, both join
+    // sides, and the size aggregation
+    assert("InMemoryTableScan".r.findAllIn(pCt).size >= 3, pCt.take(3000))
+    spark.catalog.clearCache()
+  }
 }
