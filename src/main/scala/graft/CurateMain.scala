@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Curation, Dedup}
+
+/** Batch curation CLI — the production face of the LLM-pipeline
+  * operators: one command that takes a raw document corpus and writes a
+  * training-ready, sharded, deduplicated, decontaminated parquet corpus
+  * plus the funnel report (the t39 table) every published pipeline
+  * publishes alongside its dataset.
+  *
+  * {{{
+  * graft.CurateMain <documentsParquet> <outDir>
+  *   [--id-col doc_id] [--text-col text]
+  *   [--near-dup]                 // minhash-verified cluster dedup (d9)
+  *   [--benchmark <parquet>]      // decontaminate against this corpus
+  *   [--bench-text-col text]
+  *   [--contam-max-e4 2000]       // drop docs at/above this fraction
+  *   [--shards 16]
+  * }}}
+  *
+  * Stage order is the published one (Gopher → exact dedup → near-dup →
+  * decontamination → shard): quality first so the expensive set math
+  * runs on survivors only; dedup before decontamination so a
+  * contaminated cluster costs ONE benchmark comparison, not one per
+  * duplicate. Every stage is a library operator the query pack already
+  * hash-certifies (t13/t30 gates, d7 keep-best, d9 cluster dedup, d10
+  * contamination, t17 shard assignment); this main contributes only
+  * the composition, the per-stage counters, and the writes.
+  *
+  * Scale shape: stage outputs are persisted skinny frames (ids +
+  * counters), the final text re-join is one hash join against the raw
+  * corpus, and the output write partitions by shard — at 100 TB each
+  * stage is the same bounded-shuffle plan its pack query runs, and
+  * nothing beyond the funnel counters (one row per stage) ever reaches
+  * the driver. The streaming twin of stages 1–5 is
+  * [[graft.ext.Curation.curationStream]]; this is the backfill path.
+  */
+object CurateMain {
+
+  private val usage =
+    """usage: graft.CurateMain <documentsParquet> <outDir>
+      |  [--id-col doc_id] [--text-col text] [--near-dup]
+      |  [--benchmark <parquet>] [--bench-text-col text]
+      |  [--contam-max-e4 2000] [--shards 16]""".stripMargin
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) { System.err.println(usage); sys.exit(2) }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "*")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName("graft-curate")
+      .config("spark.sql.shuffle.partitions",
+        if (cpus == "*") "32" else cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args)
+    finally spark.stop()
+  }
+
+  private def opt(args: Array[String], name: String): Option[String] = {
+    val i = args.indexOf(name)
+    if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
+  }
+
+  private[graft] def run(spark: SparkSession, args: Array[String]): Unit = {
+    val in = args(0)
+    val outDir = args(1)
+    val idCol = opt(args, "--id-col").getOrElse("doc_id")
+    val textCol = opt(args, "--text-col").getOrElse("text")
+    val nearDup = args.contains("--near-dup")
+    val benchmark = opt(args, "--benchmark")
+    val benchTextCol = opt(args, "--bench-text-col").getOrElse("text")
+    val contamMaxE4 = opt(args, "--contam-max-e4").map(_.toLong).getOrElse(2000L)
+    val nShards = opt(args, "--shards").map(_.toInt).getOrElse(16)
+
+    val funnel = collection.mutable.LinkedHashMap[String, (Long, Long)]()
+    def stage(name: String, df: DataFrame): DataFrame = {
+      val row = df.agg(
+        count(lit(1)), coalesce(sum(col("ntok")), lit(0L))).head()
+      funnel += name -> ((row.getLong(0), row.getLong(1)))
+      println(f"[curate] $name%-12s docs=${row.getLong(0)}%9d " +
+        f"tokens=${row.getLong(1)}%12d")
+      df
+    }
+
+    val raw = spark.read.parquet(in)
+    stage("input", raw.select(col(idCol).as("doc_id"),
+      size(graft.ext.TextAnalysis.tokens(col(textCol))).cast("long")
+        .as("ntok")))
+
+    // 1. Gopher gates (stateless; shared verbatim with the stream twin)
+    val quality = stage("quality",
+      Curation.qualityGate(raw, idCol, textCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+    // 2. exact dedup, keep the longest copy (d7 keep-best semantics)
+    val exactKeep = Dedup.dedupKeepBest(quality, "doc_id", "text",
+      col("ntok").cast("double"))
+      .select(col("doc_id"), col("content_hash"))
+    val exact = stage("exact_dedup",
+      quality.join(exactKeep, Seq("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    quality.unpersist()
+
+    // 3. optional near-dup cluster dedup (minhash-verified Jaccard →
+    //    connected components → longest survivor per cluster)
+    val afterNd =
+      if (!nearDup) exact
+      else stage("near_dup",
+        exact.join(
+          Dedup.dedupCorpusByNgram(
+            exact, "doc_id", "text", col("ntok").cast("double"))
+            .select(col("keep_id").as("doc_id")),
+          Seq("doc_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+    // 4. decontamination against the benchmark corpus (exact shingle
+    //    fraction, d10 — the benchmark side broadcasts)
+    val clean = benchmark match {
+      case None => afterNd
+      case Some(b) =>
+        stage("decontam",
+          afterNd.join(
+            Dedup.contamination(
+              afterNd, "doc_id", "text",
+              spark.read.parquet(b), benchTextCol)
+              .where(col("contamination_e4") < contamMaxE4)
+              .select(col("id").as("doc_id")),
+            Seq("doc_id")))
+    }
+
+    // 5. content-keyed shard + in-shard position (t17: deterministic
+    //    global shuffle, no RNG), written one directory per shard
+    import org.apache.spark.sql.expressions.Window
+    val sharded = clean
+      .withColumn("shard",
+        Curation.shardOfContent(col("content_hash"), nShards))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard")
+          .orderBy(col("content_hash"), col("doc_id"))))
+      .select("doc_id", "text", "ntok", "content_hash", "shard", "pos")
+    sharded.write.mode("overwrite")
+      .partitionBy("shard").parquet(s"$outDir/corpus")
+
+    val json = funnel.map { case (k, (d, t)) =>
+      s"""{"stage":"$k","docs":$d,"tokens":$t}"""
+    }.mkString("[", ",", "]")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outDir, "_funnel.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"[curate] wrote $outDir/corpus (+ _funnel.json)")
+  }
+}

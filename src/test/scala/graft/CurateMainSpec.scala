@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** End-to-end drive of the batch curation CLI on a real sf corpus with
+  * planted defects: an exact duplicate, a near-dup clique, and a
+  * benchmark-contaminated document. Asserts the funnel is monotone and
+  * the written corpus is exactly the surviving set, sharded and
+  * positioned deterministically. */
+class CurateMainSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("CurateMain: full chain drops the planted dup/contaminated doc, " +
+    "writes sharded corpus + funnel report") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    // pick plant subjects from the quality-PASSING set so the later
+    // stages (not the gopher gate) are what decides their fate
+    val passingAll = graft.ext.Curation.qualityGate(docs, "doc_id", "text")
+      .select("doc_id", "text").orderBy("doc_id").collect()
+    // exclude docs in an organic near-dup pair — the plants' fate must
+    // be decided by the stage we aim them at, not cluster survivorship
+    val paired = graft.ext.Dedup.ngramJaccardPairs(
+      docs, "doc_id", "text", 0.8)
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .collect().map(_.getLong(0)).toSet
+    val passing = passingAll.filterNot(r => paired(r.getLong(0)))
+    assert(passing.length >= 2, "fixture too small for the plants")
+    val one = passing.head
+    val (survivorId, survivorText) = (one.getLong(0), one.getString(1))
+    // plant: an exact duplicate of doc `survivorId` (higher id, same
+    // text -> keep-best keeps the ORIGINAL on ntok tie by lower id)
+    val planted = docs.unionAll(
+      Seq((9000001L, survivorText)).toDF("doc_id", "text"))
+    val in = java.nio.file.Files.createTempDirectory("curate-in").toString
+    planted.write.mode("overwrite").parquet(in)
+    // benchmark corpus = one OTHER quality-passing document's text ->
+    // that doc becomes fully contaminated and must drop at decontam
+    val benchSrc = passing.last
+    val bench = java.nio.file.Files.createTempDirectory("curate-b").toString
+    Seq(Tuple1(benchSrc.getString(1))).toDF("text")
+      .write.mode("overwrite").parquet(bench)
+    val out = java.nio.file.Files.createTempDirectory("curate-out").toString
+
+    CurateMain.run(spark, Array(
+      in, out, "--near-dup", "--benchmark", bench, "--shards", "4"))
+
+    val funnel = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "_funnel.json")))
+    val stages = """"stage":"(\w+)","docs":(\d+)""".r
+      .findAllMatchIn(funnel).map(m => m.group(1) -> m.group(2).toLong)
+      .toSeq
+    assert(stages.map(_._1) ===
+      Seq("input", "quality", "exact_dedup", "near_dup", "decontam"))
+    // monotone funnel; the planted exact dup is gone at exact_dedup
+    assert(stages.sliding(2).forall { case Seq(a, b) => b._2 <= a._2 })
+    val byStage = stages.toMap
+    assert(byStage("input") === docs.count() + 1)
+
+    val corpus = spark.read.parquet(s"$out/corpus")
+    assert(corpus.count() === byStage("decontam"))
+    // survivors: original kept, planted copy dropped, benchmark-source
+    // doc dropped (contamination 10^4 >= default 2000)
+    val ids = corpus.select("doc_id").as[Long].collect().toSet
+    assert(ids.contains(survivorId))
+    assert(!ids.contains(9000001L))
+    assert(!ids.contains(benchSrc.getLong(0)))
+    // sharding: every shard in [0, 4), positions contiguous from 1
+    val shards = corpus.select("shard", "pos")
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(shards.forall(s => s._1 >= 0 && s._1 < 4))
+    shards.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (1 to rows.length), "pos")
+    }
+    // determinism: a second run writes the identical corpus
+    val out2 = java.nio.file.Files.createTempDirectory("curate-out2").toString
+    CurateMain.run(spark, Array(
+      in, out2, "--near-dup", "--benchmark", bench, "--shards", "4"))
+    val again = spark.read.parquet(s"$out2/corpus")
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted.toSeq
+    val first = corpus.select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted.toSeq
+    assert(again === first)
+    Seq(in, bench, out, out2).foreach(d =>
+      graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(d)))
+  }
+}
