@@ -88,14 +88,18 @@ object CurateMain {
     }
 
     val raw = spark.read.parquet(in)
-    stage("input", raw.select(col(idCol).as("doc_id"),
-      size(graft.ext.TextAnalysis.tokens(col(textCol))).cast("long")
-        .as("ntok")))
+    // one tokenize pass serves the pre-filter counter AND the gate:
+    // the flagged frame carries every document with its Gopher flags
+    val flagged = Curation.qualityFlags(raw, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    stage("input", flagged)
 
     // 1. Gopher gates (stateless; shared verbatim with the stream twin)
     val quality = stage("quality",
-      Curation.qualityGate(raw, idCol, textCol)
+      flagged.where(Curation.qualityPass)
+        .select("doc_id", "text", "toks", "ntok")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    flagged.unpersist()
 
     // 2. exact dedup, keep the longest copy (d7 keep-best semantics)
     val exactKeep = Dedup.dedupKeepBest(quality, "doc_id", "text",
@@ -123,6 +127,8 @@ object CurateMain {
     val clean = benchmark match {
       case None => afterNd
       case Some(b) =>
+        // persisted like every other stage: the counter action and the
+        // final sharded write must not re-run the contamination join
         stage("decontam",
           afterNd.join(
             Dedup.contamination(
@@ -130,18 +136,28 @@ object CurateMain {
               spark.read.parquet(b), benchTextCol)
               .where(col("contamination_e4") < contamMaxE4)
               .select(col("id").as("doc_id")),
-            Seq("doc_id")))
+            Seq("doc_id"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
 
     // 5. content-keyed shard + in-shard position (t17: deterministic
-    //    global shuffle, no RNG), written one directory per shard
+    //    global shuffle, no RNG), written one directory per shard.
+    //    The position window runs over the SKINNY (doc_id, hash, shard)
+    //    projection — the per-shard sort carries ~24 bytes/doc, never
+    //    the text — and positions join back by doc_id. One shard's keys
+    //    must fit one task's (spillable) sort: size --shards so
+    //    corpus_docs/nShards stays ~10^9 at most; shard COUNT, not
+    //    shard size, is the scale knob, exactly as in t17.
     import org.apache.spark.sql.expressions.Window
-    val sharded = clean
-      .withColumn("shard",
-        Curation.shardOfContent(col("content_hash"), nShards))
+    val positions = clean
+      .select(col("doc_id"), col("content_hash"),
+        Curation.shardOfContent(col("content_hash"), nShards).as("shard"))
       .withColumn("pos", row_number().over(
         Window.partitionBy("shard")
           .orderBy(col("content_hash"), col("doc_id"))))
+      .select("doc_id", "shard", "pos")
+    val sharded = clean
+      .join(positions, Seq("doc_id"))
       .select("doc_id", "text", "ntok", "content_hash", "shard", "pos")
     sharded.write.mode("overwrite")
       .partitionBy("shard").parquet(s"$outDir/corpus")

@@ -1090,12 +1090,14 @@ object ScaleProbe {
     }
     def dirBytes(d: String): Long = {
       val p = java.nio.file.Paths.get(d)
-      val it = java.nio.file.Files.walk(p).iterator()
-      var n = 0L
-      it.forEachRemaining(f =>
-        if (java.nio.file.Files.isRegularFile(f))
-          n += java.nio.file.Files.size(f))
-      n
+      val walk = java.nio.file.Files.walk(p)
+      try {
+        var n = 0L
+        walk.iterator().forEachRemaining(f =>
+          if (java.nio.file.Files.isRegularFile(f))
+            n += java.nio.file.Files.size(f))
+        n
+      } finally walk.close()
     }
     for (nBlocks <- Seq(2000, 20000)) {
       val acts = ActionsExtract.indexedReceipts(

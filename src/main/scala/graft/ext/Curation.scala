@@ -52,10 +52,13 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor}
   */
 object Curation {
 
-  /** Stage 1 — stateless Gopher gate, shared verbatim by the batch
-    * twin and the stream: (doc_id, text, toks, ntok) for documents
-    * passing ALL five flags (the t30 predicate). */
-  def qualityGate(
+  /** Stage 1's shared projection — EVERY document with its tokens and
+    * Gopher flags, unfiltered: (doc_id, text, toks, ntok, fl [, keep]).
+    * One tokenize pass serves both the gate ([[qualityGate]] filters
+    * this frame) and pre-filter accounting (funnel "input" rows, t39's
+    * first-failing-stage labels) — callers that need both must not pay
+    * the corpus tokenize twice. */
+  def qualityFlags(
       docs: DataFrame, idCol: String, textCol: String,
       keep: Seq[String] = Nil): DataFrame = {
     import TextAnalysis.{charSum, gopherFlags, tokens}
@@ -69,9 +72,24 @@ object Curation {
         gopherFlags(col("text"), col("toks"),
           size(col("toks")).cast("long"), col("charsum")).as("fl")) ++
         kept: _*)
-      .where(col("fl.f_wordcount") === 1 && col("fl.f_wordlen") === 1 &&
-        col("fl.f_symbols") === 1 && col("fl.f_bullet") === 1 &&
-        col("fl.f_stopwords") === 1)
+  }
+
+  /** The pass-all predicate over a [[qualityFlags]] row (the t30
+    * gate). */
+  def qualityPass: Column =
+    col("fl.f_wordcount") === 1 && col("fl.f_wordlen") === 1 &&
+      col("fl.f_symbols") === 1 && col("fl.f_bullet") === 1 &&
+      col("fl.f_stopwords") === 1
+
+  /** Stage 1 — stateless Gopher gate, shared verbatim by the batch
+    * twin and the stream: (doc_id, text, toks, ntok) for documents
+    * passing ALL five flags (the t30 predicate). */
+  def qualityGate(
+      docs: DataFrame, idCol: String, textCol: String,
+      keep: Seq[String] = Nil): DataFrame = {
+    val kept = keep.map(col)
+    qualityFlags(docs, idCol, textCol, keep)
+      .where(qualityPass)
       .select(Seq(col("doc_id"), col("text"), col("toks"),
         col("ntok")) ++ kept: _*)
   }

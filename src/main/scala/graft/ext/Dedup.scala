@@ -1023,6 +1023,19 @@ object Dedup {
     * discipline). */
   private[ext] def spread(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df
+    // AQE guard: Dataset.rdd on an adaptive plan materializes every
+    // upstream shuffle stage just to expose a partition count — the
+    // probe would EXECUTE the expensive part of the caller's plan and
+    // throw it away. A plan that shuffles anywhere is already
+    // cluster-wide at its output (spark.sql.shuffle.partitions, or
+    // AQE-coalesced precisely because it is small), so only
+    // exchange-free plans — file scans, local relations, cached
+    // frames — are probed, and for those .rdd builds the graph
+    // without running a job.
+    val hasExchange = df.queryExecution.sparkPlan.find(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
+      .isDefined
+    if (hasExchange) return df
     val width = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < width) df.repartition(width) else df
   }

@@ -426,7 +426,7 @@ object TextAnalysis {
   def knScore(
       docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String)
       : org.apache.spark.sql.DataFrame = {
-    val grams = docs
+    val grams = Dedup.spread(docs)
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
       .where(size(col("t")) >= 2)
       .select(col("doc_id"), explode(

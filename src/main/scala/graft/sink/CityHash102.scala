@@ -17,7 +17,14 @@ package graft.sink
   * against, so the spec pins (a) self-consistency (decoder recomputes and
   * verifies every frame checksum), (b) length-boundary coverage across all
   * algorithm paths (0..300 bytes), and (c) frozen output vectors so the
-  * implementation cannot drift silently.
+  * implementation cannot drift silently. The frozen vectors are this
+  * implementation's own outputs, NOT independently verified golden
+  * values. First thing to check against a live server or a vendored
+  * cityhash102: the >=128-byte finalization in [[hashWithSeed]]
+  * (`x = HashLen16(x, v.first); y = HashLen16(y, w.first)` here —
+  * v1.1+ changed the y line to `HashLen16(y + z, w.first)`; a review
+  * pass disputed the x line as `v.second`, which matches no published
+  * version the author knows, but only a live check settles it).
   */
 object CityHash102 {
 

@@ -188,9 +188,18 @@ object ClickHouseNative {
 
   private def writeColumn(
       o: Out, t: ChType, vals: IndexedSeq[Any]): Unit = t match {
-    case ChUInt16 => vals.foreach(v => o.u16(v.asInstanceOf[Int]))
+    case ChUInt16 =>
+      vals.foreach { v =>
+        val i = v.asInstanceOf[Int]
+        require(i >= 0 && i <= 0xffff, s"UInt16 out of range: $i")
+        o.u16(i)
+      }
     case ChUInt32 =>
-      vals.foreach(v => o.u32(v.asInstanceOf[Int].toLong & 0xffffffffL))
+      vals.foreach { v =>
+        val i = v.asInstanceOf[Int]
+        require(i >= 0, s"UInt32 out of range: $i")
+        o.u32(i.toLong)
+      }
     case ChUInt64 => vals.foreach(v => o.u64(v.asInstanceOf[Long]))
     case ChDateTime64(_, _) => vals.foreach(v => o.u64(v.asInstanceOf[Long]))
     case ChUInt128 =>
@@ -445,11 +454,13 @@ object ClickHouseNative {
     val d = java.nio.file.Paths.get(dir)
     java.nio.file.Files.createDirectories(d)
     val prefix = f"batch-$batchId%09d-"
-    val stale = java.nio.file.Files.list(d).iterator()
-    stale.forEachRemaining { p =>
-      if (p.getFileName.toString.startsWith(prefix))
-        java.nio.file.Files.delete(p)
-    }
+    val stale = java.nio.file.Files.list(d)
+    try {
+      stale.iterator().forEachRemaining { p =>
+        if (p.getFileName.toString.startsWith(prefix))
+          java.nio.file.Files.delete(p)
+      }
+    } finally stale.close() // one leaked fd per micro-batch otherwise
     df.rdd.foreachPartition { it =>
       if (it.hasNext) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -472,9 +483,15 @@ object ClickHouseNative {
     * the verification path (a real consumer is ClickHouse itself). */
   def readDir(dir: String): Seq[Block] = {
     val d = java.nio.file.Paths.get(dir)
-    val files = java.nio.file.Files.list(d).iterator()
+    val listing = java.nio.file.Files.list(d)
+    val files =
+      try {
+        val b = Seq.newBuilder[java.nio.file.Path]
+        listing.iterator().forEachRemaining(p => b += p)
+        b.result()
+      } finally listing.close()
     val out = Seq.newBuilder[Block]
-    files.forEachRemaining { p =>
+    files.foreach { p =>
       if (p.getFileName.toString.endsWith(".native.lz4")) {
         val is = new java.io.BufferedInputStream(
           java.nio.file.Files.newInputStream(p))
