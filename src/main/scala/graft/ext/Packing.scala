@@ -97,6 +97,46 @@ object Packing {
         expr(s"(_cum - 1) div $chunkSize").as("chunk_end"))
   }
 
+  /** Context-length packing sweep — the table a pretraining engineer
+    * reads before fixing the sequence length: for each candidate
+    * context size, how many documents the concat-and-split packer
+    * ([[packChunks]], the GPT-style zero-padding layout) FRAGMENTS
+    * across a chunk boundary (a fragmented doc loses cross-boundary
+    * attention), how many chunks the corpus yields, and the padding the
+    * single final partial chunk carries. All integer math over the one
+    * shared (id, ntok) cumsum per length — the serial-window oracle
+    * replays every cell.
+    *
+    * Output, one row per `ctxLens` entry: (ctx_len, n_docs,
+    * total_tokens, n_chunks, frag_docs, frag_ppm, pad_tokens). */
+  def packingSweep(
+      docs: DataFrame, idCol: String, ntokCol: String,
+      ctxLens: Seq[Long] = Seq(256L, 512L, 1024L, 2048L),
+      bucketWidth: Long = 4096L): DataFrame = {
+    require(ctxLens.nonEmpty && ctxLens.forall(_ > 0), "ctxLens must be > 0")
+    // the shared frame is two skinny columns off the scan — cheaper to
+    // re-read per length than to persist (the |ctxLens| branches would
+    // race-populate a lazy cache inside the one union action anyway)
+    val base = docs
+      .select(col(idCol), col(ntokCol).cast("long").as("ntok"))
+      .where(col("ntok") > 0)
+    ctxLens.map { l =>
+      packChunks(base, idCol, "ntok", chunkSize = l, bucketWidth)
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          (max(col("chunk_end")) + 1).as("n_chunks"),
+          sum(when(col("chunk_start") =!= col("chunk_end"), 1L)
+            .otherwise(0L)).as("frag_docs"))
+        .select(
+          lit(l).as("ctx_len"), col("n_docs"), col("total_tokens"),
+          col("n_chunks"),
+          col("frag_docs"),
+          expr("frag_docs * 1000000 div n_docs").as("frag_ppm"),
+          expr(s"($l - total_tokens % $l) % $l").as("pad_tokens"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Data selection under a token budget — the "keep the best N tokens"
     * pruning step of a curation pipeline: order documents by
     * (quality score desc, id asc) and keep the prefix whose cumulative

@@ -31,6 +31,36 @@ object Splits {
       .otherwise("test")
   }
 
+  /** Leakage-SAFE split assignment — the prevention twin of t25's
+    * leakage MEASUREMENT: near-duplicate docs must never straddle
+    * train/val/test (a val doc with a train near-dup is memorized, not
+    * generalized — the reason published pipelines split by cluster,
+    * not by document). Docs are clustered by verified n-gram Jaccard
+    * (d8's pairs → connected components); every doc inherits its
+    * CLUSTER's split, keyed on the cluster representative (min id in
+    * the component; singletons are their own cluster), through the
+    * same content-hash bucket mechanics as [[assignSplit]] — so
+    * singleton assignments coincide with the per-doc t10 split, and
+    * whole clusters move together by construction.
+    *
+    * Scale shape: the cluster pass is the d8 machinery (bucketed
+    * inverted-index pair join + label-propagation rounds — nothing
+    * pairwise beyond verified candidates), the assignment one hash of
+    * a per-doc column. Output: (doc_id, cluster_id, split). */
+  def leakageSafeSplit(
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, w: Int = 3,
+      maxPostings: Int = 1000): org.apache.spark.sql.DataFrame = {
+    val clusters = Dedup.nearDupClusters(
+      Dedup.ngramJaccardPairs(docs, idCol, textCol, threshold, w, maxPostings))
+    docs.select(col(idCol).as("doc_id"))
+      .join(clusters.select(col("id").as("doc_id"), col("cluster_id")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("split", assignSplit(col("cluster_id")))
+  }
+
   // ---- temperature-based domain mixing ---------------------------------
   // The data-mixing resampler (α = 0.5 "temperature" downsampling of
   // over-represented domains, as in multilingual/multi-source

@@ -1134,6 +1134,93 @@ object TextQueries {
         |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin) {
       (s, dir) =>
         TextAnalysis.knScore(Tables.load(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // leakage-SAFE split: near-dup clusters (d8's recursive-CTE
+    // replay), every doc inherits its cluster representative's
+    // content-hash split — so near-duplicates can never straddle
+    // train/val/test (the prevention twin of t25's measurement;
+    // singletons coincide with t10's per-doc split). Uncapped postings
+    // for oracle parity (the d5/d8 contract).
+    Q(
+      "t41_leakage_safe_split",
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, len(toks) - 1),
+        |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |      ELSE [array_to_string(toks, ' ')] END) AS sh
+        |  FROM t
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.sh, b.sh)) AS shared,
+        |    len(a.sh) AS na, len(b.sh) AS nb
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |), pr AS (
+        |  SELECT id_a, id_b FROM p
+        |  WHERE shared > 0
+        |    AND CAST(shared AS DOUBLE)/CAST(na + nb - shared AS DOUBLE) >= 0.8
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pr
+        |  UNION ALL SELECT id_b, id_a FROM pr
+        |), walk(a, lbl) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, w.lbl FROM edges e JOIN walk w ON e.b = w.a
+        |), cl AS (
+        |  SELECT a AS id, min(lbl) AS cluster_id FROM walk GROUP BY a
+        |), asg AS (
+        |  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN cl ON cl.id = d.doc_id
+        |)
+        |SELECT doc_id, cluster_id, CASE
+        |  WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < 'e6'
+        |    THEN 'train'
+        |  WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < 'f3'
+        |    THEN 'val'
+        |  ELSE 'test' END AS split
+        |FROM asg""".stripMargin) { (s, dir) =>
+      graft.ext.Splits.leakageSafeSplit(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        maxPostings = Int.MaxValue)
+    },
+
+    // context-length packing sweep: per candidate sequence length, how
+    // many docs the t12 concat-and-split layout fragments across a
+    // chunk boundary, total chunks, and final-chunk padding — the
+    // table that fixes the pretraining context size. One shared
+    // serial-window cumsum replays every cell (pure integers).
+    Q(
+      "t42_packing_sweep",
+      """WITH tok AS (
+        |  SELECT doc_id, len(string_split_regex(trim(text), ' +')) AS ntok
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, ntok,
+        |    sum(ntok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM tok WHERE ntok > 0
+        |), l AS (
+        |  SELECT unnest([256, 512, 1024, 2048]) AS ctx_len
+        |)
+        |SELECT CAST(ctx_len AS BIGINT) AS ctx_len,
+        |  count(*) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS total_tokens,
+        |  CAST(max((cum - 1) // ctx_len) + 1 AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN (cum - ntok) // ctx_len <> (cum - 1) // ctx_len
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS frag_docs,
+        |  CAST(sum(CASE WHEN (cum - ntok) // ctx_len <> (cum - 1) // ctx_len
+        |    THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS frag_ppm,
+        |  CAST((ctx_len - sum(ntok) % ctx_len) % ctx_len AS BIGINT)
+        |    AS pad_tokens
+        |FROM c, l GROUP BY ctx_len""".stripMargin) { (s, dir) =>
+      Packing.packingSweep(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), tokenCount(col("text")).as("ntok")),
+        "doc_id", "ntok")
     }
   )
 

@@ -96,4 +96,39 @@ class PackingSpec extends SparkSpec {
     // cum is strictly increasing (ntok >= 1), so takeWhile == filter
     assert(want.size == cums.count(_ <= 5000))
   }
+
+  test("packingSweep: hand-computed fragmentation/padding per length, " +
+    "and a plain-Scala replay on a random corpus at a forced band split") {
+    import spark.implicits._
+    // docs (3, 5, 4 tokens), cum = 3, 8, 12
+    //   ctx 4: frags = doc2 only; 3 chunks; pad 0
+    //   ctx 5: frags = doc2, doc3; 3 chunks; pad 3
+    val docs = Seq((1L, 3L), (2L, 5L), (3L, 4L)).toDF("doc_id", "ntok")
+    val out = graft.ext.Packing.packingSweep(
+      docs, "doc_id", "ntok", ctxLens = Seq(4L, 5L))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    assert(out(4L) === ((3L, 12L, 3L, 1L, 333333L, 0L)))
+    assert(out(5L) === ((3L, 12L, 3L, 2L, 666666L, 3L)))
+
+    // replay: 200 random-length docs, bucketWidth=16 forces multi-band
+    // prefix sums; every cell must equal the serial definition
+    val rnd = new scala.util.Random(7)
+    val lens = (1L to 200L).map(i => i -> (1L + rnd.nextInt(600)))
+    val big = lens.toDF("doc_id", "ntok")
+    val swept = graft.ext.Packing.packingSweep(
+      big, "doc_id", "ntok", ctxLens = Seq(512L), bucketWidth = 16L)
+      .head()
+    val cums = lens.map(_._2).scanLeft(0L)(_ + _).tail
+    val total = cums.last
+    val frag = lens.map(_._2).zip(cums).count { case (n, c) =>
+      (c - n) / 512L != (c - 1) / 512L
+    }.toLong
+    assert(swept.getLong(1) === 200L)
+    assert(swept.getLong(2) === total)
+    assert(swept.getLong(3) === (total - 1) / 512L + 1L)
+    assert(swept.getLong(4) === frag)
+    assert(swept.getLong(6) === (512L - total % 512L) % 512L)
+  }
 }

@@ -718,6 +718,36 @@ class TextAnalysisSpec extends SparkSpec {
       enScores.collect { case ("tail", s) => s }.min)
   }
 
+  test("leakageSafeSplit: clusters never straddle splits, singletons " +
+    "coincide with the per-doc assignment, near-dups move together") {
+    import graft.ext.Splits
+    // two near-dup docs whose PER-DOC splits differ: ids chosen so
+    // md5-bucket(7) is train and md5-bucket(9000008) is not (verified
+    // below) — after clustering both must carry the CLUSTER's split
+    val docs = Seq(
+      (7L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (9000008L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (42L, "completely unrelated text about something else entirely here"))
+      .toDF("doc_id", "text")
+    val out = Splits.leakageSafeSplit(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    // the pair clusters under the min id; both rows carry ONE split
+    assert(out(7L)._1 === 7L && out(9000008L)._1 === 7L)
+    assert(out(7L)._2 === out(9000008L)._2)
+    // and that shared split is the REPRESENTATIVE's content-hash split
+    val perDoc = docs.select(col("doc_id"),
+      Splits.assignSplit(col("doc_id")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(7L)._2 === perDoc(7L))
+    // the fixture is only meaningful if the naive per-doc assignment
+    // WOULD have leaked; assert that so the test can't rot silently
+    assert(perDoc(7L) !== perDoc(9000008L),
+      "fixture ids no longer land in different buckets — repick ids")
+    // singleton: own cluster, per-doc split
+    assert(out(42L) === ((42L, perDoc(42L))))
+  }
+
   test("knScore: exact plain-Scala Kneser-Ney replay; short docs 0/0; " +
     "boilerplate context scores below fresh continuation") {
     val texts = Map(
