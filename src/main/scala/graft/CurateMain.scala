@@ -44,7 +44,7 @@ object CurateMain {
     """usage: graft.CurateMain <documentsParquet> <outDir>
       |  [--id-col doc_id] [--text-col text] [--near-dup]
       |  [--benchmark <parquet>] [--bench-text-col text]
-      |  [--contam-max-e4 2000] [--shards 16]""".stripMargin
+      |  [--contam-max-e4 2000] [--budget <tokens>] [--shards 16]""".stripMargin
 
   def main(args: Array[String]): Unit = {
     if (args.length < 2) { System.err.println(usage); sys.exit(2) }
@@ -75,6 +75,7 @@ object CurateMain {
     val benchmark = opt(args, "--benchmark")
     val benchTextCol = opt(args, "--bench-text-col").getOrElse("text")
     val contamMaxE4 = opt(args, "--contam-max-e4").map(_.toLong).getOrElse(2000L)
+    val budget = opt(args, "--budget").map(_.toLong)
     val nShards = opt(args, "--shards").map(_.toInt).getOrElse(16)
 
     val funnel = collection.mutable.LinkedHashMap[String, (Long, Long)]()
@@ -140,7 +141,26 @@ object CurateMain {
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
 
-    // 5. content-keyed shard + in-shard position (t17: deterministic
+    // 5. optional token budget — keep the best-quality prefix whose
+    //    cumulative tokens fit (t22: banded prefix sums, no global
+    //    sort; quality = the t4 blend, e6-scaled for the integer
+    //    cumsum)
+    val budgeted = budget match {
+      case None => clean
+      case Some(t) =>
+        stage("budget",
+          clean.join(
+            graft.ext.Packing.budgetPrune(
+              clean.withColumn("q",
+                (graft.ext.TextAnalysis.qualityScore(col("text")) * 1e6)
+                  .cast("long")),
+              "doc_id", "q", "ntok", budget = t)
+              .select("doc_id"),
+            Seq("doc_id"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
+    // 6. content-keyed shard + in-shard position (t17: deterministic
     //    global shuffle, no RNG), written one directory per shard.
     //    The position window runs over the SKINNY (doc_id, hash, shard)
     //    projection — the per-shard sort carries ~24 bytes/doc, never
@@ -149,14 +169,14 @@ object CurateMain {
     //    corpus_docs/nShards stays ~10^9 at most; shard COUNT, not
     //    shard size, is the scale knob, exactly as in t17.
     import org.apache.spark.sql.expressions.Window
-    val positions = clean
+    val positions = budgeted
       .select(col("doc_id"), col("content_hash"),
         Curation.shardOfContent(col("content_hash"), nShards).as("shard"))
       .withColumn("pos", row_number().over(
         Window.partitionBy("shard")
           .orderBy(col("content_hash"), col("doc_id"))))
       .select("doc_id", "shard", "pos")
-    val sharded = clean
+    val sharded = budgeted
       .join(positions, Seq("doc_id"))
       .select("doc_id", "text", "ntok", "content_hash", "shard", "pos")
     sharded.write.mode("overwrite")

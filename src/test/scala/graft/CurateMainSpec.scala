@@ -86,4 +86,43 @@ class CurateMainSpec extends SparkSpec {
     Seq(in, bench, out, out2).foreach(d =>
       graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(d)))
   }
+
+  test("CurateMain --budget: output tokens fit the budget, best-quality " +
+    "prefix kept, funnel gains the stage row") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val in = java.nio.file.Files.createTempDirectory("curate-bin").toString
+    docs.write.mode("overwrite").parquet(in)
+    val out = java.nio.file.Files.createTempDirectory("curate-bout").toString
+    CurateMain.run(spark, Array(in, out, "--budget", "5000", "--shards", "2"))
+    val funnel = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "_funnel.json")))
+    val stages = """"stage":"(\w+)","docs":(\d+),"tokens":(\d+)""".r
+      .findAllMatchIn(funnel)
+      .map(m => m.group(1) -> ((m.group(2).toLong, m.group(3).toLong)))
+      .toMap
+    assert(stages.contains("budget"))
+    assert(stages("budget")._2 <= 5000L, "budget stage token total")
+    val corpus = spark.read.parquet(s"$out/corpus")
+    assert(corpus.count() === stages("budget")._1)
+    assert(corpus.agg(sum("ntok")).head().getLong(0) <= 5000L)
+    // the kept set is the exact t22 prefix: replay on the exact_dedup
+    // survivors (no benchmark -> budget input is the dedup output)
+    import graft.ext.{Packing, TextAnalysis}
+    val quality = graft.ext.Curation.qualityGate(docs, "doc_id", "text")
+    val exact = quality.join(
+      graft.ext.Dedup.dedupKeepBest(
+        quality, "doc_id", "text", col("ntok").cast("double"))
+        .select("doc_id"), Seq("doc_id"))
+    val want = Packing.budgetPrune(
+      exact.withColumn("q",
+        (TextAnalysis.qualityScore(col("text")) * 1e6).cast("long")),
+      "doc_id", "q", "ntok", budget = 5000L)
+      .select("doc_id").as[Long].collect().toSet
+    val got = corpus.select("doc_id").as[Long].collect().toSet
+    assert(got === want)
+    Seq(in, out).foreach(d =>
+      graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(d)))
+  }
 }
