@@ -52,6 +52,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[graft.expr.BoundedTopK].getName, "bounded_top_k"),
       GraftExtensions.boundedTopKBuilder))
+    e.injectFunction((
+      FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(
+        classOf[graft.expr.KmvSketch].getName, "kmv_sketch"),
+      GraftExtensions.kmvSketchBuilder))
   }
 }
 
@@ -75,6 +80,25 @@ object GraftExtensions {
       require(kLong >= 1 && kLong <= Int.MaxValue,
         s"bounded_top_k: k must be in [1, ${Int.MaxValue}], got $kLong")
       graft.expr.BoundedTopK(args.head, args(1), kLong.toInt)
+    }
+
+  /** SQL builder for the KMV distinct-sketch AGGREGATE:
+    * `kmv_sketch(hash, k)` with k a positive integer literal — the
+    * bounded distinct set is sized at plan time. */
+  private[graft] val kmvSketchBuilder: Seq[Expression] => Expression =
+    (args: Seq[Expression]) => {
+      require(args.length == 2,
+        "kmv_sketch expects (hash bigint, k int literal)")
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      val kLong: Long = args(1) match {
+        case Literal(v: Int, _) => v.toLong
+        case Literal(v: Long, _) => v
+        case _ => throw new IllegalArgumentException(
+          "kmv_sketch: k must be an integer literal")
+      }
+      require(kLong >= 1 && kLong <= Int.MaxValue,
+        s"kmv_sketch: k must be in [1, ${Int.MaxValue}], got $kLong")
+      graft.expr.KmvSketch(args.head, kLong.toInt)
     }
 
   /** Register on an already-built session (tests, notebooks). */
@@ -102,5 +126,7 @@ object GraftExtensions {
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bounded_top_k", boundedTopKBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kmv_sketch", kmvSketchBuilder, "scala_udf")
   }
 }

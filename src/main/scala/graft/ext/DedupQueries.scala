@@ -1152,6 +1152,58 @@ object DedupQueries {
         Dedup.containmentPairs(
           planted, "doc_id", "text",
           thresholdPpm = 900000L, maxPostings = Int.MaxValue)
+    },
+
+    // LSH recall AUDIT as a first-class query (the d-family's s20):
+    // exact shingle-Jaccard pairs at θ=0.5 (uncapped inverted-index
+    // join — the ground truth) vs the production d3 MinHash-LSH
+    // pipeline, recall in basis points. One full-outer join of the
+    // two pair sets → one global agg; both sides replay in DuckDB
+    // from the shared minhash prefix, so the recall NUMBER itself is
+    // hash-oracled. This is the audit that justifies the d3 band
+    // parameters (16 bands × 4 rows ⇒ P[catch | J=0.5] ≈ 0.67 per
+    // the S-curve — recall below ~6500 basis points here would mean
+    // the banding is mistuned for the corpus).
+    Q("d34_lsh_recall_audit", d34OracleSql) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val ex = Dedup.ngramJaccardPairs(
+        docs, "doc_id", "text", threshold = 0.5,
+        maxPostings = Int.MaxValue)
+        .select(col("id_a"), col("id_b"), lit(1L).as("in_ex"))
+      val lsh = Dedup.minhashPairs(
+        docs, "doc_id", "text", threshold = 0.5)
+        .select(col("id_a"), col("id_b"), lit(1L).as("in_lsh"))
+      ex.join(lsh, Seq("id_a", "id_b"), "full_outer")
+        .agg(
+          coalesce(sum(col("in_ex")), lit(0L)).as("n_exact"),
+          coalesce(sum(col("in_lsh")), lit(0L)).as("n_lsh"),
+          coalesce(sum(col("in_ex") * col("in_lsh")), lit(0L)).as("n_hits"))
+        .withColumn("recall_e4", expr("n_hits * 10000 div n_exact"))
+    },
+
+    // KMV distinct audit per source — the theta-sketch substrate as a
+    // first-class operator ([[Kmv.distinctAudit]]): a bounded O(k)
+    // aggregate ([[graft.expr.KmvSketch]], k=256 distinct minimum
+    // 60-bit shingle hashes, dedupe inside the buffer, mergeable
+    // across partitions) next to the exact distinct count and the
+    // error in basis points. The production path at 100 TB is the
+    // sketch alone (k longs per source at every phase); the exact
+    // count rides along here as the audit reference, s20-style. The
+    // estimate is exactly replayable: ORDER BY hash LIMIT k + the
+    // floored (k−1)·2^60/kth quotient in IEEE doubles.
+    Q("d35_kmv_distinct_audit", d35OracleSql) { (s, dir) =>
+      Kmv.distinctAudit(Tables.load(s, dir, "documents"))
+    },
+
+    // Pairwise source overlap from MERGED KMV sketches
+    // ([[Kmv.sourceOverlap]]): union sketch = k smallest of the two
+    // kept sets (array math on k-row state — the corpus is never
+    // re-joined), intersection by inclusion-exclusion, Jaccard in
+    // basis points. The set-algebra property is why KMV beats HLL for
+    // corpus audits: S sources compare in S² array ops, not S² data
+    // joins (d32 is the exact twin this estimates).
+    Q("d36_kmv_source_overlap", d36OracleSql) { (s, dir) =>
+      Kmv.sourceOverlap(Tables.load(s, dir, "documents"))
     }
   )
 
@@ -1323,6 +1375,133 @@ object DedupQueries {
        |JOIN sig na ON na.id = s.id_a
        |JOIN sig nb ON nb.id = s.id_b
        |WHERE CAST(s.shared AS DOUBLE)/CAST(na.n + nb.n - s.shared AS DOUBLE) >= 0.5""".stripMargin
+  }
+
+  /** d34 replay: the d3 minhash pipeline (verbatim CTEs) next to the
+    * UNCAPPED exact-Jaccard ground truth over the same `inv` gram
+    * relation; recall = |LSH ∩ exact| / |exact| in basis points. */
+  private lazy val d34OracleSql: String = {
+    s"""WITH ${minhashReplayCtes()}, ok AS (
+       |  SELECT band, bh FROM buck GROUP BY band, bh HAVING count(*) <= 1000
+       |), capped AS (
+       |  SELECT bu.id, bu.band, bu.bh FROM buck bu JOIN ok USING (band, bh)
+       |), cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM capped a JOIN capped b USING (band, bh)
+       |  WHERE a.id < b.id
+       |), shq AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS shared
+       |  FROM cand c
+       |  JOIN inv ia ON ia.id = c.id_a
+       |  JOIN inv ib ON ib.id = c.id_b AND ib.g = ia.g
+       |  GROUP BY 1, 2
+       |), lsh AS (
+       |  SELECT s.id_a, s.id_b FROM shq s
+       |  JOIN sig na ON na.id = s.id_a
+       |  JOIN sig nb ON nb.id = s.id_b
+       |  WHERE CAST(s.shared AS DOUBLE)
+       |    / CAST(na.n + nb.n - s.shared AS DOUBLE) >= 0.5
+       |), shx AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+       |  FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id
+       |  GROUP BY 1, 2
+       |), ex AS (
+       |  SELECT s.id_a, s.id_b FROM shx s
+       |  JOIN sig na ON na.id = s.id_a
+       |  JOIN sig nb ON nb.id = s.id_b
+       |  WHERE CAST(s.shared AS DOUBLE)
+       |    / CAST(na.n + nb.n - s.shared AS DOUBLE) >= 0.5
+       |), hits AS (
+       |  SELECT count(*) AS n FROM ex JOIN lsh USING (id_a, id_b)
+       |)
+       |SELECT (SELECT count(*) FROM ex) AS n_exact,
+       |  (SELECT count(*) FROM lsh) AS n_lsh,
+       |  (SELECT n FROM hits) AS n_hits,
+       |  (SELECT n FROM hits) * 10000
+       |    // (SELECT count(*) FROM ex) AS recall_e4""".stripMargin
+  }
+
+  /** Shared KMV prefix: per-(source, distinct shingle-hash) rows `hs`
+    * — the [[Kmv]] substrate ([[tokenHashCtes]]/[[invertedCte]]
+    * identity, plus source). */
+  private def kmvSourceCtes: String =
+    s"""tokS AS (
+       |  SELECT source, string_split_regex(trim(text), ' +') AS t
+       |  FROM documents
+       |), thS AS (
+       |  SELECT source, list_transform(t, x -> ${pmSql("x")}) AS h FROM tokS
+       |), gS AS (
+       |  SELECT source, unnest(list_distinct(CASE WHEN len(h) >= 3
+       |    THEN list_transform(range(1, len(h) - 1),
+       |         i -> ${pmSql(
+                   "h[i]::VARCHAR||','||h[i+1]::VARCHAR||','||h[i+2]::VARCHAR")})
+       |    ELSE [${pmSql("array_to_string(h, ',')")}] END)) AS g
+       |  FROM thS
+       |), hs AS (
+       |  SELECT DISTINCT source, g FROM gS
+       |)""".stripMargin
+
+  /** KMV estimate SQL over a kept-ascending LIST column `l` of size
+    * ≤ k: exact while not full, floored (k−1)·2^60/kth otherwise —
+    * the [[Kmv.estimate]] IEEE-double contract verbatim. */
+  private def kmvEstSql(l: String, k: Int): String =
+    s"""CASE WHEN len($l) < $k THEN len($l)
+       |  ELSE CAST(floor(${(k - 1).toDouble} * 1152921504606846976.0
+       |    / CAST($l[$k] AS DOUBLE)) AS BIGINT) END""".stripMargin
+
+  private lazy val d35OracleSql: String = {
+    val k = Kmv.DefaultK
+    s"""WITH $kmvSourceCtes, rk AS (
+       |  SELECT source, g,
+       |    row_number() OVER (PARTITION BY source ORDER BY g) AS rn
+       |  FROM hs
+       |), kp AS (
+       |  SELECT source, list(g ORDER BY g) AS sk
+       |  FROM rk WHERE rn <= $k GROUP BY source
+       |), exx AS (
+       |  SELECT source, count(*) AS exact_distinct FROM hs GROUP BY source
+       |), est AS (
+       |  SELECT kp.source, len(kp.sk) AS n_kept,
+       |    CASE WHEN len(kp.sk) < $k THEN 0 ELSE kp.sk[$k] END AS kth_min,
+       |    ${kmvEstSql("kp.sk", k)} AS est_distinct,
+       |    exx.exact_distinct
+       |  FROM kp JOIN exx USING (source)
+       |)
+       |SELECT source, CAST(n_kept AS BIGINT) AS n_kept, kth_min,
+       |  est_distinct, exact_distinct,
+       |  abs(est_distinct - exact_distinct) * 10000
+       |    // exact_distinct AS err_e4
+       |FROM est""".stripMargin
+  }
+
+  private lazy val d36OracleSql: String = {
+    val k = Kmv.DefaultK
+    s"""WITH $kmvSourceCtes, rk AS (
+       |  SELECT source, g,
+       |    row_number() OVER (PARTITION BY source ORDER BY g) AS rn
+       |  FROM hs
+       |), kp AS (
+       |  SELECT source, list(g ORDER BY g) AS sk
+       |  FROM rk WHERE rn <= $k GROUP BY source
+       |), est AS (
+       |  SELECT source, sk, ${kmvEstSql("sk", k)} AS est FROM kp
+       |), pr AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |    a.est AS est_a, b.est AS est_b,
+       |    list_sort(list_distinct(a.sk || b.sk))[1:$k] AS usk
+       |  FROM est a JOIN est b ON a.source < b.source
+       |), pu AS (
+       |  SELECT src_a, src_b, est_a, est_b,
+       |    ${kmvEstSql("usk", k)} AS est_union
+       |  FROM pr
+       |), ov AS (
+       |  SELECT src_a, src_b, est_a, est_b, est_union,
+       |    greatest(0, est_a + est_b - est_union) AS est_overlap
+       |  FROM pu
+       |)
+       |SELECT src_a, src_b, est_a, est_b, est_union, est_overlap,
+       |  est_overlap * 10000 // est_union AS jaccard_e4
+       |FROM ov""".stripMargin
   }
 
   /** d19 replay: the same minhash prefix split at doc_id 250 — corpus

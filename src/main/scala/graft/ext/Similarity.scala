@@ -1410,4 +1410,98 @@ object Similarity {
         coalesce(col("n_members"), lit(0L)).as("n_members"),
         coalesce(col("radius"), lit(0L)).as("cover_radius_e6"))
   }
+
+  /** Embedding DRIFT between label populations — linear-kernel MMD²
+    * (= squared distance between the population mean vectors, the
+    * two-sample test a training-data mixture is monitored by: "did
+    * source B's embedding distribution move vs source A's?").
+    *
+    * Exact-integer discipline: components e6-quantize to longs, sums
+    * are associative, the per-(label, dim) mean is ONE floored IEEE
+    * double division (exact while |sum| < 2^53 — at e6 scale that is
+    * ~9·10⁹ unit-norm rows per label; beyond it, pre-scale the
+    * quantization down, the audit is scale-free). MMD²_e12 =
+    * Σ_dim (meanA_e6 − meanB_e6)² then fits a long with room (≤
+    * 4·10¹²·dim). Also reports the top-drift DIMENSION (argmax |Δ|,
+    * ties to the lower dim) — the "which feature moved" pointer.
+    *
+    * Scale shape: the posexplode is CPU-side amplification only —
+    * map-side partial aggregation means the shuffle carries
+    * |labels|·dim·partitions rows, and everything after the first agg
+    * is |labels|·dim state. Label pairs compare on that reduced frame
+    * (a broadcast self-join), never on data. */
+  def labelDrift(
+      vectors: DataFrame, vecCol: String, labelCol: String): DataFrame = {
+    val q = vectors.select(
+      col(labelCol).cast("long").as("lbl"),
+      posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("lbl"), col("dim").cast("long").as("dim"),
+        round(col("x").cast("double") * 1e6).cast("long").as("qv"))
+    val m = q.groupBy("lbl", "dim")
+      .agg(sum(col("qv")).as("s"), count(lit(1)).as("n"))
+      .select(col("lbl"), col("dim"),
+        floor(col("s").cast("double") / col("n").cast("double"))
+          .cast("long").as("mean_e6"),
+        col("n"))
+    val a = m.select(col("lbl").as("lbl_a"), col("dim"),
+      col("mean_e6").as("ma"), col("n").as("n_a"))
+    val b = m.select(col("lbl").as("lbl_b"), col("dim"),
+      col("mean_e6").as("mb"), col("n").as("n_b"))
+    a.join(b, Seq("dim"))
+      .where(col("lbl_a") < col("lbl_b"))
+      .withColumn("d", col("ma") - col("mb"))
+      .groupBy("lbl_a", "lbl_b")
+      .agg(
+        max(col("n_a")).as("n_a"),
+        max(col("n_b")).as("n_b"),
+        sum(col("d") * col("d")).as("mmd2_e12"),
+        max(struct(abs(col("d")).as("ad"), (-col("dim")).as("nd")))
+          .as("_top"))
+      .select(
+        col("lbl_a"), col("lbl_b"), col("n_a"), col("n_b"),
+        col("mmd2_e12"),
+        (-col("_top.nd")).as("top_dim"),
+        col("_top.ad").as("top_absdiff_e6"))
+  }
+
+  /** D4-style PROTOTYPICALITY ranking (Abbas et al. 2023; SSL
+    * prototypes, Sorscher et al. 2022): every vector ranked within its
+    * k-means cluster by cosine to the cluster centroid, percentile in
+    * basis points, and the prune flag for the most-prototypical
+    * `pruneE4` fraction — the diversification step that runs AFTER
+    * SemDeDup (d18) in the D4 pipeline: near-centroid points carry the
+    * least marginal information, so they are dropped first.
+    *
+    * Built on the SAME deterministic Lloyd build the s4/s6/d18 oracles
+    * replay ([[ivfBuild]]); the score is the assignment score
+    * (dot/|v|, centroid-norm constant per cluster so within-cluster
+    * ranking is cosine ranking). The window is KEYED by cluster — the
+    * per-cluster sort is the operator's semantics (a rank per member);
+    * at extreme scale the flag-only consumer can swap the window for
+    * per-cluster score-threshold quantiles (two aggs, no sort) — the
+    * rank output here is what the audit pack pins.
+    */
+  def prototypicality(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, pruneE4: Long = 1000L,
+      dim: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idx = ivfBuild(vectors, idCol, vecCol, k = k, dim = dim)
+    val sp = vectors.sparkSession
+    val cdf = broadcast(sp.createDataFrame(
+      idx.centroids.zipWithIndex.map { case (c, i) => (i, c) })
+      .toDF("c", "cv"))
+    val sc = idx.assigned.join(cdf, "c")
+      .select(col("id"), col("c"),
+        (dot(col("v"), col("cv")) / norm(col("v"))).as("s"))
+    val w = Window.partitionBy("c").orderBy(col("s").desc, col("id").asc)
+    sc.select(
+      col("id").as("vec_id"),
+      col("c").cast("long").as("cluster_id"),
+      row_number().over(w).cast("long").as("rank_in_cluster"),
+      count(lit(1)).over(Window.partitionBy("c")).as("n_cluster"),
+      round(col("s") * 1e6).cast("long").as("score_e6"))
+      .withColumn("pct_e4", expr("rank_in_cluster * 10000 div n_cluster"))
+      .withColumn("is_pruned", (col("pct_e4") <= pruneE4).cast("long"))
+  }
 }

@@ -553,8 +553,95 @@ object SimilarityQueries {
       Similarity.mmrTopK(
         Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
         queryVec(s, dir), candidates = 50, k = 5, lamTenths = 7)
+    },
+
+    // Embedding DRIFT between label populations — linear-kernel MMD²
+    // per label pair ([[Similarity.labelDrift]]): the two-sample test
+    // a mixture is monitored by, plus the argmax drift dimension.
+    // Integer-exact end to end (e6 component quantization →
+    // associative long sums → ONE floored double division per mean),
+    // so the oracle replays it verbatim; everything after the first
+    // agg is |labels|·dim state.
+    Q("s22_label_drift", s22OracleSql) { (s, dir) =>
+      Similarity.labelDrift(
+        Tables.load(s, dir, "embeddings"), "embedding", "label")
+    },
+
+    // D4-style prototypicality ranking ([[Similarity.prototypicality]]):
+    // every vector's within-cluster cosine rank + percentile against
+    // the SAME deterministic Lloyd build the s4/s6/d18 oracles replay,
+    // and the prune flag for the most-prototypical 10% — the
+    // diversification step D4 runs after SemDeDup. Window is keyed by
+    // cluster; the oracle extends KmeansOracle's asg with the
+    // assignment score and the identical (score DESC, id ASC) rank.
+    Q("s23_prototypicality", s23OracleSql) { (s, dir) =>
+      Similarity.prototypicality(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 16, pruneE4 = 1000L, dim = Some(64))
     }
   )
+
+  /** s22 replay: e6-quantized per-(label, dim) integer sums → floored
+    * double means → pairwise Σ Δ² with the (|Δ| DESC, dim ASC) argmax
+    * via a window. `sum(d*d)` goes HUGEINT in DuckDB — the outer CAST
+    * restores the wire type. */
+  private lazy val s22OracleSql: String =
+    """WITH v AS (
+      |  SELECT CAST(label AS BIGINT) AS lbl, embedding AS e FROM embeddings
+      |), q AS (
+      |  SELECT lbl, i - 1 AS dim,
+      |    CAST(round(CAST(e[i] AS DOUBLE) * 1000000) AS BIGINT) AS qv
+      |  FROM v, range(1, 65) t(i)
+      |), m AS (
+      |  SELECT lbl, dim,
+      |    CAST(floor(CAST(sum(qv) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+      |      AS BIGINT) AS mean_e6,
+      |    count(*) AS n
+      |  FROM q GROUP BY 1, 2
+      |), p AS (
+      |  SELECT a.lbl AS lbl_a, b.lbl AS lbl_b, a.dim,
+      |    a.mean_e6 - b.mean_e6 AS d, a.n AS n_a, b.n AS n_b
+      |  FROM m a JOIN m b ON a.dim = b.dim AND a.lbl < b.lbl
+      |), r AS (
+      |  SELECT lbl_a, lbl_b, dim, abs(d) AS ad,
+      |    row_number() OVER (PARTITION BY lbl_a, lbl_b
+      |      ORDER BY abs(d) DESC, dim ASC) AS rn
+      |  FROM p
+      |), g AS (
+      |  SELECT lbl_a, lbl_b, max(n_a) AS n_a, max(n_b) AS n_b,
+      |    CAST(sum(d * d) AS BIGINT) AS mmd2_e12
+      |  FROM p GROUP BY 1, 2
+      |)
+      |SELECT g.lbl_a, g.lbl_b, g.n_a, g.n_b, g.mmd2_e12,
+      |  r.dim AS top_dim, r.ad AS top_absdiff_e6
+      |FROM g JOIN r ON r.lbl_a = g.lbl_a AND r.lbl_b = g.lbl_b AND r.rn = 1
+      |""".stripMargin
+
+  /** s23 replay: KmeansOracle's final assignment re-scored against the
+    * final centroids (the identical dot/|v| assignment score), then
+    * the (score DESC, id ASC) within-cluster rank, basis-point
+    * percentile and the 10% prune flag. */
+  private lazy val s23OracleSql: String =
+    s"""WITH ${KmeansOracle.lloydCtes()}, sc AS (
+       |  SELECT a.id, a.ci,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> CAST(a.e[i] AS DOUBLE) * c.cv[i]))
+       |    / sqrt(list_sum(list_transform(a.e,
+       |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS s
+       |  FROM asg a JOIN cents3 c ON c.ci = a.ci
+       |), r AS (
+       |  SELECT id, ci, s,
+       |    row_number() OVER (PARTITION BY ci ORDER BY s DESC, id ASC) AS rk,
+       |    count(*) OVER (PARTITION BY ci) AS nc
+       |  FROM sc
+       |)
+       |SELECT CAST(id AS BIGINT) AS vec_id, CAST(ci AS BIGINT) AS cluster_id,
+       |  CAST(rk AS BIGINT) AS rank_in_cluster, CAST(nc AS BIGINT) AS n_cluster,
+       |  CAST(round(s * 1000000) AS BIGINT) AS score_e6,
+       |  rk * 10000 // nc AS pct_e4,
+       |  CAST(CASE WHEN rk * 10000 // nc <= 1000 THEN 1 ELSE 0 END AS BIGINT)
+       |    AS is_pruned
+       |FROM r""".stripMargin
 
   /** s16 replay: s1's candidate rank (top-50), the s10 pairwise-cosine
     * idiom among candidates, then `k` unrolled greedy stages — each

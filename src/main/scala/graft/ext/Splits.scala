@@ -218,4 +218,56 @@ object Splits {
         Window.partitionBy(col("shard"))
           .orderBy(col("shuffle_key"), col(idCol))))
   }
+
+  /** Curriculum PLAN over an integer quality score — equal-count
+    * buckets (easy → hard pacing, Bengio et al. 2009's data-difficulty
+    * schedule) WITHOUT a global sort: the score domain is bounded
+    * (quality_e4 ∈ [0, 10⁴]), so exact decile thresholds come from a
+    * cumulative histogram of the REDUCED (score, count) frame (t12
+    * window discipline — the window runs over ≤ 10⁴ rows, never the
+    * corpus), and bucket assignment is a broadcast when-chain of ≤
+    * `buckets−1` literal comparisons. The corpus pays two linear
+    * passes (histogram agg + bucket agg); nothing is ever
+    * range-exchanged or sorted.
+    *
+    * Threshold rule (exact, integer): `t_i` = smallest score v with
+    * `cum_count(v) · buckets ≥ i · n`; `bucket = 1 + |{i : score >
+    * t_i}|`. Duplicate thresholds (a score mass ≥ 2 bucket widths)
+    * skip bucket numbers on both engines identically. Output: one row
+    * per non-empty bucket with count and score stats — the schedule a
+    * training loop reads off. Driver state = the ≤ buckets−1 threshold
+    * literals (collected from the ≤ |score domain| histogram — the
+    * classifier-family bounded-collect discipline). */
+  def curriculumPlan(
+      scored: org.apache.spark.sql.DataFrame, idCol: String,
+      scoreCol: String, buckets: Int = 10)
+      : org.apache.spark.sql.DataFrame = {
+    require(buckets >= 2, "curriculumPlan needs >= 2 buckets")
+    import org.apache.spark.sql.expressions.Window
+    val hist = scored.groupBy(col(scoreCol).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cc",
+      sum(col("c")).over(
+        Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val rows = cum.select(col("v").cast("long"), col("cc"))
+      .orderBy(col("v")).collect()
+    require(rows.nonEmpty, "curriculumPlan: empty input")
+    val n = rows.last.getLong(1)
+    val thresholds = (1 until buckets).map { i =>
+      rows.find(r => r.getLong(1) * buckets >= i.toLong * n).get.getLong(0)
+    }
+    val bucketCol = thresholds.foldLeft(lit(1L)) { (acc, t) =>
+      acc + when(col(scoreCol) > t, 1L).otherwise(0L)
+    }
+    scored
+      .withColumn("bucket", bucketCol)
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col(scoreCol)).as("min_q_e4"),
+        max(col(scoreCol)).as("max_q_e4"),
+        sum(col(scoreCol)).as("sum_q_e4"))
+      .withColumn("avg_q_e4", expr("sum_q_e4 div n_docs"))
+  }
 }

@@ -1221,6 +1221,60 @@ object TextQueries {
         Tables.load(s, dir, "documents")
           .select(col("doc_id"), tokenCount(col("text")).as("ntok")),
         "doc_id", "ntok")
+    },
+
+    // Curriculum PLAN over the t4 quality score
+    // ([[Splits.curriculumPlan]]): exact equal-count decile buckets
+    // (easy→hard pacing) WITHOUT a global sort — thresholds from a
+    // cumulative histogram of the bounded score domain (≤ 10⁴ distinct
+    // values), bucket assignment a when-chain of 9 literals, two
+    // linear corpus passes total. Oracle replays the t4 score formula,
+    // the integer threshold rule (smallest v with cc·10 ≥ i·n) and the
+    // strictly-greater bucket count verbatim.
+    Q(
+      "t43_curriculum_plan",
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE) AS ntok,
+        |    CAST(len(list_filter(string_split_regex(trim(text), ' +'),
+        |      t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) AS hits,
+        |    CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) AS punct,
+        |    CAST(length(text) AS DOUBLE) AS nchars
+        |  FROM documents
+        |), q AS (
+        |  SELECT doc_id,
+        |    CAST(floor((least(ntok/64.0, 1.0)*0.4 + (hits/greatest(ntok, 1.0))*0.4 +
+        |      (1.0 - punct/greatest(nchars, 1.0))*0.2) * 10000) AS BIGINT) AS qe
+        |  FROM f
+        |), h AS (
+        |  SELECT qe AS v, count(*) AS c FROM q GROUP BY 1
+        |), cum AS (
+        |  SELECT v, sum(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+        |  FROM h
+        |), nn AS (
+        |  SELECT count(*) AS n FROM q
+        |), th AS (
+        |  SELECT t.i AS i, min(cum.v) AS tv
+        |  FROM range(1, 10) t(i), nn, cum
+        |  WHERE cum.cc * 10 >= t.i * nn.n GROUP BY t.i
+        |), b AS (
+        |  SELECT q.doc_id, q.qe,
+        |    1 + (SELECT count(*) FROM th WHERE q.qe > th.tv) AS bucket
+        |  FROM q
+        |)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+        |  min(qe) AS min_q_e4, max(qe) AS max_q_e4,
+        |  CAST(sum(qe) AS BIGINT) AS sum_q_e4,
+        |  CAST(sum(qe) // count(*) AS BIGINT) AS avg_q_e4
+        |FROM b GROUP BY 1""".stripMargin) { (s, dir) =>
+      Splits.curriculumPlan(
+        Tables.load(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            floor(qualityScore(col("text")) * 10000).cast("long")
+              .as("quality_e4")),
+        "doc_id", "quality_e4")
     }
   )
 
