@@ -26,6 +26,7 @@ object ScaleProbe {
     if (args.contains("curation")) { probeCuration(spark); spark.stop(); return }
     if (args.contains("coreset")) { probeCoreset(spark); spark.stop(); return }
     if (args.contains("native")) { probeNative(spark); spark.stop(); return }
+    if (args.contains("r10")) { probeR10(spark); spark.stop(); return }
     val docs1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .select(col("doc_id"), col("text"))
     // 10x: replicate with distinct ids and a per-copy suffix token so
@@ -275,6 +276,89 @@ object ScaleProbe {
     * a fixture past 1M ids would silently alias replicas onto source
     * rows and corrupt every probe), each copy a near-dup of its
     * source (per-copy suffix token). */
+  /** Round-10 operator probe (`r10`): KMV audits + set algebra, LSH
+    * recall audit, label-drift MMD, prototypicality and the curriculum
+    * plan at 1x vs 10x. Near-dup replicas keep `source` (docs) /
+    * `label` (vectors) so the per-group shapes hold: KMV state stays
+    * O(k·sources), drift state |labels|·dim, curriculum ≤10⁴-row
+    * histogram — the probes should be ~linear (one corpus pass) or
+    * flat (reduced-frame consumers). d34 is output-bound like d17:
+    * 10 near-dup copies per doc inflate exact pairs ~45×, so its 10×
+    * row measures pair-verification throughput, not corpus scaling. */
+  private def probeR10(spark: SparkSession): Unit = {
+    def timed(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$name%-32s ${(System.nanoTime() - t0) / 1e9}%6.2f s  rows=$n")
+      spark.catalog.clearCache()
+    }
+    val docs1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    val dTmp = java.nio.file.Files.createTempDirectory("graft-r10-doc").toString
+    (0 until 10).map { i =>
+      docs1.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+        concat(col("text"), lit(s" copytag$i")).as("text"), col("source"))
+    }.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite").parquet(dTmp)
+    val docs10 = spark.read.parquet(dTmp)
+    println(s"docs10 = ${docs10.count()}")
+    val vecs1 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val vTmp = java.nio.file.Files.createTempDirectory("graft-r10-vec").toString
+    (0 until 10).map { i =>
+      vecs1.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+        transform(col("embedding"), (x, j) =>
+          when(j === 0, x + lit(0.001f * (i + 1))).otherwise(x))
+          .as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite").parquet(vTmp)
+    val vecs10 = spark.read.parquet(vTmp)
+    println(s"vecs10 = ${vecs10.count()}")
+    for ((label, d) <- Seq(("1x(5k)", docs1), ("10x(50k)", docs10))) {
+      timed(s"$label kmvDistinctAudit") {
+        graft.ext.Kmv.distinctAudit(d).count()
+      }
+      timed(s"$label kmvSourceOverlap") {
+        graft.ext.Kmv.sourceOverlap(d).count()
+      }
+      timed(s"$label curriculumPlan") {
+        graft.ext.Splits.curriculumPlan(
+          d.select(col("doc_id"),
+            floor(graft.ext.TextAnalysis.qualityScore(col("text")) * 10000)
+              .cast("long").as("q")),
+          "doc_id", "q").count()
+      }
+      timed(s"$label mooreLewis(t44)") {
+        val minSrc = d.agg(min(col("source")).as("_ms"))
+        graft.ext.TextAnalysis.mooreLewis(
+          d.crossJoin(broadcast(minSrc))
+            .withColumn("_in", col("source") === col("_ms")),
+          "doc_id", "text", "_in").count()
+      }
+      timed(s"$label lshRecallAudit(d34)") {
+        val ex = graft.ext.Dedup.ngramJaccardPairs(
+          d, "doc_id", "text", threshold = 0.5,
+          maxPostings = Int.MaxValue)
+          .select(col("id_a"), col("id_b"), lit(1L).as("in_ex"))
+        val lsh = graft.ext.Dedup.minhashPairs(
+          d, "doc_id", "text", threshold = 0.5)
+          .select(col("id_a"), col("id_b"), lit(1L).as("in_lsh"))
+        ex.join(lsh, Seq("id_a", "id_b"), "full_outer")
+          .agg(coalesce(sum(col("in_ex")), lit(0L)).as("n_exact"))
+          .count()
+      }
+    }
+    for ((label, v) <- Seq(("1x", vecs1), ("10x", vecs10))) {
+      timed(s"$label labelDrift") {
+        graft.ext.Similarity.labelDrift(v, "embedding", "label").count()
+      }
+      timed(s"$label prototypicality") {
+        graft.ext.Similarity.prototypicality(
+          v, "vec_id", "embedding", k = 16, dim = Some(64)).count()
+      }
+    }
+  }
+
   private def repDocsFrom(
       docs1: org.apache.spark.sql.DataFrame, r: Int)
       : org.apache.spark.sql.DataFrame = {

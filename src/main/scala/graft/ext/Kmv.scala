@@ -85,17 +85,20 @@ object Kmv {
     * the reason KMV is the corpus-overlap tool: S sources compare in
     * S² array operations on k-row state, not S² corpus joins. */
   def sourceOverlap(docs: DataFrame, k: Int = DefaultK): DataFrame = {
+    // persisted: both pair-join branches read this |sources|-row frame —
+    // without the persist the corpus pays the shingle pass twice
     val sk = sourceShingles(docs)
       .groupBy(col("source"))
       .agg(sketch(col("h"), k).as("sk"))
       .select(col("source"), col("sk"), estimate(col("sk"), k).as("est"))
+      .persist()
     val a = sk.select(
       col("source").as("src_a"), col("sk").as("sk_a"), col("est").as("est_a"))
     val b = sk.select(
       col("source").as("src_b"), col("sk").as("sk_b"), col("est").as("est_b"))
     val merged = slice(
       array_sort(array_union(col("sk_a"), col("sk_b"))), 1, k)
-    a.crossJoin(b)
+    a.crossJoin(broadcast(b))
       .where(col("src_a") < col("src_b"))
       .withColumn("est_union", estimate(merged, k))
       .withColumn("est_overlap",

@@ -1437,17 +1437,20 @@ object Similarity {
       posexplode(col(vecCol)).as(Seq("dim", "x")))
       .select(col("lbl"), col("dim").cast("long").as("dim"),
         round(col("x").cast("double") * 1e6).cast("long").as("qv"))
+    // persisted: both pair-join branches read this |labels|·dim frame —
+    // without the persist the corpus pays the posexplode+agg pass twice
     val m = q.groupBy("lbl", "dim")
       .agg(sum(col("qv")).as("s"), count(lit(1)).as("n"))
       .select(col("lbl"), col("dim"),
         floor(col("s").cast("double") / col("n").cast("double"))
           .cast("long").as("mean_e6"),
         col("n"))
+      .persist()
     val a = m.select(col("lbl").as("lbl_a"), col("dim"),
       col("mean_e6").as("ma"), col("n").as("n_a"))
     val b = m.select(col("lbl").as("lbl_b"), col("dim"),
       col("mean_e6").as("mb"), col("n").as("n_b"))
-    a.join(b, Seq("dim"))
+    a.join(broadcast(b), Seq("dim"))
       .where(col("lbl_a") < col("lbl_b"))
       .withColumn("d", col("ma") - col("mb"))
       .groupBy("lbl_a", "lbl_b")

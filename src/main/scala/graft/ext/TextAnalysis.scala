@@ -361,6 +361,83 @@ object TextAnalysis {
     * across engines, the t14 precedent). Returns one row per document:
     * (doc_id, n_bigrams, logprob_e6_sum); docs with fewer than two
     * tokens score 0 over 0 bigrams. */
+  /** Moore–Lewis cross-entropy difference selection (Moore & Lewis
+    * 2010) — the classic in-domain data selection method behind
+    * "intelligent selection of language model training data": score
+    * every document by `log P_in(doc) − log P_gen(doc)` under two
+    * bigram LMs (add-one smoothing — [[lmScore]]'s estimator, which is
+    * total on unseen bigrams, so cross-scoring needs no OOV floor),
+    * one trained on the in-domain slice (`inDomainCol` true), one on
+    * the rest. A positive difference reads "more like the domain than
+    * like the general corpus" → selected.
+    *
+    * Cost shape: the marginal cost over scoring with ONE model is one
+    * extra column per aggregate — both models' bigram/context counts
+    * ride the SAME gram shuffle as conditional sums, both vocabulary
+    * sizes ride one distinct-token aggregate, and the scoring join is
+    * the same two keyed joins + broadcast 1-row vocab frame t18 pays.
+    * Exactness: per-bigram log-probs e6-floored before the per-doc
+    * integer sum (the t18/t14 ln-on-identical-doubles precedent).
+    * Precondition: both slices non-empty (an empty side would zero
+    * its vocabulary and poison the division).
+    *
+    * Output: (doc_id, n_bigrams, lm_in_e6_sum, lm_gen_e6_sum,
+    * ml_e6_sum, selected); docs with < 2 tokens score 0/0/0/0. */
+  def mooreLewis(
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      inDomainCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = Dedup.spread(docs).select(
+      col(idCol).as("doc_id"), tokens(col(textCol)).as("t"),
+      col(inDomainCol).cast("boolean").as("is_in"))
+    val grams = toks
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"), col("is_in"), explode(
+        zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => struct(a.as("prev"), b.as("cur")))).as("g"))
+      .select(col("doc_id"), col("is_in"),
+        col("g.prev").as("prev"), col("g.cur").as("cur"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    grams.count() // eager: three consumers in the scoring action
+    val c2 = grams.groupBy("prev", "cur").agg(
+      sum(when(col("is_in"), 1L).otherwise(0L)).as("n2i"),
+      sum(when(col("is_in"), 0L).otherwise(1L)).as("n2g"))
+    val c1 = grams.groupBy("prev").agg(
+      sum(when(col("is_in"), 1L).otherwise(0L)).as("n1i"),
+      sum(when(col("is_in"), 0L).otherwise(1L)).as("n1g"))
+    val vocab = toks
+      .select(col("is_in"), explode(col("t")).as("tok"))
+      .agg(
+        countDistinct(when(col("is_in"), col("tok"))).as("vi"),
+        countDistinct(when(!col("is_in"), col("tok"))).as("vg"))
+    def lp(n2: Column, n1: Column, v: Column): Column =
+      floor(lit(1e6) * log(
+        (n2 + 1).cast("double") / (n1 + v).cast("double"))).cast("long")
+    val scored = grams
+      .join(c2, Seq("prev", "cur"))
+      .join(c1, Seq("prev"))
+      .crossJoin(broadcast(vocab))
+      .select(
+        col("doc_id"),
+        lp(col("n2i"), col("n1i"), col("vi")).as("lpi"),
+        lp(col("n2g"), col("n1g"), col("vg")).as("lpg"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("lpi")).as("lm_in_e6_sum"),
+        sum(col("lpg")).as("lm_gen_e6_sum"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_in_e6_sum"), lit(0L)).as("lm_in_e6_sum"),
+        coalesce(col("lm_gen_e6_sum"), lit(0L)).as("lm_gen_e6_sum"))
+      .withColumn("ml_e6_sum", col("lm_in_e6_sum") - col("lm_gen_e6_sum"))
+      .withColumn("selected", (col("ml_e6_sum") > 0L).cast("long"))
+  }
+
   def lmScore(
       docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String)
       : org.apache.spark.sql.DataFrame = {

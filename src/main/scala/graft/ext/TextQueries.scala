@@ -1275,6 +1275,69 @@ object TextQueries {
             floor(qualityScore(col("text")) * 10000).cast("long")
               .as("quality_e4")),
         "doc_id", "quality_e4")
+    },
+
+    // Moore–Lewis cross-entropy difference selection
+    // ([[TextAnalysis.mooreLewis]]): per-doc log P_in − log P_gen
+    // under two add-one bigram LMs (in-domain = the lexicographically
+    // smallest source, general = the rest); selected = positive
+    // difference. Both models' counts ride the ONE t18 gram shuffle as
+    // conditional sums — the marginal cost of the second model is one
+    // column per aggregate. Oracle extends t18's replay with FILTER
+    // CASE counts and the same e6-floored ln tree per model.
+    Q(
+      "t44_moore_lewis",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS t,
+        |    source = (SELECT min(source) FROM documents) AS is_in
+        |  FROM documents
+        |), pos AS (
+        |  SELECT unnest(generate_series(1,
+        |    (SELECT CAST(max(len(t)) AS INT) FROM toks))) AS i
+        |), grams AS (
+        |  SELECT doc_id, is_in, t[i] AS prev, t[i+1] AS cur
+        |  FROM toks JOIN pos ON i <= len(t) - 1
+        |  WHERE len(t) >= 2
+        |), c2 AS (
+        |  SELECT prev, cur,
+        |    sum(CASE WHEN is_in THEN 1 ELSE 0 END) AS n2i,
+        |    sum(CASE WHEN is_in THEN 0 ELSE 1 END) AS n2g
+        |  FROM grams GROUP BY prev, cur
+        |), c1 AS (
+        |  SELECT prev,
+        |    sum(CASE WHEN is_in THEN 1 ELSE 0 END) AS n1i,
+        |    sum(CASE WHEN is_in THEN 0 ELSE 1 END) AS n1g
+        |  FROM grams GROUP BY prev
+        |), v AS (
+        |  SELECT count(DISTINCT CASE WHEN is_in THEN t[i] END) AS vi,
+        |    count(DISTINCT CASE WHEN NOT is_in THEN t[i] END) AS vg
+        |  FROM toks JOIN pos ON i <= len(t)
+        |), sc AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    sum(CAST(floor(1e6 * ln(
+        |      CAST(n2i + 1 AS DOUBLE) / CAST(n1i + vi AS DOUBLE))) AS BIGINT))
+        |      AS si,
+        |    sum(CAST(floor(1e6 * ln(
+        |      CAST(n2g + 1 AS DOUBLE) / CAST(n1g + vg AS DOUBLE))) AS BIGINT))
+        |      AS sg
+        |  FROM grams JOIN c2 USING (prev, cur) JOIN c1 USING (prev), v
+        |  GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+        |  CAST(coalesce(sc.si, 0) AS BIGINT) AS lm_in_e6_sum,
+        |  CAST(coalesce(sc.sg, 0) AS BIGINT) AS lm_gen_e6_sum,
+        |  CAST(coalesce(sc.si, 0) - coalesce(sc.sg, 0) AS BIGINT)
+        |    AS ml_e6_sum,
+        |  CAST(CASE WHEN coalesce(sc.si, 0) - coalesce(sc.sg, 0) > 0
+        |    THEN 1 ELSE 0 END AS BIGINT) AS selected
+        |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables.load(s, dir, "documents")
+        val minSrc = docs.agg(min(col("source")).as("_ms"))
+        val flagged = docs
+          .crossJoin(broadcast(minSrc))
+          .withColumn("_in", col("source") === col("_ms"))
+        TextAnalysis.mooreLewis(flagged, "doc_id", "text", "_in")
     }
   )
 

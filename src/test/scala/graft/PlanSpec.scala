@@ -672,4 +672,53 @@ class PlanSpec extends SparkSpec {
     assert("InMemoryTableScan".r.findAllIn(pCt).size >= 3, pCt.take(3000))
     spark.catalog.clearCache()
   }
+
+  test("round-10 operators: bounded sketch aggregates, persisted " +
+    "reduced frames, broadcast pair joins, no data-scale cartesians") {
+    // d35 KMV audit: the sketch is a TypedImperativeAggregate —
+    // ObjectHashAggregate with a partial phase (map-side O(k) state);
+    // nothing collects raw hashes
+    val p35 = planOf(SparkEntry.queries("d35_kmv_distinct_audit")(spark, dir))
+    assert(p35.contains("ObjectHashAggregate"), p35.take(3000))
+    assert(p35.contains("partial_kmv_sketch") || p35.contains("kmv_sketch"),
+      p35.take(3000))
+    assert(!p35.contains("collect_list"), p35.take(3000))
+    spark.catalog.clearCache()
+    // d36 source overlap: the per-source sketch frame is persisted
+    // (both pair-join branches read the cache, the corpus pays ONE
+    // shingle pass) and the pair join is a broadcast nested loop over
+    // the |sources|-row frame — never a data-scale cartesian
+    val p36 = planOf(SparkEntry.queries("d36_kmv_source_overlap")(spark, dir))
+    assert("InMemoryTableScan".r.findAllIn(p36).size >= 2, p36.take(3000))
+    assert(p36.contains("BroadcastNestedLoopJoin"), p36.take(3000))
+    assert(!p36.contains("CartesianProduct"), p36.take(3000))
+    spark.catalog.clearCache()
+    // s22 label drift: per-(label, dim) sums split partial/final
+    // (map-side combine bounds the shuffle at |labels|·dim rows per
+    // partition); the mean frame is persisted and the pair join
+    // broadcasts — the corpus pays one posexplode pass
+    val p22 = planOf(SparkEntry.queries("s22_label_drift")(spark, dir))
+    assert(p22.contains("partial_sum"), p22.take(3000))
+    assert("InMemoryTableScan".r.findAllIn(p22).size >= 2, p22.take(3000))
+    assert(p22.contains("BroadcastHashJoin"), p22.take(3000))
+    assert(!p22.contains("CartesianProduct"), p22.take(3000))
+    spark.catalog.clearCache()
+    // s23 prototypicality: the centroid table broadcasts onto the
+    // assigned frame; the rank window is KEYED by cluster — no
+    // single-partition sort of the corpus
+    val p23 = planOf(SparkEntry.queries("s23_prototypicality")(spark, dir))
+    assert(p23.contains("BroadcastHashJoin"), p23.take(3000))
+    assert(p23.contains("hashpartitioning(c"), p23.take(3000))
+    assert(!p23.contains("SinglePartition"), p23.take(3000))
+    spark.catalog.clearCache()
+    // t43 curriculum plan: bucket assignment is a literal when-chain —
+    // the corpus-side plan has NO join and NO window; the only window
+    // ran over the bounded histogram during threshold derivation
+    val p43 = planOf(SparkEntry.queries("t43_curriculum_plan")(spark, dir))
+    assert(!p43.contains("Join"), p43.take(3000))
+    assert(!p43.contains("Window"), p43.take(3000))
+    assert(p43.contains("partial_count") || p43.contains("partial_min"),
+      p43.take(3000))
+    spark.catalog.clearCache()
+  }
 }

@@ -796,4 +796,40 @@ class TextAnalysisSpec extends SparkSpec {
       assert(mass <= 1.0 + 1e-12, s"context '$p' mass $mass")
     }
   }
+
+  test("mooreLewis: a general-corpus doc phrased like the in-domain " +
+    "slice is selected; one phrased like the general corpus is not") {
+    import spark.implicits._
+    // in-domain speaks "alpha beta gamma"; the general corpus speaks
+    // "delta epsilon zeta". Two probe docs sit in the GENERAL slice:
+    // doc 100 parrots the domain phrasing, doc 101 the general one.
+    val inDocs = (1L to 6L).map(i =>
+      (i, "alpha beta gamma alpha beta gamma alpha beta", true))
+    val genDocs = (10L to 15L).map(i =>
+      (i, "delta epsilon zeta delta epsilon zeta delta", false))
+    val probes = Seq(
+      (100L, "alpha beta gamma alpha beta", false),
+      (101L, "delta epsilon zeta delta epsilon", false))
+    val df = (inDocs ++ genDocs ++ probes).toDF("doc_id", "text", "is_in")
+    val out = graft.ext.TextAnalysis
+      .mooreLewis(df, "doc_id", "text", "is_in")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(100L).getAs[Long]("selected") == 1L,
+      s"domain-phrased probe: ${out(100L)}")
+    assert(out(101L).getAs[Long]("selected") == 0L,
+      s"general-phrased probe: ${out(101L)}")
+    // difference = in − gen sums exactly
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("ml_e6_sum") ==
+        r.getAs[Long]("lm_in_e6_sum") - r.getAs[Long]("lm_gen_e6_sum"))
+    }
+    // a short doc scores 0 over 0 bigrams and is not selected
+    val short = graft.ext.TextAnalysis.mooreLewis(
+      (Seq((1L, "alpha beta", true), (2L, "solo", false),
+        (3L, "delta epsilon", false))).toDF("doc_id", "text", "is_in"),
+      "doc_id", "text", "is_in")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(short(2L).getAs[Long]("n_bigrams") == 0L)
+    assert(short(2L).getAs[Long]("selected") == 0L)
+  }
 }
