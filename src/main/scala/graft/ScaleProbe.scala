@@ -328,6 +328,13 @@ object ScaleProbe {
               .cast("long").as("q")),
           "doc_id", "q").count()
       }
+      timed(s"$label psiDrift(t45)") {
+        graft.ext.Splits.psiDrift(
+          d.select(col("source"),
+            floor(graft.ext.TextAnalysis.qualityScore(col("text")) * 10000)
+              .cast("long").as("q")),
+          "source", "q").count()
+      }
       timed(s"$label mooreLewis(t44)") {
         val minSrc = d.agg(min(col("source")).as("_ms"))
         graft.ext.TextAnalysis.mooreLewis(

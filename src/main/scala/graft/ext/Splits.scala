@@ -238,11 +238,17 @@ object Splits {
     * training loop reads off. Driver state = the ≤ buckets−1 threshold
     * literals (collected from the ≤ |score domain| histogram — the
     * classifier-family bounded-collect discipline). */
-  def curriculumPlan(
-      scored: org.apache.spark.sql.DataFrame, idCol: String,
-      scoreCol: String, buckets: Int = 10)
-      : org.apache.spark.sql.DataFrame = {
-    require(buckets >= 2, "curriculumPlan needs >= 2 buckets")
+  /** Exact equal-count bucket thresholds over a BOUNDED integer score
+    * domain: cumulative histogram of the reduced (score, count) frame
+    * (t12 window discipline — the window never touches the corpus),
+    * `t_i` = smallest score v with `cum_count(v)·buckets ≥ i·n`.
+    * Driver state = the ≤ |score domain| histogram rows (the
+    * classifier-family bounded-collect discipline). Shared by
+    * [[curriculumPlan]] and [[psiDrift]] so the two can't drift. */
+  private[ext] def scoreBucketThresholds(
+      scored: org.apache.spark.sql.DataFrame, scoreCol: String,
+      buckets: Int): Seq[Long] = {
+    require(buckets >= 2, "score bucketing needs >= 2 buckets")
     import org.apache.spark.sql.expressions.Window
     val hist = scored.groupBy(col(scoreCol).as("v"))
       .agg(count(lit(1)).as("c"))
@@ -252,14 +258,27 @@ object Splits {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val rows = cum.select(col("v").cast("long"), col("cc"))
       .orderBy(col("v")).collect()
-    require(rows.nonEmpty, "curriculumPlan: empty input")
+    require(rows.nonEmpty, "score bucketing: empty input")
     val n = rows.last.getLong(1)
-    val thresholds = (1 until buckets).map { i =>
+    (1 until buckets).map { i =>
       rows.find(r => r.getLong(1) * buckets >= i.toLong * n).get.getLong(0)
     }
-    val bucketCol = thresholds.foldLeft(lit(1L)) { (acc, t) =>
+  }
+
+  /** `1 + |{i : score > t_i}|` — the bucket literal when-chain both
+    * threshold consumers assign with. */
+  private[ext] def bucketOf(
+      scoreCol: String, thresholds: Seq[Long]): Column =
+    thresholds.foldLeft(lit(1L)) { (acc, t) =>
       acc + when(col(scoreCol) > t, 1L).otherwise(0L)
     }
+
+  def curriculumPlan(
+      scored: org.apache.spark.sql.DataFrame, idCol: String,
+      scoreCol: String, buckets: Int = 10)
+      : org.apache.spark.sql.DataFrame = {
+    val thresholds = scoreBucketThresholds(scored, scoreCol, buckets)
+    val bucketCol = bucketOf(scoreCol, thresholds)
     scored
       .withColumn("bucket", bucketCol)
       .groupBy(col("bucket"))
@@ -269,5 +288,53 @@ object Splits {
         max(col(scoreCol)).as("max_q_e4"),
         sum(col(scoreCol)).as("sum_q_e4"))
       .withColumn("avg_q_e4", expr("sum_q_e4 div n_docs"))
+  }
+
+  /** PSI (population stability index) of each source's score
+    * distribution against the GLOBAL distribution — the standard
+    * segment-drift monitor (credit-scoring lineage; ≥ 0.1 = moderate
+    * shift, ≥ 0.25 = major): `PSI = Σ_b (p_b − q_b)·ln(p_b/q_b)` over
+    * the global equal-count buckets of [[scoreBucketThresholds]],
+    * Laplace-smoothed (+1 per bin) so empty segment bins stay finite.
+    * The drift twin of [[graft.ext.Similarity.labelDrift]]: s22
+    * monitors the embedding space, this monitors a score column.
+    *
+    * Cost shape: bucket assignment is the literal when-chain, then ONE
+    * corpus shuffle to (source, bucket) counts — the global bucket and
+    * source marginals both derive from that ≤ |sources|·buckets frame,
+    * and everything after is reduced-frame math. Per-bin terms are
+    * e6-floored before the integer per-source sum (the ln-on-
+    * identical-doubles precedent), so the PSI is hash-oracle-able.
+    * Output: (source, n_docs, psi_e6, flagged) with flagged = PSI ≥
+    * 0.1. */
+  def psiDrift(
+      scored: org.apache.spark.sql.DataFrame, sourceCol: String,
+      scoreCol: String, buckets: Int = 10)
+      : org.apache.spark.sql.DataFrame = {
+    val thresholds = scoreBucketThresholds(scored, scoreCol, buckets)
+    val b = scored.select(
+      col(sourceCol).as("src"),
+      bucketOf(scoreCol, thresholds).as("bucket"))
+    // persisted: the bucket/source marginals and the grid join all
+    // read this |sources|·buckets frame
+    val nsb = b.groupBy("src", "bucket")
+      .agg(count(lit(1)).as("nsb")).persist()
+    val nb = nsb.groupBy("bucket").agg(sum(col("nsb")).as("nb"))
+    val ns = nsb.groupBy("src").agg(sum(col("nsb")).as("ns"))
+    val tot = nsb.agg(
+      sum(col("nsb")).as("n"), countDistinct(col("bucket")).as("nbk"))
+    val p = (col("nsb") + 1).cast("double") /
+      (col("ns") + col("nbk")).cast("double")
+    val q = (col("nb") + 1).cast("double") /
+      (col("n") + col("nbk")).cast("double")
+    ns.crossJoin(broadcast(nb))
+      .join(nsb, Seq("src", "bucket"), "left")
+      .withColumn("nsb", coalesce(col("nsb"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("src"), col("ns"),
+        floor(lit(1e6) * (p - q) * log(p / q)).cast("long").as("term"))
+      .groupBy(col("src").as("source"))
+      .agg(max(col("ns")).as("n_docs"), sum(col("term")).as("psi_e6"))
+      .withColumn("flagged", (col("psi_e6") >= 100000L).cast("long"))
   }
 }

@@ -1233,36 +1233,7 @@ object TextQueries {
     // strictly-greater bucket count verbatim.
     Q(
       "t43_curriculum_plan",
-      """WITH f AS (
-        |  SELECT doc_id,
-        |    CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE) AS ntok,
-        |    CAST(len(list_filter(string_split_regex(trim(text), ' +'),
-        |      t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) AS hits,
-        |    CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) AS punct,
-        |    CAST(length(text) AS DOUBLE) AS nchars
-        |  FROM documents
-        |), q AS (
-        |  SELECT doc_id,
-        |    CAST(floor((least(ntok/64.0, 1.0)*0.4 + (hits/greatest(ntok, 1.0))*0.4 +
-        |      (1.0 - punct/greatest(nchars, 1.0))*0.2) * 10000) AS BIGINT) AS qe
-        |  FROM f
-        |), h AS (
-        |  SELECT qe AS v, count(*) AS c FROM q GROUP BY 1
-        |), cum AS (
-        |  SELECT v, sum(c) OVER (ORDER BY v
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
-        |  FROM h
-        |), nn AS (
-        |  SELECT count(*) AS n FROM q
-        |), th AS (
-        |  SELECT t.i AS i, min(cum.v) AS tv
-        |  FROM range(1, 10) t(i), nn, cum
-        |  WHERE cum.cc * 10 >= t.i * nn.n GROUP BY t.i
-        |), b AS (
-        |  SELECT q.doc_id, q.qe,
-        |    1 + (SELECT count(*) FROM th WHERE q.qe > th.tv) AS bucket
-        |  FROM q
-        |)
+      s"""WITH $qualityDecileCtes
         |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
         |  min(qe) AS min_q_e4, max(qe) AS max_q_e4,
         |  CAST(sum(qe) AS BIGINT) AS sum_q_e4,
@@ -1338,6 +1309,54 @@ object TextQueries {
           .crossJoin(broadcast(minSrc))
           .withColumn("_in", col("source") === col("_ms"))
         TextAnalysis.mooreLewis(flagged, "doc_id", "text", "_in")
+    },
+
+    // PSI quality-score drift per source ([[Splits.psiDrift]]): each
+    // source's score distribution against the GLOBAL equal-count
+    // deciles, Laplace-smoothed, per-bin terms e6-floored before the
+    // integer sum; flagged at the standard PSI ≥ 0.1 alert. The score
+    // twin of s22's embedding drift. One corpus shuffle to
+    // (source, bucket) counts; the oracle shares t43's threshold CTEs
+    // so the bin rule cannot drift between the two consumers.
+    Q(
+      "t45_psi_quality_drift",
+      s"""WITH $qualityDecileCtes, nsb AS (
+        |  SELECT source AS src, bucket, count(*) AS nsb
+        |  FROM b GROUP BY 1, 2
+        |), nb AS (
+        |  SELECT bucket, sum(nsb) AS nb FROM nsb GROUP BY 1
+        |), ns AS (
+        |  SELECT src, sum(nsb) AS ns FROM nsb GROUP BY 1
+        |), tot AS (
+        |  SELECT sum(nsb) AS n, count(DISTINCT bucket) AS nbk FROM nsb
+        |), g0 AS (
+        |  SELECT ns.src, ns.ns, nb.bucket, nb.nb FROM ns, nb
+        |), grid AS (
+        |  SELECT g0.src, g0.ns, g0.bucket, g0.nb, coalesce(x.nsb, 0) AS nsb
+        |  FROM g0 LEFT JOIN nsb x
+        |    ON x.src = g0.src AND x.bucket = g0.bucket
+        |), terms AS (
+        |  SELECT src, ns,
+        |    CAST(floor(1e6
+        |      * (CAST(nsb + 1 AS DOUBLE) / CAST(ns + nbk AS DOUBLE)
+        |         - CAST(nb + 1 AS DOUBLE) / CAST(n + nbk AS DOUBLE))
+        |      * ln((CAST(nsb + 1 AS DOUBLE) / CAST(ns + nbk AS DOUBLE))
+        |          / (CAST(nb + 1 AS DOUBLE) / CAST(n + nbk AS DOUBLE))))
+        |      AS BIGINT) AS term
+        |  FROM grid, tot
+        |)
+        |SELECT src AS source, CAST(max(ns) AS BIGINT) AS n_docs,
+        |  CAST(sum(term) AS BIGINT) AS psi_e6,
+        |  CAST(CASE WHEN sum(term) >= 100000 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS flagged
+        |FROM terms GROUP BY src""".stripMargin) { (s, dir) =>
+      Splits.psiDrift(
+        Tables.load(s, dir, "documents")
+          .select(
+            col("source"),
+            floor(qualityScore(col("text")) * 10000).cast("long")
+              .as("quality_e4")),
+        "source", "quality_e4")
     }
   )
 
@@ -1810,4 +1829,41 @@ object TextQueries {
          |  CAST((sum(n_chars) * 10000) // sum(bpe) AS BIGINT)
          |    AS chars_per_bpe_e4
          |FROM base GROUP BY lang""".stripMargin
+
+  /** Shared t43/t45 replay prefix: the t4 quality formula, the
+    * [[Splits.scoreBucketThresholds]] integer threshold rule
+    * (smallest v with cc·10 ≥ i·n) and the strictly-greater bucket
+    * assignment — ONE definition so the two consumers cannot drift.
+    * Ends at `b` = (doc_id, source, qe, bucket). */
+  private lazy val qualityDecileCtes: String =
+    """f AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE) AS ntok,
+      |    CAST(len(list_filter(string_split_regex(trim(text), ' +'),
+      |      t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) AS hits,
+      |    CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) AS punct,
+      |    CAST(length(text) AS DOUBLE) AS nchars
+      |  FROM documents
+      |), q AS (
+      |  SELECT doc_id, source,
+      |    CAST(floor((least(ntok/64.0, 1.0)*0.4 + (hits/greatest(ntok, 1.0))*0.4 +
+      |      (1.0 - punct/greatest(nchars, 1.0))*0.2) * 10000) AS BIGINT) AS qe
+      |  FROM f
+      |), h AS (
+      |  SELECT qe AS v, count(*) AS c FROM q GROUP BY 1
+      |), cum AS (
+      |  SELECT v, sum(c) OVER (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+      |  FROM h
+      |), nn AS (
+      |  SELECT count(*) AS n FROM q
+      |), th AS (
+      |  SELECT t.i AS i, min(cum.v) AS tv
+      |  FROM range(1, 10) t(i), nn, cum
+      |  WHERE cum.cc * 10 >= t.i * nn.n GROUP BY t.i
+      |), b AS (
+      |  SELECT q.doc_id, q.source, q.qe,
+      |    1 + (SELECT count(*) FROM th WHERE q.qe > th.tv) AS bucket
+      |  FROM q
+      |)""".stripMargin
 }

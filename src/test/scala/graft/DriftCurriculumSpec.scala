@@ -122,6 +122,32 @@ class DriftCurriculumSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("psiDrift: a source matching the global distribution scores " +
+    "~0; one concentrated in a single decile is flagged") {
+    import spark.implicits._
+    // global deciles come from everyone; source "uni" is uniform over
+    // the full score range (mirrors the global mix), source "spike"
+    // sits entirely in one bucket
+    val uni = (1L to 1000L).map(i => ("uni", (i % 100) + 1))
+    val spike = (1L to 500L).map(_ => ("spike", 7L))
+    val df = (uni ++ spike).toDF("source", "q")
+    val out = Splits.psiDrift(df, "source", "q")
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("spike").getAs[Long]("flagged") == 1L,
+      s"spike: ${out("spike")}")
+    assert(out("spike").getAs[Long]("psi_e6") >
+      out("uni").getAs[Long]("psi_e6"))
+    assert(out("uni").getAs[Long]("n_docs") == 1000L)
+    assert(out("spike").getAs[Long]("n_docs") == 500L)
+    // a clone corpus where every source IS the global mix: nothing
+    // flags (psi within the Laplace-smoothing floor)
+    val even = (1L to 400L).flatMap(i =>
+      Seq(("a", (i % 40) + 1), ("b", (i % 40) + 1)))
+    val ev = Splits.psiDrift(even.toDF("source", "q"), "source", "q")
+      .collect()
+    ev.foreach(r => assert(r.getAs[Long]("flagged") == 0L, r.toString))
+  }
+
   test("curriculumPlan: a dominant score mass collapses buckets " +
     "deterministically (skipped bucket numbers, not wrong counts)") {
     import spark.implicits._

@@ -720,5 +720,13 @@ class PlanSpec extends SparkSpec {
     assert(p43.contains("partial_count") || p43.contains("partial_min"),
       p43.take(3000))
     spark.catalog.clearCache()
+    // t45 PSI drift: one corpus shuffle to (source, bucket) counts —
+    // every join after it reads the persisted reduced frame or a
+    // broadcast marginal; no window on the corpus side
+    val p45 = planOf(SparkEntry.queries("t45_psi_quality_drift")(spark, dir))
+    assert("InMemoryTableScan".r.findAllIn(p45).size >= 2, p45.take(3000))
+    assert(!p45.contains("CartesianProduct"), p45.take(3000))
+    assert(!p45.contains("Window"), p45.take(3000))
+    spark.catalog.clearCache()
   }
 }
