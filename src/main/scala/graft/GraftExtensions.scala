@@ -96,8 +96,11 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "kmv_sketch: k must be an integer literal")
       }
-      require(kLong >= 1 && kLong <= Int.MaxValue,
-        s"kmv_sketch: k must be in [1, ${Int.MaxValue}], got $kLong")
+      // k >= 2 matches the Column API (Kmv.sketch): the estimator
+      // divides by k-1, so a k=1 sketch would estimate 0 for every
+      // full group — reject it at plan time on BOTH surfaces
+      require(kLong >= 2 && kLong <= Int.MaxValue,
+        s"kmv_sketch: k must be in [2, ${Int.MaxValue}], got $kLong")
       graft.expr.KmvSketch(args.head, kLong.toInt)
     }
 

@@ -323,10 +323,10 @@ object ScaleProbe {
       }
       timed(s"$label curriculumPlan") {
         graft.ext.Splits.curriculumPlan(
-          d.select(col("doc_id"),
+          d.select(
             floor(graft.ext.TextAnalysis.qualityScore(col("text")) * 10000)
               .cast("long").as("q")),
-          "doc_id", "q").count()
+          "q").count()
       }
       timed(s"$label psiDrift(t45)") {
         graft.ext.Splits.psiDrift(

@@ -26,14 +26,21 @@ import org.apache.spark.sql.types._
   * SQL engine as `ORDER BY h LIMIT k` over distinct hashes — so the
   * estimate itself can be hash-oracled, not just spot-checked.
   *
-  * Estimator contract (integer-exact on every engine): with
+  * Estimator contract (engine-portable, IEEE-double): with
   * `n_kept = k` values kept and `kth` the largest kept value over the
   * hash domain `[0, 2^60)`, the distinct estimate is
-  * `(k-1) * 2^60 div kth` (the classic unbiased KMV estimator, floored
-  * by integer division); with `n_kept < k` the sketch holds EVERY
-  * distinct value and the estimate is exact (= n_kept). Estimation
-  * happens in the caller over the k-row array this aggregate returns —
-  * the aggregate itself only maintains the bounded distinct set.
+  * `floor((k−1) · 2^60 / kth)` evaluated in IEEE doubles — the
+  * `(k−1)·2^60` product is exact (≤ 8 significand bits on a power of
+  * two), `kth` rounds to double nearest-even identically on every
+  * IEEE engine, and the division rounds identically, so the floored
+  * quotient is bit-portable (this is [[graft.ext.Kmv.estimate]]'s and
+  * the d35/d36 DuckDB oracles' shared definition; NOTE it can differ
+  * by 1 from exact integer division `(k-1)·2^60 div kth` once `kth`
+  * exceeds 2^53 — the double contract is the normative one). With
+  * `n_kept < k` the sketch holds EVERY distinct value and the
+  * estimate is exact (= n_kept). Estimation happens in the caller
+  * over the k-row array this aggregate returns — the aggregate itself
+  * only maintains the bounded distinct set.
   *
   * Values outside `[0, 2^60)` are rejected at update time (the 60-bit
   * pmd5 contract is what makes the estimator's domain constant

@@ -200,23 +200,18 @@ object DedupQueries {
     // same on both engines.
     Q(
       "d7_dedup_keep_best",
-      """WITH d AS (
+      s"""WITH d AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 1000000, text FROM documents
         |), f AS (
         |  SELECT doc_id,
-        |    CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE) AS ntok,
-        |    CAST(len(list_filter(string_split_regex(trim(text), ' +'),
-        |      t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) AS hits,
-        |    CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) AS punct,
-        |    CAST(length(text) AS DOUBLE) AS nchars,
+        |    ${TextQueries.qualityFColsSql},
         |    md5(text) AS content_hash
         |  FROM d
         |), sc AS (
         |  SELECT doc_id, content_hash,
-        |    CAST(floor((least(ntok/64.0, 1.0)*0.4 + (hits/greatest(ntok, 1.0))*0.4 +
-        |      (1.0 - punct/greatest(nchars, 1.0))*0.2) * 10000) AS BIGINT) AS score
+        |    ${TextQueries.qualityBlendE4Sql} AS score
         |  FROM f
         |), r AS (
         |  SELECT doc_id, content_hash, score,
@@ -282,7 +277,7 @@ object DedupQueries {
     // CTE with the t4 quality expression and a survivor window.
     Q(
       "d9_dedup_corpus",
-      """WITH RECURSIVE t AS (
+      s"""WITH RECURSIVE t AS (
         |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
         |  FROM documents
         |), s AS (
@@ -312,16 +307,11 @@ object DedupQueries {
         |  SELECT a AS id, min(lbl) AS cluster_id FROM walk GROUP BY a
         |), f AS (
         |  SELECT doc_id,
-        |    CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE) AS ntok,
-        |    CAST(len(list_filter(string_split_regex(trim(text), ' +'),
-        |      x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) AS hits,
-        |    CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) AS punct,
-        |    CAST(length(text) AS DOUBLE) AS nchars
+        |    ${TextQueries.qualityFColsSql}
         |  FROM documents
         |), q AS (
         |  SELECT doc_id,
-        |    CAST(floor((least(ntok/64.0, 1.0)*0.4 + (hits/greatest(ntok, 1.0))*0.4 +
-        |      (1.0 - punct/greatest(nchars, 1.0))*0.2) * 10000) AS BIGINT) AS score
+        |    ${TextQueries.qualityBlendE4Sql} AS score
         |  FROM f
         |), j AS (
         |  SELECT q.doc_id AS id, coalesce(cl.cluster_id, q.doc_id) AS cluster_id,
@@ -571,7 +561,7 @@ object DedupQueries {
     // selection.
     Q(
       "d16_dedup_corpus_winnow",
-      """WITH RECURSIVE toks AS (
+      s"""WITH RECURSIVE toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents
         |), pos AS (
         |  SELECT unnest(generate_series(1,
@@ -608,16 +598,11 @@ object DedupQueries {
         |  SELECT a AS id, min(lbl) AS cluster_id FROM walk GROUP BY a
         |), f AS (
         |  SELECT doc_id,
-        |    CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE) AS ntok,
-        |    CAST(len(list_filter(string_split_regex(trim(text), ' +'),
-        |      x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) AS hits,
-        |    CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) AS punct,
-        |    CAST(length(text) AS DOUBLE) AS nchars
+        |    ${TextQueries.qualityFColsSql}
         |  FROM documents
         |), q AS (
         |  SELECT doc_id,
-        |    CAST(floor((least(ntok/64.0, 1.0)*0.4 + (hits/greatest(ntok, 1.0))*0.4 +
-        |      (1.0 - punct/greatest(nchars, 1.0))*0.2) * 10000) AS BIGINT) AS score
+        |    ${TextQueries.qualityBlendE4Sql} AS score
         |  FROM f
         |), j AS (
         |  SELECT q.doc_id AS id, coalesce(cl.cluster_id, q.doc_id) AS cluster_id,

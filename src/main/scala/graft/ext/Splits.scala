@@ -274,7 +274,7 @@ object Splits {
     }
 
   def curriculumPlan(
-      scored: org.apache.spark.sql.DataFrame, idCol: String,
+      scored: org.apache.spark.sql.DataFrame,
       scoreCol: String, buckets: Int = 10)
       : org.apache.spark.sql.DataFrame = {
     val thresholds = scoreBucketThresholds(scored, scoreCol, buckets)

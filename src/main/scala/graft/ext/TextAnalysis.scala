@@ -378,8 +378,11 @@ object TextAnalysis {
     * the same two keyed joins + broadcast 1-row vocab frame t18 pays.
     * Exactness: per-bigram log-probs e6-floored before the per-doc
     * integer sum (the t18/t14 ln-on-identical-doubles precedent).
-    * Precondition: both slices non-empty (an empty side would zero
-    * its vocabulary and poison the division).
+    * Both slices must be non-empty — ENFORCED eagerly (an empty side
+    * would zero its vocabulary, send its log-prob to +∞ and saturate
+    * the sums to garbage with no error); the vocabulary sizes are
+    * collected as part of that check and inlined as literals, which
+    * also drops the broadcast join the scorer would otherwise pay.
     *
     * Output: (doc_id, n_bigrams, lm_in_e6_sum, lm_gen_e6_sum,
     * ml_e6_sum, selected); docs with < 2 tokens score 0/0/0/0. */
@@ -406,22 +409,26 @@ object TextAnalysis {
     val c1 = grams.groupBy("prev").agg(
       sum(when(col("is_in"), 1L).otherwise(0L)).as("n1i"),
       sum(when(col("is_in"), 0L).otherwise(1L)).as("n1g"))
-    val vocab = toks
+    val vocabRow = toks
       .select(col("is_in"), explode(col("t")).as("tok"))
       .agg(
         countDistinct(when(col("is_in"), col("tok"))).as("vi"),
         countDistinct(when(!col("is_in"), col("tok"))).as("vg"))
-    def lp(n2: Column, n1: Column, v: Column): Column =
+      .head()
+    val (vi, vg) = (vocabRow.getLong(0), vocabRow.getLong(1))
+    require(vi > 0 && vg > 0,
+      s"mooreLewis: both slices must be non-empty (in-domain vocab $vi, " +
+        s"general vocab $vg) — an empty side's LM is undefined")
+    def lp(n2: Column, n1: Column, v: Long): Column =
       floor(lit(1e6) * log(
-        (n2 + 1).cast("double") / (n1 + v).cast("double"))).cast("long")
+        (n2 + 1).cast("double") / (n1 + lit(v)).cast("double"))).cast("long")
     val scored = grams
       .join(c2, Seq("prev", "cur"))
       .join(c1, Seq("prev"))
-      .crossJoin(broadcast(vocab))
       .select(
         col("doc_id"),
-        lp(col("n2i"), col("n1i"), col("vi")).as("lpi"),
-        lp(col("n2g"), col("n1g"), col("vg")).as("lpg"))
+        lp(col("n2i"), col("n1i"), vi).as("lpi"),
+        lp(col("n2g"), col("n1g"), vg).as("lpg"))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_bigrams"),

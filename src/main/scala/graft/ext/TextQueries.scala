@@ -136,18 +136,13 @@ object TextQueries {
     // makes the output integer-exact.
     Q(
       "t4_quality_scores",
-      """WITH f AS (
+      s"""WITH f AS (
         |  SELECT doc_id,
-        |    CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE) AS ntok,
-        |    CAST(len(list_filter(string_split_regex(trim(text), ' +'),
-        |      t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) AS hits,
-        |    CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) AS punct,
-        |    CAST(length(text) AS DOUBLE) AS nchars
+        |    $qualityFColsSql
         |  FROM documents
         |)
         |SELECT doc_id,
-        |  CAST(floor((least(ntok/64.0, 1.0)*0.4 + (hits/greatest(ntok, 1.0))*0.4 +
-        |    (1.0 - punct/greatest(nchars, 1.0))*0.2) * 10000) AS BIGINT) AS quality_e4
+        |  $qualityBlendE4Sql AS quality_e4
         |FROM f""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "documents")
         .select(
@@ -557,18 +552,13 @@ object TextQueries {
     // it exactly (hash equality is the stitching proof, like q59).
     Q(
       "t22_budget_prune",
-      """WITH f AS (
+      s"""WITH f AS (
         |  SELECT doc_id,
-        |    CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE) AS ntok,
-        |    CAST(len(list_filter(string_split_regex(trim(text), ' +'),
-        |      x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) AS hits,
-        |    CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) AS punct,
-        |    CAST(length(text) AS DOUBLE) AS nchars
+        |    $qualityFColsSql
         |  FROM documents
         |), q AS (
         |  SELECT doc_id,
-        |    CAST(floor((least(ntok/64.0, 1.0)*0.4 + (hits/greatest(ntok, 1.0))*0.4 +
-        |      (1.0 - punct/greatest(nchars, 1.0))*0.2) * 10000) AS BIGINT) AS score,
+        |    $qualityBlendE4Sql AS score,
         |    CAST(ntok AS BIGINT) AS n_tokens
         |  FROM f
         |), r AS (
@@ -1242,10 +1232,9 @@ object TextQueries {
       Splits.curriculumPlan(
         Tables.load(s, dir, "documents")
           .select(
-            col("doc_id"),
             floor(qualityScore(col("text")) * 10000).cast("long")
               .as("quality_e4")),
-        "doc_id", "quality_e4")
+        "quality_e4")
     },
 
     // Moore–Lewis cross-entropy difference selection
@@ -1830,24 +1819,36 @@ object TextQueries {
          |    AS chars_per_bpe_e4
          |FROM base GROUP BY lang""".stripMargin
 
+  /** ONE definition of the t4 quality-score replay SQL — the f-CTE
+    * feature block and the e4-floored blend that every oracle
+    * replaying [[TextAnalysis.qualityScore]] interpolates (six sites
+    * across TextQueries/DedupQueries): a weight, stopword-set or
+    * punctuation-class tweak lands here or nowhere, so no oracle can
+    * desynchronize from the engine formula. */
+  private[ext] lazy val qualityFColsSql: String =
+    """CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE) AS ntok,
+      |    CAST(len(list_filter(string_split_regex(trim(text), ' +'),
+      |      t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) AS hits,
+      |    CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) AS punct,
+      |    CAST(length(text) AS DOUBLE) AS nchars""".stripMargin
+
+  private[ext] lazy val qualityBlendE4Sql: String =
+    """CAST(floor((least(ntok/64.0, 1.0)*0.4 + (hits/greatest(ntok, 1.0))*0.4 +
+      |      (1.0 - punct/greatest(nchars, 1.0))*0.2) * 10000) AS BIGINT)""".stripMargin
+
   /** Shared t43/t45 replay prefix: the t4 quality formula, the
     * [[Splits.scoreBucketThresholds]] integer threshold rule
     * (smallest v with cc·10 ≥ i·n) and the strictly-greater bucket
     * assignment — ONE definition so the two consumers cannot drift.
     * Ends at `b` = (doc_id, source, qe, bucket). */
   private lazy val qualityDecileCtes: String =
-    """f AS (
+    s"""f AS (
       |  SELECT doc_id, source,
-      |    CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE) AS ntok,
-      |    CAST(len(list_filter(string_split_regex(trim(text), ' +'),
-      |      t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) AS hits,
-      |    CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) AS punct,
-      |    CAST(length(text) AS DOUBLE) AS nchars
+      |    $qualityFColsSql
       |  FROM documents
       |), q AS (
       |  SELECT doc_id, source,
-      |    CAST(floor((least(ntok/64.0, 1.0)*0.4 + (hits/greatest(ntok, 1.0))*0.4 +
-      |      (1.0 - punct/greatest(nchars, 1.0))*0.2) * 10000) AS BIGINT) AS qe
+      |    $qualityBlendE4Sql AS qe
       |  FROM f
       |), h AS (
       |  SELECT qe AS v, count(*) AS c FROM q GROUP BY 1

@@ -106,7 +106,7 @@ class DriftCurriculumSpec extends AnyFunSuite with SparkSpec {
     "sum to n; avg within [min, max]") {
     import spark.implicits._
     val df = (1L to 1000L).map(i => (i, (i % 100) + 1)).toDF("id", "q")
-    val out = Splits.curriculumPlan(df, "id", "q").collect()
+    val out = Splits.curriculumPlan(df.select(col("q")), "q").collect()
     assert(out.map(_.getAs[Long]("n_docs")).sum == 1000L)
     assert(out.length == 10)
     assert(out.forall(_.getAs[Long]("n_docs") == 100L))
@@ -154,7 +154,7 @@ class DriftCurriculumSpec extends AnyFunSuite with SparkSpec {
     // 90% of docs share one score → the first 9 thresholds coincide
     val df = ((1L to 900L).map(i => (i, 50L)) ++
       (901L to 1000L).map(i => (i, 100L))).toDF("id", "q")
-    val out = Splits.curriculumPlan(df, "id", "q").collect()
+    val out = Splits.curriculumPlan(df.select(col("q")), "q").collect()
       .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_docs")))
       .toMap
     assert(out.values.sum == 1000L)

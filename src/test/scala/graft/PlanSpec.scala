@@ -680,8 +680,9 @@ class PlanSpec extends SparkSpec {
     // nothing collects raw hashes
     val p35 = planOf(SparkEntry.queries("d35_kmv_distinct_audit")(spark, dir))
     assert(p35.contains("ObjectHashAggregate"), p35.take(3000))
-    assert(p35.contains("partial_kmv_sketch") || p35.contains("kmv_sketch"),
-      p35.take(3000))
+    // the PARTIAL phase specifically — 'kmv_sketch' alone would also
+    // match a Complete-mode plan that lost the map-side O(k) bound
+    assert(p35.contains("partial_kmv_sketch"), p35.take(3000))
     assert(!p35.contains("collect_list"), p35.take(3000))
     spark.catalog.clearCache()
     // d36 source overlap: the per-source sketch frame is persisted
