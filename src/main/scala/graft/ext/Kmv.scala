@@ -78,6 +78,61 @@ object Kmv {
         expr("abs(est_distinct - exact_distinct) * 10000 div exact_distinct"))
   }
 
+  /** Persisted per-source sketch ARTIFACT — the minhash/sign-band/
+    * edge-index pattern applied to corpus monitoring: build the
+    * per-source KMV sketches once, write them (k longs per source plus
+    * the k parameter), and from then on every audit — distinct
+    * estimates, pairwise overlap, "how much NEW content did this
+    * week's crawl add" — is array math over the artifact. Because KMV
+    * merge is a trimmed set union ([[mergeSketch]]), the artifact
+    * updates INCREMENTALLY: sketch the new batch alone, merge with the
+    * stored sketches, write back — the historical corpus is never
+    * re-read, which is the whole point at 100 TB. */
+  def sketchWrite(sketches: DataFrame, dir: String, k: Int): Unit = {
+    sketches.write.mode("overwrite").parquet(s"$dir/sketches")
+    val spark = sketches.sparkSession
+    import spark.implicits._
+    Seq(k).toDF("k").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/params")
+  }
+
+  def sketchRead(
+      spark: org.apache.spark.sql.SparkSession, dir: String)
+      : (DataFrame, Int) =
+    (spark.read.parquet(s"$dir/sketches"),
+      spark.read.parquet(s"$dir/params").head().getInt(0))
+
+  /** Per-source sketches of a corpus — the frame [[sketchWrite]]
+    * persists: (source, sk array<long> ascending). */
+  def sourceSketches(docs: DataFrame, k: Int = DefaultK): DataFrame =
+    sourceShingles(docs)
+      .groupBy(col("source"))
+      .agg(sketch(col("h"), k).as("sk"))
+
+  /** Trimmed set-union merge of two sketch COLUMNS (the d36 array
+    * path): the k smallest of the union of kept sets — exactly the
+    * sketch a single pass over both inputs would build (KmvSketchSpec
+    * pins the law). NULL-tolerant so a full-outer join of old and new
+    * source sets merges cleanly. */
+  def mergeSketch(a: Column, b: Column, k: Int = DefaultK): Column =
+    slice(
+      array_sort(array_union(
+        coalesce(a, array().cast("array<long>")),
+        coalesce(b, array().cast("array<long>")))),
+      1, k)
+
+  /** Incremental update: merge a NEW batch's per-source sketches into
+    * stored ones (full outer on source — new sources appear, untouched
+    * sources pass through). The historical corpus is never re-read. */
+  def mergeSourceSketches(
+      stored: DataFrame, fresh: DataFrame, k: Int = DefaultK): DataFrame = {
+    val a = stored.select(col("source"), col("sk").as("_sk_a"))
+    val b = fresh.select(col("source"), col("sk").as("_sk_b"))
+    a.join(b, Seq("source"), "full_outer")
+      .select(col("source"),
+        mergeSketch(col("_sk_a"), col("_sk_b"), k).as("sk"))
+  }
+
   /** d36 — pairwise source overlap from MERGED sketches: union sketch
     * = k smallest of the two kept sets (pure array math — the data is
     * never re-touched), intersection by inclusion-exclusion, Jaccard

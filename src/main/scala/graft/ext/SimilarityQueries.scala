@@ -578,8 +578,83 @@ object SimilarityQueries {
       Similarity.prototypicality(
         Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
         k = 16, pruneE4 = 1000L, dim = Some(64))
+    },
+
+    // IVF recall CURVE — recall@10 per nProbe ∈ {1,2,4,8} against the
+    // exact s1 top-10: the operational sweep that answers "how many
+    // cells must a probe touch here?" (the s20 audit for the IVF path;
+    // FAISS's nprobe tuning table). ONE Lloyd build, the assignment
+    // frame persisted and re-probed per point on the curve — each
+    // probe scans only its candidate cells. Oracle: the s4 replay
+    // instantiated per nProbe (LIMIT np on the centroid ranking) next
+    // to the exact cosine top-10, counts joined per curve point.
+    Q("s24_ivf_recall_curve", s24OracleSql) { (s, dir) =>
+      val qv = queryVec(s, dir)
+      val emb = Tables.load(s, dir, "embeddings")
+      val idx = Similarity.ivfBuild(
+        emb, "vec_id", "embedding", dim = Some(qv.length))
+      val asg = idx.assigned.persist()
+      val shared = Similarity.IvfIndex(idx.centroids, asg)
+      val ex = Similarity
+        .cosineTopK(emb, "vec_id", "embedding", qv, k = 10).select("id")
+      Seq(1, 2, 4, 8).map { np =>
+        val ap = Similarity.ivfTopK(shared, qv, k = 10, nProbe = np)
+          .select("id")
+        ex.join(ap, Seq("id"))
+          .agg(count(lit(1)).as("n_hits"))
+          .select(
+            lit(np.toLong).as("n_probe"), lit(10L).as("k"),
+            col("n_hits"), expr("n_hits * 10000 div 10").as("recall_e4"))
+      }.reduce(_ unionByName _)
     }
   )
+
+  /** s24 replay: the s4 CTE chain with the centroid ranking limited at
+    * each nProbe, the exact side over the full corpus with the
+    * identical rounded cosine, one UNION ALL row per curve point. */
+  private lazy val s24OracleSql: String = {
+    val dim = 64
+    val nps = Seq(1, 2, 4, 8)
+    def cos(src: String): String =
+      s"""round(
+         |      list_sum(list_transform(range(1, ${dim + 1}),
+         |        i -> CAST($src.e[i] AS DOUBLE) * CAST(q[i] AS DOUBLE)))
+         |      / (sqrt(list_sum(list_transform($src.e,
+         |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |         * sqrt(list_sum(list_transform(q,
+         |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         |      6)""".stripMargin
+    val perNp = nps.map { np =>
+      s"""pr$np AS (SELECT ci FROM sc ORDER BY sc DESC, ci ASC LIMIT $np),
+         |top$np AS (
+         |  SELECT id FROM (
+         |    SELECT a.id, ${cos("a")} AS cos6
+         |    FROM asg a JOIN pr$np USING (ci), qv)
+         |  ORDER BY cos6 DESC, id ASC LIMIT 10)""".stripMargin
+    }.mkString(",\n")
+    val rows = nps.map { np =>
+      s"""SELECT CAST($np AS BIGINT) AS n_probe, CAST(10 AS BIGINT) AS k,
+         |  (SELECT count(*) FROM top$np t JOIN ex USING (id)) AS n_hits,
+         |  (SELECT count(*) FROM top$np t JOIN ex USING (id)) * 10000 // 10
+         |    AS recall_e4""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${KmeansOracle.lloydCtes()},
+       |qv AS (SELECT e AS q FROM v WHERE id = 0),
+       |sc AS (
+       |  SELECT c.ci,
+       |    list_sum(list_transform(range(1, ${dim + 1}),
+       |      i -> c.cv[i] * CAST(q[i] AS DOUBLE)))
+       |    / greatest(sqrt(list_sum(list_transform(q,
+       |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 1e-12) AS sc
+       |  FROM cents3 c, qv),
+       |ex AS (
+       |  SELECT id FROM (
+       |    SELECT a.id, ${cos("a")} AS cos6
+       |    FROM v a, qv)
+       |  ORDER BY cos6 DESC, id ASC LIMIT 10),
+       |$perNp
+       |$rows""".stripMargin
+  }
 
   /** s22 replay: e6-quantized per-(label, dim) integer sums → floored
     * double means → pairwise Σ Δ² with the (|Δ| DESC, dim ASC) argmax
