@@ -44,7 +44,8 @@ object CurateMain {
     """usage: graft.CurateMain <documentsParquet> <outDir>
       |  [--id-col doc_id] [--text-col text] [--near-dup]
       |  [--benchmark <parquet>] [--bench-text-col text]
-      |  [--contam-max-e4 2000] [--budget <tokens>] [--shards 16]""".stripMargin
+      |  [--contam-max-e4 2000] [--budget <tokens>] [--shards 16]
+      |  [--report-source <col>]      // per-source diversity + PSI drift report""".stripMargin
 
   def main(args: Array[String]): Unit = {
     if (args.length < 2) { System.err.println(usage); sys.exit(2) }
@@ -189,5 +190,32 @@ object CurateMain {
       java.nio.file.Paths.get(outDir, "_funnel.json"),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"[curate] wrote $outDir/corpus (+ _funnel.json)")
+
+    // 7. optional monitoring report over the SURVIVING corpus, keyed by
+    //    a source column of the input: per-source KMV distinct-shingle
+    //    diversity (d35) and PSI quality-score drift vs the survivors'
+    //    own global deciles (t45) — the "did curation skew a source /
+    //    collapse its diversity" audit a production pipeline publishes
+    //    next to the funnel. Both are reduced-frame math after one
+    //    shingle pass / one bucket-count shuffle.
+    opt(args, "--report-source").foreach { srcCol =>
+      val survivors = sharded.select("doc_id")
+        .join(
+          raw.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+            col(textCol).as("text")),
+          Seq("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.ext.Kmv.distinctAudit(survivors)
+        .write.mode("overwrite").parquet(s"$outDir/_report/source_diversity")
+      graft.ext.Splits.psiDrift(
+        survivors.select(col("source"),
+          floor(graft.ext.TextAnalysis.qualityScore(col("text")) * 10000)
+            .cast("long").as("quality_e4")),
+        "source", "quality_e4")
+        .write.mode("overwrite").parquet(s"$outDir/_report/psi_quality_drift")
+      survivors.unpersist()
+      println(s"[curate] wrote $outDir/_report " +
+        "(source_diversity + psi_quality_drift)")
+    }
   }
 }

@@ -1189,6 +1189,18 @@ object DedupQueries {
     // joins (d32 is the exact twin this estimates).
     Q("d36_kmv_source_overlap", d36OracleSql) { (s, dir) =>
       Kmv.sourceOverlap(Tables.load(s, dir, "documents"))
+    },
+
+    // ONE-PASS table profile ([[Kmv.tableProfile]]) — the ANALYZE-style
+    // ops report: per column, rows / nulls / exact distinct / KMV
+    // estimate / error bp, every column's statistics riding a single
+    // corpus scan (the sketches O(k) each, map-side bounded). The
+    // oracle replays each column's bottom-k pmd5 set and the shared
+    // estimator formula.
+    Q("d37_table_profile", d37OracleSql) { (s, dir) =>
+      Kmv.tableProfile(
+        Tables.load(s, dir, "documents"),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
     }
   )
 
@@ -1457,6 +1469,32 @@ object DedupQueries {
        |  abs(est_distinct - exact_distinct) * 10000
        |    // exact_distinct AS err_e4
        |FROM est""".stripMargin
+  }
+
+  /** d37 replay: per profiled column, the bottom-k distinct pmd5 set
+    * (kept ascending) + exact counts, one UNION ALL row per column
+    * through the shared [[kmvEstSql]] estimator. */
+  private lazy val d37OracleSql: String = {
+    val k = Kmv.DefaultK
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val ctes = cols.map { c =>
+      s"""k_$c AS (
+         |  SELECT list(h ORDER BY h) AS sk FROM (
+         |    SELECT DISTINCT ${pmSql(s"CAST($c AS VARCHAR)")} AS h
+         |    FROM documents WHERE $c IS NOT NULL
+         |    ORDER BY h LIMIT $k))""".stripMargin
+    }.mkString(",\n")
+    val rows = cols.map { c =>
+      s"""SELECT '$c' AS "column",
+         |  (SELECT count(*) FROM documents) AS n_rows,
+         |  (SELECT count(*) FROM documents WHERE $c IS NULL) AS n_nulls,
+         |  (SELECT count(DISTINCT $c) FROM documents) AS n_distinct,
+         |  (SELECT ${kmvEstSql("sk", k)} FROM k_$c) AS kmv_est,
+         |  abs((SELECT ${kmvEstSql("sk", k)} FROM k_$c)
+         |      - (SELECT count(DISTINCT $c) FROM documents)) * 10000
+         |    // (SELECT count(DISTINCT $c) FROM documents) AS err_e4""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH $ctes\n$rows"
   }
 
   private lazy val d36OracleSql: String = {

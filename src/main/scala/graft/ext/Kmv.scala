@@ -133,6 +133,44 @@ object Kmv {
         mergeSketch(col("_sk_a"), col("_sk_b"), k).as("sk"))
   }
 
+  /** d37 — ONE-PASS table profile (the ANALYZE-style ops tool a 100 TB
+    * table is sized by): per column, row count, null count, exact
+    * distinct count and the KMV estimate with its error in basis
+    * points. All columns' statistics ride a SINGLE aggregation over
+    * ONE corpus scan (4·|cols| aggregate expressions, the sketches
+    * O(k) each); the per-column output rows are projections of the
+    * persisted 1-row aggregate. The exact countDistinct is the audit
+    * reference, as in d35 — a production profiler at scale keeps only
+    * the sketch column.
+    *
+    * Column values key through [[Dedup.pmd5]] of their canonical
+    * string cast, so only portably-rendered types belong here (ints,
+    * longs, strings — NOT doubles/decimals/timestamps, whose string
+    * forms differ across engines). */
+  def tableProfile(df: DataFrame, cols: Seq[String], k: Int = DefaultK)
+      : DataFrame = {
+    require(cols.nonEmpty, "tableProfile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_nn_$c"),
+        countDistinct(col(c)).as(s"_nd_$c"),
+        sketch(Dedup.pmd5(col(c)), k).as(s"_sk_$c"))
+    }
+    val one = df
+      .agg(count(lit(1)).as("_n"), aggs: _*)
+      .persist()
+    cols.map { c =>
+      one.select(
+        lit(c).as("column"),
+        col("_n").as("n_rows"),
+        col(s"_nn_$c").as("n_nulls"),
+        col(s"_nd_$c").as("n_distinct"),
+        estimate(col(s"_sk_$c"), k).as("kmv_est"))
+        .withColumn("err_e4",
+          expr("abs(kmv_est - n_distinct) * 10000 div n_distinct"))
+    }.reduce(_ unionByName _)
+  }
+
   /** d36 — pairwise source overlap from MERGED sketches: union sketch
     * = k smallest of the two kept sets (pure array math — the data is
     * never re-touched), intersection by inclusion-exclusion, Jaccard

@@ -125,4 +125,37 @@ class CurateMainSpec extends SparkSpec {
     Seq(in, out).foreach(d =>
       graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(d)))
   }
+
+  test("CurateMain --report-source: per-source diversity + PSI drift " +
+    "reports match the library operators on the written survivors") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        concat(lit("src"), (col("doc_id") % 3).cast("string")).as("origin"))
+    val in = java.nio.file.Files.createTempDirectory("curate-rin").toString
+    docs.write.mode("overwrite").parquet(in)
+    val out = java.nio.file.Files.createTempDirectory("curate-rout").toString
+    CurateMain.run(spark, Array(
+      in, out, "--shards", "2", "--report-source", "origin"))
+
+    val corpus = spark.read.parquet(s"$out/corpus")
+    val survivors = corpus.select("doc_id")
+      .join(docs.select(col("doc_id"), col("origin").as("source"),
+        col("text")), Seq("doc_id"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+
+    val divReport = spark.read.parquet(s"$out/_report/source_diversity")
+    assert(rows(divReport) == rows(graft.ext.Kmv.distinctAudit(survivors)))
+    val psiReport = spark.read.parquet(s"$out/_report/psi_quality_drift")
+    assert(rows(psiReport) == rows(graft.ext.Splits.psiDrift(
+      survivors.select(col("source"),
+        floor(graft.ext.TextAnalysis.qualityScore(col("text")) * 10000)
+          .cast("long").as("quality_e4")),
+      "source", "quality_e4")))
+    // one row per surviving source, all three planted sources survive
+    assert(psiReport.count() == 3L && divReport.count() == 3L)
+    Seq(in, out).foreach(d =>
+      graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(d)))
+  }
 }

@@ -729,5 +729,14 @@ class PlanSpec extends SparkSpec {
     assert(!p45.contains("CartesianProduct"), p45.take(3000))
     assert(!p45.contains("Window"), p45.take(3000))
     spark.catalog.clearCache()
+    // d37 table profile: ALL columns' statistics ride ONE corpus scan
+    // — every per-column output row is a projection of the SAME cached
+    // 1-row aggregate (each Union branch is an InMemoryTableScan whose
+    // printed relation body repeats the build plan, so the gate counts
+    // cache reads, not 'Scan parquet' text occurrences), and the only
+    // exchange is the 1-row global-aggregate SinglePartition
+    val p37 = planOf(SparkEntry.queries("d37_table_profile")(spark, dir))
+    assert("InMemoryTableScan".r.findAllIn(p37).size >= 5, p37.take(3000))
+    spark.catalog.clearCache()
   }
 }
