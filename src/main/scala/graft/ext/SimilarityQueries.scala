@@ -606,8 +606,93 @@ object SimilarityQueries {
             lit(np.toLong).as("n_probe"), lit(10L).as("k"),
             col("n_hits"), expr("n_hits * 10000 div 10").as("recall_e4"))
       }.reduce(_ unionByName _)
+    },
+
+    // NDCG@10 of the IVF ranking against the exact ranking — the
+    // POSITION-weighted retrieval-quality audit (recall says "did the
+    // right ids appear"; NDCG says "in the right order, weighted to
+    // the top"). Graded relevance = 11 − exact_rank for exact-top-10
+    // members, 0 otherwise; log2-discounted gains e6-floored PER TERM
+    // before the integer sums (double sums are order-dependent), NDCG
+    // as an integer-division ratio. Completes the s20/s24 audit trio.
+    Q("s25_ndcg_audit", s25OracleSql) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val qv = queryVec(s, dir)
+      val emb = Tables.load(s, dir, "embeddings")
+      val idx = Similarity.ivfBuild(
+        emb, "vec_id", "embedding", dim = Some(qv.length))
+      val w = Window.orderBy(col("cos_sim").desc, col("id").asc)
+      val ex = Similarity.cosineTopK(emb, "vec_id", "embedding", qv, k = 10)
+        .withColumn("rk", row_number().over(w)).select("id", "rk")
+      val ap = Similarity.ivfTopK(idx, qv, k = 10)
+        .withColumn("pos", row_number().over(w)).select("id", "pos")
+      def gainE6(rel: org.apache.spark.sql.Column,
+          at: org.apache.spark.sql.Column) =
+        floor(lit(1000000.0) * rel.cast("double") /
+          (log((at + 1).cast("double")) / log(lit(2.0)))).cast("long")
+      val dcg = ap.join(ex, Seq("id"), "left")
+        .agg(coalesce(sum(gainE6(lit(11) - col("rk"), col("pos"))), lit(0L))
+          .as("dcg_e6"))
+      val idcg = ex
+        .agg(sum(gainE6(lit(11) - col("rk"), col("rk"))).as("idcg_e6"))
+      dcg.crossJoin(broadcast(idcg))
+        .select(
+          lit(10L).as("k"), col("dcg_e6"), col("idcg_e6"),
+          expr("dcg_e6 * 1000000 div idcg_e6").as("ndcg_e6"))
     }
   )
+
+  /** s25 replay: exact top-10 with ranks (the graded relevance), the
+    * s4 IVF top-10 with positions, the shared log2-discounted gain in
+    * IEEE doubles — DCG over the IVF ranking, IDCG over the exact one,
+    * e6-floored ratio. */
+  private lazy val s25OracleSql: String = {
+    val dim = 64
+    def cosE(src: String): String =
+      s"""round(
+         |      list_sum(list_transform(range(1, ${dim + 1}),
+         |        i -> CAST($src.e[i] AS DOUBLE) * CAST(q[i] AS DOUBLE)))
+         |      / (sqrt(list_sum(list_transform($src.e,
+         |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |         * sqrt(list_sum(list_transform(q,
+         |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         |      6)""".stripMargin
+    s"""WITH ${KmeansOracle.lloydCtes()},
+       |qv AS (SELECT e AS q FROM v WHERE id = 0),
+       |sc AS (
+       |  SELECT c.ci,
+       |    list_sum(list_transform(range(1, ${dim + 1}),
+       |      i -> c.cv[i] * CAST(q[i] AS DOUBLE)))
+       |    / greatest(sqrt(list_sum(list_transform(q,
+       |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 1e-12) AS sc
+       |  FROM cents3 c, qv),
+       |pr AS (SELECT ci FROM sc ORDER BY sc DESC, ci ASC LIMIT 4),
+       |ex AS (
+       |  SELECT id, row_number() OVER (ORDER BY cos6 DESC, id ASC) AS rk
+       |  FROM (SELECT a.id, ${cosE("a")} AS cos6 FROM v a, qv)
+       |  ORDER BY cos6 DESC, id ASC LIMIT 10),
+       |ap AS (
+       |  SELECT id, row_number() OVER (ORDER BY cos6 DESC, id ASC) AS pos
+       |  FROM (
+       |    SELECT a.id, ${cosE("a")} AS cos6
+       |    FROM asg a JOIN pr USING (ci), qv)
+       |  ORDER BY cos6 DESC, id ASC LIMIT 10),
+       |dcg AS (
+       |  SELECT coalesce(sum(CAST(floor(1000000.0
+       |    * CAST(11 - ex.rk AS DOUBLE)
+       |    / (ln(CAST(ap.pos + 1 AS DOUBLE)) / ln(2.0))) AS BIGINT)), 0)
+       |    AS g
+       |  FROM ap LEFT JOIN ex USING (id)),
+       |idcg AS (
+       |  SELECT sum(CAST(floor(1000000.0
+       |    * CAST(11 - rk AS DOUBLE)
+       |    / (ln(CAST(rk + 1 AS DOUBLE)) / ln(2.0))) AS BIGINT)) AS g
+       |  FROM ex)
+       |SELECT CAST(10 AS BIGINT) AS k,
+       |  CAST(dcg.g AS BIGINT) AS dcg_e6, CAST(idcg.g AS BIGINT) AS idcg_e6,
+       |  CAST(dcg.g * 1000000 // idcg.g AS BIGINT) AS ndcg_e6
+       |FROM dcg, idcg""".stripMargin
+  }
 
   /** s24 replay: the s4 CTE chain with the centroid ranking limited at
     * each nProbe, the exact side over the full corpus with the
