@@ -32,7 +32,7 @@ object Bench {
         System.err.println(s"BENCH FAIL $name: $t"); false
       }
       val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // free per-query persisted frames
+      graft.ext.Caches.release(); spark.catalog.clearCache() // free per-query persisted frames
       if (ok) dt else -1.0
     }
     // optional dev filter (1st arg, comma-separated name prefixes) — the

@@ -199,7 +199,12 @@ object CurateMain {
     //    next to the funnel. Both are reduced-frame math after one
     //    shingle pass / one bucket-count shuffle.
     opt(args, "--report-source").foreach { srcCol =>
-      val survivors = sharded.select("doc_id")
+      // survivors come back from the JUST-WRITTEN corpus parquet — the
+      // dedup-join + per-shard window lineage above is unpersisted
+      // after the write, so deriving them from `sharded` would re-run
+      // the whole pipeline tail a second time
+      val survivors = spark.read.parquet(s"$outDir/corpus")
+        .select("doc_id")
         .join(
           raw.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
             col(textCol).as("text")),

@@ -56,7 +56,10 @@ case class KmvSketch(
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[KmvSketch.Buffer] {
 
-  require(k >= 1, "kmv_sketch needs k >= 1")
+  // k >= 2 at the EXPRESSION level too (not just the Kmv.sketch / SQL
+  // builder surfaces): the bottom-k estimator divides by k-1, so a
+  // directly-constructed k=1 aggregate would silently estimate 0.
+  require(k >= 2, "kmv_sketch needs k >= 2 (estimator divides by k-1)")
 
   override def children: Seq[Expression] = Seq(hash)
 

@@ -32,11 +32,12 @@ import org.apache.spark.storage.StorageLevel
   * CENTRALIZED IN THE CALLER, deliberately: the returned DataFrame is
   * lazy, so the operator cannot know when its caches are safe to drop —
   * an in-operator unpersist would fire before the caller's action and
-  * silently re-derive the frame per consumer. Long-lived sessions run
-  * `spark.catalog.clearCache()` between corpora, exactly as the
-  * `graft.Verify` / `graft.Bench` / `graft.ScaleProbe` drivers do after
-  * every query (this covers minhash, winnow, and cosine-LSH frames
-  * alike).
+  * silently re-derive the frame per consumer. Long-lived sessions
+  * release operator-internal caches between corpora with
+  * [[Caches.release]] (internal persists register there), or run the
+  * blunter `spark.catalog.clearCache()` exactly as the `graft.Verify` /
+  * `graft.Bench` / `graft.ScaleProbe` drivers do after every query
+  * (this covers minhash, winnow, and cosine-LSH frames alike).
   */
 object Dedup {
   import TextAnalysis.tokens
@@ -262,32 +263,59 @@ object Dedup {
 
   /** SemDeDup (Abbas et al., 2023): semantic dedup via k-means CELLS —
     * the clustering-cell alternative to [[dedupCorpusByCosine]]'s
-    * sign-LSH banding. Vectors k-means-assign once (Similarity.ivfBuild
-    * — one distributed agg per Lloyd iteration, k×dim centroids to the
-    * driver), the candidate self-join keys on the CELL id (each vector
-    * lives in exactly one cell, so no cross-cell pair is ever scored —
-    * that is the paper's recall trade, bounded by cell granularity),
-    * pairs verify with the exact e6-rounded cosine, and the shared
-    * clusters → survivor tail picks max score / min id per dup group
-    * (the paper keeps the centroid-nearest member — pass a
-    * centroid-similarity score for that behavior). 100 TB shape: pick
-    * k ≈ N/targetCell so cells bound the join, and `maxCell` drops
-    * degenerate cells (the universal skew guard). Output: one row per
-    * surviving vector (keep_id, cluster_id, score, n_members). */
+    * sign-LSH banding. Centroids train on the capped Lloyd sample
+    * (Similarity.ivfBuild — one distributed agg per iteration, k×dim
+    * centroids to the driver); the FULL corpus then assigns through
+    * TWO-LEVEL routing ([[Similarity.assignCellsRouted]]): a
+    * driver-side meta-Lloyd clusters the k centroids into
+    * `superK ≈ √k` groups, each vector scores the √k super-centroids
+    * then only its group's centroids — n·2√k·d assignment work
+    * instead of the flat n·k·d, which is the term that went quadratic
+    * at 100 TB scale where k grows with N (k ≈ N/targetCell). The
+    * candidate self-join keys on the CELL id (each vector lives in
+    * exactly one cell, so no cross-cell pair is ever scored — the
+    * paper's recall trade, bounded by cell granularity), pairs verify
+    * with the exact e6-rounded cosine, and the shared clusters →
+    * survivor tail picks max score / min id per dup group (the paper
+    * keeps the centroid-nearest member — pass a centroid-similarity
+    * score for that behavior).
+    *
+    * Oversized cells (> `maxCell`, the universal skew guard) are
+    * EXCLUDED from pair scoring but NOT silently: every output row
+    * carries `cell_capped` (1 = this survivor's cell was over the cap,
+    * so it received no dedup) — `avg(cell_capped)` is the excluded
+    * fraction a production run must alert on, because a corpus where
+    * every cell exceeds maxCell degrades to a no-op. Output: one row
+    * per surviving vector (keep_id, cluster_id, score, n_members,
+    * cell_capped). */
   def semDedup(
       vectors: DataFrame, idCol: String, vecCol: String, score: Column,
       threshold: Double = 0.9, k: Int = 16, iters: Int = 3,
-      maxCell: Int = 1000, dim: Option[Int] = None): DataFrame = {
+      maxCell: Int = 1000, dim: Option[Int] = None,
+      superK: Int = 0, metaIters: Int = 2, trainCap: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val assigned = Similarity
-      .ivfBuild(vectors, idCol, vecCol, k = k, iters = iters, dim = dim)
-      .assigned
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    assigned.count()
-    val capped = assigned
+    // trainCap bounds the OTHER super-linear term at corpus-pinned k:
+    // Lloyd training scores cap(=50·k default) sample rows against k
+    // centroids per iteration — 50·k² with the default. Past ~10⁵
+    // cells, pin trainCap to a fixed budget (FAISS's stance) so
+    // training tracks the budget, not k².
+    val index = Similarity
+      .ivfBuild(vectors, idCol, vecCol, k = k, iters = iters, dim = dim,
+        trainCap = trainCap)
+    val r = if (superK > 0) superK
+      else math.ceil(math.sqrt(k.toDouble)).toInt
+    val (supers, groupOf) =
+      Similarity.metaCentroids(index.centroids, r, metaIters)
+    val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val flagged = Similarity
+      .assignCellsRouted(base, index.centroids, supers, groupOf)
       .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("c"))))
-      .where(col("_n") <= maxCell)
+      .withColumn("cell_capped",
+        when(col("_n") > maxCell, 1L).otherwise(0L))
       .drop("_n")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    flagged.count()
+    val capped = flagged.where(col("cell_capped") === 0L)
     val pairs = capped
       .select(col("c"), col("id").as("id_a"), col("v").as("_va"))
       .join(capped.select(col("c"), col("id").as("id_b"),
@@ -298,6 +326,9 @@ object Dedup {
       .where(col("_cos") >= threshold)
       .select(col("id_a"), col("id_b"))
     survivors(vectors, idCol, score, nearDupClusters(pairs))
+      .join(
+        flagged.select(col("id").as("keep_id"), col("cell_capped")),
+        Seq("keep_id"))
   }
 
   /** Survivor selection shared by the corpus-dedup compositions: one

@@ -627,8 +627,11 @@ object DedupQueries {
     // SemDeDup: k-means-cell semantic dedup over the embedding corpus
     // (the clustering-cell alternative to d11's sign-LSH banding).
     // Hash-oracled end to end: the KmeansOracle Lloyd replay (seeded
-    // centroids inlined, e6-integer cell means) feeds the cell-capped
-    // in-cell pair join, the e6-rounded cosine threshold, d8's
+    // centroids inlined, e6-integer cell means) trains the centroids,
+    // the routedCtes replay derives the TWO-LEVEL assignment (meta-
+    // Lloyd groups + per-group argmax — the n·√k scale path), then the
+    // cell-capped in-cell pair join (cap surfaced as cell_capped, not
+    // a silent drop), the e6-rounded cosine threshold, d8's
     // recursive-CTE connected components, and the d11 survivor window.
     Q("d18_semdedup", d18OracleSql) { (s, dir) =>
       // threshold 0.4 like d11: the synthetic corpus's most-similar
@@ -1679,13 +1682,23 @@ object DedupQueries {
   /** d11: d6's pair replay → d8's recursive-CTE connected components →
     * survivor window (max norm-e6 score, min-id tiebreak; singletons
     * keep themselves) — [[Dedup.dedupCorpusByCosine]] end to end. */
-  /** d18: SemDeDup replay — [[KmeansOracle.lloydCtes]] assignment →
-    * maxCell=1000 cap → in-cell pairs → e6-rounded cosine ≥ 0.4 →
-    * d8 recursive-CTE connected components → d11 survivor window. */
+  /** d18: SemDeDup replay — [[KmeansOracle.lloydCtes]] centroid
+    * training → [[KmeansOracle.routedCtes]] two-level routed
+    * assignment (meta-Lloyd over the centroids, r=√k=4 groups) →
+    * maxCell=1000 cap (surfaced as `cell_capped`, never a silent
+    * drop) → in-cell pairs → e6-rounded cosine ≥ 0.4 → d8
+    * recursive-CTE connected components → d11 survivor window. */
   private lazy val d18OracleSql: String =
     s"""WITH RECURSIVE ${KmeansOracle.lloydCtes()},
-       |ok AS (SELECT ci FROM asg GROUP BY ci HAVING count(*) <= 1000),
-       |cp AS (SELECT a.id, a.e, a.ci FROM asg a JOIN ok USING (ci)),
+       |${KmeansOracle.routedCtes("cents3", r = 4)},
+       |cnt AS (SELECT ci, count(*) AS n FROM asgr GROUP BY ci),
+       |flg AS (
+       |  SELECT a.id,
+       |    CASE WHEN c.n > 1000 THEN 1 ELSE 0 END AS cell_capped
+       |  FROM asgr a JOIN cnt c USING (ci)),
+       |cp AS (
+       |  SELECT a.id, a.e, a.ci FROM asgr a JOIN cnt c USING (ci)
+       |  WHERE c.n <= 1000),
        |pv AS (
        |  SELECT x.id AS id_a, y.id AS id_b,
        |    round((${dotChain2("x.e", "y.e", 64)})
@@ -1715,9 +1728,10 @@ object DedupQueries {
        |    count(*) OVER (PARTITION BY cluster_id) AS n_members
        |  FROM scored
        |)
-       |SELECT id AS keep_id, cluster_id, score, CAST(n_members AS BIGINT)
-       |  AS n_members
-       |FROM ranked WHERE rn = 1""".stripMargin
+       |SELECT r.id AS keep_id, r.cluster_id, r.score,
+       |  CAST(r.n_members AS BIGINT) AS n_members,
+       |  CAST(f.cell_capped AS BIGINT) AS cell_capped
+       |FROM ranked r JOIN flg f ON f.id = r.id WHERE rn = 1""".stripMargin
 
   private lazy val d11OracleSql: String =
     s"""WITH RECURSIVE ${cosineLshCtes(0.4)}, edges AS (

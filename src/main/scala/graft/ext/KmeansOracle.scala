@@ -89,6 +89,86 @@ object KmeansOracle {
     sb.result()
   }
 
+  /** Replay of [[Similarity.metaCentroids]] + two-level routed
+    * assignment ([[Similarity.assignCellsRouted]]) — append after
+    * [[lloydCtes]]. Derives the meta-Lloyd over `$cents` (the final
+    * centroid CTE) with the identical arithmetic: seeded-Gaussian
+    * super-centroid init inlined as literals, (score, idx) struct-max
+    * ties to the HIGHER group (`ORDER BY sc DESC, gi DESC`),
+    * e6-integer means (DuckDB round == Spark ROUND: half-up away from
+    * zero — the engine mirrors it with BigDecimal HALF_UP), empty
+    * groups keep their previous super-centroid. Appends CTEs
+    * `m0..m{metaIters}`, `grp` (ci → gi), `gsup` (groups that won ≥ 1
+    * centroid — the only routable targets), `rt` (vector → group) and
+    * `asgr` — the routed FINAL assignment (id, e, ci) matching the
+    * engine's two-level path. */
+  def routedCtes(
+      cents: String, r: Int, metaIters: Int = 2, dim: Int = 64,
+      seed: Long = 42L): String = {
+    val init = Similarity.initialCentroids(r, dim, seed)
+    val m0rows = init.zipWithIndex.map { case (c, g) =>
+      s"($g, [${c.mkString(", ")}])"
+    }.mkString(",\n    ")
+    def metaAssign(name: String, sup: String): String =
+      s"""$name AS (
+         |  SELECT ci, cv, gi FROM (
+         |    SELECT ci, cv, gi,
+         |      row_number() OVER (PARTITION BY ci ORDER BY sc DESC, gi DESC)
+         |        AS rn
+         |    FROM (
+         |      SELECT c.ci, c.cv, m.gi,
+         |        ${dotListQ("c.cv", "m.gv", dim)} / ${normQ("c.cv")} AS sc
+         |      FROM $cents c, $sup m))
+         |  WHERE rn = 1)""".stripMargin
+    val sb = new StringBuilder
+    sb ++= s"""m0(gi, gv) AS (VALUES
+              |    $m0rows),
+              |""".stripMargin
+    for (it <- 1 to metaIters) {
+      val prev = s"m${it - 1}"
+      sb ++= metaAssign(s"ma$it", prev) + ",\n"
+      sb ++= s"""ms$it AS (
+                |  SELECT a.gi, t.i,
+                |    sum(CAST(round(a.cv[t.i] * 1000000) AS BIGINT)) AS s,
+                |    count(*) AS n
+                |  FROM ma$it a, range(1, ${dim + 1}) t(i) GROUP BY 1, 2),
+                |m$it AS (
+                |  SELECT p.gi, coalesce(u.gv, p.gv) AS gv
+                |  FROM $prev p LEFT JOIN (
+                |    SELECT gi, list(CAST(s AS DOUBLE)
+                |      / (CAST(n AS DOUBLE) * 1000000.0) ORDER BY i) AS gv
+                |    FROM ms$it GROUP BY gi) u USING (gi)),
+                |""".stripMargin
+    }
+    sb ++= metaAssign("grp", s"m$metaIters") + ",\n"
+    sb ++= s"""gsup AS (
+              |  SELECT DISTINCT g.gi, m.gv
+              |  FROM grp g JOIN m$metaIters m USING (gi)),
+              |rt AS (
+              |  SELECT id, e, gi FROM (
+              |    SELECT id, e, gi,
+              |      row_number() OVER (PARTITION BY id ORDER BY sc DESC, gi DESC)
+              |        AS rn
+              |    FROM (
+              |      SELECT v.id, v.e, s.gi,
+              |        ${dotListQ("v.e", "s.gv", dim)} / ${normQ("v.e")} AS sc
+              |      FROM v, gsup s))
+              |  WHERE rn = 1),
+              |asgr AS (
+              |  SELECT id, e, ci FROM (
+              |    SELECT id, e, ci,
+              |      row_number() OVER (PARTITION BY id ORDER BY sc DESC, ci DESC)
+              |        AS rn
+              |    FROM (
+              |      SELECT r.id, r.e, c.ci,
+              |        ${dotListQ("r.e", "c.cv", dim)} / ${normQ("r.e")} AS sc
+              |      FROM rt r
+              |      JOIN grp g ON g.gi = r.gi
+              |      JOIN $cents c ON c.ci = g.ci))
+              |  WHERE rn = 1)""".stripMargin
+    sb.result()
+  }
+
   /** Replay of [[Similarity.pqBuild]]'s per-subspace Lloyd training
     * over an arbitrary source CTE `$src` of rows (id, `$rCol`) whose
     * vector elements cast to DOUBLE (raw float embeddings for s7,

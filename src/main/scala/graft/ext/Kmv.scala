@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.ext.Caches.Registered
 
 /** KMV (k-minimum-values) distinct sketches over the portable 60-bit
   * shingle-hash substrate — the theta-sketch workflow a corpus audit
@@ -158,7 +159,7 @@ object Kmv {
     }
     val one = df
       .agg(count(lit(1)).as("_n"), aggs: _*)
-      .persist()
+      .persistRegistered()
     cols.map { c =>
       one.select(
         lit(c).as("column"),
@@ -184,7 +185,7 @@ object Kmv {
       .groupBy(col("source"))
       .agg(sketch(col("h"), k).as("sk"))
       .select(col("source"), col("sk"), estimate(col("sk"), k).as("est"))
-      .persist()
+      .persistRegistered()
     val a = sk.select(
       col("source").as("src_a"), col("sk").as("sk_a"), col("est").as("est_a"))
     val b = sk.select(

@@ -615,13 +615,19 @@ object Similarity {
     Seq.fill(m)(Seq.fill(k)(Seq.fill(subDim)(rnd.nextGaussian())))
   }
 
-  private def nearestCentroid(vec: Column, cents: Seq[Seq[Double]]): Column = {
-    // argmin over centroids of negative dot on normalized vectors ≈
-    // cosine assignment; struct-max trick for (score, idx) argmax
-    val scored = cents.zipWithIndex.map { case (c, i) =>
+  private def nearestCentroid(vec: Column, cents: Seq[Seq[Double]]): Column =
+    nearestAmong(vec, cents.zipWithIndex.map { case (c, i) => (i, c) })
+
+  /** argmax over an explicit (index, centroid) subset — struct-max on
+    * (score, idx), so equal scores break to the HIGHER index (the
+    * assignment-tie contract every oracle replays as
+    * `ORDER BY sc DESC, ci DESC`). */
+  private def nearestAmong(
+      vec: Column, members: Seq[(Int, Seq[Double])]): Column = {
+    val scored = members.map { case (ci, c) =>
       struct(
         (dot(vec, array(c.map(lit): _*)) / norm(vec)).as("score"),
-        lit(i).as("idx"))
+        lit(ci).as("idx"))
     }
     array_max(array(scored: _*)).getField("idx")
   }
@@ -655,6 +661,118 @@ object Similarity {
         .agg(max(col("_s")).getField("idx").as("c"))
       base.join(assigned, "id")
     }
+
+  /** Driver-side Lloyd over the k CENTROIDS themselves → r
+    * super-centroids + a centroid→group map — the routing level of
+    * two-level (IMI-style) assignment. Pure Scala on k×dim doubles
+    * (k is driver-scale by construction), but every operation mirrors
+    * the engine/oracle arithmetic EXACTLY so a SQL replay derives the
+    * identical groups: dots/norms fold left-to-right in index order,
+    * assignment ties break to the HIGHER group index (the struct-max
+    * contract), means come from e6-integer sums (associative), empty
+    * groups keep their previous super-centroid. */
+  private[graft] def metaCentroids(
+      cents: Seq[Seq[Double]], r: Int, iters: Int = 2,
+      seed: Long = 42L): (Seq[Seq[Double]], Seq[Int]) = {
+    require(cents.nonEmpty, "metaCentroids: no centroids")
+    val dim = cents.head.size
+    def dotD(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def assign(sup: Seq[Seq[Double]]): Seq[Int] = cents.map { c =>
+      val n = math.sqrt(dotD(c, c))
+      sup.zipWithIndex
+        .map { case (s, g) => (dotD(c, s) / n, g) }
+        .reduceLeft((a, b) => if (b._1 >= a._1) b else a)
+        ._2
+    }
+    var sup = initialCentroids(r, dim, seed)
+    for (_ <- 0 until iters) {
+      val asg = assign(sup)
+      val byG = asg.zipWithIndex.groupBy(_._1)
+        .map { case (g, m) => g -> m.map(_._2) }
+      sup = sup.indices.map { g =>
+        byG.get(g) match {
+          case None => sup(g)
+          case Some(members) =>
+            val nd = members.size.toDouble
+            (0 until dim).map { i =>
+              // e6 quantization with Spark's ROUND semantics
+              // (BigDecimal.valueOf HALF_UP — NOT math.round, whose
+              // floor(x+0.5) differs on negative .5 boundaries), so
+              // the SQL replay's round() agrees bit-for-bit
+              val s = members.map(ci =>
+                BigDecimal(cents(ci)(i) * 1e6)
+                  .setScale(0, BigDecimal.RoundingMode.HALF_UP)
+                  .toLong).sum
+              s.toDouble / (nd * 1e6)
+            }
+        }
+      }
+    }
+    (sup, assign(sup))
+  }
+
+  /** Two-level ROUTED cell assignment — vectors score the r
+    * super-centroids first, then only the centroids in the winning
+    * group: n·(r + k/r)·d work instead of n·k·d (≈ n·2√k·d at
+    * r = √k). The routing is the published IMI recall trade: a vector
+    * near a group boundary may land in a different cell than flat
+    * assignment gives it. Two physical shapes like [[assignCells]]:
+    * small k inlines the whole route as one codegen'd when-chain
+    * (structs = r + k, same size as flat inline, but only r + k/r
+    * DOTS evaluate per row); large k routes through two BROADCAST
+    * joins (n·r then n·(group size) skinny scored rows — never a
+    * shuffle of the vectors). Super-groups that won no centroid are
+    * excluded from routing on both paths (a vector must route to a
+    * group that can assign it). */
+  private[graft] def assignCellsRouted(
+      base: DataFrame, cents: Seq[Seq[Double]],
+      supers: Seq[Seq[Double]], groupOf: Seq[Int],
+      inlineLimit: Int = 32): DataFrame = {
+    require(groupOf.size == cents.size, "groupOf must map every centroid")
+    val present: Seq[Int] = groupOf.distinct.sorted
+    val byGroup: Map[Int, Seq[(Int, Seq[Double])]] =
+      cents.zipWithIndex
+        .map { case (c, ci) => (groupOf(ci), (ci, c)) }
+        .groupBy(_._1).map { case (g, m) => g -> m.map(_._2) }
+    if (cents.size <= inlineLimit) {
+      val route = nearestAmong(
+        col("v"), present.map(g => (g, supers(g))))
+      val assignExpr = present.tail.foldLeft(
+        nearestAmong(col("v"), byGroup(present.head))) { (acc, g) =>
+        when(col("_g") === g, nearestAmong(col("v"), byGroup(g)))
+          .otherwise(acc)
+      }
+      base.withColumn("_g", route)
+        .withColumn("c", assignExpr)
+        .drop("_g")
+    } else {
+      val spark = base.sparkSession
+      val sdf = spark.createDataFrame(
+        present.map(g => (g, supers(g)))).toDF("_gi", "_gv")
+      val routed = base
+        .crossJoin(broadcast(sdf))
+        .select(col("id"),
+          struct((dot(col("v"), col("_gv")) / norm(col("v")))
+            .as("score"), col("_gi").as("idx")).as("_s"))
+        .groupBy(col("id"))
+        .agg(max(col("_s")).getField("idx").as("_g"))
+      val cdf = spark.createDataFrame(
+        cents.zipWithIndex.map { case (c, ci) => (ci, groupOf(ci), c) })
+        .toDF("_ci", "_cgi", "_cv")
+      val assigned = base.join(routed, "id")
+        .join(broadcast(cdf), col("_g") === col("_cgi"))
+        .select(col("id"),
+          struct((dot(col("v"), col("_cv")) / norm(col("v")))
+            .as("score"), col("_ci").as("idx")).as("_s2"))
+        .groupBy(col("id"))
+        .agg(max(col("_s2")).getField("idx").as("c"))
+      base.join(assigned, "id")
+    }
+  }
 
   /** Deterministic Lloyd training sample — the FAISS discipline:
     * codebooks/centroids train on ~`cap` points (default 50·k), the

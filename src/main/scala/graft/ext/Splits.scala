@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import graft.ext.Caches.Registered
 
 /** Deterministic dataset splitting for training pipelines.
   *
@@ -245,6 +246,12 @@ object Splits {
     * Driver state = the ≤ |score domain| histogram rows (the
     * classifier-family bounded-collect discipline). Shared by
     * [[curriculumPlan]] and [[psiDrift]] so the two can't drift. */
+  /** Hard ceiling on the distinct-score histogram the threshold
+    * derivation collects: e4-scaled quality scores have ≤ 10⁴+1
+    * distinct values, so 2²⁰ leaves two orders of headroom while
+    * keeping the worst-case driver frame ~16 MB. */
+  private[ext] val MaxScoreDomain: Int = 1 << 20
+
   private[ext] def scoreBucketThresholds(
       scored: org.apache.spark.sql.DataFrame, scoreCol: String,
       buckets: Int): Seq[Long] = {
@@ -256,8 +263,17 @@ object Splits {
       sum(col("c")).over(
         Window.orderBy(col("v"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // Bounded-collect GUARD, not just contract: the histogram is one
+    // row per distinct score, and both public consumers accept
+    // arbitrary long score columns — an unbucketed e6-scale score
+    // would otherwise ship a corpus-sized frame to the driver. Fail
+    // fast with the fix in the message instead of OOMing the driver.
     val rows = cum.select(col("v").cast("long"), col("cc"))
-      .orderBy(col("v")).collect()
+      .orderBy(col("v")).limit(MaxScoreDomain + 1).collect()
+    require(rows.length <= MaxScoreDomain,
+      s"score bucketing: more than $MaxScoreDomain distinct values in " +
+        s"'$scoreCol' — bucket/quantize the score to a bounded integer " +
+        "domain (e.g. e4 instead of e6 scaling) before calling")
     require(rows.nonEmpty, "score bucketing: empty input")
     val n = rows.last.getLong(1)
     (1 until buckets).map { i =>
@@ -318,7 +334,7 @@ object Splits {
     // persisted: the bucket/source marginals and the grid join all
     // read this |sources|·buckets frame
     val nsb = b.groupBy("src", "bucket")
-      .agg(count(lit(1)).as("nsb")).persist()
+      .agg(count(lit(1)).as("nsb")).persistRegistered()
     val nb = nsb.groupBy("bucket").agg(sum(col("nsb")).as("nb"))
     val ns = nsb.groupBy("src").agg(sum(col("nsb")).as("ns"))
     val tot = nsb.agg(

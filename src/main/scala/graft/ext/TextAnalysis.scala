@@ -4,6 +4,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import graft.ext.Caches.Registered
 import org.apache.spark.sql.types.DecimalType
 
 /** Text-analysis operators for a training-data pipeline, built entirely
@@ -401,7 +402,7 @@ object TextAnalysis {
           (a, b) => struct(a.as("prev"), b.as("cur")))).as("g"))
       .select(col("doc_id"), col("is_in"),
         col("g.prev").as("prev"), col("g.cur").as("cur"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistRegistered()
     grams.count() // eager: three consumers in the scoring action
     val c2 = grams.groupBy("prev", "cur").agg(
       sum(when(col("is_in"), 1L).otherwise(0L)).as("n2i"),
@@ -457,7 +458,7 @@ object TextAnalysis {
           slice(col("t"), lit(2), size(col("t")) - 1),
           (a, b) => struct(a.as("prev"), b.as("cur")))).as("g"))
       .select(col("doc_id"), col("g.prev").as("prev"), col("g.cur").as("cur"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistRegistered()
     grams.count() // eager: three consumers in the scoring action
     val c2 = grams.groupBy("prev", "cur").agg(count(lit(1)).as("n2"))
     val c1 = grams.groupBy("prev").agg(count(lit(1)).as("n1"))
@@ -519,7 +520,7 @@ object TextAnalysis {
           slice(col("t"), lit(2), size(col("t")) - 1),
           (a, b) => struct(a.as("prev"), b.as("cur")))).as("g"))
       .select(col("doc_id"), col("g.prev").as("prev"), col("g.cur").as("cur"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistRegistered()
     grams.count() // eager: five consumers in the scoring action
     val c2 = grams.groupBy("prev", "cur").agg(count(lit(1)).as("n2"))
     val c1 = grams.groupBy("prev").agg(count(lit(1)).as("n1"))
@@ -720,7 +721,7 @@ object TextAnalysis {
         explode(tokens(col(textCol))).as("tok"))
       .select(col("doc_id"), col("is_target"),
         (Dedup.pmd5(col("tok")) % buckets).as("b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistRegistered()
     toks.count() // eager: model pass + scoring pass in one action
     dsirScoreFromToks(
       toks.select("doc_id", "b"),
@@ -811,7 +812,7 @@ object TextAnalysis {
     import sp.implicits._
     val counts = docs.select(explode(tokens(col(textCol))).as("t"))
       .groupBy("t").agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistRegistered()
     counts.count() // eager: total + top-V read one cache
     val tot = counts.agg(sum(col("c")).as("total"))
     val top = counts.orderBy(col("c").desc, col("t").asc).limit(sizes.max)
@@ -892,7 +893,7 @@ object TextAnalysis {
     val cst = docs
       .select(col(sliceCol).as("s"), explode(tokens(col(textCol))).as("t"))
       .groupBy("s", "t").agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistRegistered()
     cst.count() // eager: four derivations consume this frame
     val ct = cst.groupBy("t").agg(sum(col("c")).as("cg"))
     val ns = cst.groupBy("s").agg(sum(col("c")).as("ns"))

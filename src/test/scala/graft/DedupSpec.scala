@@ -440,12 +440,53 @@ class DedupSpec extends SparkSpec {
       assert(out.contains(c.toLong) ^ out.contains(100L + c),
         s"base $c: $out")
     }
-    // a tiny maxCell drops every cell -> no pairs -> all singletons
+    // maxCell = 0 excludes every cell -> no pairs -> all singletons,
+    // and the exclusion is SURFACED: cell_capped = 1 on every row (the
+    // excluded fraction a production run must alert on), never silent
     val loose = Dedup.semDedup(
       df, "vec_id", "embedding", lit(1L), threshold = 0.9,
-      k = 4, maxCell = 1, dim = Some(dim))
+      k = 4, maxCell = 0, dim = Some(dim))
       .collect()
     assert(loose.length === rows.size)
+    assert(loose.forall(_.getAs[Long]("cell_capped") == 1L))
+    // the healthy run flags nothing
+    val healthy = Dedup.semDedup(
+      df, "vec_id", "embedding", lit(1L), threshold = 0.9,
+      k = 4, dim = Some(dim)).collect()
+    assert(healthy.forall(_.getAs[Long]("cell_capped") == 0L))
+  }
+
+  test("assignCellsRouted: inline when-chain and double-broadcast-join " +
+    "paths agree, and routing matches flat assignment on separated data") {
+    val dim = 16
+    val rnd = new scala.util.Random(53)
+    // 4 well-separated block bases + noise: routing must not change
+    // the assignment flat argmax gives on separated data
+    val base = (0 until 80).map { i =>
+      val c = i % 4
+      val v = Seq.tabulate(dim)(j =>
+        (if (j / 4 == c) 1.0 + 0.05 * rnd.nextGaussian()
+         else 0.02 * rnd.nextGaussian()).toFloat)
+      (i.toLong, v)
+    }.toDF("id", "v")
+    val cents = (0 until 8).map { c =>
+      Seq.tabulate(dim)(j =>
+        if (j / 4 == c % 4) 1.0 + 0.001 * c else 0.001 * c)
+    }
+    val (supers, groupOf) = Similarity.metaCentroids(cents, r = 3)
+    assert(groupOf.size === cents.size) // every centroid mapped
+    val inline = Similarity
+      .assignCellsRouted(base, cents, supers, groupOf, inlineLimit = 32)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("c")).toMap
+    val joined = Similarity
+      .assignCellsRouted(base, cents, supers, groupOf, inlineLimit = 1)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("c")).toMap
+    assert(inline === joined)
+    // routed assignment lands in the routed group on every row
+    inline.values.foreach(c => assert(groupOf.indices.contains(c)))
+    // metaCentroids is deterministic (pure driver math, fixed seed)
+    val (s2, g2) = Similarity.metaCentroids(cents, r = 3)
+    assert(s2 === supers && g2 === groupOf)
   }
 
   test("cosineNearDupPairs finds planted high-cosine pairs, skips unrelated") {
