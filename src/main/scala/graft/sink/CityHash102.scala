@@ -13,18 +13,20 @@ package graft.sink
   * `Long` ops are exact; "unsigned" only matters at shifts, which are all
   * logical (`>>>`).
   *
-  * Scope note: in this sandbox there is no ClickHouse server to verify
-  * against, so the spec pins (a) self-consistency (decoder recomputes and
-  * verifies every frame checksum), (b) length-boundary coverage across all
-  * algorithm paths (0..300 bytes), and (c) frozen output vectors so the
-  * implementation cannot drift silently. The frozen vectors are this
-  * implementation's own outputs, NOT independently verified golden
-  * values. First thing to check against a live server or a vendored
-  * cityhash102: the >=128-byte finalization in [[hashWithSeed]]
-  * (`x = HashLen16(x, v.first); y = HashLen16(y, w.first)` here —
-  * v1.1+ changed the y line to `HashLen16(y + z, w.first)`; a review
-  * pass disputed the x line as `v.second`, which matches no published
-  * version the author knows, but only a live check settles it).
+  * Verification status: the spec pins (a) self-consistency (decoder
+  * recomputes and verifies every frame checksum), (b) length-boundary
+  * coverage across all algorithm paths (0..1024 bytes), and (c) frozen
+  * output vectors CROSS-CHECKED against an INDEPENDENT from-scratch
+  * transcription of the published v1.0.2 algorithm in a different
+  * language (`tools/cityhash102_check.py`) — the two implementations
+  * agree on every length path. That cross-check settled the previously
+  * disputed >=128-byte finalization: the x/y lines here
+  * (`x = HashLen16(x, v.first); y = HashLen16(y, w.first)`, the
+  * pre-v1.1 form without `+ z`) are as published, and it caught a real
+  * transcription bug in the LOW output word (`w.first`, not
+  * `w.second` — see [[hashWithSeed]]). Residual risk is a shared
+  * misreading of the published source, far smaller than single-port
+  * transcription error; a live-server insert remains the final check.
   */
 object CityHash102 {
 
@@ -189,7 +191,13 @@ object CityHash102 {
     }
     x = hashLen16(x, vFirst)
     y = hashLen16(y, wFirst)
-    (hashLen16(x + vSecond, wSecond) + y,
+    // published finalization (identical in 1.0.2 and 1.1): the LOW
+    // word pairs (x + v.second) with w.FIRST — an earlier revision of
+    // this port had w.second here, caught by the independent
+    // cross-check (tools/cityhash102_check.py): the two transcriptions
+    // agreed on every <128-byte path and on the HIGH word of every
+    // long-path hash, isolating the divergence to exactly this line
+    (hashLen16(x + vSecond, wFirst) + y,
       hashLen16(x + wSecond, y + vSecond))
   }
 

@@ -118,7 +118,12 @@ class ClickHouseNativeSpec extends SparkSpec {
       f"$n:$lo%016x$hi%016x"
     }
     assert(got === again)
-    // frozen: any change to the implementation must be deliberate
+    // frozen AND independently derived: these vectors are the agreed
+    // output of this implementation and the from-scratch Python
+    // transcription of published v1.0.2 (tools/cityhash102_check.py —
+    // `python3 tools/cityhash102_check.py` regenerates them). Any
+    // change to the implementation must be deliberate and must update
+    // BOTH sides.
     assert(got === ClickHouseNativeSpec.cityVectors, got.mkString("\n"))
   }
 
@@ -209,8 +214,8 @@ object ClickHouseNativeSpec {
     "16:f213dd93a0b3ff17e51063bdb9e36773",
     "63:6d622925a0facaf0c3dd0c6e70119af0",
     "143:35390c166b35a706f899206e47cb05aa",
-    "144:5f0e282cb12a3329a31f301f13aaa3ac",
-    "200:cea99e957c066de7e38b4ba19744bb63",
-    "300:a7ab96b0801b67072af33df806f41763",
-    "1024:b282509c7874f756376b7b3efe460bb5")
+    "144:81f7152d8a5d4f48a31f301f13aaa3ac",
+    "200:b8f0e35a338905c8e38b4ba19744bb63",
+    "300:ffcc5f1d45e9eaca2af33df806f41763",
+    "1024:36ccb70ceefb14fe376b7b3efe460bb5")
 }
