@@ -1590,6 +1590,96 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** SAMPLED exact n-gram Jaccard pairs — the audit-scale form of
+    * [[ngramJaccardPairs]]: exact pairs restricted to those touching a
+    * deterministic pmd5-sampled doc subset (`pmd5(id) % sampleMod ==
+    * 0`, ~1/sampleMod of the corpus). The full exact formulation joins
+    * the inverted index against ITSELF (every posting × every posting
+    * — the audit cost BASELINE's round-10 probe measured going
+    * super-linear on d34/t25), which cannot run at 100 TB; here only
+    * the SAMPLED postings join against the full index, so ground-truth
+    * cost is O(sample · corpus) — the published-recall-audit shape
+    * (every production recall number is computed on a query sample).
+    * pmd5 sampling is replayable on any engine (the md5 idiom), so the
+    * sampled pair set — and every audit built on it — stays
+    * hash-oracle-able, unlike a `rand()` sample.
+    *
+    * A pair with BOTH endpoints sampled arises from both join
+    * orientations; postings dedupe on (g, id_a, id_b) before the
+    * shared count so such pairs count each collision once. Uncapped
+    * postings by default (audit exactness); production callers at
+    * extreme skew can pass `maxPostings` like d5.
+    * Output: (id_a, id_b, jaccard) with id_a < id_b, J ≥ threshold,
+    * at least one endpoint sampled. */
+  def ngramJaccardPairsSampled(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, sampleMod: Long, w: Int = 3,
+      maxPostings: Int = Int.MaxValue): DataFrame = {
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    val inverted = invertedIndex(docs, idCol, textCol, w)
+    val sizes = inverted.groupBy("id").agg(count(lit(1)).as("n"))
+    val capped =
+      if (maxPostings == Int.MaxValue) inverted
+      else {
+        val rare = inverted.groupBy("g").count()
+          .where(col("count") <= maxPostings).drop("count")
+        inverted.join(rare, Seq("g"))
+      }
+    // the one-sided join: sampled postings (~|inv|/mod rows) against
+    // the full index, keyed on the shingle hash — never index × index
+    val qPost = capped.where(pmd5(col("id")) % sampleMod === 0)
+    val cand = qPost.select(col("g"), col("id").as("_q"))
+      .join(capped.select(col("g"), col("id").as("_o")), Seq("g"))
+      .where(col("_q") =!= col("_o"))
+      .select(col("g"),
+        least(col("_q"), col("_o")).as("id_a"),
+        greatest(col("_q"), col("_o")).as("id_b"))
+      .dropDuplicates("g", "id_a", "id_b")
+    cand.groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** SAMPLED LSH recall audit — d34's methodology at the cost model a
+    * 100 TB corpus allows: exact ground truth from
+    * [[ngramJaccardPairsSampled]] (pairs touching the pmd5-sampled
+    * query subset, O(sample·corpus)), the production d3 MinHash-LSH
+    * pair set restricted to the same subset, recall in basis points
+    * over the sampled pairs. The estimate is unbiased for the
+    * corpus-wide recall (every doc is sampled with equal probability
+    * 1/sampleMod, independent of content) and the entire computation —
+    * sampling included — replays in SQL, so the recall NUMBER is
+    * hash-oracled exactly like d34's exhaustive form.
+    * Output: one row (n_queries, n_exact, n_lsh, n_hits, recall_e4). */
+  def lshRecallSampled(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, sampleMod: Long = 8, w: Int = 3): DataFrame = {
+    val sampled = pmd5(col(idCol)) % sampleMod === 0
+    val nQ = docs.where(sampled)
+      .agg(count(lit(1)).as("n_queries"))
+    val ex = ngramJaccardPairsSampled(
+      docs, idCol, textCol, threshold, sampleMod, w)
+      .select(col("id_a"), col("id_b"), lit(1L).as("in_ex"))
+    val lsh = minhashPairs(docs, idCol, textCol, threshold, w = w)
+      .where((pmd5(col("id_a")) % sampleMod === 0) ||
+        (pmd5(col("id_b")) % sampleMod === 0))
+      .select(col("id_a"), col("id_b"), lit(1L).as("in_lsh"))
+    ex.join(lsh, Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        coalesce(sum(col("in_ex")), lit(0L)).as("n_exact"),
+        coalesce(sum(col("in_lsh")), lit(0L)).as("n_lsh"),
+        coalesce(sum(col("in_ex") * col("in_lsh")), lit(0L)).as("n_hits"))
+      .crossJoin(broadcast(nQ))
+      .select(col("n_queries"), col("n_exact"), col("n_lsh"), col("n_hits"),
+        expr("n_hits * 10000 div n_exact").as("recall_e4"))
+  }
+
   /** Asymmetric CONTAINMENT pairs — doc-inside-doc detection. Jaccard
     * normalizes by the UNION, so a short document pasted verbatim into
     * a long one scores near zero (40 shared shingles over a 4,000-

@@ -1169,6 +1169,20 @@ object DedupQueries {
         .withColumn("recall_e4", expr("n_hits * 10000 div n_exact"))
     },
 
+    // SAMPLED LSH recall audit ([[Dedup.lshRecallSampled]]) — d34's
+    // methodology at the cost model 100 TB allows: ground truth only
+    // for pairs touching the pmd5-sampled query subset (mod 8 ⇒ ~1/8
+    // of docs; one-sided postings join, O(sample·corpus) instead of
+    // the exhaustive index self-join), the d3 LSH pair set restricted
+    // to the same subset, recall in basis points. pmd5 sampling — not
+    // rand() — is what keeps the sampled audit hash-oracled: DuckDB
+    // replays the sample, both pair sets, and the recall number.
+    Q("d38_lsh_recall_sampled", d38OracleSql) { (s, dir) =>
+      Dedup.lshRecallSampled(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.5, sampleMod = 8L)
+    },
+
     // KMV distinct audit per source — the theta-sketch substrate as a
     // first-class operator ([[Kmv.distinctAudit]]): a bounded O(k)
     // aggregate ([[graft.expr.KmvSketch]], k=256 distinct minimum
@@ -1415,6 +1429,62 @@ object DedupQueries {
        |  SELECT count(*) AS n FROM ex JOIN lsh USING (id_a, id_b)
        |)
        |SELECT (SELECT count(*) FROM ex) AS n_exact,
+       |  (SELECT count(*) FROM lsh) AS n_lsh,
+       |  (SELECT n FROM hits) AS n_hits,
+       |  (SELECT n FROM hits) * 10000
+       |    // (SELECT count(*) FROM ex) AS recall_e4""".stripMargin
+  }
+
+  /** d38 replay: d34's two pair sets, each restricted to pairs
+    * touching the pmd5-sampled query subset (`pmd5(id) % 8 = 0` — the
+    * engine's deterministic sample, replayed verbatim), plus the
+    * sampled-query count. The oracle formulation keeps the exhaustive
+    * self-join (DuckDB at sf is fine); the ENGINE's exact side is the
+    * one-sided O(sample·corpus) join — equality of the two is exactly
+    * what the hash certifies. */
+  private lazy val d38OracleSql: String = {
+    s"""WITH ${minhashReplayCtes()}, qs AS (
+       |  SELECT doc_id AS id FROM documents
+       |  WHERE ${pmSql("CAST(doc_id AS VARCHAR)")} % 8 = 0
+       |), ok AS (
+       |  SELECT band, bh FROM buck GROUP BY band, bh HAVING count(*) <= 1000
+       |), capped AS (
+       |  SELECT bu.id, bu.band, bu.bh FROM buck bu JOIN ok USING (band, bh)
+       |), cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM capped a JOIN capped b USING (band, bh)
+       |  WHERE a.id < b.id
+       |), shq AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS shared
+       |  FROM cand c
+       |  JOIN inv ia ON ia.id = c.id_a
+       |  JOIN inv ib ON ib.id = c.id_b AND ib.g = ia.g
+       |  GROUP BY 1, 2
+       |), lsh AS (
+       |  SELECT s.id_a, s.id_b FROM shq s
+       |  JOIN sig na ON na.id = s.id_a
+       |  JOIN sig nb ON nb.id = s.id_b
+       |  WHERE CAST(s.shared AS DOUBLE)
+       |    / CAST(na.n + nb.n - s.shared AS DOUBLE) >= 0.5
+       |    AND (s.id_a IN (SELECT id FROM qs)
+       |      OR s.id_b IN (SELECT id FROM qs))
+       |), shx AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+       |  FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id
+       |  GROUP BY 1, 2
+       |), ex AS (
+       |  SELECT s.id_a, s.id_b FROM shx s
+       |  JOIN sig na ON na.id = s.id_a
+       |  JOIN sig nb ON nb.id = s.id_b
+       |  WHERE CAST(s.shared AS DOUBLE)
+       |    / CAST(na.n + nb.n - s.shared AS DOUBLE) >= 0.5
+       |    AND (s.id_a IN (SELECT id FROM qs)
+       |      OR s.id_b IN (SELECT id FROM qs))
+       |), hits AS (
+       |  SELECT count(*) AS n FROM ex JOIN lsh USING (id_a, id_b)
+       |)
+       |SELECT (SELECT count(*) FROM qs) AS n_queries,
+       |  (SELECT count(*) FROM ex) AS n_exact,
        |  (SELECT count(*) FROM lsh) AS n_lsh,
        |  (SELECT n FROM hits) AS n_hits,
        |  (SELECT n FROM hits) * 10000

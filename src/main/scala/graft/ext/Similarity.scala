@@ -895,6 +895,49 @@ object Similarity {
       .limit(k)
   }
 
+  /** BATCHED IVF probe — the production multi-query serving path
+    * ([[ivfTopK]] takes one driver-side query literal; real serving
+    * and every sampled audit probe a BATCH). Per query: rank the k
+    * centroids (a broadcast join of the k-row centroid frame against
+    * the query batch — |Q|·k skinny rows, windowed per query), keep
+    * the top `nProbe` cells, then join the (query, cell) probe frame
+    * against the assignment — BROADCAST, because |Q|·nProbe is probe-
+    * batch-scale — so the corpus-scale side is ONE scan with no
+    * shuffle, and on the [[ivfIndexWrite]] persisted layout the cell
+    * filter becomes partition pruning. Scoring/tiebreak contracts are
+    * [[ivfTopK]]'s exactly: cell score = dot(centroid, q)/‖q‖ with
+    * ties to the lower cell id; member score = e6-rounded cosine with
+    * ties to the lower vector id ([[knnJoin]]'s BoundedTopK two-phase
+    * top-k — per-partition partials, k rows per query to the merge).
+    * Output: (query_id, neighbor_id, cos_e6). */
+  def ivfTopKBatch(
+      index: IvfIndex, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = index.assigned.sparkSession
+    val cdf = spark.createDataFrame(
+      index.centroids.zipWithIndex.map { case (c, i) => (i, c) })
+      .toDF("_ci", "_cv")
+    val q = queries
+      .select(col(idCol).as("_qid"), col(vecCol).as("_qv"))
+      .where(norm(col("_qv")) > 0) // zero-norm gate, the family discipline
+    val ranked = q.crossJoin(broadcast(cdf))
+      .select(col("_qid"), col("_qv"), col("_ci"),
+        (dot(col("_cv"), col("_qv")) /
+          greatest(norm(col("_qv")), lit(1e-12))).as("_sc"))
+    val byScore = Window.partitionBy(col("_qid"))
+      .orderBy(col("_sc").desc, col("_ci").asc)
+    val probes = ranked
+      .withColumn("_rk", row_number().over(byScore))
+      .where(col("_rk") <= nProbe)
+      .select(col("_qid"), col("_qv"), col("_ci").as("c"))
+    val scored = index.assigned
+      .join(broadcast(probes), Seq("c"))
+      .select(col("_qid"), col("id").as("_cid"),
+        round(cosine(col("v"), col("_qv")), 6).as("_cos"))
+    perQueryTopK(scored, k)
+  }
+
   /** Int8 scalar quantization: per-vector symmetric max-abs scale,
     * `x ≈ qv * scale` with `qv = round(127·x/maxabs)` as `array<byte>`.
     * The point at 100 TB: candidate scoring moves 1 byte/element instead

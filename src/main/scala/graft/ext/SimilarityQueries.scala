@@ -639,8 +639,104 @@ object SimilarityQueries {
         .select(
           lit(10L).as("k"), col("dcg_e6"), col("idcg_e6"),
           expr("dcg_e6 * 1000000 div idcg_e6").as("ndcg_e6"))
+    },
+
+    // SAMPLED MULTI-QUERY IVF recall audit — the form a production
+    // vector index is actually monitored with at 100 TB: a
+    // deterministic pmd5-sampled query batch (mod 8 ⇒ ~1/8 of
+    // vectors), exact per-query top-10 from ONE corpus scan against
+    // the broadcast batch (s10's knnJoin — O(sample·corpus), never
+    // corpus²), and the IVF side through [[Similarity.ivfTopKBatch]]
+    // (per-query cell ranking windowed over |Q|·k skinny rows, probe
+    // frame broadcast into the assignment scan). One recall row PER
+    // QUERY — the distribution, not just the mean, which is what
+    // catches a cell-boundary pathology s20's single query can't.
+    // pmd5 sampling keeps the whole audit hash-oracled.
+    Q("s26_ivf_recall_multi", s26OracleSql) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val idx = Similarity.ivfBuild(emb, "vec_id", "embedding",
+        dim = Some(64))
+      val qs = emb.where(
+        Dedup.pmd5(col("vec_id")) % 8 === 0 &&
+          Similarity.norm(col("embedding")) > 0)
+      val ex = Similarity.knnJoin(qs, emb, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val ap = Similarity
+        .ivfTopKBatch(idx, qs, "vec_id", "embedding", k = 10, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = ex.join(ap, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("_n"))
+      qs.select(col("vec_id").cast("long").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("_n"), lit(0L)).as("n_hits"),
+          // recall@10 in basis points: n_hits·10⁴ div 10 (integer)
+          (coalesce(col("_n"), lit(0L)) * 1000L).as("recall_e4"))
     }
   )
+
+  /** s26 replay: Lloyd build ([[KmeansOracle.lloydCtes]] — cents3 +
+    * full-corpus asg), the pmd5-sampled query batch, exact top-10 per
+    * query (s10's rounded double cosine + (cos DESC, id ASC)
+    * row_number), IVF top-10 per query (cell ranking `sc DESC, ci
+    * ASC` limit nProbe — the s24 probe contract — then the members of
+    * probed cells only), per-query hit counts left-joined back so a
+    * zero-recall query still lands a row. */
+  private lazy val s26OracleSql: String = {
+    val dim = 64
+    def cos6(vec: String, q: String): String =
+      s"""round(
+         |      list_sum(list_transform(range(1, ${dim + 1}),
+         |        i -> CAST($vec[i] AS DOUBLE) * CAST($q[i] AS DOUBLE)))
+         |      / (sqrt(list_sum(list_transform($vec,
+         |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |         * sqrt(list_sum(list_transform($q,
+         |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         |      6)""".stripMargin
+    s"""WITH ${KmeansOracle.lloydCtes()},
+       |nz AS (
+       |  SELECT id, e FROM v
+       |  WHERE sqrt(list_sum(list_transform(e,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0
+       |), qs AS (
+       |  SELECT id AS qid, e AS qv FROM nz
+       |  WHERE ${DedupQueries.pmSql("CAST(id AS VARCHAR)")} % 8 = 0
+       |), ex AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.qid, a.id AS cid,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY ${cos6("a.e", "q.qv")} DESC, a.id ASC) AS rn
+       |    FROM qs q, nz a)
+       |  WHERE rn <= 10
+       |), pr AS (
+       |  SELECT qid, ci FROM (
+       |    SELECT q.qid, c.ci,
+       |      row_number() OVER (PARTITION BY q.qid ORDER BY
+       |        list_sum(list_transform(range(1, ${dim + 1}),
+       |          i -> c.cv[i] * CAST(q.qv[i] AS DOUBLE)))
+       |        / greatest(sqrt(list_sum(list_transform(q.qv,
+       |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 1e-12)
+       |        DESC, c.ci ASC) AS rn
+       |    FROM qs q, cents3 c)
+       |  WHERE rn <= 4
+       |), ap AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT p.qid, a.id AS cid,
+       |      row_number() OVER (PARTITION BY p.qid
+       |        ORDER BY ${cos6("a.e", "q.qv")} DESC, a.id ASC) AS rn
+       |    FROM pr p
+       |    JOIN asg a ON a.ci = p.ci
+       |    JOIN qs q ON q.qid = p.qid)
+       |  WHERE rn <= 10
+       |), h AS (
+       |  SELECT qid, count(*) AS n
+       |  FROM ex JOIN ap USING (qid, cid) GROUP BY qid
+       |)
+       |SELECT q.qid AS query_id,
+       |  CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+       |  CAST(coalesce(h.n, 0) * 10000 // 10 AS BIGINT) AS recall_e4
+       |FROM qs q LEFT JOIN h ON h.qid = q.qid""".stripMargin
+  }
 
   /** s25 replay: exact top-10 with ranks (the graded relevance), the
     * s4 IVF top-10 with positions, the shared log2-discounted gain in

@@ -700,6 +700,78 @@ object TextQueries {
           max(col("jaccard_e4")).as("worst_jaccard_e4"))
     },
 
+    // SAMPLED split-leakage audit — t25's check at the audit cost a
+    // 100 TB corpus allows ([[Dedup.ngramJaccardPairsSampled]]): exact
+    // cross-split near-dup pairs restricted to pairs touching the
+    // pmd5-sampled doc subset (mod 4 ⇒ ~1/4 of docs; the one-sided
+    // postings join makes ground truth O(sample·corpus) instead of
+    // index²). Release monitoring runs THIS form per split refresh;
+    // t25's exhaustive form remains the at-sf certification. The pmd5
+    // sample replays in SQL, so leak counts stay hash-oracled.
+    Q(
+      "t46_split_leakage_sampled",
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, len(toks) - 1),
+        |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |      ELSE [array_to_string(toks, ' ')] END) AS sh
+        |  FROM t
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.sh, b.sh)) AS shared,
+        |    len(a.sh) AS na, len(b.sh) AS nb
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |), pairs AS (
+        |  SELECT id_a, id_b,
+        |    CAST(round(round(CAST(shared AS DOUBLE)
+        |      /CAST(na + nb - shared AS DOUBLE), 4)*10000) AS BIGINT)
+        |      AS jaccard_e4
+        |  FROM p
+        |  WHERE shared > 0
+        |    AND CAST(shared AS DOUBLE)/CAST(na + nb - shared AS DOUBLE) >= 0.8
+        |    AND (('0x'||substr(md5(CAST(id_a AS VARCHAR)),1,15))::BIGINT % 4 = 0
+        |      OR ('0x'||substr(md5(CAST(id_b AS VARCHAR)),1,15))::BIGINT % 4 = 0)
+        |), sp AS (
+        |  SELECT doc_id, CASE
+        |    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+        |    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+        |    ELSE 'test' END AS split
+        |  FROM documents
+        |), x AS (
+        |  SELECT least(sa.split, sb.split) AS split_lo,
+        |    greatest(sa.split, sb.split) AS split_hi, jaccard_e4
+        |  FROM pairs
+        |  JOIN sp sa ON pairs.id_a = sa.doc_id
+        |  JOIN sp sb ON pairs.id_b = sb.doc_id
+        |  WHERE sa.split <> sb.split
+        |)
+        |SELECT split_lo, split_hi, count(*) AS n_leaks,
+        |  max(jaccard_e4) AS worst_jaccard_e4
+        |FROM x GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairsSampled(
+        docs, "doc_id", "text", threshold = 0.8, sampleMod = 4L)
+      val sp = docs.select(col("doc_id"),
+        Splits.assignSplit(col("doc_id")).as("split"))
+      pairs
+        .join(sp.select(col("doc_id").as("id_a"),
+          col("split").as("split_a")), "id_a")
+        .join(sp.select(col("doc_id").as("id_b"),
+          col("split").as("split_b")), "id_b")
+        .where(col("split_a") =!= col("split_b"))
+        .select(
+          least(col("split_a"), col("split_b")).as("split_lo"),
+          greatest(col("split_a"), col("split_b")).as("split_hi"),
+          round(col("jaccard") * 10000).cast("long").as("jaccard_e4"))
+        .groupBy(col("split_lo"), col("split_hi"))
+        .agg(count(lit(1)).as("n_leaks"),
+          max(col("jaccard_e4")).as("worst_jaccard_e4"))
+    },
+
     // vocabulary statistics + Zipf exponent per source slice: OLS
     // slope of ln(freq) vs ln(rank) over the rank-frequency curve,
     // e6-floored per vocab row before the integer sums (the q51

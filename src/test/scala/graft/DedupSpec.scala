@@ -1311,4 +1311,77 @@ class DedupSpec extends SparkSpec {
       thresholdPpm = 1L, maxPostings = 0).count() === 0L)
     spark.catalog.clearCache()
   }
+
+  test("sampled exact pairs == full pair set restricted to sampled-touching " +
+    "pairs; both-sampled pairs count once") {
+    val mod = 3L
+    def sampledIds(df: DataFrame): Set[Long] = df
+      .where(Dedup.pmd5(col("doc_id")) % mod === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val qs = sampledIds(corpus)
+    assert(qs.nonEmpty && qs.size < 28, s"degenerate sample: $qs")
+    // at least one planted pair must have BOTH endpoints sampled at
+    // some mod ≤ 3 — mod 3 over 28 ids gives ~9 samples; if this ever
+    // flakes the fixture changed, not the operator
+    val full = Dedup.ngramJaccardPairs(
+      corpus, "doc_id", "text", threshold = 0.5,
+      maxPostings = Int.MaxValue)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    val want = full.filter { case ((a, b), _) => qs(a) || qs(b) }
+    val got = Dedup.ngramJaccardPairsSampled(
+      corpus, "doc_id", "text", threshold = 0.5, sampleMod = mod)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(got === want) // same pairs, same jaccard — shared counts
+    // didn't double for both-sampled pairs (the dedupe-before-count)
+    spark.catalog.clearCache()
+  }
+
+  test("lshRecallSampled: counts match the restricted exhaustive audit, " +
+    "recall bounded, n_queries = sampled doc count") {
+    val mod = 2L
+    val row = Dedup.lshRecallSampled(
+      corpus, "doc_id", "text", threshold = 0.5, sampleMod = mod)
+      .collect().head
+    val nQ = corpus.where(Dedup.pmd5(col("doc_id")) % mod === 0).count()
+    assert(row.getAs[Long]("n_queries") === nQ)
+    val sampled = corpus.where(Dedup.pmd5(col("doc_id")) % mod === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val nEx = Dedup.ngramJaccardPairs(
+      corpus, "doc_id", "text", threshold = 0.5,
+      maxPostings = Int.MaxValue)
+      .collect().count(r => sampled(r.getLong(0)) || sampled(r.getLong(1)))
+    assert(row.getAs[Long]("n_exact") === nEx.toLong)
+    assert(nEx > 0, "fixture lost its sampled near-dup pairs")
+    val recall = row.getAs[Long]("recall_e4")
+    assert(recall >= 0L && recall <= 10000L)
+    assert(row.getAs[Long]("n_hits") <= row.getAs[Long]("n_exact"))
+    assert(row.getAs[Long]("n_hits") <= row.getAs[Long]("n_lsh"))
+    spark.catalog.clearCache()
+  }
+
+  test("ivfTopKBatch == per-query ivfTopK for every query in the batch") {
+    val dim = 16
+    val vecs = (0 until 150).map { i =>
+      (i.toLong, Seq.tabulate(dim)(j => math.sin(i / 10 * 13.0 + j).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val idx = Similarity.ivfBuild(df, "vec_id", "embedding",
+      k = 8, dim = Some(dim))
+    val qids = Seq(0L, 37L, 74L, 111L, 149L)
+    val batch = df.where(col("vec_id").isin(qids: _*))
+    val got = Similarity
+      .ivfTopKBatch(idx, batch, "vec_id", "embedding", k = 5, nProbe = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = qids.flatMap { q =>
+      Similarity.ivfTopK(idx, vecs(q.toInt)._2, k = 5, nProbe = 2)
+        .collect()
+        .map(r => (q, r.getLong(0)) ->
+          math.round(r.getDouble(1) * 1e6))
+    }.toMap
+    assert(got === want) // same neighbors, same e6 scores, per query
+    spark.catalog.clearCache()
+  }
 }
