@@ -19,6 +19,37 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.query.Tables.configure(spark)
+    // ---- unkeyed-window adjudicator (GlobalWindows): every executed
+    // plan of the bench run — internal training/threshold actions
+    // included, which the final query lineage can't see — is walked
+    // for single-partition WindowExecs and attributed to the running
+    // query. The census lands in BENCH_FULL.json; any query NOT on
+    // the GlobalWindows.whitelist is a violation, flagged on stderr
+    // and in the emitted line, so the "WindowExec: No Partition
+    // Defined" WARNs in the log are adjudicated per site instead of
+    // scrolling by. (The listener bus is async — drained with a grace
+    // sleep before reporting; the hard per-query gate is
+    // GlobalWindowSpec, which re-derives the census synchronously.)
+    val gwCensus = scala.collection.mutable.Map[String, Long]()
+    @volatile var gwCurrent = "_setup"
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(
+            funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = {
+          val n =
+            try graft.plans.GlobalWindows.countExecuted(qe.executedPlan)
+            catch { case _: Throwable => 0 }
+          if (n > 0) gwCensus.synchronized {
+            gwCensus(gwCurrent) = gwCensus.getOrElse(gwCurrent, 0L) + n
+          }
+        }
+        override def onFailure(
+            funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
     // two timed runs per query, best-of — single-shot numbers at these
     // scales are dominated by JIT/codegen warmup, not the plan
     def timeOnce(
@@ -77,8 +108,24 @@ object Bench {
       gitShow.orElse(onDisk).map(parseQueries).getOrElse(Map.empty)
     }
     val results = SparkEntry.queries.toSeq.filter(e => keep(e._1)).sortBy(_._1).map { case (name, fn) =>
+      gwCurrent = name
       name -> math.min(timeOnce(name, fn), timeOnce(name, fn))
     }
+    // drain the async listener bus before reading the window census
+    Thread.sleep(2000)
+    val (gwJson, gwViol) = gwCensus.synchronized {
+      val json = gwCensus.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val viol = gwCensus.keys
+        .filterNot(graft.plans.GlobalWindows.whitelist.contains)
+        .filterNot(_ == "_setup").toSeq.sorted
+      (json, viol)
+    }
+    if (gwViol.nonEmpty)
+      System.err.println(s"BENCH GLOBAL-WINDOW VIOLATIONS: ${gwViol.mkString(",")}")
+    val gwViolJson =
+      if (gwViol.isEmpty) ""
+      else s""","gw_viol":${gwViol.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     // worst ratios vs the idle anchor: relative AND absolute gates so
@@ -111,7 +158,7 @@ object Bench {
     //    full-name mapping documented in BASELINE.md), seconds rounded to ms
     //  - the full-name timings go to BENCH_FULL.json alongside the repo
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$fullQs$vsIdle,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$fullQs$vsIdle,"global_windows":$gwJson$gwViolJson,"sf":"$sfDir"}"""
     // resolve against a known root, not the process cwd — a launcher with a
     // different working directory would otherwise scatter (or lose) the file;
     // failures go to stderr (stdout is the 2000-char capture window).
@@ -134,7 +181,7 @@ object Bench {
     val shortQs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + rc(v) }
       .mkString("{", ",", "}")
     val perQueryLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$shortQs$vsIdle,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$shortQs$vsIdle$gwViolJson,"sf":"$sfDir"}"""
     // if the pack ever grows the per-query line past the window, fall
     // back to per-FAMILY subtotals (q/d/s/t/m/p — constant width at any
     // pack size); the per-query detail is always in BENCH_FULL.json
@@ -143,7 +190,7 @@ object Bench {
       .map { case (f, rs) => "\"" + f + "\":" + r3(rs.map(_._2).sum) }
       .mkString("{", ",", "}")
     val famLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","families":$famQs,"n_queries":${results.size}$vsIdle,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","families":$famQs,"n_queries":${results.size}$vsIdle$gwViolJson,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
     println(if (perQueryLine.length <= 1700) perQueryLine else famLine)
     spark.stop()
   }
