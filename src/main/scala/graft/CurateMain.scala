@@ -45,7 +45,8 @@ object CurateMain {
       |  [--id-col doc_id] [--text-col text] [--near-dup]
       |  [--benchmark <parquet>] [--bench-text-col text]
       |  [--contam-max-e4 2000] [--budget <tokens>] [--shards 16]
-      |  [--report-source <col>]      // per-source diversity + PSI drift report""".stripMargin
+      |  [--report-source <col>]      // per-source diversity + PSI drift report
+      |  [--drift-baseline <dir>]     // freeze the online-monitor baseline artifact""".stripMargin
 
   def main(args: Array[String]): Unit = {
     if (args.length < 2) { System.err.println(usage); sys.exit(2) }
@@ -221,6 +222,38 @@ object CurateMain {
       survivors.unpersist()
       println(s"[curate] wrote $outDir/_report " +
         "(source_diversity + psi_quality_drift)")
+    }
+
+    // 8. optional DRIFT BASELINE artifact for the ONLINE monitor
+    //    ([[graft.ext.Curation.driftMonitorStream]]): the survivors'
+    //    quality-score bucket distribution frozen as the reference
+    //    every streaming micro-batch PSIs against, plus the curated
+    //    corpus's KMV sketch as the novelty seed — so the live crawl
+    //    measures both score drift AND new-content rate against the
+    //    CERTIFIED corpus this run just wrote, not against whatever
+    //    the stream saw first.
+    opt(args, "--drift-baseline").foreach { bDir =>
+      val survivors = spark.read.parquet(s"$outDir/corpus")
+        .select(col("text"))
+        .withColumn("quality_e4",
+          floor(graft.ext.TextAnalysis.qualityScore(col("text")) * 10000)
+            .cast("long"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val base = graft.ext.Splits
+        .driftBaselineBuild(survivors, "quality_e4")
+      graft.ext.Splits.driftBaselineWrite(spark, base, bDir)
+      val skRow = survivors
+        .select(explode(Dedup.shingleHashArray(
+          Dedup.tokenHashes(col("text")), 3)).as("h"))
+        .agg(graft.ext.Kmv.sketch(col("h")).as("sk")).head()
+      val seed: Seq[Long] =
+        if (skRow.isNullAt(0)) Seq.empty else skRow.getSeq[Long](0)
+      import spark.implicits._
+      Seq(Tuple1(seed)).toDF("sk").coalesce(1)
+        .write.mode("overwrite").parquet(s"$bDir/sketch")
+      survivors.unpersist()
+      println(s"[curate] wrote drift baseline $bDir " +
+        s"(buckets=${base.nb.size}, n=${base.n}, sketch=${seed.size})")
     }
   }
 }

@@ -275,4 +275,90 @@ object Curation {
       .transformWithState(
         new ShardBudgetProcessor, TimeMode.None(), OutputMode.Append())
   }
+
+  /** ONLINE drift monitoring over the streaming curation DAG — the
+    * t45/d35 batch reports turned into a per-micro-batch `foreachBatch`
+    * stage, because drift is only useful while the crawl is running:
+    *
+    *  - PSI of each micro-batch's quality-score distribution against
+    *    the FROZEN [[Splits.DriftBaseline]] artifact the batch job
+    *    wrote (`graft.CurateMain --drift-baseline`): bucket rules are
+    *    baseline-time constants, so a drifting stream cannot re-bucket
+    *    itself back to "stable". Arithmetic is [[Splits.psiDrift]]'s
+    *    verbatim — StreamingWindowSpec pins streamed-per-source PSI ≡
+    *    the batch t45 rows on the same corpus.
+    *  - KMV novelty: the micro-batch's distinct-shingle sketch merged
+    *    into the persisted incremental sketch (the d37 artifact
+    *    pattern) — `novel_est` says how much genuinely NEW content the
+    *    batch added vs everything seen so far, O(k) state regardless
+    *    of stream length. The sketch seed is `baselineDir/sketch`
+    *    (the curated corpus), so novelty is measured against the
+    *    certified baseline from batch one.
+    *
+    * Per batch ONE row appends to `reportDir/drift`: (batch_id, label,
+    * n_docs, psi_e6, flagged, est_before, est_after, novel_est).
+    * `labelCol` (optional, LOW-CARDINALITY — e.g. the crawl source)
+    * stamps the row with the batch's sorted distinct labels for
+    * attribution. Caller starts the returned writer with its own
+    * trigger/checkpoint. */
+  def driftMonitorStream(
+      docs: DataFrame, textCol: String, baselineDir: String,
+      reportDir: String, labelCol: Option[String] = None,
+      k: Int = Kmv.DefaultK)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val spark = docs.sparkSession
+    val base = Splits.driftBaselineRead(spark, baselineDir)
+    docs.writeStream.foreachBatch {
+      (b: DataFrame, id: Long) =>
+        driftMonitorApply(b, id, textCol, base, baselineDir, reportDir,
+          labelCol, k)
+    }
+  }
+
+  /** One micro-batch of the drift monitor (also the unit the spec
+    * drives directly): PSI vs the frozen baseline, sketch-merge
+    * novelty, one appended report row. The evolving sketch lives at
+    * `reportDir/sketch` (read before, overwritten after — the stored
+    * array is driver-materialized first, so the overwrite is safe);
+    * first batch falls back to the `baselineDir/sketch` seed. */
+  private[graft] def driftMonitorApply(
+      b: DataFrame, batchId: Long, textCol: String,
+      base: Splits.DriftBaseline, baselineDir: String, reportDir: String,
+      labelCol: Option[String], k: Int): Unit = {
+    val spark = b.sparkSession
+    import spark.implicits._
+    val scored = b.withColumn("_score_e4",
+      floor(TextAnalysis.qualityScore(col(textCol)) * 10000).cast("long"))
+    val psi = Splits.psiAgainstBaseline(scored, "_score_e4", base).head()
+    val skRow = b
+      .select(explode(
+        Dedup.shingleHashArray(Dedup.tokenHashes(col(textCol)), 3)).as("h"))
+      .agg(Kmv.sketch(col("h"), k).as("sk")).head()
+    val bsk: Seq[Long] =
+      if (skRow.isNullAt(0)) Seq.empty else skRow.getSeq[Long](0)
+    def readSketch(dir: String): Option[Seq[Long]] = {
+      val p = java.nio.file.Paths.get(dir, "sketch")
+      if (!java.nio.file.Files.isDirectory(p)) None
+      else spark.read.parquet(p.toString).collect().headOption
+        .map(r => if (r.isNullAt(0)) Seq.empty[Long] else r.getSeq[Long](0))
+    }
+    val stored = readSketch(reportDir)
+      .orElse(readSketch(baselineDir)).getOrElse(Seq.empty)
+    val before = Kmv.estimateLocal(stored, k)
+    val merged = Kmv.mergeLocal(stored, bsk, k)
+    val after = Kmv.estimateLocal(merged, k)
+    Seq(Tuple1(merged)).toDF("sk").coalesce(1)
+      .write.mode("overwrite").parquet(s"$reportDir/sketch")
+    val label = labelCol.map { c =>
+      b.select(col(c).cast("string")).distinct()
+        .collect().map(_.getString(0)).sorted.mkString(",")
+    }.getOrElse("")
+    Seq((batchId, label, psi.getAs[Long]("n_docs"),
+      psi.getAs[Long]("psi_e6"), psi.getAs[Long]("flagged"),
+      before, after, math.max(after - before, 0L)))
+      .toDF("batch_id", "label", "n_docs", "psi_e6", "flagged",
+        "est_before", "est_after", "novel_est")
+      .coalesce(1)
+      .write.mode("append").parquet(s"$reportDir/drift")
+  }
 }

@@ -122,6 +122,20 @@ object Kmv {
         coalesce(b, array().cast("array<long>")))),
       1, k)
 
+  /** Driver-side twin of [[mergeSketch]] for O(k) artifact updates
+    * between streaming micro-batches (a foreachBatch monitor holds the
+    * ≤k-long stored sketch on the driver): distinct-union, ascending,
+    * trimmed to k — the same law KmvSketchSpec pins for the column
+    * form. */
+  def mergeLocal(a: Seq[Long], b: Seq[Long], k: Int = DefaultK): Seq[Long] =
+    (a ++ b).distinct.sorted.take(k)
+
+  /** Driver-side twin of [[estimate]] — identical IEEE-754 arithmetic
+    * (exact (k−1)·2^60 product, one double division, floor). */
+  def estimateLocal(sk: Seq[Long], k: Int = DefaultK): Long =
+    if (sk.size < k) sk.size.toLong
+    else math.floor((k - 1).toDouble * DomainD / sk(k - 1).toDouble).toLong
+
   /** Incremental update: merge a NEW batch's per-source sketches into
     * stored ones (full outer on source — new sources appear, untouched
     * sources pass through). The historical corpus is never re-read. */

@@ -158,4 +158,48 @@ class CurateMainSpec extends SparkSpec {
     Seq(in, out).foreach(d =>
       graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(d)))
   }
+
+  test("CurateMain --drift-baseline freezes the online-monitor artifact; " +
+    "re-feeding the curated corpus itself is zero-drift, zero-novelty") {
+    import graft.ext.{Curation, Kmv, Splits}
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val in = java.nio.file.Files.createTempDirectory("curate-din").toString
+    docs.write.mode("overwrite").parquet(in)
+    val out = java.nio.file.Files.createTempDirectory("curate-dout").toString
+    val baseDir = java.nio.file.Files.createTempDirectory("curate-dbase").toString
+    val repDir = java.nio.file.Files.createTempDirectory("curate-drep").toString
+
+    CurateMain.run(spark, Array(
+      in, out, "--shards", "2", "--drift-baseline", baseDir))
+
+    // the artifact is complete and round-trips
+    val base = Splits.driftBaselineRead(spark, baseDir)
+    assert(base.thresholds.size === 9 && base.nb.nonEmpty)
+    assert(base.n === spark.read.parquet(s"$out/corpus").count())
+    val seed = spark.read.parquet(s"$baseDir/sketch")
+      .head().getSeq[Long](0)
+    assert(seed.nonEmpty)
+
+    // drive ONE monitor micro-batch with the curated corpus itself:
+    // identical distribution ⇒ every PSI term is exactly 0 (p == q as
+    // doubles), and the sketch seed already holds every shingle ⇒ the
+    // merge is a no-op and novelty books 0
+    Curation.driftMonitorApply(
+      spark.read.parquet(s"$out/corpus").select("text"),
+      batchId = 0L, textCol = "text", base = base,
+      baselineDir = baseDir, reportDir = repDir,
+      labelCol = None, k = Kmv.DefaultK)
+    val row = spark.read.parquet(s"$repDir/drift").head()
+    assert(row.getAs[Long]("n_docs") === base.n)
+    assert(row.getAs[Long]("psi_e6") === 0L)
+    assert(row.getAs[Long]("flagged") === 0L)
+    assert(row.getAs[Long]("novel_est") === 0L)
+    assert(row.getAs[Long]("est_after") === row.getAs[Long]("est_before"))
+    assert(spark.read.parquet(s"$repDir/sketch")
+      .head().getSeq[Long](0) === seed)
+    Seq(in, out, baseDir, repDir).foreach(d =>
+      graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(d)))
+  }
 }

@@ -725,4 +725,77 @@ class StreamingWindowSpec extends SparkSpec {
     assert(got(2L) === 0L) // empty shingles: exactly 0, not null
     spark.catalog.clearCache()
   }
+
+  test("streaming drift monitor: per-source PSI rows equal the batch " +
+    "t45 psiDrift, KMV novelty merges to the full-corpus sketch") {
+    import graft.ext.{Curation, Dedup, Kmv, Splits, TextAnalysis}
+    val srcs = (0 until 5).map(i => s"src$i")
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .where(col("source").isin(srcs: _*))
+      .select("doc_id", "source", "text")
+    val scored = docs.select(col("source"),
+      floor(TextAnalysis.qualityScore(col("text")) * 10000)
+        .cast("long").as("quality_e4"))
+    // the batch reference: t45's per-source PSI on the same corpus
+    val batchRows = Splits.psiDrift(scored, "source", "quality_e4")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("psi_e6"),
+          r.getAs[Long]("flagged")))).toMap
+    val baseDir = java.nio.file.Files.createTempDirectory("graft-dbase")
+    val repDir = java.nio.file.Files.createTempDirectory("graft-drep")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-dstr")
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-dck")
+    try {
+      Splits.driftBaselineWrite(spark,
+        Splits.driftBaselineBuild(scored, "quality_e4"), baseDir.toString)
+      // one file per source → one micro-batch per source
+      srcs.foreach { s =>
+        docs.where(col("source") === s).coalesce(1)
+          .write.parquet(streamDir.resolve(s).toString)
+      }
+      val q = Curation.driftMonitorStream(
+        spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$streamDir/*"),
+        "text", baseDir.toString, repDir.toString,
+        labelCol = Some("source"))
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckDir.toString)
+        .start()
+      q.awaitTermination()
+      val drift = spark.read.parquet(s"$repDir/drift").collect()
+      assert(drift.length === srcs.length)
+      // STREAMED ≡ BATCH: each micro-batch's PSI row against the
+      // frozen baseline is exactly that source's t45 psiDrift row
+      drift.foreach { r =>
+        val label = r.getAs[String]("label")
+        assert(batchRows.contains(label), s"unexpected batch label $label")
+        assert((r.getAs[Long]("n_docs"), r.getAs[Long]("psi_e6"),
+          r.getAs[Long]("flagged")) === batchRows(label), s"source $label")
+      }
+      // KMV novelty accounting: the merged artifact equals the
+      // one-shot full-corpus sketch (the trimmed-union merge law),
+      // and per-batch novel_est books est_after − est_before
+      val full = docs
+        .select(explode(Dedup.shingleHashArray(
+          Dedup.tokenHashes(col("text")), 3)).as("h"))
+        .agg(Kmv.sketch(col("h")).as("sk")).head().getSeq[Long](0)
+      val stored = spark.read.parquet(s"$repDir/sketch")
+        .head().getSeq[Long](0)
+      assert(stored === full)
+      val byBatch = drift.sortBy(_.getAs[Long]("batch_id"))
+      byBatch.foreach { r =>
+        assert(r.getAs[Long]("novel_est") ===
+          math.max(r.getAs[Long]("est_after") -
+            r.getAs[Long]("est_before"), 0L))
+      }
+      assert(byBatch.head.getAs[Long]("est_before") === 0L) // empty seed
+      assert(byBatch.last.getAs[Long]("est_after") ===
+        Kmv.estimateLocal(full))
+    } finally {
+      Seq(baseDir, repDir, streamDir, ckDir)
+        .foreach(graft.util.Fs.deleteRecursively)
+    }
+    spark.catalog.clearCache()
+  }
 }
