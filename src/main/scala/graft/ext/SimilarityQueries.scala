@@ -672,8 +672,123 @@ object SimilarityQueries {
           coalesce(col("_n"), lit(0L)).as("n_hits"),
           // recall@10 in basis points: n_hits·10⁴ div 10 (integer)
           (coalesce(col("_n"), lit(0L)) * 1000L).as("recall_e4"))
+    },
+
+    // SAMPLED MULTI-QUERY NDCG — s25's position-weighted quality audit
+    // over the same pmd5-sampled batch s26 runs recall on, one NDCG@10
+    // row PER QUERY (the distribution of ranking quality, not one
+    // point). Same machinery: exact per-query ranking from one corpus
+    // scan (s10 knnJoin), IVF per-query ranking via ivfTopKBatch; the
+    // rank windows are KEYED by query (never global — contrast s25's
+    // single-query whitelisted form); gains e6-floored per term before
+    // the integer per-query sums (the s25 discipline).
+    Q("s27_ndcg_multi", s27OracleSql) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.load(s, dir, "embeddings")
+      val idx = Similarity.ivfBuild(emb, "vec_id", "embedding",
+        dim = Some(64))
+      val qs = emb.where(
+        Dedup.pmd5(col("vec_id")) % 8 === 0 &&
+          Similarity.norm(col("embedding")) > 0)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_e6").desc, col("neighbor_id").asc)
+      val ex = Similarity.knnJoin(qs, emb, "vec_id", "embedding", k = 10)
+        .withColumn("rk", row_number().over(w))
+        .select(col("query_id"), col("neighbor_id"), col("rk"))
+      val ap = Similarity
+        .ivfTopKBatch(idx, qs, "vec_id", "embedding", k = 10, nProbe = 4)
+        .withColumn("pos", row_number().over(w))
+        .select(col("query_id"), col("neighbor_id"), col("pos"))
+      def gainE6(rel: org.apache.spark.sql.Column,
+          at: org.apache.spark.sql.Column) =
+        floor(lit(1000000.0) * rel.cast("double") /
+          (log((at + 1).cast("double")) / log(lit(2.0)))).cast("long")
+      val dcg = ap.join(ex, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(coalesce(
+          sum(when(col("rk").isNotNull,
+            gainE6(lit(11) - col("rk"), col("pos")))),
+          lit(0L)).as("dcg_e6"))
+      val idcg = ex.groupBy("query_id")
+        .agg(sum(gainE6(lit(11) - col("rk"), col("rk"))).as("idcg_e6"))
+      idcg.join(dcg, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("dcg_e6"), lit(0L)).as("dcg_e6"), col("idcg_e6"),
+          expr("coalesce(dcg_e6, 0) * 1000000 div idcg_e6").as("ndcg_e6"))
     }
   )
+
+  /** s27 replay: the s26 CTEs extended with ranks — exact top-10 WITH
+    * rank (graded relevance), IVF top-10 WITH position, the s25
+    * e6-floored log2 gain per term, grouped per query; idcg-side left
+    * join so a query whose IVF list misses everything still lands a
+    * 0-NDCG row. */
+  private lazy val s27OracleSql: String = {
+    val dim = 64
+    def cos6(vec: String, q: String): String =
+      s"""round(
+         |      list_sum(list_transform(range(1, ${dim + 1}),
+         |        i -> CAST($vec[i] AS DOUBLE) * CAST($q[i] AS DOUBLE)))
+         |      / (sqrt(list_sum(list_transform($vec,
+         |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |         * sqrt(list_sum(list_transform($q,
+         |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         |      6)""".stripMargin
+    s"""WITH ${KmeansOracle.lloydCtes()},
+       |nz AS (
+       |  SELECT id, e FROM v
+       |  WHERE sqrt(list_sum(list_transform(e,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0
+       |), qs AS (
+       |  SELECT id AS qid, e AS qv FROM nz
+       |  WHERE ${DedupQueries.pmSql("CAST(id AS VARCHAR)")} % 8 = 0
+       |), ex AS (
+       |  SELECT qid, cid, rn AS rk FROM (
+       |    SELECT q.qid, a.id AS cid,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY ${cos6("a.e", "q.qv")} DESC, a.id ASC) AS rn
+       |    FROM qs q, nz a)
+       |  WHERE rn <= 10
+       |), pr AS (
+       |  SELECT qid, ci FROM (
+       |    SELECT q.qid, c.ci,
+       |      row_number() OVER (PARTITION BY q.qid ORDER BY
+       |        list_sum(list_transform(range(1, ${dim + 1}),
+       |          i -> c.cv[i] * CAST(q.qv[i] AS DOUBLE)))
+       |        / greatest(sqrt(list_sum(list_transform(q.qv,
+       |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 1e-12)
+       |        DESC, c.ci ASC) AS rn
+       |    FROM qs q, cents3 c)
+       |  WHERE rn <= 4
+       |), ap AS (
+       |  SELECT qid, cid, rn AS pos FROM (
+       |    SELECT p.qid, a.id AS cid,
+       |      row_number() OVER (PARTITION BY p.qid
+       |        ORDER BY ${cos6("a.e", "q.qv")} DESC, a.id ASC) AS rn
+       |    FROM pr p
+       |    JOIN asg a ON a.ci = p.ci
+       |    JOIN qs q ON q.qid = p.qid)
+       |  WHERE rn <= 10
+       |), dcg AS (
+       |  SELECT ap.qid,
+       |    coalesce(sum(CASE WHEN ex.rk IS NULL THEN NULL ELSE
+       |      CAST(floor(1000000.0 * CAST(11 - ex.rk AS DOUBLE)
+       |        / (ln(CAST(ap.pos + 1 AS DOUBLE)) / ln(2.0))) AS BIGINT)
+       |      END), 0) AS g
+       |  FROM ap LEFT JOIN ex ON ex.qid = ap.qid AND ex.cid = ap.cid
+       |  GROUP BY ap.qid
+       |), idcg AS (
+       |  SELECT qid, sum(CAST(floor(1000000.0
+       |    * CAST(11 - rk AS DOUBLE)
+       |    / (ln(CAST(rk + 1 AS DOUBLE)) / ln(2.0))) AS BIGINT)) AS g
+       |  FROM ex GROUP BY qid
+       |)
+       |SELECT i.qid AS query_id,
+       |  CAST(coalesce(d.g, 0) AS BIGINT) AS dcg_e6,
+       |  CAST(i.g AS BIGINT) AS idcg_e6,
+       |  CAST(coalesce(d.g, 0) * 1000000 // i.g AS BIGINT) AS ndcg_e6
+       |FROM idcg i LEFT JOIN dcg d ON d.qid = i.qid""".stripMargin
+  }
 
   /** s26 replay: Lloyd build ([[KmeansOracle.lloydCtes]] — cents3 +
     * full-corpus asg), the pmd5-sampled query batch, exact top-10 per
