@@ -799,10 +799,23 @@ object Similarity {
       .limit(cap)
       .drop("_ord")
 
+  /** Above this k, Lloyd TRAINING (and the final corpus assignment)
+    * switch from flat n·k scoring to two-level routed scoring — the
+    * r11 probe measured flat training at 279 s for k=1562 (cap=50·k
+    * sample × k centroids ≈ the n·k ~ n² term at corpus-pinned k,
+    * exactly the cost the semDedup docstring warned about), vs ~n·2√k
+    * routed. Below the threshold flat is cheaper AND is the form every
+    * trained-index oracle (s4/s6/s7/s9/d18 — all k ≤ 16) replays, so
+    * pack hashes are untouched; above it no oracle vehicle exists
+    * (corpus-pinned k is a probe/production config) and the routed
+    * trajectory is the documented IMI-style approximation. */
+  val RoutedTrainThreshold: Int = 256
+
   def ivfBuild(
       vectors: DataFrame, idCol: String, vecCol: String,
       k: Int = 16, iters: Int = 3, seed: Long = 42L,
-      dim: Option[Int] = None, trainCap: Int = 0): IvfIndex = {
+      dim: Option[Int] = None, trainCap: Int = 0,
+      routedAbove: Int = RoutedTrainThreshold): IvfIndex = {
     val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
     // dim probe only when the caller doesn't know it — at 100 TB the
     // probe is a full column scan before the first Lloyd pass starts
@@ -816,6 +829,20 @@ object Similarity {
     val train = trainSampleFrame(base, cap)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     train.count()
+    // two-level routed scoring above the threshold: the centroid-side
+    // meta-Lloyd is a driver-scale pure function of the CURRENT
+    // centroids (recomputed per iteration as they move), so the
+    // routed trajectory is just as deterministic as the flat one —
+    // same integer-sum means, same tie contract — only approximate in
+    // WHICH cell a boundary vector lands (the IMI trade).
+    val routed = k > routedAbove
+    def assignFn(src: DataFrame, cents: Seq[Seq[Double]]): DataFrame =
+      if (!routed) assignCells(src, cents)
+      else {
+        val r = math.ceil(math.sqrt(k.toDouble)).toInt
+        val (sup, grp) = metaCentroids(cents, r)
+        assignCellsRouted(src, cents, sup, grp)
+      }
     var cents: Seq[Seq[Double]] = initialCentroids(k, dimV, seed)
     for (_ <- 0 until iters) {
       // assign + per-cluster mean: one distributed pass, k×dim values
@@ -827,7 +854,7 @@ object Similarity {
       // Integer sums are associative; the single division
       // s/(n·10⁶) is then one deterministic double op, which is what
       // makes the s4/s6/d18 full-replay DuckDB oracles possible.
-      val assigned = assignCells(train, cents)
+      val assigned = assignFn(train, cents)
       val sums = assigned
         .groupBy("c")
         .agg(
@@ -845,7 +872,7 @@ object Similarity {
       cents = cents.indices.map(i => updated.getOrElse(i, cents(i)))
     }
     train.unpersist()
-    IvfIndex(cents, assignCells(base, cents))
+    IvfIndex(cents, assignFn(base, cents))
   }
 
   /** ANN top-k through an IVF index: rank only vectors in the `nProbe`

@@ -1361,6 +1361,40 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("routed-train ivfBuild (k above RoutedTrainThreshold): cells " +
+    "partition the corpus, exact clones colocate, build is " +
+    "partitioning-invariant") {
+    val dim = 8
+    val k = 300 // > RoutedTrainThreshold = 256 → two-level Lloyd
+    assert(k > Similarity.RoutedTrainThreshold)
+    val vecs = (0 until 2000).map { i =>
+      val c = i % 50 // 50 planted cluster centers
+      (i.toLong, Seq.tabulate(dim)(j =>
+        (math.sin(c * 37.0 + j) + 0.001 * (i / 50 % 3)).toFloat))
+    }
+    // a clone of vector 0 under a fresh id: identical floats MUST land
+    // in the identical cell (deterministic struct-max routing)
+    val planted = (vecs :+ (9999L, vecs.head._2)).toDF("vec_id", "embedding")
+    val idx = Similarity.ivfBuild(
+      planted, "vec_id", "embedding", k = k, dim = Some(dim))
+    val asg = idx.assigned.select("id", "c").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(asg.size === 2001) // every vector exactly one cell
+    assert(asg(9999L) === asg(0L))
+    assert(asg.values.toSet.size > 1, "degenerate single-cell build")
+    // determinism: same centroids and same assignment from a
+    // different physical partitioning (integer-sum means + driver
+    // meta-Lloyd are partition-order-free)
+    val idx2 = Similarity.ivfBuild(
+      planted.repartition(7), "vec_id", "embedding", k = k,
+      dim = Some(dim))
+    assert(idx2.centroids === idx.centroids)
+    val asg2 = idx2.assigned.select("id", "c").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(asg2 === asg)
+    spark.catalog.clearCache()
+  }
+
   test("ivfTopKBatch == per-query ivfTopK for every query in the batch") {
     val dim = 16
     val vecs = (0 until 150).map { i =>
