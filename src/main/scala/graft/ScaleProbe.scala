@@ -27,6 +27,9 @@ object ScaleProbe {
     if (args.contains("coreset")) { probeCoreset(spark); spark.stop(); return }
     if (args.contains("native")) { probeNative(spark); spark.stop(); return }
     if (args.contains("r10")) { probeR10(spark); spark.stop(); return }
+    if (args.contains("state")) { probeState(spark); spark.stop(); return }
+    if (args.contains("r11")) { probeR11(spark); spark.stop(); return }
+    if (args.contains("d18dbg")) { probeD18dbg(spark); spark.stop(); return }
     val docs1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .select(col("doc_id"), col("text"))
     // 10x: replicate with distinct ids and a per-copy suffix token so
@@ -1218,5 +1221,259 @@ object ScaleProbe {
       graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(out))
       graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(pq))
     }
+  }
+
+  // ——— round-11 probe (`sbt "runMain graft.ScaleProbe r11"`): the
+  // SAMPLED audit family at scale. The claim under test: with the
+  // query COUNT held fixed (sampleMod scaled with the corpus — the
+  // production knob), sampled-audit cost tracks the corpus SCAN
+  // (~linear, one-sided postings join), never the exhaustive index²
+  // that made d34 super-linear (9.3→51.0 s at 10× in the round-10
+  // probe). Also re-times routed-assignment semDedup (the r10 d18
+  // fix) at the same scales as the round-10 flat-assignment rows. ———
+  private def probeR11(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.DataFrame
+    val docs1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val vecs1 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$name%-36s ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
+      graft.ext.Caches.release(); spark.catalog.clearCache()
+    }
+    val dirs = collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    def mat(df: DataFrame, tag: String): DataFrame =
+      matTo(spark, dirs, df, s"r11-$tag")
+    try {
+      val d10 = mat(repDocsFrom(docs1, 10), "d10")
+      println(s"docs10 = ${d10.count()}")
+      // fixed-mod vs fixed-count: mod 8 at 1× keeps ~625 queries; at
+      // 10× the FIXED-COUNT form scales mod to 80 (same ~625 queries,
+      // the production audit shape) while the fixed-mod form lets the
+      // sample grow with the corpus (the knob a caller turns when they
+      // actually want more coverage, priced accordingly)
+      time("1x(5k) d38 sampled recall m8") {
+        graft.ext.Dedup.lshRecallSampled(
+          docs1, "doc_id", "text", 0.5, sampleMod = 8).count()
+      }
+      time("10x(50k) d38 fixedCount m80") {
+        graft.ext.Dedup.lshRecallSampled(
+          d10, "doc_id", "text", 0.5, sampleMod = 80).count()
+      }
+      time("10x(50k) d38 fixedMod m8") {
+        graft.ext.Dedup.lshRecallSampled(
+          d10, "doc_id", "text", 0.5, sampleMod = 8).count()
+      }
+      val v10 = mat(repVecsFrom(vecs1, 10), "v10")
+      val v100 = mat(repVecsFrom(vecs1, 100), "v100")
+      println(s"vecs10 = ${v10.count()}, vecs100 = ${v100.count()}")
+      // s26 at fixed ~63-query batches (mod scaled 10×-per-step):
+      // exact side = one corpus scan against the broadcast batch,
+      // IVF side = cells only — both ~linear in corpus
+      def s26(v: DataFrame, mod: Long): Long = {
+        val idx = graft.ext.Similarity.ivfBuild(
+          v, "vec_id", "embedding", dim = Some(64))
+        val qs = v.where(
+          graft.ext.Dedup.pmd5(col("vec_id")) % mod === 0 &&
+            graft.ext.Similarity.norm(col("embedding")) > 0)
+        val ex = graft.ext.Similarity
+          .knnJoin(qs, v, "vec_id", "embedding", k = 10)
+          .select("query_id", "neighbor_id")
+        val ap = graft.ext.Similarity
+          .ivfTopKBatch(idx, qs, "vec_id", "embedding", k = 10, nProbe = 4)
+          .select("query_id", "neighbor_id")
+        ex.join(ap, Seq("query_id", "neighbor_id"))
+          .groupBy("query_id").agg(count(lit(1))).count()
+      }
+      time("10x(20k) s26 recall multi m320") { s26(v10, 320L) }
+      time("100x(200k) s26 recall multi m3200") { s26(v100, 3200L) }
+      // routed-assignment semDedup (post-r10 two-level fix) at the
+      // round-10 probe's scales/policies for a direct before/after
+      for ((label, v) <- Seq(("10x(20k)", v10), ("100x(200k)", v100))) {
+        val n = v.count()
+        for ((kp, k) <- Seq(
+            ("k=n/128", math.max(4, (n / 128).toInt)),
+            ("k=4sqrt(n)", math.max(4, (4 * math.sqrt(n.toDouble)).toInt))))
+          time(s"$label semDedupRouted $kp($k)") {
+            graft.ext.Dedup.semDedup(
+              v, "vec_id", "embedding",
+              round(graft.ext.Similarity.norm(col("embedding")) * 1e6)
+                .cast("long"),
+              threshold = 0.9, k = k, dim = Some(64)).count()
+          }
+      }
+    } finally {
+      dirs.foreach(graft.util.Fs.deleteRecursively)
+    }
+  }
+
+  // ——— d18 routed-assignment BREAKDOWN (diagnostic mode):
+  // where do the seconds go at 100×/k=1562 — training, flat vs routed
+  // assignment, or the pair join? ———
+  private def probeD18dbg(spark: SparkSession): Unit = {
+    import graft.ext.Similarity
+    val vecs1 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val dirs = collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    val v = matTo(spark, dirs, repVecsFrom(vecs1, 100), "d18dbg")
+    try {
+      println(s"n = ${v.count()}")
+      val k = 1562
+      def time[T](name: String)(f: => T): T = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"$name%-30s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+        spark.catalog.clearCache(); r
+      }
+      val idx = time("ivfBuild(train)") {
+        Similarity.ivfBuild(v, "vec_id", "embedding", k = k, dim = Some(64))
+      }
+      val base = v.select(col("vec_id").as("id"), col("embedding").as("v"))
+      time("flat assign + cell histo") {
+        println(Similarity.assignCells(base, idx.centroids)
+          .groupBy("c").count()
+          .agg(count(lit(1)), max("count"), expr("sum(count*count)"))
+          .collect().mkString)
+      }
+      val (supers, groupOf) = time("metaCentroids(driver)") {
+        Similarity.metaCentroids(idx.centroids,
+          math.ceil(math.sqrt(k.toDouble)).toInt, 2)
+      }
+      time("routed assign + cell histo") {
+        println(Similarity
+          .assignCellsRouted(base, idx.centroids, supers, groupOf)
+          .groupBy("c").count()
+          .agg(count(lit(1)), max("count"), expr("sum(count*count)"))
+          .collect().mkString)
+      }
+    } finally dirs.foreach(graft.util.Fs.deleteRecursively)
+  }
+
+  // ——— RocksDB state-store probe for the PRODUCTION correlator wire
+  // (`sbt "runMain graft.ScaleProbe state"`): checkpoint + state size
+  // and per-micro-batch commit latency at growing block volumes with
+  // planted LONG-PENDING receipt DAGs — the state the 100 TB
+  // transactions claim rests on. Each tx = root receipt (next block)
+  // + one child; every `pendEvery`-th tx's child executes `pendDelay`
+  // blocks later, so outstanding pending entries at steady state ≈
+  // (txPerBlock/pendEvery)·pendDelay — the knob that scales STATE
+  // while block volume scales SCAN. A TTL variant measures the
+  // processor-implemented expiry (lenient skip on late arrival). ———
+  private def probeState(spark: SparkSession): Unit = {
+    import graft.schema._
+    import spark.implicits._
+    graft.etl.TxCorrelator.ensureRocksDb(spark)
+
+    def mkBlocks(
+        nBlocks: Int, txPerBlock: Int, pendEvery: Int,
+        pendDelay: Int): IndexedSeq[BlockWithTxHashes] = {
+      def childExecBlock(h: Int, i: Int): Int =
+        if (i % pendEvery == 0) h + pendDelay else h + 2
+      (0 until nBlocks).map { h =>
+        val height = 100L + h
+        val txs = (0 until txPerBlock).map { i =>
+          val tx = s"tx${h}_$i"
+          IndexerTransactionWithOutcome(
+            SignedTransactionView(tx, "signer.near", "k", 1L,
+              "recv.near", Nil, "sig"),
+            ExecutionOutcomeWithIdView(tx, s"blk$h",
+              ExecutionOutcomeView(Seq(s"r${h}_$i"),
+                ExecutionStatusView(None, Some(s"r${h}_$i"), None),
+                1L, "0", Nil, "recv.near")))
+        }
+        // roots of txs registered at h−1 execute here, spawning one
+        // child each; children land per their (possibly delayed) slot
+        val roots = if (h < 1) Nil else (0 until txPerBlock).map { i =>
+          receipt(s"r${h - 1}_$i", s"tx${h - 1}_$i", h,
+            children = Seq(s"c${h - 1}_$i"))
+        }
+        val children = (0 until txPerBlock).flatMap { i =>
+          // which earlier block's child executes at h?
+          Seq(h - 2, h - pendDelay).distinct.collect {
+            case hb if hb >= 0 && childExecBlock(hb, i) == h =>
+              receipt(s"c${hb}_$i", s"tx${hb}_$i", h, children = Nil)
+          }
+        }
+        BlockWithTxHashes(
+          BlockView("author.near",
+            BlockHeaderView(height, s"blk$h", s"blk${h - 1}",
+              Some(height - 1), height * 1000L, "e", 1L, "s", 73)),
+          Seq(ShardView(0L,
+            Some(ChunkView(0L, txs, Nil)).filter(_ => txs.nonEmpty),
+            roots ++ children)))
+      }
+    }
+
+    def receipt(
+        rid: String, tx: String, h: Int,
+        children: Seq[String]): ReceiptExecutionOutcome =
+      ReceiptExecutionOutcome(
+        Some(tx),
+        ReceiptView("pred.near", "recv.near", rid,
+          Some(ActionReceiptView("signer.near", "k", Nil, Nil,
+            "0", is_promise_yield = false)), None),
+        ExecutionOutcomeWithIdView(rid, s"blk$h",
+          ExecutionOutcomeView(children,
+            ExecutionStatusView(Some("IjQyIg=="), None, None),
+            1L, "0", Nil, "recv.near")))
+
+    def dirBytes(dir: java.nio.file.Path): Long = {
+      val s = java.nio.file.Files.walk(dir)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally s.close()
+    }
+
+    def run(
+        label: String, nBlocks: Int, pendDelay: Int,
+        ttl: Option[java.time.Duration] = None,
+        sleepBetweenMs: Long = 0L): Unit = {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val blocks = mkBlocks(nBlocks, txPerBlock = 10,
+        pendEvery = 10, pendDelay = pendDelay)
+      val ck = java.nio.file.Files.createTempDirectory("graft-stateck")
+      val stream = MemoryStream[BlockWithTxHashes](Blocks.encoder, spark)
+      val name = s"state_probe_${label.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val q = graft.etl.TxCorrelator
+        .correlateStreamTws(stream.toDS(), strict = false, stateTtl = ttl)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck.toString)
+        .start()
+      val lat = scala.collection.mutable.ArrayBuffer[Double]()
+      try {
+        blocks.grouped(500).foreach { batch =>
+          if (sleepBetweenMs > 0) Thread.sleep(sleepBetweenMs)
+          val t0 = System.nanoTime()
+          stream.addData(batch)
+          q.processAllAvailable()
+          lat += (System.nanoTime() - t0) / 1e9
+        }
+      } finally q.stop()
+      val stateDir = ck.resolve("state")
+      val stateBytes =
+        if (java.nio.file.Files.isDirectory(stateDir)) dirBytes(stateDir)
+        else 0L
+      val completed = spark.table(name).count()
+      val sorted = lat.sorted
+      val p95 = sorted((sorted.size * 95 / 100).min(sorted.size - 1))
+      println(f"$label%-28s blocks=$nBlocks txs=${nBlocks * 10} " +
+        f"completed=$completed pendSteady=$pendDelay " +
+        f"batches=${lat.size} medLat=${sorted(sorted.size / 2)}%.2f s " +
+        f"p95Lat=$p95%.2f s state=${stateBytes / 1e6}%.1f MB " +
+        f"ckTotal=${dirBytes(ck) / 1e6}%.1f MB")
+      graft.util.Fs.deleteRecursively(ck)
+      spark.catalog.dropTempView(name)
+    }
+
+    // pendDelay scales WITH volume: outstanding pending entries grow
+    // 10× per step (400 → 4,000 → 40,000 at steady state ×1 tx/blk)
+    run("1x(500blk)", 500, pendDelay = 400)
+    run("10x(5kblk)", 5000, pendDelay = 4000)
+    run("100x(50kblk)", 50000, pendDelay = 40000)
+    // TTL twin at 10×: entries expire between micro-batches (processor
+    // TTL + lenient skip), so state stays flat regardless of pendDelay
+    run("10x+ttl1ms", 5000, pendDelay = 4000,
+      ttl = Some(java.time.Duration.ofMillis(1)), sleepBetweenMs = 5L)
   }
 }
