@@ -958,8 +958,19 @@ object Similarity {
       .withColumn("_rk", row_number().over(byScore))
       .where(col("_rk") <= nProbe)
       .select(col("_qid"), col("_qv"), col("_ci").as("c"))
+    val probesP = Caches.persisted(probes)
+    // the UNION of probed cells is bounded by |Q|·nProbe — collect it
+    // and push a LITERAL cell filter ahead of the join, so on the
+    // [[ivfIndexWrite]] persisted layout the scan reads ONLY the
+    // probed cells' partition directories (STATIC pruning, not
+    // DPP-dependent — PlanSpec-gated). The in-memory form gets the
+    // same benefit as a pushed filter. The probe frame is persisted:
+    // it feeds both the cells collect and the join build side.
+    val cells = probesP.select(col("c")).distinct()
+      .collect().map(_.getInt(0)).sorted
     val scored = index.assigned
-      .join(broadcast(probes), Seq("c"))
+      .where(col("c").isin(cells.map(c => c: Any): _*))
+      .join(broadcast(probesP), Seq("c"))
       .select(col("_qid"), col("id").as("_cid"),
         round(cosine(col("v"), col("_qv")), 6).as("_cos"))
     perQueryTopK(scored, k)

@@ -80,6 +80,24 @@ class DedupSpec extends SparkSpec {
     val plan = top(idx2).queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("c#"),
       plan.take(2000))
+    // the BATCH probe too: the collected probed-cell set pushes a
+    // literal isin ahead of the join, so the scan reads only the
+    // probed cells' partition directories (static pruning — never the
+    // whole index per batch)
+    val batch = df.where(col("vec_id").isin(0L, 40L, 80L))
+    val bdf = graft.ext.Similarity
+      .ivfTopKBatch(idx2, batch, "vec_id", "embedding", k = 3, nProbe = 2)
+    val bplan = bdf.queryExecution.executedPlan.toString
+    val scanLine = bplan.linesIterator
+      .find(l => l.contains("PartitionFilters") && !l.contains("PartitionFilters: []"))
+      .getOrElse(fail(s"no non-empty PartitionFilters in:\n${bplan.take(4000)}"))
+    assert(scanLine.contains("c#"), scanLine)
+    // and it returns the same neighbors as the in-memory index
+    assert(bdf.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      === graft.ext.Similarity
+        .ivfTopKBatch(idx, batch, "vec_id", "embedding", k = 3, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted)
+    graft.ext.Caches.release()
   }
 
   test("semanticContamination flags planted twins with the right match, " +
