@@ -349,9 +349,14 @@ object Curation {
     val after = Kmv.estimateLocal(merged, k)
     Seq(Tuple1(merged)).toDF("sk").coalesce(1)
       .write.mode("overwrite").parquet(s"$reportDir/sketch")
+    // bounded label collect: the contract is a LOW-cardinality label
+    // (crawl source); a mis-pointed high-cardinality column must not
+    // OOM the monitor's driver — cap at 32 distinct and mark overflow
     val label = labelCol.map { c =>
-      b.select(col(c).cast("string")).distinct()
-        .collect().map(_.getString(0)).sorted.mkString(",")
+      val ls = b.select(col(c).cast("string")).distinct()
+        .limit(33).collect().map(_.getString(0)).sorted
+      if (ls.length > 32) ls.take(32).mkString(",") + ",…"
+      else ls.mkString(",")
     }.getOrElse("")
     Seq((batchId, label, psi.getAs[Long]("n_docs"),
       psi.getAs[Long]("psi_e6"), psi.getAs[Long]("flagged"),

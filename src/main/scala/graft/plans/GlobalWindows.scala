@@ -58,6 +58,32 @@ object GlobalWindows {
         "top-k — ≤10 rows each) plus their joined gain frame")
   )
 
+  /** Queries whose global window lives in an INTERNAL driver action
+    * (a bounded-collect during query construction), invisible to the
+    * final lineage [[countLogical]] gates but caught by Bench's
+    * runtime executed-plan census. Same bounded-frame bar as
+    * [[whitelist]]; kept separate so the logical spec's exactness
+    * check (whitelist rows must still plan a global window) stays
+    * meaningful. */
+  val internalActionSites: Map[String, String] = Map(
+    "t43_curriculum_plan" ->
+      ("Splits.scoreBucketThresholds: cumulative histogram over the " +
+        "DISTINCT-SCORE frame (bounded ≤ MaxScoreDomain, guarded " +
+        "collect) — runs as a driver action while the plan is built"),
+    "t45_psi_quality_drift" ->
+      "same scoreBucketThresholds site (shared threshold derivation)"
+  )
+
+  /** The bench-run gate: a census entry is adjudicated if the query is
+    * on either list. Note the two censuses measure different things:
+    * the LOGICAL census is total over the declared plan; the RUNTIME
+    * census sees only windows that survive the bench action's column
+    * pruning (`count()` drops a Window whose outputs feed no filter),
+    * plus internal driver actions the lineage can't show. Both gates
+    * run; a site must clear whichever census catches it. */
+  def runtimeWhitelisted(name: String): Boolean =
+    whitelist.contains(name) || internalActionSites.contains(name)
+
   /** Global windows in the OPTIMIZED LOGICAL plan (subqueries
     * included): `Window`/`WindowGroupLimit` nodes with an empty
     * partitionSpec. */

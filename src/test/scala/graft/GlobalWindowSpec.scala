@@ -38,6 +38,39 @@ class GlobalWindowSpec extends SparkSpec {
       s"in plan anymore): $unused")
   }
 
+  test("internal-action sites: named queries exist, don't overlap the " +
+    "logical whitelist, and really do run a global window during " +
+    "construction") {
+    val ias = GlobalWindows.internalActionSites
+    assert((ias.keySet -- SparkEntry.queries.keySet).isEmpty)
+    assert(ias.keySet.intersect(GlobalWindows.whitelist.keySet).isEmpty)
+    // runtime proof for one site: constructing t43 collects the
+    // bounded score histogram through a global cumulative window —
+    // visible only to an execution listener, not the final lineage
+    graft.query.Tables.configure(spark)
+    val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit =
+        seen.addAndGet(GlobalWindows.countExecuted(qe.executedPlan))
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      val df = SparkEntry.queries("t43_curriculum_plan")(
+        spark, "/root/testdata/sf0.001")
+      org.apache.spark.sql.graft.ListenerBridge.drain(spark.sparkContext)
+      assert(seen.get() > 0,
+        "t43's construction no longer runs a global window — delete " +
+          "its internalActionSites row")
+      assert(GlobalWindows.countLogical(df) === 0) // and NOT in lineage
+    } finally spark.listenerManager.unregister(l)
+    graft.ext.Caches.release(); spark.catalog.clearCache()
+  }
+
   test("the census counters detect a planted global window") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
