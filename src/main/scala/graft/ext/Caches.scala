@@ -20,10 +20,18 @@ import org.apache.spark.storage.StorageLevel
   * leaving user persists alone.
   */
 object Caches {
-  // WeakHashMap: identity-keyed, entries vanish once the caller drops
-  // the last strong reference — the registry never extends a frame's
-  // lifetime, it only remembers live ones so release() can find them.
-  private val frames = new java.util.WeakHashMap[DataFrame, Unit]()
+  // STRONG identity-keyed registry, deliberately: Spark's CacheManager
+  // holds the cached data regardless of whether the Dataset wrapper is
+  // still referenced, so a weak registry would let a GC drop the entry
+  // while the cache it exists to free lives on — release() would then
+  // silently leak exactly the frames whose wrappers went out of scope
+  // first (the common case: operator-internal persists). The wrapper
+  // objects held here are tiny (plans, not data) and release() clears
+  // the registry, so the strong hold is bounded by the release cadence
+  // the contract already requires.
+  private val frames =
+    java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[DataFrame, java.lang.Boolean]())
 
   /** Persist `df` at `level` and register it for [[release]]. Returns
     * `df` so call sites read `Caches.persisted(frame)`. */
@@ -32,7 +40,7 @@ object Caches {
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
     synchronized {
       df.persist(level)
-      frames.put(df, ())
+      frames.add(df)
       df
     }
 
@@ -40,16 +48,12 @@ object Caches {
     * clear the registry. Safe to call between corpora in a long-lived
     * session; user-persisted frames are untouched. */
   def release(): Unit = synchronized {
-    val it = frames.keySet().iterator()
-    while (it.hasNext) {
-      val df = it.next()
-      if (df != null) df.unpersist(false)
-    }
+    val it = frames.iterator()
+    while (it.hasNext) it.next().unpersist(false)
     frames.clear()
   }
 
-  /** Number of currently registered (still strongly-referenced)
-    * frames — spec hook. */
+  /** Number of currently registered frames — spec hook. */
   def registered: Int = synchronized(frames.size())
 
   /** Chain-friendly form: `frame.persistRegistered()` keeps the

@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ext.Caches.Registered
 import org.apache.spark.storage.StorageLevel
 
 /** Trainable linear quality classifier — the model-based filter stage
@@ -106,10 +107,10 @@ object Classifier {
     require(iters >= 1, "iters must be >= 1")
     val spark = docs.sparkSession
     val feat = featurize(docs, idCol, textCol, buckets)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistRegistered()
     val labels = docs.select(col(idCol).as("doc_id"),
       when(labelPred, 1L).otherwise(-1L).as("y"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistRegistered()
     feat.count(); labels.count() // eager: reused every round
     val w = new Array[Long](buckets)
     val wSum = new Array[Long](buckets)
@@ -219,13 +220,13 @@ object Classifier {
       s"trainPerceptronOvR: no non-null values in class column '$classCol'")
     val clsDf = classes.toSeq.toDF("cls")
     val feat = featurize(docs, idCol, textCol, buckets)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistRegistered()
     val labels = docs
       .select(col(idCol).as("doc_id"), col(classCol).cast("string").as("dc"))
       .crossJoin(broadcast(clsDf))
       .select(col("doc_id"), col("cls"),
         when(col("dc") === col("cls"), 1L).otherwise(-1L).as("y"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistRegistered()
     feat.count(); labels.count()
     // model state: 2·K·B longs on the driver
     val w = scala.collection.mutable.Map.empty[(String, Long), Long]

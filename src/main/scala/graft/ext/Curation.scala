@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor}
+import scala.jdk.CollectionConverters._
 
 /** The t30 curation DAG as ONE continuous `readStream` job — the
   * live-crawl form of the batch pipeline (SURVEY §2: END-TO-END
@@ -315,12 +316,49 @@ object Curation {
     }
   }
 
+  /** Versioned sketch state under `reportDir`: `sketch_v<batchId>`
+    * directories. Versioning — not a single overwritten file — is what
+    * makes [[driftMonitorApply]] IDEMPOTENT under foreachBatch retry:
+    * a re-run of batch N re-reads the latest version STRICTLY BELOW N
+    * (the pre-batch state), recomputes the identical merge, and
+    * overwrites its own version + report partition, so a crash between
+    * the state write and the sink commit can never double-merge a
+    * batch or book its novelty as zero. */
+  private def sketchVersions(
+      reportDir: String): Seq[(Long, java.nio.file.Path)] = {
+    val d = java.nio.file.Paths.get(reportDir)
+    if (!java.nio.file.Files.isDirectory(d)) Seq.empty
+    else {
+      val s = java.nio.file.Files.list(d)
+      try s.iterator().asScala.flatMap { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("sketch_v") && n.drop(8).forall(_.isDigit) &&
+          n.length > 8) Some(n.drop(8).toLong -> p)
+        else None
+      }.toSeq.sortBy(_._1)
+      finally s.close()
+    }
+  }
+
+  private def readSketchDir(
+      spark: org.apache.spark.sql.SparkSession,
+      p: java.nio.file.Path): Seq[Long] =
+    spark.read.parquet(p.toString).collect().headOption
+      .map(r => if (r.isNullAt(0)) Seq.empty[Long] else r.getSeq[Long](0))
+      .getOrElse(Seq.empty)
+
+  /** Latest merged monitor sketch (reader API for reports/specs). */
+  def driftSketchLatest(
+      spark: org.apache.spark.sql.SparkSession,
+      reportDir: String): Option[Seq[Long]] =
+    sketchVersions(reportDir).lastOption.map(v => readSketchDir(spark, v._2))
+
   /** One micro-batch of the drift monitor (also the unit the spec
     * drives directly): PSI vs the frozen baseline, sketch-merge
-    * novelty, one appended report row. The evolving sketch lives at
-    * `reportDir/sketch` (read before, overwritten after — the stored
-    * array is driver-materialized first, so the overwrite is safe);
-    * first batch falls back to the `baselineDir/sketch` seed. */
+    * novelty, one report row. State writes are per-batch-keyed (see
+    * [[sketchVersions]]; the report row overwrites its own `b=<id>`
+    * partition), so replaying a batch is a no-op in effect; the first
+    * batch seeds from `baselineDir/sketch`. */
   private[graft] def driftMonitorApply(
       b: DataFrame, batchId: Long, textCol: String,
       base: Splits.DriftBaseline, baselineDir: String, reportDir: String,
@@ -336,34 +374,48 @@ object Curation {
       .agg(Kmv.sketch(col("h"), k).as("sk")).head()
     val bsk: Seq[Long] =
       if (skRow.isNullAt(0)) Seq.empty else skRow.getSeq[Long](0)
-    def readSketch(dir: String): Option[Seq[Long]] = {
-      val p = java.nio.file.Paths.get(dir, "sketch")
-      if (!java.nio.file.Files.isDirectory(p)) None
-      else spark.read.parquet(p.toString).collect().headOption
-        .map(r => if (r.isNullAt(0)) Seq.empty[Long] else r.getSeq[Long](0))
+    def baselineSeed: Option[Seq[Long]] = {
+      val p = java.nio.file.Paths.get(baselineDir, "sketch")
+      if (java.nio.file.Files.isDirectory(p))
+        Some(readSketchDir(spark, p))
+      else None
     }
-    val stored = readSketch(reportDir)
-      .orElse(readSketch(baselineDir)).getOrElse(Seq.empty)
+    // the pre-batch state: latest version STRICTLY below this batch —
+    // a retry of batch N must not see N's own (possibly committed)
+    // merge
+    val versions = sketchVersions(reportDir)
+    val stored = versions.filter(_._1 < batchId).lastOption
+      .map(v => readSketchDir(spark, v._2))
+      .orElse(baselineSeed).getOrElse(Seq.empty)
     val before = Kmv.estimateLocal(stored, k)
     val merged = Kmv.mergeLocal(stored, bsk, k)
     val after = Kmv.estimateLocal(merged, k)
     Seq(Tuple1(merged)).toDF("sk").coalesce(1)
-      .write.mode("overwrite").parquet(s"$reportDir/sketch")
+      .write.mode("overwrite").parquet(s"$reportDir/sketch_v$batchId")
+    // prune versions below the retry horizon (keep the previous one —
+    // batch N+1's retry baseline — and everything ≥ this batch)
+    versions.filter(_._1 < batchId - 1).foreach { case (_, p) =>
+      graft.util.Fs.deleteRecursively(p)
+    }
     // bounded label collect: the contract is a LOW-cardinality label
     // (crawl source); a mis-pointed high-cardinality column must not
     // OOM the monitor's driver — cap at 32 distinct and mark overflow
     val label = labelCol.map { c =>
       val ls = b.select(col(c).cast("string")).distinct()
-        .limit(33).collect().map(_.getString(0)).sorted
+        .limit(33).collect()
+        .map(r => if (r.isNullAt(0)) "(null)" else r.getString(0))
+        .sorted // null-safe: crawl rows routinely carry null sources
       if (ls.length > 32) ls.take(32).mkString(",") + ",…"
       else ls.mkString(",")
     }.getOrElse("")
+    // one row per batch, written into the batch's OWN partition dir —
+    // a retry overwrites it (idempotent), never appends a duplicate
     Seq((batchId, label, psi.getAs[Long]("n_docs"),
       psi.getAs[Long]("psi_e6"), psi.getAs[Long]("flagged"),
       before, after, math.max(after - before, 0L)))
       .toDF("batch_id", "label", "n_docs", "psi_e6", "flagged",
         "est_before", "est_after", "novel_est")
       .coalesce(1)
-      .write.mode("append").parquet(s"$reportDir/drift")
+      .write.mode("overwrite").parquet(s"$reportDir/drift/b=$batchId")
   }
 }

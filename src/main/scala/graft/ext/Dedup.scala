@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ext.Caches.Registered
 import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for training-data pipelines, designed for the
@@ -125,7 +126,7 @@ object Dedup {
     // and the local path must agree rather than unbox null to 0.
     val p = pairs.select(col("id_a"), col("id_b"))
       .where(col("id_a").isNotNull && col("id_b").isNotNull)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistRegistered()
     val nEdges = p.count() // eager: consumed by several branches at once
     if (nEdges <= localEdgeLimit) {
       val local = p
@@ -160,10 +161,10 @@ object Dedup {
     val edges = p
       .select(col("id_a").as("a"), col("id_b").as("b"))
       .unionByName(p.select(col("id_b").as("a"), col("id_a").as("b")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistRegistered()
     val labels0 = edges.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistRegistered()
     var labels: DataFrame = labels0
     // labels only ever DECREASE, so the label sum strictly decreases
     // until the fixpoint — convergence is one cheap agg per round, not a
@@ -313,7 +314,7 @@ object Dedup {
       .withColumn("cell_capped",
         when(col("_n") > maxCell, 1L).otherwise(0L))
       .drop("_n")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistRegistered()
     flagged.count()
     val capped = flagged.where(col("cell_capped") === 0L)
     val pairs = capped
@@ -474,7 +475,7 @@ object Dedup {
             (0 until n).map(o => element_at(col("t"), i + o)): _*)
             .cast("binary"))))
           .as(Seq("q", "g")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistRegistered()
     g.count() // eager: consumed by several branches of one action
     g
   }
@@ -1076,7 +1077,7 @@ object Dedup {
     val df = spread(docs)
       .select(col(idCol).as("id"), tokenHashes(col(textCol)).as("th"))
       .select(col("id"), explode(shingleHashArray(col("th"), w)).as("g"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistRegistered()
     // EAGER populate: a lazily-persisted frame consumed by several
     // branches of ONE action gets recomputed concurrently per branch
     // (the cache is still empty when the sibling tasks start) — the
@@ -1095,6 +1096,26 @@ object Dedup {
       threshold: Double): DataFrame =
     verifyJaccardAcross(cand, inverted, inverted, sizes, threshold)
 
+  /** Shared tail of the exact-Jaccard family: per-id set sizes joined
+    * onto an (id_a, id_b, shared) collision-count frame,
+    * `J = shared/(n_a+n_b−shared)` thresholded on the RAW double,
+    * e4-rounded score out. ONE definition, THREE consumers
+    * ([[ngramJaccardPairs]], [[ngramJaccardPairsSampled]],
+    * [[verifyJaccardAcross]]) — the rounding/threshold semantics feed
+    * hash oracles (d3/d5/d19/d33/d38/t25/t46), so they must not be
+    * able to drift between call sites. */
+  private def jaccardFromShared(
+      shared: DataFrame, sizes: DataFrame, threshold: Double): DataFrame =
+    shared
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard"), 4).as("jaccard"))
+
   /** [[verifyJaccard]] with distinct posting frames per pair side —
     * the cross-corpus probe case, where id_a postings live in the
     * batch's inverted frame and id_b postings in the corpus index. */
@@ -1106,14 +1127,7 @@ object Dedup {
       .join(invB.select(col("id").as("id_b"), col("g")), Seq("id_b", "g"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
-      .withColumn("jaccard",
-        col("shared").cast("double") /
-          (col("n_a") + col("n_b") - col("shared")).cast("double"))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    jaccardFromShared(shared, sizes, threshold)
   }
 
   /** Candidate pairs by LSH band collision, ids only, deduped; bucket
@@ -1184,7 +1198,7 @@ object Dedup {
       maxBucket: Int = 1000, w: Int = 3): DataFrame = {
     val inverted = invertedIndex(docs, idCol, textCol, w)
     val withBands = minhashBandsAgg(inverted, k, bands)
-      .persist(StorageLevel.MEMORY_AND_DISK) // feeds bands AND sizes
+      .persistRegistered() // feeds bands AND sizes
     withBands.count() // eager: 4 sibling branches read it in one action
     verifyJaccard(
       bandCandidates(withBands, bands, maxBucket), inverted,
@@ -1229,7 +1243,7 @@ object Dedup {
       .unionByName(corpus.select(col(idCol).as("id"), lit(false).as("is_batch")))
     val sig = minhashBandsAgg(inverted, k, bands)
       .join(sides, "id")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistRegistered()
     sig.count() // eager: feeds both bucket sides AND the size lookup
     val buck = sig
       .select(col("id"), col("is_batch"),
@@ -1263,7 +1277,7 @@ object Dedup {
       k: Int = 64, bands: Int = 16, w: Int = 3): Unit = {
     val inverted = invertedIndex(corpus, idCol, textCol, w)
     val sig = minhashBandsAgg(inverted, k, bands)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistRegistered()
     sig.count() // eager: sizes AND buckets read it
     inverted.write.mode("overwrite").parquet(s"$dir/postings")
     sig.select(col("id"), col("n")).write.mode("overwrite")
@@ -1300,7 +1314,7 @@ object Dedup {
     val buckC = spark.read.parquet(s"$dir/buckets")
     val invB = invertedIndex(batch, idCol, textCol, w)
     val sigB = minhashBandsAgg(invB, k, bands)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistRegistered()
     sigB.count() // eager: bucket probe AND size lookup
     val cand = buckC
       .where(col("bucket_n") <= maxBucket)
@@ -1403,7 +1417,7 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
     val sigs = simhashSigsAgg(docs, idCol, textCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistRegistered()
     sigs.count() // eager: the chunk self-join reads it on both sides
     val chunked = sigs.select(
       col("id"), col("sig"),
@@ -1479,7 +1493,7 @@ object Dedup {
         explode(shingles(col(textCol), w)).as("g"))
       .select(col("s"), pmd5(col("g")).as("h"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistRegistered()
     sg.count() // eager: sizes + both join sides read one cache
     val sizes = sg.groupBy("s").agg(count(lit(1)).as("n"))
     val shared = sg.select(col("s").as("source_a"), col("h"))
@@ -1576,18 +1590,12 @@ object Dedup {
     val rare = inverted.groupBy("g").count()
       .where(col("count") <= maxPostings).drop("count")
     val capped = inverted.join(rare, Seq("g"))
-    capped.select(col("g"), col("id").as("id_a"))
+    val shared = capped.select(col("g"), col("id").as("id_a"))
       .join(capped.select(col("g"), col("id").as("id_b")), Seq("g"))
       .where(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("shared"))
-      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
-      .withColumn("jaccard",
-        col("shared").cast("double") /
-          (col("n_a") + col("n_b") - col("shared")).cast("double"))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    jaccardFromShared(shared, sizes, threshold)
   }
 
   /** SAMPLED exact n-gram Jaccard pairs — the audit-scale form of
@@ -1635,15 +1643,9 @@ object Dedup {
         least(col("_q"), col("_o")).as("id_a"),
         greatest(col("_q"), col("_o")).as("id_b"))
       .dropDuplicates("g", "id_a", "id_b")
-    cand.groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("shared"))
-      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
-      .withColumn("jaccard",
-        col("shared").cast("double") /
-          (col("n_a") + col("n_b") - col("shared")).cast("double"))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    jaccardFromShared(
+      cand.groupBy("id_a", "id_b").agg(count(lit(1)).as("shared")),
+      sizes, threshold)
   }
 
   /** SAMPLED LSH recall audit — d34's methodology at the cost model a
@@ -1737,7 +1739,7 @@ object Dedup {
     // the postings count AND both sides of the pair self-join — lazy
     // caching would recompute the window pipeline per consumer
     val fps = TextAnalysis.winnowFingerprints(docs, idCol, textCol, k, w)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistRegistered()
     fps.count()
     val rare = fps.groupBy("fp").count()
       .where(col("count") <= maxPostings).drop("count")
@@ -1795,7 +1797,7 @@ object Dedup {
     // persisted + eager like invertedIndex: feeds the gram index AND
     // both head lookups of the verify join
     val heads = spread(docs).select(col(idCol).as("id"), norm.as("h"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistRegistered()
     heads.count()
     val gramArr = transform(
       sequence(lit(1), greatest(length(col("h")) - (q - 1), lit(1))),
@@ -1884,7 +1886,7 @@ object Dedup {
       .select(tokenHashes(col(evalTextCol)).as("th")) // two projections:
       .select(explode(shingleHashArray(col("th"), w)).as("g")) // no inline re-eval
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistRegistered()
     val n = math.max(evalShingles.count(), 1L)
     val bloom = evalShingles.stat.bloomFilter(col("g"), n, fpp)
     val os = new java.io.ByteArrayOutputStream()

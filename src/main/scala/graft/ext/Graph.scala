@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.ext.Caches.Registered
 import org.apache.spark.storage.StorageLevel
 
 /** Vertex-centric iterative graph computation in the Pregel shape —
@@ -161,7 +162,7 @@ object Graph {
     require(iterations >= 1, "iterations must be >= 1")
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val w = weightCol.map(col).getOrElse(lit(1L))
-    val vb = vertsBase.persist(StorageLevel.MEMORY_AND_DISK)
+    val vb = vertsBase.persistRegistered()
     val directed = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"),
         w.cast("long").as("w"))
@@ -171,7 +172,7 @@ object Graph {
       .join(vb.select(col("id").as("dst")), Seq("dst"), "leftsemi")
     val sw = directed.groupBy("src").agg(sum(col("w")).as("sw"))
     val edges = directed.join(sw, "src")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistRegistered()
     edges.count() // eager populate: every superstep reads this frame
 
     var ranks = vb.select(col("id"), col("init").as("rank"))

@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ext.Caches.Registered
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -250,7 +251,7 @@ object Similarity {
       .where(col("_cid") < col("_qid"))
       .select(col("_qid"), col("_cid"),
         round(cosine(col("_cv"), col("_qv")), 6).as("_cos"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistRegistered()
     half.count() // eager: both union branches read this frame
     val scored = half.union(half.select(
       col("_cid").as("_qid"), col("_qid").as("_cid"), col("_cos")))
@@ -279,7 +280,7 @@ object Similarity {
       .select(col(idCol).as("_id"), col(labelCol).as("_l"))
     val idx = ivfBuild(vecs, idCol, vecCol, k = cells, dim = dim)
     val assigned = idx.assigned
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistRegistered()
     assigned.count() // eager: both join sides read this frame
     val small = assigned.groupBy("c").count()
       .where(col("count") <= maxCell).drop("count")
@@ -293,7 +294,7 @@ object Similarity {
       .where(col("_cid") < col("_qid"))
       .select(col("_qid"), col("_cid"),
         round(cosine(col("_cv"), col("_qv")), 6).as("_cos"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistRegistered()
     half.count() // eager: both union branches read this frame
     val scored = half.union(half.select(
       col("_cid").as("_qid"), col("_qid").as("_cid"), col("_cos")))
@@ -409,7 +410,7 @@ object Similarity {
         round(cosine(col(vecCol), q), 6).as("cos"))
       .orderBy(col("cos").desc, col("id").asc)
       .limit(candidates)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistRegistered()
     val rel: Seq[(Long, Long)] = cand
       .select(col("id"), round(col("cos") * 1e6).cast("long"))
       .collect().toSeq.map(r => r.getLong(0) -> r.getLong(1))
@@ -827,7 +828,7 @@ object Similarity {
     }
     val cap = lloydTrainCap(trainCap, k)
     val train = trainSampleFrame(base, cap)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistRegistered()
     train.count()
     // two-level routed scoring above the threshold: the centroid-side
     // meta-Lloyd is a driver-scale pure function of the CURRENT
@@ -1087,7 +1088,7 @@ object Similarity {
     // array-persist trap). Final encode below runs over the FULL base.
     val cap = lloydTrainCap(trainCap, k)
     val train = trainSampleFrame(base, cap)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistRegistered()
     train.count()
     def subFrame: DataFrame = train.select(
       posexplode(array((0 until m).map(j =>
@@ -1258,7 +1259,7 @@ object Similarity {
     // the Dedup cache convention.
     val resid = ivf.assigned.select(col("id"), col("c"),
       residualExpr(col("v"), col("c"), ivf.centroids).as("r"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistRegistered()
     resid.count()
     val pq = pqBuild(resid, "id", "r", m, pqK, iters, seed, trainCap)
     // column order pinned to the documented (id, c, codes) contract
@@ -1448,7 +1449,7 @@ object Similarity {
     val buckets = raw
       .select(col("id"), explode(array(bandSigs: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistRegistered()
     buckets.count() // eager: count + both self-join sides read one cache
     val small = buckets.groupBy("band", "bucket").count()
       .where(col("count") <= maxBucket).drop("count")
@@ -1542,7 +1543,7 @@ object Similarity {
       scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Seq[Float])](
         (1L, seedRow.getLong(0), 0L, center))
     var cur = base.withColumn("md", sqDistE6(col("v"), center))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistRegistered()
     // k truncates to the vectors actually present (top-k convention)
     val kk = math.min(k.toLong, base.count())
     for (rank <- 2L to kk) {
@@ -1553,7 +1554,7 @@ object Similarity {
         val prev = cur
         cur = prev
           .withColumn("md", least(col("md"), sqDistE6(col("v"), center)))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistRegistered()
         cur.count() // materialize before dropping parent
         prev.unpersist(false)
       }
@@ -1644,7 +1645,7 @@ object Similarity {
         floor(col("s").cast("double") / col("n").cast("double"))
           .cast("long").as("mean_e6"),
         col("n"))
-      .persist()
+      .persistRegistered()
     val a = m.select(col("lbl").as("lbl_a"), col("dim"),
       col("mean_e6").as("ma"), col("n").as("n_a"))
     val b = m.select(col("lbl").as("lbl_b"), col("dim"),

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.functions._
+import graft.ext.Caches.Registered
 import graft.query.{Q, Tables}
 
 /** Query-pack surface for Similarity over the `embeddings` table. The
@@ -453,7 +454,7 @@ object SimilarityQueries {
       val eig = Pca.topComponent(s, emb, "embedding", dim = 64)
         .orderBy("dim_idx").collect().map(_.getLong(1)) // 64 longs
       val cleaned = Pca.removeComponent(emb, "embedding", eig)
-        .persist()
+        .persistRegistered()
       cleaned.count() // eager: query-vector head() + the scan below
       val qv = cleaned.where(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0)
@@ -593,7 +594,7 @@ object SimilarityQueries {
       val emb = Tables.load(s, dir, "embeddings")
       val idx = Similarity.ivfBuild(
         emb, "vec_id", "embedding", dim = Some(qv.length))
-      val asg = idx.assigned.persist()
+      val asg = idx.assigned.persistRegistered()
       val shared = Similarity.IvfIndex(idx.centroids, asg)
       val ex = Similarity
         .cosineTopK(emb, "vec_id", "embedding", qv, k = 10).select("id")

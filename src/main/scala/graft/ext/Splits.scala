@@ -257,6 +257,16 @@ object Splits {
       buckets: Int): Seq[Long] = {
     require(buckets >= 2, "score bucketing needs >= 2 buckets")
     import org.apache.spark.sql.expressions.Window
+    // domain guard BEFORE the single-task cumulative window, not after:
+    // the post-collect require alone would reject an unbounded score
+    // column only after one task had already sorted the full distinct
+    // frame. countDistinct is a normal partial-agg shuffle — cheap
+    // relative to the window it protects.
+    val nDistinct = scored.agg(countDistinct(col(scoreCol))).head().getLong(0)
+    require(nDistinct <= MaxScoreDomain,
+      s"score bucketing: $nDistinct distinct values in '$scoreCol' " +
+        s"(max $MaxScoreDomain) — bucket/quantize the score to a " +
+        "bounded integer domain (e.g. e4 instead of e6 scaling) first")
     val hist = scored.groupBy(col(scoreCol).as("v"))
       .agg(count(lit(1)).as("c"))
     val cum = hist.withColumn("cc",

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.functions._
+import graft.ext.Caches.Registered
 import org.apache.spark.sql.types.DecimalType
 import graft.query.{Q, Tables}
 
@@ -920,7 +921,7 @@ object TextQueries {
           col("fl.f_symbols") === 1 && col("fl.f_bullet") === 1 &&
           col("fl.f_stopwords") === 1)
         .select(col("doc_id"), col("text"), col("ntok"))
-        .persist()
+        .persistRegistered()
       quality.count() // eager: three consumers in the composed DAG
       val kept = Dedup.dedupKeepBest(quality, "doc_id", "text", col("ntok"))
       val keptDocs = quality.join(kept.select("doc_id"), Seq("doc_id"))
@@ -1122,7 +1123,7 @@ object TextQueries {
           size(col("toks")).cast("long").as("ntok"),
           gopherFlags(col("text"), col("toks"),
             size(col("toks")).cast("long"), col("charsum")).as("fl"))
-        .persist()
+        .persistRegistered()
       flagged.count() // eager: label pass + quality subset share one scan
       val quality = flagged
         .where(col("fl.f_wordcount") === 1 && col("fl.f_wordlen") === 1 &&

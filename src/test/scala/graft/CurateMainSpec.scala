@@ -197,8 +197,33 @@ class CurateMainSpec extends SparkSpec {
     assert(row.getAs[Long]("flagged") === 0L)
     assert(row.getAs[Long]("novel_est") === 0L)
     assert(row.getAs[Long]("est_after") === row.getAs[Long]("est_before"))
-    assert(spark.read.parquet(s"$repDir/sketch")
-      .head().getSeq[Long](0) === seed)
+    assert(Curation.driftSketchLatest(spark, repDir).get === seed)
+
+    // foreachBatch RETRY idempotence: replaying a batch re-reads the
+    // PRE-batch sketch version and overwrites its own report
+    // partition — one row per batch, identical novelty, no
+    // double-merge (the failure mode: a crash between the state write
+    // and the sink commit re-runs the batch against its own output)
+    def driftRows() = spark.read.parquet(s"$repDir/drift")
+      .select("batch_id", "n_docs", "psi_e6", "est_before", "est_after",
+        "novel_est")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    val freshDocs = spark.read.parquet(in)
+      .select(concat(lit("NOVEL xyz"), col("text")).as("text"))
+    Curation.driftMonitorApply(
+      freshDocs, batchId = 1L, textCol = "text", base = base,
+      baselineDir = baseDir, reportDir = repDir, labelCol = None,
+      k = Kmv.DefaultK)
+    val afterFirst = driftRows()
+    val sketchFirst = Curation.driftSketchLatest(spark, repDir).get
+    assert(afterFirst.length === 2)
+    // the replay
+    Curation.driftMonitorApply(
+      freshDocs, batchId = 1L, textCol = "text", base = base,
+      baselineDir = baseDir, reportDir = repDir, labelCol = None,
+      k = Kmv.DefaultK)
+    assert(driftRows() === afterFirst) // same rows, same novelty, no dup
+    assert(Curation.driftSketchLatest(spark, repDir).get === sketchFirst)
     Seq(in, out, baseDir, repDir).foreach(d =>
       graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(d)))
   }

@@ -780,8 +780,7 @@ class StreamingWindowSpec extends SparkSpec {
         .select(explode(Dedup.shingleHashArray(
           Dedup.tokenHashes(col("text")), 3)).as("h"))
         .agg(Kmv.sketch(col("h")).as("sk")).head().getSeq[Long](0)
-      val stored = spark.read.parquet(s"$repDir/sketch")
-        .head().getSeq[Long](0)
+      val stored = Curation.driftSketchLatest(spark, repDir.toString).get
       assert(stored === full)
       val byBatch = drift.sortBy(_.getAs[Long]("batch_id"))
       byBatch.foreach { r =>
