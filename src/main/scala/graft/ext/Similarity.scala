@@ -1186,6 +1186,59 @@ object Similarity {
       .limit(k)
   }
 
+  /** BATCHED PQ serving — [[pqTopK]] for a query DataFrame (the
+    * s26/s27 multi-query audit shape and the production batch-scoring
+    * path). Per query the m×k ADC lookup table is computed IN-ENGINE
+    * as one flat array column (m·k partial dots of codebook literals
+    * against the query's subvectors — the LUT lives in DATA, not in a
+    * per-query driver literal), broadcast against the encoded corpus;
+    * the ADC score is a fixed j-ordered FOLD of m `element_at` reads
+    * (deterministic addition order — a groupBy-sum over exploded
+    * subspace rows would be partition-order-dependent and
+    * unreplayable). Contract difference from the single-query form,
+    * aligned WITH the family: the shortlist ranks the e6-ROUNDED ADC
+    * score (ties to the lower id; [[pqTopK]] ranks the raw double) —
+    * scores within 5e-7 may shortlist differently. Re-rank is the
+    * exact e6 cosine per query ([[knnJoin]]'s BoundedTopK two-phase
+    * top-k). Output: (query_id, neighbor_id, cos_e6). */
+  def pqTopKBatch(
+      index: PqIndex, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, shortlist: Int = 0): DataFrame = {
+    val sl =
+      if (shortlist > 0) shortlist
+      else {
+        val n = if (index.n > 0) index.n else index.encoded.count()
+        math.max(50, math.ceil(n / 200.0).toInt)
+      }
+    val m = index.codebooks.length
+    val kCodes = index.codebooks.head.length
+    val subDim = index.codebooks.head.head.length
+    val q = queries
+      .select(col(idCol).as("_qid"), col(vecCol).as("_qv"))
+      .where(norm(col("_qv")) > 0)
+    // flat LUT array per query: index (j·k + code) → q_sub_j · c_{j,code}
+    val lutCol = array((0 until m).flatMap { j =>
+      val sub = slice(col("_qv"), j * subDim + 1, subDim)
+      index.codebooks(j).map(c => dot(sub, array(c.map(lit): _*)))
+    }: _*)
+    val qlut = q.select(col("_qid"), lutCol.as("_lut"))
+    val approx = (0 until m)
+      .map(j => element_at(col("_lut"),
+        lit(j * kCodes) + element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _) // fixed j-order fold — replayable addition order
+    val short = perQueryTopK(
+      index.encoded.crossJoin(broadcast(qlut))
+        .select(col("_qid"), col("id").as("_cid"), approx.as("_cos")),
+      sl)
+      .select(col("query_id").as("_qid"), col("neighbor_id").as("id"))
+    val scored = index.base
+      .join(short, Seq("id"))
+      .join(broadcast(q), Seq("_qid"))
+      .select(col("_qid"), col("id").as("_cid"),
+        round(cosine(col("v"), col("_qv")), 6).as("_cos"))
+    perQueryTopK(scored, k)
+  }
+
   /** Persist a PQ index: codebooks as a tiny (sub, code, vec) table,
     * the byte-code frame, the re-rank base, and the build-time corpus
     * size in a one-row params table (so the auto-shortlist policy

@@ -683,6 +683,26 @@ object SimilarityQueries {
     // rank windows are KEYED by query (never global — contrast s25's
     // single-query whitelisted form); gains e6-floored per term before
     // the integer per-query sums (the s25 discipline).
+    // BATCHED PQ serving over the sampled query batch
+    // ([[Similarity.pqTopKBatch]]): per-query ADC lookup tables as one
+    // broadcast array column (the LUT lives in data, never a per-query
+    // driver literal), e6-ranked shortlist, exact per-query re-rank —
+    // the memory-bound ANN path (m bytes/vector scans) in its
+    // production multi-query form. Shortlist pinned to the oracle's
+    // 50 (the s7 convention). Hash-oracled end to end: the pqCtes
+    // codebook replay, the per-(query, code) partial-dot LUT, the
+    // j-ORDERED ADC sum (list_sum(list ORDER BY j) ≡ the engine's
+    // fixed fold), the e6 shortlist rank, the exact re-rank.
+    Q("s28_pq_ann_multi", s28OracleSql) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val idx = Similarity.pqBuild(emb, "vec_id", "embedding")
+      val qs = emb.where(
+        Dedup.pmd5(col("vec_id")) % 8 === 0 &&
+          Similarity.norm(col("embedding")) > 0)
+      Similarity.pqTopKBatch(idx, qs, "vec_id", "embedding",
+        k = 10, shortlist = 50)
+    },
+
     Q("s27_ndcg_multi", s27OracleSql) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val emb = Tables.load(s, dir, "embeddings")
@@ -718,6 +738,62 @@ object SimilarityQueries {
           expr("coalesce(dcg_e6, 0) * 1000000 div idcg_e6").as("ndcg_e6"))
     }
   )
+
+  /** s28 replay: pqCtes codebook training, the sampled query batch,
+    * per-(query, subspace, code) partial dots (the LUT), ADC sums in
+    * j order (list_sum over list(term ORDER BY j) — the engine's
+    * fixed fold), e6-rounded shortlist rank per query (score DESC, id
+    * ASC — the BoundedTopK contract), exact e6-cosine re-rank. */
+  private lazy val s28OracleSql: String = {
+    val m = 8; val subDim = 8; val dim = 64
+    s"""WITH v AS (SELECT vec_id AS id, embedding AS e FROM embeddings),
+       |nz AS (
+       |  SELECT id, e FROM v
+       |  WHERE sqrt(list_sum(list_transform(e,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0
+       |), qs AS (
+       |  SELECT id AS qid, e AS qv FROM nz
+       |  WHERE ${DedupQueries.pmSql("CAST(id AS VARCHAR)")} % 8 = 0
+       |), ${KmeansOracle.pqCtes("v", "e", m = m, subDim = subDim)},
+       |lut AS (
+       |  SELECT q.qid, b.j, b.code,
+       |    list_sum(list_transform(range(1, ${subDim + 1}),
+       |      i -> b.cv[i] * CAST(q.qv[b.j * $subDim + i] AS DOUBLE)))
+       |      AS term
+       |  FROM qs q, pqb3 b),
+       |ap AS (
+       |  SELECT l.qid, cd.id, list_sum(list(l.term ORDER BY l.j)) AS approx
+       |  FROM pqcodes cd
+       |  JOIN lut l ON l.code = cd.codes[l.j + 1]
+       |  GROUP BY 1, 2),
+       |co AS (
+       |  SELECT qid, id FROM (
+       |    SELECT qid, id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY CAST(round(approx * 1000000) AS BIGINT) DESC,
+       |        id ASC) AS rn
+       |    FROM ap)
+       |  WHERE rn <= 50),
+       |rr AS (
+       |  SELECT co.qid, co.id,
+       |    round(
+       |      list_sum(list_transform(range(1, ${dim + 1}),
+       |        i -> CAST(a.e[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform(a.e,
+       |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |         * sqrt(list_sum(list_transform(q.qv,
+       |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+       |      6) AS cos6
+       |  FROM co
+       |  JOIN v a ON a.id = co.id
+       |  JOIN qs q ON q.qid = co.qid)
+       |SELECT qid AS query_id, id AS neighbor_id,
+       |  CAST(round(cos6 * 1000000) AS BIGINT) AS cos_e6
+       |FROM (
+       |  SELECT qid, id, cos6, row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos6 DESC, id ASC) AS rn
+       |  FROM rr)
+       |WHERE rn <= 10""".stripMargin
+  }
 
   /** s27 replay: the s26 CTEs extended with ranks — exact top-10 WITH
     * rank (graded relevance), IVF top-10 WITH position, the s25

@@ -1413,6 +1413,30 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("pqTopKBatch == per-query pqTopK for every query in the batch " +
+    "(well-separated scores — the e6 shortlist contract agrees with " +
+    "the raw ordering)") {
+    val dim = 16
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Seq.tabulate(dim)(j => math.sin(i / 8 * 11.0 + j).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val idx = Similarity.pqBuild(df, "vec_id", "embedding", m = 4, k = 8)
+    val qids = Seq(0L, 55L, 110L, 165L)
+    val batch = df.where(col("vec_id").isin(qids: _*))
+    val got = Similarity
+      .pqTopKBatch(idx, batch, "vec_id", "embedding", k = 5, shortlist = 30)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = qids.flatMap { q =>
+      Similarity.pqTopK(idx, vecs(q.toInt)._2, k = 5, shortlist = 30)
+        .collect()
+        .map(r => (q, r.getLong(0)) -> math.round(r.getDouble(1) * 1e6))
+    }.toMap
+    assert(got === want)
+    spark.catalog.clearCache(); graft.ext.Caches.release()
+  }
+
   test("ivfTopKBatch == per-query ivfTopK for every query in the batch") {
     val dim = 16
     val vecs = (0 until 150).map { i =>
