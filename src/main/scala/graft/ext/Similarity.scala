@@ -1226,8 +1226,16 @@ object Similarity {
       .map(j => element_at(col("_lut"),
         lit(j * kCodes) + element_at(col("codes"), j + 1) + 1))
       .reduce(_ + _) // fixed j-order fold — replayable addition order
+    // MATERIALIZE the code frame before the |Q|-way fan-out: `encoded`
+    // is a projection whose `codes` column is m struct-max argmins over
+    // k codebook dots — under the crossJoin Spark would re-evaluate
+    // that assignment PER (vector, query) PAIR (measured: 128 s for
+    // 2k×250 at sf0.1 vs ~2 s materialized). On the persisted-index
+    // path ([[pqIndexRead]]) the codes are already bytes on disk and
+    // this is a no-op cache of a parquet scan.
+    val enc = Caches.persisted(index.encoded)
     val short = perQueryTopK(
-      index.encoded.crossJoin(broadcast(qlut))
+      enc.crossJoin(broadcast(qlut))
         .select(col("_qid"), col("id").as("_cid"), approx.as("_cos")),
       sl)
       .select(col("query_id").as("_qid"), col("neighbor_id").as("id"))
