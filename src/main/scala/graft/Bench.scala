@@ -108,12 +108,21 @@ object Bench {
       gitShow.orElse(onDisk).map(parseQueries).getOrElse(Map.empty)
     }
     val results = SparkEntry.queries.toSeq.filter(e => keep(e._1)).sortBy(_._1).map { case (name, fn) =>
-      gwCurrent = name
-      val best = math.min(timeOnce(name, fn), timeOnce(name, fn))
+      // census attribution: the warmup run lands under "_warmup" so
+      // the emitted global_windows values are PER-PLAN counts, not
+      // occurrences-across-2-runs (the committed census used to show
+      // 2 for every single-window query). Both runs execute the same
+      // plan, so a violation is still caught — under its real name,
+      // from the timed run.
+      gwCurrent = "_warmup"
+      val warm = timeOnce(name, fn)
       // drain the async listener bus BEFORE moving gwCurrent — without
-      // this, a lagging event from this query's last action lands
-      // while the next query runs and the census charges the wrong
-      // site (observed: t22's whitelisted window attributed to t23)
+      // this, a lagging event from one run's last action lands while
+      // the next runs and the census charges the wrong site
+      // (observed: t22's whitelisted window attributed to t23)
+      org.apache.spark.sql.graft.ListenerBridge.drain(spark.sparkContext)
+      gwCurrent = name
+      val best = math.min(warm, timeOnce(name, fn))
       org.apache.spark.sql.graft.ListenerBridge.drain(spark.sparkContext)
       name -> best
     }
@@ -122,7 +131,7 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val viol = gwCensus.keys
         .filterNot(graft.plans.GlobalWindows.runtimeWhitelisted)
-        .filterNot(_ == "_setup").toSeq.sorted
+        .filterNot(Set("_setup", "_warmup")).toSeq.sorted
       (json, viol)
     }
     if (gwViol.nonEmpty)

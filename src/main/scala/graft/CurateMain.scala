@@ -249,7 +249,10 @@ object CurateMain {
       val seed: Seq[Long] =
         if (skRow.isNullAt(0)) Seq.empty else skRow.getSeq[Long](0)
       import spark.implicits._
-      Seq(Tuple1(seed)).toDF("sk").coalesce(1)
+      // the k stamp rides with the kept set: driftMonitorStream REJECTS
+      // a monitor whose k differs from the seed's (merging across k
+      // silently skews est_before/novel_est)
+      Seq((seed, graft.ext.Kmv.DefaultK)).toDF("sk", "k").coalesce(1)
         .write.mode("overwrite").parquet(s"$bDir/sketch")
       survivors.unpersist()
       println(s"[curate] wrote drift baseline $bDir " +

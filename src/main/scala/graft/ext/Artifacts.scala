@@ -76,10 +76,26 @@ object Artifacts {
     val back = spark.read.parquet(s"$dir/vectors")
     val stats = back.agg(
       count(lit(1)), min(size(col("embedding"))),
-      max(size(col("embedding")))).head()
+      max(size(col("embedding"))), count(col("id")),
+      countDistinct(col("id"))).head()
     val (n, dMin, dMax) =
       (stats.getLong(0), stats.getInt(1), stats.getInt(2))
     require(n > 0, "embeddingWrite: empty vector table")
+    // a nullable id column (outer-join output, optional keys) keeps
+    // its nulls through the long cast — a digest stamped over that
+    // payload would CERTIFY a corrupted artifact whose ids break every
+    // downstream join, so id integrity is a write-time rejection like
+    // raggedness. (Non-numeric STRING ids fail the ANSI cast loudly
+    // on their own.)
+    if (stats.getLong(3) != n)
+      throw ArtifactMismatch(
+        s"embeddingWrite: ${n - stats.getLong(3)} null ids after the " +
+          s"long cast of '$idCol' — a non-numeric id column cannot be " +
+          "an embedding artifact key")
+    if (stats.getLong(4) != n)
+      throw ArtifactMismatch(
+        s"embeddingWrite: ${stats.getLong(4)} distinct ids over $n " +
+          "rows — duplicate ids would fan out every downstream join")
     require(dMin == dMax,
       s"embeddingWrite: ragged vector lengths ($dMin..$dMax)")
     val m = Manifest("embeddings", model, version, dMax.toLong, n,

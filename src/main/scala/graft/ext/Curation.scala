@@ -309,6 +309,14 @@ object Curation {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val spark = docs.sparkSession
     val base = Splits.driftBaselineRead(spark, baselineDir)
+    // the seed sketch's k is part of the artifact's provenance: merging
+    // a k'-trimmed kept set as if it were a k-sketch silently skews
+    // est_before/novel_est (a k' < k seed UNDERestimates everything
+    // seen so far, booking old content as novel) — so a mismatch fails
+    // at stream CONSTRUCTION, not per batch
+    val seedDir = java.nio.file.Paths.get(baselineDir, "sketch")
+    if (java.nio.file.Files.isDirectory(seedDir))
+      requireSketchK(spark, seedDir, k, "baseline seed")
     docs.writeStream.foreachBatch {
       (b: DataFrame, id: Long) =>
         driftMonitorApply(b, id, textCol, base, baselineDir, reportDir,
@@ -342,10 +350,36 @@ object Curation {
 
   private def readSketchDir(
       spark: org.apache.spark.sql.SparkSession,
-      p: java.nio.file.Path): Seq[Long] =
-    spark.read.parquet(p.toString).collect().headOption
+      p: java.nio.file.Path): Seq[Long] = {
+    val df = spark.read.parquet(p.toString)
+    df.select("sk").collect().headOption
       .map(r => if (r.isNullAt(0)) Seq.empty[Long] else r.getSeq[Long](0))
       .getOrElse(Seq.empty)
+  }
+
+  /** The k a persisted sketch dir was built at, when stamped (sketch
+    * dirs written before the k column landed carry none — accepted as
+    * legacy, the caller's k is assumed). */
+  private def sketchK(
+      spark: org.apache.spark.sql.SparkSession,
+      p: java.nio.file.Path): Option[Int] = {
+    val df = spark.read.parquet(p.toString)
+    if (!df.columns.contains("k")) None
+    else df.select("k").collect().headOption
+      .filterNot(_.isNullAt(0)).map(_.getInt(0))
+  }
+
+  private def requireSketchK(
+      spark: org.apache.spark.sql.SparkSession,
+      p: java.nio.file.Path, k: Int, what: String): Unit =
+    sketchK(spark, p).filter(_ != k).foreach { got =>
+      throw new IllegalArgumentException(
+        s"driftMonitor: $what sketch at $p was built at k=$got but the " +
+          s"monitor runs at k=$k — merging across k silently skews " +
+          "est_before/novel_est; rebuild the baseline (CurateMain " +
+          "--drift-baseline) at the monitor's k or start the monitor " +
+          s"with k=$got")
+    }
 
   /** Latest merged monitor sketch (reader API for reports/specs). */
   def driftSketchLatest(
@@ -376,21 +410,26 @@ object Curation {
       if (skRow.isNullAt(0)) Seq.empty else skRow.getSeq[Long](0)
     def baselineSeed: Option[Seq[Long]] = {
       val p = java.nio.file.Paths.get(baselineDir, "sketch")
-      if (java.nio.file.Files.isDirectory(p))
+      if (java.nio.file.Files.isDirectory(p)) {
+        requireSketchK(spark, p, k, "baseline seed")
         Some(readSketchDir(spark, p))
-      else None
+      } else None
     }
     // the pre-batch state: latest version STRICTLY below this batch —
     // a retry of batch N must not see N's own (possibly committed)
-    // merge
+    // merge. Its stamped k must match ours (a monitor restarted at a
+    // different k over old state would skew silently otherwise).
     val versions = sketchVersions(reportDir)
     val stored = versions.filter(_._1 < batchId).lastOption
-      .map(v => readSketchDir(spark, v._2))
+      .map { v =>
+        requireSketchK(spark, v._2, k, s"monitor state v${v._1}")
+        readSketchDir(spark, v._2)
+      }
       .orElse(baselineSeed).getOrElse(Seq.empty)
     val before = Kmv.estimateLocal(stored, k)
     val merged = Kmv.mergeLocal(stored, bsk, k)
     val after = Kmv.estimateLocal(merged, k)
-    Seq(Tuple1(merged)).toDF("sk").coalesce(1)
+    Seq((merged, k)).toDF("sk", "k").coalesce(1)
       .write.mode("overwrite").parquet(s"$reportDir/sketch_v$batchId")
     // prune versions below the retry horizon (keep the previous one —
     // batch N+1's retry baseline — and everything ≥ this batch)
@@ -399,9 +438,15 @@ object Curation {
     }
     // bounded label collect: the contract is a LOW-cardinality label
     // (crawl source); a mis-pointed high-cardinality column must not
-    // OOM the monitor's driver — cap at 32 distinct and mark overflow
+    // OOM the monitor's driver — cap at 32 distinct and mark overflow.
+    // The limit is ORDERED (nulls first, then ascending), so WHICH 33
+    // survive an overflow is deterministic — a foreachBatch retry must
+    // rewrite the identical label string (the replay-identical report
+    // contract), and an unordered limit picks whatever partitions
+    // answered first
     val label = labelCol.map { c =>
-      val ls = b.select(col(c).cast("string")).distinct()
+      val ls = b.select(col(c).cast("string").as("_l")).distinct()
+        .orderBy(col("_l").asc_nulls_first)
         .limit(33).collect()
         .map(r => if (r.isNullAt(0)) "(null)" else r.getString(0))
         .sorted // null-safe: crawl rows routinely carry null sources

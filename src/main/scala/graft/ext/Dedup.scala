@@ -1678,8 +1678,12 @@ object Dedup {
         coalesce(sum(col("in_lsh")), lit(0L)).as("n_lsh"),
         coalesce(sum(col("in_ex") * col("in_lsh")), lit(0L)).as("n_hits"))
       .crossJoin(broadcast(nQ))
+      // zero exact pairs (a clean corpus, or an unlucky sample) is a
+      // VACUOUS audit, not a broken one: recall over an empty truth set
+      // is 10000, never a NULL from the integer div-by-zero
       .select(col("n_queries"), col("n_exact"), col("n_lsh"), col("n_hits"),
-        expr("n_hits * 10000 div n_exact").as("recall_e4"))
+        expr("case when n_exact = 0 then 10000 " +
+          "else n_hits * 10000 div n_exact end").as("recall_e4"))
   }
 
   /** Asymmetric CONTAINMENT pairs — doc-inside-doc detection. Jaccard

@@ -1487,8 +1487,9 @@ object DedupQueries {
        |  (SELECT count(*) FROM ex) AS n_exact,
        |  (SELECT count(*) FROM lsh) AS n_lsh,
        |  (SELECT n FROM hits) AS n_hits,
-       |  (SELECT n FROM hits) * 10000
-       |    // (SELECT count(*) FROM ex) AS recall_e4""".stripMargin
+       |  CASE WHEN (SELECT count(*) FROM ex) = 0 THEN 10000
+       |    ELSE (SELECT n FROM hits) * 10000
+       |      // (SELECT count(*) FROM ex) END AS recall_e4""".stripMargin
   }
 
   /** Shared KMV prefix: per-(source, distinct shingle-hash) rows `hs`

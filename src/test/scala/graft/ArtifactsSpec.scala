@@ -95,6 +95,35 @@ class ArtifactsSpec extends SparkSpec {
     } finally graft.util.Fs.deleteRecursively(dir)
   }
 
+  test("embedding artifact: null ids and duplicate ids reject at " +
+    "WRITE, never get a manifest") {
+    val dir = tmp("graft-emb-ids")
+    try {
+      // a nullable id column (outer-join output, optional keys) keeps
+      // its nulls through the long cast; the old behavior stamped a
+      // digest over the corrupted payload. (Non-numeric STRING ids
+      // already fail loudly — the ANSI cast throws at write.)
+      val nullIds = Seq(
+        (Some(1L), Seq(1.0f, 2.0f)), (None, Seq(3.0f, 4.0f)))
+        .toDF("vec_id", "embedding")
+      val e1 = intercept[Artifacts.ArtifactMismatch] {
+        Artifacts.embeddingWrite(
+          nullIds, "vec_id", "embedding", "m", "v1", dir.toString)
+      }
+      assert(e1.getMessage.contains("null ids"))
+      assert(!java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(dir.toString, "manifest")))
+      val dupIds = Seq(
+        (1L, Seq(1.0f, 2.0f)), (1L, Seq(3.0f, 4.0f)), (2L, Seq(5.0f, 6.0f)))
+        .toDF("vec_id", "embedding")
+      val e2 = intercept[Artifacts.ArtifactMismatch] {
+        Artifacts.embeddingWrite(
+          dupIds, "vec_id", "embedding", "m", "v1", dir.toString)
+      }
+      assert(e2.getMessage.contains("distinct ids"))
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+
   test("tokenizer artifact: trained merges round-trip in rank order and " +
     "drive the same encode; edits reject") {
     val docs = Seq(

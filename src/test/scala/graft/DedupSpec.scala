@@ -1379,6 +1379,24 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("lshRecallSampled: zero exact pairs (clean corpus) is a VACUOUS " +
+    "audit — recall_e4 = 10000, never a div-by-zero NULL") {
+    import spark.implicits._
+    // four docs with no shared trigrams at all → n_exact = 0
+    val clean = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six"),
+      (3L, "red green blue cyan magenta"),
+      (4L, "north south east west center")).toDF("doc_id", "text")
+    val row = Dedup.lshRecallSampled(
+      clean, "doc_id", "text", threshold = 0.5, sampleMod = 1L)
+      .collect().head
+    assert(row.getAs[Long]("n_exact") === 0L)
+    assert(!row.isNullAt(row.fieldIndex("recall_e4")))
+    assert(row.getAs[Long]("recall_e4") === 10000L)
+    spark.catalog.clearCache()
+  }
+
   test("routed-train ivfBuild (k above RoutedTrainThreshold): cells " +
     "partition the corpus, exact clones colocate, build is " +
     "partitioning-invariant") {

@@ -797,4 +797,52 @@ class StreamingWindowSpec extends SparkSpec {
     }
     spark.catalog.clearCache()
   }
+
+  test("drift monitor k discipline: stamped-k mismatch rejects (seed at " +
+    "construction, stored state per batch); label overflow is " +
+    "deterministic") {
+    import spark.implicits._
+    import graft.ext.{Curation, Kmv, Splits}
+    val docs = (0 until 40)
+      .map(i => (i.toLong, f"s$i%02d", s"doc body number $i words here"))
+      .toDF("doc_id", "source", "text")
+    val scored = docs.select(col("source"), lit(5000L).as("quality_e4"))
+    val base = Splits.driftBaselineBuild(scored, "quality_e4")
+    val baseDir = java.nio.file.Files.createTempDirectory("graft-kbase")
+    val repDir = java.nio.file.Files.createTempDirectory("graft-krep")
+    try {
+      Splits.driftBaselineWrite(spark, base, baseDir.toString)
+      // batch 0 at the default k — writes sketch_v0 stamped k
+      Curation.driftMonitorApply(docs, 0L, "text", base,
+        baseDir.toString, repDir.toString, Some("source"), Kmv.DefaultK)
+      // 40 distinct labels > the 32 cap: the surviving 32 are the
+      // ORDERED smallest (nulls-first ascending), replay-identical —
+      // not whichever partitions answered first
+      val label = spark.read.parquet(s"$repDir/drift/b=0")
+        .head().getAs[String]("label")
+      val want = (0 until 32).map(i => f"s$i%02d").mkString(",") + ",…"
+      assert(label === want)
+      // batch 1 at a DIFFERENT k must reject on the stored v0 stamp
+      val e = intercept[IllegalArgumentException] {
+        Curation.driftMonitorApply(docs, 1L, "text", base,
+          baseDir.toString, repDir.toString, None, Kmv.DefaultK * 2)
+      }
+      assert(e.getMessage.contains("k="))
+      // a seed sketch stamped at a foreign k rejects at stream
+      // CONSTRUCTION (before any batch runs)
+      Seq((Seq(1L, 2L, 3L), 64)).toDF("sk", "k").coalesce(1)
+        .write.mode("overwrite").parquet(s"$baseDir/sketch")
+      java.nio.file.Files.createDirectories(repDir.resolve("nostream"))
+      val e2 = intercept[IllegalArgumentException] {
+        Curation.driftMonitorStream(
+          spark.readStream.schema(docs.schema)
+            .parquet(repDir.resolve("nostream").toString),
+          "text", baseDir.toString, repDir.toString, None, Kmv.DefaultK)
+      }
+      assert(e2.getMessage.contains("k=64"))
+    } finally {
+      Seq(baseDir, repDir).foreach(graft.util.Fs.deleteRecursively)
+    }
+    spark.catalog.clearCache()
+  }
 }
