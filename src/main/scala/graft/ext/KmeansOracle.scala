@@ -98,19 +98,29 @@ object KmeansOracle {
     * e6-integer means (DuckDB round == Spark ROUND: half-up away from
     * zero — the engine mirrors it with BigDecimal HALF_UP), empty
     * groups keep their previous super-centroid. Appends CTEs
-    * `m0..m{metaIters}`, `grp` (ci → gi), `gsup` (groups that won ≥ 1
-    * centroid — the only routable targets), `rt` (vector → group) and
-    * `asgr` — the routed FINAL assignment (id, e, ci) matching the
-    * engine's two-level path. */
+    * `{p}m0..{p}m{metaIters}`, `{p}grp` (ci → gi), `{p}gsup` (groups
+    * that won ≥ 1 centroid — the only routable targets), `{p}rt`
+    * (vector → group) and `$out` — the routed assignment (id, e, ci)
+    * of `$src` matching the engine's two-level path. The `p` prefix
+    * makes the block chainable per training iteration
+    * ([[routedLloydCtes]]); defaults keep the d18 text byte-stable. */
   def routedCtes(
       cents: String, r: Int, metaIters: Int = 2, dim: Int = 64,
-      seed: Long = 42L): String = {
+      seed: Long = 42L, p: String = "", src: String = "v",
+      out: String = "asgr", materialized: Boolean = false): String = {
+    // DuckDB inlines CTEs by default; a chain of routed blocks where
+    // each level references the previous ~5 times re-evaluates the
+    // whole subtree exponentially (observed: the s29 oracle ran for
+    // minutes inlined, sub-second materialized). MATERIALIZED pins
+    // each level to one evaluation; d18's single-block call keeps the
+    // byte-stable default.
+    val M = if (materialized) "MATERIALIZED " else ""
     val init = Similarity.initialCentroids(r, dim, seed)
     val m0rows = init.zipWithIndex.map { case (c, g) =>
       s"($g, [${c.mkString(", ")}])"
     }.mkString(",\n    ")
     def metaAssign(name: String, sup: String): String =
-      s"""$name AS (
+      s"""$name AS $M(
          |  SELECT ci, cv, gi FROM (
          |    SELECT ci, cv, gi,
          |      row_number() OVER (PARTITION BY ci ORDER BY sc DESC, gi DESC)
@@ -121,30 +131,30 @@ object KmeansOracle {
          |      FROM $cents c, $sup m))
          |  WHERE rn = 1)""".stripMargin
     val sb = new StringBuilder
-    sb ++= s"""m0(gi, gv) AS (VALUES
+    sb ++= s"""${p}m0(gi, gv) AS $M(VALUES
               |    $m0rows),
               |""".stripMargin
     for (it <- 1 to metaIters) {
-      val prev = s"m${it - 1}"
-      sb ++= metaAssign(s"ma$it", prev) + ",\n"
-      sb ++= s"""ms$it AS (
+      val prev = s"${p}m${it - 1}"
+      sb ++= metaAssign(s"${p}ma$it", prev) + ",\n"
+      sb ++= s"""${p}ms$it AS $M(
                 |  SELECT a.gi, t.i,
                 |    sum(CAST(round(a.cv[t.i] * 1000000) AS BIGINT)) AS s,
                 |    count(*) AS n
-                |  FROM ma$it a, range(1, ${dim + 1}) t(i) GROUP BY 1, 2),
-                |m$it AS (
+                |  FROM ${p}ma$it a, range(1, ${dim + 1}) t(i) GROUP BY 1, 2),
+                |${p}m$it AS $M(
                 |  SELECT p.gi, coalesce(u.gv, p.gv) AS gv
                 |  FROM $prev p LEFT JOIN (
                 |    SELECT gi, list(CAST(s AS DOUBLE)
                 |      / (CAST(n AS DOUBLE) * 1000000.0) ORDER BY i) AS gv
-                |    FROM ms$it GROUP BY gi) u USING (gi)),
+                |    FROM ${p}ms$it GROUP BY gi) u USING (gi)),
                 |""".stripMargin
     }
-    sb ++= metaAssign("grp", s"m$metaIters") + ",\n"
-    sb ++= s"""gsup AS (
+    sb ++= metaAssign(s"${p}grp", s"${p}m$metaIters") + ",\n"
+    sb ++= s"""${p}gsup AS $M(
               |  SELECT DISTINCT g.gi, m.gv
-              |  FROM grp g JOIN m$metaIters m USING (gi)),
-              |rt AS (
+              |  FROM ${p}grp g JOIN ${p}m$metaIters m USING (gi)),
+              |${p}rt AS $M(
               |  SELECT id, e, gi FROM (
               |    SELECT id, e, gi,
               |      row_number() OVER (PARTITION BY id ORDER BY sc DESC, gi DESC)
@@ -152,9 +162,9 @@ object KmeansOracle {
               |    FROM (
               |      SELECT v.id, v.e, s.gi,
               |        ${dotListQ("v.e", "s.gv", dim)} / ${normQ("v.e")} AS sc
-              |      FROM v, gsup s))
+              |      FROM $src v, ${p}gsup s))
               |  WHERE rn = 1),
-              |asgr AS (
+              |$out AS $M(
               |  SELECT id, e, ci FROM (
               |    SELECT id, e, ci,
               |      row_number() OVER (PARTITION BY id ORDER BY sc DESC, ci DESC)
@@ -162,10 +172,69 @@ object KmeansOracle {
               |    FROM (
               |      SELECT r.id, r.e, c.ci,
               |        ${dotListQ("r.e", "c.cv", dim)} / ${normQ("r.e")} AS sc
-              |      FROM rt r
-              |      JOIN grp g ON g.gi = r.gi
+              |      FROM ${p}rt r
+              |      JOIN ${p}grp g ON g.gi = r.gi
               |      JOIN $cents c ON c.ci = g.ci))
               |  WHERE rn = 1)""".stripMargin
+    sb.result()
+  }
+
+  /** Replay of the ROUTED-TRAINING build path
+    * ([[Similarity.ivfBuild]] with `k > routedAbove`): every Lloyd
+    * iteration assigns the training sample through the TWO-LEVEL route
+    * — a meta-Lloyd over the CURRENT centroids (recomputed per
+    * iteration as they move, r = ⌈√k⌉), then only the winning group's
+    * centroids — and the FINAL corpus assignment routes through the
+    * final centroids' meta. Each iteration chains one [[routedCtes]]
+    * block (prefix `t{it}`) whose output feeds the same e6-integer
+    * means as the flat [[lloydCtes]]; the final block (prefix `f`)
+    * emits `asgr` over the full corpus. This is the PRODUCTION
+    * trajectory for corpus-pinned k — the s29 vehicle forces
+    * `routedAbove` below a fixture-scale k (the s18 trick) so the path
+    * carries a hash oracle, not just spec pins. */
+  def routedLloydCtes(
+      k: Int = 16, iters: Int = 3, dim: Int = 64, seed: Long = 42L,
+      trainCap: Int = 0, metaIters: Int = 2): String = {
+    val cap = Similarity.lloydTrainCap(trainCap, k)
+    val r = math.ceil(math.sqrt(k.toDouble)).toInt
+    val init = Similarity.initialCentroids(k, dim, seed)
+    val c0rows = init.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.mkString(", ")}])"
+    }.mkString(",\n    ")
+    // every CTE here is MATERIALIZED: each routed level references the
+    // previous ~5 times, and DuckDB's default inlining re-evaluates the
+    // whole subtree per reference — exponential in `iters` (the
+    // unmaterialized s29 oracle ran for minutes; materialized it's
+    // sub-second)
+    val sb = new StringBuilder
+    sb ++= s"""v AS MATERIALIZED (SELECT vec_id AS id, embedding AS e FROM embeddings),
+              |vt AS MATERIALIZED (
+              |  SELECT id, e FROM v
+              |  ORDER BY ${DedupQueries.pmSql("CAST(id AS VARCHAR)")}, id
+              |  LIMIT $cap),
+              |cents0(ci, cv) AS MATERIALIZED (VALUES
+              |    $c0rows),
+              |""".stripMargin
+    for (it <- 1 to iters) {
+      val prev = s"cents${it - 1}"
+      sb ++= routedCtes(prev, r, metaIters, dim, seed,
+        p = s"t$it", src = "vt", out = s"a$it", materialized = true) + ",\n"
+      sb ++= s"""s$it AS MATERIALIZED (
+                |  SELECT a.ci, t.i,
+                |    sum(CAST(round(CAST(a.e[t.i] AS DOUBLE) * 1000000)
+                |      AS BIGINT)) AS s,
+                |    count(*) AS n
+                |  FROM a$it a, range(1, ${dim + 1}) t(i) GROUP BY 1, 2),
+                |cents$it AS MATERIALIZED (
+                |  SELECT p.ci, coalesce(u.cv, p.cv) AS cv
+                |  FROM $prev p LEFT JOIN (
+                |    SELECT ci, list(CAST(s AS DOUBLE)
+                |      / (CAST(n AS DOUBLE) * 1000000.0) ORDER BY i) AS cv
+                |    FROM s$it GROUP BY ci) u USING (ci)),
+                |""".stripMargin
+    }
+    sb ++= routedCtes(s"cents$iters", r, metaIters, dim, seed, p = "f",
+      materialized = true)
     sb.result()
   }
 

@@ -209,6 +209,25 @@ object SimilarityQueries {
           .as("codes"))
     },
 
+    // ROUTED-TRAIN IVF build on the oracle surface: above
+    // `routedAbove`, ivfBuild's Lloyd TRAINING (not just the final
+    // assignment) routes each training point through a per-iteration
+    // meta-Lloyd over the CURRENT centroids — the production
+    // trajectory for corpus-pinned k (> 256), which has no
+    // fixture-scale vehicle of its own. The s18 trick applies: force
+    // `routedAbove` BELOW the fixture k and the IDENTICAL code path
+    // runs at k=16, where every meta-Lloyd + routed-assignment step
+    // replays as unrolled CTEs (KmeansOracle.routedLloydCtes). Output:
+    // every vector's final cell — a full-corpus hash over the entire
+    // routed trajectory.
+    Q("s29_ivf_routed_train", s29OracleSql) { (s, dir) =>
+      val idx = Similarity.ivfBuild(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = Some(queryVec(s, dir).length), routedAbove = 8)
+      idx.assigned.select(
+        col("id").as("vec_id"), col("c").cast("long").as("cell"))
+    },
+
     // greedy k-center coreset (farthest-point sampling) over the FULL
     // corpus — the diversity-selection step of coreset-based data
     // curation: 6 exemplars such that the coverage radius (max
@@ -1315,6 +1334,17 @@ object SimilarityQueries {
        |SELECT id, CAST(round(cos6 * 1000000) AS BIGINT) AS cos_e6
        |FROM c ORDER BY cos6 DESC, id ASC LIMIT 10""".stripMargin
   }
+
+  /** s29: the routed-TRAINING build replay — per training iteration a
+    * meta-Lloyd over the current centroids + routed assignment of the
+    * training sample ([[KmeansOracle.routedLloydCtes]]), final routed
+    * assignment of the full corpus. Matches
+    * `ivfBuild(routedAbove = 8)` at the pack's k = 16 (r = ⌈√16⌉ = 4
+    * super-groups). */
+  private lazy val s29OracleSql: String =
+    s"""WITH ${KmeansOracle.routedLloydCtes()}
+       |SELECT id AS vec_id, CAST(ci AS BIGINT) AS cell FROM asgr"""
+      .stripMargin
 
   /** s5: full quantizedTopK replay. Corpus codes use DuckDB `round`
     * (ties away from zero = Spark's HALF_UP); query codes use
