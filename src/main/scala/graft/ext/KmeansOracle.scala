@@ -100,14 +100,21 @@ object KmeansOracle {
     * groups keep their previous super-centroid. Appends CTEs
     * `{p}m0..{p}m{metaIters}`, `{p}grp` (ci → gi), `{p}gsup` (groups
     * that won ≥ 1 centroid — the only routable targets), `{p}rt`
-    * (vector → group) and `$out` — the routed assignment (id, e, ci)
-    * of `$src` matching the engine's two-level path. The `p` prefix
-    * makes the block chainable per training iteration
-    * ([[routedLloydCtes]]); defaults keep the d18 text byte-stable. */
+    * (vector → group — `probes` rows per vector, the multi-probe
+    * route) and `$out` — the routed assignment (id, e, ci) of `$src`
+    * matching the engine's two-level path: the final rn = 1 window
+    * takes the struct-max over the UNION of the probed groups'
+    * centroids, which is exactly `greatest` over per-group bests
+    * (centroid→group is a function, so the union has no duplicate
+    * candidates). The `p` prefix makes the block chainable per
+    * training iteration ([[routedLloydCtes]]); defaults (including
+    * probes = 1, emitted as the original `rn = 1` predicate) keep the
+    * d18 text byte-stable. */
   def routedCtes(
       cents: String, r: Int, metaIters: Int = 2, dim: Int = 64,
       seed: Long = 42L, p: String = "", src: String = "v",
-      out: String = "asgr", materialized: Boolean = false): String = {
+      out: String = "asgr", materialized: Boolean = false,
+      probes: Int = 1): String = {
     // DuckDB inlines CTEs by default; a chain of routed blocks where
     // each level references the previous ~5 times re-evaluates the
     // whole subtree exponentially (observed: the s29 oracle ran for
@@ -163,7 +170,7 @@ object KmeansOracle {
               |      SELECT v.id, v.e, s.gi,
               |        ${dotListQ("v.e", "s.gv", dim)} / ${normQ("v.e")} AS sc
               |      FROM $src v, ${p}gsup s))
-              |  WHERE rn = 1),
+              |  WHERE ${if (probes == 1) "rn = 1" else s"rn <= $probes"}),
               |$out AS $M(
               |  SELECT id, e, ci FROM (
               |    SELECT id, e, ci,
@@ -191,10 +198,17 @@ object KmeansOracle {
     * emits `asgr` over the full corpus. This is the PRODUCTION
     * trajectory for corpus-pinned k — the s29 vehicle forces
     * `routedAbove` below a fixture-scale k (the s18 trick) so the path
-    * carries a hash oracle, not just spec pins. */
+    * carries a hash oracle, not just spec pins.
+    *
+    * Routed builds probe the top-2 groups
+    * ([[Similarity.RouteProbesBalanced]] — ivfBuild's default whenever
+    * it routes), so `probes` defaults to 2 here: every `rt` level
+    * carries two rows per vector and the per-level rn = 1 window takes
+    * the struct-max over both probed groups' centroids. */
   def routedLloydCtes(
       k: Int = 16, iters: Int = 3, dim: Int = 64, seed: Long = 42L,
-      trainCap: Int = 0, metaIters: Int = 2): String = {
+      trainCap: Int = 0, metaIters: Int = 2,
+      probes: Int = Similarity.RouteProbesBalanced): String = {
     val cap = Similarity.lloydTrainCap(trainCap, k)
     val r = math.ceil(math.sqrt(k.toDouble)).toInt
     val init = Similarity.initialCentroids(k, dim, seed)
@@ -218,7 +232,8 @@ object KmeansOracle {
     for (it <- 1 to iters) {
       val prev = s"cents${it - 1}"
       sb ++= routedCtes(prev, r, metaIters, dim, seed,
-        p = s"t$it", src = "vt", out = s"a$it", materialized = true) + ",\n"
+        p = s"t$it", src = "vt", out = s"a$it", materialized = true,
+        probes = probes) + ",\n"
       sb ++= s"""s$it AS MATERIALIZED (
                 |  SELECT a.ci, t.i,
                 |    sum(CAST(round(CAST(a.e[t.i] AS DOUBLE) * 1000000)
@@ -234,7 +249,7 @@ object KmeansOracle {
                 |""".stripMargin
     }
     sb ++= routedCtes(s"cents$iters", r, metaIters, dim, seed, p = "f",
-      materialized = true)
+      materialized = true, probes = probes)
     sb.result()
   }
 

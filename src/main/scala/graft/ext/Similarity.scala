@@ -590,6 +590,70 @@ object Similarity {
       .limit(k)
   }
 
+  /** BATCHED serving through a [[SignBandIndex]] — the s26/s28
+    * broadcast-probe-frame shape applied to the last per-query ANN
+    * path: [[annTopKIndexed]] re-reads the index once PER query, so a
+    * |Q|-query retrieval batch pays |Q| index scans; here the index is
+    * scanned ONCE for the whole batch. Each query's signature is
+    * computed IN the query frame (the same [[lshSignature]] expression
+    * the index build used — one fold-order contract across build,
+    * per-query driver loop, and batch), exploded into its `chunks`
+    * (band, bucket) probe rows, and the ≤ |Q|·chunks-row probe frame
+    * BROADCASTS against the bucket table: the index is never shuffled.
+    * The distinct probed (band, bucket) pairs are collected (bounded
+    * by |Q|·chunks) and pushed as a LITERAL per-band bucket filter
+    * ahead of the join, so on the [[signBandIndexWrite]] layout the
+    * scan prunes to the probed partition directories STATICALLY — the
+    * ivfTopKBatch pruning idiom. Same per-(query, candidate) contract
+    * as the per-query path: exact Hamming gate `bit_count(xor) ≤
+    * probe` (lossless at probe ≤ chunks−1 — the pigeonhole), chunk-
+    * collision dedup, e6-rounded cosine, ties to the lower id
+    * ([[perQueryTopK]]'s BoundedTopK — k-bounded partials, never a
+    * global sort). Zero-norm queries are gated out (the family
+    * discipline); zero-norm candidates score NaN and BoundedTopK
+    * skips them. Output: (query_id, neighbor_id, cos_e6). */
+  def annTopKIndexedBatch(
+      index: SignBandIndex, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, probe: Int = 4): DataFrame = {
+    require(probe <= index.chunks - 1,
+      s"probe $probe exceeds the pigeonhole bound (chunks-1 = ${index.chunks - 1})")
+    val width = index.nPlanes / index.chunks
+    val mask = (1L << width) - 1
+    val planes = hyperplanes(index.nPlanes, index.dim)
+    val q = queries
+      .select(col(idCol).as("_qid"), col(vecCol).as("_qv"))
+      .where(norm(col("_qv")) > 0)
+      .withColumn("_qsig", lshSignature(col("_qv"), planes))
+    val chunkStructs = (0 until index.chunks).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("_qsig"), b * width).bitwiseAND(mask).as("bucket"))
+    }
+    val probes = q
+      .select(col("_qid"), col("_qv"), col("_qsig"),
+        explode(array(chunkStructs: _*)).as("_bb"))
+      .select(col("_qid"), col("_qv"), col("_qsig"),
+        col("_bb.band").as("band"), col("_bb.bucket").as("bucket"))
+    // persisted: feeds the pruning collect AND the broadcast join
+    val probesP = Caches.persisted(probes)
+    val pairs = probesP.select(col("band"), col("bucket")).distinct()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val bucketFilter = pairs.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (b, bs) =>
+        col("band") === b &&
+          col("bucket").isin(bs.map(_._2.asInstanceOf[Any]).distinct: _*)
+      }
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val scored = index.buckets
+      .where(bucketFilter)
+      .join(broadcast(probesP), Seq("band", "bucket"))
+      .where(bit_count(col("sig").bitwiseXOR(col("_qsig"))) <= probe)
+      .select(col("_qid"), col("id"), col("v"), col("_qv"))
+      .dropDuplicates("_qid", "id") // a candidate may match several chunks
+      .select(col("_qid"), col("id").as("_cid"),
+        round(cosine(col("v"), col("_qv")), 6).as("_cos"))
+    perQueryTopK(scored, k)
+  }
+
   /** IVF (inverted-file) index: k-means centroids trained with a few
     * Lloyd iterations (distributed assign + average; only the k×dim
     * centroid matrix ever reaches the driver), then each vector is
@@ -622,16 +686,23 @@ object Similarity {
   /** argmax over an explicit (index, centroid) subset — struct-max on
     * (score, idx), so equal scores break to the HIGHER index (the
     * assignment-tie contract every oracle replays as
-    * `ORDER BY sc DESC, ci DESC`). */
-  private def nearestAmong(
+    * `ORDER BY sc DESC, ci DESC`). [[nearestStructAmong]] keeps the
+    * whole (score, idx) struct so multi-probe routing can compare
+    * bests ACROSS groups with the identical tie contract
+    * (`greatest` on structs = field-wise, score first then idx). */
+  private def nearestStructAmong(
       vec: Column, members: Seq[(Int, Seq[Double])]): Column = {
     val scored = members.map { case (ci, c) =>
       struct(
         (dot(vec, array(c.map(lit): _*)) / norm(vec)).as("score"),
         lit(ci).as("idx"))
     }
-    array_max(array(scored: _*)).getField("idx")
+    array_max(array(scored: _*))
   }
+
+  private def nearestAmong(
+      vec: Column, members: Seq[(Int, Seq[Double])]): Column =
+    nearestStructAmong(vec, members).getField("idx")
 
   /** Cell assignment for a `(id, v)` frame. Two physical shapes with
     * IDENTICAL semantics (same (score, idx) struct-max, so equal
@@ -718,49 +789,103 @@ object Similarity {
 
   /** Two-level ROUTED cell assignment — vectors score the r
     * super-centroids first, then only the centroids in the winning
-    * group: n·(r + k/r)·d work instead of n·k·d (≈ n·2√k·d at
-    * r = √k). The routing is the published IMI recall trade: a vector
-    * near a group boundary may land in a different cell than flat
-    * assignment gives it. Two physical shapes like [[assignCells]]:
-    * small k inlines the whole route as one codegen'd when-chain
-    * (structs = r + k, same size as flat inline, but only r + k/r
-    * DOTS evaluate per row); large k routes through two BROADCAST
-    * joins (n·r then n·(group size) skinny scored rows — never a
-    * shuffle of the vectors). Super-groups that won no centroid are
-    * excluded from routing on both paths (a vector must route to a
-    * group that can assign it). */
+    * `probes` groups: n·(r + probes·k/r)·d work instead of n·k·d
+    * (≈ n·3√k·d at r = √k, probes = 2). The routing is the published
+    * IMI recall trade: a vector near a group boundary may land in a
+    * different cell than flat assignment gives it — and at probes = 1
+    * those boundary misses CONCENTRATE on the wrong group's edge
+    * cells (the r11 probe measured max cell 4,113 routed vs 600 flat
+    * at k=1562). `probes = 2` (IMI's multi-assignment) scores the
+    * union of the top-2 groups' centroids and takes the global
+    * struct-max, so a boundary vector whose true cell sits in the
+    * runner-up group still lands there; the r12 probe measured this
+    * restoring flat-build balance (max cell 622 vs 500 flat, Σ|cell|²
+    * within 8%) at 1.3–1.9× single-probe assignment cost — still ~12×
+    * below flat scoring at k=1562. Two physical shapes
+    * like [[assignCells]]: small k inlines the whole route as
+    * codegen'd when-chains (only r + probes·k/r DOTS evaluate per
+    * row); large k routes through two BROADCAST joins (n·r then
+    * n·probes·(group size) skinny scored rows — never a shuffle of
+    * the vectors). Super-groups that won no centroid are excluded
+    * from routing on both paths (a vector must route to a group that
+    * can assign it). Ties everywhere break to the HIGHER index — one
+    * contract across paths and probe counts, `ORDER BY sc DESC,
+    * ci DESC` in the oracle replay. */
   private[graft] def assignCellsRouted(
       base: DataFrame, cents: Seq[Seq[Double]],
       supers: Seq[Seq[Double]], groupOf: Seq[Int],
-      inlineLimit: Int = 32): DataFrame = {
+      inlineLimit: Int = 32, probes: Int = 1): DataFrame = {
     require(groupOf.size == cents.size, "groupOf must map every centroid")
+    require(probes == 1 || probes == 2,
+      s"probes must be 1 or 2, got $probes") // 2 is the IMI standard;
+    // more probes converge on flat-assignment cost without measured gain
     val present: Seq[Int] = groupOf.distinct.sorted
     val byGroup: Map[Int, Seq[(Int, Seq[Double])]] =
       cents.zipWithIndex
         .map { case (c, ci) => (groupOf(ci), (ci, c)) }
         .groupBy(_._1).map { case (g, m) => g -> m.map(_._2) }
     if (cents.size <= inlineLimit) {
-      val route = nearestAmong(
-        col("v"), present.map(g => (g, supers(g))))
-      val assignExpr = present.tail.foldLeft(
-        nearestAmong(col("v"), byGroup(present.head))) { (acc, g) =>
-        when(col("_g") === g, nearestAmong(col("v"), byGroup(g)))
-          .otherwise(acc)
+      if (probes == 1 || present.size == 1) {
+        val route = nearestAmong(
+          col("v"), present.map(g => (g, supers(g))))
+        val assignExpr = present.tail.foldLeft(
+          nearestAmong(col("v"), byGroup(present.head))) { (acc, g) =>
+          when(col("_g") === g, nearestAmong(col("v"), byGroup(g)))
+            .otherwise(acc)
+        }
+        base.withColumn("_g", route)
+          .withColumn("c", assignExpr)
+          .drop("_g")
+      } else {
+        // top-2 route: the (score, gi) structs sorted desc — struct
+        // ordering is (score, idx) field-wise, so element 1 equals the
+        // single-probe struct-max (ties to the higher group) and
+        // element 2 is the runner-up group
+        val supStructs = present.map(g => struct(
+          (dot(col("v"), array(supers(g).map(lit): _*)) / norm(col("v")))
+            .as("score"),
+          lit(g).as("idx")))
+        val sorted = reverse(array_sort(array(supStructs: _*)))
+        def bestIn(gcol: Column): Column = present.tail.foldLeft(
+          nearestStructAmong(col("v"), byGroup(present.head))) { (acc, g) =>
+          when(gcol === g, nearestStructAmong(col("v"), byGroup(g)))
+            .otherwise(acc)
+        }
+        base
+          .withColumn("_g1", element_at(sorted, 1).getField("idx"))
+          .withColumn("_g2", element_at(sorted, 2).getField("idx"))
+          // greatest on (score, idx) structs — the same tie contract as
+          // the flat struct-max, now across the two probed groups
+          .withColumn("c",
+            greatest(bestIn(col("_g1")), bestIn(col("_g2")))
+              .getField("idx"))
+          .drop("_g1", "_g2")
       }
-      base.withColumn("_g", route)
-        .withColumn("c", assignExpr)
-        .drop("_g")
     } else {
       val spark = base.sparkSession
       val sdf = spark.createDataFrame(
         present.map(g => (g, supers(g)))).toDF("_gi", "_gv")
-      val routed = base
+      val scoredSup = base
         .crossJoin(broadcast(sdf))
         .select(col("id"),
           struct((dot(col("v"), col("_gv")) / norm(col("v")))
             .as("score"), col("_gi").as("idx")).as("_s"))
-        .groupBy(col("id"))
-        .agg(max(col("_s")).getField("idx").as("_g"))
+      val routed =
+        if (probes == 1 || present.size == 1)
+          scoredSup
+            .groupBy(col("id"))
+            .agg(max(col("_s")).getField("idx").as("_g"))
+        else
+          // top-2 per id: collect the r (score, gi) structs (r = √k —
+          // driver-bounded per row), sort desc, keep 2, explode. The
+          // sort makes collect_list's arrival order irrelevant; the
+          // groups are distinct so the slice is unambiguous.
+          scoredSup
+            .groupBy(col("id"))
+            .agg(slice(sort_array(collect_list(col("_s")), asc = false),
+              1, probes).as("_gs"))
+            .select(col("id"), explode(col("_gs")).as("_t"))
+            .select(col("id"), col("_t").getField("idx").as("_g"))
       val cdf = spark.createDataFrame(
         cents.zipWithIndex.map { case (c, ci) => (ci, groupOf(ci), c) })
         .toDF("_ci", "_cgi", "_cv")
@@ -812,11 +937,26 @@ object Similarity {
     * trajectory is the documented IMI-style approximation. */
   val RoutedTrainThreshold: Int = 256
 
+  /** Super-groups a routed vector probes ([[assignCellsRouted]]):
+    * IMI multi-assignment with the top-2 groups. Single-probe routing
+    * piles boundary misses onto the wrong group's edge cells — the
+    * r11 probe measured max cell 4,113 vs 600 flat at k=1562 — and at
+    * corpus-pinned k those oversized cells are EXCLUDED from semDedup
+    * pair scoring (`cell_capped`), so skew silently widens the no-op
+    * slice of the corpus. With 2 probes in BOTH training and
+    * assignment the r12 probe measured max cell 622 / Σ|cell|² 44.1M
+    * vs the same-centroid flat assignment's 500 / 40.7M (within 8%;
+    * r11's single-probe skew: 4,113 / 71.9M) at 1.3–1.9× the
+    * single-probe assignment cost (12.5–18.7 s vs 9.4–9.7 s at
+    * 100×/k=1562) — still ~12× below flat scoring (152–245 s). */
+  val RouteProbesBalanced: Int = 2
+
   def ivfBuild(
       vectors: DataFrame, idCol: String, vecCol: String,
       k: Int = 16, iters: Int = 3, seed: Long = 42L,
       dim: Option[Int] = None, trainCap: Int = 0,
-      routedAbove: Int = RoutedTrainThreshold): IvfIndex = {
+      routedAbove: Int = RoutedTrainThreshold,
+      routeProbes: Int = 0): IvfIndex = {
     val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
     // dim probe only when the caller doesn't know it — at 100 TB the
     // probe is a full column scan before the first Lloyd pass starts
@@ -837,12 +977,17 @@ object Similarity {
     // same integer-sum means, same tie contract — only approximate in
     // WHICH cell a boundary vector lands (the IMI trade).
     val routed = k > routedAbove
+    // whenever this build routes, it routes BALANCED (top-2 groups) by
+    // default — the routed regime exists for corpus-pinned k, exactly
+    // where single-probe boundary skew bites; explicit routeProbes > 0
+    // overrides (the skew-probe's before/after lever)
+    val rp = if (routeProbes > 0) routeProbes else RouteProbesBalanced
     def assignFn(src: DataFrame, cents: Seq[Seq[Double]]): DataFrame =
       if (!routed) assignCells(src, cents)
       else {
         val r = math.ceil(math.sqrt(k.toDouble)).toInt
         val (sup, grp) = metaCentroids(cents, r)
-        assignCellsRouted(src, cents, sup, grp)
+        assignCellsRouted(src, cents, sup, grp, probes = rp)
       }
     var cents: Seq[Seq[Double]] = initialCentroids(k, dimV, seed)
     for (_ <- 0 until iters) {

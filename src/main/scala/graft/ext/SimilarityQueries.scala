@@ -755,6 +755,29 @@ object SimilarityQueries {
         .select(col("query_id"),
           coalesce(col("dcg_e6"), lit(0L)).as("dcg_e6"), col("idcg_e6"),
           expr("coalesce(dcg_e6, 0) * 1000000 div idcg_e6").as("ndcg_e6"))
+    },
+
+    // BATCHED serving through the persisted-layout sign-LSH band index
+    // ([[Similarity.annTopKIndexedBatch]]) — the last per-query ANN
+    // path in its production multi-query form: the s26/s28 broadcast-
+    // probe-frame shape (query signatures computed IN the frame,
+    // exploded to (band, bucket) probe rows, index scanned ONCE per
+    // batch with a literal per-band bucket filter → static partition
+    // pruning on the signBandIndexWrite layout). The index is LOSSLESS
+    // at probe ≤ chunks−1 (the pigeonhole), so the oracle replays the
+    // flat 30-plane form: per-query signature, bit_count(xor) ≤ 4
+    // gate, e6-rounded cosine, (cos DESC, id ASC) top-10 per query —
+    // the result contract is the flat scan's, only the access path is
+    // indexed. pmd5-sampled query batch, the s26 convention.
+    Q("s30_ann_band_multi", s30OracleSql) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val idx = Similarity.signBandIndexBuild(
+        emb, "vec_id", "embedding", dim = 64)
+      val qs = emb.where(
+        Dedup.pmd5(col("vec_id")) % 8 === 0 &&
+          Similarity.norm(col("embedding")) > 0)
+      Similarity.annTopKIndexedBatch(
+        idx, qs, "vec_id", "embedding", k = 10, probe = 4)
     }
   )
 
@@ -1469,6 +1492,56 @@ object SimilarityQueries {
        |)
        |SELECT id, CAST(round(cos6 * 1000000) AS BIGINT) AS cos_e6
        |FROM c ORDER BY cos6 DESC, id ASC LIMIT $k""".stripMargin
+  }
+
+  /** s30 replay: the batched band-index serve. The index is lossless
+    * at probe ≤ chunks−1, so the replay is the FLAT 30-plane form of
+    * s2 lifted to a query batch: one signature CTE shared by corpus
+    * and queries (the engine computes both through the same
+    * lshSignature expression), zero-norm rows gated from BOTH sides
+    * (queries by the operator's gate; candidates because a NaN cosine
+    * never occupies a BoundedTopK slot), Hamming gate, per-query
+    * (cos6 DESC, id ASC) top-10. */
+  private lazy val s30OracleSql: String = {
+    val dim = 64; val nPlanes = 30; val probe = 4; val k = 10
+    val planes = Similarity.hyperplanes(nPlanes, dim, seed = 42L)
+    val sigExpr = planes.zipWithIndex.map { case (pl, j) =>
+      s"(CASE WHEN ${dotChain("e", pl)} >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("\n    + ")
+    s"""WITH v AS (SELECT vec_id AS id, embedding AS e FROM embeddings),
+       |sg AS (SELECT id, e,
+       |    $sigExpr AS sig
+       |  FROM v),
+       |nz AS (
+       |  SELECT id, e, sig FROM sg
+       |  WHERE sqrt(list_sum(list_transform(e,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0
+       |), qs AS (
+       |  SELECT id AS qid, e AS qv, sig AS qsig FROM nz
+       |  WHERE ${DedupQueries.pmSql("CAST(id AS VARCHAR)")} % 8 = 0
+       |), flt AS (
+       |  SELECT q.qid, q.qv, s.id, s.e
+       |  FROM nz s, qs q WHERE bit_count(xor(s.sig, q.qsig)) <= $probe
+       |), c AS (
+       |  SELECT qid, id,
+       |    round(
+       |      list_sum(list_transform(range(1, ${dim + 1}),
+       |        i -> CAST(e[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform(e,
+       |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |         * sqrt(list_sum(list_transform(qv,
+       |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+       |      6) AS cos6
+       |  FROM flt
+       |), r AS (
+       |  SELECT qid, id, cos6,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY cos6 DESC, id ASC) AS rn
+       |  FROM c
+       |)
+       |SELECT qid AS query_id, CAST(id AS BIGINT) AS neighbor_id,
+       |  CAST(round(cos6 * 1000000) AS BIGINT) AS cos_e6
+       |FROM r WHERE rn <= $k""".stripMargin
   }
 
   /** One e6-floored squared-L2 expression between two list columns —

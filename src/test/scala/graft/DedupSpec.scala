@@ -507,6 +507,56 @@ class DedupSpec extends SparkSpec {
     assert(s2 === supers && g2 === groupOf)
   }
 
+  test("assignCellsRouted probes=2: recovers the flat assignment a " +
+    "single-probe boundary misroute loses, on both physical paths") {
+    // hand-built two-group geometry: v routes to super s0 (v·s0 >
+    // v·s1) but its TRUE nearest centroid c1 lives in group 1 —
+    // single-probe must misassign to c0, two-probe must recover c1.
+    // (This is exactly the boundary-miss mechanism behind the r11
+    // skew row: max cell 4,113 routed vs 600 flat at k=1562.)
+    val supers = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val cents = Seq(Seq(0.5, 0.2), Seq(0.55, 0.75))
+    val groupOf = Seq(0, 1) // c0·s0 > c0·s1; c1·s1 > c1·s0
+    val base = Seq((1L, Seq(0.7f, 0.65f))).toDF("id", "v")
+    // sanity on the fixture: the route is g0, the flat argmax is c1
+    // (v·c0 = 0.48 < v·c1 = 0.8725)
+    for (limit <- Seq(32, 1)) { // inline vs double-broadcast-join path
+      val one = Similarity
+        .assignCellsRouted(base, cents, supers, groupOf,
+          inlineLimit = limit, probes = 1)
+        .head().getAs[Int]("c")
+      val two = Similarity
+        .assignCellsRouted(base, cents, supers, groupOf,
+          inlineLimit = limit, probes = 2)
+        .head().getAs[Int]("c")
+      assert(one === 0, s"limit=$limit: single-probe should misroute to c0")
+      assert(two === 1, s"limit=$limit: two-probe should recover flat c1")
+    }
+    // inline and join paths agree at probes=2 on bulk data too (the
+    // probes=1 agreement is pinned by the test above)
+    val dim = 16
+    val rnd = new scala.util.Random(54)
+    val bulk = (0 until 80).map { i =>
+      (i.toLong, Seq.tabulate(dim)(j =>
+        (if (j / 4 == i % 4) 1.0 + 0.05 * rnd.nextGaussian()
+         else 0.1 * rnd.nextGaussian()).toFloat))
+    }.toDF("id", "v")
+    val cents8 = (0 until 8).map { c =>
+      Seq.tabulate(dim)(j =>
+        if (j / 4 == c % 4) 1.0 + 0.001 * c else 0.001 * c)
+    }
+    val (sup8, grp8) = Similarity.metaCentroids(cents8, r = 3)
+    val inl = Similarity
+      .assignCellsRouted(bulk, cents8, sup8, grp8,
+        inlineLimit = 32, probes = 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("c")).toMap
+    val jnd = Similarity
+      .assignCellsRouted(bulk, cents8, sup8, grp8,
+        inlineLimit = 1, probes = 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("c")).toMap
+    assert(inl === jnd)
+  }
+
   test("cosineNearDupPairs finds planted high-cosine pairs, skips unrelated") {
     val dim = 64
     // 6 base vectors far apart; for 3 of them plant a near-identical
@@ -1477,5 +1527,39 @@ class DedupSpec extends SparkSpec {
     }.toMap
     assert(got === want) // same neighbors, same e6 scores, per query
     spark.catalog.clearCache()
+  }
+
+  test("annTopKIndexedBatch == per-query annTopKIndexed for every query " +
+    "in the batch, in-memory and through the persisted layout") {
+    val dim = 16
+    val vecs = (0 until 150).map { i =>
+      (i.toLong, Seq.tabulate(dim)(j => math.sin(i / 10 * 13.0 + j).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val idx = Similarity.signBandIndexBuild(
+      df, "vec_id", "embedding", dim = dim, nPlanes = 30, chunks = 5)
+    val qids = Seq(0L, 37L, 74L, 111L, 149L)
+    val batch = df.where(col("vec_id").isin(qids: _*))
+    def gotFrom(ix: Similarity.SignBandIndex): Map[(Long, Long), Long] =
+      Similarity
+        .annTopKIndexedBatch(ix, batch, "vec_id", "embedding",
+          k = 5, probe = 4)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = qids.flatMap { q =>
+      Similarity.annTopKIndexed(idx, vecs(q.toInt)._2, k = 5, probe = 4)
+        .collect()
+        .map(r => (q, r.getLong(0)) -> math.round(r.getDouble(1) * 1e6))
+    }.toMap
+    assert(gotFrom(idx) === want) // same neighbors, same e6 scores
+    // and identically through the write→read round-trip (the layout
+    // whose (band, bucket) partitioning the literal filter prunes)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sbix")
+    try {
+      Similarity.signBandIndexWrite(idx, dir.toString)
+      val back = Similarity.signBandIndexRead(spark, dir.toString)
+      assert(gotFrom(back) === want)
+    } finally graft.util.Fs.deleteRecursively(dir)
+    spark.catalog.clearCache(); graft.ext.Caches.release()
   }
 }
