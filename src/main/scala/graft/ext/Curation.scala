@@ -301,11 +301,25 @@ object Curation {
     * `labelCol` (optional, LOW-CARDINALITY — e.g. the crawl source)
     * stamps the row with the batch's sorted distinct labels for
     * attribution. Caller starts the returned writer with its own
-    * trigger/checkpoint. */
+    * trigger/checkpoint.
+    *
+    *  - INDEX HEALTH (optional): pass `minhashIndexDir` (a
+    *    [[Dedup.minhashIndexWrite]] artifact) and each micro-batch
+    *    additionally runs [[Dedup.indexRecallSampled]] — the d38
+    *    sampled LSH-recall audit against the PERSISTED index — and
+    *    appends one row (batch_id, n_queries, n_exact, n_lsh, n_hits,
+    *    recall_e4) to `reportDir/index_health`, so the recall number a
+    *    release audit certifies is also watched online between
+    *    releases (a decaying recall_e4 says the index has gone stale
+    *    for the content now arriving). Same idempotence contract as
+    *    the drift row: the row overwrites its own `b=<id>` partition. */
   def driftMonitorStream(
       docs: DataFrame, textCol: String, baselineDir: String,
       reportDir: String, labelCol: Option[String] = None,
-      k: Int = Kmv.DefaultK)
+      k: Int = Kmv.DefaultK,
+      minhashIndexDir: Option[String] = None,
+      indexThreshold: Double = 0.5, indexSampleMod: Long = 8,
+      idCol: String = "doc_id")
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val spark = docs.sparkSession
     val base = Splits.driftBaselineRead(spark, baselineDir)
@@ -317,10 +331,20 @@ object Curation {
     val seedDir = java.nio.file.Paths.get(baselineDir, "sketch")
     if (java.nio.file.Files.isDirectory(seedDir))
       requireSketchK(spark, seedDir, k, "baseline seed")
+    // a missing index artifact fails at stream construction too — a
+    // monitor that silently skipped its health stage would read as
+    // "index healthy" on the dashboard that watches the report table
+    minhashIndexDir.foreach { d =>
+      require(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(d, "postings")),
+        s"driftMonitor: no minhash index at $d (expected postings/" +
+          "sizes/buckets from Dedup.minhashIndexWrite)")
+    }
     docs.writeStream.foreachBatch {
       (b: DataFrame, id: Long) =>
         driftMonitorApply(b, id, textCol, base, baselineDir, reportDir,
-          labelCol, k)
+          labelCol, k, minhashIndexDir, indexThreshold, indexSampleMod,
+          idCol)
     }
   }
 
@@ -396,7 +420,10 @@ object Curation {
   private[graft] def driftMonitorApply(
       b: DataFrame, batchId: Long, textCol: String,
       base: Splits.DriftBaseline, baselineDir: String, reportDir: String,
-      labelCol: Option[String], k: Int): Unit = {
+      labelCol: Option[String], k: Int,
+      minhashIndexDir: Option[String] = None,
+      indexThreshold: Double = 0.5, indexSampleMod: Long = 8,
+      idCol: String = "doc_id"): Unit = {
     val spark = b.sparkSession
     import spark.implicits._
     val scored = b.withColumn("_score_e4",
@@ -462,5 +489,20 @@ object Curation {
         "est_before", "est_after", "novel_est")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$reportDir/drift/b=$batchId")
+    // ONLINE index health: the d38 sampled recall of the persisted
+    // minhash index on THIS batch's arriving docs — one row, written
+    // into the batch's own partition (idempotent like the drift row).
+    // The stage is pure batch math over (batch, artifact): no state of
+    // its own, so a foreachBatch retry recomputes the identical row.
+    minhashIndexDir.foreach { dir =>
+      Dedup.indexRecallSampled(b, idCol, textCol, dir,
+        threshold = indexThreshold, sampleMod = indexSampleMod)
+        .withColumn("batch_id", lit(batchId))
+        .select("batch_id", "n_queries", "n_exact", "n_lsh", "n_hits",
+          "recall_e4")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(s"$reportDir/index_health/b=$batchId")
+    }
   }
 }

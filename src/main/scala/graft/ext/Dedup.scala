@@ -293,7 +293,8 @@ object Dedup {
       vectors: DataFrame, idCol: String, vecCol: String, score: Column,
       threshold: Double = 0.9, k: Int = 16, iters: Int = 3,
       maxCell: Int = 1000, dim: Option[Int] = None,
-      superK: Int = 0, metaIters: Int = 2, trainCap: Int = 0): DataFrame = {
+      superK: Int = 0, metaIters: Int = 2, trainCap: Int = 0,
+      routeProbes: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // trainCap bounds the OTHER super-linear term at corpus-pinned k:
     // Lloyd training scores cap(=50·k default) sample rows against k
@@ -302,14 +303,27 @@ object Dedup {
     // training tracks the budget, not k².
     val index = Similarity
       .ivfBuild(vectors, idCol, vecCol, k = k, iters = iters, dim = dim,
-        trainCap = trainCap)
+        trainCap = trainCap, routeProbes = routeProbes)
     val r = if (superK > 0) superK
       else math.ceil(math.sqrt(k.toDouble)).toInt
     val (supers, groupOf) =
       Similarity.metaCentroids(index.centroids, r, metaIters)
+    // route balance tracks the regime: above RoutedTrainThreshold
+    // (corpus-pinned k — the skew-measured production config) the
+    // corpus assignment probes the top-2 groups
+    // (Similarity.RouteProbesBalanced; r12 probe at 100×/k=1562:
+    // cell_capped 10,792 → ZERO, max cell 622 vs 500 flat — no slice
+    // of the corpus silently skips dedup anymore); at or below it,
+    // single-probe — the pack-fixture regime every d18-class replay
+    // pins, where boundary skew is immaterial at fixture k.
+    val rp = if (routeProbes > 0) routeProbes
+      else if (k > Similarity.RoutedTrainThreshold)
+        Similarity.RouteProbesBalanced
+      else 1
     val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
     val flagged = Similarity
-      .assignCellsRouted(base, index.centroids, supers, groupOf)
+      .assignCellsRouted(base, index.centroids, supers, groupOf,
+        probes = rp)
       .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("c"))))
       .withColumn("cell_capped",
         when(col("_n") > maxCell, 1L).otherwise(0L))
@@ -1681,6 +1695,74 @@ object Dedup {
       // zero exact pairs (a clean corpus, or an unlucky sample) is a
       // VACUOUS audit, not a broken one: recall over an empty truth set
       // is 10000, never a NULL from the integer div-by-zero
+      .select(col("n_queries"), col("n_exact"), col("n_lsh"), col("n_hits"),
+        expr("case when n_exact = 0 then 10000 " +
+          "else n_hits * 10000 div n_exact end").as("recall_e4"))
+  }
+
+  /** SAMPLED recall audit of a PERSISTED minhash index
+    * ([[minhashIndexWrite]]) probed by an arriving batch — d38's
+    * methodology pointed at the production artifact instead of an
+    * inline rebuild, so INDEX HEALTH (stale postings, skew-capped
+    * buckets, band-count drift) is what's measured, continuously:
+    *  - exact ground truth: the pmd5-sampled batch docs' postings
+    *    against ONE scan of the index's postings table —
+    *    O(sample · index), the published audit price, batch side
+    *    broadcast so the index never shuffles;
+    *  - production side: [[minhashProbeIndex]] on the same sampled
+    *    docs (bit-identical to [[minhashPairsAgainstCorpus]],
+    *    spec-pinned), restricted to the identical subset by
+    *    construction;
+    *  - recall in basis points over the sampled cross pairs, with
+    *    d38's vacuous-recall guard (zero exact pairs ⇒ 10000, never a
+    *    NULL).
+    * Ids must be globally distinct across batch and index (the
+    * [[minhashPairsAgainstCorpus]] contract). This is the per-batch
+    * stage [[Curation.driftMonitorApply]] mounts when given an index
+    * dir, so the d38 number a release audit reports is also watched
+    * online between releases.
+    * Output: one row (n_queries, n_exact, n_lsh, n_hits, recall_e4). */
+  def indexRecallSampled(
+      batch: DataFrame, idCol: String, textCol: String, dir: String,
+      threshold: Double = 0.5, sampleMod: Long = 8, k: Int = 64,
+      bands: Int = 16, maxBucket: Int = 1000, w: Int = 3): DataFrame = {
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    val spark = batch.sparkSession
+    val sampled = batch.where(pmd5(col(idCol)) % sampleMod === 0)
+    val nQ = sampled.agg(count(lit(1)).as("n_queries"))
+    val invB = invertedIndex(sampled, idCol, textCol, w)
+    val sizesB = invB.groupBy("id").agg(count(lit(1)).as("n"))
+    val invC = spark.read.parquet(s"$dir/postings")
+    val sizesC = spark.read.parquet(s"$dir/sizes")
+    // exact cross-side pairs: shared-posting counts per (batch doc,
+    // index doc), then the jaccardFromShared arithmetic verbatim with
+    // per-side size frames — the batch-scale frames broadcast onto
+    // single scans of the index's postings and sizes tables
+    val shared = invC.select(col("id").as("id_b"), col("g"))
+      .join(broadcast(invB.select(col("id").as("id_a"), col("g"))),
+        Seq("g"))
+      .where(col("id_a") =!= col("id_b")) // defense if ids ever collide
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"))
+    val withA = shared.join(
+      broadcast(sizesB.select(col("id").as("id_a"), col("n").as("n_a"))),
+      "id_a")
+    val ex = sizesC.select(col("id").as("id_b"), col("n").as("n_b"))
+      .join(broadcast(withA), "id_b")
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), lit(1L).as("in_ex"))
+    val lsh = minhashProbeIndex(sampled, idCol, textCol, dir,
+      threshold, k, bands, maxBucket, w)
+      .select(col("id_a"), col("id_b"), lit(1L).as("in_lsh"))
+    ex.join(lsh, Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        coalesce(sum(col("in_ex")), lit(0L)).as("n_exact"),
+        coalesce(sum(col("in_lsh")), lit(0L)).as("n_lsh"),
+        coalesce(sum(col("in_ex") * col("in_lsh")), lit(0L)).as("n_hits"))
+      .crossJoin(broadcast(nQ))
       .select(col("n_queries"), col("n_exact"), col("n_lsh"), col("n_hits"),
         expr("case when n_exact = 0 then 10000 " +
           "else n_hits * 10000 div n_exact end").as("recall_e4"))

@@ -798,6 +798,82 @@ class StreamingWindowSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("drift monitor index health: streamed per-batch sampled recall " +
+    "rows equal the batch indexRecallSampled against the same persisted " +
+    "index; a missing index rejects at stream construction") {
+    import graft.ext.{Curation, Dedup, Splits, TextAnalysis}
+    // corpus = even doc_ids (the persisted index), stream = odd ids in
+    // two micro-batches — ids globally distinct across the two sides
+    // (the minhashProbeIndex contract); near-dup mass exists because
+    // the synthetic documents table carries planted duplicates
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = docs.where(col("doc_id") % 2 === 0)
+    val arriving = docs.where(col("doc_id") % 2 === 1)
+    val scored = corpus.select(
+      floor(TextAnalysis.qualityScore(col("text")) * 10000)
+        .cast("long").as("quality_e4"))
+    val baseDir = java.nio.file.Files.createTempDirectory("graft-ihbase")
+    val repDir = java.nio.file.Files.createTempDirectory("graft-ihrep")
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-ihidx")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-ihstr")
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-ihck")
+    try {
+      Splits.driftBaselineWrite(spark,
+        Splits.driftBaselineBuild(scored, "quality_e4"), baseDir.toString)
+      Dedup.minhashIndexWrite(corpus, "doc_id", "text", idxDir.toString)
+      // two files → two micro-batches (maxFilesPerTrigger = 1)
+      val lo = arriving.where(col("doc_id") < 300)
+      val hi = arriving.where(col("doc_id") >= 300)
+      lo.coalesce(1).write.parquet(streamDir.resolve("b0").toString)
+      hi.coalesce(1).write.parquet(streamDir.resolve("b1").toString)
+      val q = Curation.driftMonitorStream(
+        spark.readStream.schema(arriving.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$streamDir/*"),
+        "text", baseDir.toString, repDir.toString,
+        minhashIndexDir = Some(idxDir.toString))
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckDir.toString)
+        .start()
+      q.awaitTermination()
+      val health = spark.read.parquet(s"$repDir/index_health")
+        .collect()
+        .map(r => r.getAs[Long]("batch_id") ->
+          ((r.getAs[Long]("n_queries"), r.getAs[Long]("n_exact"),
+            r.getAs[Long]("n_lsh"), r.getAs[Long]("n_hits"),
+            r.getAs[Long]("recall_e4")))).toMap
+      assert(health.size === 2)
+      // STREAMED ≡ BATCH, micro-batch by micro-batch (order of file
+      // pickup is lexicographic under AvailableNow: b0 then b1)
+      Seq(0L -> lo, 1L -> hi).foreach { case (bid, b) =>
+        val want = Dedup.indexRecallSampled(
+          b, "doc_id", "text", idxDir.toString).head()
+        assert(health(bid) ===
+          ((want.getAs[Long]("n_queries"), want.getAs[Long]("n_exact"),
+            want.getAs[Long]("n_lsh"), want.getAs[Long]("n_hits"),
+            want.getAs[Long]("recall_e4"))), s"batch $bid")
+      }
+      // the audit must have teeth on this corpus: at least one batch
+      // saw sampled queries and a non-vacuous truth set
+      assert(health.values.exists(v => v._1 > 0 && v._2 > 0),
+        s"vacuous fixture: $health")
+      // a monitor pointed at a non-index rejects at CONSTRUCTION
+      val e = intercept[IllegalArgumentException] {
+        Curation.driftMonitorStream(
+          spark.readStream.schema(arriving.schema)
+            .parquet(s"$streamDir/*"),
+          "text", baseDir.toString, repDir.toString,
+          minhashIndexDir = Some(streamDir.toString))
+      }
+      assert(e.getMessage.contains("no minhash index"))
+    } finally {
+      Seq(baseDir, repDir, idxDir, streamDir, ckDir)
+        .foreach(graft.util.Fs.deleteRecursively)
+    }
+    spark.catalog.clearCache(); graft.ext.Caches.release()
+  }
+
   test("drift monitor k discipline: stamped-k mismatch rejects (seed at " +
     "construction, stored state per batch); label overflow is " +
     "deterministic") {
