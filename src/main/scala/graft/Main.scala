@@ -54,8 +54,11 @@ object Main {
     val spark = buildSession(args(0))
     try {
       ProgressListener.attach(spark)
-      sys.addShutdownHook { // graceful drain: stop at batch boundary
-        spark.streams.active.foreach(_.stop())
+      sys.addShutdownHook { // graceful drain: stop at batch boundary.
+        // liveQueries, not spark.streams.active: the transactions
+        // pipeline runs on a CLONED session (ProductionStateConf), so
+        // this session's manager doesn't see its query
+        liveQueries.forEach(_.stop())
       }
       run(args, spark)
     } catch {
@@ -118,18 +121,32 @@ object Main {
     }
   }
 
+  /** Queries currently owned by this process — the shutdown hook's
+    * stop set. A session-manager walk can't serve that role anymore:
+    * pipelines may start their query on a cloned session (the
+    * transactions pipeline's state conf), invisible to `spark.streams`
+    * of the session main() built. */
+  private val liveQueries =
+    new java.util.concurrent.CopyOnWriteArrayList[StreamingQuery]()
+
   /** Await every query, surfacing the FIRST failure from any of them —
-    * sequential awaitTermination would sit blocked on a healthy query
-    * while another one has already died (a --follow daemon that keeps
-    * "running" with half its tables frozen). */
+    * sequential unbounded awaitTermination would sit blocked on a
+    * healthy query while another one has already died (a --follow
+    * daemon that keeps "running" with half its tables frozen). The
+    * queries may live on DIFFERENT sessions (see [[liveQueries]]), so
+    * this polls each query with a bounded wait instead of leaning on
+    * one session's awaitAnyTermination — which would block forever on
+    * the healthy manager while the other session's query lies dead. */
   private def awaitAll(qs: StreamingQuery*): Unit = {
     if (qs.isEmpty) return
-    val spark = qs.head.sparkSession
-    while (qs.exists(_.isActive)) {
-      spark.streams.awaitAnyTermination() // throws on a failed query
-      spark.streams.resetTerminated()
-    }
-    qs.foreach(q => q.exception.foreach(e => throw e))
+    qs.foreach(liveQueries.add)
+    try {
+      while (qs.exists(_.isActive))
+        // throws the query's own StreamingQueryException on failure;
+        // returns false on timeout, rotating the poll through all
+        qs.foreach(q => if (q.isActive) q.awaitTermination(500))
+      qs.foreach(q => q.exception.foreach(e => throw e))
+    } finally qs.foreach(liveQueries.remove)
   }
 
   private def buildSession(mode: String): SparkSession = {

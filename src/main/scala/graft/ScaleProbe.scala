@@ -30,6 +30,7 @@ object ScaleProbe {
     if (args.contains("state")) { probeState(spark); spark.stop(); return }
     if (args.contains("r11")) { probeR11(spark); spark.stop(); return }
     if (args.contains("d18dbg")) { probeD18dbg(spark); spark.stop(); return }
+    if (args.contains("r12")) { probeR12(spark); spark.stop(); return }
     val docs1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .select(col("doc_id"), col("text"))
     // 10x: replicate with distinct ids and a per-copy suffix token so
@@ -1308,6 +1309,49 @@ object ScaleProbe {
     }
   }
 
+  // ——— round-12 semDedup re-probe (`sbt "runMain graft.ScaleProbe
+  // r12"`): the r11 semDedupRouted rows re-measured with BALANCED
+  // routing (k > 256 now auto-routes probes = 2 — the multi-probe
+  // skew fix), at the same scales/policies for a direct before/after
+  // against BASELINE's round-11 table. ———
+  private def probeR12(spark: SparkSession): Unit = {
+    import graft.ext.Caches.Registered
+    val vecs1 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val dirs = collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"$name%-40s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      spark.catalog.clearCache(); graft.ext.Caches.release(); r
+    }
+    val v10 = matTo(spark, dirs, repVecsFrom(vecs1, 10), "r12v10")
+    val v100 = matTo(spark, dirs, repVecsFrom(vecs1, 100), "r12v100")
+    try {
+      println(s"vecs10 = ${v10.count()}, vecs100 = ${v100.count()}")
+      for ((label, v) <- Seq(("10x(20k)", v10), ("100x(200k)", v100))) {
+        val n = v.count()
+        for ((kp, k) <- Seq(
+            ("k=n/128", math.max(4, (n / 128).toInt)),
+            ("k=4sqrt(n)", math.max(4, (4 * math.sqrt(n.toDouble)).toInt))))
+          time(s"$label semDedupBalanced $kp($k)") {
+            val out = graft.ext.Dedup.semDedup(
+              v, "vec_id", "embedding",
+              round(graft.ext.Similarity.norm(col("embedding")) * 1e6)
+                .cast("long"),
+              threshold = 0.9, k = k, dim = Some(64))
+              .persistRegistered()
+            val rows = out.count()
+            val capped = out.agg(
+              sum(col("cell_capped"))).head().getLong(0)
+            println(s"    survivors=$rows cell_capped=$capped")
+            out.unpersist()
+          }
+      }
+    } finally {
+      dirs.foreach(graft.util.Fs.deleteRecursively)
+    }
+  }
+
   // ——— d18 routed-assignment BREAKDOWN (diagnostic mode):
   // where do the seconds go at 100×/k=1562 — training, flat vs routed
   // assignment, or the pair join? ———
@@ -1339,13 +1383,15 @@ object ScaleProbe {
         Similarity.metaCentroids(idx.centroids,
           math.ceil(math.sqrt(k.toDouble)).toInt, 2)
       }
-      time("routed assign + cell histo") {
-        println(Similarity
-          .assignCellsRouted(base, idx.centroids, supers, groupOf)
-          .groupBy("c").count()
-          .agg(count(lit(1)), max("count"), expr("sum(count*count)"))
-          .collect().mkString)
-      }
+      for (p <- Seq(1, 2))
+        time(s"routed assign p=$p + cell histo") {
+          println(Similarity
+            .assignCellsRouted(base, idx.centroids, supers, groupOf,
+              probes = p)
+            .groupBy("c").count()
+            .agg(count(lit(1)), max("count"), expr("sum(count*count)"))
+            .collect().mkString)
+        }
     } finally dirs.foreach(graft.util.Fs.deleteRecursively)
   }
 
@@ -1427,12 +1473,21 @@ object ScaleProbe {
     def run(
         label: String, nBlocks: Int, pendDelay: Int,
         ttl: Option[java.time.Duration] = None,
-        sleepBetweenMs: Long = 0L): Unit = {
+        sleepBetweenMs: Long = 0L,
+        conf: Map[String, String] = Map.empty): Unit = {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      // conf rides a CLONED session (runTransactionsPipeline's shape) —
+      // the memory sink's temp view lands in the clone's catalog
+      val sp = if (conf.isEmpty) spark else {
+        val s = spark.newSession()
+        conf.foreach { case (k, v) => s.conf.set(k, v) }
+        graft.etl.TxCorrelator.ensureRocksDb(s)
+        s
+      }
       val blocks = mkBlocks(nBlocks, txPerBlock = 10,
         pendEvery = 10, pendDelay = pendDelay)
       val ck = java.nio.file.Files.createTempDirectory("graft-stateck")
-      val stream = MemoryStream[BlockWithTxHashes](Blocks.encoder, spark)
+      val stream = MemoryStream[BlockWithTxHashes](Blocks.encoder, sp)
       val name = s"state_probe_${label.replaceAll("[^a-zA-Z0-9]", "_")}"
       val q = graft.etl.TxCorrelator
         .correlateStreamTws(stream.toDS(), strict = false, stateTtl = ttl)
@@ -1454,7 +1509,7 @@ object ScaleProbe {
       val stateBytes =
         if (java.nio.file.Files.isDirectory(stateDir)) dirBytes(stateDir)
         else 0L
-      val completed = spark.table(name).count()
+      val completed = sp.table(name).count()
       val sorted = lat.sorted
       val p95 = sorted((sorted.size * 95 / 100).min(sorted.size - 1))
       println(f"$label%-28s blocks=$nBlocks txs=${nBlocks * 10} " +
@@ -1463,7 +1518,7 @@ object ScaleProbe {
         f"p95Lat=$p95%.2f s state=${stateBytes / 1e6}%.1f MB " +
         f"ckTotal=${dirBytes(ck) / 1e6}%.1f MB")
       graft.util.Fs.deleteRecursively(ck)
-      spark.catalog.dropTempView(name)
+      sp.catalog.dropTempView(name)
     }
 
     // pendDelay scales WITH volume: outstanding pending entries grow
@@ -1475,5 +1530,13 @@ object ScaleProbe {
     // TTL + lenient skip), so state stays flat regardless of pendDelay
     run("10x+ttl1ms", 5000, pendDelay = 4000,
       ttl = Some(java.time.Duration.ofMillis(1)), sleepBetweenMs = 5L)
+    // PRODUCTION conf twins (BlockStream.ProductionStateConf: bounded
+    // retention + RocksDB changelog checkpointing + pinned shuffle
+    // partitions) — the checkpoint-size row the r11 verdict asked for:
+    // ckTotal should track LIVE state (MBs), not version retention
+    run("10x prodconf", 5000, pendDelay = 4000,
+      conf = graft.stream.BlockStream.ProductionStateConf)
+    run("100x prodconf", 50000, pendDelay = 40000,
+      conf = graft.stream.BlockStream.ProductionStateConf)
   }
 }

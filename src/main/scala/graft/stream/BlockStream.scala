@@ -32,6 +32,38 @@ import graft.sink.Replacing
   */
 object BlockStream {
 
+  /** Production state-store defaults for the correlator wire — the
+    * r11 probe (BASELINE.md round-11 state table) showed the DEFAULT
+    * conf pays 1,105 MB of checkpoint at 100× volume for ~25 KB of
+    * live state, and attributed every part to a specific default:
+    *
+    *  - `minBatchesToRetain = 100` keeps 100 full state versions —
+    *    retention, not state, dominated the 1.1 GB. 2 is the floor
+    *    that still allows one-batch replay after a crash (the offset/
+    *    commit log pair the restart reads).
+    *  - RocksDB CHANGELOG checkpointing uploads per-batch deltas
+    *    instead of full SST snapshots — per-batch commit cost tracks
+    *    the batch's writes, not the store size (snapshots still happen,
+    *    in the background at `minDeltasForSnapshot` cadence).
+    *  - `shuffle.partitions = 8` for the stream's session: the
+    *    correlator keys by a single constant (ordered processing), so
+    *    31 of 32 stores were PERMANENTLY EMPTY yet each paid per-batch
+    *    snapshot/commit overhead. 8 keeps headroom for the foreachBatch
+    *    fan-out joins without 3/4 of the stores being dead weight.
+    *    (Pinned per NEW checkpoint only — on resume Spark repins the
+    *    value recorded in the checkpoint's own offset log.)
+    *
+    * Applied by [[runTransactionsPipeline]] to a cloned session; the
+    * r12 re-probe (BASELINE.md round-12 table) measured checkpoint
+    * 20.6 → 2.8 MB at 10× and 1,104 → 82.9 MB at 100× (state-size
+    * order, not retention order), median latency 24.1 → 20.9 s at
+    * 100×, identical completed-tx counts. */
+  val ProductionStateConf: Map[String, String] = Map(
+    "spark.sql.streaming.minBatchesToRetain" -> "2",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+      "true",
+    "spark.sql.shuffle.partitions" -> "8")
+
   /** Block stream with corrupt-record capture: malformed JSON lands in
     * `_corrupt_record` (PERMISSIVE would otherwise admit an all-null
     * block row silently and the extract would just drop it — an
@@ -320,7 +352,15 @@ object BlockStream {
     * requires; `tws = false` (`--no-tws`) falls back to the
     * flatMapGroupsWithState operator. The two operators' checkpoints
     * are NOT interchangeable — resume a pre-round-8 checkpoint with
-    * `tws = false`, or start a fresh checkpoint dir to migrate. */
+    * `tws = false`, or start a fresh checkpoint dir to migrate.
+    *
+    * `stateConf` (default [[ProductionStateConf]]) is applied to a
+    * CLONED SparkSession so the caller's session is untouched; pass
+    * `Map.empty` to run on the caller's exact conf (the pre-round-12
+    * behavior). Conf-vs-checkpoint safety: Spark persists
+    * `shuffle.partitions` in the offset log and REPINS it on resume,
+    * so an existing 32-partition checkpoint keeps 32 regardless of
+    * this map — the pinned value only shapes NEW checkpoints. */
   def runTransactionsPipeline(
       spark: SparkSession, inDir: String, outDir: String,
       checkpoint: String, trigger: Trigger = Trigger.AvailableNow(),
@@ -328,13 +368,24 @@ object BlockStream {
       nativeSource: Boolean = false,
       skipCommit: Boolean = false,
       tws: Boolean = true,
-      stateTtl: Option[java.time.Duration] = None): StreamingQuery = {
-    import spark.implicits._
+      stateTtl: Option[java.time.Duration] = None,
+      stateConf: Map[String, String] = ProductionStateConf): StreamingQuery = {
+    val session =
+      if (stateConf.isEmpty) spark
+      else {
+        // newSession: shared SparkContext + catalog cache, OWN SQLConf —
+        // the stream's state knobs must not leak into the caller's
+        // batch queries (shuffle.partitions above all)
+        val s = spark.newSession()
+        stateConf.foreach { case (k, v) => s.conf.set(k, v) }
+        s
+      }
+    import session.implicits._
     val src =
       if (nativeSource)
-        readBlockSource(spark, inDir,
+        readBlockSource(session, inDir,
           startHeight = math.max(startHeight, 0L))
-      else readBlockStream(spark, inDir)
+      else readBlockStream(session, inDir)
     val blocks: Dataset[BlockWithTxHashes] =
       src
         .where(col("_corrupt_record").isNull && col("block").isNotNull &&
@@ -344,10 +395,10 @@ object BlockStream {
     // cursor over COMPLETION height (the reference skips by processing-
     // block height, transactions.rs:360)
     val cursor = sinkCursor(
-      spark, s"$outDir/transactions", cursorCol = "last_block_height")
+      session, s"$outDir/transactions", cursorCol = "last_block_height")
     val correlated =
       if (tws) {
-        TxCorrelator.ensureRocksDb(spark)
+        TxCorrelator.ensureRocksDb(session)
         TxCorrelator.correlateStreamTws(blocks, stateTtl = stateTtl)
       } else TxCorrelator.correlateStream(blocks)
     correlated.writeStream

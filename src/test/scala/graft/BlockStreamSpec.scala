@@ -111,6 +111,26 @@ class BlockStreamSpec extends SparkSpec {
     val blocksTbl = BlockStream.runBlocksPipeline(spark, in, out, tmp())
     blocksTbl.awaitTermination()
     assert(spark.read.parquet(s"$out/blocks").count() === 8)
+
+    // the PRODUCTION state conf actually reached the query: Spark
+    // records shuffle.partitions in the checkpoint's offset metadata
+    // (the value it repins on every resume), so the pinned 8 must be
+    // what the checkpoint carries — not the session's 32. The caller's
+    // session must be untouched (the clone's whole point).
+    val off = java.nio.file.Files.list(
+      java.nio.file.Paths.get(cp, "offsets"))
+    val firstOffset = try {
+      import scala.jdk.CollectionConverters._
+      off.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.forall(_.isDigit)) // skip .crc
+        .minBy(_.getFileName.toString.toLong)
+    } finally off.close()
+    val meta = new String(
+      java.nio.file.Files.readAllBytes(firstOffset), "UTF-8")
+    assert(meta.contains("\"spark.sql.shuffle.partitions\":\"8\""),
+      s"checkpoint offset metadata missing the pinned partitions: $meta")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") !== "8",
+      "ProductionStateConf leaked into the caller's session")
   }
 
   test("transactions pipeline --no-tws fallback: fmgws operator, " +
