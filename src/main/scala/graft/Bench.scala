@@ -1,5 +1,67 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-query historical BANDS — the anchor-variance discipline: the
+  * round-11 idle anchors spanned 145–193 s (±15% ambient), which
+  * erodes a total-level 2× gate; a per-query [lo, hi] band lets a
+  * single query's drift be judged against ITS OWN history instead of
+  * the noisy total. Bands live in BENCH_FULL.json and only ever widen
+  * in ANCHOR runs (`SPARK_GRAFT_BENCH_ANCHOR=1` — the idle, committed
+  * runs); a driver-run bench on a loaded machine reports violations
+  * against the committed bands but cannot loosen them (a hot run that
+  * widened `hi` would silently raise every future gate). A violation
+  * needs BOTH the relative (>1.5× band hi) and absolute (≥0.5 s over)
+  * excess — the vs_idle rule, applied per band. */
+object BenchBands {
+  /** Parse `"bands":{"name":[lo,hi],...}` out of a BENCH_FULL line. */
+  def parse(s: String): Map[String, (Double, Double)] = {
+    val at = s.indexOf("\"bands\"")
+    if (at < 0) Map.empty
+    else
+      "\"([a-z0-9_]+)\":\\[(-?[0-9.]+),(-?[0-9.]+)\\]".r
+        .findAllMatchIn(s.substring(at))
+        .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble))
+        .toMap
+  }
+
+  def render(bands: Map[String, (Double, Double)]): String =
+    bands.toSeq.sortBy(_._1)
+      .map { case (k, (lo, hi)) => s""""$k":[${r3(lo)},${r3(hi)}]""" }
+      .mkString("{", ",", "}")
+
+  /** Next band state: anchor runs widen (or seed) each measured
+    * query's band; non-anchor runs pass the committed bands through
+    * UNTOUCHED (minus queries that left the pack — a stale band would
+    * gate nothing and bloat the file forever). Failed runs (s < 0)
+    * never touch a band. */
+  def merge(
+      old: Map[String, (Double, Double)], results: Seq[(String, Double)],
+      anchor: Boolean): Map[String, (Double, Double)] = {
+    val names = results.map(_._1).toSet
+    val kept = old.filter { case (k, _) => names.contains(k) }
+    if (!anchor) kept
+    else kept ++ results.filter(_._2 >= 0).map { case (k, s) =>
+      kept.get(k) match {
+        case Some((lo, hi)) => k -> (math.min(lo, s), math.max(hi, s))
+        case None => k -> (s, s)
+      }
+    }.toMap
+  }
+
+  /** Queries whose current seconds exceed their committed band by both
+    * the relative and absolute gates. */
+  def violations(
+      bands: Map[String, (Double, Double)],
+      results: Seq[(String, Double)]): Seq[String] =
+    results.collect {
+      case (k, s) if s > 0 && bands.get(k).exists { case (_, hi) =>
+        hi > 0 && s / hi >= 1.5 && s - hi >= 0.5 } => k
+    }.sorted
+
+  private def r3(v: Double): String =
+    BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -83,13 +145,7 @@ object Bench {
     // regressions (BASELINE.md variance rule), so the emitted line now
     // carries its own verdict: worst per-query ratios vs the idle
     // anchor. Read EAGERLY, before the overwrite below. ----
-    val idleAnchor: Map[String, Double] = {
-      def parseQueries(s: String): Map[String, Double] = {
-        val at = s.indexOf("\"queries\"")
-        if (at < 0) Map.empty
-        else "\"([a-z0-9_]+)\":(-?[0-9.]+)".r.findAllMatchIn(s.substring(at))
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }
+    val anchorSrc: Option[String] = {
       def gitShow: Option[String] =
         try {
           val p = new ProcessBuilder(
@@ -105,8 +161,35 @@ object Bench {
             Some(java.nio.file.Files.readString(f))
           else None
         } catch { case _: Throwable => None }
-      gitShow.orElse(onDisk).map(parseQueries).getOrElse(Map.empty)
+      gitShow.orElse(onDisk)
     }
+    val idleAnchor: Map[String, Double] = anchorSrc.map { s =>
+      // the queries object ends where the next top-level key ("vs_idle"
+      // or "bands") begins — the band entries' [lo,hi] values would
+      // otherwise be misread as query seconds by the flat regex
+      val at = s.indexOf("\"queries\"")
+      if (at < 0) Map.empty[String, Double]
+      else {
+        val tail = s.substring(at)
+        val end = tail.indexOf('}')
+        val qs = if (end < 0) tail else tail.substring(0, end + 1)
+        "\"([a-z0-9_]+)\":(-?[0-9.]+)".r.findAllMatchIn(qs)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }.getOrElse(Map.empty)
+    // committed per-query bands (the anchor-variance discipline — see
+    // [[BenchBands]]); violations are judged against THESE, the merge
+    // below only widens them in anchor runs
+    val oldBands: Map[String, (Double, Double)] =
+      anchorSrc.map(BenchBands.parse).getOrElse(Map.empty)
+    val anchorRun = sys.env.get("SPARK_GRAFT_BENCH_ANCHOR").contains("1")
+    // anchor runs take the MEDIAN of `SPARK_GRAFT_BENCH_RUNS − 1` timed
+    // runs (default 3 ⇒ median of 2 → lower median = best-of-2,
+    // set 4 for a true 3-run median) — single-shot anchors moved the
+    // committed reference by ±15% round to round
+    val benchRuns = math.min(9, math.max(2,
+      sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.toIntOption)
+        .getOrElse(2)))
     val results = SparkEntry.queries.toSeq.filter(e => keep(e._1)).sortBy(_._1).map { case (name, fn) =>
       // census attribution: the warmup run lands under "_warmup" so
       // the emitted global_windows values are PER-PLAN counts, not
@@ -122,8 +205,18 @@ object Bench {
       // (observed: t22's whitelisted window attributed to t23)
       org.apache.spark.sql.graft.ListenerBridge.drain(spark.sparkContext)
       gwCurrent = name
-      val best = math.min(warm, timeOnce(name, fn))
-      org.apache.spark.sql.graft.ListenerBridge.drain(spark.sparkContext)
+      val timed = (1 until benchRuns).map { _ =>
+        val t = timeOnce(name, fn)
+        org.apache.spark.sql.graft.ListenerBridge.drain(spark.sparkContext)
+        t
+      }
+      // 2 runs: best-of (warmup counts — the historical contract);
+      // 3+: lower MEDIAN of the post-warmup runs (robust to one
+      // ambient spike, deterministic on even counts)
+      val best =
+        if (benchRuns == 2) math.min(warm, timed.head)
+        else if (timed.exists(_ < 0)) -1.0
+        else timed.sorted.apply((timed.size - 1) / 2)
       name -> best
     }
     val (gwJson, gwViol) = gwCensus.synchronized {
@@ -170,8 +263,21 @@ object Bench {
     //    the unique family prefix before the first '_' (d1, q14, t11 ...;
     //    full-name mapping documented in BASELINE.md), seconds rounded to ms
     //  - the full-name timings go to BENCH_FULL.json alongside the repo
+    // per-query band bookkeeping: violations vs the COMMITTED bands,
+    // then the (anchor-widened or passed-through) bands ride the full
+    // line so the next run reads them from HEAD
+    val newBands = BenchBands.merge(oldBands, results, anchorRun)
+    val bandViol = BenchBands.violations(oldBands, results)
+    if (bandViol.nonEmpty)
+      System.err.println(s"BENCH BAND VIOLATIONS: ${bandViol.mkString(",")}")
+    val bandViolJson =
+      if (bandViol.isEmpty) ""
+      else s""","band_viol":${bandViol.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    val bandsJson =
+      if (newBands.isEmpty) ""
+      else s""","bands":${BenchBands.render(newBands)}"""
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$fullQs$vsIdle,"global_windows":$gwJson$gwViolJson,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$fullQs$vsIdle$bandsJson$bandViolJson,"global_windows":$gwJson$gwViolJson,"sf":"$sfDir"}"""
     // resolve against a known root, not the process cwd — a launcher with a
     // different working directory would otherwise scatter (or lose) the file;
     // failures go to stderr (stdout is the 2000-char capture window).
@@ -194,7 +300,7 @@ object Bench {
     val shortQs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + rc(v) }
       .mkString("{", ",", "}")
     val perQueryLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$shortQs$vsIdle$gwViolJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$shortQs$vsIdle$bandViolJson$gwViolJson,"sf":"$sfDir"}"""
     // if the pack ever grows the per-query line past the window, fall
     // back to per-FAMILY subtotals (q/d/s/t/m/p — constant width at any
     // pack size); the per-query detail is always in BENCH_FULL.json
@@ -203,7 +309,7 @@ object Bench {
       .map { case (f, rs) => "\"" + f + "\":" + r3(rs.map(_._2).sum) }
       .mkString("{", ",", "}")
     val famLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","families":$famQs,"n_queries":${results.size}$vsIdle$gwViolJson,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","families":$famQs,"n_queries":${results.size}$vsIdle$bandViolJson$gwViolJson,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
     println(if (perQueryLine.length <= 1700) perQueryLine else famLine)
     spark.stop()
   }

@@ -50,4 +50,35 @@ class BenchContractSpec extends AnyFunSuite {
     // the pack crossed 1700 chars) must keep headroom for vs_idle
     assert(family.length < 1000, s"family line unexpectedly wide: ${family.length}")
   }
+
+  test("BenchBands: render/parse round-trip, anchor-only widening, " +
+    "dual-gate violations") {
+    val bands = Map("q1_agg" -> (0.5, 1.25), "d18_semdedup" -> (3.0, 4.5))
+    // round-trip through the exact BENCH_FULL embedding
+    val line = s"""{"metric":"total","queries":{"q1_agg":0.6},""" +
+      s""""bands":${BenchBands.render(bands)},"sf":"x"}"""
+    assert(BenchBands.parse(line) === bands)
+    // a line with no bands key parses empty (first-run bootstrap)
+    assert(BenchBands.parse("""{"queries":{"a":1.0}}""") === Map.empty)
+    // non-anchor runs pass committed bands through UNTOUCHED (a loaded
+    // driver run must not be able to loosen the gate) — but bands of
+    // queries that left the pack are dropped
+    val results = Seq("q1_agg" -> 9.9, "s30_new" -> 1.0)
+    assert(BenchBands.merge(bands, results, anchor = false) ===
+      Map("q1_agg" -> (0.5, 1.25)))
+    // anchor runs widen measured bands and seed new queries; failed
+    // runs (sentinel -1) never touch a band
+    val merged = BenchBands.merge(
+      bands, Seq("q1_agg" -> 2.0, "s30_new" -> 1.0, "d18_semdedup" -> -1.0),
+      anchor = true)
+    assert(merged("q1_agg") === ((0.5, 2.0)))
+    assert(merged("s30_new") === ((1.0, 1.0)))
+    assert(merged("d18_semdedup") === ((3.0, 4.5))) // kept, not widened
+    // violations need BOTH gates: >= 1.5x hi AND >= 0.5 s absolute
+    val b = Map("fast" -> (0.1, 0.2), "slow" -> (2.0, 3.0))
+    assert(BenchBands.violations(b, Seq("fast" -> 0.35)) === Nil) // rel only
+    assert(BenchBands.violations(b, Seq("slow" -> 3.6)) === Nil) // abs only
+    assert(BenchBands.violations(b, Seq("slow" -> 4.6)) === Seq("slow"))
+    assert(BenchBands.violations(b, Seq("unknown" -> 99.0)) === Nil)
+  }
 }
