@@ -26,7 +26,15 @@ package graft.sink
   * transcription bug in the LOW output word (`w.first`, not
   * `w.second` — see [[hashWithSeed]]). Residual risk is a shared
   * misreading of the published source, far smaller than single-port
-  * transcription error; a live-server insert remains the final check.
+  * transcription error; only ClickHouse's own code can retire it. That
+  * check is BUILT AND GATED, not pending design: ClickHouseLiveSpec
+  * runs `clickhouse compressor --decompress` over our frames (upstream
+  * recomputes this hash and refuses a mismatch), plus a tamper case
+  * and a `clickhouse local` Native parse — it CANCELS in this sandbox
+  * (no binary ships here and there is no egress to fetch one; verified
+  * by PATH/jar/pip sweep, round 12) and executes unchanged in any
+  * environment with a binary. `tools/ch_roundtrip.sh` is the same
+  * procedure against a live server for all eight parity tables.
   */
 object CityHash102 {
 
