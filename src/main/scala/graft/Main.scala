@@ -137,14 +137,22 @@ object Main {
     * this polls each query with a bounded wait instead of leaning on
     * one session's awaitAnyTermination — which would block forever on
     * the healthy manager while the other session's query lies dead. */
-  private def awaitAll(qs: StreamingQuery*): Unit = {
+  private[graft] def awaitAll(qs: StreamingQuery*): Unit = {
     if (qs.isEmpty) return
     qs.foreach(liveQueries.add)
     try {
       while (qs.exists(_.isActive))
         // throws the query's own StreamingQueryException on failure;
-        // returns false on timeout, rotating the poll through all
-        qs.foreach(q => if (q.isActive) q.awaitTermination(500))
+        // returns false on timeout, rotating the poll through all. A
+        // query that already DIED is not skipped silently: its stored
+        // exception is surfaced on this very cycle — otherwise a
+        // --follow daemon with one healthy unbounded query would never
+        // reach the post-loop check and run on half-frozen forever
+        // (the failure only threw from awaitTermination if it landed
+        // inside that query's own 500 ms poll window).
+        qs.foreach(q =>
+          if (q.isActive) q.awaitTermination(500)
+          else q.exception.foreach(e => throw e))
       qs.foreach(q => q.exception.foreach(e => throw e))
     } finally qs.foreach(liveQueries.remove)
   }

@@ -69,6 +69,40 @@ class MainSpec extends SparkSpec {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("awaitAll surfaces an already-dead query's exception while another stays active") {
+    import org.apache.spark.sql.functions.{col, udf}
+    // healthy unbounded query: rate source, never terminates on its own
+    val healthy = spark.readStream.format("rate")
+      .option("rowsPerSecond", "1").load()
+      .writeStream.format("noop")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    // failing query: dies on its first non-empty batch
+    val boom = udf((v: Long) => {
+      throw new RuntimeException("graft-awaitall-boom"); v: Long
+    })
+    val failing = spark.readStream.format("rate")
+      .option("rowsPerSecond", "100").load()
+      .select(boom(col("value")))
+      .writeStream.format("noop").start()
+    try {
+      // let the failing query DIE before awaitAll ever sees it — the
+      // round-12 regression: `if (q.isActive) awaitTermination(500)`
+      // skips a dead query, and with a healthy unbounded sibling the
+      // post-loop exception check is unreachable, so the daemon runs on
+      // half-frozen forever. The fix polls dead queries' exceptions
+      // every cycle; this must throw within a poll cycle, not hang.
+      try failing.awaitTermination() catch { case _: Throwable => () }
+      assert(!failing.isActive && healthy.isActive)
+      val t0 = System.nanoTime()
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        Main.awaitAll(healthy, failing)
+      }
+      assert((System.nanoTime() - t0) / 1e9 < 30,
+        "dead query's exception must surface within a poll cycle")
+    } finally healthy.stop()
+  }
+
   test("unknown mode raises a usage error") {
     intercept[IllegalArgumentException] {
       Main.run(Array("nonsense", "/tmp/a", "/tmp/b"), spark)
