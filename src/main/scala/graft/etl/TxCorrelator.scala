@@ -405,6 +405,23 @@ object TxCorrelator {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** Production state-store defaults for the correlator wire — the
+    * knob-by-knob rationale and the measured 10×/100× checkpoint and
+    * latency numbers live on the doc of
+    * `graft.stream.BlockStream.ProductionStateConf` (which aliases
+    * this map; defined here because both the streaming pipeline AND
+    * the pack's bounded vehicle [[correlateBatchTws]] apply it, and
+    * etl must not depend on stream). Summary: retain 2 state versions
+    * instead of 100, RocksDB changelog checkpointing (per-batch deltas,
+    * not full SST snapshots), 8 state partitions instead of 32 (the
+    * correlator keys by a single constant — 31 of 32 stores were
+    * permanently empty yet paid per-batch commit fsyncs). */
+  val ProductionStateConf: Map[String, String] = Map(
+    "spark.sql.streaming.minBatchesToRetain" -> "2",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+      "true",
+    "spark.sql.shuffle.partitions" -> "8")
+
   /** The RocksDB state store provider [[correlateStreamTws]] requires. */
   val RocksDbProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
@@ -429,18 +446,44 @@ object TxCorrelator {
     * by TwsCorrelatorSpec / CorrelatorPropertySpec). */
   def correlateBatchTws(
       spark: SparkSession, blocks: Seq[BlockWithTxHashes],
-      strict: Boolean = false): Dataset[CompletedTx] = {
+      strict: Boolean = false,
+      inspect: org.apache.spark.sql.streaming.StreamingQuery => Unit =
+        _ => ()): Dataset[CompletedTx] = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     ensureRocksDb(spark)
     val name = s"graft_tws_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val stream = MemoryStream[BlockWithTxHashes](Blocks.encoder, spark)
-    val q = correlateStreamTws(stream.toDS(), strict = strict)
-      .writeStream.outputMode("append").format("memory")
-      .queryName(name).start()
+    // Run under [[ProductionStateConf]] — the same state knobs as the
+    // production wire (runTransactionsPipeline). Without them this
+    // ephemeral query paid 32 state stores × full-snapshot
+    // checkpointing ≈ 4× the fsyncs per micro-batch, so the p4–p7/p11
+    // bench times tracked HOST fsync latency instead of the engine
+    // (round 12: p4 1.8 s idle vs 10–22 s on a degraded-I/O host).
+    // Set-and-restore is enough: StreamExecution snapshots the session
+    // conf when the query STARTS (internal session clone), so restoring
+    // right after start() leaves the running stream pinned at 8 state
+    // partitions + changelog checkpointing while the caller's batch
+    // shuffle width is untouched. Results-neutral — only commit/fsync
+    // count changes (TwsCorrelatorSpec pins output equivalence).
+    val saved = ProductionStateConf.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    ProductionStateConf.foreach { case (k, v) => spark.conf.set(k, v) }
+    val q =
+      try correlateStreamTws(stream.toDS(), strict = strict)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
     try {
       stream.addData(blocks)
       q.processAllAvailable()
+      // observation hook while the query is still live (the spec reads
+      // lastProgress.stateOperators to pin that the conf reached the
+      // wire — 8 state partitions, not the session's 32)
+      inspect(q)
     } finally q.stop()
     spark.table(name).as[CompletedTx]
   }

@@ -57,12 +57,13 @@ object BlockStream {
     * r12 re-probe (BASELINE.md round-12 table) measured checkpoint
     * 20.6 → 2.8 MB at 10× and 1,104 → 82.9 MB at 100× (state-size
     * order, not retention order), median latency 24.1 → 20.9 s at
-    * 100×, identical completed-tx counts. */
-  val ProductionStateConf: Map[String, String] = Map(
-    "spark.sql.streaming.minBatchesToRetain" -> "2",
-    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
-      "true",
-    "spark.sql.shuffle.partitions" -> "8")
+    * 100×, identical completed-tx counts.
+    *
+    * The map itself lives on [[graft.etl.TxCorrelator]] (round 13):
+    * the pack's bounded vehicle `correlateBatchTws` must run the SAME
+    * conf as this wire, and etl must not depend back on stream. */
+  val ProductionStateConf: Map[String, String] =
+    TxCorrelator.ProductionStateConf
 
   /** Block stream with corrupt-record capture: malformed JSON lands in
     * `_corrupt_record` (PERMISSIVE would otherwise admit an all-null
@@ -378,6 +379,13 @@ object BlockStream {
         // batch queries (shuffle.partitions above all)
         val s = spark.newSession()
         stateConf.foreach { case (k, v) => s.conf.set(k, v) }
+        // StreamingQueryListener events are delivered per-session
+        // StreamingQueryManager: a listener the caller attached to the
+        // parent session (Main's ProgressListener — the A6 progress
+        // parity with the reference's transactions.rs logging) would
+        // silently stop seeing THIS query's progress. Mirror the
+        // parent's listeners onto the clone so callers stay untouched.
+        spark.streams.listListeners.foreach(s.streams.addListener)
         s
       }
     import session.implicits._

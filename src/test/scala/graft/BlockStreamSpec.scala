@@ -133,6 +133,31 @@ class BlockStreamSpec extends SparkSpec {
       "ProductionStateConf leaked into the caller's session")
   }
 
+  test("parent-session progress listener sees the cloned-session transactions query") {
+    // runTransactionsPipeline starts its query on spark.newSession()
+    // (ProductionStateConf); StreamingQueryListener delivery is
+    // per-session, so without the listener mirror the ProgressListener
+    // Main attaches to the PARENT session would go silent for exactly
+    // this query — the A6 progress-logging parity. Pin it: attach to
+    // the parent, run the pipeline, expect batches observed.
+    val in = tmp(); val out = tmp(); val cp = tmp()
+    import graft.schema.Blocks.encoder
+    spark.createDataset(BlockFixtures.blocks(6))(encoder)
+      .toDF().coalesce(1).write.mode("append").json(in)
+    val listener = graft.stream.ProgressListener.attach(spark)
+    try {
+      val q = BlockStream.runTransactionsPipeline(spark, in, out, cp)
+      q.awaitTermination()
+      // the listener bus is async — give it a bounded drain
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (listener.batches.get() == 0 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(listener.batches.get() > 0,
+        "parent-session listener saw no progress from the cloned-session query")
+      assert(listener.totalInputRows.get() > 0)
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("transactions pipeline --no-tws fallback: fmgws operator, " +
     "same output as the default transformWithState wire") {
     val in = tmp(); val out = tmp(); val cp = tmp()
