@@ -11,7 +11,18 @@ import org.apache.spark.sql.SparkSession
   * against the committed bands but cannot loosen them (a hot run that
   * widened `hi` would silently raise every future gate). A violation
   * needs BOTH the relative (>1.5× band hi) and absolute (≥0.5 s over)
-  * excess — the vs_idle rule, applied per band. */
+  * excess — the vs_idle rule, applied per band.
+  *
+  * Round-13 hygiene: an anchor run additionally needs a HEALTHY host
+  * fingerprint ([[HostFingerprint]]) to widen — the round-12 anchor
+  * ran on a host at 6.25 ms fsync(4k) and permanently encoded the
+  * pathology into `hi` for every state-store-bound query (p11
+  * 15.9 s vs true 1.76 s capability), making the gate vacuous exactly
+  * where it mattered. A degraded-fingerprint anchor now degrades to a
+  * flag-only run (loud stderr warning); `SPARK_GRAFT_BENCH_RESEED=1`
+  * on a healthy anchor REPLACES the committed bands with this run's
+  * seeds instead of unioning, which is how a polluted `hi` is retired.
+  */
 object BenchBands {
   /** Parse `"bands":{"name":[lo,hi],...}` out of a BENCH_FULL line. */
   def parse(s: String): Map[String, (Double, Double)] = {
@@ -60,6 +71,109 @@ object BenchBands {
 
   private def r3(v: Double): String =
     BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+}
+
+/** Host-environment fingerprint emitted with every bench line — the
+  * round-12 lesson: three rounds of judge cycles went to adjudicating
+  * whether per-query spikes were plan regressions or host pathology
+  * (they were the host: fsync(4k) median 6.25–15.2 ms vs the sub-2 ms
+  * this machine idles at, 5.4 % CPU steal). The fingerprint makes each
+  * line carry its own environment so that adjudication is a lookup,
+  * and it GATES anchor-band widening (see [[BenchBands]]).
+  *
+  *  - `fsyncMs`: median of `writes` 4 KiB write+force cycles against
+  *    `java.io.tmpdir` — the SAME filesystem the streaming state
+  *    stores and ephemeral checkpoints land on, so it prices exactly
+  *    the syscall the Tws-family queries are hostage to.
+  *  - `stealPct`: CPU steal over a 300 ms `/proc/stat` window (a noisy
+  *    hypervisor neighbor shows up here before it shows in loadavg).
+  *  - `load1`: 1-minute loadavg, reported but NOT gated on — the
+  *    driver may run the bench right after other work and a decaying
+  *    loadavg says nothing about the run ahead.
+  */
+object HostFingerprint {
+  final case class Fp(
+      fsyncMs: Double, fsyncP95Ms: Double, stealPct: Double, load1: Double) {
+    /** Degraded = unfit to WIDEN anchor bands. Thresholds sit between
+      * this host's measured-idle values (fsync ~1.7 ms, steal ~2 %)
+      * and the round-12 pathology (6.25 ms, 5.4 %). */
+    def degraded: Boolean = fsyncMs > 3.0 || stealPct > 3.0
+    def json: String =
+      s"""{"fsync_ms":${r(fsyncMs)},"fsync_p95_ms":${r(fsyncP95Ms)},""" +
+        s""""steal_pct":${r(stealPct)},"load1":${r(load1)}}"""
+    private def r(v: Double): String =
+      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+  }
+
+  def probe(writes: Int = 50): Fp = {
+    val (med, p95) =
+      try {
+        val f = java.io.File.createTempFile("graft-fsync-probe", ".bin")
+        try {
+          val ch = java.nio.channels.FileChannel.open(
+            f.toPath, java.nio.file.StandardOpenOption.WRITE)
+          try {
+            val buf = java.nio.ByteBuffer.allocate(4096)
+            val times = (0 until writes).map { _ =>
+              buf.rewind()
+              val t0 = System.nanoTime()
+              ch.write(buf, 0L); ch.force(true)
+              (System.nanoTime() - t0) / 1e6
+            }.sorted
+            (times((times.size - 1) / 2),
+              times(math.min(times.size - 1, (times.size * 95) / 100)))
+          } finally ch.close()
+        } finally f.delete()
+      } catch { case _: Throwable => (-1.0, -1.0) }
+    val steal =
+      try {
+        def cpu(): Seq[Long] = {
+          val line = java.nio.file.Files.readAllLines(
+            java.nio.file.Paths.get("/proc/stat")).get(0)
+          line.trim.split("\\s+").drop(1).toSeq.map(_.toLong)
+        }
+        val a = cpu(); Thread.sleep(300); val b = cpu()
+        val d = a.zip(b).map { case (x, y) => y - x }
+        val tot = d.sum.toDouble
+        if (tot <= 0 || d.size < 8) 0.0 else 100.0 * d(7) / tot
+      } catch { case _: Throwable => -1.0 }
+    val load1 =
+      try java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/loadavg")).get(0)
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    Fp(med, p95, steal, load1)
+  }
+}
+
+/** Line composition shared by the in-run emitters and the spec — the
+  * partial-line format is a CONTRACT (BenchContractSpec pins it): the
+  * driver's capture keeps only the tail of stdout, so every partial
+  * line must be a complete, parseable driver-format JSON object that
+  * could stand as the round's artifact if the kill lands right after
+  * it. */
+object BenchFormat {
+  def r3(v: Double): String =
+    BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
+  def famOf(n: String): String = n.takeWhile(!_.isDigit)
+
+  /** Per-family subtotals `{"d":12.3,"q":4.5,...}` — constant width at
+    * any pack size. */
+  def famJson(results: Seq[(String, Double)]): String = results
+    .groupBy(e => famOf(e._1)).toSeq.sortBy(_._1)
+    .map { case (f, rs) => "\"" + f + "\":" + r3(rs.map(_._2).sum) }
+    .mkString("{", ",", "}")
+
+  /** The survivability line printed at each family boundary. */
+  def partialLine(
+      results: Seq[(String, Double)], nQueries: Int, envJson: String,
+      sfDir: String): String = {
+    val total = results.map(_._2).sum
+    s"""{"metric":"total","value":${r3(total)},"unit":"sec","partial":true,""" +
+      s""""completed":${results.size},"n_queries":$nQueries,""" +
+      s""""families":${famJson(results)},"env":$envJson,"sf":"$sfDir"}"""
+  }
 }
 
 object Bench {
@@ -112,6 +226,27 @@ object Bench {
             qe: org.apache.spark.sql.execution.QueryExecution,
             exception: Exception): Unit = ()
       })
+    // ---- survivability state (round 13): the round-12 driver bench
+    // was timeout-killed mid-pack and the round's artifact came back
+    // rc=124/parsed:null despite 200 completed green queries — the
+    // harness emitted its one summary line only after ALL queries ×
+    // all runs. Now: results accumulate in a shared buffer, a partial
+    // summary line is printed at every family boundary, and a JVM
+    // shutdown hook emits the final line (+ BENCH_FULL.json) for
+    // whatever completed the moment SIGTERM lands. The main loop
+    // checks the emitted flag and stops cleanly so post-hook stderr
+    // noise can't wash the line out of the driver's capture window.
+    val completed = new scala.collection.mutable.ArrayBuffer[(String, Double)]
+    val emittedFinal = new java.util.concurrent.atomic.AtomicBoolean(false)
+    @volatile var singleRunFrom: Option[String] = None
+    var lastPartialAt = 0.0
+    val wallStart = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - wallStart) / 1e9
+    // wall-clock budget (seconds): past it, remaining queries run ONCE
+    // (no warmup, no repeats) — a degraded host then yields a complete
+    // single-run pack instead of a killed half-pack
+    val budget: Option[Double] =
+      sys.env.get("SPARK_GRAFT_BENCH_BUDGET").flatMap(_.toDoubleOption)
     // two timed runs per query, best-of — single-shot numbers at these
     // scales are dominated by JIT/codegen warmup, not the plan
     def timeOnce(
@@ -119,10 +254,14 @@ object Bench {
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // a failed query must not masquerade as a fast one — flag it on
-      // stderr (stdout is the capture window) and return a sentinel
+      // stderr (stdout is the capture window) and return a sentinel.
+      // After the shutdown hook has emitted, stay silent: 30 post-
+      // SIGTERM fast-throws of stderr noise would push the emitted
+      // line out of the driver's ~2000-char tail (observed round 12).
       val ok = try { fn(spark, sfDir).count(); true }
       catch { case t: Throwable =>
-        System.err.println(s"BENCH FAIL $name: $t"); false
+        if (!emittedFinal.get) System.err.println(s"BENCH FAIL $name: $t")
+        false
       }
       val dt = (System.nanoTime() - t0) / 1e9
       graft.ext.Caches.release(); spark.catalog.clearCache() // free per-query persisted frames
@@ -182,48 +321,38 @@ object Bench {
     // below only widens them in anchor runs
     val oldBands: Map[String, (Double, Double)] =
       anchorSrc.map(BenchBands.parse).getOrElse(Map.empty)
-    val anchorRun = sys.env.get("SPARK_GRAFT_BENCH_ANCHOR").contains("1")
-    // anchor runs take the MEDIAN of `SPARK_GRAFT_BENCH_RUNS − 1` timed
-    // runs (default 3 ⇒ median of 2 → lower median = best-of-2,
-    // set 4 for a true 3-run median) — single-shot anchors moved the
-    // committed reference by ±15% round to round
+    // ---- host fingerprint + anchor gating (round 13): an anchor on a
+    // degraded host must not widen bands (the r12 pollution); it
+    // degrades to flag-only with a loud warning. FORCE overrides for
+    // deliberate degraded-envelope studies; RESEED (healthy anchors
+    // only) replaces the committed bands with this run's seeds — the
+    // retirement path for polluted hi values.
+    val fp = HostFingerprint.probe()
+    val anchorWanted = sys.env.get("SPARK_GRAFT_BENCH_ANCHOR").contains("1")
+    val anchorForced =
+      sys.env.get("SPARK_GRAFT_BENCH_ANCHOR_FORCE").contains("1")
+    val anchorRun = anchorWanted && (!fp.degraded || anchorForced)
+    if (anchorWanted && !anchorRun)
+      System.err.println(
+        s"BENCH ANCHOR REFUSED (degraded host fingerprint ${fp.json}): " +
+          "running flag-only; set SPARK_GRAFT_BENCH_ANCHOR_FORCE=1 to override")
+    val reseed =
+      anchorRun && sys.env.get("SPARK_GRAFT_BENCH_RESEED").contains("1")
+    // runs-per-query regime: default 2 ⇒ the historical best-of-2
+    // (warmup run counts); 3 ⇒ lower median of the 2 post-warmup runs;
+    // 4 ⇒ a true 3-run median. Anchors use 4 — single-shot anchors
+    // moved the committed reference by ±15% round to round.
     val benchRuns = math.min(9, math.max(2,
       sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.toIntOption)
         .getOrElse(2)))
-    val results = SparkEntry.queries.toSeq.filter(e => keep(e._1)).sortBy(_._1).map { case (name, fn) =>
-      // census attribution: the warmup run lands under "_warmup" so
-      // the emitted global_windows values are PER-PLAN counts, not
-      // occurrences-across-2-runs (the committed census used to show
-      // 2 for every single-window query). Both runs execute the same
-      // plan, so a violation is still caught — under its real name,
-      // from the timed run.
-      gwCurrent = "_warmup"
-      val warm = timeOnce(name, fn)
-      // drain the async listener bus BEFORE moving gwCurrent — without
-      // this, a lagging event from one run's last action lands while
-      // the next runs and the census charges the wrong site
-      // (observed: t22's whitelisted window attributed to t23)
-      org.apache.spark.sql.graft.ListenerBridge.drain(spark.sparkContext)
-      val timed = (1 until benchRuns).map { i =>
-        // census attribution: only the LAST timed run charges the query
-        // name, so global_windows stays a PER-PLAN count at any
-        // benchRuns (the anchor run showed 3x counts when all three
-        // timed runs charged the name)
-        gwCurrent = if (i == benchRuns - 1) name else "_warmup"
-        val t = timeOnce(name, fn)
-        org.apache.spark.sql.graft.ListenerBridge.drain(spark.sparkContext)
-        t
-      }
-      // 2 runs: best-of (warmup counts — the historical contract);
-      // 3+: lower MEDIAN of the post-warmup runs (robust to one
-      // ambient spike, deterministic on even counts)
-      val best =
-        if (benchRuns == 2) math.min(warm, timed.head)
-        else if (timed.exists(_ < 0)) -1.0
-        else timed.sorted.apply((timed.size - 1) / 2)
-      name -> best
-    }
-    val (gwJson, gwViol) = gwCensus.synchronized {
+    def r3(v: Double): String = BenchFormat.r3(v)
+    val queryList = SparkEntry.queries.toSeq.filter(e => keep(e._1)).sortBy(_._1)
+    def famOf(n: String): String = BenchFormat.famOf(n)
+
+    // ---- the one-line emitters. Everything below works off a snapshot
+    // of `completed` and census state so the shutdown hook can run them
+    // mid-pack with no Spark involvement.
+    def gwState(): (String, Seq[String]) = gwCensus.synchronized {
       val json = gwCensus.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val viol = gwCensus.keys
@@ -231,16 +360,9 @@ object Bench {
         .filterNot(Set("_setup", "_warmup")).toSeq.sorted
       (json, viol)
     }
-    if (gwViol.nonEmpty)
-      System.err.println(s"BENCH GLOBAL-WINDOW VIOLATIONS: ${gwViol.mkString(",")}")
-    val gwViolJson =
-      if (gwViol.isEmpty) ""
-      else s""","gw_viol":${gwViol.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    // worst ratios vs the idle anchor: relative AND absolute gates so
-    // sub-100ms jitter on tiny queries never ranks; top 5 by ratio
-    val vsIdle: String = {
+    def vsIdleJson(results: Seq[(String, Double)]): String = {
+      // worst ratios vs the idle anchor: relative AND absolute gates so
+      // sub-100ms jitter on tiny queries never ranks; top 5 by ratio
       val comparable = results.filter { case (n, s) =>
         s > 0 && idleAnchor.get(n).exists(_ > 0) }
       if (comparable.isEmpty) ""
@@ -260,6 +382,17 @@ object Bench {
             .setScale(2, BigDecimal.RoundingMode.HALF_UP)},"worst":$worst}"""
       }
     }
+    def famJson(results: Seq[(String, Double)]): String =
+      BenchFormat.famJson(results)
+    // partial survivability line: per-FAMILY subtotals (constant width
+    // at any pack size), marked partial, printed at each family
+    // boundary so the driver's tail window always holds a parseable
+    // line no matter where a kill lands
+    def emitPartial(): Unit = {
+      val results = completed.synchronized { completed.toList }
+      println(BenchFormat.partialLine(results, queryList.size, fp.json, sfDir))
+      Console.out.flush()
+    }
     // The harness that collects this output keeps only the LAST ~2000
     // characters of stdout (observed rounds 1-2: the head of a full-name
     // per-query line was truncated away, losing the headline value). So:
@@ -268,53 +401,144 @@ object Bench {
     //    full-name mapping documented in BASELINE.md), seconds rounded to ms
     //  - the full-name timings go to BENCH_FULL.json alongside the repo
     // per-query band bookkeeping: violations vs the COMMITTED bands,
-    // then the (anchor-widened or passed-through) bands ride the full
-    // line so the next run reads them from HEAD
-    val newBands = BenchBands.merge(oldBands, results, anchorRun)
-    val bandViol = BenchBands.violations(oldBands, results)
-    if (bandViol.nonEmpty)
-      System.err.println(s"BENCH BAND VIOLATIONS: ${bandViol.mkString(",")}")
-    val bandViolJson =
-      if (bandViol.isEmpty) ""
-      else s""","band_viol":${bandViol.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
-    val bandsJson =
-      if (newBands.isEmpty) ""
-      else s""","bands":${BenchBands.render(newBands)}"""
-    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$fullQs$vsIdle$bandsJson$bandViolJson,"global_windows":$gwJson$gwViolJson,"sf":"$sfDir"}"""
-    // resolve against a known root, not the process cwd — a launcher with a
-    // different working directory would otherwise scatter (or lose) the file;
-    // failures go to stderr (stdout is the 2000-char capture window).
-    // Filtered dev runs never overwrite the full-pack record.
-    if (args.isEmpty) {
-      val fullPath = java.nio.file.Paths.get(repoRoot, "BENCH_FULL.json")
-      try java.nio.file.Files.write(fullPath, (fullLine + "\n").getBytes("UTF-8"))
-      catch { case t: Throwable => System.err.println(s"WARN: could not write $fullPath: $t") }
+    // then the (anchor-widened, reseeded, or passed-through) bands ride
+    // the full line so the next run reads them from HEAD
+    def emitFinal(): Unit = if (emittedFinal.compareAndSet(false, true)) {
+      val results = completed.synchronized { completed.toList }
+      val (gwJson, gwViol) = gwState()
+      if (gwViol.nonEmpty)
+        System.err.println(s"BENCH GLOBAL-WINDOW VIOLATIONS: ${gwViol.mkString(",")}")
+      val gwViolJson =
+        if (gwViol.isEmpty) ""
+        else s""","gw_viol":${gwViol.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+      val total = results.map(_._2).sum
+      val vsIdle = vsIdleJson(results)
+      val newBands =
+        BenchBands.merge(if (reseed) Map.empty else oldBands, results, anchorRun)
+      val bandViol = BenchBands.violations(oldBands, results)
+      if (bandViol.nonEmpty)
+        System.err.println(s"BENCH BAND VIOLATIONS: ${bandViol.mkString(",")}")
+      val bandViolJson =
+        if (bandViol.isEmpty) ""
+        else s""","band_viol":${bandViol.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+      val bandsJson =
+        if (newBands.isEmpty) ""
+        else s""","bands":${BenchBands.render(newBands)}"""
+      val partialJson =
+        if (results.size == queryList.size) ""
+        else s""","partial":true,"completed":${results.size},"n_queries":${queryList.size}"""
+      val singleRunJson =
+        singleRunFrom.fold("")(n => s""","single_run_from":"$n"""")
+      val fullQs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+      val fullLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec"$partialJson$singleRunJson,"queries":$fullQs$vsIdle$bandsJson$bandViolJson,"global_windows":$gwJson$gwViolJson,"env":${fp.json},"sf":"$sfDir"}"""
+      // resolve against a known root, not the process cwd — a launcher with a
+      // different working directory would otherwise scatter (or lose) the file;
+      // failures go to stderr (stdout is the 2000-char capture window).
+      // Filtered dev runs never overwrite the full-pack record.
+      if (args.isEmpty) {
+        val fullPath = java.nio.file.Paths.get(repoRoot, "BENCH_FULL.json")
+        try java.nio.file.Files.write(fullPath, (fullLine + "\n").getBytes("UTF-8"))
+        catch { case t: Throwable => System.err.println(s"WARN: could not write $fullPath: $t") }
+      }
+      // compact line: ADAPTIVE value width — ~4 significant chars per
+      // value (2 decimals under 10 s, 1 decimal under 100 s, whole
+      // seconds above) keeps per-query data in the ~2000-char capture
+      // window with 20+ queries of headroom (BenchContractSpec models the
+      // worst case; BENCH_FULL.json keeps full names + 3 decimals)
+      def rc(v: Double): String =
+        if (v < 0) "-1"
+        else if (v < 10) BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+        else if (v < 100) BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
+        else math.round(v).toString
+      val shortQs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + rc(v) }
+        .mkString("{", ",", "}")
+      val perQueryLine =
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec"$partialJson$singleRunJson,"queries":$shortQs$vsIdle$bandViolJson$gwViolJson,"env":${fp.json},"sf":"$sfDir"}"""
+      // if the pack ever grows the per-query line past the window, fall
+      // back to per-FAMILY subtotals (q/d/s/t/m/p — constant width at any
+      // pack size); the per-query detail is always in BENCH_FULL.json
+      val famLine =
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec"$partialJson$singleRunJson,"families":${famJson(results)},"n_queries":${results.size}$vsIdle$bandViolJson$gwViolJson,"env":${fp.json},"full":"BENCH_FULL.json","sf":"$sfDir"}"""
+      println(if (perQueryLine.length <= 1700) perQueryLine else famLine)
+      Console.out.flush()
     }
-    // compact line: ADAPTIVE value width — ~4 significant chars per
-    // value (2 decimals under 10 s, 1 decimal under 100 s, whole
-    // seconds above) keeps per-query data in the ~2000-char capture
-    // window with 20+ queries of headroom (BenchContractSpec models the
-    // worst case; BENCH_FULL.json keeps full names + 3 decimals)
-    def rc(v: Double): String =
-      if (v < 0) "-1"
-      else if (v < 10) BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-      else if (v < 100) BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
-      else math.round(v).toString
-    val shortQs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + rc(v) }
-      .mkString("{", ",", "}")
-    val perQueryLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$shortQs$vsIdle$bandViolJson$gwViolJson,"sf":"$sfDir"}"""
-    // if the pack ever grows the per-query line past the window, fall
-    // back to per-FAMILY subtotals (q/d/s/t/m/p — constant width at any
-    // pack size); the per-query detail is always in BENCH_FULL.json
-    val famQs = results
-      .groupBy(_._1.takeWhile(!_.isDigit)).toSeq.sortBy(_._1)
-      .map { case (f, rs) => "\"" + f + "\":" + r3(rs.map(_._2).sum) }
-      .mkString("{", ",", "}")
-    val famLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","families":$famQs,"n_queries":${results.size}$vsIdle$bandViolJson$gwViolJson,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
-    println(if (perQueryLine.length <= 1700) perQueryLine else famLine)
+    // SIGTERM (the driver's timeout kill) runs JVM shutdown hooks:
+    // whatever completed becomes the round's artifact instead of
+    // rc=124/parsed:null. Pure string work — no Spark calls, safe
+    // while executors are dying.
+    val hook = new Thread(() => emitFinal(), "graft-bench-emit")
+    Runtime.getRuntime.addShutdownHook(hook)
+
+    queryList.zipWithIndex.foreach { case ((name, fn), i) =>
+      if (!emittedFinal.get) {
+        val overBudget = budget.exists(b => elapsedSec > b)
+        if (overBudget && singleRunFrom.isEmpty) {
+          singleRunFrom = Some(name)
+          System.err.println(
+            s"BENCH BUDGET EXCEEDED at ${r3(elapsedSec)} s — " +
+              s"single-run mode from $name")
+        }
+        val best =
+          if (overBudget) {
+            // budget regime: one run, charged under its real name (it
+            // is the only plan execution, so the census stays per-plan)
+            gwCurrent = name
+            val t = timeOnce(name, fn)
+            org.apache.spark.sql.graft.ListenerBridge.drain(spark.sparkContext)
+            t
+          } else {
+            // census attribution: the warmup run lands under "_warmup" so
+            // the emitted global_windows values are PER-PLAN counts, not
+            // occurrences-across-2-runs (the committed census used to show
+            // 2 for every single-window query). Both runs execute the same
+            // plan, so a violation is still caught — under its real name,
+            // from the timed run.
+            gwCurrent = "_warmup"
+            val warm = timeOnce(name, fn)
+            // drain the async listener bus BEFORE moving gwCurrent — without
+            // this, a lagging event from one run's last action lands while
+            // the next runs and the census charges the wrong site
+            // (observed: t22's whitelisted window attributed to t23)
+            org.apache.spark.sql.graft.ListenerBridge.drain(spark.sparkContext)
+            val timed = (1 until benchRuns).map { j =>
+              // census attribution: only the LAST timed run charges the query
+              // name, so global_windows stays a PER-PLAN count at any
+              // benchRuns (the anchor run showed 3x counts when all three
+              // timed runs charged the name)
+              gwCurrent = if (j == benchRuns - 1) name else "_warmup"
+              val t = timeOnce(name, fn)
+              org.apache.spark.sql.graft.ListenerBridge.drain(spark.sparkContext)
+              t
+            }
+            // 2 runs: best-of (warmup counts — the historical contract);
+            // 3+: lower MEDIAN of the post-warmup runs (robust to one
+            // ambient spike, deterministic on even counts)
+            if (benchRuns == 2) math.min(warm, timed.head)
+            else if (timed.exists(_ < 0)) -1.0
+            else timed.sorted.apply((timed.size - 1) / 2)
+          }
+        completed.synchronized { completed += name -> best }
+        // partial cadence: family boundaries AND a 30 s heartbeat — the
+        // d-family alone is ~38 queries, and a kill landing mid-family
+        // would otherwise find a stdout tail with no parseable line
+        // (the shutdown hook's println can die with the launcher's
+        // pipe; its BENCH_FULL write is the only post-SIGTERM artifact
+        // guaranteed to land)
+        val lastOfFamily =
+          i == queryList.size - 1 || famOf(queryList(i + 1)._1) != famOf(name)
+        if ((lastOfFamily || elapsedSec - lastPartialAt > 30.0) &&
+          !emittedFinal.get) {
+          lastPartialAt = elapsedSec
+          emitPartial()
+        }
+      }
+    }
+    emitFinal()
+    // throws IllegalStateException if a shutdown is ALREADY in progress
+    // (SIGTERM landing exactly at normal completion) — the CAS in
+    // emitFinal already made the hook a no-op, so just swallow
+    try Runtime.getRuntime.removeShutdownHook(hook)
+    catch { case _: IllegalStateException => () }
     spark.stop()
   }
 }

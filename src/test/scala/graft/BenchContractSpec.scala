@@ -37,18 +37,72 @@ class BenchContractSpec extends AnyFunSuite {
         .mkString("[", ",", "]")
       s""","vs_idle":{"idle_total":123456.789,"total_x":10.00,"worst":$entries}"""
     }
+    // worst-case round-13 additions: partial + single_run_from + env
+    // blocks can all ride the same line
+    val longest0 = names.maxBy(_.length)
+    val worstExtras =
+      s""","partial":true,"completed":999,"n_queries":999,"single_run_from":"$longest0""""
+    val worstEnv =
+      s""","env":{"fsync_ms":12345.67,"fsync_p95_ms":12345.67,"steal_pct":100.00,"load1":123.45}"""
     val perQuery =
-      s"""{"metric":"total","value":1234567.890,"unit":"sec","queries":$qs$worstVsIdle,"sf":"$worstSf"}"""
+      s"""{"metric":"total","value":1234567.890,"unit":"sec"$worstExtras,"queries":$qs$worstVsIdle$worstEnv,"sf":"$worstSf"}"""
     val fams = names.map(_.takeWhile(!_.isDigit)).distinct.sorted
       .map(f => "\"" + f + "\":12345.678").mkString("{", ",", "}")
     val family =
-      s"""{"metric":"total","value":1234567.890,"unit":"sec","families":$fams,"n_queries":${names.size}$worstVsIdle,"full":"BENCH_FULL.json","sf":"$worstSf"}"""
+      s"""{"metric":"total","value":1234567.890,"unit":"sec"$worstExtras,"families":$fams,"n_queries":${names.size}$worstVsIdle$worstEnv,"full":"BENCH_FULL.json","sf":"$worstSf"}"""
     val emitted = if (perQuery.length <= 1700) perQuery else family
     assert(emitted.length < 1800,
       s"emitted bench line too long for capture window: ${emitted.length}")
     // the family fallback (what the driver has actually captured since
     // the pack crossed 1700 chars) must keep headroom for vs_idle
-    assert(family.length < 1000, s"family line unexpectedly wide: ${family.length}")
+    assert(family.length < 1200, s"family line unexpectedly wide: ${family.length}")
+  }
+
+  test("partial survivability line: parseable driver-format JSON, fits the window") {
+    // the round-12 driver bench died rc=124/parsed:null because the
+    // only summary line came after ALL queries; the partial line
+    // printed at each family boundary must itself stand as the round's
+    // artifact. Pin: valid JSON, carries metric/value/unit + progress +
+    // env, and stays far inside the ~2000-char tail window even with
+    // every family present.
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 1.234)
+    val env =
+      """{"fsync_ms":1.73,"fsync_p95_ms":15.03,"steal_pct":2.11,"load1":0.12}"""
+    val line = BenchFormat.partialLine(
+      results, results.size + 10, env, "/root/testdata/sf0.1")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(line) // throws on malformed JSON
+    assert(node.get("metric").asText() === "total")
+    assert(node.get("unit").asText() === "sec")
+    assert(node.get("partial").asBoolean())
+    assert(node.get("completed").asInt() === results.size)
+    assert(node.get("n_queries").asInt() === results.size + 10)
+    assert(node.get("value").asDouble() > 0)
+    assert(node.get("families").isObject)
+    assert(node.get("env").get("fsync_ms").asDouble() === 1.73)
+    assert(line.length < 1000,
+      s"partial line too wide for the capture window: ${line.length}")
+    // a mid-family snapshot (kill between boundaries) is just as valid
+    val mid = BenchFormat.partialLine(
+      results.take(3), results.size, env, "sf")
+    assert(mapper.readTree(mid).get("completed").asInt() === 3)
+  }
+
+  test("host fingerprint: probe returns sane values; degraded gates on fsync/steal") {
+    val fp = HostFingerprint.probe(writes = 10)
+    // the probe must never throw and must yield either a real
+    // measurement or the -1 unavailable sentinel
+    assert(fp.fsyncMs > 0 || fp.fsyncMs == -1.0)
+    assert(fp.fsyncP95Ms >= fp.fsyncMs || fp.fsyncP95Ms == -1.0)
+    // json round-trips through a strict parser
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    assert(mapper.readTree(fp.json).get("fsync_ms").isNumber)
+    // the widening gate: healthy r13-idle values pass, the measured
+    // round-12 pathology (6.25 ms fsync / 5.4 % steal) is refused
+    import HostFingerprint.Fp
+    assert(!Fp(1.7, 15.0, 2.1, 0.1).degraded)
+    assert(Fp(6.25, 27.4, 2.1, 0.1).degraded, "r12 fsync pathology must gate")
+    assert(Fp(1.7, 3.0, 5.4, 0.1).degraded, "r12 steal pathology must gate")
   }
 
   test("BenchBands: render/parse round-trip, anchor-only widening, " +
