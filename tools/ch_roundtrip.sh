@@ -36,16 +36,30 @@ CH="${CLICKHOUSE_BIN:-clickhouse}"
 command -v "$CH" >/dev/null || {
   echo "no '$CH' binary on PATH (set CLICKHOUSE_BIN)"; exit 2; }
 
+# empty table dirs must not abort the whole run under `set -e`: with
+# nullglob unset, a dir with no frames passes the literal
+# '*.native.lz4' to compressor and dies
+shopt -s nullglob
+
 # DDL for the eight parity tables comes from the engine itself so the
-# script can never drift from the sink's schemas:
-sbt --error "runMain graft.ChDdlMain" > /tmp/graft_ddl.sql 2>/dev/null || {
-  echo "note: no ChDdlMain; using clickhouse-side DDL from docs/" ; }
+# script can never drift from the sink's schemas — and it must actually
+# be APPLIED to the server (a fresh server has no graft.* tables; the
+# INSERTs below would otherwise all fail):
+if sbt --error "runMain graft.ChDdlMain" > /tmp/graft_ddl.sql 2>/dev/null; then
+  "$CH" client --multiquery < /tmp/graft_ddl.sql
+else
+  echo "note: no ChDdlMain; apply clickhouse-side DDL from docs/ manually"
+fi
 
 for d in "$WIRE_DIR"/*/; do
   t=$(basename "$d")
   echo "== table $t =="
   : > /tmp/graft_plain.native
-  for f in "$d"/*.native.lz4; do
+  frames=("$d"/*.native.lz4)
+  if [ ${#frames[@]} -eq 0 ]; then
+    echo "   (no frames, skipping)"; continue
+  fi
+  for f in "${frames[@]}"; do
     # (a) upstream checksum + framing verification
     "$CH" compressor --decompress < "$f" >> /tmp/graft_plain.native
   done
