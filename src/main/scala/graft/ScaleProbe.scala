@@ -31,6 +31,7 @@ object ScaleProbe {
     if (args.contains("r11")) { probeR11(spark); spark.stop(); return }
     if (args.contains("d18dbg")) { probeD18dbg(spark); spark.stop(); return }
     if (args.contains("r12")) { probeR12(spark); spark.stop(); return }
+    if (args.contains("s31")) { probeS31(spark); spark.stop(); return }
     val docs1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .select(col("doc_id"), col("text"))
     // 10x: replicate with distinct ids and a per-copy suffix token so
@@ -368,6 +369,54 @@ object ScaleProbe {
           v, "vec_id", "embedding", k = 16, dim = Some(64)).count()
       }
     }
+  }
+
+  /** Round-13: the s26 release-cadence FALLBACK priced (BASELINE
+    * round-12 documented it; s31 implements it) — the full audit vs
+    * the corpus-sampled (pmd5 mod 2) form, same fixed ~63-query batch
+    * and harness as the r11 s26 probe, at 10×/100×. Both variants pay
+    * the identical ivfBuild (the index under audit is the production
+    * one); the A/B isolates the exact-side corpus scan — the
+    * linear-in-corpus term the fallback halves — plus the serving
+    * path's smaller candidate set. */
+  private def probeS31(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.DataFrame
+    val vecs1 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$name%-40s ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
+      graft.ext.Caches.release(); spark.catalog.clearCache()
+    }
+    val dirs = collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    try {
+      val v10 = matTo(spark, dirs, repVecsFrom(vecs1, 10), "s31-v10")
+      val v100 = matTo(spark, dirs, repVecsFrom(vecs1, 100), "s31-v100")
+      println(s"vecs10 = ${v10.count()}, vecs100 = ${v100.count()}")
+      def audit(v: DataFrame, mod: Long, corpusMod: Option[Int]): Long = {
+        val idx = graft.ext.Similarity.ivfBuild(
+          v, "vec_id", "embedding", dim = Some(64))
+        val qs = v.where(
+          graft.ext.Dedup.pmd5(col("vec_id")) % mod === 0 &&
+            graft.ext.Similarity.norm(col("embedding")) > 0)
+        val corpus = corpusMod.fold(v)(m =>
+          v.where(graft.ext.Dedup.pmd5(col("vec_id")) % m === 0))
+        val served = corpusMod.fold(idx)(m => idx.copy(assigned =
+          idx.assigned.where(graft.ext.Dedup.pmd5(col("id")) % m === 0)))
+        val ex = graft.ext.Similarity
+          .knnJoin(qs, corpus, "vec_id", "embedding", k = 10)
+          .select("query_id", "neighbor_id")
+        val ap = graft.ext.Similarity
+          .ivfTopKBatch(served, qs, "vec_id", "embedding", k = 10, nProbe = 4)
+          .select("query_id", "neighbor_id")
+        ex.join(ap, Seq("query_id", "neighbor_id"))
+          .groupBy("query_id").agg(count(lit(1))).count()
+      }
+      time("10x(20k) s26 full m320") { audit(v10, 320L, None) }
+      time("10x(20k) s31 corpusMod2 m320") { audit(v10, 320L, Some(2)) }
+      time("100x(200k) s26 full m3200") { audit(v100, 3200L, None) }
+      time("100x(200k) s31 corpusMod2 m3200") { audit(v100, 3200L, Some(2)) }
+    } finally dirs.foreach(graft.util.Fs.deleteRecursively)
   }
 
   private def repDocsFrom(

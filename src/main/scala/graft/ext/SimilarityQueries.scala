@@ -778,6 +778,52 @@ object SimilarityQueries {
           Similarity.norm(col("embedding")) > 0)
       Similarity.annTopKIndexedBatch(
         idx, qs, "vec_id", "embedding", k = 10, probe = 4)
+    },
+
+    // CORPUS-SAMPLED recall audit — the release-cadence fallback
+    // BASELINE.md round-12 documents: a 100 TB deployment that cannot
+    // afford the exact side's full corpus scan per release drops BOTH
+    // sides of the audit to a deeper pmd5 sample of the corpus rows
+    // (mod 2 — half — here; the modulus is the knob). The query batch
+    // (mod 8) is a SUBSET of the corpus sample (pmd5 ≡ 0 mod 8 ⇒
+    // ≡ 0 mod 2), so every query keeps its self-neighbor and the
+    // audit semantics are exactly s26's on the restricted universe:
+    // exact top-10 within the sample (knnJoin against the sampled
+    // corpus — the O(sample·corpus) scan price drops by the sample
+    // rate), IVF top-10 with the PRODUCTION centroids (trained on the
+    // full corpus — the index under audit is unchanged) but candidates
+    // restricted to the same sample (the assigned frame filtered
+    // BEFORE serving: a sampled point's cell routing is identical to
+    // its routing in the full index, so the restriction is a pure
+    // candidate-universe cut, not a different index). The per-query
+    // recall distribution over the sampled universe estimates the full
+    // audit at half the exact-side price; the sample predicate is
+    // replayed in the oracle CTEs, so the whole fallback stays
+    // hash-oracled.
+    Q("s31_ivf_recall_corpus_sampled", s31OracleSql) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val idx = Similarity.ivfBuild(emb, "vec_id", "embedding",
+        dim = Some(64))
+      val corpusSampled = emb.where(Dedup.pmd5(col("vec_id")) % 2 === 0)
+      val qs = emb.where(
+        Dedup.pmd5(col("vec_id")) % 8 === 0 &&
+          Similarity.norm(col("embedding")) > 0)
+      val ex = Similarity
+        .knnJoin(qs, corpusSampled, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val sampledIdx = idx.copy(assigned =
+        idx.assigned.where(Dedup.pmd5(col("id")) % 2 === 0))
+      val ap = Similarity
+        .ivfTopKBatch(sampledIdx, qs, "vec_id", "embedding",
+          k = 10, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = ex.join(ap, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("_n"))
+      qs.select(col("vec_id").cast("long").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("_n"), lit(0L)).as("n_hits"),
+          (coalesce(col("_n"), lit(0L)) * 1000L).as("recall_e4"))
     }
   )
 
@@ -909,15 +955,27 @@ object SimilarityQueries {
        |FROM idcg i LEFT JOIN dcg d ON d.qid = i.qid""".stripMargin
   }
 
-  /** s26 replay: Lloyd build ([[KmeansOracle.lloydCtes]] — cents3 +
+  /** s26/s31 replay: Lloyd build ([[KmeansOracle.lloydCtes]] — cents3 +
     * full-corpus asg), the pmd5-sampled query batch, exact top-10 per
     * query (s10's rounded double cosine + (cos DESC, id ASC)
     * row_number), IVF top-10 per query (cell ranking `sc DESC, ci
     * ASC` limit nProbe — the s24 probe contract — then the members of
     * probed cells only), per-query hit counts left-joined back so a
-    * zero-recall query still lands a row. */
-  private lazy val s26OracleSql: String = {
+    * zero-recall query still lands a row.
+    *
+    * `corpusMod` replays s31's release-cadence fallback: both the
+    * exact-side universe (`cs`) and the IVF candidate set (the `asg`
+    * join) are restricted to `pmd5(id) % corpusMod = 0` — centroids
+    * stay the full-corpus cents3, exactly the engine's filtered
+    * `assigned` frame. None ⇒ the full s26 audit. */
+  private def ivfRecallSql(corpusMod: Option[Int]): String = {
     val dim = 64
+    val csPred = corpusMod.map(m =>
+      s"\n  WHERE ${DedupQueries.pmSql("CAST(id AS VARCHAR)")} % $m = 0")
+      .getOrElse("")
+    val apPred = corpusMod.map(m =>
+      s"\n      AND ${DedupQueries.pmSql("CAST(a.id AS VARCHAR)")} % $m = 0")
+      .getOrElse("")
     def cos6(vec: String, q: String): String =
       s"""round(
          |      list_sum(list_transform(range(1, ${dim + 1}),
@@ -935,12 +993,14 @@ object SimilarityQueries {
        |), qs AS (
        |  SELECT id AS qid, e AS qv FROM nz
        |  WHERE ${DedupQueries.pmSql("CAST(id AS VARCHAR)")} % 8 = 0
+       |), cs AS (
+       |  SELECT id, e FROM nz$csPred
        |), ex AS (
        |  SELECT qid, cid FROM (
        |    SELECT q.qid, a.id AS cid,
        |      row_number() OVER (PARTITION BY q.qid
        |        ORDER BY ${cos6("a.e", "q.qv")} DESC, a.id ASC) AS rn
-       |    FROM qs q, nz a)
+       |    FROM qs q, cs a)
        |  WHERE rn <= 10
        |), pr AS (
        |  SELECT qid, ci FROM (
@@ -959,7 +1019,7 @@ object SimilarityQueries {
        |      row_number() OVER (PARTITION BY p.qid
        |        ORDER BY ${cos6("a.e", "q.qv")} DESC, a.id ASC) AS rn
        |    FROM pr p
-       |    JOIN asg a ON a.ci = p.ci
+       |    JOIN asg a ON a.ci = p.ci$apPred
        |    JOIN qs q ON q.qid = p.qid)
        |  WHERE rn <= 10
        |), h AS (
@@ -971,6 +1031,9 @@ object SimilarityQueries {
        |  CAST(coalesce(h.n, 0) * 10000 // 10 AS BIGINT) AS recall_e4
        |FROM qs q LEFT JOIN h ON h.qid = q.qid""".stripMargin
   }
+
+  private lazy val s26OracleSql: String = ivfRecallSql(None)
+  private lazy val s31OracleSql: String = ivfRecallSql(Some(2))
 
   /** s25 replay: exact top-10 with ranks (the graded relevance), the
     * s4 IVF top-10 with positions, the shared log2-discounted gain in
