@@ -30,7 +30,17 @@ import graft.sink.{ClickHouseNative => N}
   * binary runs the suite, the round-trip executes with no code
   * changes. `tools/ch_roundtrip.sh` is the same procedure as a
   * standalone script, extended to all eight parity tables against a
-  * real server. */
+  * real server.
+  *
+  * REPORTING QUIRK (round-13 note): sbt's JUnit XML reporter records
+  * a ScalaTest CANCELED test as a plain ~0 s pass (`tests=3,
+  * skipped=0`) — an auditor counting green tests would count
+  * verification that did not run. ScalaTest's own console/summary
+  * output DOES show "canceled"; additionally every gated cancel below
+  * goes through [[gate]], which prints a loud `CANCELED — external
+  * gate` line to stderr so the run log carries the truth even where
+  * the XML does not. Trust the console summary / stderr, not the XML,
+  * for these three tests. */
 class ClickHouseLiveSpec extends SparkSpec {
 
   /** The multi-call `clickhouse` binary, or None in this sandbox. */
@@ -65,6 +75,16 @@ class ClickHouseLiveSpec extends SparkSpec {
       else None
     }
 
+  /** `assume` with a stderr banner: the JUnit XML renders a cancel as
+    * a 0 s pass (see class doc), so the run log must carry the truth. */
+  private def gate(cond: Boolean, msg: => String): Unit = {
+    if (!cond)
+      System.err.println(
+        s"[ClickHouseLiveSpec] CANCELED — external gate: $msg " +
+          "(JUnit XML will show this as a 0 s pass; see spec header)")
+    assume(cond, msg)
+  }
+
   import scala.jdk.CollectionConverters._
 
   private def framedFile(dir: Path): Path = {
@@ -77,11 +97,11 @@ class ClickHouseLiveSpec extends SparkSpec {
   test("clickhouse compressor accepts our frames and its decompressed " +
     "bytes equal our unframed Native block stream (CityHash128 + LZ4 " +
     "framing externally verified)") {
-    assume(clickhouse.isDefined,
+    gate(clickhouse.isDefined,
       "no clickhouse binary in this environment — run tools/ch_roundtrip.sh " +
         "where one exists")
     val comp = sub("compressor")
-    assume(comp.isDefined, s"binary ${clickhouse.get} has no compressor mode")
+    gate(comp.isDefined, s"binary ${clickhouse.get} has no compressor mode")
     import spark.implicits._
     val df = (0L until 1000L).map(i => (i, s"row-$i" * 3)).toDF("h", "s")
     val dir = Files.createTempDirectory("graft-chlive")
@@ -103,9 +123,9 @@ class ClickHouseLiveSpec extends SparkSpec {
 
   test("a tampered frame is REJECTED by clickhouse compressor " +
     "(the external checksum check has teeth)") {
-    assume(clickhouse.isDefined, "no clickhouse binary in this environment")
+    gate(clickhouse.isDefined, "no clickhouse binary in this environment")
     val comp = sub("compressor")
-    assume(comp.isDefined, s"binary ${clickhouse.get} has no compressor mode")
+    gate(comp.isDefined, s"binary ${clickhouse.get} has no compressor mode")
     import spark.implicits._
     val df = (0L until 100L).map(i => (i, s"p$i")).toDF("h", "s")
     val dir = Files.createTempDirectory("graft-chtamper")
@@ -120,9 +140,9 @@ class ClickHouseLiveSpec extends SparkSpec {
 
   test("clickhouse local parses the decompressed Native stream and " +
     "returns our rows (column codec externally verified)") {
-    assume(clickhouse.isDefined, "no clickhouse binary in this environment")
+    gate(clickhouse.isDefined, "no clickhouse binary in this environment")
     val comp = sub("compressor"); val local = sub("local")
-    assume(comp.isDefined && local.isDefined,
+    gate(comp.isDefined && local.isDefined,
       s"binary ${clickhouse.get} lacks compressor/local modes")
     import spark.implicits._
     val rows = (0L until 500L).map(i => (i, s"v$i", Seq(i, i + 1)))
