@@ -85,8 +85,9 @@ object BenchBands {
   *    `java.io.tmpdir` — the SAME filesystem the streaming state
   *    stores and ephemeral checkpoints land on, so it prices exactly
   *    the syscall the Tws-family queries are hostage to.
-  *  - `stealPct`: CPU steal over a 300 ms `/proc/stat` window (a noisy
-  *    hypervisor neighbor shows up here before it shows in loadavg).
+  *  - `stealPct`: CPU steal over a 1 s `/proc/stat` window (a noisy
+  *    hypervisor neighbor shows up here before it shows in loadavg;
+  *    shorter windows flagged ~3 % transients on a healthy host).
   *  - `load1`: 1-minute loadavg, reported but NOT gated on — the
   *    driver may run the bench right after other work and a decaying
   *    loadavg says nothing about the run ahead.
@@ -96,8 +97,12 @@ object HostFingerprint {
       fsyncMs: Double, fsyncP95Ms: Double, stealPct: Double, load1: Double) {
     /** Degraded = unfit to WIDEN anchor bands. Thresholds sit between
       * this host's measured-idle values (fsync ~1.7 ms, steal ~2 %)
-      * and the round-12 pathology (6.25 ms, 5.4 %). */
-    def degraded: Boolean = fsyncMs > 3.0 || stealPct > 3.0
+      * and the round-12 pathology (6.25 ms fsync / 5.4 % sustained
+      * steal). Steal gates at 4 %: even over the 1 s window, ~3 %
+      * transients were observed right after a heavy run on a healthy
+      * host, and fsync is the load-bearing gate for the state-store
+      * family anyway. */
+    def degraded: Boolean = fsyncMs > 3.0 || stealPct > 4.0
     def json: String =
       s"""{"fsync_ms":${r(fsyncMs)},"fsync_p95_ms":${r(fsyncP95Ms)},""" +
         s""""steal_pct":${r(stealPct)},"load1":${r(load1)}}"""
@@ -132,7 +137,7 @@ object HostFingerprint {
             java.nio.file.Paths.get("/proc/stat")).get(0)
           line.trim.split("\\s+").drop(1).toSeq.map(_.toLong)
         }
-        val a = cpu(); Thread.sleep(300); val b = cpu()
+        val a = cpu(); Thread.sleep(1000); val b = cpu()
         val d = a.zip(b).map { case (x, y) => y - x }
         val tot = d.sum.toDouble
         if (tot <= 0 || d.size < 8) 0.0 else 100.0 * d(7) / tot
@@ -413,8 +418,29 @@ object Bench {
         else s""","gw_viol":${gwViol.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
       val total = results.map(_._2).sum
       val vsIdle = vsIdleJson(results)
+      // anchor widening needs: the WHOLE pack measured (a killed
+      // anchor is flag-only — its completed queries were measured
+      // under unknown end-state I/O), plus a healthy fingerprint at
+      // BOTH ends of the run — this host's fsync was observed jumping
+      // 0.18 → 8.9 ms within one session, so a clean start probe says
+      // nothing about minute 20. The end probe runs quiesced (all
+      // queries done) and never from the shutdown hook.
+      val complete = results.size == queryList.size
+      val inHook = Thread.currentThread().getName == "graft-bench-emit"
+      val endFp =
+        if (anchorRun && complete && !inHook) Some(HostFingerprint.probe())
+        else None
+      val widen = anchorRun && complete && !inHook &&
+        endFp.forall(e => !e.degraded || anchorForced)
+      if (anchorRun && !widen)
+        System.err.println(
+          "BENCH ANCHOR DEMOTED to flag-only: " + (
+            if (!complete || inHook) "incomplete run (killed mid-pack)"
+            else s"degraded END fingerprint ${endFp.fold("")(_.json)}"))
+      val endEnvJson = endFp.fold("")(e => s""","env_end":${e.json}""")
       val newBands =
-        BenchBands.merge(if (reseed) Map.empty else oldBands, results, anchorRun)
+        BenchBands.merge(if (reseed && widen) Map.empty else oldBands,
+          results, widen)
       val bandViol = BenchBands.violations(oldBands, results)
       if (bandViol.nonEmpty)
         System.err.println(s"BENCH BAND VIOLATIONS: ${bandViol.mkString(",")}")
@@ -430,7 +456,7 @@ object Bench {
       val singleRunJson =
         singleRunFrom.fold("")(n => s""","single_run_from":"$n"""")
       val fullQs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-      val fullLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec"$partialJson$singleRunJson,"queries":$fullQs$vsIdle$bandsJson$bandViolJson,"global_windows":$gwJson$gwViolJson,"env":${fp.json},"sf":"$sfDir"}"""
+      val fullLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec"$partialJson$singleRunJson,"queries":$fullQs$vsIdle$bandsJson$bandViolJson,"global_windows":$gwJson$gwViolJson,"env":${fp.json}$endEnvJson,"sf":"$sfDir"}"""
       // resolve against a known root, not the process cwd — a launcher with a
       // different working directory would otherwise scatter (or lose) the file;
       // failures go to stderr (stdout is the 2000-char capture window).

@@ -103,6 +103,8 @@ class BenchContractSpec extends AnyFunSuite {
     assert(!Fp(1.7, 15.0, 2.1, 0.1).degraded)
     assert(Fp(6.25, 27.4, 2.1, 0.1).degraded, "r12 fsync pathology must gate")
     assert(Fp(1.7, 3.0, 5.4, 0.1).degraded, "r12 steal pathology must gate")
+    // post-run ~3 % steal transients on a healthy host must NOT gate
+    assert(!Fp(1.7, 3.0, 3.4, 0.1).degraded)
   }
 
   test("BenchBands: render/parse round-trip, anchor-only widening, " +
