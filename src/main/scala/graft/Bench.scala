@@ -249,9 +249,23 @@ object Bench {
     def elapsedSec: Double = (System.nanoTime() - wallStart) / 1e9
     // wall-clock budget (seconds): past it, remaining queries run ONCE
     // (no warmup, no repeats) — a degraded host then yields a complete
-    // single-run pack instead of a killed half-pack
+    // single-run pack instead of a killed half-pack. Full-pack runs
+    // default to 1800 s: a healthy host finishes the whole pack in
+    // 250–900 s so the default never engages there, while the r12-class
+    // pathological host (3.58× idle, driver timeout-killed at ~87%
+    // coverage) flips to single-run with enough headroom to complete
+    // every family before any launcher timeout. Filtered dev runs and
+    // ANCHOR runs get no default: a dev timing one heavy family
+    // expects full runs, and an anchor must keep one uniform timing
+    // regime (a mixed best-of-N/single-run anchor would seed bands
+    // from two different distributions).
     val budget: Option[Double] =
       sys.env.get("SPARK_GRAFT_BENCH_BUDGET").flatMap(_.toDoubleOption)
+        .orElse(
+          if (args.isEmpty &&
+            !sys.env.get("SPARK_GRAFT_BENCH_ANCHOR").contains("1"))
+            Some(1800.0)
+          else None)
     // two timed runs per query, best-of — single-shot numbers at these
     // scales are dominated by JIT/codegen warmup, not the plan
     def timeOnce(
