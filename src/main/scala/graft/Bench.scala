@@ -442,10 +442,22 @@ object Bench {
       val complete = results.size == queryList.size
       val inHook = Thread.currentThread().getName == "graft-bench-emit"
       val endFp =
-        if (anchorRun && complete && !inHook) Some(HostFingerprint.probe())
-        else None
+        if (anchorRun && complete && !inHook) {
+          // settle first: measured right at run end, our OWN 32-thread
+          // burn shows up as a 5%-class steal transient (observed
+          // 5.13% with ambient at 0.2% minutes before and after) —
+          // that is demand contention from the finished run, not a
+          // corrupted-measurement signal
+          Thread.sleep(2000)
+          Some(HostFingerprint.probe())
+        } else None
+      // end gate: fsync at full strictness (a mid-run I/O degradation
+      // is exactly what poisoned the r12 anchor), steal at a loose 8%
+      // (only hard sustained pathology — the start probe already gates
+      // genuine ambient steal at 4% before anything runs)
       val widen = anchorRun && complete && !inHook &&
-        endFp.forall(e => !e.degraded || anchorForced)
+        endFp.forall(e =>
+          !(e.fsyncMs > 3.0 || e.stealPct > 8.0) || anchorForced)
       if (anchorRun && !widen)
         System.err.println(
           "BENCH ANCHOR DEMOTED to flag-only: " + (
