@@ -23,14 +23,6 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.query.Tables.configure(spark)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(e => keep(e._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-      graft.ext.Caches.release(); spark.catalog.clearCache() // free per-query persisted frames
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -43,9 +35,24 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // oracle_sql.json is written FIRST — it depends only on the
+    // declared pack, never on query results, and a timeout-killed run
+    // that wrote it last would leave the driver's compare with ZERO
+    // usable output even though every completed query's parquet is on
+    // disk (the bench had the same end-of-run-only emission hole,
+    // round 12's rc=124 artifact). Written first, a killed Verify
+    // still yields a partial-but-comparable correctness set.
     val json = SparkEntry.oracleSql.filter(e => keep(e._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    SparkEntry.queries.filter(e => keep(e._1)).foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+      graft.ext.Caches.release(); spark.catalog.clearCache() // free per-query persisted frames
+    }
     spark.stop()
   }
 }
