@@ -346,10 +346,29 @@ object Bench {
     // deliberate degraded-envelope studies; RESEED (healthy anchors
     // only) replaces the committed bands with this run's seeds — the
     // retirement path for polluted hi values.
-    val fp = HostFingerprint.probe()
+    var fp = HostFingerprint.probe()
     val anchorWanted = sys.env.get("SPARK_GRAFT_BENCH_ANCHOR").contains("1")
     val anchorForced =
       sys.env.get("SPARK_GRAFT_BENCH_ANCHOR_FORCE").contains("1")
+    // SPARK_GRAFT_BENCH_WAIT_HEALTHY=N (seconds): in anchor mode, poll
+    // the fingerprint for up to N seconds and start the pack the moment
+    // the host is healthy. Round-13 found this host flipping
+    // pathological FASTER than an sbt+Spark launch (an external
+    // pre-flight probe read 0.29 ms fsync; the in-JVM probe ~2 min
+    // later read 7.99), so pre-flight probes outside the JVM keep
+    // losing the race — polling from the already-warm JVM closes the
+    // probe-to-start gap to ~0.
+    val waitHealthy = sys.env.get("SPARK_GRAFT_BENCH_WAIT_HEALTHY")
+      .flatMap(_.toIntOption).getOrElse(0)
+    if (anchorWanted && waitHealthy > 0 && fp.degraded) {
+      val deadline = System.nanoTime() + waitHealthy * 1000000000L
+      while (fp.degraded && System.nanoTime() < deadline) {
+        System.err.println(s"BENCH WAIT-HEALTHY: degraded ${fp.json}, polling")
+        Thread.sleep(30000)
+        fp = HostFingerprint.probe()
+      }
+      System.err.println(s"BENCH WAIT-HEALTHY done: ${fp.json}")
+    }
     val anchorRun = anchorWanted && (!fp.degraded || anchorForced)
     if (anchorWanted && !anchorRun)
       System.err.println(
