@@ -44,7 +44,18 @@ object BenchBands {
     * query's band; non-anchor runs pass the committed bands through
     * UNTOUCHED (minus queries that left the pack — a stale band would
     * gate nothing and bloat the file forever). Failed runs (s < 0)
-    * never touch a band. */
+    * never touch a band.
+    *
+    * Widening is CLAMPED ([[widenHi]]): the round-13 anchor passed
+    * both fingerprint gates (healthy I/O start AND end) yet mid-run
+    * CPU transients hit a handful of queries (q1 2.6 s vs its 0.19 s
+    * record, 13.7×) — unclamped union would have made exactly those
+    * gates vacuous, the r12 pollution pattern in CPU form. One anchor
+    * may grow a query's hi to at most max(2×hi, hi+0.5 s): a
+    * transient decays instead of persisting, while a GENUINE new cost
+    * level converges geometrically across anchors and keeps flagging
+    * `band_viol` until the band catches up — slow to forgive, loud
+    * meanwhile. */
   def merge(
       old: Map[String, (Double, Double)], results: Seq[(String, Double)],
       anchor: Boolean): Map[String, (Double, Double)] = {
@@ -53,11 +64,15 @@ object BenchBands {
     if (!anchor) kept
     else kept ++ results.filter(_._2 >= 0).map { case (k, s) =>
       kept.get(k) match {
-        case Some((lo, hi)) => k -> (math.min(lo, s), math.max(hi, s))
+        case Some((lo, hi)) => k -> (math.min(lo, s), widenHi(hi, s))
         case None => k -> (s, s)
       }
     }.toMap
   }
+
+  /** One anchor's max hi growth: to `s`, capped at max(2×hi, hi+0.5). */
+  def widenHi(hi: Double, s: Double): Double =
+    if (s <= hi) hi else math.min(s, math.max(hi * 2, hi + 0.5))
 
   /** Queries whose current seconds exceed their committed band by both
     * the relative and absolute gates. */

@@ -130,6 +130,15 @@ class BenchContractSpec extends AnyFunSuite {
     assert(merged("q1_agg") === ((0.5, 2.0)))
     assert(merged("s30_new") === ((1.0, 1.0)))
     assert(merged("d18_semdedup") === ((3.0, 4.5))) // kept, not widened
+    // widening is CLAMPED: one anchor grows hi at most to
+    // max(2x, +0.5s) — a 13.7x mid-run transient (r13 anchor E: q1
+    // 2.6 s vs 0.19 record) must not instantly make the gate vacuous
+    val clamped = BenchBands.merge(
+      Map("q1_agg" -> (0.19, 0.23)), Seq("q1_agg" -> 2.617), anchor = true)
+    assert(clamped("q1_agg") === ((0.19, 0.73))) // 0.23+0.5 > 2x0.23
+    assert(BenchBands.widenHi(3.0, 40.0) === 6.0) // 2x branch
+    assert(BenchBands.widenHi(3.0, 4.0) === 4.0) // within one step
+    assert(BenchBands.widenHi(3.0, 2.0) === 3.0) // never shrinks
     // violations need BOTH gates: >= 1.5x hi AND >= 0.5 s absolute
     val b = Map("fast" -> (0.1, 0.2), "slow" -> (2.0, 3.0))
     assert(BenchBands.violations(b, Seq("fast" -> 0.35)) === Nil) // rel only
