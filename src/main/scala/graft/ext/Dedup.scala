@@ -1325,7 +1325,15 @@ object Dedup {
     val spark = batch.sparkSession
     val invC = spark.read.parquet(s"$dir/postings")
     val sizesC = spark.read.parquet(s"$dir/sizes")
-    val buckC = spark.read.parquet(s"$dir/buckets")
+    val buckC0 = spark.read.parquet(s"$dir/buckets")
+    // logical delete: tombstoned docs stop being CANDIDATES, which is
+    // all that matters — the postings/sizes scans only ever see
+    // candidate ids, so one anti-join covers the whole probe. The
+    // stored bucket_n stays stale until [[minhashIndexCompact]], which
+    // is CONSERVATIVE: a bucket that crossed the cap while its
+    // tombstones were live stays excluded until compaction.
+    val buckC = indexTombstones(spark, dir).fold(buckC0)(t =>
+      buckC0.join(broadcast(t), Seq("id"), "left_anti"))
     val invB = invertedIndex(batch, idCol, textCol, w)
     val sigB = minhashBandsAgg(invB, k, bands)
       .persistRegistered()
@@ -1357,6 +1365,62 @@ object Dedup {
           (col("n_a") + col("n_b") - col("shared")).cast("double"))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** LOGICAL delete from a persisted minhash index — tombstone
+    * sidecar, the way dedup-survivor replacement, takedowns and
+    * right-to-be-forgotten land on an immutable-file index at 100 TB:
+    * the id set APPENDS to `dir/tombstones` (no index file is
+    * touched), and [[minhashProbeIndex]] anti-joins the bucket table
+    * against it so a tombstoned doc stops surfacing immediately.
+    * O(|tombstones|) write, O(index) nothing. The physical rewrite is
+    * deferred to [[minhashIndexCompact]] at maintenance cadence. */
+  def minhashIndexDelete(
+      dir: String, tombstones: DataFrame, idCol: String): Unit =
+    tombstones.select(col(idCol).cast("long").as("id")).distinct()
+      .write.mode("append").parquet(s"$dir/tombstones")
+
+  /** PHYSICAL compaction of a tombstoned minhash index: rewrite
+    * postings/sizes/buckets minus the sidecar, recompute `bucket_n`
+    * from live membership (un-staling the skew cap), clear the
+    * sidecar. Write-to-temp + FS-rename swap per table (the
+    * [[graft.sink.Replacing]] merge discipline) so a reader never
+    * observes a half-written table. After compaction the index is
+    * bit-identical to one freshly built on the surviving corpus
+    * (spec-pinned — postings, sizes, bucket membership and counts are
+    * all per-document or derived from live membership). */
+  def minhashIndexCompact(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    indexTombstones(spark, dir).foreach { t =>
+      val tomb = broadcast(t)
+      def swapWrite(table: String)(f: DataFrame => DataFrame): Unit = {
+        val src = java.nio.file.Paths.get(dir, table)
+        val tmp = java.nio.file.Paths.get(dir, s"$table._compact")
+        f(spark.read.parquet(src.toString))
+          .write.mode("overwrite").parquet(tmp.toString)
+        graft.util.Fs.deleteRecursively(src)
+        java.nio.file.Files.move(tmp, src)
+      }
+      swapWrite("postings")(_.join(tomb, Seq("id"), "left_anti"))
+      swapWrite("sizes")(_.join(tomb, Seq("id"), "left_anti"))
+      swapWrite("buckets") { b =>
+        val live = b.drop("bucket_n").join(tomb, Seq("id"), "left_anti")
+        live.join(
+          live.groupBy("band", "bh").agg(count(lit(1)).as("bucket_n")),
+          Seq("band", "bh"))
+      }
+      graft.util.Fs.deleteRecursively(
+        java.nio.file.Paths.get(dir, "tombstones"))
+    }
+
+  /** The tombstone sidecar, if one exists (id-distinct). */
+  private def indexTombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[DataFrame] = {
+    val p = java.nio.file.Paths.get(dir, "tombstones")
+    if (java.nio.file.Files.isDirectory(p))
+      Some(spark.read.parquet(p.toString).select(col("id")).distinct())
+    else None
   }
 
   // ---- SimHash ----------------------------------------------------------

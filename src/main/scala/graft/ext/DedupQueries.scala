@@ -515,6 +515,38 @@ object DedupQueries {
           round(col("jaccard") * 10000).cast("long").as("jaccard_e4"))
     },
 
+    // INDEX MAINTENANCE on the text side: the d19 persisted index
+    // with the full delete lifecycle driven for real — write the
+    // corpus index, tombstone a pmd5 slice of it (LOGICAL delete: an
+    // id sidecar, no index file touched — how immutable-file indexes
+    // take deletions at 100 TB), COMPACT (physical rewrite minus
+    // tombstones, bucket_n recounted from live membership, rename
+    // swap per table), then probe the arriving batch. The oracle
+    // replays the probe against the surviving corpus — after
+    // compaction the index is bit-identical to a fresh build on the
+    // live docs (spec-pinned), so the whole lifecycle is
+    // hash-certified, not just "tombstones absent".
+    Q("d39_index_tombstone_probe", d39OracleSql) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val corpus = docs.where(col("doc_id") < 250)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-mhidx-tomb")
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => graft.util.Fs.deleteRecursively(tmp)))
+      Dedup.minhashIndexWrite(corpus, "doc_id", "text", tmp.toString)
+      Dedup.minhashIndexDelete(
+        tmp.toString,
+        corpus.where(Dedup.pmd5(col("doc_id")) % 8 === 0)
+          .select(col("doc_id")),
+        "doc_id")
+      Dedup.minhashIndexCompact(s, tmp.toString)
+      Dedup.minhashProbeIndex(
+        docs.where(col("doc_id") >= 250), "doc_id", "text", tmp.toString,
+        threshold = 0.5)
+        .select(col("id_a").as("batch_id"), col("id_b").as("corpus_id"),
+          round(col("jaccard") * 10000).cast("long").as("jaccard_e4"))
+    },
+
     // winnowing near-dup pairs: substring-level detector on the t19
     // fingerprints — a shared run of w+k-1=6 tokens forces a shared
     // fingerprint (MOSS guarantee), at ~2/(w+1) the postings of d5's
@@ -1608,9 +1640,20 @@ object DedupQueries {
     * side's signatures from the full-corpus prefix filtered by id is
     * identical to computing them per side: sig/bnd/buck are all
     * per-document). */
-  private lazy val d19OracleSql: String = {
+  private lazy val d19OracleSql: String = minhashProbeSql("id < 250")
+
+  /** d39 replay: d19's probe with the corpus side cut to the LIVE
+    * docs — after [[Dedup.minhashIndexCompact]] the index is
+    * bit-identical to one built on the surviving corpus, so the
+    * replay is exactly the d19 text with the tombstone predicate on
+    * `bc` (the bucket-cap HAVING recounts live membership, which is
+    * what compaction's recomputed `bucket_n` serves). */
+  private lazy val d39OracleSql: String = minhashProbeSql(
+    s"id < 250 AND ${pmSql("CAST(id AS VARCHAR)")} % 8 <> 0")
+
+  private def minhashProbeSql(corpusPred: String): String = {
     s"""WITH ${minhashReplayCtes()}, bc AS (
-       |  SELECT id, band, bh FROM buck WHERE id < 250
+       |  SELECT id, band, bh FROM buck WHERE $corpusPred
        |), bb AS (
        |  SELECT id, band, bh FROM buck WHERE id >= 250
        |), ok AS (

@@ -51,16 +51,21 @@ object KmeansOracle {
     * `vt`, the final `asg` assigns the FULL corpus. */
   def lloydCtes(
       k: Int = 16, iters: Int = 3, dim: Int = 64, seed: Long = 42L,
-      trainCap: Int = 0): String = {
+      trainCap: Int = 0, trainWhere: String = ""): String = {
     val cap = Similarity.lloydTrainCap(trainCap, k)
     val init = Similarity.initialCentroids(k, dim, seed)
     val c0rows = init.zipWithIndex.map { case (c, i) =>
       s"($i, [${c.mkString(", ")}])"
     }.mkString(",\n    ")
+    // s32's incremental-append replay trains on a RESTRICTED base (the
+    // already-indexed half) while `asg` still assigns the full corpus;
+    // the default empty predicate keeps the d18/s4/s6 oracle text
+    // byte-stable
+    val tw = if (trainWhere.isEmpty) "" else s"\n  WHERE $trainWhere"
     val sb = new StringBuilder
     sb ++= s"""v AS (SELECT vec_id AS id, embedding AS e FROM embeddings),
               |vt AS (
-              |  SELECT id, e FROM v
+              |  SELECT id, e FROM v$tw
               |  ORDER BY ${DedupQueries.pmSql("CAST(id AS VARCHAR)")}, id
               |  LIMIT $cap),
               |cents0(ci, cv) AS (VALUES

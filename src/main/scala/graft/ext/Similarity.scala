@@ -1050,6 +1050,58 @@ object Similarity {
     IvfIndex(cents, spark.read.parquet(s"$dir/assigned"))
   }
 
+  /** Grow an IVF index WITHOUT retraining — the production index-
+    * maintenance path: a 100 TB deployment re-trains centroids at
+    * release cadence (ivfBuild pays the Lloyd passes), but vectors
+    * arrive continuously; each arriving batch is assigned with the
+    * FROZEN centroids ([[assignCells]] — the identical struct-max
+    * expression the build used, so `append(build(old), new).assigned`
+    * row-for-row equals `build-assign(old ∪ new)` under the same
+    * centroids; spec-pinned) and unioned into the cell lists. No
+    * corpus rescan, no shuffle of the existing index: the only work
+    * is |batch|·k centroid scores. Recall drift from a frozen
+    * codebook is what the s26/s31 audits watch at release cadence. */
+  def ivfAppend(
+      index: IvfIndex, arriving: DataFrame,
+      idCol: String, vecCol: String): IvfIndex = {
+    val base = arriving.select(col(idCol).as("id"), col(vecCol).as("v"))
+    IvfIndex(index.centroids,
+      index.assigned.unionByName(assignCells(base, index.centroids)))
+  }
+
+  /** Delete vectors from an IVF index — tombstone propagation (dedup
+    * survivors replacing their duplicates, takedowns, right-to-be-
+    * forgotten): an anti-join of the cell lists against the tombstone
+    * id set. The centroids are untouched (they are statistics, not
+    * members), so serving semantics for every surviving vector are
+    * unchanged — a pruned cell simply promotes the next-best member
+    * into the top-k (spec-pinned). The tombstone side is release-
+    * scale (bounded), so AQE broadcasts it; the index side is never
+    * shuffled. */
+  def ivfDelete(
+      index: IvfIndex, tombstones: DataFrame, idCol: String): IvfIndex =
+    IvfIndex(index.centroids,
+      index.assigned.join(
+        tombstones.select(col(idCol).as("id")).distinct(),
+        Seq("id"), "left_anti"))
+
+  /** [[ivfAppend]] against a PERSISTED index dir ([[ivfIndexWrite]]
+    * layout): arriving vectors are assigned with the frozen on-disk
+    * centroids and APPENDED into the same cell-partitioned parquet —
+    * new files land only under the touched cells' partition
+    * directories, existing files are never rewritten, and a reader's
+    * partition pruning ([[ivfTopKBatch]]'s static cell filter) keeps
+    * working across appends. Append-then-read ≡ in-memory
+    * [[ivfAppend]] (spec-pinned). */
+  def ivfIndexAppend(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      arriving: DataFrame, idCol: String, vecCol: String): Unit = {
+    val idx = ivfIndexRead(spark, dir)
+    val base = arriving.select(col(idCol).as("id"), col(vecCol).as("v"))
+    assignCells(base, idx.centroids)
+      .write.mode("append").partitionBy("c").parquet(s"$dir/assigned")
+  }
+
   def ivfTopK(
       index: IvfIndex, query: Seq[Float], k: Int,
       nProbe: Int = 4): DataFrame = {

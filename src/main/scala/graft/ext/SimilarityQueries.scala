@@ -824,6 +824,57 @@ object SimilarityQueries {
         .select(col("query_id"),
           coalesce(col("_n"), lit(0L)).as("n_hits"),
           (coalesce(col("_n"), lit(0L)) * 1000L).as("recall_e4"))
+    },
+
+    // INDEX MAINTENANCE: grow-without-retrain. A 100 TB deployment
+    // retrains centroids at release cadence but ingests vectors
+    // continuously — the arriving half here is assigned with the
+    // FROZEN centroids ([[Similarity.ivfAppend]]; |batch|·k scores,
+    // no corpus rescan, and on the persisted layout
+    // ([[Similarity.ivfIndexAppend]]) new files land only under the
+    // touched cells' partition dirs). Serving then runs on the grown
+    // index; `from_appended` pins that post-append vectors ARE
+    // retrieved without any retrain. Oracled end to end: Lloyd
+    // replayed on the RESTRICTED training base (the pre-append half),
+    // and because frozen-centroid assignment is one expression over
+    // both halves, the grown cell lists equal the full-corpus `asg`
+    // of that restricted-trained codebook.
+    Q("s32_ivf_append_serve", s32OracleSql) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val half = Dedup.pmd5(col("vec_id")) % 2
+      val idx = Similarity.ivfBuild(emb.where(half === 0),
+        "vec_id", "embedding", dim = Some(64))
+      val grown = Similarity.ivfAppend(
+        idx, emb.where(half === 1), "vec_id", "embedding")
+      val qs = emb.where(
+        Dedup.pmd5(col("vec_id")) % 16 <= 1 &&
+          Similarity.norm(col("embedding")) > 0)
+      Similarity
+        .ivfTopKBatch(grown, qs, "vec_id", "embedding", k = 10, nProbe = 4)
+        .withColumn("from_appended", Dedup.pmd5(col("neighbor_id")) % 2)
+    },
+
+    // INDEX MAINTENANCE: tombstone deletion. Dedup survivor selection,
+    // takedowns and right-to-be-forgotten all end as a tombstone id
+    // set that must stop surfacing from the index WITHOUT a rebuild:
+    // [[Similarity.ivfDelete]] anti-joins the cell lists (centroids
+    // untouched — they are statistics, not members), and a pruned
+    // cell promotes its next-best member into the top-k. The oracle
+    // replays the full build, then serves from `asg` minus the
+    // tombstones — so the promotion semantics are hash-pinned, not
+    // just "tombstones absent".
+    Q("s33_ivf_delete_serve", s33OracleSql) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val idx = Similarity.ivfBuild(emb, "vec_id", "embedding",
+        dim = Some(64))
+      val tomb = emb
+        .where(Dedup.pmd5(col("vec_id")) % 16 === 3).select(col("vec_id"))
+      val pruned = Similarity.ivfDelete(idx, tomb, "vec_id")
+      val qs = emb.where(
+        Dedup.pmd5(col("vec_id")) % 8 === 0 &&
+          Similarity.norm(col("embedding")) > 0)
+      Similarity
+        .ivfTopKBatch(pruned, qs, "vec_id", "embedding", k = 10, nProbe = 4)
     }
   )
 
@@ -1034,6 +1085,96 @@ object SimilarityQueries {
 
   private lazy val s26OracleSql: String = ivfRecallSql(None)
   private lazy val s31OracleSql: String = ivfRecallSql(Some(2))
+
+  /** s32/s33 replay: SERVING ROWS (query_id, neighbor_id, cos_e6)
+    * from an IVF index after a maintenance step.
+    *
+    *  - `trainWhere` restricts the Lloyd TRAINING base (s32: the
+    *    index was trained before the appended half existed). `asg`
+    *    still assigns the FULL corpus — frozen-centroid append
+    *    assignment is the same struct-max expression over both
+    *    halves, so the grown cell lists ARE the full-corpus
+    *    assignment of the restricted-trained codebook.
+    *  - `liveWhere` cuts tombstoned members out of the servable cell
+    *    lists (s33); empty ⇒ all of `asg` serves.
+    *  - `qsWhere` picks the pmd5-sampled query batch (zero-norm gated
+    *    like every serving path).
+    *  - `fromAppended` adds s32's provenance column.
+    *
+    * Contracts mirrored from the engine: probe ranking `sc DESC, ci
+    * ASC` LIMIT 4 (the s24 contract), member ranking `cos6 DESC, id
+    * ASC` ≡ BoundedTopK's (e6 DESC, id ASC) (round(·,6) then ·10⁶ is
+    * order-preserving), NaN-scored members dropped BEFORE ranking
+    * (perQueryTopK maps NaN → null and BoundedTopK skips nulls). */
+  private def ivfServeSql(
+      trainWhere: String, liveWhere: String, qsWhere: String,
+      fromAppended: Boolean): String = {
+    val dim = 64
+    def cos6(vec: String, q: String): String =
+      s"""round(
+         |      list_sum(list_transform(range(1, ${dim + 1}),
+         |        i -> CAST($vec[i] AS DOUBLE) * CAST($q[i] AS DOUBLE)))
+         |      / (sqrt(list_sum(list_transform($vec,
+         |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |         * sqrt(list_sum(list_transform($q,
+         |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         |      6)""".stripMargin
+    val live =
+      if (liveWhere.isEmpty) "SELECT id, e, ci FROM asg"
+      else s"SELECT id, e, ci FROM asg\n  WHERE $liveWhere"
+    val fromAppendedCol =
+      if (!fromAppended) ""
+      else s""",
+         |  ${DedupQueries.pmSql("CAST(cid AS VARCHAR)")} % 2
+         |    AS from_appended""".stripMargin
+    s"""WITH ${KmeansOracle.lloydCtes(trainWhere = trainWhere)},
+       |qs AS (
+       |  SELECT id AS qid, e AS qv FROM v
+       |  WHERE $qsWhere
+       |    AND sqrt(list_sum(list_transform(e,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0
+       |), live AS (
+       |  $live
+       |), pr AS (
+       |  SELECT qid, ci FROM (
+       |    SELECT q.qid, c.ci,
+       |      row_number() OVER (PARTITION BY q.qid ORDER BY
+       |        list_sum(list_transform(range(1, ${dim + 1}),
+       |          i -> c.cv[i] * CAST(q.qv[i] AS DOUBLE)))
+       |        / greatest(sqrt(list_sum(list_transform(q.qv,
+       |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 1e-12)
+       |        DESC, c.ci ASC) AS rn
+       |    FROM qs q, cents3 c)
+       |  WHERE rn <= 4
+       |), ap AS (
+       |  SELECT qid, cid, c6 FROM (
+       |    SELECT qid, cid, c6,
+       |      row_number() OVER (PARTITION BY qid
+       |        ORDER BY c6 DESC, cid ASC) AS rn
+       |    FROM (
+       |      SELECT p.qid, a.id AS cid, ${cos6("a.e", "q.qv")} AS c6
+       |      FROM pr p
+       |      JOIN live a ON a.ci = p.ci
+       |      JOIN qs q ON q.qid = p.qid)
+       |    WHERE NOT isnan(c6))
+       |  WHERE rn <= 10
+       |)
+       |SELECT qid AS query_id, cid AS neighbor_id,
+       |  CAST(round(c6 * 1000000) AS BIGINT) AS cos_e6$fromAppendedCol
+       |FROM ap""".stripMargin
+  }
+
+  private lazy val s32OracleSql: String = ivfServeSql(
+    trainWhere = s"${DedupQueries.pmSql("CAST(id AS VARCHAR)")} % 2 = 0",
+    liveWhere = "",
+    qsWhere = s"${DedupQueries.pmSql("CAST(id AS VARCHAR)")} % 16 <= 1",
+    fromAppended = true)
+
+  private lazy val s33OracleSql: String = ivfServeSql(
+    trainWhere = "",
+    liveWhere = s"${DedupQueries.pmSql("CAST(id AS VARCHAR)")} % 16 <> 3",
+    qsWhere = s"${DedupQueries.pmSql("CAST(id AS VARCHAR)")} % 8 = 0",
+    fromAppended = false)
 
   /** s25 replay: exact top-10 with ranks (the graded relevance), the
     * s4 IVF top-10 with positions, the shared log2-discounted gain in

@@ -58,6 +58,53 @@ class DedupSpec extends SparkSpec {
     assert(cross === full)
   }
 
+  test("minhash index tombstone lifecycle: logical delete stops serving " +
+    "immediately, compaction equals a fresh build on the live corpus") {
+    import graft.util.Fs
+    val corpusSide = corpus.where(col("doc_id") < 100)
+    val batch = corpus.where(col("doc_id") >= 100)
+    val dir = java.nio.file.Files.createTempDirectory("graft-mh-tomb").toString
+    Dedup.minhashIndexWrite(corpusSide, "doc_id", "text", dir)
+    def probe(d: String): Map[(Long, Long), Double] =
+      Dedup.minhashProbeIndex(batch, "doc_id", "text", d, threshold = 0.5)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+        .toMap
+    val before = probe(dir)
+    assert(before.contains((100L, 0L)) && before.contains((206L, 6L)))
+    // LOGICAL delete: sidecar only — victims stop surfacing at once
+    val victims = Set(0L, 6L)
+    Dedup.minhashIndexDelete(
+      dir, victims.toSeq.toDF("doc_id"), "doc_id")
+    val logical = probe(dir)
+    assert(logical.keys.forall { case (_, b) => !victims.contains(b) })
+    // and nothing else changed: identical to a fresh index on the
+    // survivors (no bucket in this corpus is near the cap, so the
+    // stale-bucket_n conservatism cannot bite)
+    val freshDir = java.nio.file.Files
+      .createTempDirectory("graft-mh-fresh").toString
+    Dedup.minhashIndexWrite(
+      corpusSide.where(!col("doc_id").isin(victims.toSeq: _*)),
+      "doc_id", "text", freshDir)
+    assert(logical === probe(freshDir))
+    // COMPACT: physical rewrite — sidecar cleared, tables equal the
+    // fresh build's (postings/sizes/buckets incl. recounted bucket_n)
+    Dedup.minhashIndexCompact(spark, dir)
+    assert(!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(dir, "tombstones")))
+    assert(probe(dir) === logical)
+    def rows(d: String, t: String, cols: Seq[String]): Set[Seq[Any]] =
+      spark.read.parquet(s"$d/$t").select(cols.map(col): _*)
+        .collect().map(_.toSeq).toSet
+    for ((t, cs) <- Seq(
+        "postings" -> Seq("id", "g"),
+        "sizes" -> Seq("id", "n"),
+        "buckets" -> Seq("id", "band", "bh", "bucket_n")))
+      assert(rows(dir, t, cs) === rows(freshDir, t, cs), t)
+    Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+    Fs.deleteRecursively(java.nio.file.Paths.get(freshDir))
+    graft.ext.Caches.release()
+  }
+
   test("persisted IVF index: centroids round-trip exactly, probe equals " +
     "in-memory, cell filter prunes partitions") {
     val dim = 16
@@ -97,6 +144,79 @@ class DedupSpec extends SparkSpec {
       === graft.ext.Similarity
         .ivfTopKBatch(idx, batch, "vec_id", "embedding", k = 3, nProbe = 2)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted)
+    graft.ext.Caches.release()
+  }
+
+  test("IVF index maintenance: frozen-centroid append equals one-shot " +
+    "assignment, persisted append reads back identically, delete " +
+    "promotes the next-best member") {
+    val dim = 16
+    val vecs = (0 until 120).map { i =>
+      (i.toLong, Seq.tabulate(dim)(j => math.sin(i / 12 * 17.0 + j).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val idx = Similarity.ivfBuild(
+      df.where(col("vec_id") < 80), "vec_id", "embedding",
+      k = 8, dim = Some(dim))
+    val grown = Similarity.ivfAppend(
+      idx, df.where(col("vec_id") >= 80), "vec_id", "embedding")
+    def cells(i: Similarity.IvfIndex): Set[(Long, Int)] =
+      i.assigned.select(col("id").cast("long"), col("c"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // append-without-retrain ≡ assigning the full corpus in one shot
+    // under the SAME centroids (the identical struct-max expression
+    // runs over both halves)
+    val oneShot = Similarity.IvfIndex(
+      idx.centroids,
+      Similarity.assignCells(
+        df.select(col("vec_id").as("id"), col("embedding").as("v")),
+        idx.centroids))
+    assert(grown.centroids === idx.centroids)
+    assert(cells(grown) === cells(oneShot))
+    assert(cells(grown).size === 120)
+    // persisted form: append lands in the same cell-partitioned layout
+    // and reads back as the in-memory grown index
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfapp").toString
+    Similarity.ivfIndexWrite(idx, dir)
+    Similarity.ivfIndexAppend(
+      spark, dir, df.where(col("vec_id") >= 80), "vec_id", "embedding")
+    val disk = Similarity.ivfIndexRead(spark, dir)
+    assert(disk.centroids === grown.centroids)
+    assert(cells(disk) === cells(grown))
+    val batch = df.where(col("vec_id").isin(0L, 40L, 95L))
+    def serve(i: Similarity.IvfIndex, k: Int) = Similarity
+      .ivfTopKBatch(i, batch, "vec_id", "embedding", k = k, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, -t._3, t._2))
+    assert(serve(disk, 4).toSeq === serve(grown, 4).toSeq)
+    // a post-append vector is retrievable: 95's identical twins (the
+    // fixture's i/12 grouping makes 84..95 one vector) are ALL in the
+    // appended half, so its exact matches (cos_e6 = 10^6) can only be
+    // served if appended vectors entered the cell lists
+    assert(serve(grown, 4).exists { case (q, n, c) =>
+      q == 95L && n >= 80L && c == 1000000L })
+    // tombstone delete: the victim stops surfacing and the NEXT-BEST
+    // member is promoted — pruned top-(k-1) per query = original top-k
+    // minus the tombstones (same order), never a full-rank change
+    val top4 = serve(grown, 4)
+    val victims = top4.groupBy(_._1).map { case (_, rs) =>
+      rs.maxBy(_._3)._2 // each query's best neighbor
+    }.toSet
+    val pruned = Similarity.ivfDelete(
+      grown, victims.toSeq.toDF("vec_id"), "vec_id")
+    val served = serve(pruned, 3)
+    assert(served.forall { case (_, n, _) => !victims.contains(n) })
+    // per query: the pruned top-3 starts with exactly the original
+    // top-4 minus the tombstones (a query may lose >1 victim to its
+    // top-4 — then the surviving prefix is shorter and the tail is
+    // freshly promoted, which is the point)
+    val servedByQ = served.groupBy(_._1)
+    top4.filterNot { case (_, n, _) => victims.contains(n) }
+      .groupBy(_._1).foreach { case (q, rs) =>
+        val expectQ = rs.sortBy(t => (-t._3, t._2)).take(3).toSeq
+        val servedQ = servedByQ(q).sortBy(t => (-t._3, t._2)).toSeq
+        assert(servedQ.take(expectQ.size) === expectQ, s"query $q")
+      }
     graft.ext.Caches.release()
   }
 
