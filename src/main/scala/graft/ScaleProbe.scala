@@ -32,6 +32,8 @@ object ScaleProbe {
     if (args.contains("d18dbg")) { probeD18dbg(spark); spark.stop(); return }
     if (args.contains("r12")) { probeR12(spark); spark.stop(); return }
     if (args.contains("s31")) { probeS31(spark); spark.stop(); return }
+    if (args.contains("maint")) { probeMaint(spark); spark.stop(); return }
+    if (args.contains("s33dbg")) { probeS33dbg(spark); spark.stop(); return }
     val docs1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .select(col("doc_id"), col("text"))
     // 10x: replicate with distinct ids and a per-copy suffix token so
@@ -417,6 +419,143 @@ object ScaleProbe {
       time("100x(200k) s26 full m3200") { audit(v100, 3200L, None) }
       time("100x(200k) s31 corpusMod2 m3200") { audit(v100, 3200L, Some(2)) }
     } finally dirs.foreach(graft.util.Fs.deleteRecursively)
+  }
+
+  /** Round-13 maintenance probe: the append-vs-rebuild price of the
+    * IVF index (s32's 100 TB claim — append cost ∝ batch, rebuild
+    * cost ∝ corpus) and the minhash tombstone lifecycle's probe
+    * overhead + compaction price (d39). Corpus = r replicas of the
+    * sf0.1 embeddings; the arriving batch = ONE further replica
+    * (1/r of the grown corpus — a daily-increment shape at 10×, a
+    * 1% trickle at 100×). */
+  private def probeMaint(spark: SparkSession): Unit = {
+    val vecs1 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$name%-44s ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
+      graft.ext.Caches.release(); spark.catalog.clearCache()
+    }
+    val dirs = collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    try {
+      for (r <- Seq(10, 100)) {
+        val all = matTo(spark, dirs, repVecsFrom(vecs1, r + 1), s"maint-$r")
+        val cut = r * 1000000L
+        val corpus = all.where(col("vec_id") < cut)
+        val batch = all.where(col("vec_id") >= cut)
+        println(s"${r}x corpus = ${corpus.count()}, batch = ${batch.count()}")
+        var idx: graft.ext.Similarity.IvfIndex = null
+        time(s"${r}x ivfBuild(corpus) [release build]") {
+          idx = graft.ext.Similarity.ivfBuild(
+            corpus, "vec_id", "embedding", dim = Some(64))
+          idx.assigned.count()
+        }
+        val idir = java.nio.file.Files.createTempDirectory(s"maint-idx-$r")
+        dirs += idir
+        graft.ext.Similarity.ivfIndexWrite(idx, idir.toString)
+        time(s"${r}x ivfIndexAppend(batch) [maintenance]") {
+          graft.ext.Similarity.ivfIndexAppend(
+            spark, idir.toString, batch, "vec_id", "embedding")
+          spark.read.parquet(s"$idir/assigned").count()
+        }
+        time(s"${r}x ivfBuild(corpus+batch) [naive rebuild]") {
+          graft.ext.Similarity.ivfBuild(
+            all, "vec_id", "embedding", dim = Some(64)).assigned.count()
+        }
+        // the grown persisted index serves (partition-pruned)
+        val grown = graft.ext.Similarity.ivfIndexRead(spark, idir.toString)
+        val qs = all.where(graft.ext.Dedup.pmd5(col("vec_id")) % (32L * r) === 0)
+        time(s"${r}x serve grown (q=|${32 * r}-mod batch|)") {
+          graft.ext.Similarity.ivfTopKBatch(
+            grown, qs, "vec_id", "embedding", k = 10, nProbe = 4).count()
+        }
+      }
+      // minhash tombstone lifecycle at 10x docs
+      val docs1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val d10 = matTo(spark, dirs, repDocsFrom(docs1, 10), "maint-docs10")
+      val corpusD = d10.where(col("doc_id") < 9000000L)
+      val batchD = d10.where(col("doc_id") >= 9000000L)
+      println(s"10x docs corpus = ${corpusD.count()}, batch = ${batchD.count()}")
+      val mdir = java.nio.file.Files.createTempDirectory("maint-mh")
+      dirs += mdir
+      time("10x minhashIndexWrite(corpus)") {
+        graft.ext.Dedup.minhashIndexWrite(
+          corpusD, "doc_id", "text", mdir.toString)
+        spark.read.parquet(s"$mdir/buckets").count()
+      }
+      time("10x probe (no tombstones)") {
+        graft.ext.Dedup.minhashProbeIndex(
+          batchD, "doc_id", "text", mdir.toString).count()
+      }
+      time("10x minhashIndexDelete (1/16 of corpus)") {
+        graft.ext.Dedup.minhashIndexDelete(
+          mdir.toString,
+          corpusD.where(graft.ext.Dedup.pmd5(col("doc_id")) % 16 === 0)
+            .select(col("doc_id")),
+          "doc_id")
+        1L
+      }
+      time("10x probe (tombstone sidecar live)") {
+        graft.ext.Dedup.minhashProbeIndex(
+          batchD, "doc_id", "text", mdir.toString).count()
+      }
+      time("10x minhashIndexCompact") {
+        graft.ext.Dedup.minhashIndexCompact(spark, mdir.toString)
+        spark.read.parquet(s"$mdir/buckets").count()
+      }
+      time("10x probe (post-compaction)") {
+        graft.ext.Dedup.minhashProbeIndex(
+          batchD, "doc_id", "text", mdir.toString).count()
+      }
+    } finally dirs.foreach(graft.util.Fs.deleteRecursively)
+  }
+
+  /** Timing decomposition of s33 (delete-serve): where do the seconds
+    * go relative to s26-style serving on the unpruned index? */
+  private def probeS33dbg(spark: SparkSession): Unit = {
+    val emb = graft.query.Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$name%-40s ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
+      graft.ext.Caches.release(); spark.catalog.clearCache()
+    }
+    var idx: graft.ext.Similarity.IvfIndex = null
+    time("ivfBuild") {
+      idx = graft.ext.Similarity.ivfBuild(emb, "vec_id", "embedding", dim = Some(64))
+      0L
+    }
+    val qs = emb.where(
+      graft.ext.Dedup.pmd5(col("vec_id")) % 8 === 0 &&
+        graft.ext.Similarity.norm(col("embedding")) > 0)
+    time("serve unpruned") {
+      graft.ext.Similarity.ivfTopKBatch(idx, qs, "vec_id", "embedding",
+        k = 10, nProbe = 4).count()
+    }
+    time("serve unpruned warm") {
+      graft.ext.Similarity.ivfTopKBatch(idx, qs, "vec_id", "embedding",
+        k = 10, nProbe = 4).count()
+    }
+    time("serve unpruned warm persisted-assigned") {
+      val p = graft.ext.Caches.persisted(idx.assigned)
+      try graft.ext.Similarity.ivfTopKBatch(idx.copy(assigned = p), qs,
+        "vec_id", "embedding", k = 10, nProbe = 4).count()
+      finally graft.ext.Caches.release()
+    }
+    val tomb = emb.where(graft.ext.Dedup.pmd5(col("vec_id")) % 16 === 3)
+      .select(col("vec_id"))
+    val pruned = graft.ext.Similarity.ivfDelete(idx, tomb, "vec_id")
+    time("assigned.count pruned") { pruned.assigned.count() }
+    time("serve pruned") {
+      graft.ext.Similarity.ivfTopKBatch(pruned, qs, "vec_id", "embedding",
+        k = 10, nProbe = 4).count()
+    }
+    time("serve pruned again") {
+      graft.ext.Similarity.ivfTopKBatch(pruned, qs, "vec_id", "embedding",
+        k = 10, nProbe = 4).count()
+    }
+    println(graft.ext.Similarity.ivfTopKBatch(pruned, qs, "vec_id",
+      "embedding", k = 10, nProbe = 4).queryExecution.executedPlan.toString.take(6000))
   }
 
   private def repDocsFrom(

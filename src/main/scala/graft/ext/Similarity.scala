@@ -1075,14 +1075,18 @@ object Similarity {
     * id set. The centroids are untouched (they are statistics, not
     * members), so serving semantics for every surviving vector are
     * unchanged — a pruned cell simply promotes the next-best member
-    * into the top-k (spec-pinned). The tombstone side is release-
-    * scale (bounded), so AQE broadcasts it; the index side is never
-    * shuffled. */
+    * into the top-k (spec-pinned). The tombstone side is BROADCAST
+    * explicitly — the index side is corpus-scale and must NEVER
+    * shuffle for a delete (an un-hinted sort-merge anti-join would
+    * exchange the whole index, the one plan shape that cannot
+    * survive 100 TB); tombstone sets are release-scale (takedown /
+    * survivor lists), and one too large to broadcast should be
+    * applied in broadcastable slices. */
   def ivfDelete(
       index: IvfIndex, tombstones: DataFrame, idCol: String): IvfIndex =
     IvfIndex(index.centroids,
       index.assigned.join(
-        tombstones.select(col(idCol).as("id")).distinct(),
+        broadcast(tombstones.select(col(idCol).as("id")).distinct()),
         Seq("id"), "left_anti"))
 
   /** [[ivfAppend]] against a PERSISTED index dir ([[ivfIndexWrite]]

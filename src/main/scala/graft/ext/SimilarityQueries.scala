@@ -844,8 +844,14 @@ object SimilarityQueries {
       val half = Dedup.pmd5(col("vec_id")) % 2
       val idx = Similarity.ivfBuild(emb.where(half === 0),
         "vec_id", "embedding", dim = Some(64))
-      val grown = Similarity.ivfAppend(
+      // maintenance emits a MATERIALIZED index (ivfIndexAppend in
+      // production; the cached twin here): serving from a live
+      // assignment expression would re-evaluate the k-centroid
+      // struct-max inside the serving stage — measured 3.6× slower
+      // (ScaleProbe s33dbg: 6.7 → 1.85 s)
+      val grown0 = Similarity.ivfAppend(
         idx, emb.where(half === 1), "vec_id", "embedding")
+      val grown = grown0.copy(assigned = Caches.persisted(grown0.assigned))
       val qs = emb.where(
         Dedup.pmd5(col("vec_id")) % 16 <= 1 &&
           Similarity.norm(col("embedding")) > 0)
@@ -869,7 +875,11 @@ object SimilarityQueries {
         dim = Some(64))
       val tomb = emb
         .where(Dedup.pmd5(col("vec_id")) % 16 === 3).select(col("vec_id"))
-      val pruned = Similarity.ivfDelete(idx, tomb, "vec_id")
+      // materialized-maintenance discipline (see s32): serve from the
+      // cached pruned index, not a live assignment expression
+      val pruned0 = Similarity.ivfDelete(idx, tomb, "vec_id")
+      val pruned = pruned0.copy(
+        assigned = Caches.persisted(pruned0.assigned))
       val qs = emb.where(
         Dedup.pmd5(col("vec_id")) % 8 === 0 &&
           Similarity.norm(col("embedding")) > 0)
