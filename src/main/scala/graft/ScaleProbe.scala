@@ -470,6 +470,32 @@ object ScaleProbe {
             grown, qs, "vec_id", "embedding", k = 10, nProbe = 4).count()
         }
       }
+      // corpus-pinned k (the semDedup regime, k = n/128 at 100x):
+      // THIS is where append-vs-rebuild separates — assignment work is
+      // n·~3√k·d routed, so a rebuild pays it over the whole corpus
+      // while the maintenance path pays it over the arriving batch
+      // only (flat |batch|·k broadcast-join scoring here: exact, and
+      // at batch scale the n·k term is the cheap one)
+      locally {
+        val all = matTo(spark, dirs, repVecsFrom(vecs1, 101), "maint-k100")
+        val cut = 100 * 1000000L
+        val corpus = all.where(col("vec_id") < cut)
+        val batch = all.where(col("vec_id") >= cut)
+        val k = (corpus.count() / 128).toInt
+        var idx: graft.ext.Similarity.IvfIndex = null
+        time(s"100x k=$k routed ivfBuild(corpus) [rebuild price]") {
+          idx = graft.ext.Similarity.ivfBuild(
+            corpus, "vec_id", "embedding", k = k, dim = Some(64))
+          idx.assigned.count()
+        }
+        // time ONLY the append-side work (counting the ivfAppend union
+        // would lazily re-evaluate the corpus side's assignment too)
+        time(s"100x k=$k append assign(batch) [maintenance]") {
+          graft.ext.Similarity.assignCells(
+            batch.select(col("vec_id").as("id"), col("embedding").as("v")),
+            idx.centroids).count()
+        }
+      }
       // minhash tombstone lifecycle at 10x docs
       val docs1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
         .select(col("doc_id"), col("text"))

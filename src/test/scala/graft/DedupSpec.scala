@@ -58,6 +58,60 @@ class DedupSpec extends SparkSpec {
     assert(cross === full)
   }
 
+  test("persisted IVF tombstones: sidecar delete serves immediately, " +
+    "compaction rewrites ONLY the affected cell directories") {
+    import scala.jdk.CollectionConverters._
+    val dim = 16
+    val vecs = (0 until 120).map { i =>
+      (i.toLong, Seq.tabulate(dim)(j => math.sin(i / 12 * 17.0 + j).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val idx = Similarity.ivfBuild(
+      df, "vec_id", "embedding", k = 8, dim = Some(dim))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivftomb").toString
+    Similarity.ivfIndexWrite(idx, dir)
+    def cells(i: Similarity.IvfIndex): Set[(Long, Int)] =
+      i.assigned.select(col("id").cast("long"), col("c"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val victims = Seq(0L, 60L)
+    val expect = cells(Similarity.ivfDelete(
+      idx, victims.toDF("vec_id"), "vec_id"))
+    // LOGICAL: sidecar only — read-back already excludes the victims
+    Similarity.ivfIndexDelete(dir, victims.toDF("vec_id"), "vec_id")
+    assert(cells(Similarity.ivfIndexRead(spark, dir)) === expect)
+    // which cells hold the victims? everything else must not be touched
+    val affected = cells(idx).filter(e => victims.contains(e._1)).map(_._2)
+    def listing(): Map[String, Set[String]] = {
+      val root = java.nio.file.Paths.get(dir, "assigned")
+      val walk = java.nio.file.Files.list(root)
+      try walk.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("c="))
+        .map { p =>
+          val files = java.nio.file.Files.list(p)
+          try p.getFileName.toString ->
+            files.iterator().asScala.map(_.getFileName.toString)
+              .filter(_.endsWith(".parquet")).toSet
+          finally files.close()
+        }.toMap
+      finally walk.close()
+    }
+    val before = listing()
+    Similarity.ivfIndexCompact(spark, dir)
+    val after = listing()
+    assert(!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(dir, "tombstones")))
+    assert(cells(Similarity.ivfIndexRead(spark, dir)) === expect)
+    for ((cdir, files) <- before) {
+      val c = cdir.stripPrefix("c=").toInt
+      if (affected.contains(c))
+        assert(after(cdir) !== files, s"$cdir should have been rewritten")
+      else
+        assert(after(cdir) === files, s"$cdir must be untouched bytes")
+    }
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+    graft.ext.Caches.release()
+  }
+
   test("minhash index tombstone lifecycle: logical delete stops serving " +
     "immediately, compaction equals a fresh build on the live corpus") {
     import graft.util.Fs
