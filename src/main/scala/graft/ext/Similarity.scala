@@ -1096,6 +1096,57 @@ object Similarity {
         java.nio.file.Paths.get(dir, "tombstones"))
     }
 
+  /** [[ivfIndexAppend]] made IDEMPOTENT — the foreachBatch unit: a
+    * retried micro-batch must not double-append its vectors into the
+    * cell lists (plain `mode("append")` would). Discipline: assign
+    * the batch with the frozen centroids, find which of its ids are
+    * ALREADY in the index with one PARTITION-PRUNED scan of the
+    * touched cells (the batch's id set broadcasts onto the scan;
+    * output is bounded by the batch), anti-join them out, append the
+    * remainder. The index is only ever scanned (pruned), never
+    * shuffled; all join sides that move are batch-scale. */
+  def ivfIndexAppendIdempotent(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      arriving: DataFrame, idCol: String, vecCol: String): Unit = {
+    val idx = ivfIndexRead(spark, dir)
+    val base = arriving.select(
+      col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val assigned = Caches.persisted(assignCells(base, idx.centroids))
+    try {
+      val cells = assigned.select(col("c")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      if (cells.nonEmpty) {
+        val existing = spark.read.parquet(s"$dir/assigned")
+          .where(col("c").isin(cells.map(c => c: Any): _*))
+        val dup = existing
+          .join(broadcast(assigned.select(col("id"))), Seq("id"))
+          .select(col("id")).distinct()
+        assigned.join(broadcast(dup), Seq("id"), "left_anti")
+          .write.mode("append").partitionBy("c").parquet(s"$dir/assigned")
+      }
+    } finally assigned.unpersist()
+  }
+
+  /** Streaming index ingestion — the stream side of the maintenance
+    * path: every arriving micro-batch of vectors is appended to the
+    * persisted index under the FROZEN on-disk centroids
+    * ([[ivfIndexAppendIdempotent]] per batch, so sink retries are
+    * safe). Recall drift from the frozen codebook is watched by the
+    * s26/s31 audits (and online by the d38-style monitors); retrain
+    * at release cadence replaces the index artifact wholesale. A
+    * missing index fails at stream CONSTRUCTION, not per batch. */
+  def ivfIndexIngestStream(
+      vectors: DataFrame, idCol: String, vecCol: String, dir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(dir, "centroids")),
+      s"ivfIndexIngestStream: no IVF index at $dir (expected " +
+        "centroids/assigned from ivfIndexWrite)")
+    vectors.writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+      ivfIndexAppendIdempotent(b.sparkSession, dir, b, idCol, vecCol)
+    }
+  }
+
   /** The persisted index's tombstone sidecar, if present. */
   private def ivfTombstones(
       spark: org.apache.spark.sql.SparkSession,

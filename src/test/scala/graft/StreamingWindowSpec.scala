@@ -223,6 +223,47 @@ class StreamingWindowSpec extends SparkSpec {
     assert(hits.toMap === oneShot)
   }
 
+  test("streaming IVF ingestion: micro-batch appends under frozen " +
+    "centroids equal the one-shot append; batch retry is idempotent") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val seed = emb.where(col("vec_id") % 2 === 0)
+    val arriving = emb.where(col("vec_id") % 2 === 1)
+    val idx = graft.ext.Similarity.ivfBuild(
+      seed, "vec_id", "embedding", dim = Some(64))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfstream")
+    graft.ext.Similarity.ivfIndexWrite(idx, dir.toString)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-ivfsrc")
+    arriving.repartition(3).write.mode("overwrite").parquet(streamDir.toString)
+    val schema = spark.read.parquet(streamDir.toString).schema
+    val q = graft.ext.Similarity.ivfIndexIngestStream(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(streamDir.toString),
+      "vec_id", "embedding", dir.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def cells(d: String): Set[(Long, Int)] =
+      spark.read.parquet(s"$d/assigned")
+        .select(col("id").cast("long"), col("c"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // streamed ingestion == the one-shot batch append
+    val oneDir = java.nio.file.Files.createTempDirectory("graft-ivfoneshot")
+    graft.ext.Similarity.ivfIndexWrite(idx, oneDir.toString)
+    graft.ext.Similarity.ivfIndexAppend(
+      spark, oneDir.toString, arriving, "vec_id", "embedding")
+    assert(cells(dir.toString) === cells(oneDir.toString))
+    // a re-delivered batch appends NOTHING (the foreachBatch retry)
+    val before = cells(dir.toString)
+    graft.ext.Similarity.ivfIndexAppendIdempotent(
+      spark, dir.toString, arriving.limit(20), "vec_id", "embedding")
+    assert(cells(dir.toString) === before)
+    graft.util.Fs.deleteRecursively(dir)
+    graft.util.Fs.deleteRecursively(oneDir)
+    graft.util.Fs.deleteRecursively(streamDir)
+    graft.ext.Caches.release()
+  }
+
   test("streaming DSIR scoring: per-micro-batch scores under a " +
     "persisted model equal the batch scores") {
     // the train-once / score-stream wire: the B-row model computes on
