@@ -489,9 +489,11 @@ object ScaleProbe {
           idx.assigned.count()
         }
         // time ONLY the append-side work (counting the ivfAppend union
-        // would lazily re-evaluate the corpus side's assignment too)
+        // would lazily re-evaluate the corpus side's assignment too);
+        // assignWithBuildRegime routes here (k > 256) exactly like the
+        // build's own final assignment pass — same cells, ~3√k scores
         time(s"100x k=$k append assign(batch) [maintenance]") {
-          graft.ext.Similarity.assignCells(
+          graft.ext.Similarity.assignWithBuildRegime(
             batch.select(col("vec_id").as("id"), col("embedding").as("v")),
             idx.centroids).count()
         }

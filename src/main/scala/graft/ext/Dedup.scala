@@ -1383,9 +1383,13 @@ object Dedup {
   /** PHYSICAL compaction of a tombstoned minhash index: rewrite
     * postings/sizes/buckets minus the sidecar, recompute `bucket_n`
     * from live membership (un-staling the skew cap), clear the
-    * sidecar. Write-to-temp + FS-rename swap per table (the
-    * [[graft.sink.Replacing]] merge discipline) so a reader never
-    * observes a half-written table. After compaction the index is
+    * sidecar. Each table rewrites through
+    * [[graft.util.Fs.rewriteSwap]] — write-to-`._swap`, retire,
+    * promote — which is crash-COMPLETABLE rather than atomic (see its
+    * doc for the crash matrix); the sidecar is the done-marker and
+    * clears LAST, so an interrupted compact re-runs in full and each
+    * per-table rewrite is idempotent (an already-scrubbed table
+    * anti-joins to itself). After compaction the index is
     * bit-identical to one freshly built on the surviving corpus
     * (spec-pinned — postings, sizes, bucket membership and counts are
     * all per-document or derived from live membership). */
@@ -1393,14 +1397,9 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
     indexTombstones(spark, dir).foreach { t =>
       val tomb = broadcast(t)
-      def swapWrite(table: String)(f: DataFrame => DataFrame): Unit = {
-        val src = java.nio.file.Paths.get(dir, table)
-        val tmp = java.nio.file.Paths.get(dir, s"$table._compact")
-        f(spark.read.parquet(src.toString))
-          .write.mode("overwrite").parquet(tmp.toString)
-        graft.util.Fs.deleteRecursively(src)
-        java.nio.file.Files.move(tmp, src)
-      }
+      def swapWrite(table: String)(f: DataFrame => DataFrame): Unit =
+        graft.util.Fs.rewriteSwap(
+          spark, java.nio.file.Paths.get(dir, table))(f)
       swapWrite("postings")(_.join(tomb, Seq("id"), "left_anti"))
       swapWrite("sizes")(_.join(tomb, Seq("id"), "left_anti"))
       swapWrite("buckets") { b =>

@@ -15,6 +15,23 @@ object DedupQueries {
     * inverted-index shuffle per pack run instead of three.
     * `maxPostings = Int.MaxValue` because the DuckDB oracles replay
     * the uncapped join (the d5 contract); production callers cap. */
+  /** Session-lifetime scratch dirs (d39's per-invocation index
+    * lifecycle): all registered under ONE shutdown hook — a hook (and
+    * an undeleted dir) per bench iteration would otherwise accumulate
+    * for the JVM's life. */
+  private val scratchDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  private lazy val scratchHook: Unit = Runtime.getRuntime.addShutdownHook(
+    new Thread(() => {
+      scratchDirs.forEach(p => graft.util.Fs.deleteRecursively(p))
+    }))
+  private def scratchDir(prefix: String): java.nio.file.Path = {
+    scratchHook
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.add(p)
+    p
+  }
+
   private val edgeArtifacts =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def sharedEdges(
@@ -529,10 +546,10 @@ object DedupQueries {
     Q("d39_index_tombstone_probe", d39OracleSql) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
       val corpus = docs.where(col("doc_id") < 250)
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-mhidx-tomb")
-      Runtime.getRuntime.addShutdownHook(
-        new Thread(() => graft.util.Fs.deleteRecursively(tmp)))
+      // fresh dir per invocation — the lifecycle IS the operator under
+      // test, so it must run (and be timed) every call; cleanup goes
+      // through ONE shared hook (scratchDir), not a hook per call
+      val tmp = scratchDir("graft-mhidx-tomb")
       Dedup.minhashIndexWrite(corpus, "doc_id", "text", tmp.toString)
       Dedup.minhashIndexDelete(
         tmp.toString,

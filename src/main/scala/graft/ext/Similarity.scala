@@ -1035,7 +1035,12 @@ object Similarity {
     index.centroids.zipWithIndex.map { case (v, c) => (c, v) }
       .toDF("c", "vec").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/centroids")
-    index.assigned.write.mode("overwrite").partitionBy("c")
+    // id cast to long: ONE physical id type for the persisted layout,
+    // whatever the caller's id column was — appends (ivfIndexAppend /
+    // the streaming idempotent form) write the same cast, so a mixed
+    // INT32/INT64 dataset can never arise
+    index.assigned.withColumn("id", col("id").cast("long"))
+      .write.mode("overwrite").partitionBy("c")
       .parquet(s"$dir/assigned")
   }
 
@@ -1084,14 +1089,13 @@ object Similarity {
         .join(tomb, Seq("id")).select(col("c")).distinct()
         .collect().map(_.getInt(0)).sorted
       affected.foreach { c =>
-        val src = java.nio.file.Paths.get(dir, "assigned", s"c=$c")
-        val tmp = java.nio.file.Paths.get(dir, "assigned", s"_compact_c$c")
-        spark.read.parquet(src.toString)
-          .join(tomb, Seq("id"), "left_anti")
-          .write.mode("overwrite").parquet(tmp.toString)
-        graft.util.Fs.deleteRecursively(src)
-        java.nio.file.Files.move(tmp, src)
+        graft.util.Fs.rewriteSwap(
+          spark, java.nio.file.Paths.get(dir, "assigned", s"c=$c"))(
+          _.join(tomb, Seq("id"), "left_anti"))
       }
+      // the sidecar is the done-marker and clears LAST: a compact
+      // interrupted mid-cell re-runs in full (per-cell rewrites are
+      // idempotent — an already-scrubbed cell anti-joins to itself)
       graft.util.Fs.deleteRecursively(
         java.nio.file.Paths.get(dir, "tombstones"))
     }
@@ -1109,13 +1113,35 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, dir: String,
       arriving: DataFrame, idCol: String, vecCol: String): Unit = {
     val idx = ivfIndexRead(spark, dir)
+    // in-batch id dedup too: an at-least-once upstream can deliver the
+    // same id twice WITHIN one micro-batch — without this both copies
+    // survive the against-index anti-join and the duplication becomes
+    // permanent (a later retry appends nothing, so it never heals)
     val base = arriving.select(
       col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-    val assigned = Caches.persisted(assignCells(base, idx.centroids))
+      .dropDuplicates("id")
+    // plain persist/unpersist, NOT Caches.persisted: the registry
+    // holds strong references until release(), and a long-lived
+    // ingestion stream calls this once per micro-batch — registering
+    // every batch's plan would leak one frame per batch for the
+    // stream's lifetime
+    val assigned = assignWithBuildRegime(base, idx.centroids).persist()
     try {
       val cells = assigned.select(col("c")).distinct()
         .collect().map(_.getInt(0)).sorted
       if (cells.nonEmpty) {
+        // resurrection: a batch id that sits in the tombstone sidecar
+        // is being re-ingested after a delete — physically scrub its
+        // stale rows (partition-scoped) and drop it from the sidecar,
+        // then append the fresh row. Without this the dup check (or a
+        // later compaction) silently swallows the re-ingest and the
+        // id stays unservable even though ingestion "succeeded".
+        ivfTombstones(spark, dir).foreach { t =>
+          val resurrect = t
+            .join(broadcast(assigned.select(col("id"))), Seq("id"))
+            .collect().map(_.getLong(0))
+          if (resurrect.nonEmpty) ivfScrub(spark, dir, resurrect)
+        }
         val existing = spark.read.parquet(s"$dir/assigned")
           .where(col("c").isin(cells.map(c => c: Any): _*))
         val dup = existing
@@ -1125,6 +1151,31 @@ object Similarity {
           .write.mode("append").partitionBy("c").parquet(s"$dir/assigned")
       }
     } finally assigned.unpersist()
+  }
+
+  /** Physically remove `ids` from the persisted assignment (partition-
+    * scoped rewrite of only the cells that hold them) and drop them
+    * from the tombstone sidecar — the resurrection path of
+    * [[ivfIndexAppendIdempotent]]. */
+  private def ivfScrub(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      ids: Array[Long]): Unit = {
+    import spark.implicits._
+    val idDf = broadcast(ids.toSeq.toDF("id"))
+    val affected = spark.read.parquet(s"$dir/assigned")
+      .join(idDf, Seq("id")).select(col("c")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    affected.foreach { c =>
+      graft.util.Fs.rewriteSwap(
+        spark, java.nio.file.Paths.get(dir, "assigned", s"c=$c"))(
+        _.join(idDf, Seq("id"), "left_anti"))
+    }
+    // sidecar minus the resurrected ids (tiny table — full rewrite;
+    // an all-resurrected sidecar becomes an empty table, which keeps
+    // read-time anti-joins trivially cheap)
+    graft.util.Fs.rewriteSwap(
+      spark, java.nio.file.Paths.get(dir, "tombstones"))(
+      _.join(idDf, Seq("id"), "left_anti"))
   }
 
   /** Streaming index ingestion — the stream side of the maintenance
@@ -1173,8 +1224,31 @@ object Similarity {
       idCol: String, vecCol: String): IvfIndex = {
     val base = arriving.select(col(idCol).as("id"), col(vecCol).as("v"))
     IvfIndex(index.centroids,
-      index.assigned.unionByName(assignCells(base, index.centroids)))
+      index.assigned.unionByName(
+        assignWithBuildRegime(base, index.centroids)))
   }
+
+  /** Assignment under the regime [[ivfBuild]] uses for this k: flat
+    * struct-max at or below [[RoutedTrainThreshold]], top-2 routed
+    * (IMI) above it. [[metaCentroids]] is a pure deterministic
+    * function of the centroids, so an appended batch lands EXACTLY
+    * where the build's own final assignment pass would have put it —
+    * append ≡ rebuild-assignment in BOTH regimes (a flat append onto
+    * a routed build would both break that identity for boundary
+    * vectors and pay \|batch\|·k scores where the build pays
+    * ~\|batch\|·3√k). Builds made with non-default
+    * `routedAbove`/`routeProbes` must append with matching values. */
+  private[graft] def assignWithBuildRegime(
+      src: DataFrame, cents: Seq[Seq[Double]],
+      routedAbove: Int = RoutedTrainThreshold,
+      routeProbes: Int = 0): DataFrame =
+    if (cents.size <= routedAbove) assignCells(src, cents)
+    else {
+      val r = math.ceil(math.sqrt(cents.size.toDouble)).toInt
+      val (sup, grp) = metaCentroids(cents, r)
+      assignCellsRouted(src, cents, sup, grp,
+        probes = if (routeProbes > 0) routeProbes else RouteProbesBalanced)
+    }
 
   /** Delete vectors from an IVF index — tombstone propagation (dedup
     * survivors replacing their duplicates, takedowns, right-to-be-
@@ -1208,8 +1282,12 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, dir: String,
       arriving: DataFrame, idCol: String, vecCol: String): Unit = {
     val idx = ivfIndexRead(spark, dir)
-    val base = arriving.select(col(idCol).as("id"), col(vecCol).as("v"))
-    assignCells(base, idx.centroids)
+    // id cast to long: the PERSISTED layout's id type contract
+    // ([[ivfIndexWrite]] writes the same cast) — appending an INT32
+    // id file into an INT64 dataset would poison later reads
+    val base = arriving.select(
+      col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    assignWithBuildRegime(base, idx.centroids)
       .write.mode("append").partitionBy("c").parquet(s"$dir/assigned")
   }
 

@@ -6,6 +6,46 @@ import java.util.Comparator
 /** Tiny filesystem helpers shared by the operational mains. */
 object Fs {
 
+  /** Rewrite a parquet table directory in place, crash-tolerantly:
+    * write `f(read(src))` to `<src>._swap`, retire `src` to
+    * `<src>._old` (one directory rename), promote `._swap` to `src`
+    * (one rename), delete `._old`. Single writer assumed. This is NOT
+    * an atomic swap — a reader racing the two renames can observe a
+    * missing `src` for that instant — but every crash point leaves a
+    * COMPLETABLE state that [[recoverSwap]] (run at the head of every
+    * rewrite) finishes: a partial `._swap` with `src` intact is
+    * discarded; `src` missing with a complete `._swap` (the retire
+    * happened, so the swap write had finished) is promoted; a stale
+    * `._old` after promotion is deleted. Callers sequencing multiple
+    * tables (compaction) must clear their own done-marker (e.g. the
+    * tombstone sidecar) LAST, so an interrupted run re-executes. */
+  def rewriteSwap(
+      spark: org.apache.spark.sql.SparkSession, src: Path)(
+      f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : Unit = {
+    recoverSwap(src)
+    val swap = src.resolveSibling(src.getFileName.toString + "._swap")
+    val old = src.resolveSibling(src.getFileName.toString + "._old")
+    f(spark.read.parquet(src.toString))
+      .write.mode("overwrite").parquet(swap.toString)
+    Files.move(src, old)
+    Files.move(swap, src)
+    deleteRecursively(old)
+  }
+
+  /** Complete or discard an interrupted [[rewriteSwap]] — see its doc
+    * for the crash matrix. Safe to call any time for `src`. */
+  def recoverSwap(src: Path): Unit = {
+    val swap = src.resolveSibling(src.getFileName.toString + "._swap")
+    val old = src.resolveSibling(src.getFileName.toString + "._old")
+    if (!Files.isDirectory(src) && Files.isDirectory(swap))
+      Files.move(swap, src) // retire happened ⇒ swap write was complete
+    if (Files.isDirectory(src)) {
+      deleteRecursively(swap) // partial write from a crash before retire
+      deleteRecursively(old) // crash between promote and cleanup
+    }
+  }
+
   /** Best-effort recursive delete (children before parents). Each
     * entry is attempted independently and traversal failures are
     * swallowed — callers are cleanup paths (shutdown hooks, temp-dir

@@ -108,6 +108,23 @@ class DedupSpec extends SparkSpec {
       else
         assert(after(cdir) === files, s"$cdir must be untouched bytes")
     }
+    // RESURRECTION: a tombstoned id that is re-ingested (idempotent
+    // append) must serve again — stale rows scrubbed, sidecar entry
+    // dropped, exactly one live row
+    Similarity.ivfIndexDelete(dir, Seq(30L).toDF("vec_id"), "vec_id")
+    assert(!cells(Similarity.ivfIndexRead(spark, dir)).exists(_._1 == 30L))
+    Similarity.ivfIndexAppendIdempotent(
+      spark, dir, df.where(col("vec_id") === 30L), "vec_id", "embedding")
+    val resurrected = Similarity.ivfIndexRead(spark, dir).assigned
+      .where(col("id") === 30L).collect()
+    assert(resurrected.length === 1, "exactly one live row for 30")
+    assert(cells(Similarity.ivfIndexRead(spark, dir))
+      .exists(_._1 == 30L))
+    // and a plain retry of the same batch appends nothing more
+    Similarity.ivfIndexAppendIdempotent(
+      spark, dir, df.where(col("vec_id") === 30L), "vec_id", "embedding")
+    assert(Similarity.ivfIndexRead(spark, dir).assigned
+      .where(col("id") === 30L).count() === 1)
     graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
     graft.ext.Caches.release()
   }
