@@ -541,7 +541,10 @@ object Similarity {
     * PARTITION PRUNING (params ride a one-row side table, the
     * ivfIndexWrite idiom). */
   def signBandIndexWrite(index: SignBandIndex, dir: String): Unit = {
-    index.buckets.write.mode("overwrite")
+    // id cast to long: one physical id type for the persisted layout
+    // (appends write the same cast — the ivfIndexWrite contract)
+    index.buckets.withColumn("id", col("id").cast("long"))
+      .write.mode("overwrite")
       .partitionBy("band", "bucket").parquet(s"$dir/buckets")
     val spark = index.buckets.sparkSession
     import spark.implicits._
@@ -553,8 +556,72 @@ object Similarity {
   def signBandIndexRead(
       spark: SparkSession, dir: String): SignBandIndex = {
     val p = spark.read.parquet(s"$dir/params").head()
-    SignBandIndex(p.getInt(0), p.getInt(1), p.getInt(2),
-      spark.read.parquet(s"$dir/buckets"))
+    val buckets0 = spark.read.parquet(s"$dir/buckets")
+    // tombstone sidecar (signBandIndexDelete): logical delete visible
+    // immediately, physical rewrite deferred to compaction
+    val buckets = signBandTombstones(spark, dir).fold(buckets0)(t =>
+      buckets0.join(broadcast(t), Seq("id"), "left_anti"))
+    SignBandIndex(p.getInt(0), p.getInt(1), p.getInt(2), buckets)
+  }
+
+  /** Append to a PERSISTED band index WITHOUT rebuild — the third
+    * index family's maintenance path (minhash and IVF have the same
+    * trio). The signature is a pure per-row projection over the
+    * deterministic hyperplanes (parameterized by the persisted
+    * nPlanes/dim), so append ≡ rebuild EXACTLY — no frozen-model
+    * approximation at all. New files land only under the touched
+    * (band, bucket) partition dirs. */
+  def signBandIndexAppend(
+      spark: SparkSession, dir: String,
+      arriving: DataFrame, idCol: String, vecCol: String): Unit = {
+    val idx = signBandIndexRead(spark, dir)
+    signBandIndexBuild(
+      arriving, idCol, vecCol, idx.dim, idx.nPlanes, idx.chunks)
+      .buckets.withColumn("id", col("id").cast("long"))
+      .write.mode("append").partitionBy("band", "bucket")
+      .parquet(s"$dir/buckets")
+  }
+
+  /** LOGICAL delete from a persisted band index: id sidecar, the
+    * [[ivfIndexDelete]] discipline — each id occupies `chunks`
+    * (band, bucket) rows, all excluded by the read-time anti-join. */
+  def signBandIndexDelete(
+      dir: String, tombstones: DataFrame, idCol: String): Unit =
+    tombstones.select(col(idCol).cast("long").as("id")).distinct()
+      .write.mode("append").parquet(s"$dir/tombstones")
+
+  /** PHYSICAL compaction, PARTITION-SCOPED like [[ivfIndexCompact]]:
+    * each tombstoned id touches exactly `chunks` (band, bucket)
+    * directories; only those are rewritten (crash-completable
+    * [[graft.util.Fs.rewriteSwap]] each), the rest stay untouched
+    * bytes. Sidecar clears LAST (the done-marker). */
+  def signBandIndexCompact(
+      spark: SparkSession, dir: String): Unit =
+    signBandTombstones(spark, dir).foreach { t =>
+      val tomb = broadcast(t)
+      // partition-column types are inference-dependent on read (small
+      // bucket values come back int) — cast before collecting
+      val affected = spark.read.parquet(s"$dir/buckets")
+        .join(tomb, Seq("id"))
+        .select(col("band").cast("int"), col("bucket").cast("long"))
+        .distinct()
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sorted
+      affected.foreach { case (band, bucket) =>
+        graft.util.Fs.rewriteSwap(
+          spark, java.nio.file.Paths.get(
+            dir, "buckets", s"band=$band", s"bucket=$bucket"))(
+          _.join(tomb, Seq("id"), "left_anti"))
+      }
+      graft.util.Fs.deleteRecursively(
+        java.nio.file.Paths.get(dir, "tombstones"))
+    }
+
+  private def signBandTombstones(
+      spark: SparkSession, dir: String): Option[DataFrame] = {
+    val p = java.nio.file.Paths.get(dir, "tombstones")
+    if (java.nio.file.Files.isDirectory(p))
+      Some(spark.read.parquet(p.toString).select(col("id")).distinct())
+    else None
   }
 
   /** [[annTopK]] through a [[SignBandIndex]]: chunk-equality bucket

@@ -19,13 +19,23 @@ object Fs {
     * `._old` after promotion is deleted. Callers sequencing multiple
     * tables (compaction) must clear their own done-marker (e.g. the
     * tombstone sidecar) LAST, so an interrupted run re-executes. */
+  /** Temp siblings are UNDERSCORE-prefixed: Spark's partition
+    * discovery ignores `_`/`.`-prefixed directories, so a swap of a
+    * partition directory (`c=5`, `bucket=9`) can never leak a bogus
+    * partition value (`c=5._swap` would parse as c = "5._swap" and
+    * poison the parent read's partition schema). */
+  private def swapOf(src: Path): Path =
+    src.resolveSibling("_swap." + src.getFileName.toString)
+  private def oldOf(src: Path): Path =
+    src.resolveSibling("_old." + src.getFileName.toString)
+
   def rewriteSwap(
       spark: org.apache.spark.sql.SparkSession, src: Path)(
       f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
       : Unit = {
     recoverSwap(src)
-    val swap = src.resolveSibling(src.getFileName.toString + "._swap")
-    val old = src.resolveSibling(src.getFileName.toString + "._old")
+    val swap = swapOf(src)
+    val old = oldOf(src)
     f(spark.read.parquet(src.toString))
       .write.mode("overwrite").parquet(swap.toString)
     Files.move(src, old)
@@ -36,8 +46,8 @@ object Fs {
   /** Complete or discard an interrupted [[rewriteSwap]] — see its doc
     * for the crash matrix. Safe to call any time for `src`. */
   def recoverSwap(src: Path): Unit = {
-    val swap = src.resolveSibling(src.getFileName.toString + "._swap")
-    val old = src.resolveSibling(src.getFileName.toString + "._old")
+    val swap = swapOf(src)
+    val old = oldOf(src)
     if (!Files.isDirectory(src) && Files.isDirectory(swap))
       Files.move(swap, src) // retire happened ⇒ swap write was complete
     if (Files.isDirectory(src)) {

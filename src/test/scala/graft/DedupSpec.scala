@@ -1753,4 +1753,83 @@ class DedupSpec extends SparkSpec {
     } finally graft.util.Fs.deleteRecursively(dir)
     spark.catalog.clearCache(); graft.ext.Caches.release()
   }
+
+  test("band index maintenance: append equals a fresh build (pure " +
+    "projection), tombstone sidecar serves at once, compaction " +
+    "rewrites only the chunks' own partition dirs") {
+    import scala.jdk.CollectionConverters._
+    val dim = 16
+    val vecs = (0 until 150).map { i =>
+      (i.toLong, Seq.tabulate(dim)(j => math.sin(i / 10 * 13.0 + j).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sbmaint")
+    try {
+      // build on the first 100, APPEND the remaining 50
+      Similarity.signBandIndexWrite(
+        Similarity.signBandIndexBuild(
+          df.where(col("vec_id") < 100), "vec_id", "embedding",
+          dim = dim, nPlanes = 30, chunks = 5),
+        dir.toString)
+      Similarity.signBandIndexAppend(
+        spark, dir.toString, df.where(col("vec_id") >= 100),
+        "vec_id", "embedding")
+      def rows(ix: Similarity.SignBandIndex): Set[(Long, Int, Long, Long)] =
+        ix.buckets.select(
+          col("id").cast("long"), col("band").cast("int"),
+          col("bucket").cast("long"), col("sig").cast("long"))
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+          .toSet
+      val full = Similarity.signBandIndexBuild(
+        df, "vec_id", "embedding", dim = dim, nPlanes = 30, chunks = 5)
+      val grown = Similarity.signBandIndexRead(spark, dir.toString)
+      assert(rows(grown) === rows(full)) // append ≡ rebuild, exactly
+      // tombstone two ids: logical delete serves immediately
+      val victims = Seq(3L, 120L)
+      Similarity.signBandIndexDelete(
+        dir.toString, victims.toDF("vec_id"), "vec_id")
+      val logical = Similarity.signBandIndexRead(spark, dir.toString)
+      assert(rows(logical) ===
+        rows(full).filterNot(r => victims.contains(r._1)))
+      // compaction: only the victims' own (band, bucket) dirs rewritten
+      def listing(): Map[String, Set[String]] = {
+        val root = java.nio.file.Paths.get(dir.toString, "buckets")
+        val bands = java.nio.file.Files.list(root)
+        try bands.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("band="))
+          .flatMap { b =>
+            val bks = java.nio.file.Files.list(b)
+            try bks.iterator().asScala.toList
+              .filter(_.getFileName.toString.startsWith("bucket="))
+              .map { p =>
+                val fs = java.nio.file.Files.list(p)
+                try s"${b.getFileName}/${p.getFileName}" ->
+                  fs.iterator().asScala.map(_.getFileName.toString)
+                    .filter(_.endsWith(".parquet")).toSet
+                finally fs.close()
+              }
+            finally bks.close()
+          }.toMap
+        finally bands.close()
+      }
+      val affected = rows(full)
+        .filter(r => victims.contains(r._1))
+        .map(r => s"band=${r._2}/bucket=${r._3}")
+      val before = listing()
+      Similarity.signBandIndexCompact(spark, dir.toString)
+      assert(!java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(dir.toString, "tombstones")))
+      val after = listing()
+      for ((pdir, files) <- before) {
+        if (affected.contains(pdir))
+          assert(after(pdir) !== files, s"$pdir should have been rewritten")
+        else
+          assert(after(pdir) === files, s"$pdir must be untouched bytes")
+      }
+      assert(rows(Similarity.signBandIndexRead(spark, dir.toString)) ===
+        rows(full).filterNot(r => victims.contains(r._1)))
+    } finally graft.util.Fs.deleteRecursively(dir)
+    spark.catalog.clearCache(); graft.ext.Caches.release()
+  }
 }

@@ -22,37 +22,57 @@ class FsSpec extends SparkSpec {
     writeTable(src, Seq(1L, 2L, 3L))
     Fs.rewriteSwap(spark, src)(_.where(col("id") =!= 2L))
     assert(readIds(src) === Set(1L, 3L))
-    assert(!java.nio.file.Files.exists(root.resolve("t._swap")))
-    assert(!java.nio.file.Files.exists(root.resolve("t._old")))
+    assert(!java.nio.file.Files.exists(root.resolve("_swap.t")))
+    assert(!java.nio.file.Files.exists(root.resolve("_old.t")))
+    Fs.deleteRecursively(root)
+  }
+
+  test("rewriteSwap of a PARTITION dir: temp siblings are _-prefixed, " +
+    "so a parent partition-discovery read never sees a bogus value") {
+    // the hazard: a sibling named `c=5._swap` would parse as c =
+    // "5._swap" and flip the parent's partition schema to string
+    val root = java.nio.file.Files.createTempDirectory("graft-fsspec3")
+    Seq((1L, 5), (2L, 6)).toDF("id", "c").write
+      .partitionBy("c").parquet(root.resolve("t").toString)
+    val part = root.resolve("t").resolve("c=5")
+    // simulate a crash mid-write: partial swap dir left behind
+    java.nio.file.Files.createDirectories(
+      root.resolve("t").resolve("_swap.c=5"))
+    val schema = spark.read.parquet(root.resolve("t").toString).schema
+    assert(schema("c").dataType ===
+      org.apache.spark.sql.types.IntegerType,
+      "crash residue must not change the partition column's type")
+    Fs.rewriteSwap(spark, part)(df => df) // also clears the residue
+    assert(spark.read.parquet(root.resolve("t").toString).count() === 2)
     Fs.deleteRecursively(root)
   }
 
   test("recoverSwap completes every crash state") {
     val root = java.nio.file.Files.createTempDirectory("graft-fsspec2")
     val src = root.resolve("t")
-    // state A: crash DURING the swap write (src intact, ._swap partial)
+    // state A: crash DURING the swap write (src intact, swap partial)
     // -> the partial swap is discarded, src untouched
     writeTable(src, Seq(1L, 2L))
-    java.nio.file.Files.createDirectories(root.resolve("t._swap"))
+    java.nio.file.Files.createDirectories(root.resolve("_swap.t"))
     java.nio.file.Files.write(
-      root.resolve("t._swap").resolve("part-garbage.parquet"),
+      root.resolve("_swap.t").resolve("part-garbage.parquet"),
       Array[Byte](1, 2, 3))
     Fs.recoverSwap(src)
     assert(readIds(src) === Set(1L, 2L))
-    assert(!java.nio.file.Files.exists(root.resolve("t._swap")))
-    // state B: crash BETWEEN retire and promote (src missing, ._swap
-    // complete, ._old = the pre-image) -> swap promoted, old cleared
-    writeTable(root.resolve("t._swap"), Seq(9L))
-    java.nio.file.Files.move(src, root.resolve("t._old"))
+    assert(!java.nio.file.Files.exists(root.resolve("_swap.t")))
+    // state B: crash BETWEEN retire and promote (src missing, swap
+    // complete, old = the pre-image) -> swap promoted, old cleared
+    writeTable(root.resolve("_swap.t"), Seq(9L))
+    java.nio.file.Files.move(src, root.resolve("_old.t"))
     Fs.recoverSwap(src)
     assert(readIds(src) === Set(9L))
-    assert(!java.nio.file.Files.exists(root.resolve("t._swap")))
-    assert(!java.nio.file.Files.exists(root.resolve("t._old")))
-    // state C: crash AFTER promote, before cleanup (._old stale)
-    writeTable(root.resolve("t._old"), Seq(7L))
+    assert(!java.nio.file.Files.exists(root.resolve("_swap.t")))
+    assert(!java.nio.file.Files.exists(root.resolve("_old.t")))
+    // state C: crash AFTER promote, before cleanup (old stale)
+    writeTable(root.resolve("_old.t"), Seq(7L))
     Fs.recoverSwap(src)
     assert(readIds(src) === Set(9L))
-    assert(!java.nio.file.Files.exists(root.resolve("t._old")))
+    assert(!java.nio.file.Files.exists(root.resolve("_old.t")))
     // and a subsequent rewriteSwap runs clean from any recovered state
     Fs.rewriteSwap(spark, src)(_.withColumn("id", col("id") + 1L))
     assert(readIds(src) === Set(10L))
