@@ -1332,8 +1332,7 @@ object Dedup {
     // stored bucket_n stays stale until [[minhashIndexCompact]], which
     // is CONSERVATIVE: a bucket that crossed the cap while its
     // tombstones were live stays excluded until compaction.
-    val buckC = indexTombstones(spark, dir).fold(buckC0)(t =>
-      buckC0.join(broadcast(t), Seq("id"), "left_anti"))
+    val buckC = Sidecar.applyTo(spark, dir, buckC0)
     val invB = invertedIndex(batch, idCol, textCol, w)
     val sigB = minhashBandsAgg(invB, k, bands)
       .persistRegistered()
@@ -1377,15 +1376,14 @@ object Dedup {
     * deferred to [[minhashIndexCompact]] at maintenance cadence. */
   def minhashIndexDelete(
       dir: String, tombstones: DataFrame, idCol: String): Unit =
-    tombstones.select(col(idCol).cast("long").as("id")).distinct()
-      .write.mode("append").parquet(s"$dir/tombstones")
+    Sidecar.append(dir, tombstones, idCol)
 
   /** PHYSICAL compaction of a tombstoned minhash index: rewrite
     * postings/sizes/buckets minus the sidecar, recompute `bucket_n`
     * from live membership (un-staling the skew cap), clear the
     * sidecar. Each table rewrites through
-    * [[graft.util.Fs.rewriteSwap]] — write-to-`._swap`, retire,
-    * promote — which is crash-COMPLETABLE rather than atomic (see its
+    * [[graft.util.Fs.rewriteSwap]] — write `_swap.<name>`, retire
+    * `_old.<name>`, promote — which is crash-COMPLETABLE rather than atomic (see its
     * doc for the crash matrix); the sidecar is the done-marker and
     * clears LAST, so an interrupted compact re-runs in full and each
     * per-table rewrite is idempotent (an already-scrubbed table
@@ -1395,7 +1393,7 @@ object Dedup {
     * all per-document or derived from live membership). */
   def minhashIndexCompact(
       spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
-    indexTombstones(spark, dir).foreach { t =>
+    Sidecar.read(spark, dir).foreach { t =>
       val tomb = broadcast(t)
       def swapWrite(table: String)(f: DataFrame => DataFrame): Unit =
         graft.util.Fs.rewriteSwap(
@@ -1408,19 +1406,8 @@ object Dedup {
           live.groupBy("band", "bh").agg(count(lit(1)).as("bucket_n")),
           Seq("band", "bh"))
       }
-      graft.util.Fs.deleteRecursively(
-        java.nio.file.Paths.get(dir, "tombstones"))
+      Sidecar.clear(dir)
     }
-
-  /** The tombstone sidecar, if one exists (id-distinct). */
-  private def indexTombstones(
-      spark: org.apache.spark.sql.SparkSession,
-      dir: String): Option[DataFrame] = {
-    val p = java.nio.file.Paths.get(dir, "tombstones")
-    if (java.nio.file.Files.isDirectory(p))
-      Some(spark.read.parquet(p.toString).select(col("id")).distinct())
-    else None
-  }
 
   // ---- SimHash ----------------------------------------------------------
 

@@ -556,12 +556,10 @@ object Similarity {
   def signBandIndexRead(
       spark: SparkSession, dir: String): SignBandIndex = {
     val p = spark.read.parquet(s"$dir/params").head()
-    val buckets0 = spark.read.parquet(s"$dir/buckets")
     // tombstone sidecar (signBandIndexDelete): logical delete visible
     // immediately, physical rewrite deferred to compaction
-    val buckets = signBandTombstones(spark, dir).fold(buckets0)(t =>
-      buckets0.join(broadcast(t), Seq("id"), "left_anti"))
-    SignBandIndex(p.getInt(0), p.getInt(1), p.getInt(2), buckets)
+    SignBandIndex(p.getInt(0), p.getInt(1), p.getInt(2),
+      Sidecar.applyTo(spark, dir, spark.read.parquet(s"$dir/buckets")))
   }
 
   /** Append to a PERSISTED band index WITHOUT rebuild — the third
@@ -570,25 +568,58 @@ object Similarity {
     * deterministic hyperplanes (parameterized by the persisted
     * nPlanes/dim), so append ≡ rebuild EXACTLY — no frozen-model
     * approximation at all. New files land only under the touched
-    * (band, bucket) partition dirs. */
+    * (band, bucket) partition dirs.
+    *
+    * IDEMPOTENT and resurrecting, like the IVF twin
+    * ([[ivfIndexAppendIdempotent]]): in-batch duplicate ids collapse,
+    * ids already in the index are skipped (a caller/sink retry
+    * appends nothing — checked against ONE pruned scan of band 0,
+    * where every existing id has exactly one row and an equal vector
+    * hashes to the same bucket), and a re-ingested TOMBSTONED id is
+    * scrubbed from its stale rows + the sidecar first, so the
+    * re-ingest actually serves. */
   def signBandIndexAppend(
       spark: SparkSession, dir: String,
       arriving: DataFrame, idCol: String, vecCol: String): Unit = {
-    val idx = signBandIndexRead(spark, dir)
-    signBandIndexBuild(
-      arriving, idCol, vecCol, idx.dim, idx.nPlanes, idx.chunks)
-      .buckets.withColumn("id", col("id").cast("long"))
-      .write.mode("append").partitionBy("band", "bucket")
-      .parquet(s"$dir/buckets")
+    // params only — reading the index frame here would pay a full
+    // (band, bucket) file listing per append for three ints
+    val p = spark.read.parquet(s"$dir/params").head()
+    val (nPlanes, chunks, dimV) = (p.getInt(0), p.getInt(1), p.getInt(2))
+    val rows = signBandIndexBuild(
+      arriving.dropDuplicates(idCol), idCol, vecCol, dimV,
+      nPlanes, chunks)
+      .buckets.withColumn("id", col("id").cast("long")).persist()
+    try {
+      val batchIds = rows.select(col("id")).distinct()
+      Sidecar.read(spark, dir).foreach { t =>
+        val resurrect = t.join(broadcast(batchIds), Seq("id"))
+          .collect().map(_.getLong(0))
+        if (resurrect.nonEmpty) signBandScrub(spark, dir, resurrect)
+      }
+      // dup gate on band 0 only: an id already present produced the
+      // SAME signature (pure projection), so its band-0 row sits in
+      // one of exactly the batch's own band-0 buckets — one pruned
+      // scan bounded by the batch's bucket spread
+      val b0 = rows.where(col("band") === 0)
+        .select(col("bucket").cast("long")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      val dup = spark.read.parquet(s"$dir/buckets")
+        .where(col("band") === 0 &&
+          col("bucket").isin(b0.map(b => b: Any): _*))
+        .join(broadcast(batchIds), Seq("id"))
+        .select(col("id")).distinct()
+      rows.join(broadcast(dup), Seq("id"), "left_anti")
+        .write.mode("append").partitionBy("band", "bucket")
+        .parquet(s"$dir/buckets")
+    } finally rows.unpersist()
   }
 
-  /** LOGICAL delete from a persisted band index: id sidecar, the
-    * [[ivfIndexDelete]] discipline — each id occupies `chunks`
+  /** LOGICAL delete from a persisted band index: the shared
+    * [[Sidecar]] discipline — each id occupies `chunks`
     * (band, bucket) rows, all excluded by the read-time anti-join. */
   def signBandIndexDelete(
       dir: String, tombstones: DataFrame, idCol: String): Unit =
-    tombstones.select(col(idCol).cast("long").as("id")).distinct()
-      .write.mode("append").parquet(s"$dir/tombstones")
+    Sidecar.append(dir, tombstones, idCol)
 
   /** PHYSICAL compaction, PARTITION-SCOPED like [[ivfIndexCompact]]:
     * each tombstoned id touches exactly `chunks` (band, bucket)
@@ -597,7 +628,7 @@ object Similarity {
     * bytes. Sidecar clears LAST (the done-marker). */
   def signBandIndexCompact(
       spark: SparkSession, dir: String): Unit =
-    signBandTombstones(spark, dir).foreach { t =>
+    Sidecar.read(spark, dir).foreach { t =>
       val tomb = broadcast(t)
       // partition-column types are inference-dependent on read (small
       // bucket values come back int) — cast before collecting
@@ -612,16 +643,28 @@ object Similarity {
             dir, "buckets", s"band=$band", s"bucket=$bucket"))(
           _.join(tomb, Seq("id"), "left_anti"))
       }
-      graft.util.Fs.deleteRecursively(
-        java.nio.file.Paths.get(dir, "tombstones"))
+      Sidecar.clear(dir)
     }
 
-  private def signBandTombstones(
-      spark: SparkSession, dir: String): Option[DataFrame] = {
-    val p = java.nio.file.Paths.get(dir, "tombstones")
-    if (java.nio.file.Files.isDirectory(p))
-      Some(spark.read.parquet(p.toString).select(col("id")).distinct())
-    else None
+  /** The resurrection scrub, band form: remove stale rows of `ids`
+    * from their `chunks` partition dirs and drop them from the
+    * sidecar ([[ivfScrub]]'s twin). */
+  private def signBandScrub(
+      spark: SparkSession, dir: String, ids: Array[Long]): Unit = {
+    import spark.implicits._
+    val idDf = broadcast(ids.toSeq.toDF("id"))
+    val affected = spark.read.parquet(s"$dir/buckets")
+      .join(idDf, Seq("id"))
+      .select(col("band").cast("int"), col("bucket").cast("long"))
+      .distinct()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sorted
+    affected.foreach { case (band, bucket) =>
+      graft.util.Fs.rewriteSwap(
+        spark, java.nio.file.Paths.get(
+          dir, "buckets", s"band=$band", s"bucket=$bucket"))(
+        _.join(idDf, Seq("id"), "left_anti"))
+    }
+    Sidecar.remove(spark, dir, idDf)
   }
 
   /** [[annTopK]] through a [[SignBandIndex]]: chunk-equality bucket
@@ -1122,10 +1165,8 @@ object Similarity {
       .orderBy("c").collect()
       .map(r => r.getSeq[Double](r.fieldIndex("vec")))
       .toSeq
-    val assigned0 = spark.read.parquet(s"$dir/assigned")
-    val assigned = ivfTombstones(spark, dir).fold(assigned0)(t =>
-      assigned0.join(broadcast(t), Seq("id"), "left_anti"))
-    IvfIndex(cents, assigned)
+    IvfIndex(cents,
+      Sidecar.applyTo(spark, dir, spark.read.parquet(s"$dir/assigned")))
   }
 
   /** LOGICAL delete from a PERSISTED IVF index dir — the sidecar
@@ -1136,8 +1177,7 @@ object Similarity {
     * [[ivfIndexCompact]]. */
   def ivfIndexDelete(
       dir: String, tombstones: DataFrame, idCol: String): Unit =
-    tombstones.select(col(idCol).cast("long").as("id")).distinct()
-      .write.mode("append").parquet(s"$dir/tombstones")
+    Sidecar.append(dir, tombstones, idCol)
 
   /** PHYSICAL compaction of a tombstoned persisted IVF index —
     * PARTITION-SCOPED: only the cell directories that actually hold
@@ -1150,7 +1190,7 @@ object Similarity {
     * scale by construction). Clears the sidecar. */
   def ivfIndexCompact(
       spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
-    ivfTombstones(spark, dir).foreach { t =>
+    Sidecar.read(spark, dir).foreach { t =>
       val tomb = broadcast(t)
       val affected = spark.read.parquet(s"$dir/assigned")
         .join(tomb, Seq("id")).select(col("c")).distinct()
@@ -1163,8 +1203,7 @@ object Similarity {
       // the sidecar is the done-marker and clears LAST: a compact
       // interrupted mid-cell re-runs in full (per-cell rewrites are
       // idempotent — an already-scrubbed cell anti-joins to itself)
-      graft.util.Fs.deleteRecursively(
-        java.nio.file.Paths.get(dir, "tombstones"))
+      Sidecar.clear(dir)
     }
 
   /** [[ivfIndexAppend]] made IDEMPOTENT — the foreachBatch unit: a
@@ -1203,7 +1242,7 @@ object Similarity {
         // then append the fresh row. Without this the dup check (or a
         // later compaction) silently swallows the re-ingest and the
         // id stays unservable even though ingestion "succeeded".
-        ivfTombstones(spark, dir).foreach { t =>
+        Sidecar.read(spark, dir).foreach { t =>
           val resurrect = t
             .join(broadcast(assigned.select(col("id"))), Seq("id"))
             .collect().map(_.getLong(0))
@@ -1240,9 +1279,7 @@ object Similarity {
     // sidecar minus the resurrected ids (tiny table — full rewrite;
     // an all-resurrected sidecar becomes an empty table, which keeps
     // read-time anti-joins trivially cheap)
-    graft.util.Fs.rewriteSwap(
-      spark, java.nio.file.Paths.get(dir, "tombstones"))(
-      _.join(idDf, Seq("id"), "left_anti"))
+    Sidecar.remove(spark, dir, idDf)
   }
 
   /** Streaming index ingestion — the stream side of the maintenance
@@ -1263,16 +1300,6 @@ object Similarity {
     vectors.writeStream.foreachBatch { (b: DataFrame, _: Long) =>
       ivfIndexAppendIdempotent(b.sparkSession, dir, b, idCol, vecCol)
     }
-  }
-
-  /** The persisted index's tombstone sidecar, if present. */
-  private def ivfTombstones(
-      spark: org.apache.spark.sql.SparkSession,
-      dir: String): Option[DataFrame] = {
-    val p = java.nio.file.Paths.get(dir, "tombstones")
-    if (java.nio.file.Files.isDirectory(p))
-      Some(spark.read.parquet(p.toString).select(col("id")).distinct())
-    else None
   }
 
   /** Grow an IVF index WITHOUT retraining — the production index-

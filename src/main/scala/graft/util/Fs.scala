@@ -7,16 +7,16 @@ import java.util.Comparator
 object Fs {
 
   /** Rewrite a parquet table directory in place, crash-tolerantly:
-    * write `f(read(src))` to `<src>._swap`, retire `src` to
-    * `<src>._old` (one directory rename), promote `._swap` to `src`
-    * (one rename), delete `._old`. Single writer assumed. This is NOT
+    * write `f(read(src))` to `_swap.<name>`, retire `src` to
+    * `_old.<name>` (one directory rename), promote the swap to `src`
+    * (one rename), delete the old. Single writer assumed. This is NOT
     * an atomic swap — a reader racing the two renames can observe a
     * missing `src` for that instant — but every crash point leaves a
     * COMPLETABLE state that [[recoverSwap]] (run at the head of every
-    * rewrite) finishes: a partial `._swap` with `src` intact is
-    * discarded; `src` missing with a complete `._swap` (the retire
+    * rewrite) finishes: a partial swap with `src` intact is
+    * discarded; `src` missing with a complete swap (the retire
     * happened, so the swap write had finished) is promoted; a stale
-    * `._old` after promotion is deleted. Callers sequencing multiple
+    * old after promotion is deleted. Callers sequencing multiple
     * tables (compaction) must clear their own done-marker (e.g. the
     * tombstone sidecar) LAST, so an interrupted run re-executes. */
   /** Temp siblings are UNDERSCORE-prefixed: Spark's partition
@@ -44,15 +44,23 @@ object Fs {
   }
 
   /** Complete or discard an interrupted [[rewriteSwap]] — see its doc
-    * for the crash matrix. Safe to call any time for `src`. */
+    * for the crash matrix. Safe to call any time for `src`. Also
+    * recovers residue under the LEGACY suffix naming
+    * (`<name>._swap`/`<name>._old`, one shipped revision) — without
+    * this shim a pre-rename crash would strand its table forever (and
+    * a legacy `bucket=9._swap` would keep poisoning the parent's
+    * partition schema with nothing ever cleaning it). */
   def recoverSwap(src: Path): Unit = {
-    val swap = swapOf(src)
-    val old = oldOf(src)
-    if (!Files.isDirectory(src) && Files.isDirectory(swap))
-      Files.move(swap, src) // retire happened ⇒ swap write was complete
-    if (Files.isDirectory(src)) {
-      deleteRecursively(swap) // partial write from a crash before retire
-      deleteRecursively(old) // crash between promote and cleanup
+    for ((swap, old) <- Seq(
+        (swapOf(src), oldOf(src)),
+        (src.resolveSibling(src.getFileName.toString + "._swap"),
+          src.resolveSibling(src.getFileName.toString + "._old")))) {
+      if (!Files.isDirectory(src) && Files.isDirectory(swap))
+        Files.move(swap, src) // retire happened ⇒ swap write was complete
+      if (Files.isDirectory(src)) {
+        deleteRecursively(swap) // partial write from a crash before retire
+        deleteRecursively(old) // crash between promote and cleanup
+      }
     }
   }
 

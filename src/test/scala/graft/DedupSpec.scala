@@ -1785,6 +1785,12 @@ class DedupSpec extends SparkSpec {
         df, "vec_id", "embedding", dim = dim, nPlanes = 30, chunks = 5)
       val grown = Similarity.signBandIndexRead(spark, dir.toString)
       assert(rows(grown) === rows(full)) // append ≡ rebuild, exactly
+      // retry idempotence: re-appending the same batch adds NOTHING
+      Similarity.signBandIndexAppend(
+        spark, dir.toString, df.where(col("vec_id") >= 100),
+        "vec_id", "embedding")
+      assert(rows(Similarity.signBandIndexRead(spark, dir.toString))
+        === rows(full))
       // tombstone two ids: logical delete serves immediately
       val victims = Seq(3L, 120L)
       Similarity.signBandIndexDelete(
@@ -1829,6 +1835,22 @@ class DedupSpec extends SparkSpec {
       }
       assert(rows(Similarity.signBandIndexRead(spark, dir.toString)) ===
         rows(full).filterNot(r => victims.contains(r._1)))
+      // RESURRECTION: tombstone id 5 (sidecar only), then re-append it
+      // — stale rows scrubbed, sidecar entry dropped, exactly `chunks`
+      // live rows serve again
+      Similarity.signBandIndexDelete(
+        dir.toString, Seq(5L).toDF("vec_id"), "vec_id")
+      assert(!rows(Similarity.signBandIndexRead(spark, dir.toString))
+        .exists(_._1 == 5L))
+      Similarity.signBandIndexAppend(
+        spark, dir.toString, df.where(col("vec_id") === 5L),
+        "vec_id", "embedding")
+      val r5 = Similarity.signBandIndexRead(spark, dir.toString)
+        .buckets.where(col("id") === 5L)
+      assert(r5.count() === 5L, "chunks live rows for the resurrected id")
+      assert(spark.read
+        .parquet(s"${dir.toString}/buckets").where(col("id") === 5L)
+        .count() === 5L, "no stale duplicate rows behind the sidecar")
     } finally graft.util.Fs.deleteRecursively(dir)
     spark.catalog.clearCache(); graft.ext.Caches.release()
   }

@@ -78,4 +78,23 @@ class FsSpec extends SparkSpec {
     assert(readIds(src) === Set(10L))
     Fs.deleteRecursively(root)
   }
+
+  test("recoverSwap also completes LEGACY-suffix residue " +
+    "(t._swap / t._old from the one shipped suffix-naming revision)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-fsspec4")
+    val src = root.resolve("t")
+    // legacy state B: src missing, complete t._swap + t._old pre-image
+    writeTable(root.resolve("t._swap"), Seq(11L))
+    writeTable(root.resolve("t._old"), Seq(1L))
+    Fs.recoverSwap(src)
+    assert(readIds(src) === Set(11L))
+    assert(!java.nio.file.Files.exists(root.resolve("t._swap")))
+    assert(!java.nio.file.Files.exists(root.resolve("t._old")))
+    // legacy state A: partial t._swap next to an intact src -> cleaned
+    java.nio.file.Files.createDirectories(root.resolve("t._swap"))
+    Fs.recoverSwap(src)
+    assert(readIds(src) === Set(11L))
+    assert(!java.nio.file.Files.exists(root.resolve("t._swap")))
+    Fs.deleteRecursively(root)
+  }
 }
