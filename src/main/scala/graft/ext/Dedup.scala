@@ -1782,7 +1782,15 @@ object Dedup {
     val nQ = sampled.agg(count(lit(1)).as("n_queries"))
     val invB = invertedIndex(sampled, idCol, textCol, w)
     val sizesB = invB.groupBy("id").agg(count(lit(1)).as("n"))
-    val invC = spark.read.parquet(s"$dir/postings")
+    // sidecar-aware like the LSH side (minhashProbeIndex): the audit
+    // must measure the SERVING index — with a live tombstone sidecar,
+    // a raw postings read would count deleted docs as exact pairs the
+    // probe correctly excludes, under-reporting recall and false-
+    // alarming the health monitor. One anti-join on the postings scan
+    // suffices: the sizes lookup only ever sees id_b values that
+    // produced a shared-postings row.
+    val invC = Sidecar.applyTo(
+      spark, dir, spark.read.parquet(s"$dir/postings"))
     val sizesC = spark.read.parquet(s"$dir/sizes")
     // exact cross-side pairs: shared-posting counts per (batch doc,
     // index doc), then the jaccardFromShared arithmetic verbatim with

@@ -157,6 +157,17 @@ class DedupSpec extends SparkSpec {
       corpusSide.where(!col("doc_id").isin(victims.toSeq: _*)),
       "doc_id", "text", freshDir)
     assert(logical === probe(freshDir))
+    // the ONLINE health audit measures the SERVING index: with the
+    // sidecar live, its exact side excludes tombstoned docs just like
+    // the probe side — identical to auditing a fresh live-only index
+    // (without the sidecar-aware exact side, deleted docs would count
+    // as exact pairs the probe rightly misses → recall under-reported,
+    // a false alarm on the health dashboard)
+    assert(
+      Dedup.indexRecallSampled(batch, "doc_id", "text", dir,
+        sampleMod = 1).head().toSeq ===
+      Dedup.indexRecallSampled(batch, "doc_id", "text", freshDir,
+        sampleMod = 1).head().toSeq)
     // COMPACT: physical rewrite — sidecar cleared, tables equal the
     // fresh build's (postings/sizes/buckets incl. recounted bucket_n)
     Dedup.minhashIndexCompact(spark, dir)
