@@ -530,7 +530,8 @@ object ScaleProbe {
       }
       time("10x minhashIndexCompact") {
         graft.ext.Dedup.minhashIndexCompact(spark, mdir.toString)
-        spark.read.parquet(s"$mdir/buckets").count()
+        spark.read.parquet(
+          graft.util.Manifest.tablePath(mdir.toString, "buckets")).count()
       }
       time("10x probe (post-compaction)") {
         graft.ext.Dedup.minhashProbeIndex(

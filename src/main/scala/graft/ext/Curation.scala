@@ -335,8 +335,7 @@ object Curation {
     // monitor that silently skipped its health stage would read as
     // "index healthy" on the dashboard that watches the report table
     minhashIndexDir.foreach { d =>
-      require(java.nio.file.Files.isDirectory(
-        java.nio.file.Paths.get(d, "postings")),
+      require(graft.util.Manifest.tableExists(d, "postings"),
         s"driftMonitor: no minhash index at $d (expected postings/" +
           "sizes/buckets from Dedup.minhashIndexWrite)")
     }

@@ -1323,16 +1323,19 @@ object Dedup {
       threshold: Double = 0.5, k: Int = 64, bands: Int = 16,
       maxBucket: Int = 1000, w: Int = 3): DataFrame = {
     val spark = batch.sparkSession
-    val invC = spark.read.parquet(s"$dir/postings")
-    val sizesC = spark.read.parquet(s"$dir/sizes")
-    val buckC0 = spark.read.parquet(s"$dir/buckets")
+    // ONE manifest snapshot for the postings/sizes/buckets trio + the
+    // sidecar: a compaction flip mid-probe cannot mix epochs
+    val snap = graft.util.Manifest.snapshot(dir)
+    val invC = spark.read.parquet(snap.path("postings"))
+    val sizesC = spark.read.parquet(snap.path("sizes"))
+    val buckC0 = spark.read.parquet(snap.path("buckets"))
     // logical delete: tombstoned docs stop being CANDIDATES, which is
     // all that matters — the postings/sizes scans only ever see
     // candidate ids, so one anti-join covers the whole probe. The
     // stored bucket_n stays stale until [[minhashIndexCompact]], which
     // is CONSERVATIVE: a bucket that crossed the cap while its
     // tombstones were live stays excluded until compaction.
-    val buckC = Sidecar.applyTo(spark, dir, buckC0)
+    val buckC = Sidecar.applyTo(spark, snap, buckC0)
     val invB = invertedIndex(batch, idCol, textCol, w)
     val sigB = minhashBandsAgg(invB, k, bands)
       .persistRegistered()
@@ -1380,33 +1383,36 @@ object Dedup {
 
   /** PHYSICAL compaction of a tombstoned minhash index: rewrite
     * postings/sizes/buckets minus the sidecar, recompute `bucket_n`
-    * from live membership (un-staling the skew cap), clear the
-    * sidecar. Each table rewrites through
-    * [[graft.util.Fs.rewriteSwap]] — write `_swap.<name>`, retire
-    * `_old.<name>`, promote — which is crash-COMPLETABLE rather than atomic (see its
-    * doc for the crash matrix); the sidecar is the done-marker and
-    * clears LAST, so an interrupted compact re-runs in full and each
-    * per-table rewrite is idempotent (an already-scrubbed table
-    * anti-joins to itself). After compaction the index is
-    * bit-identical to one freshly built on the surviving corpus
-    * (spec-pinned — postings, sizes, bucket membership and counts are
-    * all per-document or derived from live membership). */
+    * from live membership (un-staling the skew cap). The THREE table
+    * rewrites and the sidecar retirement publish through ONE
+    * [[graft.util.Manifest]] flip — a concurrent reader resolves
+    * either the complete pre-compact trio (plus the tombstone
+    * anti-join) or the complete post-compact trio, never postings
+    * from the new build with buckets from the old; an interrupted
+    * compact re-runs in full (the old manifest still lists the
+    * sidecar). After compaction the index is bit-identical to one
+    * freshly built on the surviving corpus (spec-pinned — postings,
+    * sizes, bucket membership and counts are all per-document or
+    * derived from live membership). */
   def minhashIndexCompact(
       spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
     Sidecar.read(spark, dir).foreach { t =>
       val tomb = broadcast(t)
-      def swapWrite(table: String)(f: DataFrame => DataFrame): Unit =
-        graft.util.Fs.rewriteSwap(
-          spark, java.nio.file.Paths.get(dir, table))(f)
-      swapWrite("postings")(_.join(tomb, Seq("id"), "left_anti"))
-      swapWrite("sizes")(_.join(tomb, Seq("id"), "left_anti"))
-      swapWrite("buckets") { b =>
-        val live = b.drop("bucket_n").join(tomb, Seq("id"), "left_anti")
-        live.join(
-          live.groupBy("band", "bh").agg(count(lit(1)).as("bucket_n")),
-          Seq("band", "bh"))
-      }
-      Sidecar.clear(dir)
+      def anti(table: String): graft.util.Manifest.TableRewrite =
+        graft.util.Manifest.TableRewrite(table, None,
+          _.join(tomb, Seq("id"), "left_anti"))
+      graft.util.Manifest.publishRewrite(spark,
+        java.nio.file.Paths.get(dir),
+        Seq(anti("postings"), anti("sizes"),
+          graft.util.Manifest.TableRewrite("buckets", None, { b =>
+            val live =
+              b.drop("bucket_n").join(tomb, Seq("id"), "left_anti")
+            live.join(
+              live.groupBy("band", "bh")
+                .agg(count(lit(1)).as("bucket_n")),
+              Seq("band", "bh"))
+          })),
+        drop = Seq("tombstones"))
     }
 
   // ---- SimHash ----------------------------------------------------------
@@ -1789,9 +1795,10 @@ object Dedup {
     // alarming the health monitor. One anti-join on the postings scan
     // suffices: the sizes lookup only ever sees id_b values that
     // produced a shared-postings row.
-    val invC = Sidecar.applyTo(
-      spark, dir, spark.read.parquet(s"$dir/postings"))
-    val sizesC = spark.read.parquet(s"$dir/sizes")
+    val snap = graft.util.Manifest.snapshot(dir)
+    val invC = Sidecar.applyTo(spark, snap,
+      spark.read.parquet(snap.path("postings")))
+    val sizesC = spark.read.parquet(snap.path("sizes"))
     // exact cross-side pairs: shared-posting counts per (batch doc,
     // index doc), then the jaccardFromShared arithmetic verbatim with
     // per-side size frames — the batch-scale frames broadcast onto

@@ -25,7 +25,7 @@ object DedupQueries {
     new Thread(() => {
       scratchDirs.forEach(p => graft.util.Fs.deleteRecursively(p))
     }))
-  private def scratchDir(prefix: String): java.nio.file.Path = {
+  private[ext] def scratchDir(prefix: String): java.nio.file.Path = {
     scratchHook
     val p = java.nio.file.Files.createTempDirectory(prefix)
     scratchDirs.add(p)

@@ -272,8 +272,15 @@ object KmeansOracle {
   def pqCtes(
       src: String, rCol: String, m: Int = 8, k: Int = 16,
       iters: Int = 3, subDim: Int = 8, seed: Long = 42L,
-      p: String = "pq", trainCap: Int = 0): String = {
+      p: String = "pq", trainCap: Int = 0,
+      trainWhere: String = ""): String = {
     val cap = Similarity.lloydTrainCap(trainCap, k)
+    // s34's incremental-append replay trains the codebooks on a
+    // RESTRICTED base (the pre-append half's residuals) while {p}subf
+    // still encodes the full source — frozen-codebook append is the
+    // same argmin expression over both halves. The default empty
+    // predicate keeps the s8/s9/s28 oracle text byte-stable.
+    val tw = if (trainWhere.isEmpty) "" else s" WHERE $trainWhere"
     val init = Similarity.initialCodebooks(m, k, subDim, seed)
     val b0rows = (for {
       j <- 0 until m; code <- 0 until k
@@ -297,7 +304,7 @@ object KmeansOracle {
     // final encode ({p}af) assigns the FULL source
     val sb = new StringBuilder
     sb ++= s"""${p}smp AS (
-              |  SELECT * FROM $src
+              |  SELECT * FROM $src$tw
               |  ORDER BY ${DedupQueries.pmSql("CAST(id AS VARCHAR)")}, id
               |  LIMIT $cap),
               |${p}sub AS (

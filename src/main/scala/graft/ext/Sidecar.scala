@@ -3,48 +3,101 @@ package graft.ext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** The tombstone-sidecar discipline shared by all three persisted
-  * index families (minhash, IVF, sign-LSH band): a LOGICAL delete
-  * appends ids to `dir/tombstones` (no index file touched), readers
-  * anti-join the sidecar, and a family-specific compactor later
-  * rewrites the affected partitions physically and clears the sidecar
-  * LAST (it is the done-marker — an interrupted compact re-runs in
-  * full, and each partition rewrite is idempotent). Three families
+import graft.util.Manifest
+
+/** The tombstone-sidecar discipline shared by all persisted index
+  * families (minhash, IVF, IVF-PQ, sign-LSH band): a LOGICAL delete
+  * appends ids to the index's `tombstones` table (no index file
+  * touched), readers anti-join the sidecar, and a family-specific
+  * compactor later rewrites the affected partitions physically and
+  * retires the sidecar IN THE SAME [[graft.util.Manifest]] flip that
+  * publishes the compacted tables — "compacted" and "sidecar cleared"
+  * are one atomic transition, and an interrupted compact re-runs in
+  * full (the old manifest still lists the sidecar). Three families
   * previously carried three verbatim copies of this; a fix applied to
   * one (the IVF resurrection path) missed the others — hence the
-  * single shared implementation. */
+  * single shared implementation. All resolution goes through the
+  * manifest (legacy plain-dir layouts read unchanged), and the first
+  * read of a root sweeps any stranded pre-manifest rewrite residue
+  * ([[graft.util.Fs.sweepSwapResidue]]). */
 private[ext] object Sidecar {
 
   /** Append `ids` (cast to the layout's long id contract, distinct)
-    * to the sidecar. */
-  def append(dir: String, tombstones: DataFrame, idCol: String): Unit =
-    tombstones.select(col(idCol).cast("long").as("id")).distinct()
-      .write.mode("append").parquet(s"$dir/tombstones")
-
-  /** The sidecar's distinct id set, if one exists. */
-  def read(spark: SparkSession, dir: String): Option[DataFrame] = {
-    val p = java.nio.file.Paths.get(dir, "tombstones")
-    if (java.nio.file.Files.isDirectory(p))
-      Some(spark.read.parquet(p.toString).select(col("id")).distinct())
-    else None
+    * to the sidecar — creating it (and its manifest entry, on
+    * manifest roots) if absent. Append-in-place is reader-safe:
+    * parquet files land whole, and a reader's listing sees either
+    * snapshot of an append-only table. */
+  def append(dir: String, tombstones: DataFrame, idCol: String): Unit = {
+    val root = java.nio.file.Paths.get(dir)
+    val ids = tombstones.select(col(idCol).cast("long").as("id")).distinct()
+    Manifest.resolve(root, "tombstones") match {
+      case Some(p) => ids.write.mode("append").parquet(p.toString)
+      case None if Manifest.read(root).isDefined =>
+        // manifest root without a sidecar yet: write the table first,
+        // then commit its entry with one flip (a crash in between
+        // leaves an orphan the next publish GCs — the delete is only
+        // durable once the flip lands, same as any other publish)
+        val name = Manifest.nextVersion(root, "tombstones")
+        ids.write.mode("overwrite").parquet(root.resolve(name).toString)
+        Manifest.flip(root, Manifest.entries(root) + ("tombstones" -> name))
+      case None =>
+        ids.write.mode("append")
+          .parquet(root.resolve("tombstones").toString)
+    }
   }
+
+  /** The sidecar's distinct id set, if one exists — resolved from the
+    * caller's manifest SNAPSHOT, so the sidecar epoch always matches
+    * the data tables the caller resolved from the same snapshot (a
+    * fresh read here could straddle a compaction's flip and pair old
+    * data with the already-retired sidecar, resurrecting deleted
+    * rows). Mounts the one-shot legacy-residue sweep: this is the
+    * shared open path every family's reader passes through. */
+  def read(spark: SparkSession, snap: Manifest.Snapshot)
+      : Option[DataFrame] = {
+    if (snap.mapping.isEmpty) graft.util.Fs.sweepSwapResidue(snap.root)
+    snap.resolve("tombstones")
+      .filter(java.nio.file.Files.isDirectory(_))
+      .map(p => spark.read.parquet(p.toString).select(col("id")).distinct())
+  }
+
+  def read(spark: SparkSession, dir: String): Option[DataFrame] =
+    read(spark, Manifest.snapshot(dir))
 
   /** Serve `df` minus the sidecar (broadcast anti-join) — the logical
     * delete, visible before any compaction. */
-  def applyTo(spark: SparkSession, dir: String, df: DataFrame): DataFrame =
-    read(spark, dir).fold(df)(t =>
+  def applyTo(
+      spark: SparkSession, snap: Manifest.Snapshot, df: DataFrame)
+      : DataFrame =
+    read(spark, snap).fold(df)(t =>
       df.join(broadcast(t), Seq("id"), "left_anti"))
 
-  /** Remove `ids` from the sidecar (the resurrection path: a deleted
-    * id re-ingested must drop off the tombstone list once its stale
-    * rows are scrubbed). Tiny table — full crash-completable rewrite. */
-  def remove(spark: SparkSession, dir: String, ids: DataFrame): Unit =
-    graft.util.Fs.rewriteSwap(
-      spark, java.nio.file.Paths.get(dir, "tombstones"))(
+  def applyTo(spark: SparkSession, dir: String, df: DataFrame): DataFrame =
+    applyTo(spark, Manifest.snapshot(dir), df)
+
+  /** The tombstones [[Manifest.TableRewrite]] removing `ids` — for
+    * scrub paths that must retire resurrected ids IN THE SAME flip as
+    * their partition rewrites. */
+  def removeRewrite(ids: DataFrame): Manifest.TableRewrite =
+    Manifest.TableRewrite("tombstones", None,
       _.join(broadcast(ids.select(col("id"))), Seq("id"), "left_anti"))
 
-  /** Clear the sidecar — the compactor's final step. */
-  def clear(dir: String): Unit =
-    graft.util.Fs.deleteRecursively(
-      java.nio.file.Paths.get(dir, "tombstones"))
+  /** Remove `ids` from the sidecar standalone (the resurrection
+    * path's API form) — one manifest publish; tiny table, full
+    * rewrite. */
+  def remove(spark: SparkSession, dir: String, ids: DataFrame): Unit =
+    Manifest.publishRewrite(spark, java.nio.file.Paths.get(dir),
+      Seq(removeRewrite(ids)))
+
+  /** Clear the sidecar — one manifest flip dropping its entry (the
+    * compactors instead pass `drop = Seq("tombstones")` to their own
+    * publish, folding the clear into the same transition). */
+  def clear(dir: String): Unit = {
+    val root = java.nio.file.Paths.get(dir)
+    Manifest.read(root) match {
+      case Some(m) => Manifest.flip(root, m - "tombstones")
+      case None =>
+        graft.util.Fs.deleteRecursively(root.resolve("tombstones"))
+    }
+  }
 }

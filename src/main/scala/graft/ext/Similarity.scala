@@ -555,11 +555,14 @@ object Similarity {
 
   def signBandIndexRead(
       spark: SparkSession, dir: String): SignBandIndex = {
-    val p = spark.read.parquet(s"$dir/params").head()
+    // one snapshot: params + buckets + sidecar from a single state
+    val snap = graft.util.Manifest.snapshot(dir)
+    val p = spark.read.parquet(snap.path("params")).head()
     // tombstone sidecar (signBandIndexDelete): logical delete visible
     // immediately, physical rewrite deferred to compaction
     SignBandIndex(p.getInt(0), p.getInt(1), p.getInt(2),
-      Sidecar.applyTo(spark, dir, spark.read.parquet(s"$dir/buckets")))
+      Sidecar.applyTo(spark, snap,
+        spark.read.parquet(snap.path("buckets"))))
   }
 
   /** Append to a PERSISTED band index WITHOUT rebuild — the third
@@ -577,13 +580,18 @@ object Similarity {
     * where every existing id has exactly one row and an equal vector
     * hashes to the same bucket), and a re-ingested TOMBSTONED id is
     * scrubbed from its stale rows + the sidecar first, so the
-    * re-ingest actually serves. */
+    * re-ingest actually serves. Same PRECONDITION as the IVF twin: a
+    * re-delivered id must carry a byte-identical vector — a changed
+    * vector hashes to a different band-0 bucket, escapes the pruned
+    * dup gate, and duplicates the id permanently. Updates are not
+    * appends: route them delete → compact/scrub → append. */
   def signBandIndexAppend(
       spark: SparkSession, dir: String,
       arriving: DataFrame, idCol: String, vecCol: String): Unit = {
     // params only — reading the index frame here would pay a full
     // (band, bucket) file listing per append for three ints
-    val p = spark.read.parquet(s"$dir/params").head()
+    val p = spark.read
+      .parquet(graft.util.Manifest.tablePath(dir, "params")).head()
     val (nPlanes, chunks, dimV) = (p.getInt(0), p.getInt(1), p.getInt(2))
     val rows = signBandIndexBuild(
       arriving.dropDuplicates(idCol), idCol, vecCol, dimV,
@@ -603,14 +611,15 @@ object Similarity {
       val b0 = rows.where(col("band") === 0)
         .select(col("bucket").cast("long")).distinct()
         .collect().map(_.getLong(0)).sorted
-      val dup = spark.read.parquet(s"$dir/buckets")
+      val buckPath = graft.util.Manifest.tablePath(dir, "buckets")
+      val dup = spark.read.parquet(buckPath)
         .where(col("band") === 0 &&
           col("bucket").isin(b0.map(b => b: Any): _*))
         .join(broadcast(batchIds), Seq("id"))
         .select(col("id")).distinct()
       rows.join(broadcast(dup), Seq("id"), "left_anti")
         .write.mode("append").partitionBy("band", "bucket")
-        .parquet(s"$dir/buckets")
+        .parquet(buckPath)
     } finally rows.unpersist()
   }
 
@@ -623,48 +632,58 @@ object Similarity {
 
   /** PHYSICAL compaction, PARTITION-SCOPED like [[ivfIndexCompact]]:
     * each tombstoned id touches exactly `chunks` (band, bucket)
-    * directories; only those are rewritten (crash-completable
-    * [[graft.util.Fs.rewriteSwap]] each), the rest stay untouched
-    * bytes. Sidecar clears LAST (the done-marker). */
+    * directories; only those are rewritten into the new index version
+    * (the rest hardlink — untouched bytes), and one
+    * [[graft.util.Manifest]] flip publishes the compacted buckets and
+    * retires the sidecar atomically. */
   def signBandIndexCompact(
       spark: SparkSession, dir: String): Unit =
     Sidecar.read(spark, dir).foreach { t =>
       val tomb = broadcast(t)
       // partition-column types are inference-dependent on read (small
       // bucket values come back int) — cast before collecting
-      val affected = spark.read.parquet(s"$dir/buckets")
+      val affected = spark.read
+        .parquet(graft.util.Manifest.tablePath(dir, "buckets"))
         .join(tomb, Seq("id"))
         .select(col("band").cast("int"), col("bucket").cast("long"))
         .distinct()
         .collect().map(r => (r.getInt(0), r.getLong(1))).sorted
-      affected.foreach { case (band, bucket) =>
-        graft.util.Fs.rewriteSwap(
-          spark, java.nio.file.Paths.get(
-            dir, "buckets", s"band=$band", s"bucket=$bucket"))(
-          _.join(tomb, Seq("id"), "left_anti"))
-      }
-      Sidecar.clear(dir)
+      val rewrites =
+        if (affected.isEmpty) Nil
+        else Seq(graft.util.Manifest.TableRewrite("buckets",
+          Some(affected.map { case (band, bucket) =>
+            s"band=$band/bucket=$bucket"
+          }.toSeq),
+          _.join(tomb, Seq("id"), "left_anti")))
+      graft.util.Manifest.publishRewrite(spark,
+        java.nio.file.Paths.get(dir), rewrites,
+        drop = Seq("tombstones"))
     }
 
   /** The resurrection scrub, band form: remove stale rows of `ids`
     * from their `chunks` partition dirs and drop them from the
-    * sidecar ([[ivfScrub]]'s twin). */
+    * sidecar ([[ivfScrub]]'s twin — one manifest publish covers
+    * both). */
   private def signBandScrub(
       spark: SparkSession, dir: String, ids: Array[Long]): Unit = {
     import spark.implicits._
     val idDf = broadcast(ids.toSeq.toDF("id"))
-    val affected = spark.read.parquet(s"$dir/buckets")
+    val affected = spark.read
+      .parquet(graft.util.Manifest.tablePath(dir, "buckets"))
       .join(idDf, Seq("id"))
       .select(col("band").cast("int"), col("bucket").cast("long"))
       .distinct()
       .collect().map(r => (r.getInt(0), r.getLong(1))).sorted
-    affected.foreach { case (band, bucket) =>
-      graft.util.Fs.rewriteSwap(
-        spark, java.nio.file.Paths.get(
-          dir, "buckets", s"band=$band", s"bucket=$bucket"))(
-        _.join(idDf, Seq("id"), "left_anti"))
-    }
-    Sidecar.remove(spark, dir, idDf)
+    val bucketRewrites =
+      if (affected.isEmpty) Nil
+      else Seq(graft.util.Manifest.TableRewrite("buckets",
+        Some(affected.map { case (band, bucket) =>
+          s"band=$band/bucket=$bucket"
+        }.toSeq),
+        _.join(idDf, Seq("id"), "left_anti")))
+    graft.util.Manifest.publishRewrite(spark,
+      java.nio.file.Paths.get(dir),
+      bucketRewrites :+ Sidecar.removeRewrite(idDf))
   }
 
   /** [[annTopK]] through a [[SignBandIndex]]: chunk-equality bucket
@@ -1161,12 +1180,17 @@ object Similarity {
     * delete is visible immediately, before any compaction). */
   def ivfIndexRead(
       spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex = {
-    val cents = spark.read.parquet(s"$dir/centroids")
+    // ONE manifest snapshot for centroids + assigned + sidecar: the
+    // whole read is a single consistent index state even if a
+    // maintenance flip lands mid-call
+    val snap = graft.util.Manifest.snapshot(dir)
+    val cents = spark.read.parquet(snap.path("centroids"))
       .orderBy("c").collect()
       .map(r => r.getSeq[Double](r.fieldIndex("vec")))
       .toSeq
     IvfIndex(cents,
-      Sidecar.applyTo(spark, dir, spark.read.parquet(s"$dir/assigned")))
+      Sidecar.applyTo(spark, snap,
+        spark.read.parquet(snap.path("assigned"))))
   }
 
   /** LOGICAL delete from a PERSISTED IVF index dir — the sidecar
@@ -1181,29 +1205,33 @@ object Similarity {
 
   /** PHYSICAL compaction of a tombstoned persisted IVF index —
     * PARTITION-SCOPED: only the cell directories that actually hold
-    * tombstoned vectors are rewritten (one anti-joined rewrite + FS
-    * rename swap per affected cell); every other cell's files are
-    * untouched bytes. That scoping is the 100 TB claim made literal:
-    * a takedown of a handful of vectors rewrites a handful of cells,
-    * not the index. The affected-cell set is found with one
-    * broadcast-join scan and is bounded by k (collected — driver-
-    * scale by construction). Clears the sidecar. */
+    * tombstoned vectors are rewritten into the NEW index version
+    * (every other cell hardlinks — untouched bytes), and ONE
+    * [[graft.util.Manifest]] flip publishes the compacted `assigned`
+    * and retires the sidecar atomically, so a concurrent reader sees
+    * either the full pre-compact state (old assignment + tombstone
+    * anti-join) or the full post-compact state — never a missing
+    * table or a cleared sidecar over uncompacted data. That scoping
+    * is the 100 TB claim made literal: a takedown of a handful of
+    * vectors rewrites a handful of cells, not the index. The
+    * affected-cell set is found with one broadcast-join scan and is
+    * bounded by k (collected — driver-scale by construction). */
   def ivfIndexCompact(
       spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
     Sidecar.read(spark, dir).foreach { t =>
       val tomb = broadcast(t)
-      val affected = spark.read.parquet(s"$dir/assigned")
+      val root = java.nio.file.Paths.get(dir)
+      val affected = spark.read
+        .parquet(graft.util.Manifest.tablePath(dir, "assigned"))
         .join(tomb, Seq("id")).select(col("c")).distinct()
         .collect().map(_.getInt(0)).sorted
-      affected.foreach { c =>
-        graft.util.Fs.rewriteSwap(
-          spark, java.nio.file.Paths.get(dir, "assigned", s"c=$c"))(
-          _.join(tomb, Seq("id"), "left_anti"))
-      }
-      // the sidecar is the done-marker and clears LAST: a compact
-      // interrupted mid-cell re-runs in full (per-cell rewrites are
-      // idempotent — an already-scrubbed cell anti-joins to itself)
-      Sidecar.clear(dir)
+      val rewrites =
+        if (affected.isEmpty) Nil
+        else Seq(graft.util.Manifest.TableRewrite("assigned",
+          Some(affected.map(c => s"c=$c").toSeq),
+          _.join(tomb, Seq("id"), "left_anti")))
+      graft.util.Manifest.publishRewrite(spark, root, rewrites,
+        drop = Seq("tombstones"))
     }
 
   /** [[ivfIndexAppend]] made IDEMPOTENT — the foreachBatch unit: a
@@ -1214,7 +1242,15 @@ object Similarity {
     * touched cells (the batch's id set broadcasts onto the scan;
     * output is bounded by the batch), anti-join them out, append the
     * remainder. The index is only ever scanned (pruned), never
-    * shuffled; all join sides that move are batch-scale. */
+    * shuffled; all join sides that move are batch-scale.
+    *
+    * PRECONDITION (shared with [[signBandIndexAppend]]): a
+    * re-delivered id must carry a byte-identical vector. The dup gate
+    * scans only the BATCH's own cells — an id re-ingested with a
+    * CHANGED vector can hash to a different cell, escape the gate,
+    * and become a permanent duplicate id with conflicting rows.
+    * Updates are not appends: route them delete → compact/scrub →
+    * append ([[ivfIndexDelete]] then re-ingest resurrects cleanly). */
   def ivfIndexAppendIdempotent(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       arriving: DataFrame, idCol: String, vecCol: String): Unit = {
@@ -1248,13 +1284,14 @@ object Similarity {
             .collect().map(_.getLong(0))
           if (resurrect.nonEmpty) ivfScrub(spark, dir, resurrect)
         }
-        val existing = spark.read.parquet(s"$dir/assigned")
+        val asgPath = graft.util.Manifest.tablePath(dir, "assigned")
+        val existing = spark.read.parquet(asgPath)
           .where(col("c").isin(cells.map(c => c: Any): _*))
         val dup = existing
           .join(broadcast(assigned.select(col("id"))), Seq("id"))
           .select(col("id")).distinct()
         assigned.join(broadcast(dup), Seq("id"), "left_anti")
-          .write.mode("append").partitionBy("c").parquet(s"$dir/assigned")
+          .write.mode("append").partitionBy("c").parquet(asgPath)
       }
     } finally assigned.unpersist()
   }
@@ -1262,24 +1299,28 @@ object Similarity {
   /** Physically remove `ids` from the persisted assignment (partition-
     * scoped rewrite of only the cells that hold them) and drop them
     * from the tombstone sidecar — the resurrection path of
-    * [[ivfIndexAppendIdempotent]]. */
+    * [[ivfIndexAppendIdempotent]]. ONE manifest publish covers both:
+    * the scrubbed cells and the shrunk sidecar flip together, so a
+    * reader can never pair a scrubbed assignment with the stale
+    * sidecar (which would hide the about-to-be-appended id) or vice
+    * versa. */
   private def ivfScrub(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       ids: Array[Long]): Unit = {
     import spark.implicits._
     val idDf = broadcast(ids.toSeq.toDF("id"))
-    val affected = spark.read.parquet(s"$dir/assigned")
+    val affected = spark.read
+      .parquet(graft.util.Manifest.tablePath(dir, "assigned"))
       .join(idDf, Seq("id")).select(col("c")).distinct()
       .collect().map(_.getInt(0)).sorted
-    affected.foreach { c =>
-      graft.util.Fs.rewriteSwap(
-        spark, java.nio.file.Paths.get(dir, "assigned", s"c=$c"))(
-        _.join(idDf, Seq("id"), "left_anti"))
-    }
-    // sidecar minus the resurrected ids (tiny table — full rewrite;
-    // an all-resurrected sidecar becomes an empty table, which keeps
-    // read-time anti-joins trivially cheap)
-    Sidecar.remove(spark, dir, idDf)
+    val cellRewrites =
+      if (affected.isEmpty) Nil
+      else Seq(graft.util.Manifest.TableRewrite("assigned",
+        Some(affected.map(c => s"c=$c").toSeq),
+        _.join(idDf, Seq("id"), "left_anti")))
+    graft.util.Manifest.publishRewrite(spark,
+      java.nio.file.Paths.get(dir),
+      cellRewrites :+ Sidecar.removeRewrite(idDf))
   }
 
   /** Streaming index ingestion — the stream side of the maintenance
@@ -1293,8 +1334,7 @@ object Similarity {
   def ivfIndexIngestStream(
       vectors: DataFrame, idCol: String, vecCol: String, dir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    require(java.nio.file.Files.isDirectory(
-      java.nio.file.Paths.get(dir, "centroids")),
+    require(graft.util.Manifest.tableExists(dir, "centroids"),
       s"ivfIndexIngestStream: no IVF index at $dir (expected " +
         "centroids/assigned from ivfIndexWrite)")
     vectors.writeStream.foreachBatch { (b: DataFrame, _: Long) =>
@@ -1371,7 +1411,14 @@ object Similarity {
     * directories, existing files are never rewritten, and a reader's
     * partition pruning ([[ivfTopKBatch]]'s static cell filter) keeps
     * working across appends. Append-then-read ≡ in-memory
-    * [[ivfAppend]] (spec-pinned). */
+    * [[ivfAppend]] (spec-pinned) — INCLUDING for currently-tombstoned
+    * ids: a batch id sitting in the sidecar is resurrected first
+    * (stale rows scrubbed, sidecar entry dropped — [[ivfScrub]]), or
+    * the read-side anti-join would silently swallow the append and a
+    * later compaction would destroy it. NOT idempotent: a retried
+    * batch double-appends — sinks use [[ivfIndexAppendIdempotent]];
+    * the same equal-vector precondition applies (updates go delete →
+    * scrub → append, never straight re-append). */
   def ivfIndexAppend(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       arriving: DataFrame, idCol: String, vecCol: String): Unit = {
@@ -1381,8 +1428,15 @@ object Similarity {
     // id file into an INT64 dataset would poison later reads
     val base = arriving.select(
       col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    Sidecar.read(spark, dir).foreach { t =>
+      val resurrect = t
+        .join(broadcast(base.select(col("id")).distinct()), Seq("id"))
+        .collect().map(_.getLong(0))
+      if (resurrect.nonEmpty) ivfScrub(spark, dir, resurrect)
+    }
     assignWithBuildRegime(base, idx.centroids)
-      .write.mode("append").partitionBy("c").parquet(s"$dir/assigned")
+      .write.mode("append").partitionBy("c")
+      .parquet(graft.util.Manifest.tablePath(dir, "assigned"))
   }
 
   def ivfTopK(
@@ -1748,7 +1802,8 @@ object Similarity {
 
   def pqIndexRead(
       spark: org.apache.spark.sql.SparkSession, dir: String): PqIndex = {
-    val rows = spark.read.parquet(s"$dir/codebooks")
+    val snap = graft.util.Manifest.snapshot(dir)
+    val rows = spark.read.parquet(snap.path("codebooks"))
       .orderBy("sub", "code").collect()
     val books = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
       .map { case (_, rs) =>
@@ -1756,9 +1811,9 @@ object Similarity {
           .map(r => r.getSeq[Double](r.fieldIndex("vec"))).toSeq
       }
     PqIndex(books,
-      spark.read.parquet(s"$dir/encoded"),
-      spark.read.parquet(s"$dir/base"),
-      spark.read.parquet(s"$dir/params").head().getLong(0))
+      spark.read.parquet(snap.path("encoded")),
+      spark.read.parquet(snap.path("base")),
+      spark.read.parquet(snap.path("params")).head().getLong(0))
   }
 
   /** IVF-PQ composite index (Jégou et al. 2011's IVFADC — the canonical
@@ -1826,7 +1881,11 @@ object Similarity {
     * tables, `encoded` PARTITIONED BY cell id (the probe's cell filter
     * prunes partitions; codes are m ints/vector, the 100 TB scan
     * footprint), and `base` (exact re-rank source — in deployment this
-    * is the corpus table itself, written here for self-containment). */
+    * is the corpus table itself, written here for self-containment),
+    * ALSO partitioned by cell so the maintenance ops (compact/scrub)
+    * stay partition-scoped on both tables. Ids cast to long — the one
+    * physical id type the appends share (the [[ivfIndexWrite]]
+    * contract). */
   def ivfPqIndexWrite(index: IvfPqIndex, dir: String): Unit = {
     val spark = index.encoded.sparkSession
     import spark.implicits._
@@ -1838,26 +1897,186 @@ object Similarity {
       (v, code) <- cb.zipWithIndex
     } yield (s, code, v)).toDF("sub", "code", "vec").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/codebooks")
-    index.encoded.write.mode("overwrite").partitionBy("c")
+    val enc = index.encoded.withColumn("id", col("id").cast("long"))
+    enc.write.mode("overwrite").partitionBy("c")
       .parquet(s"$dir/encoded")
-    index.base.write.mode("overwrite").parquet(s"$dir/base")
+    index.base.withColumn("id", col("id").cast("long"))
+      .join(enc.select(col("id"), col("c")), "id")
+      .write.mode("overwrite").partitionBy("c").parquet(s"$dir/base")
   }
 
   /** Load a persisted IVF-PQ index; doubles round-trip parquet exactly,
     * so probes, LUTs and re-ranks equal the in-memory index's. */
   def ivfPqIndexRead(
       spark: org.apache.spark.sql.SparkSession, dir: String): IvfPqIndex = {
-    val cents = spark.read.parquet(s"$dir/centroids")
+    // one snapshot: the four tables + sidecar from a single state
+    val snap = graft.util.Manifest.snapshot(dir)
+    val cents = spark.read.parquet(snap.path("centroids"))
       .orderBy("c").collect()
       .map(r => r.getSeq[Double](r.fieldIndex("vec"))).toSeq
-    val cbRows = spark.read.parquet(s"$dir/codebooks").collect()
+    val cbRows = spark.read.parquet(snap.path("codebooks")).collect()
       .map(r => (r.getInt(r.fieldIndex("sub")), r.getInt(r.fieldIndex("code")),
         r.getSeq[Double](r.fieldIndex("vec"))))
     val codebooks = cbRows.groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (_, rows) => rows.sortBy(_._2).map(_._3).toSeq }
+    // base normalizes to the (id, v) case-class contract whether the
+    // dir carries the cell-partitioned layout (current write) or the
+    // legacy unpartitioned one
     IvfPqIndex(cents, codebooks,
-      spark.read.parquet(s"$dir/encoded"),
-      spark.read.parquet(s"$dir/base"))
+      Sidecar.applyTo(spark, snap,
+        spark.read.parquet(snap.path("encoded"))),
+      Sidecar.applyTo(spark, snap,
+        spark.read.parquet(snap.path("base"))).select(col("id"), col("v")))
+  }
+
+  /** PQ codes for a materialized residual column under FROZEN
+    * codebooks — the encode tail of [[pqBuild]] factored for the
+    * maintenance path (argmin-L2 per subspace, identical tie
+    * contract). */
+  private def pqCodesExpr(
+      residual: Column, books: Seq[Seq[Seq[Double]]]): Column = {
+    val m = books.length
+    val subDim = books.head.head.length
+    array((0 until m).map(j =>
+      nearestCode(slice(residual, j * subDim + 1, subDim), books(j))): _*)
+  }
+
+  /** Append to a PERSISTED IVF-PQ index WITHOUT retraining — closes
+    * the maintenance gap on the one family that scales best (m
+    * bytes/vector scan): the batch is assigned with the FROZEN
+    * on-disk centroids ([[assignWithBuildRegime]] — the identical
+    * regime the build used), residual-encoded under the FROZEN
+    * codebooks (append ≡ rebuild-encode row-for-row under the same
+    * models; spec- and oracle-pinned), and appended into the
+    * cell-partitioned `encoded` and `base` tables — new files land
+    * only under the touched cells, nothing is rewritten. IDEMPOTENT
+    * and resurrecting like [[ivfIndexAppendIdempotent]], with the
+    * same equal-vector retry precondition (updates go delete →
+    * compact/scrub → append). The dup gate runs PER TABLE (encoded
+    * and base each anti-join the batch against their own pruned
+    * cells), so a crash between the two appends heals on retry
+    * instead of stranding a half-appended id. Requires the
+    * cell-partitioned base layout (current [[ivfPqIndexWrite]]);
+    * legacy unpartitioned-base dirs must be rewritten once. */
+  def ivfPqIndexAppendIdempotent(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      arriving: DataFrame, idCol: String, vecCol: String): Unit = {
+    val idx = ivfPqIndexRead(spark, dir)
+    val batch = arriving.select(
+      col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .dropDuplicates("id")
+    val assigned = assignWithBuildRegime(batch, idx.centroids).persist()
+    try {
+      val cells = assigned.select(col("c")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      if (cells.nonEmpty) {
+        require(spark.read
+          .parquet(graft.util.Manifest.snapshot(dir).path("base"))
+          .columns.contains("c"),
+          s"ivfPqIndexAppendIdempotent: $dir has a legacy " +
+            "unpartitioned base — rewrite via ivfPqIndexWrite first")
+        Sidecar.read(spark, dir).foreach { t =>
+          val resurrect = t
+            .join(broadcast(assigned.select(col("id"))), Seq("id"))
+            .collect().map(_.getLong(0))
+          if (resurrect.nonEmpty) ivfPqScrub(spark, dir, resurrect)
+        }
+        val snap = graft.util.Manifest.snapshot(dir)
+        val encoded = assigned
+          .withColumn("r",
+            residualExpr(col("v"), col("c"), idx.centroids))
+          .select(col("id"),
+            pqCodesExpr(col("r"), idx.codebooks).as("codes"), col("c"))
+        def appendFresh(table: String, rows: DataFrame): Unit = {
+          val path = snap.path(table)
+          val dup = spark.read.parquet(path)
+            .where(col("c").isin(cells.map(c => c: Any): _*))
+            .join(broadcast(assigned.select(col("id"))), Seq("id"))
+            .select(col("id")).distinct()
+          rows.join(broadcast(dup), Seq("id"), "left_anti")
+            .write.mode("append").partitionBy("c").parquet(path)
+        }
+        appendFresh("encoded", encoded)
+        appendFresh("base", assigned.select(col("id"), col("v"), col("c")))
+      }
+    } finally assigned.unpersist()
+  }
+
+  /** LOGICAL delete from a persisted IVF-PQ index — the shared
+    * [[Sidecar]] discipline; [[ivfPqIndexRead]] serves both `encoded`
+    * and `base` minus the tombstones immediately. */
+  def ivfPqIndexDelete(
+      dir: String, tombstones: DataFrame, idCol: String): Unit =
+    Sidecar.append(dir, tombstones, idCol)
+
+  /** PHYSICAL compaction — partition-scoped on BOTH data tables
+    * (only cells holding tombstoned vectors rewrite; the rest
+    * hardlink into the new version), one manifest flip retiring the
+    * sidecar atomically with the compacted tables. */
+  def ivfPqIndexCompact(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    Sidecar.read(spark, dir).foreach { t =>
+      val tomb = broadcast(t)
+      val snap = graft.util.Manifest.snapshot(dir)
+      val affected = spark.read.parquet(snap.path("encoded"))
+        .join(tomb, Seq("id")).select(col("c")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      // a legacy unpartitioned base (pre-maintenance layout) compacts
+      // whole-table; the current layout stays partition-scoped
+      val basePartitioned =
+        spark.read.parquet(snap.path("base")).columns.contains("c")
+      val rewrites =
+        if (affected.isEmpty) Nil
+        else {
+          val parts = Some(affected.map(c => s"c=$c").toSeq)
+          graft.util.Manifest.TableRewrite("encoded", parts,
+            _.join(tomb, Seq("id"), "left_anti")) ::
+            graft.util.Manifest.TableRewrite("base",
+              if (basePartitioned) parts else None,
+              _.join(tomb, Seq("id"), "left_anti")) :: Nil
+        }
+      graft.util.Manifest.publishRewrite(spark,
+        java.nio.file.Paths.get(dir), rewrites,
+        drop = Seq("tombstones"))
+    }
+
+  /** Resurrection scrub, IVF-PQ form ([[ivfScrub]]'s twin): stale
+    * rows of `ids` leave their cell partitions in `encoded` AND
+    * `base`, and the sidecar shrinks, all in one publish. */
+  private def ivfPqScrub(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      ids: Array[Long]): Unit = {
+    import spark.implicits._
+    val idDf = broadcast(ids.toSeq.toDF("id"))
+    val snap = graft.util.Manifest.snapshot(dir)
+    val affected = spark.read.parquet(snap.path("encoded"))
+      .join(idDf, Seq("id")).select(col("c")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val dataRewrites =
+      if (affected.isEmpty) Nil
+      else {
+        val parts = Some(affected.map(c => s"c=$c").toSeq)
+        Seq("encoded", "base").map(tbl =>
+          graft.util.Manifest.TableRewrite(tbl, parts,
+            _.join(idDf, Seq("id"), "left_anti")))
+      }
+    graft.util.Manifest.publishRewrite(spark,
+      java.nio.file.Paths.get(dir),
+      dataRewrites :+ Sidecar.removeRewrite(idDf))
+  }
+
+  /** Streaming IVF-PQ index ingestion — [[ivfIndexIngestStream]]'s
+    * twin over [[ivfPqIndexAppendIdempotent]] (retry-safe per
+    * micro-batch); a missing index fails at stream construction. */
+  def ivfPqIndexIngestStream(
+      vectors: DataFrame, idCol: String, vecCol: String, dir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(graft.util.Manifest.tableExists(dir, "codebooks"),
+      s"ivfPqIndexIngestStream: no IVF-PQ index at $dir (expected " +
+        "centroids/codebooks/encoded/base from ivfPqIndexWrite)")
+    vectors.writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+      ivfPqIndexAppendIdempotent(b.sparkSession, dir, b, idCol, vecCol)
+    }
   }
 
   def ivfPqTopK(

@@ -885,6 +885,41 @@ object SimilarityQueries {
           Similarity.norm(col("embedding")) > 0)
       Similarity
         .ivfTopKBatch(pruned, qs, "vec_id", "embedding", k = 10, nProbe = 4)
+    },
+
+    // INDEX MAINTENANCE, IVF-PQ form — the family with the best scan
+    // economics (m bytes/vector) gets the same grow-without-retrain
+    // path as IVF (s32): build on the pre-append half, persist, append
+    // the other half through the PERSISTED idempotent path (frozen
+    // centroids route the batch, frozen codebooks residual-encode it;
+    // new files land only under the touched cell partitions of
+    // `encoded` AND `base`). The result pins the grown index's
+    // ARTIFACT itself — cell routing and all m codes per vector, both
+    // halves — so "append ≡ rebuild-encode under the same models" is
+    // hash-checked end to end: the oracle replays Lloyd on the
+    // restricted training base, residuals over the full corpus, PQ
+    // codebook training on the restricted half's residuals, and the
+    // full-corpus encode.
+    Q("s34_ivfpq_append_codes", s34OracleSql) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val half = Dedup.pmd5(col("vec_id")) % 2
+      val idx = Similarity.ivfPqBuild(
+        emb.where(half === 0), "vec_id", "embedding", dim = Some(64))
+      // fresh dir per invocation — the persisted lifecycle IS the
+      // operator under test (shared scratch hook, the d39 discipline)
+      val tmp = DedupQueries.scratchDir("graft-ivfpq-app")
+      Similarity.ivfPqIndexWrite(idx, tmp.toString)
+      Similarity.ivfPqIndexAppendIdempotent(
+        s, tmp.toString, emb.where(half === 1), "vec_id", "embedding")
+      val grown = Similarity.ivfPqIndexRead(s, tmp.toString)
+      val codeCols = (1 to 8).map(j =>
+        element_at(col("codes"), j).cast("long").as(s"code_$j"))
+      grown.encoded
+        .where(Dedup.pmd5(col("id")) % 4 === 0)
+        .select(Seq(
+          col("id").as("vec_id"),
+          col("c").cast("long").as("cell")) ++ codeCols :+
+          (Dedup.pmd5(col("id")) % 2).as("from_appended"): _*)
     }
   )
 
@@ -1185,6 +1220,38 @@ object SimilarityQueries {
     liveWhere = s"${DedupQueries.pmSql("CAST(id AS VARCHAR)")} % 16 <> 3",
     qsWhere = s"${DedupQueries.pmSql("CAST(id AS VARCHAR)")} % 8 = 0",
     fromAppended = false)
+
+  /** s34 replay: the s32 frozen-model discipline applied to the full
+    * IVF-PQ artifact — lloydCtes trained on the pre-append half
+    * (`asg` still assigns the full corpus: frozen-centroid routing is
+    * one expression over both halves), residuals of the FULL corpus
+    * against the assigned centroids, pqCtes with codebooks trained on
+    * the restricted half's residual sample ({p}smp predicate) but
+    * encoding the full source ({p}subf) — exactly what
+    * build-on-half + frozen-codebook append produces. Emits the
+    * pmd5-sampled quarter of the grown index's (cell, codes) rows. */
+  private lazy val s34OracleSql: String = {
+    val dim = 64; val m = 8; val subDim = 8
+    val halfPred = s"${DedupQueries.pmSql("CAST(id AS VARCHAR)")} % 2 = 0"
+    val codeCols = (1 to m)
+      .map(j => s"CAST(cd.codes[$j] AS BIGINT) AS code_$j")
+      .mkString(",\n       |  ")
+    s"""WITH ${KmeansOracle.lloydCtes(trainWhere = halfPred)},
+       |res AS (
+       |  SELECT a.id, a.ci,
+       |    list_transform(range(1, ${dim + 1}),
+       |      i -> CAST(a.e[i] AS DOUBLE) - c.cv[i]) AS r
+       |  FROM asg a JOIN cents3 c USING (ci)),
+       |${KmeansOracle.pqCtes("res", "r", m = m, subDim = subDim,
+          trainWhere = halfPred)}
+       |SELECT cd.id AS vec_id, CAST(r2.ci AS BIGINT) AS cell,
+       |  $codeCols,
+       |  ${DedupQueries.pmSql("CAST(cd.id AS VARCHAR)")} % 2
+       |    AS from_appended
+       |FROM pqcodes cd JOIN res r2 USING (id)
+       |WHERE ${DedupQueries.pmSql("CAST(cd.id AS VARCHAR)")} % 4 = 0"""
+      .stripMargin
+  }
 
   /** s25 replay: exact top-10 with ranks (the graded relevance), the
     * s4 IVF top-10 with positions, the shared log2-discounted gain in

@@ -64,6 +64,46 @@ object Fs {
     }
   }
 
+  private val sweptRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** One-shot (per JVM per root) recursive sweep completing ANY
+    * interrupted [[rewriteSwap]] residue under an index dir — the
+    * read-side recovery the per-path lazy [[recoverSwap]] misses: a
+    * stranded `bucket=9._swap` (legacy suffix naming) under an index
+    * that is read but never compacted again would otherwise poison the
+    * parent table's partition-discovery schema forever. Both the
+    * current `_swap.<name>`/`_old.<name>` and the legacy
+    * `<name>._swap`/`<name>._old` spellings are collected; recovery
+    * itself is [[recoverSwap]]'s crash matrix per stranded source.
+    * Cost is one directory walk, memoized per root — callers mount it
+    * at index OPEN (the shared [[graft.ext.Sidecar]] read), not per
+    * probe. Single-writer assumed, like every rewrite here: sweeping
+    * while another process's rewrite is mid-flight would discard its
+    * in-progress swap. */
+  def sweepSwapResidue(root: Path): Unit = {
+    val key = root.toAbsolutePath.normalize.toString
+    if (!Files.isDirectory(root) || !sweptRoots.add(key)) return
+    val residue = scala.collection.mutable.ListBuffer.empty[Path]
+    try {
+      val walk = Files.walk(root)
+      try walk.forEach { p =>
+        if (Files.isDirectory(p)) {
+          val n = p.getFileName.toString
+          if (n.startsWith("_swap.") || n.startsWith("_old."))
+            residue += p.resolveSibling(n.stripPrefix("_swap.")
+              .stripPrefix("_old."))
+          else if (n.endsWith("._swap") || n.endsWith("._old"))
+            residue += p.resolveSibling(n.stripSuffix("._swap")
+              .stripSuffix("._old"))
+        }
+      } finally walk.close()
+    } catch {
+      case _: java.io.IOException | _: java.io.UncheckedIOException => ()
+    }
+    residue.distinct.foreach(recoverSwap)
+  }
+
   /** Best-effort recursive delete (children before parents). Each
     * entry is attempted independently and traversal failures are
     * swallowed — callers are cleanup paths (shutdown hooks, temp-dir

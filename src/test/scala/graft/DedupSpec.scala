@@ -82,7 +82,9 @@ class DedupSpec extends SparkSpec {
     // which cells hold the victims? everything else must not be touched
     val affected = cells(idx).filter(e => victims.contains(e._1)).map(_._2)
     def listing(): Map[String, Set[String]] = {
-      val root = java.nio.file.Paths.get(dir, "assigned")
+      // resolve per call: compaction publishes a NEW version dir
+      val root = java.nio.file.Paths.get(
+        graft.util.Manifest.tablePath(dir, "assigned"))
       val walk = java.nio.file.Files.list(root)
       try walk.iterator().asScala
         .filter(p => p.getFileName.toString.startsWith("c="))
@@ -98,8 +100,10 @@ class DedupSpec extends SparkSpec {
     val before = listing()
     Similarity.ivfIndexCompact(spark, dir)
     val after = listing()
-    assert(!java.nio.file.Files.isDirectory(
-      java.nio.file.Paths.get(dir, "tombstones")))
+    // the sidecar retires in the SAME manifest flip as the compacted
+    // data (its plain dir may linger until GC grace — the manifest is
+    // authoritative)
+    assert(!graft.util.Manifest.tableExists(dir, "tombstones"))
     assert(cells(Similarity.ivfIndexRead(spark, dir)) === expect)
     for ((cdir, files) <- before) {
       val c = cdir.stripPrefix("c=").toInt
@@ -171,11 +175,11 @@ class DedupSpec extends SparkSpec {
     // COMPACT: physical rewrite — sidecar cleared, tables equal the
     // fresh build's (postings/sizes/buckets incl. recounted bucket_n)
     Dedup.minhashIndexCompact(spark, dir)
-    assert(!java.nio.file.Files.isDirectory(
-      java.nio.file.Paths.get(dir, "tombstones")))
+    assert(!graft.util.Manifest.tableExists(dir, "tombstones"))
     assert(probe(dir) === logical)
     def rows(d: String, t: String, cols: Seq[String]): Set[Seq[Any]] =
-      spark.read.parquet(s"$d/$t").select(cols.map(col): _*)
+      spark.read.parquet(graft.util.Manifest.tablePath(d, t))
+        .select(cols.map(col): _*)
         .collect().map(_.toSeq).toSet
     for ((t, cs) <- Seq(
         "postings" -> Seq("id", "g"),
@@ -184,6 +188,102 @@ class DedupSpec extends SparkSpec {
       assert(rows(dir, t, cs) === rows(freshDir, t, cs), t)
     Fs.deleteRecursively(java.nio.file.Paths.get(dir))
     Fs.deleteRecursively(java.nio.file.Paths.get(freshDir))
+    graft.ext.Caches.release()
+  }
+
+  test("persisted IVF-PQ maintenance: frozen-model append is idempotent " +
+    "and resurrecting; compact is partition-scoped on encoded AND base") {
+    import scala.jdk.CollectionConverters._
+    val dim = 16
+    val vecs = (0 until 120).map { i =>
+      (i.toLong, Seq.tabulate(dim)(j => math.sin(i * 7.3 + j).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val idx = Similarity.ivfPqBuild(
+      df.where(col("vec_id") < 80), "vec_id", "embedding",
+      k = 4, dim = Some(dim))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-maint").toString
+    Similarity.ivfPqIndexWrite(idx, dir)
+    Similarity.ivfPqIndexAppendIdempotent(
+      spark, dir, df.where(col("vec_id") >= 80), "vec_id", "embedding")
+    def ids(t: org.apache.spark.sql.DataFrame): Set[Long] =
+      t.select(col("id").cast("long")).collect().map(_.getLong(0)).toSet
+    val grown = Similarity.ivfPqIndexRead(spark, dir)
+    assert(ids(grown.encoded) === (0L until 120L).toSet)
+    assert(ids(grown.base) === (0L until 120L).toSet)
+    // appended vectors SERVE: exact self-retrieval through the full
+    // ADC + re-rank path (all 4 cells probed → coarse is exhaustive)
+    val probe = Similarity.ivfPqTopK(
+      grown, vecs(100)._2, k = 1, nProbe = 4).head()
+    assert(probe.getLong(0) === 100L)
+    // retry appends nothing (per-table dup gates)
+    Similarity.ivfPqIndexAppendIdempotent(
+      spark, dir, df.where(col("vec_id") >= 80), "vec_id", "embedding")
+    val retried = Similarity.ivfPqIndexRead(spark, dir)
+    assert(retried.encoded.count() === 120L)
+    assert(retried.base.count() === 120L)
+    // append ≡ rebuild-encode for the pre-append half: the appended
+    // rows' codes land beside build rows whose codes are untouched
+    val buildCodes = idx.encoded
+      .select(col("id").cast("long"), col("codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val grownCodes = retried.encoded
+      .select(col("id").cast("long"), col("codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    for ((id, c) <- buildCodes) assert(grownCodes(id) === c)
+    // LOGICAL delete: both tables stop serving at once
+    val victims = Seq(5L, 100L)
+    Similarity.ivfPqIndexDelete(dir, victims.toDF("vec_id"), "vec_id")
+    val afterDel = Similarity.ivfPqIndexRead(spark, dir)
+    assert(ids(afterDel.encoded) === (0L until 120L).toSet -- victims)
+    assert(ids(afterDel.base) === (0L until 120L).toSet -- victims)
+    // PHYSICAL compact: partition-scoped on BOTH tables, sidecar
+    // retired in the same flip
+    def listing(table: String): Map[String, Set[String]] = {
+      val root = java.nio.file.Paths.get(
+        graft.util.Manifest.tablePath(dir, table))
+      val walk = java.nio.file.Files.list(root)
+      try walk.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("c="))
+        .map { p =>
+          val files = java.nio.file.Files.list(p)
+          try p.getFileName.toString ->
+            files.iterator().asScala.map(_.getFileName.toString)
+              .filter(_.endsWith(".parquet")).toSet
+          finally files.close()
+        }.toMap
+      finally walk.close()
+    }
+    val victimCells = spark.read
+      .parquet(graft.util.Manifest.tablePath(dir, "encoded"))
+      .where(col("id").isin(victims: _*))
+      .select(col("c")).distinct().collect().map(_.getInt(0)).toSet
+    val beforeE = listing("encoded"); val beforeB = listing("base")
+    Similarity.ivfPqIndexCompact(spark, dir)
+    assert(!graft.util.Manifest.tableExists(dir, "tombstones"))
+    val afterE = listing("encoded"); val afterB = listing("base")
+    for ((before, after) <- Seq((beforeE, afterE), (beforeB, afterB));
+        (cdir, files) <- before) {
+      val c = cdir.stripPrefix("c=").toInt
+      if (victimCells.contains(c))
+        assert(after(cdir) !== files, s"$cdir should have been rewritten")
+      else
+        assert(after(cdir) === files, s"$cdir must be untouched bytes")
+    }
+    val compacted = Similarity.ivfPqIndexRead(spark, dir)
+    assert(ids(compacted.encoded) === (0L until 120L).toSet -- victims)
+    assert(ids(compacted.base) === (0L until 120L).toSet -- victims)
+    // RESURRECTION: tombstone then re-append — exactly one live row
+    // in EACH table, sidecar entry gone
+    Similarity.ivfPqIndexDelete(dir, Seq(42L).toDF("vec_id"), "vec_id")
+    Similarity.ivfPqIndexAppendIdempotent(
+      spark, dir, df.where(col("vec_id") === 42L), "vec_id", "embedding")
+    val res = Similarity.ivfPqIndexRead(spark, dir)
+    assert(res.encoded.where(col("id") === 42L).count() === 1L,
+      "42 serves again (scrubbed out of the sidecar, one fresh row)")
+    assert(res.base.where(col("id") === 42L).count() === 1L)
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
     graft.ext.Caches.release()
   }
 
@@ -1811,7 +1911,9 @@ class DedupSpec extends SparkSpec {
         rows(full).filterNot(r => victims.contains(r._1)))
       // compaction: only the victims' own (band, bucket) dirs rewritten
       def listing(): Map[String, Set[String]] = {
-        val root = java.nio.file.Paths.get(dir.toString, "buckets")
+        // resolve per call: compaction publishes a NEW version dir
+        val root = java.nio.file.Paths.get(
+          graft.util.Manifest.tablePath(dir.toString, "buckets"))
         val bands = java.nio.file.Files.list(root)
         try bands.iterator().asScala
           .filter(_.getFileName.toString.startsWith("band="))
@@ -1835,8 +1937,7 @@ class DedupSpec extends SparkSpec {
         .map(r => s"band=${r._2}/bucket=${r._3}")
       val before = listing()
       Similarity.signBandIndexCompact(spark, dir.toString)
-      assert(!java.nio.file.Files.isDirectory(
-        java.nio.file.Paths.get(dir.toString, "tombstones")))
+      assert(!graft.util.Manifest.tableExists(dir.toString, "tombstones"))
       val after = listing()
       for ((pdir, files) <- before) {
         if (affected.contains(pdir))
@@ -1860,7 +1961,8 @@ class DedupSpec extends SparkSpec {
         .buckets.where(col("id") === 5L)
       assert(r5.count() === 5L, "chunks live rows for the resurrected id")
       assert(spark.read
-        .parquet(s"${dir.toString}/buckets").where(col("id") === 5L)
+        .parquet(graft.util.Manifest.tablePath(dir.toString, "buckets"))
+        .where(col("id") === 5L)
         .count() === 5L, "no stale duplicate rows behind the sidecar")
     } finally graft.util.Fs.deleteRecursively(dir)
     spark.catalog.clearCache(); graft.ext.Caches.release()

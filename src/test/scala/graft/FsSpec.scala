@@ -97,4 +97,26 @@ class FsSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(root.resolve("t._swap")))
     Fs.deleteRecursively(root)
   }
+
+  test("sweepSwapResidue recovers stranded residue anywhere under an " +
+    "index root — including legacy partition-dir poison — one-shot") {
+    val root = java.nio.file.Files.createTempDirectory("graft-fsspec5")
+    // a nested table whose rewrite crashed pre-promote under the
+    // LEGACY naming: src gone, complete swap — without the sweep this
+    // table is stranded forever (nothing ever compacts it again), and
+    // `bucket=9._swap` poisons the parent's partition discovery
+    val tbl = root.resolve("buckets").resolve("band=1")
+    java.nio.file.Files.createDirectories(tbl)
+    writeTable(tbl.resolve("bucket=9._swap"), Seq(42L))
+    // and a current-naming stale old next to an intact src elsewhere
+    val other = root.resolve("sizes")
+    writeTable(other, Seq(1L))
+    writeTable(root.resolve("_old.sizes"), Seq(0L))
+    Fs.sweepSwapResidue(root)
+    assert(readIds(tbl.resolve("bucket=9")) === Set(42L))
+    assert(!java.nio.file.Files.exists(tbl.resolve("bucket=9._swap")))
+    assert(readIds(other) === Set(1L))
+    assert(!java.nio.file.Files.exists(root.resolve("_old.sizes")))
+    Fs.deleteRecursively(root)
+  }
 }

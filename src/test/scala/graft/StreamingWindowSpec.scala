@@ -244,7 +244,7 @@ class StreamingWindowSpec extends SparkSpec {
       .start()
     q.awaitTermination()
     def cells(d: String): Set[(Long, Int)] =
-      spark.read.parquet(s"$d/assigned")
+      spark.read.parquet(graft.util.Manifest.tablePath(d, "assigned"))
         .select(col("id").cast("long"), col("c"))
         .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     // streamed ingestion == the one-shot batch append
@@ -258,6 +258,50 @@ class StreamingWindowSpec extends SparkSpec {
     graft.ext.Similarity.ivfIndexAppendIdempotent(
       spark, dir.toString, arriving.limit(20), "vec_id", "embedding")
     assert(cells(dir.toString) === before)
+    graft.util.Fs.deleteRecursively(dir)
+    graft.util.Fs.deleteRecursively(oneDir)
+    graft.util.Fs.deleteRecursively(streamDir)
+    graft.ext.Caches.release()
+  }
+
+  test("streaming IVF-PQ ingestion: micro-batch residual-encodes under " +
+    "frozen centroids + codebooks equal the one-shot append; retry " +
+    "is idempotent") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val seed = emb.where(col("vec_id") % 2 === 0)
+    val arriving = emb.where(col("vec_id") % 2 === 1)
+    val idx = graft.ext.Similarity.ivfPqBuild(
+      seed, "vec_id", "embedding", dim = Some(64))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpqstream")
+    graft.ext.Similarity.ivfPqIndexWrite(idx, dir.toString)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-ivfpqsrc")
+    arriving.repartition(3).write.mode("overwrite").parquet(streamDir.toString)
+    val schema = spark.read.parquet(streamDir.toString).schema
+    val q = graft.ext.Similarity.ivfPqIndexIngestStream(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(streamDir.toString),
+      "vec_id", "embedding", dir.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def codes(d: String): Map[Long, (Int, Seq[Int])] =
+      graft.ext.Similarity.ivfPqIndexRead(spark, d).encoded
+        .select(col("id").cast("long"), col("c"), col("codes"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getSeq[Int](2)))).toMap
+    val oneDir = java.nio.file.Files.createTempDirectory("graft-ivfpqone")
+    graft.ext.Similarity.ivfPqIndexWrite(idx, oneDir.toString)
+    graft.ext.Similarity.ivfPqIndexAppendIdempotent(
+      spark, oneDir.toString, arriving, "vec_id", "embedding")
+    assert(codes(dir.toString) === codes(oneDir.toString))
+    // a re-delivered batch appends NOTHING to either table
+    val before = codes(dir.toString)
+    graft.ext.Similarity.ivfPqIndexAppendIdempotent(
+      spark, dir.toString, arriving.limit(20), "vec_id", "embedding")
+    assert(codes(dir.toString) === before)
+    assert(graft.ext.Similarity.ivfPqIndexRead(spark, dir.toString)
+      .base.count() === before.size.toLong)
     graft.util.Fs.deleteRecursively(dir)
     graft.util.Fs.deleteRecursively(oneDir)
     graft.util.Fs.deleteRecursively(streamDir)
