@@ -46,7 +46,9 @@ object CurateMain {
       |  [--benchmark <parquet>] [--bench-text-col text]
       |  [--contam-max-e4 2000] [--budget <tokens>] [--shards 16]
       |  [--report-source <col>]      // per-source diversity + PSI drift report
-      |  [--drift-baseline <dir>]     // freeze the online-monitor baseline artifact""".stripMargin
+      |  [--drift-baseline <dir>]     // freeze the online-monitor baseline artifact
+      |  [--index-health fam=dir,...] // tombstone-debt report per persisted index
+      |                               //   (fam: minhash|ivf|ivfpq|band)""".stripMargin
 
   def main(args: Array[String]): Unit = {
     if (args.length < 2) { System.err.println(usage); sys.exit(2) }
@@ -222,6 +224,30 @@ object CurateMain {
       survivors.unpersist()
       println(s"[curate] wrote $outDir/_report " +
         "(source_diversity + psi_quality_drift)")
+    }
+
+    // 7b. optional tombstone-debt report over persisted index
+    //     artifacts ([[graft.ext.IndexHealth.tombstoneReport]]): one
+    //     row per index with the logical-delete fraction and the
+    //     compaction-policy verdict — the batch-side twin of the
+    //     online monitor's index_health rows, published beside the
+    //     funnel so a release pipeline sees "compact before shipping"
+    //     in the same place it reads the curation stats.
+    opt(args, "--index-health").foreach { spec =>
+      val reports = spec.split(',').toSeq.map { entry =>
+        entry.split("=", 2) match {
+          case Array(fam, d) =>
+            graft.ext.IndexHealth.tombstoneReport(spark, d, fam)
+              .withColumn("dir", lit(d))
+          case _ => throw new IllegalArgumentException(
+            s"--index-health expects fam=dir[,fam=dir...], got '$entry'")
+        }
+      }
+      reports.reduce(_.unionByName(_))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_report/index_health")
+      println(s"[curate] wrote $outDir/_report/index_health " +
+        s"(${reports.size} indexes)")
     }
 
     // 8. optional DRIFT BASELINE artifact for the ONLINE monitor

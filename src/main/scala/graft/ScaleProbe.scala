@@ -33,6 +33,10 @@ object ScaleProbe {
     if (args.contains("r12")) { probeR12(spark); spark.stop(); return }
     if (args.contains("s31")) { probeS31(spark); spark.stop(); return }
     if (args.contains("maint")) { probeMaint(spark); spark.stop(); return }
+    if (args.contains("tomb")) { probeTomb(spark); spark.stop(); return }
+    if (args.contains("retrain")) {
+      probeRetrain(spark); spark.stop(); return
+    }
     if (args.contains("s33dbg")) { probeS33dbg(spark); spark.stop(); return }
     val docs1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .select(col("doc_id"), col("text"))
@@ -418,6 +422,144 @@ object ScaleProbe {
       time("10x(20k) s31 corpusMod2 m320") { audit(v10, 320L, Some(2)) }
       time("100x(200k) s26 full m3200") { audit(v100, 3200L, None) }
       time("100x(200k) s31 corpusMod2 m3200") { audit(v100, 3200L, Some(2)) }
+    } finally dirs.foreach(graft.util.Fs.deleteRecursively)
+  }
+
+  /** Round-14 tombstone-debt pricing: what a live sidecar costs a
+    * probe at 0% / 10% / 50% tombstoned fractions, for BOTH the IVF
+    * serving path and the minhash probe — the measurement behind
+    * [[graft.ext.IndexHealth.DefaultCompactThresholdE6]]'s 10%
+    * compaction policy (a threshold should be priced, not guessed). */
+  private def probeTomb(spark: SparkSession): Unit = {
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$name%-52s ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
+      graft.ext.Caches.release(); spark.catalog.clearCache()
+    }
+    val dirs = collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    try {
+      // IVF serving under tombstone debt (10x vectors)
+      val vecs1 = spark.read
+        .parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val corpus = matTo(spark, dirs, repVecsFrom(vecs1, 10), "tomb-v10")
+      println(s"10x vector corpus = ${corpus.count()}")
+      val idir = java.nio.file.Files.createTempDirectory("tomb-ivf")
+      dirs += idir
+      graft.ext.Similarity.ivfIndexWrite(
+        graft.ext.Similarity.ivfBuild(
+          corpus, "vec_id", "embedding", dim = Some(64)),
+        idir.toString)
+      val qs = corpus
+        .where(graft.ext.Dedup.pmd5(col("vec_id")) % 320 === 1)
+      // one warm pass before each timed serve: the 0% row would
+      // otherwise pay whole-pipeline JIT and read as "tombstones are
+      // free" (measured 6.2 s cold vs 2 s warm on identical work)
+      def serve(tag: String): Unit = {
+        def run(): Long = graft.ext.Similarity.ivfTopKBatch(
+          graft.ext.Similarity.ivfIndexRead(spark, idir.toString),
+          qs, "vec_id", "embedding", k = 10, nProbe = 4).count()
+        run(); graft.ext.Caches.release(); spark.catalog.clearCache()
+        time(s"10x ivfTopKBatch ($tag)")(run())
+      }
+      serve("0% tombstoned")
+      graft.ext.Similarity.ivfIndexDelete(idir.toString,
+        corpus.where(graft.ext.Dedup.pmd5(col("vec_id")) % 10 === 0)
+          .select(col("vec_id")), "vec_id")
+      serve("10% tombstoned")
+      graft.ext.Similarity.ivfIndexDelete(idir.toString,
+        corpus.where(graft.ext.Dedup.pmd5(col("vec_id")) % 2 === 0)
+          .select(col("vec_id")), "vec_id")
+      serve("50% tombstoned")
+      time("10x ivfIndexCompact (50% tombstoned)") {
+        graft.ext.Similarity.ivfIndexCompact(spark, idir.toString); 1L
+      }
+      serve("post-compaction")
+      // minhash probe under tombstone debt (10x docs)
+      val docs1 = spark.read
+        .parquet("/root/testdata/sf0.1/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val d10 = matTo(spark, dirs, repDocsFrom(docs1, 10), "tomb-d10")
+      val corpusD = d10.where(col("doc_id") < 9000000L)
+      val batchD = d10.where(col("doc_id") >= 9000000L)
+      val mdir = java.nio.file.Files.createTempDirectory("tomb-mh")
+      dirs += mdir
+      graft.ext.Dedup.minhashIndexWrite(
+        corpusD, "doc_id", "text", mdir.toString)
+      def mhProbe(tag: String): Unit = {
+        def run(): Long = graft.ext.Dedup.minhashProbeIndex(
+          batchD, "doc_id", "text", mdir.toString).count()
+        run(); graft.ext.Caches.release(); spark.catalog.clearCache()
+        time(s"10x minhashProbeIndex ($tag)")(run())
+      }
+      mhProbe("0% tombstoned")
+      graft.ext.Dedup.minhashIndexDelete(mdir.toString,
+        corpusD.where(graft.ext.Dedup.pmd5(col("doc_id")) % 10 === 0)
+          .select(col("doc_id")), "doc_id")
+      mhProbe("10% tombstoned")
+      graft.ext.Dedup.minhashIndexDelete(mdir.toString,
+        corpusD.where(graft.ext.Dedup.pmd5(col("doc_id")) % 2 === 0)
+          .select(col("doc_id")), "doc_id")
+      mhProbe("50% tombstoned")
+      time("10x minhashIndexCompact (50% tombstoned)") {
+        graft.ext.Dedup.minhashIndexCompact(spark, mdir.toString); 1L
+      }
+      mhProbe("post-compaction")
+    } finally dirs.foreach(graft.util.Fs.deleteRecursively)
+  }
+
+  /** Round-14 retrain-and-cutover probe: build-beside + sampled A/B +
+    * one-flip cutover ([[graft.ext.Similarity.ivfIndexRetrain]])
+    * while a serving loop hammers the same index dir — pins that
+    * serving is NEVER interrupted by a release and prices the
+    * retrain against the serving it shadows. */
+  private def probeRetrain(spark: SparkSession): Unit = {
+    val dirs = collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    try {
+      val vecs1 = spark.read
+        .parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val corpus = matTo(spark, dirs, repVecsFrom(vecs1, 10), "ret-v10")
+      println(s"10x vector corpus = ${corpus.count()}")
+      val idir = java.nio.file.Files.createTempDirectory("ret-ivf")
+      dirs += idir
+      graft.ext.Similarity.ivfIndexWrite(
+        graft.ext.Similarity.ivfBuild(
+          corpus, "vec_id", "embedding", dim = Some(64)),
+        idir.toString)
+      val qs = corpus
+        .where(graft.ext.Dedup.pmd5(col("vec_id")) % 1280 === 1)
+        .persist()
+      println(s"serving batch = ${qs.count()} queries")
+      @volatile var stop = false
+      @volatile var served = 0L
+      @volatile var failed: Option[String] = None
+      val server = new Thread(() => {
+        while (!stop && failed.isEmpty) {
+          try {
+            graft.ext.Similarity.ivfTopKBatch(
+              graft.ext.Similarity.ivfIndexRead(spark, idir.toString),
+              qs, "vec_id", "embedding", k = 10, nProbe = 4).count()
+            served += 1
+          } catch {
+            case e: Exception => failed = Some(e.toString)
+          }
+        }
+      })
+      server.start()
+      val t0 = System.nanoTime()
+      val report =
+        try graft.ext.Similarity.ivfIndexRetrain(
+          spark, idir.toString, corpus, "vec_id", "embedding",
+          dim = Some(64))
+        finally { stop = true; server.join(120000) }
+      println(f"retrain+AB+cutover under serving load: " +
+        f"${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      println(s"serving loop: $served full batches, " +
+        s"failures=${failed.getOrElse("none")}")
+      report.collect().foreach(r => println(s"  A/B ${r.mkString(" ")}"))
+      qs.unpersist()
+      require(failed.isEmpty, s"serving interrupted: $failed")
     } finally dirs.foreach(graft.util.Fs.deleteRecursively)
   }
 

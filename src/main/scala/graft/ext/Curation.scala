@@ -303,23 +303,38 @@ object Curation {
     * attribution. Caller starts the returned writer with its own
     * trigger/checkpoint.
     *
-    *  - INDEX HEALTH (optional): pass `minhashIndexDir` (a
-    *    [[Dedup.minhashIndexWrite]] artifact) and each micro-batch
-    *    additionally runs [[Dedup.indexRecallSampled]] — the d38
-    *    sampled LSH-recall audit against the PERSISTED index — and
-    *    appends one row (batch_id, n_queries, n_exact, n_lsh, n_hits,
-    *    recall_e4) to `reportDir/index_health`, so the recall number a
-    *    release audit certifies is also watched online between
-    *    releases (a decaying recall_e4 says the index has gone stale
-    *    for the content now arriving). Same idempotence contract as
-    *    the drift row: the row overwrites its own `b=<id>` partition. */
+    *  - INDEX HEALTH (optional): pass any of `minhashIndexDir` (a
+    *    [[Dedup.minhashIndexWrite]] artifact — audited per batch by
+    *    [[Dedup.indexRecallSampled]], the d38 sampled LSH-recall
+    *    audit on the batch's arriving docs), `ivfIndexDir` (audited
+    *    by [[Similarity.ivfIndexRecallSampled]], the s31 sampled
+    *    self-recall of the index's own members) and `bandIndexDir`
+    *    (audited by [[Similarity.signBandIndexIntegritySampled]] —
+    *    the band family is lossless, so its health is artifact
+    *    integrity: stored signatures re-derived from stored vectors).
+    *    Each batch writes ONE unified row per configured family to
+    *    `reportDir/index_health`:
+    *    (batch_id, family, n_queries, n_exact, n_approx, n_hits,
+    *    recall_e4, live_rows, tombstoned_rows, tombstone_frac_e6,
+    *    compact_recommended) — the audit number a release certifies,
+    *    watched online between releases, PLUS the logical-delete debt
+    *    ([[IndexHealth.tombstoneReport]]): `compact_recommended`
+    *    flips to 1 when the tombstone fraction crosses the policy
+    *    threshold, the dashboard signal that prices "compact now".
+    *    For the band family n_exact/n_approx repeat n_queries and
+    *    recall_e4 carries integrity_e4 (every family fills the same
+    *    columns). Same idempotence contract as the drift row: all of
+    *    a batch's family rows overwrite their own `b=<id>`
+    *    partition. */
   def driftMonitorStream(
       docs: DataFrame, textCol: String, baselineDir: String,
       reportDir: String, labelCol: Option[String] = None,
       k: Int = Kmv.DefaultK,
       minhashIndexDir: Option[String] = None,
       indexThreshold: Double = 0.5, indexSampleMod: Long = 8,
-      idCol: String = "doc_id")
+      idCol: String = "doc_id",
+      ivfIndexDir: Option[String] = None,
+      bandIndexDir: Option[String] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val spark = docs.sparkSession
     val base = Splits.driftBaselineRead(spark, baselineDir)
@@ -339,11 +354,21 @@ object Curation {
         s"driftMonitor: no minhash index at $d (expected postings/" +
           "sizes/buckets from Dedup.minhashIndexWrite)")
     }
+    ivfIndexDir.foreach { d =>
+      require(graft.util.Manifest.tableExists(d, "centroids"),
+        s"driftMonitor: no IVF index at $d (expected centroids/" +
+          "assigned from Similarity.ivfIndexWrite)")
+    }
+    bandIndexDir.foreach { d =>
+      require(graft.util.Manifest.tableExists(d, "params"),
+        s"driftMonitor: no band index at $d (expected params/" +
+          "buckets from Similarity.signBandIndexWrite)")
+    }
     docs.writeStream.foreachBatch {
       (b: DataFrame, id: Long) =>
         driftMonitorApply(b, id, textCol, base, baselineDir, reportDir,
           labelCol, k, minhashIndexDir, indexThreshold, indexSampleMod,
-          idCol)
+          idCol, ivfIndexDir, bandIndexDir)
     }
   }
 
@@ -422,7 +447,9 @@ object Curation {
       labelCol: Option[String], k: Int,
       minhashIndexDir: Option[String] = None,
       indexThreshold: Double = 0.5, indexSampleMod: Long = 8,
-      idCol: String = "doc_id"): Unit = {
+      idCol: String = "doc_id",
+      ivfIndexDir: Option[String] = None,
+      bandIndexDir: Option[String] = None): Unit = {
     val spark = b.sparkSession
     import spark.implicits._
     val scored = b.withColumn("_score_e4",
@@ -488,17 +515,53 @@ object Curation {
         "est_before", "est_after", "novel_est")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$reportDir/drift/b=$batchId")
-    // ONLINE index health: the d38 sampled recall of the persisted
-    // minhash index on THIS batch's arriving docs — one row, written
-    // into the batch's own partition (idempotent like the drift row).
-    // The stage is pure batch math over (batch, artifact): no state of
-    // its own, so a foreachBatch retry recomputes the identical row.
+    // ONLINE index health, one unified row per configured family —
+    // written into the batch's own partition (idempotent like the
+    // drift row). Each stage is pure batch-or-artifact math with no
+    // state of its own, so a foreachBatch retry recomputes the
+    // identical rows. The tombstone columns come from
+    // [[IndexHealth.tombstoneReport]] — the same audit row that says
+    // "recall is fine" also says how much logical-delete debt the
+    // index carries and whether the compaction policy fires.
+    val healthRows = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long, Long, Long, Long, Long,
+        Long, Long, Long, Long)]
+    def tombCols(dir: String, family: String): (Long, Long, Long, Long) = {
+      val t = IndexHealth.tombstoneReport(spark, dir, family).head()
+      (t.getLong(1), t.getLong(2), t.getLong(3), t.getLong(4))
+    }
     minhashIndexDir.foreach { dir =>
-      Dedup.indexRecallSampled(b, idCol, textCol, dir,
-        threshold = indexThreshold, sampleMod = indexSampleMod)
-        .withColumn("batch_id", lit(batchId))
-        .select("batch_id", "n_queries", "n_exact", "n_lsh", "n_hits",
-          "recall_e4")
+      val r = Dedup.indexRecallSampled(b, idCol, textCol, dir,
+        threshold = indexThreshold, sampleMod = indexSampleMod).head()
+      val (live, dead, frac, rec) = tombCols(dir, "minhash")
+      healthRows += ((batchId, "minhash",
+        r.getAs[Long]("n_queries"), r.getAs[Long]("n_exact"),
+        r.getAs[Long]("n_lsh"), r.getAs[Long]("n_hits"),
+        r.getAs[Long]("recall_e4"), live, dead, frac, rec))
+    }
+    ivfIndexDir.foreach { dir =>
+      val r = Similarity.ivfIndexRecallSampled(spark, dir,
+        sampleMod = indexSampleMod).head()
+      val (live, dead, frac, rec) = tombCols(dir, "ivf")
+      healthRows += ((batchId, "ivf",
+        r.getAs[Long]("n_queries"), r.getAs[Long]("n_exact"),
+        r.getAs[Long]("n_approx"), r.getAs[Long]("n_hits"),
+        r.getAs[Long]("recall_e4"), live, dead, frac, rec))
+    }
+    bandIndexDir.foreach { dir =>
+      val r = Similarity.signBandIndexIntegritySampled(spark, dir,
+        sampleMod = indexSampleMod).head()
+      val (live, dead, frac, rec) = tombCols(dir, "band")
+      val nq = r.getAs[Long]("n_queries")
+      healthRows += ((batchId, "band",
+        nq, nq, nq, r.getAs[Long]("n_hits"),
+        r.getAs[Long]("integrity_e4"), live, dead, frac, rec))
+    }
+    if (healthRows.nonEmpty) {
+      healthRows.toSeq
+        .toDF("batch_id", "family", "n_queries", "n_exact", "n_approx",
+          "n_hits", "recall_e4", "live_rows", "tombstoned_rows",
+          "tombstone_frac_e6", "compact_recommended")
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(s"$reportDir/index_health/b=$batchId")

@@ -1340,14 +1340,28 @@ object Dedup {
     val sigB = minhashBandsAgg(invB, k, bands)
       .persistRegistered()
     sigB.count() // eager: bucket probe AND size lookup
-    val cand = buckC
-      .where(col("bucket_n") <= maxBucket)
+    // skew cap on the bucket's NEWEST stored count: appended rows
+    // ([[minhashIndexAppend]]) carry the refreshed total while the
+    // bucket's older rows keep their stale build-time value, so
+    // per-bucket max over the (batch-restricted, bounded) candidate
+    // rows is the current size. On a freshly built or compacted index
+    // every row agrees, so this is the same `bucket_n <= maxBucket`
+    // cap the d19/d38/d39 oracles replay; delete-staleness stays
+    // conservative (overcounts exclude, never admit).
+    val candRows = buckC
       .join(
         broadcast(explodeBandBuckets(sigB, bands)
           .select(col("band"), col("bh"), col("id").as("id_a"))),
         Seq("band", "bh"))
-      .select(col("id_a"), col("id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val cand = {
+      import org.apache.spark.sql.expressions.Window
+      candRows
+        .withColumn("_bn", max(col("bucket_n"))
+          .over(Window.partitionBy(col("band"), col("bh"))))
+        .where(col("_bn") <= maxBucket)
+        .select(col("id_a"), col("id").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+    }
     // verify WITHOUT exchanging the index: candidate pairs × batch
     // postings are micro-batch-sized, so they broadcast onto single
     // scans of the index's postings and sizes tables — the generic
@@ -1414,6 +1428,109 @@ object Dedup {
           })),
         drop = Seq("tombstones"))
     }
+
+  /** Append a batch of NEW documents to a persisted minhash index
+    * WITHOUT rebuild — the write-once index becomes maintainable,
+    * completing ingestion parity with the IVF/band families. The
+    * signature pipeline is a pure per-document function (shingles →
+    * minhash bands), so append ≡ fresh-build rows for the appended
+    * docs exactly; `bucket_n` on the appended rows is refreshed to
+    * (existing-in-bucket + batch-in-bucket) via one batch-bucket-
+    * restricted scan, and [[minhashProbeIndex]]'s per-bucket-max cap
+    * reads that newest value (older rows' stored counts stay stale
+    * until [[minhashIndexCompact]] recounts — the documented
+    * staleness contract). IDEMPOTENT and resurrecting like
+    * [[graft.ext.Similarity.ivfIndexAppendIdempotent]]: in-batch
+    * duplicate ids collapse, each table anti-joins the batch against
+    * its own existing ids (a retry heals a partially-appended crash
+    * instead of stranding it), and a re-ingested TOMBSTONED id is
+    * scrubbed + dropped from the sidecar first. Same equal-TEXT retry
+    * precondition as the vector twins: a re-delivered id must carry
+    * identical text — updates go delete → compact/scrub → append. */
+  def minhashIndexAppend(
+      batch: DataFrame, idCol: String, textCol: String, dir: String,
+      k: Int = 64, bands: Int = 16, w: Int = 3): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.dropDuplicates(idCol)
+    val invB = invertedIndex(b, idCol, textCol, w)
+    val sigB = minhashBandsAgg(invB, k, bands).persist()
+    try {
+      sigB.count()
+      val batchIds = sigB.select(col("id")).distinct()
+      Sidecar.read(spark, dir).foreach { t =>
+        val resurrect = t.join(broadcast(batchIds), Seq("id"))
+          .collect().map(_.getLong(0))
+        if (resurrect.nonEmpty) minhashScrub(spark, dir, resurrect)
+      }
+      val snap = graft.util.Manifest.snapshot(dir)
+      def fresh(table: String, rows: DataFrame): DataFrame =
+        rows.join(
+          broadcast(spark.read.parquet(snap.path(table))
+            .join(broadcast(batchIds), Seq("id"))
+            .select(col("id")).distinct()),
+          Seq("id"), "left_anti")
+      fresh("postings", invB)
+        .write.mode("append").parquet(snap.path("postings"))
+      fresh("sizes", sigB.select(col("id"), col("n")))
+        .write.mode("append").parquet(snap.path("sizes"))
+      val buck = explodeBandBuckets(sigB, bands)
+      // refreshed totals for the appended rows: one scan of the index
+      // buckets restricted (broadcast) to the batch's own (band, bh)
+      // set — bounded by the batch's bucket spread, never a shuffle
+      // of the index
+      val existingN = spark.read.parquet(snap.path("buckets"))
+        .join(broadcast(buck.select(col("band"), col("bh")).distinct()),
+          Seq("band", "bh"))
+        .groupBy("band", "bh").agg(count(lit(1)).as("_en"))
+      val batchN = buck.groupBy("band", "bh")
+        .agg(count(lit(1)).as("_bn"))
+      fresh("buckets", buck
+        .join(broadcast(batchN), Seq("band", "bh"))
+        .join(broadcast(existingN), Seq("band", "bh"), "left")
+        .withColumn("bucket_n",
+          coalesce(col("_en"), lit(0L)) + col("_bn"))
+        .drop("_en", "_bn"))
+        .write.mode("append").parquet(snap.path("buckets"))
+    } finally sigB.unpersist()
+  }
+
+  /** Resurrection scrub, minhash form: stale rows of `ids` leave all
+    * three tables and the sidecar shrinks, in ONE manifest publish
+    * (the tables are skinny and unpartitioned by design — the probe
+    * broadcasts against whole-table scans — so the scrub is
+    * table-scoped, not partition-scoped). Remaining rows of the
+    * victims' buckets keep their stored counts (overcounts after a
+    * scrub — conservative for the cap, recounted at compaction). */
+  private def minhashScrub(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      ids: Array[Long]): Unit = {
+    import spark.implicits._
+    val idDf = broadcast(ids.toSeq.toDF("id"))
+    def anti(table: String): graft.util.Manifest.TableRewrite =
+      graft.util.Manifest.TableRewrite(table, None,
+        _.join(idDf, Seq("id"), "left_anti"))
+    graft.util.Manifest.publishRewrite(spark,
+      java.nio.file.Paths.get(dir),
+      Seq(anti("postings"), anti("sizes"), anti("buckets"),
+        Sidecar.removeRewrite(idDf)))
+  }
+
+  /** Streaming minhash-index ingestion —
+    * [[graft.ext.Similarity.ivfIndexIngestStream]]'s document twin:
+    * each arriving micro-batch of docs appends through the idempotent
+    * [[minhashIndexAppend]], so sink retries are safe. A missing
+    * index fails at stream construction. */
+  def minhashIndexIngestStream(
+      docs: DataFrame, idCol: String, textCol: String, dir: String,
+      k: Int = 64, bands: Int = 16, w: Int = 3)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(graft.util.Manifest.tableExists(dir, "postings"),
+      s"minhashIndexIngestStream: no minhash index at $dir (expected " +
+        "postings/sizes/buckets from minhashIndexWrite)")
+    docs.writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+      minhashIndexAppend(b, idCol, textCol, dir, k, bands, w)
+    }
+  }
 
   // ---- SimHash ----------------------------------------------------------
 

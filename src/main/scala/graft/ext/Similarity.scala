@@ -623,6 +623,23 @@ object Similarity {
     } finally rows.unpersist()
   }
 
+  /** Streaming band-index ingestion — [[ivfIndexIngestStream]]'s
+    * sign-LSH twin: each arriving micro-batch appends through the
+    * idempotent [[signBandIndexAppend]] (retry-safe; and because the
+    * signature is a pure projection, streamed ingestion ≡ one-shot
+    * append ≡ fresh build exactly). A missing index fails at stream
+    * construction. */
+  def signBandIndexIngestStream(
+      vectors: DataFrame, idCol: String, vecCol: String, dir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(graft.util.Manifest.tableExists(dir, "params"),
+      s"signBandIndexIngestStream: no band index at $dir (expected " +
+        "params/buckets from signBandIndexWrite)")
+    vectors.writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+      signBandIndexAppend(b.sparkSession, dir, b, idCol, vecCol)
+    }
+  }
+
   /** LOGICAL delete from a persisted band index: the shared
     * [[Sidecar]] discipline — each id occupies `chunks`
     * (band, bucket) rows, all excluded by the read-time anti-join. */
@@ -1340,6 +1357,148 @@ object Similarity {
     vectors.writeStream.foreachBatch { (b: DataFrame, _: Long) =>
       ivfIndexAppendIdempotent(b.sparkSession, dir, b, idCol, vecCol)
     }
+  }
+
+  /** Sampled SELF-recall of an IVF index — the s31 release-audit
+    * discipline mounted on the index artifact itself (no external
+    * query stream needed, so the online monitors can run it per
+    * micro-batch): queries are the pmd5 `sampleMod`-sampled members,
+    * truth is the exact top-k within the `corpusMod`-sampled member
+    * universe, and the served side is the IVF probe restricted to the
+    * SAME universe (a sampled member's cell routing is unchanged — a
+    * pure candidate-universe cut). `sampleMod` must be a multiple of
+    * `corpusMod` so every query keeps its self-neighbor. Cost: the
+    * exact side is (|members|/sampleMod)·(|members|/corpusMod) dots —
+    * both knobs price the audit. One row:
+    * (n_queries, n_exact, n_approx, n_hits, recall_e4). */
+  private[ext] def ivfRecallSampledRow(
+      idx: IvfIndex, sampleMod: Long, corpusMod: Long,
+      k: Int, nProbe: Int): DataFrame = {
+    require(sampleMod % corpusMod == 0,
+      s"sampleMod $sampleMod must be a multiple of corpusMod $corpusMod" +
+        " (queries must keep their self-neighbor)")
+    val members = idx.assigned
+    val sampledCorpus =
+      members.where(Dedup.pmd5(col("id")) % corpusMod === 0)
+    val qs = members
+      .where(Dedup.pmd5(col("id")) % sampleMod === 0 &&
+        norm(col("v")) > 0)
+      .select(col("id"), col("v"))
+    val ex = knnJoin(qs, sampledCorpus.select(col("id"), col("v")),
+      "id", "v", k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_ex"))
+    val ap = ivfTopKBatch(idx.copy(assigned = sampledCorpus), qs,
+      "id", "v", k = k, nProbe = nProbe)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_ap"))
+    val nQ = qs.agg(count(lit(1)).as("n_queries"))
+    ex.join(ap, Seq("query_id", "neighbor_id"), "full_outer")
+      .agg(
+        coalesce(sum(col("in_ex")), lit(0L)).as("n_exact"),
+        coalesce(sum(col("in_ap")), lit(0L)).as("n_approx"),
+        coalesce(sum(col("in_ex") * col("in_ap")), lit(0L)).as("n_hits"))
+      .crossJoin(broadcast(nQ))
+      .select(col("n_queries"), col("n_exact"), col("n_approx"),
+        col("n_hits"),
+        expr("case when n_exact = 0 then 10000 " +
+          "else n_hits * 10000 div n_exact end").as("recall_e4"))
+  }
+
+  /** [[ivfRecallSampledRow]] against a persisted index dir — the
+    * online health form the drift monitor mounts per micro-batch. */
+  def ivfIndexRecallSampled(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      sampleMod: Long = 8, corpusMod: Long = 2,
+      k: Int = 10, nProbe: Int = 4): DataFrame =
+    ivfRecallSampledRow(ivfIndexRead(spark, dir),
+      sampleMod, corpusMod, k, nProbe)
+
+  /** Sampled ARTIFACT-integrity probe for a persisted band index —
+    * the online health form for the one family whose serving is
+    * provably lossless (nothing to "recall"): what can rot is the
+    * persisted artifact itself (a maintenance bug dropping rows,
+    * mixing signatures, or splitting an id across states). Per
+    * sampled member: exactly `chunks` rows, one distinct signature,
+    * and the stored signature equals a RECOMPUTE from the stored
+    * vector (the signature is a pure projection of the persisted
+    * hyperplane params — the strongest cheap self-check). One row:
+    * (n_queries, n_hits, integrity_e4). */
+  def signBandIndexIntegritySampled(
+      spark: SparkSession, dir: String, sampleMod: Long = 8)
+      : DataFrame = {
+    val idx = signBandIndexRead(spark, dir)
+    val planes = hyperplanes(idx.nPlanes, idx.dim)
+    val perId = idx.buckets
+      .where(Dedup.pmd5(col("id")) % sampleMod === 0)
+      .groupBy("id").agg(
+        count(lit(1)).as("_n"),
+        countDistinct(col("sig")).as("_nsig"),
+        first(col("sig")).as("_sig"), first(col("v")).as("_v"))
+    perId
+      .select((col("_n") === idx.chunks && col("_nsig") === 1 &&
+        col("_sig") === lshSignature(col("_v"), planes)).as("_ok"))
+      .agg(count(lit(1)).as("n_queries"),
+        coalesce(sum(when(col("_ok"), 1L).otherwise(0L)), lit(0L))
+          .as("n_hits"))
+      .select(col("n_queries"), col("n_hits"),
+        expr("case when n_queries = 0 then 10000 " +
+          "else n_hits * 10000 div n_queries end").as("integrity_e4"))
+  }
+
+  /** RETRAIN-AND-CUTOVER — the release-cadence lifecycle the append
+    * path defers to (frozen-centroid appends accumulate recall drift;
+    * the audits watch it; this is the remediation): build a NEW index
+    * from the current corpus BESIDE the serving one, run the sampled
+    * recall A/B over both (old audited through the live dir —
+    * sidecar-applied — new over its fresh assignment), then cut over
+    * with ONE manifest flip (centroids + assigned swap together; the
+    * old sidecar retires — the new build's membership already
+    * reflects deletions). Serving is never interrupted: a reader
+    * resolves either the complete old index or the complete new one,
+    * and the old versions remain on disk for one further flip — the
+    * rollback window (flip the manifest back to restore wholesale).
+    * Returns the A/B report, MATERIALIZED before the flip:
+    * (side 'old'/'new', n_queries, n_exact, n_approx, n_hits,
+    * recall_e4) — the go/no-go record a release pipeline gates on. */
+  def ivfIndexRetrain(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, iters: Int = 3, seed: Long = 42L,
+      dim: Option[Int] = None, trainCap: Int = 0,
+      sampleMod: Long = 8, corpusMod: Long = 2,
+      kAudit: Int = 10, nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val newIdx0 = ivfBuild(vectors, idCol, vecCol, k, iters, seed,
+      dim, trainCap)
+    val newAsg = newIdx0.assigned
+      .withColumn("id", col("id").cast("long")).persist()
+    try {
+      newAsg.count()
+      val newIdx = newIdx0.copy(assigned = newAsg)
+      val oldIdx = ivfIndexRead(spark, dir)
+      def audit(side: String, idx: IvfIndex): Array[(String, Long, Long,
+          Long, Long, Long)] =
+        ivfRecallSampledRow(idx, sampleMod, corpusMod, kAudit, nProbe)
+          .collect().map(r => (side, r.getLong(0), r.getLong(1),
+            r.getLong(2), r.getLong(3), r.getLong(4)))
+      // both sides collected BEFORE the flip: the old index's files
+      // are only grace-protected for one further publish, and the
+      // report must describe the state the cutover decision saw
+      val report = audit("old", oldIdx) ++ audit("new", newIdx)
+      graft.util.Manifest.publishTables(spark,
+        java.nio.file.Paths.get(dir),
+        Seq(
+          "centroids" -> { dst: java.nio.file.Path =>
+            newIdx.centroids.zipWithIndex.map { case (v, c) => (c, v) }
+              .toDF("c", "vec").coalesce(1)
+              .write.parquet(dst.toString)
+          },
+          "assigned" -> { dst: java.nio.file.Path =>
+            newAsg.write.partitionBy("c").parquet(dst.toString)
+          }),
+        drop = Seq("tombstones"))
+      report.toSeq.toDF(
+        "side", "n_queries", "n_exact", "n_approx", "n_hits", "recall_e4")
+    } finally newAsg.unpersist()
   }
 
   /** Grow an IVF index WITHOUT retraining — the production index-

@@ -217,6 +217,31 @@ object Manifest {
     gcOrphans(root, next)
   }
 
+  /** Publish externally-built table content — the retrain-and-cutover
+    * primitive: each `(table, writeFn)` writes a fresh version dir
+    * beside the current one (the writeFn receives the destination
+    * path), then ONE flip swaps every listed table (and drops `drop` —
+    * a retrained index retires the old sidecar with the old
+    * membership). The previous versions stay for one flip (grace =
+    * the rollback window: flipping the manifest back by hand restores
+    * the old index wholesale). */
+  def publishTables(
+      spark: SparkSession, root: Path,
+      writes: Seq[(String, Path => Unit)], drop: Seq[String] = Nil)
+      : Unit = {
+    val cur = entries(root)
+    gcOrphans(root, cur)
+    val replaced = writes.map { case (t, w) =>
+      val name = nextVersion(root, t)
+      w(root.resolve(name))
+      t -> name
+    }
+    val next = cur ++ replaced -- drop
+    writePrev(root, cur)
+    flip(root, next)
+    gcOrphans(root, next)
+  }
+
   /** Record the pre-flip mapping as the GC grace set. Plain
     * (non-atomic) write: it only guards GC — a torn prev after a
     * crash costs grace, never correctness. */

@@ -159,6 +159,46 @@ class CurateMainSpec extends SparkSpec {
       graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(d)))
   }
 
+  test("CurateMain --index-health: one tombstone-debt row per index, " +
+    "policy verdict included") {
+    import spark.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val in = java.nio.file.Files.createTempDirectory("curate-hin").toString
+    docs.write.mode("overwrite").parquet(in)
+    val out = java.nio.file.Files.createTempDirectory("curate-hout").toString
+    val mh = java.nio.file.Files.createTempDirectory("curate-hmh").toString
+    val ivf = java.nio.file.Files.createTempDirectory("curate-hivf").toString
+    graft.ext.Dedup.minhashIndexWrite(
+      docs.where(col("doc_id") < 100), "doc_id", "text", mh)
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    graft.ext.Similarity.ivfIndexWrite(
+      graft.ext.Similarity.ivfBuild(
+        vecs, "vec_id", "embedding", k = 4, dim = Some(8)),
+      ivf)
+    // 8/40 tombstoned = 20% — over the 10% policy, the verdict fires
+    graft.ext.Similarity.ivfIndexDelete(
+      ivf, (0 until 8).map(_.toLong * 5).toDF("vec_id"), "vec_id")
+    CurateMain.run(spark, Array(
+      in, out, "--shards", "2",
+      "--index-health", s"minhash=$mh,ivf=$ivf"))
+    val report = spark.read.parquet(s"$out/_report/index_health")
+      .collect().map(r => r.getAs[String]("family") ->
+        ((r.getAs[Long]("live_rows"), r.getAs[Long]("tombstoned_rows"),
+          r.getAs[Long]("tombstone_frac_e6"),
+          r.getAs[Long]("compact_recommended")))).toMap
+    assert(report.keySet === Set("minhash", "ivf"))
+    assert(report("minhash")._2 === 0L)
+    assert(report("minhash")._4 === 0L)
+    assert(report("ivf") === ((32L, 8L, 200000L, 1L)),
+      "20% tombstoned fires the 10% compaction policy")
+    Seq(in, out, mh, ivf).foreach(d =>
+      graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(d)))
+  }
+
   test("CurateMain --drift-baseline freezes the online-monitor artifact; " +
     "re-feeding the curated corpus itself is zero-drift, zero-novelty") {
     import graft.ext.{Curation, Kmv, Splits}

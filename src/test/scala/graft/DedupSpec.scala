@@ -191,6 +191,56 @@ class DedupSpec extends SparkSpec {
     graft.ext.Caches.release()
   }
 
+  test("minhash index append: appended docs probe identically to a fresh " +
+    "build; retry heals nothing twice; tombstoned re-ingest resurrects") {
+    val corpusA = corpus.where(col("doc_id") < 10)
+    val corpusB = corpus.where(col("doc_id") >= 10 && col("doc_id") < 100)
+    val batch = corpus.where(col("doc_id") >= 100)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-mh-append").toString
+    val freshDir = java.nio.file.Files
+      .createTempDirectory("graft-mh-appfresh").toString
+    def probe(d: String): Map[(Long, Long), Double] =
+      Dedup.minhashProbeIndex(batch, "doc_id", "text", d, threshold = 0.5)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+        .toMap
+    def tableIds(d: String, t: String): Seq[Long] =
+      spark.read.parquet(graft.util.Manifest.tablePath(d, t))
+        .select(col("id").cast("long")).collect().map(_.getLong(0)).toSeq
+    try {
+      Dedup.minhashIndexWrite(corpusA, "doc_id", "text", dir)
+      Dedup.minhashIndexAppend(corpusB, "doc_id", "text", dir)
+      Dedup.minhashIndexWrite(
+        corpus.where(col("doc_id") < 100), "doc_id", "text", freshDir)
+      val want = probe(freshDir)
+      assert(want.nonEmpty && want.contains((100L, 0L)))
+      // membership + probe results equal a fresh build on the union
+      // (stored bucket_n values may differ — append refreshes only its
+      // own rows; the probe's per-bucket-max cap reads the same total)
+      assert(probe(dir) === want)
+      for (t <- Seq("postings", "sizes"))
+        assert(tableIds(dir, t).sorted === tableIds(freshDir, t).sorted, t)
+      // a re-delivered batch appends NOTHING to any table
+      val counts = Seq("postings", "sizes", "buckets")
+        .map(t => tableIds(dir, t).length)
+      Dedup.minhashIndexAppend(corpusB, "doc_id", "text", dir)
+      assert(Seq("postings", "sizes", "buckets")
+        .map(t => tableIds(dir, t).length) === counts)
+      // RESURRECTION: tombstone doc 0, then re-ingest it — pairs with
+      // 0 disappear, then reappear; exactly one sizes row for 0
+      Dedup.minhashIndexDelete(dir, Seq(0L).toDF("doc_id"), "doc_id")
+      assert(!probe(dir).keys.exists(_._2 == 0L))
+      Dedup.minhashIndexAppend(
+        corpus.where(col("doc_id") === 0L), "doc_id", "text", dir)
+      assert(probe(dir) === want)
+      assert(tableIds(dir, "sizes").count(_ == 0L) === 1)
+    } finally {
+      graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+      graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(freshDir))
+    }
+    graft.ext.Caches.release()
+  }
+
   test("persisted IVF-PQ maintenance: frozen-model append is idempotent " +
     "and resurrecting; compact is partition-scoped on encoded AND base") {
     import scala.jdk.CollectionConverters._

@@ -190,6 +190,71 @@ class ManifestSpec extends SparkSpec {
     graft.ext.Caches.release()
   }
 
+  test("IVF retrain-and-cutover: the A/B report precedes one atomic " +
+    "flip, a concurrent reader is never interrupted, and the old " +
+    "version stays on disk as the rollback window") {
+    val dim = 8
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Seq.tabulate(dim)(j => math.cos(i * 1.9 + j).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val dir = tmp("graft-man-retrain").toString
+    graft.ext.Similarity.ivfIndexWrite(
+      graft.ext.Similarity.ivfBuild(
+        df, "vec_id", "embedding", k = 4, dim = Some(dim)),
+      dir)
+    // live tombstones: the retrained index's membership replaces them
+    graft.ext.Similarity.ivfIndexDelete(
+      dir, Seq(11L, 12L).toDF("vec_id"), "vec_id")
+    @volatile var stop = false
+    @volatile var bad: Option[String] = None
+    val reader = new Thread(() => {
+      while (!stop && bad.isEmpty) {
+        try {
+          val n = graft.ext.Similarity.ivfIndexRead(spark, dir)
+            .assigned.count()
+          // pre-cutover: 60 minus 2 tombstones; post-cutover: all 60
+          if (n != 58L && n != 60L)
+            bad = Some(s"partial snapshot: $n members")
+        } catch {
+          case e: Exception => bad = Some(s"read failed: $e")
+        }
+      }
+    })
+    reader.start()
+    val report =
+      try graft.ext.Similarity.ivfIndexRetrain(
+        spark, dir, df, "vec_id", "embedding", k = 8, dim = Some(dim))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5)))).toMap
+      finally { stop = true; reader.join(60000) }
+    assert(bad.isEmpty, bad.getOrElse(""))
+    // the go/no-go record: both sides audited, sane ranges
+    assert(report.keySet === Set("old", "new"))
+    for ((side, (nq, nEx, nAp, nHit, rec)) <- report) {
+      assert(nq > 0L, s"$side audited zero queries")
+      assert(nHit <= nEx && nHit <= nAp, side)
+      assert(rec >= 0L && rec <= 10000L, side)
+    }
+    // cutover landed: the new codebook serves, membership is the new
+    // build's (tombstones retired), old version still on disk
+    val after = graft.ext.Similarity.ivfIndexRead(spark, dir)
+    assert(after.centroids.size === 8)
+    assert(after.assigned.count() === 60L)
+    assert(!Manifest.tableExists(dir, "tombstones"))
+    val prev = java.nio.file.Paths.get(dir).resolve(Manifest.PrevName)
+    assert(java.nio.file.Files.isRegularFile(prev))
+    val root = java.nio.file.Paths.get(dir)
+    val prevAssigned = java.nio.file.Files.readAllLines(prev)
+      .toArray.map(_.toString).find(_.startsWith("assigned="))
+      .map(_.split("=", 2)(1)).get
+    assert(java.nio.file.Files.isDirectory(root.resolve(prevAssigned)),
+      "rollback window: the pre-cutover assigned version survives")
+    Fs.deleteRecursively(root)
+    graft.ext.Caches.release()
+  }
+
   test("a dropped table's stale plain dir is not readable through the " +
     "manifest (authoritative resolution), and is GC'd out of grace") {
     val root = tmp("graft-man-drop")

@@ -308,6 +308,111 @@ class StreamingWindowSpec extends SparkSpec {
     graft.ext.Caches.release()
   }
 
+  test("streaming minhash ingestion: micro-batch appends equal the " +
+    "one-shot append in membership and probe results; retry is " +
+    "idempotent") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val seed = docs.where(col("doc_id") % 2 === 0)
+    val arriving = docs.where(col("doc_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhstream")
+    val oneDir = java.nio.file.Files.createTempDirectory("graft-mhone")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-mhsrc")
+    try {
+      graft.ext.Dedup.minhashIndexWrite(
+        seed, "doc_id", "text", dir.toString)
+      arriving.repartition(3).write.mode("overwrite")
+        .parquet(streamDir.toString)
+      val schema = spark.read.parquet(streamDir.toString).schema
+      val q = graft.ext.Dedup.minhashIndexIngestStream(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(streamDir.toString),
+        "doc_id", "text", dir.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.ext.Dedup.minhashIndexWrite(
+        seed, "doc_id", "text", oneDir.toString)
+      graft.ext.Dedup.minhashIndexAppend(
+        arriving, "doc_id", "text", oneDir.toString)
+      // membership per table (stored bucket_n differs by append
+      // batching — the probe's per-bucket-max cap makes that
+      // invisible, which the probe comparison below pins)
+      def members(d: String, t: String): Set[Long] =
+        spark.read.parquet(graft.util.Manifest.tablePath(d, t))
+          .select(col("id").cast("long"))
+          .collect().map(_.getLong(0)).toSet
+      for (t <- Seq("postings", "sizes", "buckets"))
+        assert(members(dir.toString, t) === members(oneDir.toString, t), t)
+      // and probes agree on a held-out query side (the planted dups)
+      val qside = docs.where(col("doc_id") % 2 === 0).limit(50)
+      def probe(d: String) = graft.ext.Dedup
+        .minhashProbeIndex(
+          qside.withColumn("doc_id", col("doc_id") + 1000000L),
+          "doc_id", "text", d, threshold = 0.5)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+        .toMap
+      val streamed = probe(dir.toString)
+      assert(streamed.nonEmpty, "vacuous probe fixture")
+      assert(streamed === probe(oneDir.toString))
+      // a re-delivered batch appends nothing
+      val before = members(dir.toString, "sizes").size
+      graft.ext.Dedup.minhashIndexAppend(
+        arriving.limit(20), "doc_id", "text", dir.toString)
+      assert(members(dir.toString, "sizes").size === before)
+    } finally {
+      Seq(dir, oneDir, streamDir).foreach(graft.util.Fs.deleteRecursively)
+    }
+    graft.ext.Caches.release()
+  }
+
+  test("streaming sign-band ingestion: the signature is a pure " +
+    "projection, so streamed micro-batch appends equal the one-shot " +
+    "append bit-for-bit") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val seed = emb.where(col("vec_id") % 2 === 0)
+    val arriving = emb.where(col("vec_id") % 2 === 1)
+    val idx = graft.ext.Similarity.signBandIndexBuild(
+      seed, "vec_id", "embedding", dim = 64)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sbstream")
+    val oneDir = java.nio.file.Files.createTempDirectory("graft-sbone")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-sbsrc")
+    try {
+      graft.ext.Similarity.signBandIndexWrite(idx, dir.toString)
+      arriving.repartition(3).write.mode("overwrite")
+        .parquet(streamDir.toString)
+      val schema = spark.read.parquet(streamDir.toString).schema
+      val q = graft.ext.Similarity.signBandIndexIngestStream(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(streamDir.toString),
+        "vec_id", "embedding", dir.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.ext.Similarity.signBandIndexWrite(idx, oneDir.toString)
+      graft.ext.Similarity.signBandIndexAppend(
+        spark, oneDir.toString, arriving, "vec_id", "embedding")
+      def rows(d: String): Set[(Long, Int, Long, Long)] =
+        graft.ext.Similarity.signBandIndexRead(spark, d).buckets
+          .select(col("id").cast("long"), col("band").cast("int"),
+            col("bucket").cast("long"), col("sig"))
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+          .toSet
+      val streamed = rows(dir.toString)
+      assert(streamed === rows(oneDir.toString))
+      // retry appends nothing
+      graft.ext.Similarity.signBandIndexAppend(
+        spark, dir.toString, arriving.limit(20), "vec_id", "embedding")
+      assert(rows(dir.toString) === streamed)
+    } finally {
+      Seq(dir, oneDir, streamDir).foreach(graft.util.Fs.deleteRecursively)
+    }
+    graft.ext.Caches.release()
+  }
+
   test("streaming DSIR scoring: per-micro-batch scores under a " +
     "persisted model equal the batch scores") {
     // the train-once / score-stream wire: the B-row model computes on
@@ -887,6 +992,7 @@ class StreamingWindowSpec extends SparkSpec {
     "rows equal the batch indexRecallSampled against the same persisted " +
     "index; a missing index rejects at stream construction") {
     import graft.ext.{Curation, Dedup, Splits, TextAnalysis}
+    import spark.implicits._
     // corpus = even doc_ids (the persisted index), stream = odd ids in
     // two micro-batches — ids globally distinct across the two sides
     // (the minhashProbeIndex contract); near-dup mass exists because
@@ -908,6 +1014,27 @@ class StreamingWindowSpec extends SparkSpec {
       Splits.driftBaselineWrite(spark,
         Splits.driftBaselineBuild(scored, "quality_e4"), baseDir.toString)
       Dedup.minhashIndexWrite(corpus, "doc_id", "text", idxDir.toString)
+      // the vector families ride the same monitor: a small IVF index
+      // and a band index over synthetic vectors, ONE unified
+      // index_health schema across all three
+      val dim = 16
+      val vecs = (0 until 80).map { i =>
+        (i.toLong, Seq.tabulate(dim)(j => math.sin(i * 2.7 + j).toFloat))
+      }.toDF("vec_id", "embedding")
+      val ivfDir = java.nio.file.Files.createTempDirectory("graft-ihivf")
+      val bandDir = java.nio.file.Files.createTempDirectory("graft-ihband")
+      graft.ext.Similarity.ivfIndexWrite(
+        graft.ext.Similarity.ivfBuild(
+          vecs, "vec_id", "embedding", k = 4, dim = Some(dim)),
+        ivfDir.toString)
+      graft.ext.Similarity.signBandIndexWrite(
+        graft.ext.Similarity.signBandIndexBuild(
+          vecs, "vec_id", "embedding", dim = dim),
+        bandDir.toString)
+      // one tombstone in the IVF index: the health row must carry the
+      // logical-delete debt and the (not-yet-firing) compaction policy
+      graft.ext.Similarity.ivfIndexDelete(
+        ivfDir.toString, Seq(3L).toDF("vec_id"), "vec_id")
       // two files → two micro-batches (maxFilesPerTrigger = 1)
       val lo = arriving.where(col("doc_id") < 300)
       val hi = arriving.where(col("doc_id") >= 300)
@@ -917,32 +1044,57 @@ class StreamingWindowSpec extends SparkSpec {
         spark.readStream.schema(arriving.schema)
           .option("maxFilesPerTrigger", 1).parquet(s"$streamDir/*"),
         "text", baseDir.toString, repDir.toString,
-        minhashIndexDir = Some(idxDir.toString))
+        minhashIndexDir = Some(idxDir.toString),
+        ivfIndexDir = Some(ivfDir.toString),
+        bandIndexDir = Some(bandDir.toString))
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ckDir.toString)
         .start()
       q.awaitTermination()
       val health = spark.read.parquet(s"$repDir/index_health")
         .collect()
-        .map(r => r.getAs[Long]("batch_id") ->
+        .map(r => (r.getAs[Long]("batch_id"), r.getAs[String]("family")) ->
           ((r.getAs[Long]("n_queries"), r.getAs[Long]("n_exact"),
-            r.getAs[Long]("n_lsh"), r.getAs[Long]("n_hits"),
-            r.getAs[Long]("recall_e4")))).toMap
-      assert(health.size === 2)
+            r.getAs[Long]("n_approx"), r.getAs[Long]("n_hits"),
+            r.getAs[Long]("recall_e4"), r.getAs[Long]("live_rows"),
+            r.getAs[Long]("tombstoned_rows"),
+            r.getAs[Long]("compact_recommended")))).toMap
+      assert(health.size === 6, s"2 batches x 3 families: $health")
       // STREAMED ≡ BATCH, micro-batch by micro-batch (order of file
       // pickup is lexicographic under AvailableNow: b0 then b1)
       Seq(0L -> lo, 1L -> hi).foreach { case (bid, b) =>
         val want = Dedup.indexRecallSampled(
           b, "doc_id", "text", idxDir.toString).head()
-        assert(health(bid) ===
+        val got = health((bid, "minhash"))
+        assert((got._1, got._2, got._3, got._4, got._5) ===
           ((want.getAs[Long]("n_queries"), want.getAs[Long]("n_exact"),
             want.getAs[Long]("n_lsh"), want.getAs[Long]("n_hits"),
             want.getAs[Long]("recall_e4"))), s"batch $bid")
+        // the vector-family rows equal their batch audits (stateless —
+        // identical across batches)
+        val ivfWant = graft.ext.Similarity
+          .ivfIndexRecallSampled(spark, ivfDir.toString).head()
+        val ivfGot = health((bid, "ivf"))
+        assert((ivfGot._1, ivfGot._2, ivfGot._3, ivfGot._4, ivfGot._5) ===
+          ((ivfWant.getLong(0), ivfWant.getLong(1), ivfWant.getLong(2),
+            ivfWant.getLong(3), ivfWant.getLong(4))), s"ivf batch $bid")
+        assert(ivfGot._7 === 1L, "one tombstoned IVF member")
+        assert(ivfGot._6 === 79L, "79 live IVF members")
+        assert(ivfGot._8 === 0L, "1/80 is under the 10% policy")
+        val bandWant = graft.ext.Similarity
+          .signBandIndexIntegritySampled(spark, bandDir.toString).head()
+        val bandGot = health((bid, "band"))
+        assert(bandGot._4 === bandWant.getLong(1) &&
+          bandGot._5 === bandWant.getLong(2), s"band batch $bid")
+        assert(bandGot._5 === 10000L, "fresh band artifact is intact")
       }
       // the audit must have teeth on this corpus: at least one batch
       // saw sampled queries and a non-vacuous truth set
-      assert(health.values.exists(v => v._1 > 0 && v._2 > 0),
-        s"vacuous fixture: $health")
+      assert(health.exists { case ((_, f), v) =>
+        f == "minhash" && v._1 > 0 && v._2 > 0
+      }, s"vacuous fixture: $health")
+      graft.util.Fs.deleteRecursively(ivfDir)
+      graft.util.Fs.deleteRecursively(bandDir)
       // a monitor pointed at a non-index rejects at CONSTRUCTION
       val e = intercept[IllegalArgumentException] {
         Curation.driftMonitorStream(
