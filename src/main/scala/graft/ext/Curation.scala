@@ -364,6 +364,24 @@ object Curation {
         s"driftMonitor: no band index at $d (expected params/" +
           "buckets from Similarity.signBandIndexWrite)")
     }
+    // schema-upgrade guard: index_health rows gained family +
+    // tombstone columns (and n_lsh became n_approx). Appending the
+    // new schema into a reportDir whose old b=<id> partitions carry
+    // the old one would leave ONE table with two incompatible
+    // schemas — readers would silently lose columns depending on
+    // which file wins inference. Fail at CONSTRUCTION with the
+    // remedy instead of corrupting the dashboard's table.
+    if (minhashIndexDir.orElse(ivfIndexDir).orElse(bandIndexDir)
+        .isDefined) {
+      val ih = java.nio.file.Paths.get(reportDir, "index_health")
+      if (java.nio.file.Files.isDirectory(ih)) {
+        val cols = spark.read.parquet(ih.toString).columns.toSet
+        require(cols.contains("family"),
+          s"driftMonitor: $ih holds pre-upgrade index_health rows " +
+            "(no 'family' column) — archive or delete that directory " +
+            "before restarting the monitor with the unified schema")
+      }
+    }
     docs.writeStream.foreachBatch {
       (b: DataFrame, id: Long) =>
         driftMonitorApply(b, id, textCol, base, baselineDir, reportDir,
@@ -540,8 +558,13 @@ object Curation {
         r.getAs[Long]("recall_e4"), live, dead, frac, rec))
     }
     ivfIndexDir.foreach { dir =>
+      // corpusMod must divide sampleMod (the self-neighbor contract);
+      // an odd indexSampleMod — valid for the minhash audit, e.g. 1 =
+      // "audit everything" — drops the corpus cut rather than
+      // throwing inside foreachBatch and killing the stream
       val r = Similarity.ivfIndexRecallSampled(spark, dir,
-        sampleMod = indexSampleMod).head()
+        sampleMod = indexSampleMod,
+        corpusMod = if (indexSampleMod % 2 == 0) 2 else 1).head()
       val (live, dead, frac, rec) = tombCols(dir, "ivf")
       healthRows += ((batchId, "ivf",
         r.getAs[Long]("n_queries"), r.getAs[Long]("n_exact"),

@@ -1293,13 +1293,27 @@ object Dedup {
     val sig = minhashBandsAgg(inverted, k, bands)
       .persistRegistered()
     sig.count() // eager: sizes AND buckets read it
-    inverted.write.mode("overwrite").parquet(s"$dir/postings")
-    sig.select(col("id"), col("n")).write.mode("overwrite")
-      .parquet(s"$dir/sizes")
-    val buck = explodeBandBuckets(sig, bands)
-    val counts = buck.groupBy("band", "bh").agg(count(lit(1)).as("bucket_n"))
-    buck.join(counts, Seq("band", "bh"))
-      .write.mode("overwrite").parquet(s"$dir/buckets")
+    // routed through Manifest.writeIndex: a REBUILD into a dir that
+    // maintenance already made manifest-managed must publish (a plain
+    // in-place rewrite would be invisible to readers and GC'd), and
+    // the flip retires the old trio + any live sidecar wholesale
+    graft.util.Manifest.writeIndex(
+      corpus.sparkSession, java.nio.file.Paths.get(dir),
+      Seq(
+        "postings" -> { p: java.nio.file.Path =>
+          inverted.write.mode("overwrite").parquet(p.toString)
+        },
+        "sizes" -> { p: java.nio.file.Path =>
+          sig.select(col("id"), col("n")).write.mode("overwrite")
+            .parquet(p.toString)
+        },
+        "buckets" -> { p: java.nio.file.Path =>
+          val buck = explodeBandBuckets(sig, bands)
+          val counts = buck.groupBy("band", "bh")
+            .agg(count(lit(1)).as("bucket_n"))
+          buck.join(counts, Seq("band", "bh"))
+            .write.mode("overwrite").parquet(p.toString)
+        }))
     sig.unpersist(false)
     inverted.unpersist(false)
   }
@@ -1342,26 +1356,32 @@ object Dedup {
     sigB.count() // eager: bucket probe AND size lookup
     // skew cap on the bucket's NEWEST stored count: appended rows
     // ([[minhashIndexAppend]]) carry the refreshed total while the
-    // bucket's older rows keep their stale build-time value, so
-    // per-bucket max over the (batch-restricted, bounded) candidate
-    // rows is the current size. On a freshly built or compacted index
-    // every row agrees, so this is the same `bucket_n <= maxBucket`
-    // cap the d19/d38/d39 oracles replay; delete-staleness stays
-    // conservative (overcounts exclude, never admit).
-    val candRows = buckC
-      .join(
-        broadcast(explodeBandBuckets(sigB, bands)
-          .select(col("band"), col("bh"), col("id").as("id_a"))),
+    // bucket's older rows keep their stale build-time value, so the
+    // cap reads per-bucket MAX of the stored counts. The max is
+    // PRE-AGGREGATED on a batch-bucket-restricted scan BEFORE the
+    // candidate join — capping after the join would materialize a
+    // mega-bucket's full |bucket|×|batch hits| candidate rows only to
+    // drop them, the exact blow-up maxBucket exists to prevent (and a
+    // per-ROW `bucket_n <= maxBucket` scan filter would miss a bucket
+    // grown past the cap, whose over-cap newest row is filtered out
+    // while its stale under-cap rows survive). Map-side combine
+    // collapses the restricted scan to one row per probed bucket. On
+    // a freshly built or compacted index every row agrees, so this is
+    // the same cap the d19/d38/d39 oracles replay; delete-staleness
+    // stays conservative (overcounts exclude, never admit).
+    val batchBands = explodeBandBuckets(sigB, bands)
+      .select(col("band"), col("bh"), col("id").as("id_a"))
+    val okBuckets = buckC0
+      .join(broadcast(batchBands.select(col("band"), col("bh")).distinct()),
         Seq("band", "bh"))
-    val cand = {
-      import org.apache.spark.sql.expressions.Window
-      candRows
-        .withColumn("_bn", max(col("bucket_n"))
-          .over(Window.partitionBy(col("band"), col("bh"))))
-        .where(col("_bn") <= maxBucket)
-        .select(col("id_a"), col("id").as("id_b"))
-        .dropDuplicates("id_a", "id_b")
-    }
+      .groupBy("band", "bh").agg(max(col("bucket_n")).as("_bn"))
+      .where(col("_bn") <= maxBucket)
+      .select(col("band"), col("bh"))
+    val cand = buckC
+      .join(broadcast(okBuckets), Seq("band", "bh"))
+      .join(broadcast(batchBands), Seq("band", "bh"))
+      .select(col("id_a"), col("id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
     // verify WITHOUT exchanging the index: candidate pairs × batch
     // postings are micro-batch-sized, so they broadcast onto single
     // scans of the index's postings and sizes tables — the generic

@@ -47,13 +47,22 @@ object IndexHealth {
     // one snapshot: the member count and the sidecar must describe
     // the same index state
     val snap = Manifest.snapshot(dir)
-    val rows = spark.read.parquet(snap.path(table)).count()
+    val member = spark.read.parquet(snap.path(table))
+    val rows = member.count()
     val perMember: Long =
       if (family != "band") 1L
       else spark.read.parquet(snap.path("params")).head().getInt(1).toLong
     val total = rows / perMember
-    val tombstoned =
-      Sidecar.read(spark, snap).map(_.count()).getOrElse(0L)
+    // tombstoned = sidecar ∩ MEMBERS (one broadcast semi-join on the
+    // member scan): raw sidecar cardinality can exceed membership —
+    // a takedown pipeline re-sending a delete for an id a compaction
+    // already removed appends a non-member id — and would drive
+    // live_rows negative / fire the policy on an index with no real
+    // debt
+    val tombstoned = Sidecar.read(spark, snap)
+      .map(t => member.join(broadcast(t), Seq("id"), "left_semi")
+        .count() / perMember)
+      .getOrElse(0L)
     val fracE6 =
       if (total == 0L) 0L else tombstoned * 1000000L / total
     Seq((family, total - tombstoned, tombstoned, fracE6,

@@ -75,29 +75,15 @@ private[ext] object Sidecar {
   def applyTo(spark: SparkSession, dir: String, df: DataFrame): DataFrame =
     applyTo(spark, Manifest.snapshot(dir), df)
 
-  /** The tombstones [[Manifest.TableRewrite]] removing `ids` — for
-    * scrub paths that must retire resurrected ids IN THE SAME flip as
-    * their partition rewrites. */
+  /** The tombstones [[Manifest.TableRewrite]] removing `ids` — the
+    * ONLY mutation shape besides [[append]]: scrub paths retire
+    * resurrected ids IN THE SAME flip as their partition rewrites,
+    * and compactors clear the sidecar by passing
+    * `drop = Seq("tombstones")` to their own publish. (Standalone
+    * remove/clear entry points were deliberately dropped: a second
+    * publish path would split one atomic transition into two flips —
+    * the mixed-state window this layer exists to close.) */
   def removeRewrite(ids: DataFrame): Manifest.TableRewrite =
     Manifest.TableRewrite("tombstones", None,
       _.join(broadcast(ids.select(col("id"))), Seq("id"), "left_anti"))
-
-  /** Remove `ids` from the sidecar standalone (the resurrection
-    * path's API form) — one manifest publish; tiny table, full
-    * rewrite. */
-  def remove(spark: SparkSession, dir: String, ids: DataFrame): Unit =
-    Manifest.publishRewrite(spark, java.nio.file.Paths.get(dir),
-      Seq(removeRewrite(ids)))
-
-  /** Clear the sidecar — one manifest flip dropping its entry (the
-    * compactors instead pass `drop = Seq("tombstones")` to their own
-    * publish, folding the clear into the same transition). */
-  def clear(dir: String): Unit = {
-    val root = java.nio.file.Paths.get(dir)
-    Manifest.read(root) match {
-      case Some(m) => Manifest.flip(root, m - "tombstones")
-      case None =>
-        graft.util.Fs.deleteRecursively(root.resolve("tombstones"))
-    }
-  }
 }

@@ -541,16 +541,23 @@ object Similarity {
     * PARTITION PRUNING (params ride a one-row side table, the
     * ivfIndexWrite idiom). */
   def signBandIndexWrite(index: SignBandIndex, dir: String): Unit = {
-    // id cast to long: one physical id type for the persisted layout
-    // (appends write the same cast — the ivfIndexWrite contract)
-    index.buckets.withColumn("id", col("id").cast("long"))
-      .write.mode("overwrite")
-      .partitionBy("band", "bucket").parquet(s"$dir/buckets")
     val spark = index.buckets.sparkSession
     import spark.implicits._
-    Seq((index.nPlanes, index.chunks, index.dim))
-      .toDF("n_planes", "chunks", "dim")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+    graft.util.Manifest.writeIndex(spark, java.nio.file.Paths.get(dir),
+      Seq(
+        // id cast to long: one physical id type for the persisted
+        // layout (appends write the same cast — the ivfIndexWrite
+        // contract)
+        "buckets" -> { p: java.nio.file.Path =>
+          index.buckets.withColumn("id", col("id").cast("long"))
+            .write.mode("overwrite")
+            .partitionBy("band", "bucket").parquet(p.toString)
+        },
+        "params" -> { p: java.nio.file.Path =>
+          Seq((index.nPlanes, index.chunks, index.dim))
+            .toDF("n_planes", "chunks", "dim")
+            .coalesce(1).write.mode("overwrite").parquet(p.toString)
+        }))
   }
 
   def signBandIndexRead(
@@ -1178,16 +1185,25 @@ object Similarity {
   def ivfIndexWrite(index: IvfIndex, dir: String): Unit = {
     val spark = index.assigned.sparkSession
     import spark.implicits._
-    index.centroids.zipWithIndex.map { case (v, c) => (c, v) }
-      .toDF("c", "vec").coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/centroids")
-    // id cast to long: ONE physical id type for the persisted layout,
-    // whatever the caller's id column was — appends (ivfIndexAppend /
-    // the streaming idempotent form) write the same cast, so a mixed
-    // INT32/INT64 dataset can never arise
-    index.assigned.withColumn("id", col("id").cast("long"))
-      .write.mode("overwrite").partitionBy("c")
-      .parquet(s"$dir/assigned")
+    // routed through Manifest.writeIndex: on a dir that maintenance
+    // has already made manifest-managed, a plain in-place rewrite
+    // would be invisible to readers and GC'd — a REBUILD must publish
+    graft.util.Manifest.writeIndex(spark, java.nio.file.Paths.get(dir),
+      Seq(
+        "centroids" -> { p: java.nio.file.Path =>
+          index.centroids.zipWithIndex.map { case (v, c) => (c, v) }
+            .toDF("c", "vec").coalesce(1)
+            .write.mode("overwrite").parquet(p.toString)
+        },
+        // id cast to long: ONE physical id type for the persisted
+        // layout, whatever the caller's id column was — appends
+        // (ivfIndexAppend / the streaming idempotent form) write the
+        // same cast, so a mixed INT32/INT64 dataset can never arise
+        "assigned" -> { p: java.nio.file.Path =>
+          index.assigned.withColumn("id", col("id").cast("long"))
+            .write.mode("overwrite").partitionBy("c")
+            .parquet(p.toString)
+        }))
   }
 
   /** Load a persisted IVF index. Centroid doubles round-trip parquet
@@ -1373,17 +1389,25 @@ object Similarity {
     * (n_queries, n_exact, n_approx, n_hits, recall_e4). */
   private[ext] def ivfRecallSampledRow(
       idx: IvfIndex, sampleMod: Long, corpusMod: Long,
-      k: Int, nProbe: Int): DataFrame = {
+      k: Int, nProbe: Int, maxQueries: Int = 2000): DataFrame = {
     require(sampleMod % corpusMod == 0,
       s"sampleMod $sampleMod must be a multiple of corpusMod $corpusMod" +
         " (queries must keep their self-neighbor)")
     val members = idx.assigned
     val sampledCorpus =
       members.where(Dedup.pmd5(col("id")) % corpusMod === 0)
+    // maxQueries bounds the query side ABSOLUTELY (deterministic
+    // pmd5-ordered limit): without it the exact side is
+    // |members|²/(sampleMod·corpusMod) — QUADRATIC in index size, so
+    // a per-micro-batch monitor mounted on a growing index would
+    // eventually outgrow any trigger interval; capped, the audit is
+    // ≤ maxQueries·|members|/corpusMod dots — linear
     val qs = members
       .where(Dedup.pmd5(col("id")) % sampleMod === 0 &&
         norm(col("v")) > 0)
       .select(col("id"), col("v"))
+      .orderBy(Dedup.pmd5(col("id")), col("id"))
+      .limit(maxQueries)
     val ex = knnJoin(qs, sampledCorpus.select(col("id"), col("v")),
       "id", "v", k)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_ex"))
@@ -1408,9 +1432,9 @@ object Similarity {
   def ivfIndexRecallSampled(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       sampleMod: Long = 8, corpusMod: Long = 2,
-      k: Int = 10, nProbe: Int = 4): DataFrame =
+      k: Int = 10, nProbe: Int = 4, maxQueries: Int = 2000): DataFrame =
     ivfRecallSampledRow(ivfIndexRead(spark, dir),
-      sampleMod, corpusMod, k, nProbe)
+      sampleMod, corpusMod, k, nProbe, maxQueries)
 
   /** Sampled ARTIFACT-integrity probe for a persisted band index —
     * the online health form for the one family whose serving is
@@ -1949,14 +1973,24 @@ object Similarity {
   def pqIndexWrite(index: PqIndex, dir: String): Unit = {
     val spark = index.encoded.sparkSession
     import spark.implicits._
-    index.codebooks.zipWithIndex.flatMap { case (book, sub) =>
-      book.zipWithIndex.map { case (v, code) => (sub, code, v) }
-    }.toDF("sub", "code", "vec").coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/codebooks")
-    index.encoded.write.mode("overwrite").parquet(s"$dir/encoded")
-    index.base.write.mode("overwrite").parquet(s"$dir/base")
-    Seq(Tuple1(index.n)).toDF("n")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+    graft.util.Manifest.writeIndex(spark, java.nio.file.Paths.get(dir),
+      Seq(
+        "codebooks" -> { p: java.nio.file.Path =>
+          index.codebooks.zipWithIndex.flatMap { case (book, sub) =>
+            book.zipWithIndex.map { case (v, code) => (sub, code, v) }
+          }.toDF("sub", "code", "vec").coalesce(1)
+            .write.mode("overwrite").parquet(p.toString)
+        },
+        "encoded" -> { p: java.nio.file.Path =>
+          index.encoded.write.mode("overwrite").parquet(p.toString)
+        },
+        "base" -> { p: java.nio.file.Path =>
+          index.base.write.mode("overwrite").parquet(p.toString)
+        },
+        "params" -> { p: java.nio.file.Path =>
+          Seq(Tuple1(index.n)).toDF("n")
+            .coalesce(1).write.mode("overwrite").parquet(p.toString)
+        }))
   }
 
   def pqIndexRead(
@@ -2048,20 +2082,30 @@ object Similarity {
   def ivfPqIndexWrite(index: IvfPqIndex, dir: String): Unit = {
     val spark = index.encoded.sparkSession
     import spark.implicits._
-    index.centroids.zipWithIndex.map { case (v, c) => (c, v) }
-      .toDF("c", "vec").coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/centroids")
-    (for {
-      (cb, s) <- index.codebooks.zipWithIndex
-      (v, code) <- cb.zipWithIndex
-    } yield (s, code, v)).toDF("sub", "code", "vec").coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/codebooks")
     val enc = index.encoded.withColumn("id", col("id").cast("long"))
-    enc.write.mode("overwrite").partitionBy("c")
-      .parquet(s"$dir/encoded")
-    index.base.withColumn("id", col("id").cast("long"))
-      .join(enc.select(col("id"), col("c")), "id")
-      .write.mode("overwrite").partitionBy("c").parquet(s"$dir/base")
+    graft.util.Manifest.writeIndex(spark, java.nio.file.Paths.get(dir),
+      Seq(
+        "centroids" -> { p: java.nio.file.Path =>
+          index.centroids.zipWithIndex.map { case (v, c) => (c, v) }
+            .toDF("c", "vec").coalesce(1)
+            .write.mode("overwrite").parquet(p.toString)
+        },
+        "codebooks" -> { p: java.nio.file.Path =>
+          (for {
+            (cb, s) <- index.codebooks.zipWithIndex
+            (v, code) <- cb.zipWithIndex
+          } yield (s, code, v)).toDF("sub", "code", "vec").coalesce(1)
+            .write.mode("overwrite").parquet(p.toString)
+        },
+        "encoded" -> { p: java.nio.file.Path =>
+          enc.write.mode("overwrite").partitionBy("c")
+            .parquet(p.toString)
+        },
+        "base" -> { p: java.nio.file.Path =>
+          index.base.withColumn("id", col("id").cast("long"))
+            .join(enc.select(col("id"), col("c")), "id")
+            .write.mode("overwrite").partitionBy("c").parquet(p.toString)
+        }))
   }
 
   /** Load a persisted IVF-PQ index; doubles round-trip parquet exactly,

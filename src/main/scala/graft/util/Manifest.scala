@@ -61,7 +61,11 @@ object Manifest {
       parts: Option[Seq[String]],
       rewrite: DataFrame => DataFrame)
 
-  /** The manifest mapping, if this root has one. */
+  /** The manifest mapping, if this root has one. A read error on an
+    * EXISTING manifest PROPAGATES — swallowing it would read as "no
+    * manifest"/"empty manifest", and an empty mapping fed to the
+    * publish-time GC would delete every live version dir (a transient
+    * IO blip must abort the operation, never destroy the index). */
   def read(root: Path): Option[Map[String, String]] = {
     val f = root.resolve(FileName)
     if (!Files.isRegularFile(f)) None
@@ -69,7 +73,7 @@ object Manifest {
   }
 
   private def parse(f: Path): Map[String, String] =
-    try Files.readAllLines(f).asScala
+    Files.readAllLines(f).asScala
       .map(_.trim).filter(_.nonEmpty)
       .flatMap { l =>
         l.split("=", 2) match {
@@ -77,6 +81,11 @@ object Manifest {
           case _ => None
         }
       }.toMap
+
+  /** Lenient parse for the GRACE file only: a torn/unreadable
+    * `MANIFEST.prev` costs one flip of GC grace, never correctness. */
+  private def parsePrev(f: Path): Map[String, String] =
+    try parse(f)
     catch { case _: java.io.IOException => Map.empty }
 
   /** One consistent multi-table view of an index root: the manifest
@@ -175,8 +184,17 @@ object Manifest {
     Files.write(tmp,
       newEntries.toSeq.sorted.map { case (t, d) => s"$t=$d" }
         .mkString("\n").getBytes("UTF-8"))
-    Files.move(tmp, root.resolve(FileName),
-      StandardCopyOption.ATOMIC_MOVE)
+    // REPLACE_EXISTING spelled out: ATOMIC_MOVE onto an existing
+    // target is implementation-specific per the javadoc (POSIX rename
+    // replaces; other providers may throw) — fall back to the bare
+    // atomic move where the combination is unsupported
+    try Files.move(tmp, root.resolve(FileName),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    catch {
+      case _: UnsupportedOperationException =>
+        Files.move(tmp, root.resolve(FileName),
+          StandardCopyOption.ATOMIC_MOVE)
+    }
   }
 
   /** Publish a maintenance step: build new versions of the rewritten
@@ -242,6 +260,26 @@ object Manifest {
     gcOrphans(root, next)
   }
 
+  /** Full-index (re)build publication — what every `*IndexWrite`
+    * routes through: on an UNMANAGED root the tables write as plain
+    * dirs (the legacy initial layout, zero overhead); on a
+    * manifest-MANAGED root a plain in-place rewrite would be ignored
+    * by resolution (the manifest is authoritative) and collected by
+    * the next publish's GC, so the fresh tables publish as new
+    * versions and the flip maps EXACTLY the written tables — old data
+    * tables and any live tombstone sidecar retire in the same flip (a
+    * rebuild replaces the index wholesale, including its
+    * logical-delete state). */
+  def writeIndex(
+      spark: SparkSession, root: Path,
+      writes: Seq[(String, Path => Unit)]): Unit = read(root) match {
+    case Some(m) =>
+      publishTables(spark, root, writes,
+        drop = (m.keySet -- writes.map(_._1)).toSeq)
+    case None =>
+      writes.foreach { case (t, w) => w(root.resolve(t)) }
+  }
+
   /** Record the pre-flip mapping as the GC grace set. Plain
     * (non-atomic) write: it only guards GC — a torn prev after a
     * crash costs grace, never correctness. */
@@ -258,7 +296,8 @@ object Manifest {
     if (!Files.isDirectory(root)) return
     val prev = {
       val f = root.resolve(PrevName)
-      if (Files.isRegularFile(f)) parse(f) else Map.empty[String, String]
+      if (Files.isRegularFile(f)) parsePrev(f)
+      else Map.empty[String, String]
     }
     val keep = (live.values ++ prev.values).toSet
     // only dirs that LOOK like manifest-managed tables are candidates:

@@ -251,7 +251,47 @@ class ManifestSpec extends SparkSpec {
       .map(_.split("=", 2)(1)).get
     assert(java.nio.file.Files.isDirectory(root.resolve(prevAssigned)),
       "rollback window: the pre-cutover assigned version survives")
+    // the audit's absolute query cap: deterministic pmd5-ordered
+    // subset, so a monitor's per-batch cost stays linear in index
+    // size whatever the sampling mods say
+    val capped = graft.ext.Similarity.ivfIndexRecallSampled(
+      spark, dir, sampleMod = 1, corpusMod = 1, maxQueries = 5).head()
+    assert(capped.getLong(0) === 5L)
     Fs.deleteRecursively(root)
+    graft.ext.Caches.release()
+  }
+
+  test("index REBUILD into a manifest-managed dir publishes: readers " +
+    "serve the fresh corpus and the old sidecar retires in the flip") {
+    val dim = 8
+    def vecsOf(n: Int) = (0 until n).map { i =>
+      (i.toLong, Seq.tabulate(dim)(j => math.sin(i * 4.2 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val dir = tmp("graft-man-rebuild").toString
+    graft.ext.Similarity.ivfIndexWrite(
+      graft.ext.Similarity.ivfBuild(
+        vecsOf(30), "vec_id", "embedding", k = 4, dim = Some(dim)),
+      dir)
+    // maintenance makes the dir manifest-managed
+    graft.ext.Similarity.ivfIndexDelete(
+      dir, Seq(7L).toDF("vec_id"), "vec_id")
+    graft.ext.Similarity.ivfIndexCompact(spark, dir)
+    assert(Manifest.read(java.nio.file.Paths.get(dir)).isDefined)
+    // leave a live sidecar, then REBUILD wholesale on a bigger corpus
+    graft.ext.Similarity.ivfIndexDelete(
+      dir, Seq(8L).toDF("vec_id"), "vec_id")
+    graft.ext.Similarity.ivfIndexWrite(
+      graft.ext.Similarity.ivfBuild(
+        vecsOf(50), "vec_id", "embedding", k = 4, dim = Some(dim)),
+      dir)
+    // the rebuild is VISIBLE (a plain in-place write would be ignored
+    // by manifest resolution and GC'd) and the old sidecar retired
+    // with the old membership — id 8 serves again
+    val after = graft.ext.Similarity.ivfIndexRead(spark, dir)
+    assert(after.assigned.count() === 50L)
+    assert(after.assigned.where(col("id") === 8L).count() === 1L)
+    assert(!Manifest.tableExists(dir, "tombstones"))
+    Fs.deleteRecursively(java.nio.file.Paths.get(dir))
     graft.ext.Caches.release()
   }
 

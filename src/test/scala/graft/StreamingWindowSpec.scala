@@ -1093,6 +1093,33 @@ class StreamingWindowSpec extends SparkSpec {
       assert(health.exists { case ((_, f), v) =>
         f == "minhash" && v._1 > 0 && v._2 > 0
       }, s"vacuous fixture: $health")
+      // an ODD indexSampleMod (1 = "audit everything", valid for the
+      // minhash audit) must not kill the stream on the IVF family's
+      // corpusMod divisibility contract — the monitor drops the
+      // corpus cut instead
+      val repDir2 = java.nio.file.Files.createTempDirectory("graft-ihr2")
+      Curation.driftMonitorApply(lo, 0L, "text",
+        Splits.driftBaselineRead(spark, baseDir.toString),
+        baseDir.toString, repDir2.toString, None, graft.ext.Kmv.DefaultK,
+        None, 0.5, 1L, "doc_id", Some(ivfDir.toString), None)
+      assert(spark.read.parquet(s"$repDir2/index_health")
+        .where(col("family") === "ivf").count() === 1L)
+      graft.util.Fs.deleteRecursively(repDir2)
+      // pre-upgrade index_health residue (no 'family' column) rejects
+      // at CONSTRUCTION — appending the new schema beside it would
+      // leave one table with two incompatible schemas
+      val repDir3 = java.nio.file.Files.createTempDirectory("graft-ihr3")
+      Seq((0L, 5L)).toDF("batch_id", "n_queries").coalesce(1)
+        .write.parquet(s"$repDir3/index_health/b=0")
+      val eOld = intercept[IllegalArgumentException] {
+        Curation.driftMonitorStream(
+          spark.readStream.schema(arriving.schema)
+            .parquet(s"$streamDir/*"),
+          "text", baseDir.toString, repDir3.toString,
+          minhashIndexDir = Some(idxDir.toString))
+      }
+      assert(eOld.getMessage.contains("pre-upgrade"))
+      graft.util.Fs.deleteRecursively(repDir3)
       graft.util.Fs.deleteRecursively(ivfDir)
       graft.util.Fs.deleteRecursively(bandDir)
       // a monitor pointed at a non-index rejects at CONSTRUCTION
