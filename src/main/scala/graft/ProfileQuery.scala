@@ -16,7 +16,7 @@ object ProfileQuery {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ProfileQuery <prefixes> [runs]")
     val prefixes = args(0).split(',').toSeq
-    val runs = if (args.length > 1) args(1).toInt else 2
+    val runs = args.drop(1).find(_.forall(_.isDigit)).map(_.toInt).getOrElse(2)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -33,8 +33,30 @@ object ProfileQuery {
     @volatile var tasks = 0L
     @volatile var taskMs = 0L
     @volatile var gcMs = 0L
+    // per-job: id -> (callsite, startNs, taskMs). -perjob in args(0)
+    // prints one line per job so the expensive actions are named.
+    val perJob = args.contains("-perjob")
+    val jobInfo = new java.util.concurrent.ConcurrentHashMap[
+      Int, (String, Long, java.util.concurrent.atomic.AtomicLong)]()
+    val stageToJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs += 1
+        val cs = j.stageInfos.lastOption.map(_.name).getOrElse("?")
+        jobInfo.put(j.jobId,
+          (cs, System.nanoTime(),
+            new java.util.concurrent.atomic.AtomicLong()))
+        j.stageIds.foreach(s => stageToJob.put(s, j.jobId))
+      }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+        val info = jobInfo.get(j.jobId)
+        if (perJob && info != null) {
+          val wall = (System.nanoTime() - info._2) / 1e9
+          if (wall > 0.05)
+            println(f"  JOB ${j.jobId}%3d wall=$wall%7.3f s " +
+              f"taskTime=${info._3.get() / 1000.0}%8.3f s  ${info._1}")
+        }
+      }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages += 1
         tasks += s.stageInfo.numTasks
@@ -43,8 +65,45 @@ object ProfileQuery {
         if (t.taskMetrics != null) {
           taskMs += t.taskMetrics.executorRunTime
           gcMs += t.taskMetrics.jvmGCTime
+          val j = stageToJob.get(t.stageId)
+          val info = if (j != null) jobInfo.get(j) else null
+          if (info != null) info._3.addAndGet(t.taskMetrics.executorRunTime)
         }
     })
+
+    // ad-hoc conf experiments: any arg of the form k=v is applied as a
+    // runtime session conf before the queries run.
+    args.drop(1).filter(_.contains("=")).foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+      System.err.println(s"[profile] conf $k=$v")
+    }
+
+    // operator-level metrics for slow executions: -plans prints each
+    // >1.5 s execution's physical operators with their time metrics,
+    // which names the expensive operator when job callsites are the
+    // anonymous async-execution wrapper.
+    if (args.contains("-plans"))
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(
+              fn: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              ns: Long): Unit = if (ns > 1500000000L) {
+            println(f"  EXEC $fn ${ns / 1e9}%.2f s")
+            qe.executedPlan.foreach { n =>
+              val ms = n.metrics.toSeq
+                .filter { case (_, m) => m.value > 100 }
+                .map { case (k, m) => s"$k=${m.value}" }
+                .sorted.mkString(" ")
+              if (ms.nonEmpty) println(s"    ${n.nodeName} $ms")
+            }
+          }
+          override def onFailure(
+              fn: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              e: Exception): Unit = ()
+        })
 
     val picked = SparkEntry.queries.toSeq
       .filter { case (n, _) => prefixes.exists(n.startsWith) }

@@ -38,6 +38,7 @@ object ScaleProbe {
       probeRetrain(spark); spark.stop(); return
     }
     if (args.contains("s33dbg")) { probeS33dbg(spark); spark.stop(); return }
+    if (args.contains("s34dbg")) { probeS34dbg(spark); spark.stop(); return }
     val docs1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .select(col("doc_id"), col("text"))
     // 10x: replicate with distinct ids and a per-copy suffix token so
@@ -684,6 +685,83 @@ object ScaleProbe {
 
   /** Timing decomposition of s33 (delete-serve): where do the seconds
     * go relative to s26-style serving on the unpruned index? */
+  /** r14 optimization probe: s34's lifecycle phase by phase, twice, to
+    * locate the 20 s+ its bench entry pays and separate JIT/variance
+    * from real cost. */
+  private def probeS34dbg(spark: SparkSession): Unit = {
+    import graft.ext.{Dedup, Similarity}
+    val emb = graft.query.Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"$name%-32s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+    }
+    var s34dbgIdx: Similarity.IvfPqIndex = null
+    (0 until 2).foreach { rep =>
+      println(s"--- rep $rep")
+      val half = Dedup.pmd5(col("vec_id")) % 2
+      var idx: Similarity.IvfPqIndex = null
+      time("ivfPqBuild") {
+        idx = Similarity.ivfPqBuild(
+          emb.where(half === 0), "vec_id", "embedding", dim = Some(64))
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("graft-s34dbg")
+      time("ivfPqIndexWrite") {
+        Similarity.ivfPqIndexWrite(idx, tmp.toString)
+      }
+      // appendIdempotent inlined with per-phase timers (same calls in
+      // the same order as Similarity.ivfPqIndexAppendIdempotent)
+      time("append: read idx") {
+        val i2 = Similarity.ivfPqIndexRead(spark, tmp.toString)
+        s34dbgIdx = i2
+      }
+      val batch = emb.where(half === 1).select(
+        col("vec_id").cast("long").as("id"), col("embedding").as("v"))
+        .dropDuplicates("id")
+      val assigned = graft.ext.Similarity
+        .assignWithBuildRegime(batch, s34dbgIdx.centroids).persist()
+      var cells: Array[Int] = null
+      time("append: assign+cells") {
+        cells = assigned.select(col("c")).distinct()
+          .collect().map(_.getInt(0)).sorted
+      }
+      val snap = graft.util.Manifest.snapshot(tmp.toString)
+      val withR = assigned.select(col("id"), col("c"),
+        Similarity.residualExpr(col("v"), col("c"), s34dbgIdx.centroids)
+          .as("r")).persist()
+      val encoded = withR.select(col("id"),
+        Similarity.pqCodesExpr(col("r"), s34dbgIdx.codebooks).as("codes"),
+        col("c"))
+      def dup(table: String) = spark.read.parquet(snap.path(table))
+        .where(col("c").isin(cells.map(c => c: Any): _*))
+        .join(broadcast(assigned.select(col("id"))), Seq("id"))
+        .select(col("id")).distinct()
+      var d1: org.apache.spark.sql.DataFrame = null
+      time("append: dup(encoded) eval") { d1 = dup("encoded"); d1.count() }
+      time("append: encoded write") {
+        encoded.join(broadcast(d1), Seq("id"), "left_anti")
+          .repartition(col("c"))
+          .write.mode("append").partitionBy("c")
+          .parquet(snap.path("encoded"))
+      }
+      var d2: org.apache.spark.sql.DataFrame = null
+      time("append: dup(base) eval") { d2 = dup("base"); d2.count() }
+      time("append: base write") {
+        assigned.select(col("id"), col("v"), col("c"))
+          .join(broadcast(d2), Seq("id"), "left_anti")
+          .repartition(col("c"))
+          .write.mode("append").partitionBy("c")
+          .parquet(snap.path("base"))
+      }
+      assigned.unpersist(); withR.unpersist()
+      time("read+tail") {
+        val grown = Similarity.ivfPqIndexRead(spark, tmp.toString)
+        grown.encoded.where(Dedup.pmd5(col("id")) % 4 === 0).count()
+      }
+      graft.ext.Caches.release(); spark.catalog.clearCache()
+      graft.util.Fs.deleteRecursively(tmp)
+    }
+  }
+
   private def probeS33dbg(spark: SparkSession): Unit = {
     val emb = graft.query.Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
     def time(name: String)(f: => Long): Unit = {

@@ -540,6 +540,22 @@ object Similarity {
     * layout that turns a probe's chunk-equality predicate into parquet
     * PARTITION PRUNING (params ride a one-row side table, the
     * ivfIndexWrite idiom). */
+  /** Align a frame to its write layout's partition columns before a
+    * `partitionBy` write: hash-repartitioning on the partition columns
+    * lands every partition VALUE in exactly one task, so the write
+    * emits one file per partition dir per operation instead of
+    * (input tasks × dirs) tiny files. Guide §6 (small files hurt
+    * twice) applied to the index family — the r14 ProfileQuery probe
+    * measured s34's two appends at 32 input partitions × 16 cells =
+    * up to 512 parquet writer inits + commits EACH (10–23 s of the
+    * query's 25 s; file count, not compute, was the cost). The
+    * shuffle moves only the rows being written (batch- or
+    * rebuild-scale, never the index), and one file per touched cell
+    * per operation is exactly the layout the partition-scoped
+    * compactors expect. */
+  private def partitionAligned(df: DataFrame, cols: String*): DataFrame =
+    df.repartition(cols.map(col): _*)
+
   def signBandIndexWrite(index: SignBandIndex, dir: String): Unit = {
     val spark = index.buckets.sparkSession
     import spark.implicits._
@@ -549,7 +565,9 @@ object Similarity {
         // layout (appends write the same cast — the ivfIndexWrite
         // contract)
         "buckets" -> { p: java.nio.file.Path =>
-          index.buckets.withColumn("id", col("id").cast("long"))
+          partitionAligned(
+            index.buckets.withColumn("id", col("id").cast("long")),
+            "band", "bucket")
             .write.mode("overwrite")
             .partitionBy("band", "bucket").parquet(p.toString)
         },
@@ -624,7 +642,8 @@ object Similarity {
           col("bucket").isin(b0.map(b => b: Any): _*))
         .join(broadcast(batchIds), Seq("id"))
         .select(col("id")).distinct()
-      rows.join(broadcast(dup), Seq("id"), "left_anti")
+      partitionAligned(rows.join(broadcast(dup), Seq("id"), "left_anti"),
+        "band", "bucket")
         .write.mode("append").partitionBy("band", "bucket")
         .parquet(buckPath)
     } finally rows.unpersist()
@@ -1200,7 +1219,8 @@ object Similarity {
         // (ivfIndexAppend / the streaming idempotent form) write the
         // same cast, so a mixed INT32/INT64 dataset can never arise
         "assigned" -> { p: java.nio.file.Path =>
-          index.assigned.withColumn("id", col("id").cast("long"))
+          partitionAligned(
+            index.assigned.withColumn("id", col("id").cast("long")), "c")
             .write.mode("overwrite").partitionBy("c")
             .parquet(p.toString)
         }))
@@ -1323,7 +1343,8 @@ object Similarity {
         val dup = existing
           .join(broadcast(assigned.select(col("id"))), Seq("id"))
           .select(col("id")).distinct()
-        assigned.join(broadcast(dup), Seq("id"), "left_anti")
+        partitionAligned(
+          assigned.join(broadcast(dup), Seq("id"), "left_anti"), "c")
           .write.mode("append").partitionBy("c").parquet(asgPath)
       }
     } finally assigned.unpersist()
@@ -1517,7 +1538,8 @@ object Similarity {
               .write.parquet(dst.toString)
           },
           "assigned" -> { dst: java.nio.file.Path =>
-            newAsg.write.partitionBy("c").parquet(dst.toString)
+            partitionAligned(newAsg, "c")
+              .write.partitionBy("c").parquet(dst.toString)
           }),
         drop = Seq("tombstones"))
       report.toSeq.toDF(
@@ -1617,7 +1639,7 @@ object Similarity {
         .collect().map(_.getLong(0))
       if (resurrect.nonEmpty) ivfScrub(spark, dir, resurrect)
     }
-    assignWithBuildRegime(base, idx.centroids)
+    partitionAligned(assignWithBuildRegime(base, idx.centroids), "c")
       .write.mode("append").partitionBy("c")
       .parquet(graft.util.Manifest.tablePath(dir, "assigned"))
   }
@@ -2026,7 +2048,7 @@ object Similarity {
 
   /** Residual of `vec` against its assigned centroid (CASE over the
     * cell id of literal centroid arrays — pure projection, no join). */
-  private def residualExpr(
+  private[graft] def residualExpr(
       vec: Column, cellCol: Column, cents: Seq[Seq[Double]]): Column = {
     val centArr = cents.zipWithIndex.foldRight(
       lit(null).cast("array<double>")) { case ((c, i), acc) =>
@@ -2098,12 +2120,13 @@ object Similarity {
             .write.mode("overwrite").parquet(p.toString)
         },
         "encoded" -> { p: java.nio.file.Path =>
-          enc.write.mode("overwrite").partitionBy("c")
-            .parquet(p.toString)
+          partitionAligned(enc, "c").write.mode("overwrite")
+            .partitionBy("c").parquet(p.toString)
         },
         "base" -> { p: java.nio.file.Path =>
-          index.base.withColumn("id", col("id").cast("long"))
-            .join(enc.select(col("id"), col("c")), "id")
+          partitionAligned(
+            index.base.withColumn("id", col("id").cast("long"))
+              .join(enc.select(col("id"), col("c")), "id"), "c")
             .write.mode("overwrite").partitionBy("c").parquet(p.toString)
         }))
   }
@@ -2136,7 +2159,7 @@ object Similarity {
     * codebooks — the encode tail of [[pqBuild]] factored for the
     * maintenance path (argmin-L2 per subspace, identical tie
     * contract). */
-  private def pqCodesExpr(
+  private[graft] def pqCodesExpr(
       residual: Column, books: Seq[Seq[Seq[Double]]]): Column = {
     val m = books.length
     val subDim = books.head.head.length
@@ -2185,22 +2208,34 @@ object Similarity {
           if (resurrect.nonEmpty) ivfPqScrub(spark, dir, resurrect)
         }
         val snap = graft.util.Manifest.snapshot(dir)
-        val encoded = assigned
-          .withColumn("r",
-            residualExpr(col("v"), col("c"), idx.centroids))
-          .select(col("id"),
+        // materialize residuals BEFORE the code argmins (the ivfPqBuild
+        // `resid` discipline): pqCodesExpr references its residual
+        // input m·pqK times (one per candidate-code dot), and with "r"
+        // a live projection the optimizer inlines the k-branch centroid
+        // CASE + zip_with into EVERY reference — measured ~70% of
+        // s34's executor time (the two append writes at 30–40 s task
+        // time for a 1,000-row batch; r14 ProfileQuery). The persisted
+        // frame is |batch|×dim — batch-bounded at any corpus size.
+        val withR = assigned
+          .select(col("id"), col("c"),
+            residualExpr(col("v"), col("c"), idx.centroids).as("r"))
+          .persist()
+        try {
+          val encoded = withR.select(col("id"),
             pqCodesExpr(col("r"), idx.codebooks).as("codes"), col("c"))
-        def appendFresh(table: String, rows: DataFrame): Unit = {
-          val path = snap.path(table)
-          val dup = spark.read.parquet(path)
-            .where(col("c").isin(cells.map(c => c: Any): _*))
-            .join(broadcast(assigned.select(col("id"))), Seq("id"))
-            .select(col("id")).distinct()
-          rows.join(broadcast(dup), Seq("id"), "left_anti")
-            .write.mode("append").partitionBy("c").parquet(path)
-        }
-        appendFresh("encoded", encoded)
-        appendFresh("base", assigned.select(col("id"), col("v"), col("c")))
+          def appendFresh(table: String, rows: DataFrame): Unit = {
+            val path = snap.path(table)
+            val dup = spark.read.parquet(path)
+              .where(col("c").isin(cells.map(c => c: Any): _*))
+              .join(broadcast(assigned.select(col("id"))), Seq("id"))
+              .select(col("id")).distinct()
+            partitionAligned(
+              rows.join(broadcast(dup), Seq("id"), "left_anti"), "c")
+              .write.mode("append").partitionBy("c").parquet(path)
+          }
+          appendFresh("encoded", encoded)
+          appendFresh("base", assigned.select(col("id"), col("v"), col("c")))
+        } finally withR.unpersist()
       }
     } finally assigned.unpersist()
   }
