@@ -203,10 +203,28 @@ object Bench {
     // 4-thread session when the env var is absent understates the
     // shuffle-heavy queries ~2.5x (observed in round 1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // Shuffle scratch on the fastest local storage available
+    // (guide §2.1: shuffle file I/O can bind before the network; the
+    // r14 ShufProbe measured ~30–80 ms of shuffle-write time PER MAP
+    // TASK on this host's ext4 /tmp regardless of bytes — pure file
+    // metadata latency — and ~half that on tmpfs). Parameterized:
+    // SPARK_GRAFT_LOCAL_DIR overrides; default prefers /dev/shm when
+    // it exists (Linux tmpfs — RAM-backed, fine for this pack's
+    // MB-scale shuffles), else Spark's own default. Production sizing
+    // note (OPTIMIZATION_r14.md): at cluster scale this setting is
+    // "point spark.local.dir at the NVMe array", not tmpfs — the knob
+    // is the same, the medium differs with the shuffle volume.
+    val localDir = sys.env.get("SPARK_GRAFT_LOCAL_DIR").orElse {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      if (java.nio.file.Files.isWritable(shm))
+        Some("/dev/shm/graft-shuffle-scratch")
+      else None
+    }
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+    val spark = localDir.fold(builder0)(d => builder0.config("spark.local.dir", d))
       // 49 queries x several stages each overflow the default 100-entry
       // generated-class cache; evictions force janino recompiles of the
       // wide signature expressions on every run (static conf — must be

@@ -19,12 +19,16 @@ object ProfileQuery {
     val runs = args.drop(1).find(_.forall(_.isDigit)).map(_.toInt).getOrElse(2)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "2000")
-      .getOrCreate()
+    // mirror the bench's shuffle-scratch choice so profiles match it
+    val spark = (if (java.nio.file.Files.isWritable(
+        java.nio.file.Paths.get("/dev/shm")))
+      b0.config("spark.local.dir", "/dev/shm/graft-shuffle-scratch")
+    else b0).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.query.Tables.configure(spark)
 
@@ -91,13 +95,25 @@ object ProfileQuery {
               qe: org.apache.spark.sql.execution.QueryExecution,
               ns: Long): Unit = if (ns > 1500000000L) {
             println(f"  EXEC $fn ${ns / 1e9}%.2f s")
-            qe.executedPlan.foreach { n =>
-              val ms = n.metrics.toSeq
-                .filter { case (_, m) => m.value > 100 }
-                .map { case (k, m) => s"$k=${m.value}" }
-                .sorted.mkString(" ")
-              if (ms.nonEmpty) println(s"    ${n.nodeName} $ms")
-            }
+            // AdaptiveSparkPlanExec hides its children from foreach —
+            // unwrap to the final plan (and nested sub-plans) first
+            def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit =
+              p.foreach {
+                case a: org.apache.spark.sql.execution.adaptive
+                    .AdaptiveSparkPlanExec =>
+                  walk(a.executedPlan)
+                case q: org.apache.spark.sql.execution.adaptive
+                    .QueryStageExec =>
+                  walk(q.plan)
+                case n =>
+                  val ms = n.metrics.toSeq
+                    .filter { case (_, m) => m.value > 1000 }
+                    .map { case (k, m) => s"$k=${m.value}" }
+                    .sorted.mkString(" ")
+                  if (ms.nonEmpty)
+                    println(s"    ${n.nodeName} $ms")
+              }
+            walk(qe.executedPlan)
           }
           override def onFailure(
               fn: String,

@@ -39,6 +39,7 @@ object ScaleProbe {
     }
     if (args.contains("s33dbg")) { probeS33dbg(spark); spark.stop(); return }
     if (args.contains("s34dbg")) { probeS34dbg(spark); spark.stop(); return }
+    if (args.contains("invdbg")) { probeInvDbg(spark); spark.stop(); return }
     val docs1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .select(col("doc_id"), col("text"))
     // 10x: replicate with distinct ids and a per-copy suffix token so
@@ -685,6 +686,49 @@ object ScaleProbe {
 
   /** Timing decomposition of s33 (delete-serve): where do the seconds
     * go relative to s26-style serving on the unpruned index? */
+  /** r14 optimization probe: where does the inverted-index cache build
+    * (count at Dedup.scala:1099 — 16–58 s of task time in every
+    * d-family query) actually spend its time? Variants isolate the
+    * hash pipeline from the columnar cache build. */
+  private def probeInvDbg(spark: SparkSession): Unit = {
+    import graft.ext.Dedup
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$name%-36s ${(System.nanoTime() - t0) / 1e9}%7.2f s rows=$n")
+      spark.catalog.clearCache()
+    }
+    (0 until 2).foreach { rep =>
+      println(s"--- rep $rep")
+      val spreadDocs = docs.repartition(32)
+      val th = spreadDocs.select(col("doc_id").as("id"),
+        Dedup.tokenHashes(col("text")).as("th"))
+      time("tokenHashes only") {
+        th.select(col("id"), size(col("th")).as("n")).agg(sum("n")).head()
+          .getLong(0)
+      }
+      val inv = th.select(col("id"),
+        explode(Dedup.shingleHashArray(col("th"), 3)).as("g"))
+      time("full inverted, no cache") { inv.count() }
+      time("full inverted, cache+count") {
+        val c = inv.persist(); val n = c.count(); n
+      }
+      time("shingles no distinct") {
+        th.select(col("id"), explode(when(size(col("th")) >= 3,
+          transform(sequence(lit(1), size(col("th")) - 2),
+            i => Dedup.pmd5(concat_ws(",",
+              element_at(col("th"), i).cast("string"),
+              element_at(col("th"), i + 1).cast("string"),
+              element_at(col("th"), i + 2).cast("string")))))
+          .otherwise(array(lit(0L)))).as("g")).count()
+      }
+      time("tokens only (split)") {
+        spreadDocs.select(size(graft.ext.TextAnalysis.tokens(col("text")))
+          .as("n")).agg(sum("n")).head().getLong(0)
+      }
+    }
+  }
+
   /** r14 optimization probe: s34's lifecycle phase by phase, twice, to
     * locate the 20 s+ its bench entry pays and separate JIT/variance
     * from real cost. */

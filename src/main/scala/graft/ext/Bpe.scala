@@ -75,8 +75,15 @@ object Bpe {
       else {
         val (a, b) = (top.head.getAs[String]("a"), top.head.getAs[String]("b"))
         merges += ((a, b))
-        v = v.select(mergePair(col("symbols"), a, b).as("symbols"), col("freq"))
-          .localCheckpoint(true)
+        val next = v.select(
+          mergePair(col("symbols"), a, b).as("symbols"), col("freq"))
+        // r14: cut lineage every 3 rounds instead of every round — an
+        // eager localCheckpoint is a full materialization job, and at
+        // ≤3 nested fold lambdas the plan stays far below the
+        // expression-tree blowup the per-round cut guarded against
+        // (encodeTokensByRounds already runs a 4-round cadence);
+        // two-thirds of the checkpoint jobs drop from training
+        v = if (merges.length % 3 == 0) next.localCheckpoint(true) else next
       }
     }
     merges.toSeq

@@ -60,6 +60,17 @@ object Classifier {
         explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .select(col("doc_id"),
         (Dedup.pmd5(col("tok")) % buckets).as("b"))
+      // r14: cluster by doc_id BEFORE the count agg — HashPartitioning
+      // (doc_id) satisfies the (doc_id, b) aggregation here AND every
+      // downstream per-doc aggregation (margins each training round,
+      // scoring), so the whole train/score family runs ONE exchange
+      // where it ran one per consumer. Same exchange count inside
+      // featurize (the repartition replaces the agg's own shuffle);
+      // the traded cost is shuffling raw token rows instead of
+      // map-side-combined ones (~25% more rows at sf0.1 — measured
+      // smaller than one saved exchange per round). repartition(col)
+      // with no fixed N stays AQE-coalescible.
+      .repartition(col("doc_id"))
       .groupBy("doc_id", "b")
       .agg(count(lit(1)).as("c"))
 
@@ -111,7 +122,9 @@ object Classifier {
     val labels = docs.select(col(idCol).as("doc_id"),
       when(labelPred, 1L).otherwise(-1L).as("y"))
       .persistRegistered()
-    feat.count(); labels.count() // eager: reused every round
+    // no eager counts (r14): round 0's update action reads feat JOIN
+    // labels — each cache is consumed by exactly one branch of that
+    // first action, so it populates both without the two count jobs
     val w = new Array[Long](buckets)
     val wSum = new Array[Long](buckets)
     var it = 0
@@ -227,7 +240,8 @@ object Classifier {
       .select(col("doc_id"), col("cls"),
         when(col("dc") === col("cls"), 1L).otherwise(-1L).as("y"))
       .persistRegistered()
-    feat.count(); labels.count()
+    // no eager counts — the round-0 update action populates both
+    // caches (one consumer per cache in that action; see trainCore)
     // model state: 2·K·B longs on the driver
     val w = scala.collection.mutable.Map.empty[(String, Long), Long]
       .withDefaultValue(0L)

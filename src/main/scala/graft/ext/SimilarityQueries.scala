@@ -319,8 +319,8 @@ object SimilarityQueries {
       val dims = 16
       def embed(c: org.apache.spark.sql.Column) = array(
         (0 until dims).map(d =>
-          (conv(substring(md5(concat(c, lit("|"), lit(d.toString))), 1, 15),
-            16, 10).cast("long") % 1000L).cast("double") / 1000.0): _*)
+          (graft.ext.Dedup.pmd5(concat(c, lit("|"), lit(d.toString)))
+            % 1000L).cast("double") / 1000.0): _*)
       val chunks = Packing
         .chunkOverlap(Tables.load(s, dir, "documents"), "doc_id", "text",
           chunkSize = 64, stride = 48)

@@ -245,7 +245,7 @@ object TextAnalysis {
     aggregate(
       tokens(text),
       lit("1469598103934665603"), // FNV offset basis as seed
-      (acc, t) => conv(substring(md5(concat(acc, lit("|"), t)), 1, 15), 16, 10))
+      (acc, t) => Dedup.pmd5(concat(acc, lit("|"), t)).cast("string"))
       .cast("long")
 
   /** Unicode NFC canonical composition (custom codegen'd Expression —
@@ -332,7 +332,7 @@ object TextAnalysis {
       .select(col("id"), posexplode(expr(
         s"transform(sequence(1, size(t) - ${k - 1}), i -> concat_ws(' ', slice(t, i, $k)))")))
       .select(col("id"), (col("pos") + 1).as("i"),
-        conv(substring(md5(col("col")), 1, 15), 16, 10).cast("long").as("h"))
+        Dedup.pmd5(col("col")).as("h"))
     val winMin = Window.partitionBy("id").orderBy("i")
       .rowsBetween(Window.currentRow, w - 1)
     val perDoc = Window.partitionBy("id")
