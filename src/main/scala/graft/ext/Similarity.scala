@@ -35,6 +35,16 @@ import graft.ext.Caches.Registered
   */
 object Similarity {
 
+  /** One-node array literal (r14): `typedlit(seq)` is a SINGLE Literal
+    * where `array(xs.map(lit): _*)` is a CreateArray of |xs| Literal
+    * children — the optimized plan is identical (ConstantFolding folds
+    * CreateArray-of-foldables to that same Literal), but the analyzer
+    * and optimizer walk the unfolded tree first, and Lloyd/PQ plans
+    * carry k·dim ≈ 1,000+ such nodes PER ITERATION (~180 ms of driver
+    * time per job in the s9/s34 profiles). */
+  private[graft] def litArray(xs: Seq[Double]): Column = typedlit(xs)
+
+
   /** Dot product in double precision — a native codegen'd Expression
     * (graft.expr.VectorDot); the higher-order-function formulation
     * (`aggregate(zip_with(...))`) evaluates its lambda interpreted per
@@ -110,7 +120,7 @@ object Similarity {
   def cosineTopK(
       vectors: DataFrame, idCol: String, vecCol: String,
       query: Seq[Float], k: Int): DataFrame = {
-    val q = array(query.map(v => lit(v.toDouble)): _*)
+    val q = litArray(query.map(_.toDouble))
     vectors
       .select(
         col(idCol).as("id"),
@@ -136,8 +146,8 @@ object Similarity {
       vectors: DataFrame, idCol: String, vecCol: String,
       query: Seq[Float], prefixDims: Int, candidates: Int,
       k: Int): DataFrame = {
-    val qPre = array(query.take(prefixDims).map(v => lit(v.toDouble)): _*)
-    val qFull = array(query.map(v => lit(v.toDouble)): _*)
+    val qPre = litArray(query.take(prefixDims).map(_.toDouble))
+    val qFull = litArray(query.map(_.toDouble))
     vectors
       .select(col(idCol).as("id"), col(vecCol).as("_v"),
         round(cosine(slice(col(vecCol), 1, prefixDims), qPre), 6)
@@ -399,7 +409,7 @@ object Similarity {
     require(lamTenths >= 0 && lamTenths <= 10, "lamTenths in [0,10]")
     val sp = vectors.sparkSession
     import sp.implicits._
-    val q = array(query.map(v => lit(v.toDouble)): _*)
+    val q = litArray(query.map(_.toDouble))
     // zero-norm corpus vectors would score NaN (0/0) and out-sort
     // every real candidate; a NaN pairwise sim then NPEs the greedy
     // lookup — gated here like the rest of the family. A zero-norm
@@ -457,7 +467,7 @@ object Similarity {
   /** Sign-bit LSH signature: bit j = (v · h_j) >= 0. */
   def lshSignature(vec: Column, planes: Seq[Seq[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (p, j) =>
-      val pl = array(p.map(lit): _*)
+      val pl = litArray(p)
       when(dot(vec, pl) >= 0, shiftleft(lit(1L), j)).otherwise(0L)
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
@@ -476,7 +486,7 @@ object Similarity {
       val d = p.zip(query).map { case (h, v) => h * v }.sum
       if (d >= 0) 1L << j else 0L
     }.foldLeft(0L)(_ | _)
-    val q = array(query.map(v => lit(v.toDouble)): _*)
+    val q = litArray(query.map(_.toDouble))
     vectors
       .withColumn("sig", lshSignature(col(vecCol), planes))
       .where(bit_count(col("sig").bitwiseXOR(lit(qSig))) <= probe)
@@ -751,7 +761,7 @@ object Similarity {
     val bucketHit = (0 until index.chunks).map { b =>
       col("band") === b && col("bucket") === ((qSig >> (b * width)) & mask)
     }.reduce(_ || _)
-    val q = array(query.map(v => lit(v.toDouble)): _*)
+    val q = litArray(query.map(_.toDouble))
     index.buckets
       .where(bucketHit)
       .where(bit_count(col("sig").bitwiseXOR(lit(qSig))) <= probe)
@@ -866,7 +876,7 @@ object Similarity {
       vec: Column, members: Seq[(Int, Seq[Double])]): Column = {
     val scored = members.map { case (ci, c) =>
       struct(
-        (dot(vec, array(c.map(lit): _*)) / norm(vec)).as("score"),
+        (dot(vec, litArray(c)) / norm(vec)).as("score"),
         lit(ci).as("idx"))
     }
     array_max(array(scored: _*))
@@ -1014,7 +1024,7 @@ object Similarity {
         // single-probe struct-max (ties to the higher group) and
         // element 2 is the runner-up group
         val supStructs = present.map(g => struct(
-          (dot(col("v"), array(supers(g).map(lit): _*)) / norm(col("v")))
+          (dot(col("v"), litArray(supers(g))) / norm(col("v")))
             .as("score"),
           lit(g).as("idx")))
         val sorted = reverse(array_sort(array(supStructs: _*)))
@@ -1654,7 +1664,7 @@ object Similarity {
         (i, d / math.max(qn, 1e-12))
       }
       .sortBy(-_._2).take(nProbe).map(_._1)
-    val q = array(query.map(v => lit(v.toDouble)): _*)
+    val q = litArray(query.map(_.toDouble))
     index.assigned
       .where(col("c").isin(probes: _*))
       .select(col("id"), round(cosine(col("v"), q), 6).as("cos_sim"))
@@ -1757,7 +1767,7 @@ object Similarity {
         (dot(col("qv"), qlit) * col("scale") * lit(qscale)).as("approx"))
       .orderBy(col("approx").desc, col("id").asc)
       .limit(coarseK)
-    val q = array(query.map(v => lit(v.toDouble)): _*)
+    val q = litArray(query.map(_.toDouble))
     vectors
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .join(broadcast(coarse.select("id")), "id")
@@ -1790,7 +1800,7 @@ object Similarity {
   private def nearestCode(sv: Column, codes: Seq[Seq[Double]]): Column = {
     val scored = codes.zipWithIndex.map { case (c, i) =>
       val half = c.map(x => x * x).sum / 2.0
-      struct((dot(sv, array(c.map(lit): _*)) - half).as("score"),
+      struct((dot(sv, litArray(c)) - half).as("score"),
         lit(i).as("idx"))
     }
     array_max(array(scored: _*)).getField("idx")
@@ -1917,7 +1927,7 @@ object Similarity {
       .select(col("id"), approx.as("approx"))
       .orderBy(col("approx").desc, col("id").asc)
       .limit(sl)
-    val q = array(query.map(v => lit(v.toDouble)): _*)
+    val q = litArray(query.map(_.toDouble))
     index.base
       .join(broadcast(coarse.select("id")), "id")
       .select(col("id"), round(cosine(col("v"), q), 6).as("cos_sim"))
@@ -1958,7 +1968,7 @@ object Similarity {
     // flat LUT array per query: index (j·k + code) → q_sub_j · c_{j,code}
     val lutCol = array((0 until m).flatMap { j =>
       val sub = slice(col("_qv"), j * subDim + 1, subDim)
-      index.codebooks(j).map(c => dot(sub, array(c.map(lit): _*)))
+      index.codebooks(j).map(c => dot(sub, litArray(c)))
     }: _*)
     val qlut = q.select(col("_qid"), lutCol.as("_lut"))
     val approx = (0 until m)
@@ -2052,7 +2062,7 @@ object Similarity {
       vec: Column, cellCol: Column, cents: Seq[Seq[Double]]): Column = {
     val centArr = cents.zipWithIndex.foldRight(
       lit(null).cast("array<double>")) { case ((c, i), acc) =>
-      when(cellCol === i, array(c.map(lit): _*)).otherwise(acc)
+      when(cellCol === i, litArray(c)).otherwise(acc)
     }
     zip_with(vec, centArr, (a, b) => a.cast("double") - b)
   }
@@ -2351,7 +2361,7 @@ object Similarity {
       .select(col("id"), (base + adc).as("approx"))
       .orderBy(col("approx").desc, col("id").asc)
       .limit(shortlist)
-    val q = array(query.map(v => lit(v.toDouble)): _*)
+    val q = litArray(query.map(_.toDouble))
     index.base
       .join(broadcast(coarse.select("id")), "id")
       .select(col("id"), round(cosine(col("v"), q), 6).as("cos_sim"))
