@@ -539,8 +539,14 @@ object Bench {
       // different working directory would otherwise scatter (or lose) the file;
       // failures go to stderr (stdout is the 2000-char capture window).
       // Filtered dev runs never overwrite the full-pack record.
+      // Round-15: a run at a non-default core count writes
+      // BENCH_FULL_c<cpus>.json — the round-14 8-core scaling probe
+      // overwrote the 32-core per-query record and emptied PERF's
+      // scaling block; per-cpus files make the two runs coexist.
+      val fullName =
+        if (cpus == "32") "BENCH_FULL.json" else s"BENCH_FULL_c$cpus.json"
       if (args.isEmpty) {
-        val fullPath = java.nio.file.Paths.get(repoRoot, "BENCH_FULL.json")
+        val fullPath = java.nio.file.Paths.get(repoRoot, fullName)
         try java.nio.file.Files.write(fullPath, (fullLine + "\n").getBytes("UTF-8"))
         catch { case t: Throwable => System.err.println(s"WARN: could not write $fullPath: $t") }
       }
@@ -562,7 +568,7 @@ object Bench {
       // back to per-FAMILY subtotals (q/d/s/t/m/p — constant width at any
       // pack size); the per-query detail is always in BENCH_FULL.json
       val famLine =
-        s"""{"metric":"total","value":${r3(total)},"unit":"sec"$partialJson$singleRunJson,"families":${famJson(results)},"n_queries":${results.size}$vsIdle$bandViolJson$gwViolJson,"env":${fp.json},"full":"BENCH_FULL.json","sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec"$partialJson$singleRunJson,"families":${famJson(results)},"n_queries":${results.size}$vsIdle$bandViolJson$gwViolJson,"env":${fp.json},"full":"$fullName","sf":"$sfDir"}"""
       println(if (perQueryLine.length <= 1700) perQueryLine else famLine)
       Console.out.flush()
     }
