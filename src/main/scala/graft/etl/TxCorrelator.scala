@@ -469,9 +469,28 @@ object TxCorrelator {
     val saved = ProductionStateConf.keys
       .map(k => k -> spark.conf.getOption(k)).toMap
     ProductionStateConf.foreach { case (k, v) => spark.conf.set(k, v) }
+    // r15 (§5/I-O): the EPHEMERAL checkpoint of this bounded one-shot
+    // vehicle goes under spark.local.dir (the scratch root — tmpfs in
+    // the bench harness) instead of java.io.tmpdir. Without an
+    // explicit location Spark creates /tmp/temporary-<uuid> and every
+    // micro-batch commit fsyncs offset/commit logs + state versions
+    // there — the measured reason p4–p7/p11 track HOST fsync latency
+    // (r12: p4 1.8 s idle vs 10–22 s on a degraded-I/O host; r14's
+    // 18 ms-p95 host blew the family up 10–18×). The checkpoint is
+    // pure scratch here — it is deleted right after the query stops,
+    // exactly like the default temp dir; a PRODUCTION continuous
+    // stream keeps its explicit durable checkpointLocation
+    // (runTransactionsPipeline's contract is untouched).
+    val ckRoot = spark.sparkContext.getConf.getOption("spark.local.dir")
+      .map(_.split(",")(0))
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(ckRoot))
+    val ckDir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(ckRoot), "graft-tws-ck")
     val q =
       try correlateStreamTws(stream.toDS(), strict = strict)
         .writeStream.outputMode("append").format("memory")
+        .option("checkpointLocation", ckDir.toString)
         .queryName(name).start()
       finally saved.foreach {
         case (k, Some(v)) => spark.conf.set(k, v)
@@ -484,7 +503,10 @@ object TxCorrelator {
       // lastProgress.stateOperators to pin that the conf reached the
       // wire — 8 state partitions, not the session's 32)
       inspect(q)
-    } finally q.stop()
+    } finally {
+      q.stop()
+      graft.util.Fs.deleteRecursively(ckDir)
+    }
     spark.table(name).as[CompletedTx]
   }
 }

@@ -115,10 +115,26 @@ object Classifier {
   private def trainCore(
       docs: DataFrame, idCol: String, textCol: String, labelPred: Column,
       buckets: Int, iters: Int): (Array[Long], Array[Long]) = {
-    require(iters >= 1, "iters must be >= 1")
-    val spark = docs.sparkSession
     val feat = featurize(docs, idCol, textCol, buckets)
       .persistRegistered()
+    val (fin, avg) =
+      trainCoreOnFeat(docs, idCol, feat, labelPred, buckets, iters)
+    feat.unpersist()
+    (fin, avg)
+  }
+
+  /** [[trainCore]] over a caller-supplied (persisted) feature frame —
+    * the r15 reuse seam: train+score compositions (perceptronFilter,
+    * prCurve's calibration, OvR predict) previously featurized the
+    * corpus TWICE (once inside training, once for scoring); sharing
+    * the one persisted frame removes a full corpus scan + token
+    * explode + count shuffle per composition. Identical arithmetic —
+    * the frame is the same featurize output either way. */
+  private def trainCoreOnFeat(
+      docs: DataFrame, idCol: String, feat: DataFrame, labelPred: Column,
+      buckets: Int, iters: Int): (Array[Long], Array[Long]) = {
+    require(iters >= 1, "iters must be >= 1")
+    val spark = docs.sparkSession
     val labels = docs.select(col(idCol).as("doc_id"),
       when(labelPred, 1L).otherwise(-1L).as("y"))
       .persistRegistered()
@@ -147,7 +163,7 @@ object Classifier {
       while (b < buckets) { wSum(b) += w(b); b += 1 }
       it += 1
     }
-    feat.unpersist(); labels.unpersist()
+    labels.unpersist()
     (w, wSum)
   }
 
@@ -164,8 +180,16 @@ object Classifier {
     * over all input ids; pred = 1 iff margin > 0 (the keep gate). */
   def scoreDocs(
       docs: DataFrame, idCol: String, textCol: String, model: DataFrame,
-      buckets: Int = 4096): DataFrame = {
-    val scored = featurize(docs, idCol, textCol, buckets)
+      buckets: Int = 4096): DataFrame =
+    scoreDocsOnFeat(docs, idCol,
+      featurize(docs, idCol, textCol, buckets), model)
+
+  /** [[scoreDocs]] over a caller-supplied feature frame (the r15
+    * train/score reuse seam — see [[trainCoreOnFeat]]). */
+  private def scoreDocsOnFeat(
+      docs: DataFrame, idCol: String, feat: DataFrame, model: DataFrame)
+      : DataFrame = {
+    val scored = feat
       .join(broadcast(model), "b")
       .groupBy("doc_id").agg(sum(col("w") * col("c")).as("m"))
     docs.select(col(idCol).as("doc_id"))
@@ -177,13 +201,22 @@ object Classifier {
 
   /** Train + apply in one call: the production filter composition
     * (label on a supervised slice, keep what the model accepts).
-    * Returns the scored frame of [[scoreDocs]]. */
+    * Returns the scored frame of [[scoreDocs]]. The feature frame is
+    * built ONCE and shared by the training rounds and the scoring
+    * pass (one corpus tokenize+hash+count instead of two); it stays
+    * persisted because the RETURNED frame reads it — released by the
+    * harness' per-query [[Caches.release]], the registered-cache
+    * convention. */
   def perceptronFilter(
       docs: DataFrame, idCol: String, textCol: String, labelPred: Column,
-      buckets: Int = 4096, iters: Int = 3): DataFrame =
-    scoreDocs(docs, idCol, textCol,
-      trainPerceptron(docs, idCol, textCol, labelPred, buckets, iters),
-      buckets)
+      buckets: Int = 4096, iters: Int = 3): DataFrame = {
+    val feat = featurize(docs, idCol, textCol, buckets)
+      .persistRegistered()
+    val (fin, _) =
+      trainCoreOnFeat(docs, idCol, feat, labelPred, buckets, iters)
+    scoreDocsOnFeat(docs, idCol, feat,
+      weightsDf(docs.sparkSession, fin))
+  }
 
   /** One-vs-rest MULTI-class perceptron — the domain/topic classifier
     * of a mixture pipeline (label every crawl page with the source it
@@ -221,6 +254,20 @@ object Classifier {
       buckets: Int, iters: Int)
       : (Array[String], scala.collection.Map[(String, Long), Long],
          scala.collection.Map[(String, Long), Long]) = {
+    val feat = featurize(docs, idCol, textCol, buckets)
+      .persistRegistered()
+    val out = trainCoreOvROnFeat(docs, idCol, feat, classCol, buckets, iters)
+    feat.unpersist()
+    out
+  }
+
+  /** [[trainCoreOvR]] over a caller-supplied (persisted) feature frame
+    * — the r15 train/score reuse seam (see [[trainCoreOnFeat]]). */
+  private def trainCoreOvROnFeat(
+      docs: DataFrame, idCol: String, feat: DataFrame, classCol: String,
+      buckets: Int, iters: Int)
+      : (Array[String], scala.collection.Map[(String, Long), Long],
+         scala.collection.Map[(String, Long), Long]) = {
     require(iters >= 1, "iters must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -232,8 +279,6 @@ object Classifier {
     require(classes.nonEmpty,
       s"trainPerceptronOvR: no non-null values in class column '$classCol'")
     val clsDf = classes.toSeq.toDF("cls")
-    val feat = featurize(docs, idCol, textCol, buckets)
-      .persistRegistered()
     val labels = docs
       .select(col(idCol).as("doc_id"), col(classCol).cast("string").as("dc"))
       .crossJoin(broadcast(clsDf))
@@ -267,7 +312,7 @@ object Classifier {
       w.foreach { case (k, v) => wSum(k) += v }
       it += 1
     }
-    feat.unpersist(); labels.unpersist()
+    labels.unpersist()
     (classes, w, wSum)
   }
 
@@ -285,9 +330,15 @@ object Classifier {
     * K-row margin frame. Returns (doc_id, pred_cls, margin). */
   def predictOvR(
       docs: DataFrame, idCol: String, textCol: String, model: DataFrame,
-      buckets: Int = 4096): DataFrame = {
+      buckets: Int = 4096): DataFrame =
+    predictOvROnFeat(featurize(docs, idCol, textCol, buckets), model)
+
+  /** [[predictOvR]] over a caller-supplied feature frame (the r15
+    * train/score reuse seam). */
+  private def predictOvROnFeat(
+      feat: DataFrame, model: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val margins = featurize(docs, idCol, textCol, buckets)
+    val margins = feat
       .join(broadcast(model), "b")
       .groupBy("doc_id", "cls").agg(sum(col("w") * col("c")).as("m"))
     val win = Window.partitionBy("doc_id")
@@ -296,6 +347,23 @@ object Classifier {
       .withColumn("rn", row_number().over(win))
       .where(col("rn") === 1)
       .select(col("doc_id"), col("cls").as("pred_cls"), col("m").as("margin"))
+  }
+
+  /** Train an OvR model and predict on the SAME corpus in one call —
+    * the c4 composition, sharing ONE persisted feature frame between
+    * the training rounds and the prediction margins (previously two
+    * full featurize passes). The frame stays persisted because the
+    * returned prediction reads it (released by the harness'
+    * per-query [[Caches.release]]). */
+  def trainPredictOvR(
+      docs: DataFrame, idCol: String, textCol: String, classCol: String,
+      buckets: Int = 4096, iters: Int = 3): DataFrame = {
+    val feat = featurize(docs, idCol, textCol, buckets)
+      .persistRegistered()
+    val (classes, fin, _) =
+      trainCoreOvROnFeat(docs, idCol, feat, classCol, buckets, iters)
+    predictOvROnFeat(feat,
+      ovrWeightsDf(docs.sparkSession, classes, buckets, fin))
   }
 
   /** Precision/recall threshold sweep over a scored frame — the

@@ -166,10 +166,10 @@ object ClassifierQueries {
          |SELECT doc_id, cls AS pred_cls, m AS margin
          |FROM rk WHERE rn = 1""".stripMargin) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
-      Classifier.predictOvR(docs, "doc_id", "text",
-        Classifier.trainPerceptronOvR(
-          docs, "doc_id", "text", "source", buckets = B, iters = ITERS),
-        buckets = B)
+      // r15: one shared feature frame for train + predict (was two
+      // full featurize passes) — same model, same margins
+      Classifier.trainPredictOvR(
+        docs, "doc_id", "text", "source", buckets = B, iters = ITERS)
     },
 
     // Precision/recall threshold sweep over the trained binary model's
@@ -207,10 +207,12 @@ object ClassifierQueries {
          |    ELSE 0 END)::BIGINT AS rec_e4
          |FROM cum CROSS JOIN tot""".stripMargin) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
-      val model = Classifier.trainPerceptron(
+      // r15: perceptronFilter IS train+score on one shared feature
+      // frame (was trainPerceptron + scoreDocs = two featurize passes);
+      // identical model and margins
+      val scores = Classifier.perceptronFilter(
         docs, "doc_id", "text", col("text").contains("table"),
         buckets = B, iters = ITERS)
-      val scores = Classifier.scoreDocs(docs, "doc_id", "text", model, B)
         .select("doc_id", "margin")
       val truth = docs.select(col("doc_id"),
         when(col("text").contains("table"), 1L).otherwise(0L).as("y01"))

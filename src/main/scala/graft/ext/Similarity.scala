@@ -185,9 +185,15 @@ object Similarity {
     val q = broadcast(
       queries.select(col(idCol).as("_qid"), col(vecCol).as("_qv"))
         .where(norm(col("_qv")) > 0))
-    val scored = corpus
+    // r15 (§2): widen-only repartition of the corpus side — the
+    // |Q|·|corpus| scoring amplification runs AFTER the scan, so a
+    // narrow input (one small parquet file ⇒ one task) serializes the
+    // whole pairwise pass on one core; Dedup.spread is a no-op when
+    // the scan is already cluster-wide. Results are layout-independent
+    // (per-row scoring + the BoundedTopK aggregation).
+    val scored = Dedup.spread(corpus
       .select(col(idCol).as("_cid"), col(vecCol).as("_cv"))
-      .where(norm(col("_cv")) > 0)
+      .where(norm(col("_cv")) > 0))
       .join(q)
       .select(col("_qid"), col("_cid"),
         round(cosine(col("_cv"), col("_qv")), 6).as("_cos"))
@@ -212,10 +218,11 @@ object Similarity {
     val q = broadcast(queries.select(
       col(idCol).as("_qid"), col(vecCol).as("_qv"), col(labelCol).as("_ql"))
       .where(norm(col("_qv")) > 0)) // zero-norm gate, the family discipline
-    val scored = corpus
+    // widen-only corpus-side repartition — see [[knnJoin]]
+    val scored = Dedup.spread(corpus
       .select(col(idCol).as("_cid"), col(vecCol).as("_cv"),
         col(labelCol).as("_cl"))
-      .where(norm(col("_cv")) > 0)
+      .where(norm(col("_cv")) > 0))
       .join(q)
       .where(not(col("_cl") <=> col("_ql")))
       .select(col("_qid"), col("_cid"),
@@ -254,9 +261,14 @@ object Similarity {
     // cosine is symmetric: score each unordered pair ONCE (the strict
     // half-matrix), persist the skinny (qid, cid, cos) frame eagerly,
     // and mirror it for the per-query ranking — half the VectorDot
-    // work of the naive full matrix, measured 8.1 → 6.0 s at sf0.1
-    val half = vecs
-      .select(col(idCol).as("_cid"), col(vecCol).as("_cv"))
+    // work of the naive full matrix, measured 8.1 → 6.0 s at sf0.1.
+    // r15 (§2): the half-matrix runs on the CORPUS scan's partitions —
+    // one small parquet file means ONE task computes all n²/2 dots
+    // (measured: a single 4.6 s task = the whole s17 stage at sf0.1);
+    // the widen-only spread parallelizes the amplification and is a
+    // no-op on already-wide inputs.
+    val half = Dedup.spread(vecs
+      .select(col(idCol).as("_cid"), col(vecCol).as("_cv")))
       .join(q)
       .where(col("_cid") < col("_qid"))
       .select(col("_qid"), col("_cid"),
